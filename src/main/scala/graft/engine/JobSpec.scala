@@ -1,0 +1,122 @@
+package graft.engine
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Source formats the engine recognizes. Mirrors the reference's
+  * extension-derived `SourceFormat` (GCS2Postgres `src/db/db.go:27` — file
+  * extension, uppercased). Formats whose connector jars are absent in this
+  * environment (Avro, Iceberg, BigQuery, JDBC) stay first-class enum members
+  * so the prod wiring is one jar away; reads fail fast with a clear message.
+  */
+sealed abstract class SourceFormat(val sparkFormat: String)
+object SourceFormat {
+  case object Parquet extends SourceFormat("parquet")
+  case object Csv     extends SourceFormat("csv")
+  case object Json    extends SourceFormat("json")
+  case object Orc     extends SourceFormat("orc")
+  case object Text    extends SourceFormat("text")
+  case object Avro    extends SourceFormat("avro")     // needs spark-avro jar
+  case object Iceberg extends SourceFormat("iceberg")  // needs iceberg-runtime
+  case object Jdbc    extends SourceFormat("jdbc")     // needs driver jar
+
+  val all: Seq[SourceFormat] =
+    Seq(Parquet, Csv, Json, Orc, Text, Avro, Iceberg, Jdbc)
+
+  /** Reference behavior: format = file extension, case-insensitive
+    * (db.go:27 uppercases the extension for BigQuery; Spark wants lower).
+    */
+  def fromExtension(path: String): SourceFormat = {
+    val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+    fromName(ext)
+  }
+
+  def fromName(name: String): SourceFormat =
+    all.find(_.sparkFormat == name.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported source format '$name' (know: ${all.map(_.sparkFormat).mkString(", ")})"))
+}
+
+/** One unit of work: load `source` (format-inferred from extension when not
+  * given), align to the target table's schema, append to `target`.
+  * Mirrors the reference's `File{Name, Table}` / `Table{Name, Table}`
+  * config units (utils.go:41-49).
+  *
+  * @param targetSchemaDdl target schema as DDL ("a INT, b STRING"); in prod
+  *   this comes from the sink catalog (JDBC metadata — the reference reads
+  *   `information_schema.columns`, utils.go:104); declared here because the
+  *   environment has no live Postgres.
+  */
+final case class JobSpec(
+    source: String,
+    target: String,
+    format: Option[SourceFormat] = None,
+    targetSchemaDdl: Option[String] = None,
+    options: Map[String, String] = Map.empty) {
+  def resolvedFormat: SourceFormat =
+    format.getOrElse(SourceFormat.fromExtension(source))
+  def targetSchema: Option[StructType] =
+    targetSchemaDdl.map(ddl => DataType.fromDDL(ddl).asInstanceOf[StructType])
+}
+
+/** Engine config: list of jobs plus sink settings. Shape mirrors the
+  * reference's YAML (`config.yaml:1-25`: gcs.files[], bq.tables[],
+  * postgres.*), minus cloud credentials (env/manual in this environment).
+  */
+final case class EngineConfig(
+    jobs: Seq[JobSpec],
+    sink: SinkConfig = SinkConfig())
+
+final case class SinkConfig(
+    format: String = "parquet",         // "jdbc" in prod
+    path: Option[String] = None,        // parquet sink root
+    url: Option[String] = None,         // jdbc url in prod
+    batchSize: Int = 10000,             // jdbc batchsize per partition
+    mode: String = "append")
+
+object EngineConfig {
+  /** Parse the YAML config (snakeyaml is on Spark's classpath). Accepts:
+    * {{{
+    * jobs:
+    *   - source: /data/lineitem.parquet
+    *     target: lineitem
+    *     format: parquet            # optional, else from extension
+    *     target_schema: "a INT, b STRING"   # optional
+    * sink:
+    *   format: parquet
+    *   path: /tmp/out
+    * }}}
+    */
+  def fromYaml(yaml: String): EngineConfig = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml).asScala
+    val jobs = root.get("jobs").toSeq.flatMap {
+      case l: java.util.List[_] => l.asScala.toSeq.map {
+        case m: java.util.Map[_, _] =>
+          val j = m.asInstanceOf[java.util.Map[String, Object]].asScala
+          JobSpec(
+            source = j("source").toString,
+            target = j("target").toString,
+            format = j.get("format").map(f => SourceFormat.fromName(f.toString)),
+            targetSchemaDdl = j.get("target_schema").map(_.toString),
+            options = j.get("options").map(_.asInstanceOf[java.util.Map[String, Object]]
+              .asScala.map { case (k, v) => k -> v.toString }.toMap)
+              .getOrElse(Map.empty))
+      }
+    }
+    val sink = root.get("sink").map { case m: java.util.Map[_, _] =>
+      val s = m.asInstanceOf[java.util.Map[String, Object]].asScala
+      SinkConfig(
+        format = s.get("format").map(_.toString).getOrElse("parquet"),
+        path = s.get("path").map(_.toString),
+        url = s.get("url").map(_.toString),
+        batchSize = s.get("batch_size").map(_.toString.toInt).getOrElse(10000),
+        mode = s.get("mode").map(_.toString).getOrElse("append"))
+    }.getOrElse(SinkConfig())
+    EngineConfig(jobs, sink)
+  }
+
+  def fromYamlFile(path: String): EngineConfig =
+    fromYaml(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+}

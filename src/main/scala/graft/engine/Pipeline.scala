@@ -1,0 +1,81 @@
+package graft.engine
+
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pipeline orchestrator — the engine's `TransferData` (GCS2Postgres
+  * `src/db/db.go:188-220`). Differences by design:
+  *
+  *   - Per-table failure isolation instead of process-fatal `log.Fatalf`
+  *     (db.go:41,63,86,182): one bad table doesn't kill the run.
+  *   - Optional inter-table parallelism: the reference's `concurrent_jobs`
+  *     only sizes a channel buffer (config.yaml:18, db.go:193) and tables
+  *     actually run sequentially (db.go:192-203); here `parallelism > 1`
+  *     genuinely overlaps table jobs on the shared SparkContext, which is
+  *     how a 1000-executor cluster keeps busy on many small tables.
+  *   - Intra-table parallelism is Spark's partitioning — no user code.
+  */
+object Pipeline {
+
+  final case class JobResult(job: JobSpec, rows: Option[Long],
+                             error: Option[Throwable]) {
+    def ok: Boolean = error.isEmpty
+  }
+
+  /** Run one job: read → align to target schema (when declared) → sink.
+    * Returns row count written (the reference logs `copyCount`, db.go:184).
+    * The count comes from an `observe` metric captured by a listener on the
+    * write's own QueryExecution — one pass over the data, no second scan.
+    */
+  def runJob(spark: SparkSession, job: JobSpec, sink: SinkConfig): Long = {
+    val src = Readers.read(spark, job)
+    val aligned = job.targetSchema.map(SchemaAlign.align(src, _)).getOrElse(src)
+    val metricName = s"graft_sink_${job.target}"
+    val observed = aligned.observe(metricName,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val captured = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get(metricName)
+          .foreach(row => captured.set(row.getLong(0)))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Sink.write(observed, job.target, sink)
+      // Listener delivery is asynchronous off the event bus.
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (captured.get() < 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      captured.get()
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  def run(spark: SparkSession, config: EngineConfig,
+          parallelism: Int = 1): Seq[JobResult] = {
+    def one(job: JobSpec): JobResult =
+      Try(runJob(spark, job, config.sink)) match {
+        case Success(n) => JobResult(job, Some(n), None)
+        case Failure(e) => JobResult(job, None, Some(e))
+      }
+    if (parallelism <= 1) config.jobs.map(one)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(parallelism))
+      val fs = config.jobs.map(j => Future(one(j)))
+      Await.result(Future.sequence(fs), Duration.Inf)
+    }
+  }
+
+  /** Align-only transform, exposed for query-level use and testing. */
+  def ingest(spark: SparkSession, job: JobSpec): DataFrame = {
+    val src = Readers.read(spark, job)
+    job.targetSchema.map(SchemaAlign.align(src, _)).getOrElse(src)
+  }
+}

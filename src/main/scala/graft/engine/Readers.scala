@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source facade — the engine's analogue of the reference's external-table
+  * registration + schema inference (GCS2Postgres `src/db/db.go:25-56`).
+  * Spark *is* the external-table engine: Parquet/ORC are self-describing,
+  * CSV/JSON get `inferSchema`. Registration-as-view mirrors the reference's
+  * idempotent table-id derivation from the file basename (db.go:23).
+  */
+object Readers {
+
+  /** Table id = file basename minus extension (reference db.go:23). */
+  def tableIdFor(source: String): String = {
+    val base = source.split('/').last
+    val dot = base.lastIndexOf('.')
+    if (dot > 0) base.substring(0, dot) else base
+  }
+
+  def read(spark: SparkSession, job: JobSpec): DataFrame = {
+    val fmt = job.resolvedFormat
+    val reader = spark.read.options(job.options)
+    fmt match {
+      case SourceFormat.Parquet => reader.parquet(job.source)
+      case SourceFormat.Orc     => reader.orc(job.source)
+      case SourceFormat.Csv =>
+        reader.option("header", job.options.getOrElse("header", "true"))
+          .option("inferSchema", job.options.getOrElse("inferSchema", "true"))
+          .csv(job.source)
+      case SourceFormat.Json    => reader.json(job.source)
+      case SourceFormat.Text    => reader.text(job.source)
+      case SourceFormat.Avro | SourceFormat.Iceberg =>
+        // Connector jars absent in this environment (offline coursier);
+        // the call shape is the production wiring.
+        reader.format(fmt.sparkFormat).load(job.source)
+      case SourceFormat.Jdbc =>
+        reader.format("jdbc").load()
+    }
+  }
+
+  /** Register-and-read: the full reference producer semantics — create the
+    * "external table" (temp view named after the file stem) if absent, and
+    * hand back the lazily-scanned relation (db.go:17-56).
+    */
+  def register(spark: SparkSession, job: JobSpec): DataFrame = {
+    val df = read(spark, job)
+    df.createOrReplaceTempView(tableIdFor(job.source))
+    df
+  }
+
+  /** Load every TPC-H-ish testdata table under `sfDir` as a temp view. */
+  val testTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    testTables.foreach { t =>
+      table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+}

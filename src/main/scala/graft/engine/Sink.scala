@@ -1,0 +1,37 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink facade — the engine's analogue of the reference's bulk PG COPY
+  * (GCS2Postgres `src/db/db.go:175-180`). Where the reference buffers every
+  * row in driver memory and pushes one COPY over a single connection
+  * (db.go:160-180, db.go:151-155), Spark's JDBC writer opens one connection
+  * PER PARTITION and streams `batchsize`-row batches — the shape that
+  * survives 100 TB: sink parallelism scales with partition count and no
+  * executor ever materializes more than its partition.
+  */
+object Sink {
+
+  def write(df: DataFrame, target: String, cfg: SinkConfig): Unit =
+    cfg.format match {
+      case "parquet" =>
+        val root = cfg.path.getOrElse(
+          throw new IllegalArgumentException("parquet sink needs sink.path"))
+        df.write.mode(cfg.mode).parquet(s"$root/$target")
+      case "jdbc" =>
+        // Production wiring (driver jar absent in this environment):
+        // one connection per partition, batched inserts. `numPartitions`
+        // caps sink-side connections when the upstream plan is very wide.
+        df.write.format("jdbc")
+          .option("url", cfg.url.getOrElse(
+            throw new IllegalArgumentException("jdbc sink needs sink.url")))
+          .option("dbtable", target)
+          .option("batchsize", cfg.batchSize.toString)
+          .option("isolationLevel", "NONE") // COPY-like throughput
+          .mode(cfg.mode)
+          .save()
+      case other =>
+        df.write.mode(cfg.mode).format(other)
+          .save(cfg.path.map(p => s"$p/$target").getOrElse(target))
+    }
+}
