@@ -54,7 +54,26 @@ object Readers {
     "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and
+    * truncate to Spark's native microsecond timestamps — same behavior as
+    * DuckDB's `CAST(ts AS TIMESTAMP)`, so oracle comparisons line up.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/` — double division would lose µs precision
+        // on ~1.7e18 nanosecond values (> 2^53)
+        raw.withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     testTables.foreach { t =>
