@@ -263,6 +263,113 @@ object SparkEntry {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // ---- north star: exact dedup ----
+    "q_dedup_exact" -> ((s, dir) => {
+      graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ---- north star: exact n-gram Jaccard near-dup (inverted index) ----
+    "q_text_jaccard" -> ((s, dir) => {
+      graft.operators.Dedup.jaccardPairs(t(s, dir, "documents"), tau = 0.3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- north star: MinHash + LSH near-dup ----
+    "q_dedup_minhash" -> ((s, dir) => {
+      graft.operators.Dedup.minhashPairs(t(s, dir, "documents"), tau = 0.3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- north star: SimHash near-dup (4x16 banding, exact for d<=3) ----
+    "q_dedup_simhash" -> ((s, dir) => {
+      graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- north star: embedding cosine near-dup (label-blocked) ----
+    "q_dedup_embedding" -> ((s, dir) => {
+      graft.operators.Dedup.embeddingPairs(
+          t(s, dir, "embeddings"), tauNum = 4, tauDen = 10)
+        .orderBy(col("v1"), col("v2"))
+    }),
+
+    // ---- north star: brute-force top-k similarity search ----
+    "q_simsearch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ---- north star: IVF top-k (coarse quantizer + nprobe cells) ----
+    "q_simsearch_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfTopK(
+          e.filter(col("vec_id") < 10), e, k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ---- north star: per-language corpus stats ----
+    "q_textstats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.languageStats(t(s, dir, "documents"))),
+
+    // ---- north star: language-ID heuristic ----
+    "q_langid" -> ((s, dir) => {
+      import graft.operators.TextAnalysis.langScores
+      val scores = langScores(col("text"))
+      val named = scores.map { case (l, c) => c.as(s"score_$l") }
+      val d = t(s, dir, "documents")
+        .select(col("doc_id") +: named: _*)
+      // priority argmax: first language (en,es,fr,de) whose score is >= all
+      val langs = scores.map(_._1)
+      val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((l, i), elseC) =>
+          val ge = langs.drop(i + 1)
+            .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+          when(ge, lit(l)).otherwise(elseC)
+      }
+      d.withColumn("lang_pred", pred).orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: quality scoring ----
+    "q_quality" -> ((s, dir) => {
+      val feats = graft.operators.TextAnalysis.qualityFeatures(col("text"))
+        .map { case (n, c) => c.as(n) }
+      t(s, dir, "documents")
+        .select(col("doc_id") +: feats: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: document fingerprinting (rolling hash) ----
+    "q_fingerprint" -> ((s, dir) => {
+      val fps = graft.operators.TextAnalysis.fingerprintColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      t(s, dir, "documents")
+        .select(col("doc_id") +: fps: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: token counting (whitespace + BPE-ish regex) ----
+    "q_tokencount" -> ((s, dir) => {
+      import graft.operators.TextAnalysis._
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ws_tokens"),
+          bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: multimodal binary-column pipeline (stubbed codec) ----
+    "q_multimodal" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, dir))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // ---- sessionization: gap > 30 min splits a session ----
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -284,6 +391,36 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     })
   )
+
+  /** DuckDB SQL fragment: 60-bit stable hash (= StableHash.stableHash60). */
+  private def hashSql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB SQL fragment: distinct 3-gram shingle-hash CTEs over documents
+    * (= TextAnalysis.shingleHashes with k=3).
+    */
+  private val shingleCte: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, CASE WHEN len(ts) < 3 THEN 1 ELSE len(ts) - 1 END),
+       |    i -> ${hashSql("ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]")})) AS sh
+       |  FROM tok
+       |)""".stripMargin
+
+  /** DuckDB SQL fragment: integer-quantized dot product of two FLOAT[]
+    * (= VectorFunctions.qdot: floor(x*1000) per element, exact int math).
+    */
+  private def qdotSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |    z -> CAST(floor(CAST(z[1] AS DOUBLE)*1000) AS BIGINT)
+       |       * CAST(floor(CAST(z[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  private def qnormSql(a: String): String =
+    s"""CAST(list_sum(list_transform($a,
+       |    e -> CAST(floor(CAST(e AS DOUBLE)*1000) AS BIGINT)
+       |       * CAST(floor(CAST(e AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ingest_lineitem" ->
@@ -456,6 +593,201 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_text_jaccard" ->
+      s"""$shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |pair AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+         |  inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+         |FROM pair JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""$shingleCte,
+         |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |sig AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 32),
+         |    i -> list_min(list_transform(sh,
+         |      h -> ((2*i+1) * (h % 2147483647)
+         |            + (1000003*(i+1)) % 2147483647) % 2147483647))) AS sg
+         |  FROM shnz),
+         |bands AS (
+         |  SELECT doc_id, sh,
+         |    b, ${hashSql("b::VARCHAR || ',' || sg[2*b+1]::VARCHAR || ',' || sg[2*b+2]::VARCHAR")} AS bk
+         |  FROM (SELECT doc_id, sh, sg, unnest(range(0, 16)) AS b FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT d1, d2,
+         |    len(list_intersect(s1.sh, s2.sh)) AS inter,
+         |    len(s1.sh) AS n1, len(s2.sh) AS n2
+         |  FROM cand JOIN shnz s1 ON d1 = s1.doc_id
+         |            JOIN shnz s2 ON d2 = s2.doc_id)
+         |SELECT d1, d2, inter * 1.0 / (n1 + n2 - inter) AS jaccard
+         |FROM ver WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.3
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, ${hashSql("w")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)),
+         |bits AS (
+         |  SELECT doc_id, bl.b AS b,
+         |    sum(CASE WHEN ((h >> CAST(bl.b AS INT)) & 1) = 1
+         |             THEN 1 ELSE -1 END) AS v
+         |  FROM th, (SELECT unnest(range(0, 64)) AS b) bl
+         |  GROUP BY doc_id, bl.b),
+         |fp AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+         |      CASE WHEN b = 63 THEN -9223372036854775807 - 1
+         |           ELSE (1::BIGINT << CAST(b AS INT)) END
+         |      ELSE 0 END) AS BIGINT) AS fp
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH q AS (
+         |  SELECT a.label AS blk, a.vec_id AS v1, b.vec_id AS v2,
+         |    ${qdotSql("a.embedding", "b.embedding")} AS d,
+         |    ${qnormSql("a.embedding")} AS qn1,
+         |    ${qnormSql("b.embedding")} AS qn2
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT blk, v1, v2 FROM q
+         |WHERE d > 0
+         |  AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2
+         |ORDER BY v1, v2""".stripMargin,
+
+    "q_simsearch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |s AS (
+         |  SELECT qid, cid, ${qdotSql("qv", "cv")} AS score
+         |  FROM q, c WHERE qid != cid)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk,
+         |  cid, score
+         |FROM s QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q_simsearch_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_v
+         |              FROM embeddings WHERE vec_id < 16),
+         |corp AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |asg AS (
+         |  SELECT cid, cv, cent_id FROM (
+         |    SELECT cid, cv, cent_id, row_number() OVER (
+         |      PARTITION BY cid ORDER BY cscore DESC, cent_id) AS crank
+         |    FROM (SELECT cid, cv, cent_id,
+         |            ${qdotSql("cv", "cent_v")} AS cscore
+         |          FROM corp, cent))
+         |  WHERE crank = 1),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv
+         |       FROM embeddings WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT qid, qv, cent_id FROM (
+         |    SELECT qid, qv, cent_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY pscore DESC, cent_id) AS prank
+         |    FROM (SELECT qid, qv, cent_id,
+         |            ${qdotSql("qv", "cent_v")} AS pscore
+         |          FROM qs, cent))
+         |  WHERE prank <= 4)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk,
+         |  cid, score
+         |FROM (
+         |  SELECT p.qid, a.cid, ${qdotSql("p.qv", "a.cv")} AS score
+         |  FROM probes p JOIN asg a USING (cent_id) WHERE p.qid != a.cid)
+         |QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q_textstats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+        |    AS avg_tokens_per_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_langid" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS score_en,
+        |    CAST(len(list_filter(ts, t -> t IN ('el','la','de','y','que'))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS score_es,
+        |    CAST(len(list_filter(ts, t -> t IN ('le','la','et','de','un'))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS score_fr,
+        |    CAST(len(list_filter(ts, t -> t IN ('der','die','und','das','ist'))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS score_de
+        |  FROM x)
+        |SELECT doc_id, score_en, score_es, score_fr, score_de,
+        |  CASE
+        |    WHEN score_en >= score_es AND score_en >= score_fr
+        |         AND score_en >= score_de THEN 'en'
+        |    WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+        |    WHEN score_fr >= score_de THEN 'fr'
+        |    ELSE 'de' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """WITH x AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_distinct(ts)) AS DOUBLE) / greatest(len(ts), 1)
+        |    AS type_token_ratio,
+        |  CAST(length(text) - (len(ts) - 1) AS DOUBLE) / greatest(len(ts), 1)
+        |    AS avg_token_len,
+        |  CAST(len(list_filter(ts,
+        |      t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE)
+        |    / greatest(len(ts), 1) AS stopword_ratio
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""$shingleCte
+         |SELECT doc_id, list_min(sh) AS fp_min, list_max(sh) AS fp_max,
+         |  CAST(len(sh) AS BIGINT) AS fp_n
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_tokencount" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  lower(hex(substr(text, 1, 4))) AS magic,
+        |  CAST((unicode(substr(text,1,1))*256 + unicode(substr(text,2,1)))
+        |       % 4096 AS INT) AS width,
+        |  CAST((unicode(substr(text,3,1))*256 + unicode(substr(text,4,1)))
+        |       % 4096 AS INT) AS height,
+        |  CAST(list_reduce(list_transform(range(1, length(text)+1),
+        |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (a, b) -> (31*a + b) % 1000000007) AS BIGINT) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

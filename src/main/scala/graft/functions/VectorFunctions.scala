@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, built from
+  * codegen-friendly higher-order functions (`zip_with` / `aggregate` /
+  * `transform`) — no Scala UDFs in the hot path.
+  *
+  * Two tiers, same split as StableHash:
+  *   - quantized integer forms (`qdot`, `qnorm2`): each float is
+  *     floor(x * 1000) as a long; dot/norm are exact integer arithmetic,
+  *     bit-identical in any engine (DuckDB oracle parity) and immune to
+  *     float-summation-order drift across partitions.
+  *   - double forms (`dot`, `cosine`): production similarity math.
+  */
+object VectorFunctions {
+
+  /** Element-wise quantization: FLOAT -> floor(x*1000) LONG.
+    * float->double widening and *1000.0 are exact IEEE ops, so every
+    * engine computes the identical integer.
+    */
+  def quantize(v: Column, scale: Int = 1000): Column =
+    transform(v, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(quantize(a), quantize(b), _ * _), lit(0L), _ + _)
+
+  /** Integer squared norm of a quantized vector. */
+  def qnorm2(a: Column): Column =
+    aggregate(transform(quantize(a), x => x * x), lit(0L), _ + _)
+
+  /** Double dot product (production path). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), _ + _)
+
+  /** Double cosine similarity (production path). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Quantized-cosine threshold predicate: cosine(a,b) >= tau, evaluated in
+    * exact decimal arithmetic on quantized integers:
+    *   qdot^2 * tauDen^2 >= tauNum^2 * qnorm2(a) * qnorm2(b)  (and qdot > 0)
+    * e.g. tau = 0.4 -> tauNum=4, tauDen=10. No floats anywhere, so the
+    * comparison is engine-portable. DECIMAL(38,0) avoids 64-bit overflow
+    * (qdot^2 can exceed Long.MaxValue).
+    */
+  def qcosineAtLeast(a: Column, b: Column, tauNum: Int, tauDen: Int): Column = {
+    val d   = qdot(a, b)
+    val d19 = d.cast("decimal(19,0)")
+    val lhs = (d19 * d19) * lit(tauDen.toLong * tauDen)
+    val rhs = (qnorm2(a).cast("decimal(19,0)") * qnorm2(b).cast("decimal(19,0)")) *
+      lit(tauNum.toLong * tauNum)
+    d > 0 && lhs >= rhs
+  }
+}

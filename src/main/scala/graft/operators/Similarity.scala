@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the corpus — one pass, no corpus shuffle, per-partition top-k
+  * folded by a single window over query keys. The IVF path adds a coarse
+  * quantizer: vectors are assigned to their nearest centroid once
+  * (clustered write at 100 TB), and a query probes only `nprobe` cells —
+  * corpus scan cost drops by ~nlist/nprobe.
+  *
+  * Similarity metric for oracle-checked paths is the integer-quantized dot
+  * product (see VectorFunctions) — engine-portable, rank-stable. Double
+  * cosine is the production metric.
+  */
+object Similarity {
+
+  /** Brute-force top-k by quantized dot product. `queries` is expected to
+    * be small (broadcast); ranking ties break by corpus vec_id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", qdot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
+  /** Brute-force top-k by double cosine (production metric, not
+    * oracle-checked: float summation order varies across engines).
+    */
+  def bruteForceTopKCosine(queries: DataFrame, corpus: DataFrame,
+                           k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
+  /** IVF (inverted-file) top-k: deterministic coarse quantizer.
+    *
+    * Centroids: the `nlist` corpus vectors with the lowest vec_id — a
+    * deterministic stand-in for k-means (prod would train centroids; the
+    * index/search mechanics are identical). Every corpus vector is
+    * assigned to its nearest centroid by quantized dot; a query probes the
+    * `nprobe` nearest cells and ranks only vectors in those cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+    // assignment: nearest centroid per corpus vector (one broadcast pass)
+    val wAssign = Window.partitionBy(col("cid"))
+      .orderBy(col("cscore").desc, col("cent_id"))
+    val assigned = corpus
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", qdot(col("cv"), col("cent_v")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("cid"), col("cv"), col("cent_id"))
+    // probe: nprobe nearest centroids per query
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pscore").desc, col("cent_id"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("pscore", qdot(col("qv"), col("cent_v")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qv"), col("cent_id"))
+    // search only the probed cells
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    probes.join(assigned, Seq("cent_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", qdot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+}

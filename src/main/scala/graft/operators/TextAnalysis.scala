@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash.stableHash60
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * shingling, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * All built from codegen'd `functions._` higher-order expressions — no
+  * UDFs, no shuffles beyond the caller's aggregation; every operator is a
+  * narrow per-row map and scales embarrassingly at 100 TB.
+  *
+  * Numeric policy: ratios are IEEE-double divisions of exact integer
+  * counts, so every engine computes the same bits (oracle parity).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is single-space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-gram shingles: ["a","b","c","d"], k=3 ->
+    * ["a b c", "b c d"]. Positions via `sequence`+`slice` — pure codegen.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    // guard: sequence(1, n) DESCENDS when n < 1, so short texts must
+    // short-circuit to an empty array, not a bogus [1, 0] index list
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+  }
+
+  /** Distinct shingle hash set — input to minhash / jaccard / fingerprint. */
+  def shingleHashes(text: Column, k: Int = 3,
+                    hash: Column => Column = stableHash60): Column =
+    array_distinct(transform(shingles(text, k), hash))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols — the standard pre-tokenizer shape. Regex is
+    * POSIX-simple so Java and other engines agree.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  /** Tiny per-language stopword signatures for the lang-ID heuristic. */
+  val langSignatures: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "de", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  /** N-gram/stopword language-ID heuristic: score each language by the
+    * fraction of tokens in its signature list; predict the argmax
+    * (ties broken by language name order, deterministic). Returns
+    * (lang, score) as a struct-free pair of columns via `Map`.
+    */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langSignatures.map { case (lang, words) =>
+      val hits = size(filter(toks,
+        t => words.map(w => t === w).reduce(_ || _)))
+      lang -> (hits.cast("double") / greatest(size(toks), lit(1)))
+    }
+  }
+
+  /** Quality-scoring feature columns over a text column. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks  = tokens(text)
+    val nTok  = size(toks)
+    val nDist = size(array_distinct(toks))
+    val nChar = length(text)
+    Seq(
+      "n_tokens" -> nTok.cast("long"),
+      "n_distinct" -> nDist.cast("long"),
+      "type_token_ratio" -> (nDist.cast("double") / greatest(nTok, lit(1))),
+      "avg_token_len" ->
+        ((nChar - (nTok - 1)).cast("double") / greatest(nTok, lit(1))),
+      "stopword_ratio" ->
+        (size(filter(toks, t => Seq("a", "the", "of", "and", "to", "in")
+          .map(w => t === w).reduce(_ || _))).cast("double") /
+          greatest(nTok, lit(1))))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): the minimum and
+    * maximum shingle hash plus the distinct-shingle count identify a
+    * document up to shingle-set equality — O(1) state per doc.
+    */
+  def fingerprintColumns(text: Column, k: Int = 3): Seq[(String, Column)] = {
+    val hs = shingleHashes(text, k)
+    Seq(
+      "fp_min" -> array_min(hs),
+      "fp_max" -> array_max(hs),
+      "fp_n" -> size(hs).cast("long"))
+  }
+
+  /** Per-language corpus statistics (one shuffle: the groupBy). */
+  def languageStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1)))
+          .as("avg_tokens_per_doc"))
+      .orderBy(col("lang"))
+}
