@@ -1,0 +1,51 @@
+package graft.engine
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+
+  test("end-to-end job: read -> align -> parquet sink, rows counted") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val cfg = EngineConfig(
+      jobs = Seq(JobSpec(
+        source = sf() + "/region.parquet",
+        target = "region_t",
+        targetSchemaDdl = Some("r_regionkey INT, r_name STRING, missing_col DOUBLE"))),
+      sink = SinkConfig(format = "parquet", path = Some(out), mode = "overwrite"))
+    val results = Pipeline.run(spark, cfg)
+    assert(results.forall(_.ok))
+    assert(results.head.rows.contains(5L))
+    val back = spark.read.parquet(s"$out/region_t")
+    assert(back.columns.toSeq == Seq("r_regionkey", "r_name", "missing_col"))
+    assert(back.count() == 5)
+    assert(back.filter(back("missing_col").isNotNull).count() == 0)
+  }
+
+  test("per-table failure isolation: one bad job doesn't kill the run") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val cfg = EngineConfig(
+      jobs = Seq(
+        JobSpec(source = "/nonexistent/nope.parquet", target = "bad"),
+        JobSpec(source = sf() + "/nation.parquet", target = "nation_t")),
+      sink = SinkConfig(format = "parquet", path = Some(out), mode = "overwrite"))
+    val results = Pipeline.run(spark, cfg)
+    assert(!results.head.ok)
+    assert(results(1).ok && results(1).rows.contains(25L))
+  }
+
+  test("csv and json round-trip through the reader facade") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val nation = spark.read.parquet(sf() + "/nation.parquet")
+    nation.write.option("header", "true").csv(s"$tmp/nation_csv")
+    nation.write.json(s"$tmp/nation_json")
+    val fromCsv = Readers.read(spark,
+      JobSpec(source = s"$tmp/nation_csv", target = "n",
+        format = Some(SourceFormat.Csv)))
+    val fromJson = Readers.read(spark,
+      JobSpec(source = s"$tmp/nation_json", target = "n",
+        format = Some(SourceFormat.Json)))
+    assert(fromCsv.count() == 25 && fromJson.count() == 25)
+    assert(fromCsv.schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkSpec
+
+/** Property-based checks driven by scalacheck's own runner (the
+  * scalatest-scalacheck bridge jar isn't on the offline classpath).
+  */
+class FunctionPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.choose(-4.0f, 4.0f))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("qdot is symmetric and qnorm2 is non-negative") {
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          VectorFunctions.qdot(col("a"), col("b")).as("ab"),
+          VectorFunctions.qdot(col("b"), col("a")).as("ba"),
+          VectorFunctions.qnorm2(col("a")).as("na"))
+        .head()
+      row.getAs[Long]("ab") == row.getAs[Long]("ba") &&
+        row.getAs[Long]("na") >= 0L
+    })
+  }
+
+  test("quantized cosine gate: self-similarity always passes tau<=1") {
+    check(Prop.forAll(vecGen) { a =>
+      a.forall(x => math.abs(x) < 0.002f) || {
+        Seq(Tuple1(a)).toDF("a")
+          .select(VectorFunctions
+            .qcosineAtLeast(col("a"), col("a"), 9, 10).as("p"))
+          .head().getBoolean(0)
+      }
+    })
+  }
+
+  test("stable hash: deterministic and non-negative") {
+    check(Prop.forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
+      val out = Seq(s, s).toDF("s")
+        .select(StableHash.stableHash60(col("s"))).as[Long].collect()
+      out(0) == out(1) && out(0) >= 0L
+    })
+  }
+}

