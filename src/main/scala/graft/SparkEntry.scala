@@ -344,10 +344,7 @@ object SparkEntry {
 
     // ---- north star: document fingerprinting (rolling hash) ----
     "q_fingerprint" -> ((s, dir) => {
-      val fps = graft.operators.TextAnalysis.fingerprintColumns(col("text"))
-        .map { case (n, c) => c.as(n) }
-      t(s, dir, "documents")
-        .select(col("doc_id") +: fps: _*)
+      graft.operators.TextAnalysis.fingerprints(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
 

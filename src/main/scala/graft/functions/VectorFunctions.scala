@@ -47,11 +47,15 @@ object VectorFunctions {
     * comparison is engine-portable. DECIMAL(38,0) avoids 64-bit overflow
     * (qdot^2 can exceed Long.MaxValue).
     */
-  def qcosineAtLeast(a: Column, b: Column, tauNum: Int, tauDen: Int): Column = {
-    val d   = qdot(a, b)
+  def qcosineAtLeast(a: Column, b: Column, tauNum: Int, tauDen: Int): Column =
+    qcosineGate(qdot(a, b), qnorm2(a), qnorm2(b), tauNum, tauDen)
+
+  /** The threshold gate on precomputed dot/norms (see qcosineAtLeast). */
+  def qcosineGate(d: Column, qn1: Column, qn2: Column,
+                  tauNum: Int, tauDen: Int): Column = {
     val d19 = d.cast("decimal(19,0)")
     val lhs = (d19 * d19) * lit(tauDen.toLong * tauDen)
-    val rhs = (qnorm2(a).cast("decimal(19,0)") * qnorm2(b).cast("decimal(19,0)")) *
+    val rhs = (qn1.cast("decimal(19,0)") * qn2.cast("decimal(19,0)")) *
       lit(tauNum.toLong * tauNum)
     d > 0 && lhs >= rhs
   }

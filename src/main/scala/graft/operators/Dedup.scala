@@ -41,10 +41,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
                    maxPostings: Int = 0): DataFrame = {
-    val sized = withShingleSets(docs, k)
-      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
-    val posts0 = sized.select(col("doc_id"), col("n"),
-      explode(col("sh")).as("h"))
+    val posts0 = TextAnalysis.shinglePosts(docs, k)
+    // set sizes from the UNFILTERED posting list: the skew guard may drop
+    // join keys (conservative jaccard) but never changes denominators
+    val sizes = posts0.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val posts =
       if (maxPostings <= 0) posts0
       else {
@@ -52,11 +52,13 @@ object Dedup {
           .filter(col("df") > maxPostings).select(col("h"))
         posts0.join(common, Seq("h"), "left_anti")
       }
-    val a = posts.select(col("doc_id").as("d1"), col("n").as("n1"), col("h"))
-    val b = posts.select(col("doc_id").as("d2"), col("n").as("n2"), col("h"))
+    val a = posts.select(col("doc_id").as("d1"), col("h"))
+    val b = posts.select(col("doc_id").as("d2"), col("h"))
     a.join(b, a("h") === b("h") && a("d1") < b("d2"))
-      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")))
@@ -65,55 +67,63 @@ object Dedup {
         col("jaccard"))
   }
 
-  /** MinHash signature: for permutation i, min over shingle hashes of
-    * (a_i * (h mod p) + b_i) mod p. Constant k longs per doc.
+  /** MinHash signatures as one codegen'd aggregation over the posting
+    * list: numPerms `min((a_i*(h mod p)+b_i) mod p)` aggregates. Constant
+    * numPerms longs per doc; partial (map-side) aggregation means the
+    * shuffle carries one signature row per doc per map task, not the
+    * posting list.
     */
-  def minhashSignature(sh: Column, numPerms: Int): Column = {
+  def minhashSignatures(posts: DataFrame, numPerms: Int): DataFrame = {
     val p = MinhashPrime
-    val perms = (0 until numPerms).map { i =>
-      array_min(transform(sh,
-        h => (lit(permA(i)) * (h % p) + lit(permB(i))) % p))
+    val hm = col("h") % p
+    val aggs = (0 until numPerms).map { i =>
+      min((lit(permA(i)) * hm + lit(permB(i))) % p).as(s"sig_$i")
     }
-    array(perms: _*)
+    posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band keys: split the signature into `bands` bands of
-    * `rows = numPerms/bands` and hash each band to one stable long.
-    */
-  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      stableHash60(concat_ws(",",
-        lit(b.toString) +: (0 until rows).map(r =>
-          element_at(sig, b * rows + r + 1).cast("string")): _*))
-    }: _*)
-
-  /** MinHash+LSH near-dup pairs: signature -> band keys -> candidates
-    * (docs sharing any band) -> exact Jaccard verification on the
-    * shingle sets. Deterministic end-to-end (fixed permutation family).
+  /** MinHash+LSH near-dup pairs: posting list -> signatures (one codegen
+    * agg) -> band keys -> candidates (docs sharing any band) -> exact
+    * Jaccard verification via a candidate-restricted posting-list join.
+    * Deterministic end-to-end (fixed permutation family).
     */
   def minhashPairs(docs: DataFrame, tau: Double, k: Int = 3,
                    numPerms: Int = 32, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
-    val sigd = withShingleSets(docs, k)
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"),
-        lshBandKeys(minhashSignature(col("sh"), numPerms), bands, rows)
-          .as("bandkeys"))
-    val banded = sigd.select(col("doc_id"), col("sh"),
-      posexplode(col("bandkeys")).as(Seq("band", "bk")))
-    val l = banded.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-      col("band"), col("bk"))
-    val r = banded.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-      col("band"), col("bk"))
-    val cands = l.join(r, Seq("band", "bk"))
+    val posts = TextAnalysis.shinglePosts(docs, k)
+    // ONE pass over the posting list computes signatures, set sizes, and
+    // the sorted shingle set (for candidate verification) together — the
+    // expensive shingle+md5 explode is never re-evaluated.
+    val p = MinhashPrime
+    val hm = col("h") % p
+    val aggs = (0 until numPerms).map { i =>
+      min((lit(permA(i)) * hm + lit(permB(i))) % p).as(s"sig_$i")
+    } ++ Seq(
+      count(lit(1)).as("n"),
+      sort_array(collect_list(col("h"))).as("sh"))
+    val sigs = posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      stableHash60(concat_ws(",",
+        lit(b.toString) +: (0 until rows).map(r =>
+          col(s"sig_${b * rows + r}").cast("string")): _*))
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+    val cands = banded.select(col("doc_id").as("d1"), col("band"), col("bk"))
+      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bk")),
+        Seq("band", "bk"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sh1"), col("sh2"))
+      .select(col("d1"), col("d2"))
       .dropDuplicates("d1", "d2")
-    cands
-      .withColumn("inter",
-        size(array_intersect(col("sh1"), col("sh2"))))
+    // exact verification on the (few) candidate pairs via set intersection
+    val meta1 = sigs.select(col("doc_id").as("d1"), col("n").as("n1"),
+      col("sh").as("sh1"))
+    val meta2 = sigs.select(col("doc_id").as("d2"), col("n").as("n2"),
+      col("sh").as("sh2"))
+    cands.join(meta1, "d1").join(meta2, "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+        (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -139,6 +149,25 @@ object Dedup {
     bitCols.reduce(_ bitwiseOR _)
   }
 
+  /** SimHash fingerprints in bulk: explode token hashes, then ONE
+    * codegen'd aggregation with 64 per-bit vote sums — the scale path
+    * (the array-fold `simhash` recomputes its input per consumer and
+    * runs interpreted).
+    */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val th = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), stableHash60(col("w")).as("h"))
+    val voteAggs = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v_$j")
+    }
+    val votes = th.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val fpBits = (0 until 64).map { j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    votes.select(col("doc_id"), fpBits.reduce(_ bitwiseOR _).as("fp"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxDist (<= 3).
     * Banding into 4 disjoint 16-bit quarters is exact by pigeonhole:
     * distance <= 3 forces at least one identical quarter. Shuffle is by
@@ -146,10 +175,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4x16 banding is only exact for distance <= 3")
-    val fp = docs
-      .withColumn("fp", simhash(transform(
-        TextAnalysis.tokens(col("text")), stableHash60(_))))
-      .select(col("doc_id"), col("fp"))
+    val fp = simhashFingerprints(docs)
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -171,17 +197,26 @@ object Dedup {
   /** Embedding near-dup pairs: blocked all-pairs join with exact
     * integer-quantized cosine >= tauNum/tauDen. `blockCol` bounds the
     * quadratic term (prod: coarse-quantizer cell; here: label).
+    *
+    * Quantized vectors and norms are computed ONCE per vector before the
+    * join (the join exchange materializes them), so the per-pair work is
+    * a single codegen'd LongArrayDot + integer gate.
     */
   def embeddingPairs(embs: DataFrame, tauNum: Int, tauDen: Int,
                      blockCol: String = "label"): DataFrame = {
-    import graft.functions.VectorFunctions.qcosineAtLeast
-    val a = embs.select(col(blockCol).as("blk"), col("vec_id").as("v1"),
-      col("embedding").as("e1"))
-    val b = embs.select(col(blockCol).as("blk"), col("vec_id").as("v2"),
-      col("embedding").as("e2"))
+    import graft.functions.VectorFunctions.{quantize, qcosineGate}
+    import graft.plans.LongArrayDot
+    val prep = embs.select(col(blockCol).as("blk"), col("vec_id"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("qn", LongArrayDot(col("qv"), col("qv")))
+    val a = prep.select(col("blk"), col("vec_id").as("v1"),
+      col("qv").as("qv1"), col("qn").as("qn1"))
+    val b = prep.select(col("blk"), col("vec_id").as("v2"),
+      col("qv").as("qv2"), col("qn").as("qn2"))
     a.join(b, Seq("blk"))
       .filter(col("v1") < col("v2"))
-      .filter(qcosineAtLeast(col("e1"), col("e2"), tauNum, tauDen))
+      .withColumn("d", LongArrayDot(col("qv1"), col("qv2")))
+      .filter(qcosineGate(col("d"), col("qn1"), col("qn2"), tauNum, tauDen))
       .select(col("blk"), col("v1"), col("v2"))
   }
 }

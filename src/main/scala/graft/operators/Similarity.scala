@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.plans.LongArrayDot
 
 /** Approximate-nearest-neighbor search over embedding columns.
   *
@@ -15,23 +16,30 @@ import graft.functions.VectorFunctions._
   * corpus scan cost drops by ~nlist/nprobe.
   *
   * Similarity metric for oracle-checked paths is the integer-quantized dot
-  * product (see VectorFunctions) — engine-portable, rank-stable. Double
-  * cosine is the production metric.
+  * product — engine-portable, rank-stable, and evaluated by the codegen'd
+  * LongArrayDot expression over arrays quantized ONCE per vector (before
+  * any join, so the exchange materializes them). Double cosine is the
+  * production metric.
   */
 object Similarity {
+
+  private def prepQ(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("qid"),
+      quantize(col("embedding")).as("qv"))
+
+  private def prepC(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("cid"),
+      quantize(col("embedding")).as("cv"))
 
   /** Brute-force top-k by quantized dot product. `queries` is expected to
     * be small (broadcast); ranking ties break by corpus vec_id.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("score", qdot(col("qv"), col("cv")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid"))
-    scored
+    prepC(corpus).crossJoin(broadcast(prepQ(queries)))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", LongArrayDot(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
@@ -65,24 +73,23 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = corpus.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+      .select(col("vec_id").as("cent_id"),
+        quantize(col("embedding")).as("cent_v"))
     // assignment: nearest centroid per corpus vector (one broadcast pass)
     val wAssign = Window.partitionBy(col("cid"))
       .orderBy(col("cscore").desc, col("cent_id"))
-    val assigned = corpus
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assigned = prepC(corpus)
       .crossJoin(broadcast(cents))
-      .withColumn("cscore", qdot(col("cv"), col("cent_v")))
+      .withColumn("cscore", LongArrayDot(col("cv"), col("cent_v")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("cid"), col("cv"), col("cent_id"))
     // probe: nprobe nearest centroids per query
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("pscore").desc, col("cent_id"))
-    val probes = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probes = prepQ(queries)
       .crossJoin(broadcast(cents))
-      .withColumn("pscore", qdot(col("qv"), col("cent_v")))
+      .withColumn("pscore", LongArrayDot(col("qv"), col("cent_v")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
       .select(col("qid"), col("qv"), col("cent_id"))
@@ -91,7 +98,7 @@ object Similarity {
       .orderBy(col("score").desc, col("cid"))
     probes.join(assigned, Seq("cent_id"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("score", qdot(col("qv"), col("cv")))
+      .withColumn("score", LongArrayDot(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), col("score"))

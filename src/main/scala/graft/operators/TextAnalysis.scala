@@ -95,6 +95,33 @@ object TextAnalysis {
       "fp_n" -> size(hs).cast("long"))
   }
 
+  /** Exploded posting list: one (doc_id, h) row per DISTINCT shingle hash.
+    *
+    * This is the scale-path representation for every shingle consumer
+    * (jaccard / minhash / fingerprint): the shingle array is computed ONCE
+    * per document at the explode, and everything downstream is codegen'd
+    * hash-aggregation. Keeping the array as a column instead would let
+    * Catalyst's project-collapsing inline the (interpreted,
+    * higher-order-function) array expression into every consumer — e.g.
+    * 32 minhash permutations = 32 full recomputations per row, measured
+    * ~20x slower at sf0.1.
+    */
+  def shinglePosts(docs: DataFrame, k: Int = 3,
+                   hash: Column => Column = stableHash60): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), k, hash)).as("h"))
+
+  /** Fingerprints via one codegen'd aggregation over the posting list
+    * (same values as `fingerprintColumns`, built for bulk scoring).
+    */
+  def fingerprints(docs: DataFrame, k: Int = 3): DataFrame =
+    shinglePosts(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("h")).as("fp_min"),
+        max(col("h")).as("fp_max"),
+        count(lit(1)).as("fp_n"))
+
   /** Per-language corpus statistics (one shuffle: the groupBy). */
   def languageStats(docs: DataFrame): DataFrame =
     docs
