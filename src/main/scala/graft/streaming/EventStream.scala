@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface of the engine: the same event-time
+  * operators as the batch queries (`q_event_window`, `q_sessionize`),
+  * re-expressed on `readStream` so a parquet directory, Kafka topic, or
+  * any other streaming source can drive them incrementally.
+  *
+  * Design notes for scale:
+  *   - watermarks bound state: the windowed aggregation keeps only windows
+  *     newer than (max event time - watermark); late rows beyond it drop.
+  *   - sessionization uses flatMapGroupsWithState — per-key state is one
+  *     small Session struct, partitioned by user_id across executors.
+  *   - output is append-mode so sinks see each result exactly once per
+  *     watermark close.
+  */
+object EventStream {
+
+  /** events schema (see FIXTURES.md) — required up front for readStream
+    * (streaming sources don't infer schemas). ts arrives as LongType
+    * nanoseconds here because the testdata parquet carries
+    * TIMESTAMP(NANOS) which Spark reads as long under nanosAsLong.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events table as a stream (file-based micro-batches).
+    * FileStreamSource monitors a DIRECTORY; the testdata table is a
+    * single parquet file, so expose it through a symlink dir (read-only
+    * testdata stays untouched; prod sources are directories already).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        val d = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_stream",
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+        java.nio.file.Files.createDirectories(d)
+        val link = d.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, src)
+        d
+      }
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time window counts/sums with a watermark for late
+    * data. Streaming twin of the batch `q_event_window`.
+    */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding event-time windows (1h window every 30min by default). */
+  def slidingCounts(events: DataFrame,
+                    windowLen: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Stateful sessionization: emit a session when a user's gap exceeds
+    * `gapMinutes` (streaming twin of the batch `q_sessionize`). State per
+    * user is O(1); with the default processing-time timeout idle users'
+    * open sessions flush eventually. Pass `GroupStateTimeout.NoTimeout`
+    * for finite replays (timeout servicing keeps empty micro-batches
+    * firing forever, which never lets a drained file stream quiesce).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 timeout: GroupStateTimeout =
+                   GroupStateTimeout.ProcessingTimeTimeout):
+      Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    // full-microsecond Timestamp (the millis-only constructor would
+    // truncate and disagree with the batch min(ts)/max(ts))
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => SessionOut(userId,
+              toTs(s.start),
+              toTs(s.end), s.n)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId,
+                    toTs(s.start), toTs(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (useTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to an in-memory table until the source is
+    * drained (file sources are finite here) and return the result —
+    * the synchronous smoke-path for tests and local validation.
+    *
+    * `processAllAvailable + stop` rather than `awaitTermination`: queries
+    * with registered state timeouts stay alive waiting for the timeout
+    * even under Trigger.AvailableNow.
+    *
+    * Append mode emits only watermark-closed results (prod semantics);
+    * Complete re-emits everything — use it to compare against batch.
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+/** Streaming results must agree with the batch (oracle-checked) twins:
+  * the same windowed counts and the same sessions.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming windowed counts (complete mode) == batch q_event_window") {
+    val stream = EventStream.windowedCounts(
+      EventStream.readEvents(spark, sf()))
+    val got = EventStream.runToMemory(stream, "win_out", OutputMode.Complete)
+      .orderBy("window_start", "event_type")
+    val want = graft.SparkEntry.queries("q_event_window")(spark, sf())
+    val g = got.select(col("window_start"), col("event_type"), col("n"),
+      col("total_value")).collect()
+    val w = want.select(col("hour_start"), col("event_type"), col("n"),
+      col("total_value")).collect()
+    assert(g.length == w.length)
+    assert(g.sameElements(w))
+  }
+
+  test("append mode emits exactly the watermark-closed windows") {
+    val closed = EventStream.runToMemory(
+      EventStream.windowedCounts(
+        EventStream.readEvents(spark, sf()), watermark = "2 hours"),
+      "win_append", OutputMode.Append)
+    val all = EventStream.runToMemory(
+      EventStream.windowedCounts(
+        EventStream.readEvents(spark, sf())),
+      "win_complete", OutputMode.Complete)
+    // closed set = all minus windows still within the watermark horizon
+    assert(closed.count() < all.count())
+    val horizonRows = all.count() - closed.count()
+    assert(horizonRows <= 6) // at most ~3h of hourly windows x few types
+  }
+
+  test("sliding windows emit ~2x tumbling rows") {
+    val tum = EventStream.runToMemory(
+      EventStream.windowedCounts(EventStream.readEvents(spark, sf())),
+      "tum_out", OutputMode.Complete).count()
+    val sli = EventStream.runToMemory(
+      EventStream.slidingCounts(EventStream.readEvents(spark, sf())),
+      "sli_out", OutputMode.Complete).count()
+    assert(sli > tum && sli <= tum * 2 + 100)
+  }
+
+  test("stateful sessionization: closed sessions match batch sessions") {
+    import spark.implicits._
+    val events = EventStream.readEvents(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val streamed = EventStream.runToMemory(
+      EventStream.sessionize(events, timeout =
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout).toDF(),
+      "sess_out", OutputMode.Append)
+    val batch = graft.SparkEntry.queries("q_sessionize")(spark, sf())
+    // one micro-batch -> only sessions CLOSED by a later session emit;
+    // the final open session per user stays in state. So: closed-session
+    // count == batch sessions minus active users, and every emitted
+    // (user, start, n) triple must exist identically in the batch result.
+    val users = graft.engine.Readers.events(spark, sf())
+      .select("user_id").distinct().count()
+    assert(streamed.count() == batch.count() - users)
+    val bs = batch.select(col("user_id"), col("session_start"),
+      col("n_events").cast("int")).collect().map(_.toSeq).toSet
+    val ss = streamed.select(col("user_id"), col("session_start"),
+      col("n_events")).collect().map(_.toSeq).toSet
+    assert(ss.subsetOf(bs))
+  }
+}
