@@ -18,9 +18,18 @@ def norm(v):
         return v
     return v
 
-def eq(a, b):
-    if a is None and b is None:
+def isnull(v):
+    if v is None:
         return True
+    try:
+        import pandas as pd
+        return not isinstance(v, (list, tuple)) and pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+
+def eq(a, b):
+    if isnull(a) or isnull(b):
+        return isnull(a) and isnull(b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             af, bf = float(a), float(b)

@@ -367,6 +367,58 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- as-of join: each purchase matched to the user's latest
+    //      prior click (union+window, one shuffle — no range explosion) ----
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.asOfJoin(
+          purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("click_id", "click_value"),
+          suffix = "_click", tieBreak = Some("click_id"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("click_id_click").as("click_id"),
+          col("ts_click").as("click_ts"),
+          col("click_value_click").as("click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- per-label embedding centroids (quantized, exact) ----
+    "q_centroids" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.quantize
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(quantize(col("embedding"))).as(Seq("pos", "q")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // ---- HLL sketch: approx distinct (rows-only check: HLL impls
+    //      differ across engines, deliberately no oracle entry) ----
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- production-metric similarity (double cosine; rows-only:
+    //      float ranking is not cross-engine hash-stable) ----
+    "q_simsearch_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.bruteForceTopKCosine(
+          e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- sessionization: gap > 30 min splits a session ----
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -591,6 +643,29 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_asof" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+        |        event_id AS click_id, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts,
+        |  c.click_id, c.cts AS click_ts, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.cts <= p.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q_centroids" ->
+      """SELECT label,
+        |  CAST(u.pos - 1 AS INT) AS pos,
+        |  CAST(sum(CAST(floor(CAST(u.q AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS qsum,
+        |  count(*) AS n
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(embedding) AS q,
+        |           generate_subscripts(embedding, 1) AS pos) u
+        |GROUP BY label, u.pos
+        |ORDER BY label, pos""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the most recent right
+  * row with rightTs <= leftTs within the same key group — the standard
+  * temporal-join primitive (market data, feature lookups, attribution).
+  *
+  * Spark has no native as-of join; the naive range-join (non-equi
+  * condition) degenerates to a per-key cross product. This implementation
+  * uses the union+window formulation instead:
+  *
+  *   1. union both sides tagged (right=0, left=1), one row each;
+  *   2. one window over (keys) ordered by (ts, tag, tieBreak) computes
+  *      `last(right payload, ignoreNulls)` up to the current row;
+  *   3. keep left rows — each now carries the latest right payload at or
+  *      before its timestamp (NULL when none: left-join semantics).
+  *
+  * Cost: ONE shuffle by key (the window), linear scan per key group — at
+  * 100 TB this is a single exchange of left+right, no join explosion.
+  * Ties: rights sort before lefts at the same instant (<= semantics);
+  * among equal right timestamps `tieBreak` decides (last wins).
+  */
+object AsOfJoin {
+
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               keys: Seq[String], leftTs: String, rightTs: String,
+               rightPayload: Seq[String], suffix: String = "_r",
+               tieBreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payStruct = struct(
+      (col(rightTs).as("__ts_r") +: rightPayload.map(col)): _*)
+    val rightPrepped = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts") :+
+        lit(0).as("__tag") :+
+        tieBreak.map(col).getOrElse(lit(0L)).cast("long").as("__tb") :+
+        payStruct.as("__rpay")): _*)
+    val nullPay = lit(null).cast(
+      rightPrepped.schema("__rpay").dataType.catalogString)
+    val leftPrepped = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .withColumn("__tb", lit(0L))
+      .withColumn("__rpay", nullPay)
+      .select((keys.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tb"),
+        col("__rpay")) ++ leftCols.filterNot(keys.contains).map(col)): _*)
+    val rightAligned = rightPrepped
+      .select((keys.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tb"),
+        col("__rpay")) ++ leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = leftPrepped.unionByName(rightAligned)
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val out = matched.select(
+      (leftCols.map(col) :+
+        col("__match.__ts_r").as(s"$rightTs$suffix")) ++
+        rightPayload.map(c => col(s"__match.$c").as(s"$c$suffix")): _*)
+    out
+  }
+}

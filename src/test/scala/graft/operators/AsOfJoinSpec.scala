@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 10:00:05"), 1L),
+    ("A", ts("2024-01-01 10:00:00"), 2L),  // exactly at a quote
+    ("A", ts("2024-01-01 09:00:00"), 3L),  // before any quote
+    ("B", ts("2024-01-01 10:00:10"), 4L)
+  ).toDF("sym", "t", "trade_id")
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 100.0, 10L),
+    ("A", ts("2024-01-01 10:00:03"), 101.0, 11L),
+    ("B", ts("2024-01-01 10:00:09"), 200.0, 12L)
+  ).toDF("sym", "t", "px", "qid")
+
+  private def run() = AsOfJoin.asOfJoin(
+    trades, quotes, keys = Seq("sym"), leftTs = "t", rightTs = "t",
+    rightPayload = Seq("px", "qid"), suffix = "_q", tieBreak = Some("qid"))
+    .collect().map(r => r.getAs[Long]("trade_id") ->
+      Option(r.getAs[Any]("px_q"))).toMap
+
+  test("picks latest right at-or-before each left, null when none") {
+    val m = run()
+    assert(m(1L).contains(101.0))  // 10:00:05 -> quote at 10:00:03
+    assert(m(2L).contains(100.0))  // equal instants match (<= semantics)
+    assert(m(3L).isEmpty)          // no prior quote -> left-join null
+    assert(m(4L).contains(200.0))  // key isolation: B sees only B quotes
+  }
+
+  test("left row count is preserved (no fan-out)") {
+    val out = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "t", "t",
+      Seq("px"), tieBreak = Some("qid"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq ==
+      Seq("sym", "t", "trade_id", "t_r", "px_r"))
+  }
+
+  test("tie between equal right timestamps resolved by tieBreak (last wins)") {
+    val dupQuotes = quotes.unionAll(
+      Seq(("A", ts("2024-01-01 10:00:03"), 999.0, 13L))
+        .toDF("sym", "t", "px", "qid"))
+    val m = AsOfJoin.asOfJoin(trades, dupQuotes, Seq("sym"), "t", "t",
+      Seq("px", "qid"), suffix = "_q", tieBreak = Some("qid"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        r.getAs[Any]("px_q")).toMap
+    assert(m(1L) == 999.0)  // qid 13 > qid 11 at the same instant
+  }
+}
