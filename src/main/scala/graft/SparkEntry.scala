@@ -161,6 +161,53 @@ object SparkEntry {
                  col("l_linestatus").asc_nulls_first)
     }),
 
+    // ---- aggregation: cube (all grouping-set combinations) ----
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+                 col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- SQL API parity: TPC-H Q3 shape via spark.sql over views ----
+    "q_sql_tpch3" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          |  o_orderdate, o_orderpriority
+          |FROM customer, orders, lineitem
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, o_orderkey
+          |LIMIT 20""".stripMargin)
+    }),
+
+    // ---- window: range frame (value-based bounds) ----
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice"))
+        .rangeBetween(-1000L, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .withColumn("near_qty",
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("near_n", count(lit(1)).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("near_qty"), col("near_n"))
+        .orderBy(col("l_suppkey"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ---- window: ranked top-n per group ----
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -552,6 +599,39 @@ object SparkEntry {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status,
         |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_sql_tpch3" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS near_qty,
+        |  count(*) OVER w AS near_n
+        |FROM lineitem WHERE l_suppkey <= 10
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
 
     "q_window_rank" ->
       """SELECT o_orderpriority,

@@ -66,6 +66,49 @@ object Multimodal {
     }
   }
 
+  /** A single sampled frame from a video payload. */
+  final case class FrameRow(media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Resize: same batched mapPartitions dataflow as decode. The STUB
+    * "resampler" deterministically re-chunks payload bytes to the target
+    * dimensions; a real implementation swaps only the body of `resample`.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    def resample(bytes: Array[Byte]): Array[Byte] = {
+      // real codec: decode -> scale(w, h) -> encode. Stub: deterministic
+      // re-chunk to ceil(w*h/64) bytes sampled evenly from the source.
+      val n = math.max(1, w * h / 64)
+      if (bytes.isEmpty) bytes
+      else Array.tabulate(n)(i => bytes((i.toLong * bytes.length / n).toInt))
+    }
+    media.mapPartitions { iter =>
+      // real codec context allocated here, once per task
+      iter.map(m => m.copy(payload = resample(m.payload)))
+    }
+  }
+
+  /** Frame sampling: one output row per kept frame (every `everyN`-th of
+    * the payload's fixed-size frame chunks) — the flatMap dataflow a video
+    * pipeline needs; frame decode itself is the STUB chunker.
+    */
+  def frameSample(videos: Dataset[MediaRow], everyN: Int,
+                  frameBytes: Int = 1024): Dataset[FrameRow] = {
+    import videos.sparkSession.implicits._
+    require(everyN > 0)
+    videos.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val nFrames = (m.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by everyN).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, m.payload.length)
+          FrameRow(m.media_id, f, java.util.Arrays.copyOfRange(
+            m.payload, from, until))
+        }
+      }
+    }
+  }
+
   /** Wrap any DataFrame with a binary column into the typed media schema. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
               kind: String): Dataset[MediaRow] = {

@@ -33,11 +33,17 @@ class PipelineSpec extends SparkSpec {
     assert(results(1).ok && results(1).rows.contains(25L))
   }
 
-  test("csv and json round-trip through the reader facade") {
+  test("csv, json, and orc round-trip through the reader facade") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val nation = spark.read.parquet(sf() + "/nation.parquet")
     nation.write.option("header", "true").csv(s"$tmp/nation_csv")
     nation.write.json(s"$tmp/nation_json")
+    nation.write.orc(s"$tmp/nation_orc")
+    val fromOrc = Readers.read(spark,
+      JobSpec(source = s"$tmp/nation_orc", target = "n",
+        format = Some(SourceFormat.Orc)))
+    assert(fromOrc.count() == 25)
+    assert(fromOrc.schema == nation.schema)
     val fromCsv = Readers.read(spark,
       JobSpec(source = s"$tmp/nation_csv", target = "n",
         format = Some(SourceFormat.Csv)))

@@ -27,6 +27,19 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(row.payload, "UTF-8") == "payload")
   }
 
+  test("resize re-chunks deterministically; frameSample keeps every Nth") {
+    val media = Seq(MediaRow(1L, "video", Array.tabulate(4096)(_.toByte))).toDS()
+    val resized = resize(media, 64, 64).collect().head
+    assert(resized.payload.length == 64)
+    val frames = frameSample(media, everyN = 2, frameBytes = 1024)
+      .collect().sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 2))
+    assert(frames.forall(_.frame.length == 1024))
+    // determinism
+    val again = resize(media, 64, 64).collect().head
+    assert(resized.payload.toSeq == again.payload.toSeq)
+  }
+
   test("synthetic media from documents feeds the full pipeline") {
     val feats = decodeFeatures(syntheticMedia(spark, sf())).toDF()
     assert(feats.count() == 500)
