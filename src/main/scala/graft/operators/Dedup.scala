@@ -41,24 +41,29 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
                    maxPostings: Int = 0): DataFrame = {
-    val posts0 = TextAnalysis.shinglePosts(docs, k)
-    // set sizes from the UNFILTERED posting list: the skew guard may drop
-    // join keys (conservative jaccard) but never changes denominators
-    val sizes = posts0.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // fold the expensive shingle+md5 explode into ONE doc-level
+    // aggregation; every downstream branch (both self-join sides, sizes)
+    // derives from the same exchange subtree, which ReuseExchange
+    // deduplicates — the md5 pass runs once, not once per branch
+    val sets = TextAnalysis.shinglePosts(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
+    val posts0 = sets.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("h"))
     val posts =
       if (maxPostings <= 0) posts0
       else {
+        // skew guard drops ubiquitous join keys (conservative jaccard)
+        // but `n` keeps the exact denominator
         val common = posts0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxPostings).select(col("h"))
         posts0.join(common, Seq("h"), "left_anti")
       }
-    val a = posts.select(col("doc_id").as("d1"), col("h"))
-    val b = posts.select(col("doc_id").as("d2"), col("h"))
+    val a = posts.select(col("doc_id").as("d1"), col("n").as("n1"), col("h"))
+    val b = posts.select(col("doc_id").as("d2"), col("n").as("n2"), col("h"))
     a.join(b, a("h") === b("h") && a("d1") < b("d2"))
-      .groupBy(col("d1"), col("d2"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")))
