@@ -18,6 +18,12 @@ def norm(v):
         return v
     return v
 
+def aslist(v):
+    import numpy as np
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    return v
+
 def isnull(v):
     if v is None:
         return True
@@ -28,6 +34,7 @@ def isnull(v):
         return False
 
 def eq(a, b):
+    a, b = aslist(a), aslist(b)
     if isnull(a) or isnull(b):
         return isnull(a) and isnull(b)
     if isinstance(a, float) or isinstance(b, float):

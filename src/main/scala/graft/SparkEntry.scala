@@ -289,6 +289,32 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- scalar functions: arrays (no arithmetic — raw-value parity) ----
+    "q_scalar_array" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          element_at(col("embedding"), 1).as("first_val"),
+          array_max(col("embedding")).as("max_val"),
+          array_min(col("embedding")).as("min_val"),
+          slice(sort_array(col("embedding")), 1, 3).as("low3"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- scalar functions: maps (from_json -> map ops) ----
+    "q_scalar_map" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+        .select(
+          col("event_id"),
+          map_keys(col("m")).as("ks"),
+          map_values(col("m")).as("vs"),
+          element_at(col("m"), "k").as("k_val"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- JSON extraction ----
     "q_json" -> ((s, dir) => {
       t(s, dir, "events")
@@ -689,6 +715,22 @@ object SparkEntry {
         |  date_trunc('month', o_orderdate) AS month_start,
         |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_scalar_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS n_dims,
+        |  embedding[1] AS first_val,
+        |  list_max(embedding) AS max_val,
+        |  list_min(embedding) AS min_val,
+        |  list_sort(embedding)[1:3] AS low3
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_scalar_map" ->
+      """SELECT event_id,
+        |  json_keys(props) AS ks,
+        |  [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_json" ->
       """SELECT event_id,

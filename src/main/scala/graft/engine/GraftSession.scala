@@ -1,0 +1,32 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory with the engine's tuning defaults.
+  *
+  * The knobs that matter at 100 TB, set once:
+  *   - shuffle.partitions sized to the cluster (env-driven here; on a
+  *     real cluster 2-3x total cores, with AQE coalescing the tail)
+  *   - AQE on: runtime re-plan, skew-join splitting, partition coalescing
+  *   - files.maxPartitionBytes default 128m: scan-task granularity —
+  *     raise for wide-row tables to cut task-scheduling overhead
+  *   - UTC session timezone: oracle parity and sane event-time semantics
+  */
+object GraftSession {
+
+  def build(appName: String = "graft",
+            cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+            extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    extraConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

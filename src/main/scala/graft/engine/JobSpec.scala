@@ -72,7 +72,8 @@ final case class SinkConfig(
     path: Option[String] = None,        // parquet sink root
     url: Option[String] = None,         // jdbc url in prod
     batchSize: Int = 10000,             // jdbc batchsize per partition
-    mode: String = "append")
+    mode: String = "append",
+    partitionBy: Seq[String] = Nil)     // layout for partition pruning
 
 object EngineConfig {
   /** Parse the YAML config (snakeyaml is on Spark's classpath). Accepts:
@@ -111,7 +112,11 @@ object EngineConfig {
         path = s.get("path").map(_.toString),
         url = s.get("url").map(_.toString),
         batchSize = s.get("batch_size").map(_.toString.toInt).getOrElse(10000),
-        mode = s.get("mode").map(_.toString).getOrElse("append"))
+        mode = s.get("mode").map(_.toString).getOrElse("append"),
+        partitionBy = s.get("partition_by").toSeq.flatMap {
+          case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
+          case one => Seq(one.toString)
+        })
     }.getOrElse(SinkConfig())
     EngineConfig(jobs, sink)
   }

@@ -21,7 +21,7 @@ object Readers {
     val fmt = job.resolvedFormat
     val reader = spark.read.options(job.options)
     fmt match {
-      case SourceFormat.Parquet => reader.parquet(job.source)
+      case SourceFormat.Parquet => readParquet(spark, job.source, job.options)
       case SourceFormat.Orc     => reader.orc(job.source)
       case SourceFormat.Csv =>
         reader.option("header", job.options.getOrElse("header", "true"))
@@ -57,23 +57,65 @@ object Readers {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and
-    * truncate to Spark's native microsecond timestamps — same behavior as
-    * DuckDB's `CAST(ts AS TIMESTAMP)`, so oracle comparisons line up.
+  /** Parquet reader resilient to TIMESTAMP(NANOS) columns, which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL). The footer of the first
+    * data file names the nanos columns; those are read as raw longs
+    * (`nanosAsLong`) and truncated to Spark's native microsecond
+    * timestamps — same behavior as DuckDB's `CAST(ts AS TIMESTAMP)`, so
+    * oracle comparisons line up.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.schema.find(_.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-        // integer `div`, not `/` — double division would lose µs precision
-        // on ~1.7e18 nanosecond values (> 2^53)
-        raw.withColumn("ts", org.apache.spark.sql.functions
-          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
+  def readParquet(spark: SparkSession, path: String,
+                  options: Map[String, String] = Map.empty): DataFrame = {
+    val nanos = nanosTimestampColumns(spark, path)
+    if (nanos.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.options(options).parquet(path)
+    nanos.foldLeft(raw) { (df, c) =>
+      // integer `div`, not `/` — double division would lose µs precision
+      // on ~1.7e18 nanosecond values (> 2^53)
+      df.withColumn(c, org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
     }
   }
+
+  /** Top-level TIMESTAMP(NANOS) column names from the parquet footer of
+    * the first data file under `path` (file or directory).
+    */
+  private def nanosTimestampColumns(spark: SparkSession,
+                                    path: String): Seq[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    try {
+      val hconf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith("_"))
+            .getOrElse(return Nil)
+        else p
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(file, hconf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+          case f if f.isPrimitive &&
+            (f.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == TimeUnit.NANOS
+              case _ => false
+            }) => f.getName
+        }.toSeq
+      } finally reader.close()
+    } catch { case _: Exception => Nil }
+  }
+
+  /** The events table (TIMESTAMP(NANOS) `ts` handled by readParquet). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    readParquet(spark, s"$sfDir/events.parquet")
 
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     testTables.foreach { t =>

@@ -17,7 +17,13 @@ object Sink {
       case "parquet" =>
         val root = cfg.path.getOrElse(
           throw new IllegalArgumentException("parquet sink needs sink.path"))
-        df.write.mode(cfg.mode).parquet(s"$root/$target")
+        // hive-style partition layout: downstream filters on these
+        // columns prune whole directories at planning time
+        val writer =
+          if (cfg.partitionBy.nonEmpty)
+            df.write.partitionBy(cfg.partitionBy: _*)
+          else df.write
+        writer.mode(cfg.mode).parquet(s"$root/$target")
       case "jdbc" =>
         // Production wiring (driver jar absent in this environment):
         // one connection per partition, batched inserts. `numPartitions`

@@ -33,6 +33,22 @@ class PipelineSpec extends SparkSpec {
     assert(results(1).ok && results(1).rows.contains(25L))
   }
 
+  test("partitioned sink layout enables partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val cfg = EngineConfig(
+      jobs = Seq(JobSpec(source = sf() + "/orders.parquet", target = "orders_p")),
+      sink = SinkConfig(format = "parquet", path = Some(out),
+        mode = "overwrite", partitionBy = Seq("o_orderstatus")))
+    assert(Pipeline.run(spark, cfg).forall(_.ok))
+    val back = spark.read.parquet(s"$out/orders_p")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(back.count() > 0)
+    // layout on disk is hive-style
+    assert(new java.io.File(s"$out/orders_p/o_orderstatus=F").isDirectory)
+  }
+
   test("csv, json, and orc round-trip through the reader facade") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val nation = spark.read.parquet(sf() + "/nation.parquet")
