@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import graft.engine.{EngineConfig, Pipeline}
 
 /** CLI entry point — the engine's `main.go` (GCS2Postgres src/main.go:11-44):
@@ -12,16 +11,7 @@ object Run {
     require(args.nonEmpty, "usage: graft.Run <config.yaml> [parallelism]")
     val config = EngineConfig.fromYamlFile(args(0))
     val parallelism = if (args.length > 1) args(1).toInt else 1
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.engine.GraftSession.build("graft")
     val results = Pipeline.run(spark, config, parallelism)
     results.foreach { r =>
       if (r.ok)

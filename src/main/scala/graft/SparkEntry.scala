@@ -349,6 +349,15 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- north star: character n-gram Jaccard (tokenization-free).
+    //      k=16 spans 2-3 words: on a tiny vocabulary short grams are
+    //      ubiquitous and the posting-list join explodes quadratically ----
+    "q_chargram_jaccard" -> ((s, dir) => {
+      graft.operators.Dedup.charJaccardPairs(
+          t(s, dir, "documents"), tau = 0.5, k = 16)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- north star: MinHash + LSH near-dup ----
     "q_dedup_minhash" -> ((s, dir) => {
       graft.operators.Dedup.minhashPairs(t(s, dir, "documents"), tau = 0.3)
@@ -805,6 +814,28 @@ object SparkEntry {
          |  inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
          |FROM pair JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
          |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_chargram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, CASE WHEN length(text) < 16 THEN 1
+         |             ELSE length(text) - 14 END),
+         |    i -> ${hashSql("substr(text, CAST(i AS INT), 16)")})) AS sh
+         |  FROM documents
+         |),
+         |sets AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, n, unnest(sh) AS h FROM sets),
+         |pair AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    a.n AS n1, b.n AS n2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2, inter, CAST(n1 AS BIGINT) AS n1,
+         |  CAST(n2 AS BIGINT) AS n2,
+         |  inter * 1.0 / (n1 + n2 - inter) AS jaccard
+         |FROM pair
+         |WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
 
     "q_dedup_minhash" ->

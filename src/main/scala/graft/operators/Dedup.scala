@@ -45,9 +45,33 @@ object Dedup {
     // aggregation; every downstream branch (both self-join sides, sizes)
     // derives from the same exchange subtree, which ReuseExchange
     // deduplicates — the md5 pass runs once, not once per branch
-    val sets = TextAnalysis.shinglePosts(docs, k)
-      .groupBy(col("doc_id"))
+    jaccardFromPosts(TextAnalysis.shinglePosts(docs, k), tau, maxPostings)
+  }
+
+  /** Character n-gram variant: same machinery over char k-gram hashes. */
+  def charJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
+                       maxPostings: Int = 0): DataFrame =
+    jaccardFromPosts(
+      docs.select(col("doc_id"),
+        explode(TextAnalysis.charShingleHashes("text", k)).as("h")),
+      tau, maxPostings)
+
+  /** Aggregate posts into per-doc sets behind an exchange barrier, THEN
+    * fan out. The groupBy exchange is the memoization point: both
+    * self-join branches reuse it (ReuseExchange), so the expensive
+    * shingle+md5 pass runs once — a pure projection here would be
+    * re-inlined into every branch by project collapsing.
+    */
+  private def jaccardFromPosts(posts: DataFrame, tau: Double,
+                               maxPostings: Int): DataFrame = {
+    val sets = posts.groupBy(col("doc_id"))
       .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
+    jaccardPairsFromSets(sets, tau, maxPostings)
+  }
+
+  /** Shared pair pipeline over (doc_id, sh: array<long>, n) sets. */
+  private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
+                                   maxPostings: Int): DataFrame = {
     val posts0 = sets.select(col("doc_id"), col("n"),
       explode(col("sh")).as("h"))
     val posts =

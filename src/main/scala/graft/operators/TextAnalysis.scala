@@ -37,6 +37,21 @@ object TextAnalysis {
                     hash: Column => Column = stableHash60): Column =
     array_distinct(transform(shingles(text, k), hash))
 
+  /** Character k-gram shingle hashes ("abcd", k=3 -> hashes of
+    * ["abc","bcd"]) — the tokenization-free near-dup representation
+    * (robust to spacing/punctuation noise). Built via a SQL lambda
+    * because `functions.substring` only takes literal offsets; the CASE
+    * guards the sequence() descending-range footgun on short texts.
+    */
+  def charShingleHashes(textCol: String, k: Int = 3): Column =
+    expr(
+      s"""CASE WHEN length($textCol) < $k THEN array()
+         |ELSE array_distinct(transform(
+         |  sequence(1, length($textCol) - ${k - 1}),
+         |  i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 15),
+         |                 16, 10) as bigint)))
+         |END""".stripMargin).cast("array<bigint>")
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-space symbols — the standard pre-tokenizer shape. Regex is
     * POSIX-simple so Java and other engines agree.
