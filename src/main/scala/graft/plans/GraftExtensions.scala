@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: registers the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql("... long_array_dot(a, b)
+  * ...")` works next to the Column API.
+  *
+  * Wire-up:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // programmatic
+  *   // or: spark.sql.extensions=graft.plans.GraftExtensions (conf)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.longArrayDotDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[plans] val longArrayDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("long_array_dot"),
+    new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"long_array_dot takes 2 arguments, got ${children.length}")
+      LongArrayDot(children.head, children(1))
+    })
+
+  /** Register on an existing session (tests, REPLs). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (_, _, builder) = longArrayDotDescriptor
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_array_dot", builder, "scala_udf")
+  }
+}

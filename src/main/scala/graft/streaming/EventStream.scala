@@ -87,6 +87,17 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
+    * with state bounded by the watermark (a duplicate arriving later than
+    * `watermark` after the original is passed through — the standard
+    * at-least-once -> effectively-once compaction for event streams).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int)

@@ -26,6 +26,14 @@ object StreamDemo {
     println(s"[stream] hourly windows: ${win.count()} rows")
     win.orderBy("window_start", "event_type").show(5, truncate = false)
 
+    val deduped = EventStream.runToMemory(
+      EventStream.dedupStream(
+        EventStream.readEvents(spark, dir)
+          .unionAll(EventStream.readEvents(spark, dir)),  // replay twice
+        Seq("event_id")),
+      "demo_dedup")
+    println(s"[stream] deduped events (2x replay): ${deduped.count()} rows")
+
     val sessions = EventStream.runToMemory(
       EventStream.sessionize(
         EventStream.readEvents(spark, dir)

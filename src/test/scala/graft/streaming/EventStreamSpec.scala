@@ -48,6 +48,18 @@ class EventStreamSpec extends SparkSpec {
     assert(sli > tum && sli <= tum * 2 + 100)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val base = EventStream.readEvents(spark, sf())
+    // replay the stream twice by unioning it with itself: every event is
+    // then a duplicate; dedup must emit each id once
+    val doubled = base.unionAll(base)
+    val out = EventStream.runToMemory(
+      EventStream.dedupStream(doubled, Seq("event_id")), "dedup_out")
+    val batchCount = graft.engine.Readers.events(spark, sf()).count()
+    assert(out.count() == batchCount)
+    assert(out.select("event_id").distinct().count() == batchCount)
+  }
+
   test("stateful sessionization: closed sessions match batch sessions") {
     import spark.implicits._
     val events = EventStream.readEvents(spark, sf())
