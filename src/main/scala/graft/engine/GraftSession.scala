@@ -17,12 +17,18 @@ object GraftSession {
   def build(appName: String = "graft",
             cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
             extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    // catalog state (bucketed saveAsTable, derby metastore) goes to tmp,
+    // not the process cwd
+    val cat = java.nio.file.Files.createTempDirectory("graft_catalog").toString
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", cat)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$cat/warehouse")
       .config("spark.ui.enabled", "false")
     extraConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -73,7 +73,9 @@ final case class SinkConfig(
     url: Option[String] = None,         // jdbc url in prod
     batchSize: Int = 10000,             // jdbc batchsize per partition
     mode: String = "append",
-    partitionBy: Seq[String] = Nil)     // layout for partition pruning
+    partitionBy: Seq[String] = Nil,     // layout for partition pruning
+    bucketBy: Seq[String] = Nil,        // co-located join layout
+    numBuckets: Int = 0)                // required when bucketBy set
 
 object EngineConfig {
   /** Parse the YAML config (snakeyaml is on Spark's classpath). Accepts:
@@ -116,7 +118,12 @@ object EngineConfig {
         partitionBy = s.get("partition_by").toSeq.flatMap {
           case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
           case one => Seq(one.toString)
-        })
+        },
+        bucketBy = s.get("bucket_by").toSeq.flatMap {
+          case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
+          case one => Seq(one.toString)
+        },
+        numBuckets = s.get("num_buckets").map(_.toString.toInt).getOrElse(0))
     }.getOrElse(SinkConfig())
     EngineConfig(jobs, sink)
   }

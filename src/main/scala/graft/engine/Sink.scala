@@ -14,6 +14,19 @@ object Sink {
 
   def write(df: DataFrame, target: String, cfg: SinkConfig): Unit =
     cfg.format match {
+      case "parquet" if cfg.bucketBy.nonEmpty =>
+        // bucketed layout: both sides of a join bucketed on the join key
+        // with the same bucket count read back pre-partitioned — the join
+        // plans with NO exchange. The 100 TB co-location tool for
+        // repeatedly-joined fact tables. Bucketing requires a catalog
+        // table (saveAsTable), not a bare path.
+        require(cfg.numBuckets > 0, "bucketBy needs numBuckets > 0")
+        df.write
+          .bucketBy(cfg.numBuckets, cfg.bucketBy.head, cfg.bucketBy.tail: _*)
+          .sortBy(cfg.bucketBy.head, cfg.bucketBy.tail: _*)
+          .mode(cfg.mode)
+          .format("parquet")
+          .saveAsTable(target)
       case "parquet" =>
         val root = cfg.path.getOrElse(
           throw new IllegalArgumentException("parquet sink needs sink.path"))

@@ -62,19 +62,63 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
   }
 
-  /** IVF (inverted-file) top-k: deterministic coarse quantizer.
-    *
-    * Centroids: the `nlist` corpus vectors with the lowest vec_id — a
-    * deterministic stand-in for k-means (prod would train centroids; the
-    * index/search mechanics are identical). Every corpus vector is
-    * assigned to its nearest centroid by quantized dot; a query probes the
-    * `nprobe` nearest cells and ranks only vectors in those cells.
+  /** Deterministic k-means (Lloyd) for IVF centroids, entirely in exact
+    * integer arithmetic on quantized vectors:
+    *   - init: the nlist lowest-vec_id corpus vectors;
+    *   - assign: argmin L2 == argmin(|c|^2 - 2<v,c>) via LongArrayDot,
+    *     ties to the lower cent_id;
+    *   - update: element-wise integer mean (floor division).
+    * No randomness, no floats — same centroids on every run/engine.
+    * Returns (cent_id, cent_v: array<long>).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col("vec_id")).limit(nlist)
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qcorpus = prepC(corpus)
+    var cents = corpus.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cent_id"),
         quantize(col("embedding")).as("cent_v"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(col("cid"))
+        .orderBy(col("dist2c").asc, col("cent_id"))
+      val assigned = qcorpus.crossJoin(broadcast(cents))
+        .withColumn("dist2c",
+          LongArrayDot(col("cent_v"), col("cent_v")) -
+            lit(2L) * LongArrayDot(col("cv"), col("cent_v")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+      val updated = assigned
+        .select(col("cent_id"), posexplode(col("cv")).as(Seq("pos", "q")))
+        .groupBy(col("cent_id"), col("pos"))
+        // floor division keeps the mean integral and deterministic
+        .agg((sum(col("q")) / count(lit(1))).cast("long").as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cent_id"),
+          expr("transform(pm, x -> x.m)").as("cent_v"))
+      // empty cells keep their previous centroid
+      val kept = cents.join(updated, Seq("cent_id"), "left_anti")
+      cents = updated.unionByName(kept).localCheckpoint(eager = true)
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) top-k: deterministic coarse quantizer.
+    *
+    * Centroids: trained via `trainCentroids` when provided, else the
+    * `nlist` lowest-vec_id corpus vectors (the index/search mechanics are
+    * identical either way). Every corpus vector is assigned to its
+    * nearest centroid by quantized dot; a query probes the `nprobe`
+    * nearest cells and ranks only vectors in those cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      corpus.orderBy(col("vec_id")).limit(nlist)
+        .select(col("vec_id").as("cent_id"),
+          quantize(col("embedding")).as("cent_v")))
     // assignment: nearest centroid per corpus vector (one broadcast pass)
     val wAssign = Window.partitionBy(col("cid"))
       .orderBy(col("cscore").desc, col("cent_id"))

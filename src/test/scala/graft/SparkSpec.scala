@@ -13,11 +13,15 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // catalog state (bucketed saveAsTable) goes to temp dirs, not the repo
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spark").toString
+    System.setProperty("derby.system.home", tmp)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
