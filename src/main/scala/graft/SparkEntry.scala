@@ -44,7 +44,10 @@ object SparkEntry {
           source = s"$dir/lineitem.parquet",
           target = "lineitem",
           targetSchemaDdl = Some(lineitemTargetDdl)))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus;
+        // order by every column for a total, engine-independent order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
     }),
 
     // ---- filter / projection (pushdown exercised) ----
@@ -55,7 +58,8 @@ object SparkEntry {
                 col("l_discount") > 0.05 && col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
                 col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                 col("l_extendedprice"))
     }),
 
     // ---- aggregation: TPC-H Q1 shape ----
@@ -559,7 +563,8 @@ object SparkEntry {
         |  CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
         |  CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
         |  l_returnflag, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_returnflag, l_shipdate""".stripMargin,
 
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -567,7 +572,7 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate <  TIMESTAMP '1997-02-01'
         |  AND l_discount > 0.05 AND l_quantity < 10
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -73,9 +73,12 @@ object Pipeline {
     }
   }
 
-  /** Align-only transform, exposed for query-level use and testing. */
+  /** Align-only transform, exposed for query-level use and testing.
+    * `Spread` lifts under-split small inputs to cluster parallelism so the
+    * align/cast projection isn't serialized on one core (no-op at scale).
+    */
   def ingest(spark: SparkSession, job: JobSpec): DataFrame = {
-    val src = Readers.read(spark, job)
+    val src = Spread(Readers.read(spark, job))
     job.targetSchema.map(SchemaAlign.align(src, _)).getOrElse(src)
   }
 }

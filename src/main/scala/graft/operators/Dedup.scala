@@ -52,7 +52,7 @@ object Dedup {
   def charJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
                        maxPostings: Int = 0): DataFrame =
     jaccardFromPosts(
-      docs.select(col("doc_id"),
+      graft.engine.Spread(docs).select(col("doc_id"),
         explode(TextAnalysis.charShingleHashes("text", k)).as("h")),
       tau, maxPostings)
 
@@ -64,8 +64,12 @@ object Dedup {
     */
   private def jaccardFromPosts(posts: DataFrame, tau: Double,
                                maxPostings: Int): DataFrame = {
+    // repartition memoizes the aggregated sets (one row per doc) behind a
+    // reusable exchange: downstream fans out into df-gate + join sides,
+    // and without it the shingle explode + collect_list re-runs per branch
     val sets = posts.groupBy(col("doc_id"))
       .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
+      .repartition(col("doc_id"))
     jaccardPairsFromSets(sets, tau, maxPostings)
   }
 
@@ -74,15 +78,16 @@ object Dedup {
                                    maxPostings: Int): DataFrame = {
     val posts0 = sets.select(col("doc_id"), col("n"),
       explode(col("sh")).as("h"))
-    val posts =
-      if (maxPostings <= 0) posts0
-      else {
-        // skew guard drops ubiquitous join keys (conservative jaccard)
-        // but `n` keeps the exact denominator
-        val common = posts0.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxPostings).select(col("h"))
-        posts0.join(common, Seq("h"), "left_anti")
-      }
+    // document-frequency gate: a shingle in exactly one document cannot
+    // produce a pair, so only df >= 2 keys enter the self-join — on mostly
+    // unique corpora this cuts the join input by orders of magnitude
+    // (exact, not an approximation). The upper bound is the ubiquitous-
+    // shingle skew guard (conservative jaccard; `n` keeps the exact
+    // denominator). AQE broadcasts `kept` when it turns out small.
+    val dfreq = posts0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val keep = if (maxPostings <= 0) col("df") >= 2
+               else col("df").between(2, maxPostings)
+    val posts = posts0.join(dfreq.filter(keep).select(col("h")), Seq("h"))
     val a = posts.select(col("doc_id").as("d1"), col("n").as("n1"), col("h"))
     val b = posts.select(col("doc_id").as("d2"), col("n").as("n2"), col("h"))
     a.join(b, a("h") === b("h") && a("d1") < b("d2"))
@@ -130,7 +135,14 @@ object Dedup {
     } ++ Seq(
       count(lit(1)).as("n"),
       sort_array(collect_list(col("h"))).as("sh"))
+    // The signature table feeds THREE plan branches (banding + both sides
+    // of candidate verification). Exchange reuse memoizes only shuffle
+    // output, and the groupBy's exchange is BELOW the aggregation — the
+    // 30+-aggregate pass would re-run per branch. A repartition on the
+    // (tiny: one row per doc) aggregated output inserts a reusable
+    // exchange ABOVE it, so the signature pass runs exactly once.
     val sigs = posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .repartition(col("doc_id"))
     val bandCols = (0 until bands).map { b =>
       stableHash60(concat_ws(",",
         lit(b.toString) +: (0 until rows).map(r =>
@@ -235,7 +247,7 @@ object Dedup {
                      blockCol: String = "label"): DataFrame = {
     import graft.functions.VectorFunctions.{quantize, qcosineGate}
     import graft.plans.LongArrayDot
-    val prep = embs.select(col(blockCol).as("blk"), col("vec_id"),
+    val prep = graft.engine.Spread(embs).select(col(blockCol).as("blk"), col("vec_id"),
         quantize(col("embedding")).as("qv"))
       .withColumn("qn", LongArrayDot(col("qv"), col("qv")))
     val a = prep.select(col("blk"), col("vec_id").as("v1"),

@@ -123,7 +123,7 @@ object TextAnalysis {
     */
   def shinglePosts(docs: DataFrame, k: Int = 3,
                    hash: Column => Column = stableHash60): DataFrame =
-    docs.select(col("doc_id"),
+    graft.engine.Spread(docs).select(col("doc_id"),
       explode(shingleHashes(col("text"), k, hash)).as("h"))
 
   /** Fingerprints via one codegen'd aggregation over the posting list
@@ -139,7 +139,7 @@ object TextAnalysis {
 
   /** Per-language corpus statistics (one shuffle: the groupBy). */
   def languageStats(docs: DataFrame): DataFrame =
-    docs
+    graft.engine.Spread(docs)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
       .groupBy(col("lang"))
       .agg(
