@@ -524,8 +524,128 @@ object SparkEntry {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- aggregation: explicit GROUPING SETS (beyond rollup/cube) ----
+    "q_grouping_sets" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_status
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+          |  l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- event-time SLIDING window (1h window, 30m slide: each event
+    //      lands in exactly two windows) ----
+    "q_event_sliding" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("total_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // ---- range (non-equi) join: fact rows banded by a small interval
+    //      table — broadcast nested-loop, the scale-safe theta-join shape ----
+    "q_join_range" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("low", 0.0, 100000.0),
+        ("mid", 100000.0, 250000.0),
+        ("high", 250000.0, 1e9)).toDF("band", "lo", "hi")
+      t(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy(col("band"))
+    }),
+
+    // ---- exact percentiles (distributed sort-based, not approx) ----
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("floor(percentile(l_quantity, 0.25) * 1e6 + 0.5) / 1e6").as("p25"),
+          expr("floor(percentile(l_quantity, 0.5) * 1e6 + 0.5) / 1e6").as("p50"),
+          expr("floor(percentile(l_quantity, 0.75) * 1e6 + 0.5) / 1e6").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- edit-distance near-dup over short strings (exact DP) ----
+    "q_editdist" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("name1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("name2"))
+      a.join(b, col("k1") < col("k2"))
+        .withColumn("dist", levenshtein(col("name1"), col("name2")))
+        .filter(col("dist") <= 2)
+        .select(col("k1"), col("k2"), col("name1"), col("name2"), col("dist"))
+        .orderBy(col("k1"), col("k2"))
+    }),
+
+    // ---- pivot (wide conditional aggregation) ----
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- correlated subqueries: EXISTS / NOT EXISTS (decorrelation) ----
+    "q_exists" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(existsSql)
+    }),
+
+    // ---- scalar functions: math (IEEE-deterministic ops only) ----
+    "q_scalar_math" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // floor-based rounding, NOT round(): Spark rounds the shortest
+          // decimal string of the double (HALF_UP on "x.xx5"), DuckDB the
+          // exact binary value — they disagree on boundary values. The
+          // floor form runs the same IEEE ops on the same bits everywhere.
+          (floor(col("l_extendedprice") * col("l_discount") * 100 + 0.5) / 100)
+            .as("disc_amt"),
+          (floor(sqrt(col("l_quantity")) * 1e6 + 0.5) / 1e6).as("q_sqrt"),
+          ceil(col("l_discount") * 100).cast("long").as("d_ceil"),
+          floor(col("l_tax") * 100).cast("long").as("t_floor"),
+          signum(col("l_discount") - 0.05).cast("int").as("sgn"),
+          greatest(col("l_quantity"), col("l_tax") * 100).as("g"))
     })
   )
+
+  /** Shared Spark/DuckDB SQL for q_exists (correlated EXISTS subqueries). */
+  private val existsSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
 
   /** DuckDB SQL fragment: 60-bit stable hash (= StableHash.stableHash60). */
   private def hashSql(e: String): String =
@@ -1018,6 +1138,80 @@ object SparkEntry {
         |  CAST(list_reduce(list_transform(range(1, length(text)+1),
         |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
         |    (a, b) -> (31*a + b) % 1000000007) AS BIGINT) AS checksum
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+
+    // sliding 1h/30m windows: each event's two covering window starts are
+    // the 30-minute floor of ts and that floor minus 30 minutes (µs math —
+    // Spark's window() is epoch-aligned, as is integer floor division)
+    "q_event_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        |b AS (SELECT *, (epoch_us(ts) // 1800000000) * 1800000000 AS s1
+        |      FROM e),
+        |w AS (SELECT event_type, value,
+        |        unnest([s1, s1 - 1800000000]) AS ws FROM b)
+        |SELECT make_timestamp(ws) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q_join_range" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 100000.0),
+        |  ('mid', 100000.0, 250000.0),
+        |  ('high', 250000.0, 1000000000.0))
+        |SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_quantity, 0.25) * 1e6 + 0.5) / 1e6 AS p25,
+        |  floor(quantile_cont(l_quantity, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+        |  floor(quantile_cont(l_quantity, 0.75) * 1e6 + 0.5) / 1e6 AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_editdist" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)
+        |SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  a.p_name AS name1, b.p_name AS name2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY k1, k2""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_exists" -> existsSql,
+
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  floor(l_extendedprice * l_discount * 100 + 0.5) / 100 AS disc_amt,
+        |  floor(sqrt(l_quantity) * 1000000 + 0.5) / 1000000 AS q_sqrt,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS d_ceil,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS t_floor,
+        |  CAST(sign(l_discount - 0.05) AS INT) AS sgn,
+        |  greatest(l_quantity, l_tax * 100) AS g
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
   )
 }

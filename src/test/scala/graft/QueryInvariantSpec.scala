@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the SparkEntry queries added beyond the core set:
+  * grouping sets, sliding windows, range join, exact percentiles,
+  * edit-distance pairs, pivot, correlated EXISTS, IEEE-safe scalar math.
+  * (Cell-exact verification is the DuckDB oracle gate; these specs pin the
+  * structural semantics that the oracle's hash-compare can't explain when
+  * they break.)
+  */
+class QueryInvariantSpec extends SparkSpec {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf())
+
+  test("grouping sets: one grouping per declared set, null pattern matches") {
+    val rows = q("q_grouping_sets").collect()
+    // (flag) sets: g_flag=0,g_status=1 and l_linestatus null
+    val byFlag = rows.filter(r => r.getInt(4) == 0 && r.getInt(5) == 1)
+    assert(byFlag.nonEmpty && byFlag.forall(_.isNullAt(1)))
+    val byStatus = rows.filter(r => r.getInt(4) == 1 && r.getInt(5) == 0)
+    assert(byStatus.nonEmpty && byStatus.forall(_.isNullAt(0)))
+    val grand = rows.filter(r => r.getInt(4) == 1 && r.getInt(5) == 1)
+    assert(grand.length == 1 && grand.head.isNullAt(0) && grand.head.isNullAt(1))
+  }
+
+  test("sliding 1h/30m window: every event is counted exactly twice") {
+    val events = engine.Readers.events(spark, sf()).count()
+    val windowed = q("q_event_sliding")
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(windowed == 2 * events)
+  }
+
+  test("range join: bands partition the price domain (row-preserving)") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet").count()
+    val banded = q("q_join_range")
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(banded == orders)
+  }
+
+  test("percentiles are monotone and bounded by group min/max") {
+    q("q_percentile").collect().foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
+  test("editdist pairs: k1 < k2, dist in [0, 2], and dist=0 means equal names") {
+    val rows = q("q_editdist").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val d = r.getInt(4)
+      assert(d >= 0 && d <= 2)
+      if (d == 0) assert(r.getString(2) == r.getString(3))
+    }
+  }
+
+  test("pivot: wide counts re-sum to the orders rowcount") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet").count()
+    val total = q("q_pivot")
+      .agg(sum(coalesce(col("F"), lit(0L)) + coalesce(col("O"), lit(0L)) +
+        coalesce(col("P"), lit(0L)))).collect().head.getLong(0)
+    assert(total == orders)
+  }
+
+  test("EXISTS: every returned customer has an urgent order and no P order") {
+    val got = q("q_exists").select(col("c_custkey")).collect()
+      .map(_.getLong(0)).toSet
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val pending = orders.filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(urgent -- pending))
+  }
+
+  test("scalar math: floor-rounding produces at most the declared scale") {
+    q("q_scalar_math").limit(500).collect().foreach { r =>
+      val disc = r.getDouble(2)
+      assert((disc * 100 - math.rint(disc * 100)).abs < 1e-9)
+    }
+  }
+}
