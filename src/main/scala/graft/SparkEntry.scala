@@ -941,12 +941,19 @@ object SparkEntry {
          |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
          |ORDER BY d1, d2""".stripMargin,
 
+    // char-shingle hash = Horner fold (acc*131 + codeunit) % 1e9+7 over
+    // each 16-char window — same values as the codegen'd rolling hash
+    // (RollingShingleHashes); list_reduce's first-element seed equals a
+    // zero-seeded Horner, exact integer math throughout
     "q_chargram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(list_transform(
          |    range(1, CASE WHEN length(text) < 16 THEN 1
          |             ELSE length(text) - 14 END),
-         |    i -> ${hashSql("substr(text, CAST(i AS INT), 16)")})) AS sh
+         |    i -> list_reduce(list_transform(range(0, 16),
+         |           j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1))
+         |                     AS BIGINT)),
+         |         (a, c) -> (a * 131 + c) % 1000000007))) AS sh
          |  FROM documents
          |),
          |sets AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),

@@ -39,18 +39,13 @@ object TextAnalysis {
 
   /** Character k-gram shingle hashes ("abcd", k=3 -> hashes of
     * ["abc","bcd"]) — the tokenization-free near-dup representation
-    * (robust to spacing/punctuation noise). Built via a SQL lambda
-    * because `functions.substring` only takes literal offsets; the CASE
-    * guards the sequence() descending-range footgun on short texts.
+    * (robust to spacing/punctuation noise). Backed by the codegen'd
+    * O(n) rolling-hash expression (see `RollingShingleHashes`): the
+    * interpreted transform+substring+md5 route costs O(n*k) plus one
+    * digest per window, which dominates near-dup passes at corpus scale.
     */
   def charShingleHashes(textCol: String, k: Int = 3): Column =
-    expr(
-      s"""CASE WHEN length($textCol) < $k THEN array()
-         |ELSE array_distinct(transform(
-         |  sequence(1, length($textCol) - ${k - 1}),
-         |  i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 15),
-         |                 16, 10) as bigint)))
-         |END""".stripMargin).cast("array<bigint>")
+    array_distinct(graft.plans.RollingShingleHashes(col(textCol), k))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-space symbols — the standard pre-tokenizer shape. Regex is

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RollingShingleHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation: direct Horner per window, no rolling. */
+  private def naive(s: String, k: Int): Seq[Long] =
+    if (s.length < k) Seq.empty
+    else (0 to s.length - k).map { i =>
+      s.substring(i, i + k).foldLeft(0L)((a, c) => (a * 131 + c) % 1000000007L)
+    }
+
+  test("rolling hash == per-window Horner on real documents (codegen path)") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(100)
+    val got = docs
+      .select(col("doc_id"), col("text"),
+        RollingShingleHashes(col("text"), 16).as("h"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getSeq[Long](2) == naive(r.getString(1), 16),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("edge cases: short string, exact-k string, k=1") {
+    val df = Seq("ab", "abc", "abcd", "").toDF("s")
+    val rows = df.select(col("s"),
+      RollingShingleHashes(col("s"), 3).as("h3"),
+      RollingShingleHashes(col("s"), 1).as("h1")).collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getSeq[Long](1) == naive(s, 3), s"k=3 on '$s'")
+      assert(r.getSeq[Long](2) == naive(s, 1), s"k=1 on '$s'")
+    }
+    // k=1 hashes are the raw code units
+    assert(rows.find(_.getString(0) == "abc").get.getSeq[Long](2) ==
+      Seq('a'.toLong, 'b'.toLong, 'c'.toLong))
+  }
+
+  test("null input propagates, values stay under the modulus") {
+    val df = Seq(Some("hello world"), None).toDF("s")
+    val rows = df.select(RollingShingleHashes(col("s"), 4).as("h")).collect()
+    assert(rows.exists(_.isNullAt(0)))
+    val hs = rows.filterNot(_.isNullAt(0)).flatMap(_.getSeq[Long](0))
+    assert(hs.nonEmpty && hs.forall(h => h >= 0 && h < 1000000007L))
+  }
+
+  test("interpreted eval matches codegen (expression used in a filter)") {
+    // forcing the interpreted path: evaluate via a UDF-free collect on a
+    // literal-backed projection after disabling wholestage codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = Seq("the quick brown fox").toDF("s")
+        .select(RollingShingleHashes(col("s"), 5).as("h"))
+        .collect().head.getSeq[Long](0)
+      assert(interp == naive("the quick brown fox", 5))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+}
