@@ -381,6 +381,14 @@ object SparkEntry {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // ---- north star: LSH-bucketed cosine near-dup (random-hyperplane
+    //      signatures; the no-blocking-column scale path) ----
+    "q_dedup_lsh" -> ((s, dir) => {
+      graft.operators.Dedup.lshCosinePairs(
+          t(s, dir, "embeddings"), tauNum = 4, tauDen = 10)
+        .orderBy(col("v1"), col("v2"))
+    }),
+
     // ---- north star: brute-force top-k similarity search ----
     "q_simsearch" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1146,6 +1154,39 @@ object SparkEntry {
         |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
         |    (a, b) -> (31*a + b) % 1000000007) AS BIGINT) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_dedup_lsh" ->
+      s"""WITH hp AS (
+         |  SELECT j, list_transform(range(0, 64),
+         |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
+         |  FROM (SELECT unnest(range(0, 12)) AS j)),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT q.vec_id, hp.j,
+         |    CASE WHEN list_sum(list_transform(list_zip(q.qv, hp.h),
+         |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM q, hp),
+         |bandkeys AS (
+         |  SELECT vec_id, j // 3 AS band, sum(bit * (1 << (j % 3))) AS bk
+         |  FROM b GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bandkeys x JOIN bandkeys y
+         |    ON x.band = y.band AND x.bk = y.bk AND x.vec_id < y.vec_id),
+         |v AS (
+         |  SELECT c.v1, c.v2,
+         |    ${qdotSql("a.embedding", "b.embedding")} AS d,
+         |    ${qnormSql("a.embedding")} AS qn1,
+         |    ${qnormSql("b.embedding")} AS qn2
+         |  FROM cand c JOIN embeddings a ON c.v1 = a.vec_id
+         |              JOIN embeddings b ON c.v2 = b.vec_id)
+         |SELECT v1, v2 FROM v
+         |WHERE d > 0
+         |  AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2
+         |ORDER BY v1, v2""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

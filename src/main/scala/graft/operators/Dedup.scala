@@ -235,6 +235,65 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** Random-hyperplane LSH near-dup over embeddings (SimHash for
+    * vectors): `bits` fixed hyperplanes give each vector a sign bit per
+    * plane; bits are banded, vectors sharing any band key become
+    * candidates, and candidates are verified with the exact
+    * integer-quantized cosine gate. The hyperplane family is a fixed
+    * affine sequence (engine-portable, no RNG), so signatures are
+    * deterministic across runs and engines.
+    *
+    * The scale path when no natural blocking column exists (cf.
+    * `embeddingPairs`): candidate generation shuffles only (band, key)
+    * pairs — constant bytes per vector — and more `bits` per band
+    * shrinks buckets as the corpus grows. Recall is tuned by
+    * bands × (bits/band) in the standard LSH way; verification keeps
+    * precision exact.
+    */
+  def lshCosinePairs(embs: DataFrame, tauNum: Int, tauDen: Int,
+                     bits: Int = 12, bands: Int = 4,
+                     dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.{quantize, qcosineGate}
+    import graft.plans.LongArrayDot
+    require(bits % bands == 0, "bits must split evenly into bands")
+    val perBand = bits / bands
+    // deterministic integer hyperplanes in [-1000, 1000] from a fixed
+    // affine sequence — any fixed family works; portability is the point
+    def hyperplane(j: Int): Seq[Long] = (0 until dim).map(d =>
+      (1103515245L * (j * dim + d) + 12345L) % 2001L - 1000L)
+    val bitCols = (0 until bits).map { j =>
+      when(LongArrayDot(col("qv"), typedLit(hyperplane(j))) >= 0, lit(1L))
+        .otherwise(lit(0L))
+    }
+    val bandKeys = (0 until bands).map { b =>
+      (0 until perBand).map(i => bitCols(b * perBand + i) * (1L << i))
+        .reduce(_ + _)
+    }
+    // memo barrier: signatures + quantized vectors feed three branches
+    // (banding, both verification sides) — same pattern as minhashPairs
+    val prep = graft.engine.Spread(embs)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", LongArrayDot(col("qv"), col("qv")))
+      .withColumn("bks", array(bandKeys: _*))
+      .repartition(col("vec_id"))
+    val banded = prep.select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("band", "bk")))
+    val cands = banded.select(col("vec_id").as("v1"), col("band"), col("bk"))
+      .join(banded.select(col("vec_id").as("v2"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"))
+      .dropDuplicates("v1", "v2")
+    val m1 = prep.select(col("vec_id").as("v1"), col("qv").as("qv1"),
+      col("qn").as("qn1"))
+    val m2 = prep.select(col("vec_id").as("v2"), col("qv").as("qv2"),
+      col("qn").as("qn2"))
+    cands.join(m1, "v1").join(m2, "v2")
+      .withColumn("d", LongArrayDot(col("qv1"), col("qv2")))
+      .filter(qcosineGate(col("d"), col("qn1"), col("qn2"), tauNum, tauDen))
+      .select(col("v1"), col("v2"))
+  }
+
   /** Embedding near-dup pairs: blocked all-pairs join with exact
     * integer-quantized cosine >= tauNum/tauDen. `blockCol` bounds the
     * quadratic term (prod: coarse-quantizer cell; here: label).

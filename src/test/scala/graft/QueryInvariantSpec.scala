@@ -77,6 +77,24 @@ class QueryInvariantSpec extends SparkSpec {
     assert(got.subsetOf(urgent -- pending))
   }
 
+  test("LSH cosine pairs: exact precision (subset of brute-force gate)") {
+    import graft.functions.VectorFunctions.qcosineAtLeast
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val lsh = SparkEntry.queries("q_dedup_lsh")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val brute = a.join(b, col("v1") < col("v2"))
+      .filter(qcosineAtLeast(col("e1"), col("e2"), 4, 10))
+      .select(col("v1"), col("v2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH must never emit a below-threshold pair")
+    // banding with 3 bits/band keeps recall usable on this corpus
+    assert(lsh.size * 2 >= brute.size,
+      s"recall collapsed: lsh=${lsh.size} brute=${brute.size}")
+  }
+
   test("scalar math: floor-rounding produces at most the declared scale") {
     q("q_scalar_math").limit(500).collect().foreach { r =>
       val disc = r.getDouble(2)
