@@ -381,6 +381,18 @@ object SparkEntry {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // ---- north star: deterministic stratified sampling + fold split
+    //      (reproducible training-mix rebalancing; no RNG, no shuffle) ----
+    "q_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val d = t(s, dir, "documents")
+      Sampling.stratifiedSample(d, col("doc_id"), col("lang"),
+          rates = Map("en" -> 5), defaultNum = 2, den = 10)
+        .select(col("doc_id"), col("lang"),
+          Sampling.foldId(col("doc_id"), 10).as("fold"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: LSH-bucketed cosine near-dup (random-hyperplane
     //      signatures; the no-blocking-column scale path) ----
     "q_dedup_lsh" -> ((s, dir) => {
@@ -1154,6 +1166,14 @@ object SparkEntry {
         |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
         |    (a, b) -> (31*a + b) % 1000000007) AS BIGINT) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_sample" ->
+      s"""SELECT doc_id, lang,
+         |  ${hashSql("CAST(doc_id AS VARCHAR)")} % 10 AS fold
+         |FROM documents
+         |WHERE ${hashSql("CAST(doc_id AS VARCHAR)")} % 10
+         |      < CASE WHEN lang = 'en' THEN 5 ELSE 2 END
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_lsh" ->
       s"""WITH hp AS (

@@ -95,6 +95,32 @@ class QueryInvariantSpec extends SparkSpec {
       s"recall collapsed: lsh=${lsh.size} brute=${brute.size}")
   }
 
+  test("hash split: disjoint, exhaustive, stable under repartitioning") {
+    import graft.operators.Sampling
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val (tr, ho) = Sampling.splitByHash(d, col("doc_id"), 10, 8)
+    assert(tr.count() + ho.count() == d.count())
+    assert(tr.select("doc_id").join(ho.select("doc_id"), "doc_id").count() == 0)
+    val trIds = tr.select("doc_id").collect().map(_.getLong(0)).toSet
+    val trIds2 = Sampling.splitByHash(d.repartition(7), col("doc_id"), 10, 8)
+      ._1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trIds == trIds2, "split moved rows after a repartition")
+  }
+
+  test("stratified sample applies per-stratum rates (en kept more often)") {
+    import graft.operators.Sampling
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val kept = Sampling.stratifiedSample(d, col("doc_id"), col("lang"),
+      Map("en" -> 5), defaultNum = 2, den = 10)
+    val keptEn = kept.filter(col("lang") === "en").count().toDouble /
+      d.filter(col("lang") === "en").count()
+    val keptOther = kept.filter(col("lang") =!= "en").count().toDouble /
+      d.filter(col("lang") =!= "en").count()
+    assert(keptEn > 0.35 && keptEn < 0.65, s"en rate $keptEn far from 0.5")
+    assert(keptOther > 0.08 && keptOther < 0.35,
+      s"other rate $keptOther far from 0.2")
+  }
+
   test("scalar math: floor-rounding produces at most the declared scale") {
     q("q_scalar_math").limit(500).collect().foreach { r =>
       val disc = r.getDouble(2)
