@@ -381,6 +381,21 @@ object SparkEntry {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // ---- salted join: hot-key scatter (results identical to the plain
+    //      join, which is exactly what the oracle checks) ----
+    "q_join_salted" -> ((s, dir) => {
+      val small = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.engine.SkewJoin.saltedJoin(
+          t(s, dir, "lineitem"), small, Seq("l_suppkey"), salt = 8)
+        .groupBy(col("s_name"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("s_name"))
+    }),
+
     // ---- north star: deterministic stratified sampling + fold split
     //      (reproducible training-mix rebalancing; no RNG, no shuffle) ----
     "q_sample" -> ((s, dir) => {
@@ -1166,6 +1181,12 @@ object SparkEntry {
         |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
         |    (a, b) -> (31*a + b) % 1000000007) AS BIGINT) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "q_sample" ->
       s"""SELECT doc_id, lang,
