@@ -162,6 +162,16 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against a
+    * static dimension snapshot. Broadcast keeps it stateless and
+    * shuffle-free — the standard shape for attaching user/item metadata
+    * to an event stream; the dimension is re-broadcast per batch only if
+    * it is re-read (a static DataFrame here, so once).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** Run a streaming DataFrame to an in-memory table until the source is
     * drained (file sources are finite here) and return the result —
     * the synchronous smoke-path for tests and local validation.

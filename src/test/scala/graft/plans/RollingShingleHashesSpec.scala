@@ -49,6 +49,25 @@ class RollingShingleHashesSpec extends SparkSpec {
     assert(hs.nonEmpty && hs.forall(h => h >= 0 && h < 1000000007L))
   }
 
+  test("property: rolling == per-window Horner on random strings and widths") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val strGen = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', '.', '!', 'é', 'ß')))
+    } yield cs.mkString
+    val prop = Prop.forAll(Gen.listOfN(20, strGen), Gen.choose(1, 8)) {
+      (strs, k) =>
+        val got = strs.toDF("s")
+          .select(RollingShingleHashes(col("s"), k).as("h"))
+          .collect().map(_.getSeq[Long](0).toList)
+        got.sameElements(strs.map(s => naive(s, k)))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interpreted eval matches codegen (expression used in a filter)") {
     // forcing the interpreted path: evaluate via a UDF-free collect on a
     // literal-backed projection after disabling wholestage codegen

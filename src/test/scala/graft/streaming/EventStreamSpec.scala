@@ -83,4 +83,19 @@ class EventStreamSpec extends SparkSpec {
       col("n_events")).collect().map(_.toSeq).toSet
     assert(ss.subsetOf(bs))
   }
+
+  test("stream-static enrichment join matches the batch join") {
+    import spark.implicits._
+    val batchEvents = graft.engine.Readers.events(spark, sf())
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(3)))
+    val enriched = EventStream.runToMemory(
+      EventStream.enrichWithDim(
+        EventStream.readEvents(spark, sf()), dim, "user_id"),
+      "enrich_out")
+    assert(enriched.count() == batchEvents.count())
+    // cohort attached correctly on every row
+    assert(enriched.filter(col("cohort") =!= pmod(col("user_id"), lit(3)))
+      .count() == 0)
+  }
 }
