@@ -224,6 +224,21 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
 
+    // ---- window: distribution functions (ntile / percent_rank /
+    //      cume_dist) — ordering made total by the orderkey tie-break ----
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), col("quartile"), col("pct_rank"), col("cume"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // ---- window: lag/lead over event time ----
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -836,6 +851,17 @@ object SparkEntry {
         |FROM orders
         |QUALIFY rn <= 3
         |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

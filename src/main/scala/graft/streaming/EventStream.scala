@@ -162,6 +162,32 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream join: each purchase matched to the same
+    * user's clicks in the preceding `horizonMinutes`. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so Spark can expire buffered state — the required shape for an
+    * unbounded stream-stream join (without the time bound, state grows
+    * forever).
+    */
+  def purchaseClickJoin(events: DataFrame, horizonMinutes: Int = 60,
+                        watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against a
     * static dimension snapshot. Broadcast keeps it stateless and
     * shuffle-free — the standard shape for attaching user/item metadata

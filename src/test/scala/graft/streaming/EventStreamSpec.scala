@@ -98,4 +98,23 @@ class EventStreamSpec extends SparkSpec {
     assert(enriched.filter(col("cohort") =!= pmod(col("user_id"), lit(3)))
       .count() == 0)
   }
+
+  test("watermarked stream-stream join matches the batch time-range join") {
+    val streamed = EventStream.runToMemory(
+      EventStream.purchaseClickJoin(EventStream.readEvents(spark, sf())),
+      "ssjoin_out")
+    val ev = graft.engine.Readers.events(spark, sf())
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val batch = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0)
+  }
 }
