@@ -23,7 +23,8 @@ object SkewJoin {
     // deterministic spread: hash the whole big-side row (not just the key,
     // which is constant within a hot group)
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salt)).cast("int"))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salt))
+        .cast("int"))
     val smallSalted = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     bigSalted.join(smallSalted, keys :+ "__salt", joinType)

@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.longArrayDotDescriptor)
+    ext.injectFunction(GraftExtensions.rollingShingleHashesDescriptor)
   }
 }
 
@@ -32,10 +33,27 @@ object GraftExtensions {
       LongArrayDot(children.head, children(1))
     })
 
+  private[plans] val rollingShingleHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_shingle_hashes"),
+    new ExpressionInfo(classOf[RollingShingleHashes].getName,
+      "rolling_shingle_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"rolling_shingle_hashes takes (text, k), got ${children.length} args")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"rolling_shingle_hashes k must be an INT literal, got $other")
+      }
+      RollingShingleHashes(children.head, k)
+    })
+
   /** Register on an existing session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (_, _, builder) = longArrayDotDescriptor
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "long_array_dot", builder, "scala_udf")
+    for ((id, _, builder) <- Seq(longArrayDotDescriptor,
+        rollingShingleHashesDescriptor))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
   }
 }

@@ -68,6 +68,14 @@ class RollingShingleHashesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("registered as a SQL function via extensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_shingle_hashes('abcd', 3) AS h")
+      .head().getSeq[Long](0)
+    assert(r == naive("abcd", 3))
+  }
+
   test("interpreted eval matches codegen (expression used in a filter)") {
     // forcing the interpreted path: evaluate via a UDF-free collect on a
     // literal-backed projection after disabling wholestage codegen
