@@ -281,6 +281,40 @@ object SparkEntry {
         .orderBy(col("tag"), col("o_custkey"))
     }),
 
+    // ---- typed top-k UDAF: bounded-state per-group top-k (the
+    //      map-side-combine alternative to the window form) ----
+    "q_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+        .as[(String, Long, Long)]
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      ds.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(topk.name("topk"))
+        .flatMap { case (st, items) =>
+          items.zipWithIndex.map { case ((cents, okey), i) =>
+            (st, i + 1, okey, cents) } }
+        .toDF("o_orderstatus", "rnk", "o_orderkey", "cents")
+        .orderBy(col("o_orderstatus"), col("rnk"))
+    }),
+
+    // ---- set operations: multiset (ALL) variants ----
+    "q_setops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      def summarize(df: DataFrame, tag: String): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+            count_distinct(col("o_custkey")).as("nd"))
+          .select(lit(tag).as("tag"), col("n"), col("nd"))
+      summarize(f.exceptAll(p), "except_all")
+        .unionAll(summarize(f.intersectAll(p), "inter_all"))
+        .orderBy(col("tag"))
+    }),
+
     // ---- scalar functions: string ----
     "q_scalar_str" -> ((s, dir) => {
       t(s, dir, "part")
@@ -892,6 +926,29 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'only_p' AS tag, o_custkey FROM (SELECT * FROM p EXCEPT SELECT * FROM f)
         |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_orderstatus, rnk, o_orderkey, cents FROM (
+        |  SELECT o_orderstatus,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY floor(o_totalprice * 100) DESC, o_orderkey)
+        |      AS INT) AS rnk,
+        |    o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_orderstatus, rnk""".stripMargin,
+
+    "q_setops_all" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |p AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+        |ea AS (SELECT * FROM f EXCEPT ALL SELECT * FROM p),
+        |ia AS (SELECT * FROM f INTERSECT ALL SELECT * FROM p)
+        |SELECT 'except_all' AS tag, count(*) AS n,
+        |  count(DISTINCT o_custkey) AS nd FROM ea
+        |UNION ALL
+        |SELECT 'inter_all', count(*), count(DISTINCT o_custkey) FROM ia
+        |ORDER BY tag""".stripMargin,
 
     "q_scalar_str" ->
       """SELECT p_partkey,
