@@ -537,6 +537,17 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- north star: video frame sampling (every 2nd 64-byte frame
+    //      chunk; stub codec, real flatMap dataflow + per-frame features) ----
+    "q_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.frameFeatures(
+          Multimodal.frameSample(Multimodal.syntheticMedia(s, dir),
+            everyN = 2, frameBytes = 64))
+        .toDF()
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // ---- as-of join: each purchase matched to the user's latest
     //      prior click (union+window, one shuffle — no range explosion) ----
     "q_asof" -> ((s, dir) => {
@@ -1251,6 +1262,23 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT)))
+        |      AS frame_no,
+        |    text
+        |  FROM documents),
+        |k AS (
+        |  SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+        |    substr(text, CAST(frame_no * 64 + 1 AS INT), 64) AS chunk
+        |  FROM f WHERE frame_no % 2 = 0)
+        |SELECT media_id, frame_no, CAST(length(chunk) AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_transform(range(1, length(chunk) + 1),
+        |      i -> CAST(unicode(substr(chunk, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (a, b) -> (31 * a + b) % 1000000007) AS BIGINT) AS checksum
+        |FROM k ORDER BY media_id, frame_no""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS media_id, 'image' AS kind,

@@ -109,6 +109,28 @@ object Multimodal {
     }
   }
 
+  /** Per-frame features (size + modular polynomial checksum) — the
+    * deterministic stand-in for per-frame embedding extraction; same
+    * batched mapPartitions dataflow as `decodeFeatures`.
+    */
+  final case class FrameFeatures(
+      media_id: Long, frame_no: Int, n_bytes: Long, checksum: Long)
+
+  def frameFeatures(frames: Dataset[FrameRow]): Dataset[FrameFeatures] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { iter =>
+      iter.map { f =>
+        var sum = 0L
+        var i = 0
+        while (i < f.frame.length) {
+          sum = (31 * sum + (f.frame(i) & 0xff)) % 1000000007L
+          i += 1
+        }
+        FrameFeatures(f.media_id, f.frame_no, f.frame.length.toLong, sum)
+      }
+    }
+  }
+
   /** Wrap any DataFrame with a binary column into the typed media schema. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
               kind: String): Dataset[MediaRow] = {
