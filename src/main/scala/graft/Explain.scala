@@ -11,7 +11,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q_filter", "q1_agg", "q_join_star", "q_topk", "ingest_lineitem")
+      else Seq("q_filter", "q1_agg", "q_join_star", "q_topk",
+        "ingest_lineitem", "q_join_range", "q_event_sliding",
+        "q_dedup_lsh", "q_topk_agg")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

@@ -518,6 +518,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: text normalization (pre-dedup cleanup) ----
+    "q_normalize" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm_text"),
+          length(TextAnalysis.normalize(col("text"))).as("norm_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: token counting (whitespace + BPE-ish regex) ----
     "q_tokencount" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -1255,6 +1265,14 @@ object SparkEntry {
          |SELECT doc_id, list_min(sh) AS fp_min, list_max(sh) AS fp_max,
          |  CAST(len(sh) AS BIGINT) AS fp_n
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_tokencount" ->
       """SELECT doc_id,

@@ -64,9 +64,16 @@ object Readers {
     * timestamps — same behavior as DuckDB's `CAST(ts AS TIMESTAMP)`, so
     * oracle comparisons line up.
     */
+  /** Footer probe results per path — the probe is a driver-side file read
+    * and every query re-opens the same testdata paths.
+    */
+  private val nanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   def readParquet(spark: SparkSession, path: String,
                   options: Map[String, String] = Map.empty): DataFrame = {
-    val nanos = nanosTimestampColumns(spark, path)
+    val nanos = nanosCache.computeIfAbsent(path,
+      p => nanosTimestampColumns(spark, p))
     if (nanos.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.options(options).parquet(path)

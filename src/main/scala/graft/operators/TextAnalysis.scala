@@ -47,6 +47,15 @@ object TextAnalysis {
   def charShingleHashes(textCol: String, k: Int = 3): Column =
     array_distinct(graft.plans.RollingShingleHashes(col(textCol), k))
 
+  /** Text normalization — the standard pre-dedup cleanup: lowercase,
+    * strip everything but [a-z0-9 ], collapse whitespace runs, trim.
+    * Pure codegen'd regexp/string ops; the regex subset used (character
+    * classes, +) behaves identically in Java and RE2-based engines.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-space symbols — the standard pre-tokenizer shape. Regex is
     * POSIX-simple so Java and other engines agree.
