@@ -485,22 +485,12 @@ object SparkEntry {
     "q_textstats" -> ((s, dir) =>
       graft.operators.TextAnalysis.languageStats(t(s, dir, "documents"))),
 
-    // ---- north star: language-ID heuristic ----
+    // ---- north star: language-ID heuristic (single tokenization pass:
+    //      explode + one conditional-count aggregation; the column form
+    //      would re-tokenize once per language under project-collapsing) ----
     "q_langid" -> ((s, dir) => {
-      import graft.operators.TextAnalysis.langScores
-      val scores = langScores(col("text"))
-      val named = scores.map { case (l, c) => c.as(s"score_$l") }
-      val d = t(s, dir, "documents")
-        .select(col("doc_id") +: named: _*)
-      // priority argmax: first language (en,es,fr,de) whose score is >= all
-      val langs = scores.map(_._1)
-      val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
-        case ((l, i), elseC) =>
-          val ge = langs.drop(i + 1)
-            .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
-          when(ge, lit(l)).otherwise(elseC)
-      }
-      d.withColumn("lang_pred", pred).orderBy(col("doc_id"))
+      graft.operators.TextAnalysis.langIdPosting(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- north star: quality scoring ----

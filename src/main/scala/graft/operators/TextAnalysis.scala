@@ -84,6 +84,36 @@ object TextAnalysis {
     }
   }
 
+  /** Language-ID via ONE tokenization pass: explode tokens, then a single
+    * codegen'd aggregation with one conditional count per language.
+    * `langScores` (the column form) inlines the `split` into every
+    * language's score under project-collapsing — 5 tokenizations per row;
+    * this posting form is the corpus-scale path (same scores, same
+    * priority-argmax prediction).
+    */
+  def langIdPosting(docs: DataFrame): DataFrame = {
+    val tok = graft.engine.Spread(docs).select(col("doc_id"),
+      explode(tokens(col("text"))).as("w"))
+    val aggs = count(lit(1)).as("n_tok") +: langSignatures.map {
+      case (lang, words) =>
+        sum(when(words.map(w => col("w") === w).reduce(_ || _), 1L)
+          .otherwise(0L)).as(s"hits_$lang")
+    }
+    val scored = tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: langSignatures.map { case (lang, _) =>
+        (col(s"hits_$lang").cast("double") /
+          greatest(col("n_tok"), lit(1))).as(s"score_$lang")
+      }: _*)
+    val langs = langSignatures.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseC) =>
+        val ge = langs.drop(i + 1)
+          .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(elseC)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
   /** Quality-scoring feature columns over a text column. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val toks  = tokens(text)
