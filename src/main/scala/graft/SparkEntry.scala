@@ -493,12 +493,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- north star: quality scoring ----
+    // ---- north star: quality scoring (single tokenization pass) ----
     "q_quality" -> ((s, dir) => {
-      val feats = graft.operators.TextAnalysis.qualityFeatures(col("text"))
-        .map { case (n, c) => c.as(n) }
-      t(s, dir, "documents")
-        .select(col("doc_id") +: feats: _*)
+      graft.operators.TextAnalysis.qualityPosting(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
 

@@ -132,6 +132,35 @@ object TextAnalysis {
           greatest(nTok, lit(1))))
   }
 
+  /** Quality features via ONE tokenization pass (same rationale as
+    * `langIdPosting`): explode tokens once, aggregate count / distinct /
+    * stopword hits together; `n_chars` rides along from the source row.
+    * Same values as `qualityFeatures`.
+    */
+  def qualityPosting(docs: DataFrame): DataFrame = {
+    val tok = graft.engine.Spread(docs)
+      .select(col("doc_id"), length(col("text")).as("n_chars_t"),
+        explode(tokens(col("text"))).as("w"))
+    val stop = Seq("a", "the", "of", "and", "to", "in")
+    tok.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_distinct(col("w")).as("n_distinct"),
+        first(col("n_chars_t")).as("nc"),
+        sum(when(stop.map(s => col("w") === s).reduce(_ || _), 1L)
+          .otherwise(0L)).as("stop_hits"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        (col("n_distinct").cast("double") /
+          greatest(col("n_tokens"), lit(1))).as("type_token_ratio"),
+        ((col("nc") - (col("n_tokens") - 1)).cast("double") /
+          greatest(col("n_tokens"), lit(1))).as("avg_token_len"),
+        (col("stop_hits").cast("double") /
+          greatest(col("n_tokens"), lit(1))).as("stopword_ratio"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum and
     * maximum shingle hash plus the distinct-shingle count identify a
     * document up to shingle-set equality — O(1) state per doc.
