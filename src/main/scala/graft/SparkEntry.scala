@@ -50,6 +50,32 @@ object SparkEntry {
           col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
     }),
 
+    // ---- core ELT: the reference's align/cast quirks, oracle-checked —
+    //      case-insensitive resolution (L_ORDERKEY), missing target
+    //      column -> NULL, int64 -> int32 narrowing, timestamp -> string
+    //      (utils.go:126-133, db.go:165-169, utils.go:146-161) ----
+    "q_align" -> ((s, dir) => {
+      Pipeline.ingest(s, JobSpec(
+          source = s"$dir/lineitem.parquet",
+          target = "lineitem_aligned",
+          targetSchemaDdl = Some(
+            "L_ORDERKEY INT, missing_flag STRING, l_shipdate STRING, " +
+            "l_linenumber BIGINT")))
+        .orderBy(col("L_ORDERKEY"), col("l_linenumber"), col("l_shipdate"))
+    }),
+
+    // ---- schema-evolution union: unionByName with missing columns ----
+    "q_union_evolve" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val old = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newer = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      old.unionByName(newer, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- filter / projection (pushdown exercised) ----
     "q_filter" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -777,6 +803,23 @@ object SparkEntry {
         |  l_returnflag, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity,
         |  l_extendedprice, l_returnflag, l_shipdate""".stripMargin,
+
+    "q_align" ->
+      """SELECT CAST(l_orderkey AS INT) AS "L_ORDERKEY",
+        |  CAST(NULL AS VARCHAR) AS missing_flag,
+        |  CAST(CAST(l_shipdate AS TIMESTAMP) AS VARCHAR) AS l_shipdate,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
+
+    "q_union_evolve" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR)
+        |    AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
