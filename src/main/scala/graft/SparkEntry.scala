@@ -437,6 +437,15 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- north star: near-dup clusters (pairs -> connected components,
+    //      the keep-one-per-cluster prerequisite) ----
+    "q_dedup_cc" -> ((s, dir) => {
+      graft.operators.Dedup.connectedComponents(
+          graft.operators.Dedup.jaccardPairs(t(s, dir, "documents"),
+            tau = 0.3))
+        .orderBy(col("node"))
+    }),
+
     // ---- north star: MinHash + LSH near-dup ----
     "q_dedup_minhash" -> ((s, dir) => {
       graft.operators.Dedup.minhashPairs(t(s, dir, "documents"), tau = 0.3)
@@ -1138,6 +1147,29 @@ object SparkEntry {
          |FROM pair
          |WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // recursive CTE computes the same transitive closure (set-semantics
+    // UNION converges); component = min reachable doc_id on both sides
+    "q_dedup_cc" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |pair AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT d1, d2 FROM pair
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3),
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp
+         |      UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node)
+         |SELECT node, min(r) AS component FROM reach GROUP BY node
+         |ORDER BY node""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""$shingleCte,

@@ -235,6 +235,66 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs (d1, d2) by iterative
+    * min-label propagation: every node starts as its own label; each
+    * round every node takes the min label in its neighborhood; stop at
+    * fixpoint. Returns (doc_id, component) where component = the minimum
+    * doc_id reachable — the canonical representative.
+    *
+    * This is the pairs -> clusters step every near-dup pipeline needs
+    * before "keep one per cluster". Near-dup graphs are overwhelmingly
+    * tiny cliques/chains, so the loop converges in O(cluster diameter)
+    * rounds (driver checks an aggregate count per round —
+    * `localCheckpoint` truncates lineage so plans don't nest per
+    * iteration). Shuffles per round: one join by node + one groupBy.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edge list
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+          Seq("node"))
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep-one-per-cluster: canonical (minimum) doc per near-dup
+    * component, plus every unpaired doc keeps itself. The complete
+    * corpus-level dedup: pairs from any near-dup detector compose with
+    * this to produce the deduplicated corpus.
+    */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame,
+                    id: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.join(cc.withColumnRenamed("node", id), Seq(id), "left")
+      .withColumn("component", coalesce(col("component"), col(id)))
+      .filter(col(id) === col("component"))
+      .drop("component")
+  }
+
   /** Random-hyperplane LSH near-dup over embeddings (SimHash for
     * vectors): `bits` fixed hyperplanes give each vector a sign bit per
     * plane; bits are banded, vectors sharing any band key become

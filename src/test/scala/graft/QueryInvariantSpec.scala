@@ -95,6 +95,26 @@ class QueryInvariantSpec extends SparkSpec {
       s"recall collapsed: lsh=${lsh.size} brute=${brute.size}")
   }
 
+  test("connected components: chain, clique, and two isolated pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4, clique {10,11,12}, pair (20,21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepCanonical keeps exactly one doc per cluster plus all unpaired") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 7L)).toDF("d1", "d2")  // one cluster
+    val kept = graft.operators.Dedup.keepCanonical(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L, 8L))  // 5,7 deduped into 2
+  }
+
   test("hash split: disjoint, exhaustive, stable under repartitioning") {
     import graft.operators.Sampling
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
