@@ -446,6 +446,25 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // ---- north star CAPSTONE: full corpus-preparation pipeline —
+    //      near-dup dedup (pairs -> components -> keep canonical) ->
+    //      normalize -> token-count quality gate -> stratified sample ----
+    "q_corpus_pipeline" -> ((s, dir) => {
+      import graft.operators.{Dedup, Sampling, TextAnalysis}
+      val docs = t(s, dir, "documents")
+      val deduped = Dedup.keepCanonical(docs,
+        Dedup.jaccardPairs(docs, tau = 0.3))
+      val gated = deduped
+        .withColumn("norm_text", TextAnalysis.normalize(col("text")))
+        .withColumn("n_tok",
+          size(split(col("norm_text"), " ")).cast("long"))
+        .filter(col("n_tok").between(20, 200))
+      Sampling.stratifiedSample(gated, col("doc_id"), col("lang"),
+          rates = Map("en" -> 5), defaultNum = 8, den = 10)
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: MinHash + LSH near-dup ----
     "q_dedup_minhash" -> ((s, dir) => {
       graft.operators.Dedup.minhashPairs(t(s, dir, "documents"), tau = 0.3)
@@ -1147,6 +1166,43 @@ object SparkEntry {
          |FROM pair
          |WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // same transitive-closure machinery as q_dedup_cc, extended through
+    // the normalize/quality/sample stages — every stage exact SQL
+    "q_corpus_pipeline" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |pair AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT d1, d2 FROM pair
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3),
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp
+         |      UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |removed AS (SELECT node FROM comp WHERE node <> component),
+         |kept AS (SELECT * FROM documents
+         |         WHERE doc_id NOT IN (SELECT node FROM removed)),
+         |norm AS (SELECT doc_id, lang,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+         |  FROM kept),
+         |gated AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tok
+         |  FROM norm
+         |  WHERE len(string_split(nt, ' ')) BETWEEN 20 AND 200)
+         |SELECT doc_id, lang, n_tok FROM gated
+         |WHERE ${hashSql("CAST(doc_id AS VARCHAR)")} % 10
+         |      < CASE WHEN lang = 'en' THEN 5 ELSE 8 END
+         |ORDER BY doc_id""".stripMargin,
 
     // recursive CTE computes the same transitive closure (set-semantics
     // UNION converges); component = min reachable doc_id on both sides
