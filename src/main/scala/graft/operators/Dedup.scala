@@ -248,12 +248,43 @@ object Dedup {
     * `localCheckpoint` truncates lineage so plans don't nest per
     * iteration). Shuffles per round: one join by node + one groupBy.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          smallGraphThreshold: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
     // symmetric edge list
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .localCheckpoint(true)
+    // Near-dup graphs are tiny relative to the corpus (pairs, not docs):
+    // below the threshold a driver-side union-find resolves components in
+    // ONE pass instead of O(diameter) shuffle rounds. The distributed
+    // label-propagation loop below remains the arbitrarily-large path.
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphThreshold) {
+      import spark.implicits._
+      val es = edges.select(col("a"), col("b")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root keeps "component = min reachable id" exact
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      return nodes.toSeq.sorted
+        .map(n => (n, find(n))).toDF("node", "component")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
     var labels = edges.select(col("a").as("node"))
       .distinct()
       .withColumn("component", col("node"))

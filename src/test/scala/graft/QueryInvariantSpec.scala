@@ -100,10 +100,17 @@ class QueryInvariantSpec extends SparkSpec {
     // chain 1-2-3-4, clique {10,11,12}, pair (20,21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
       (11L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // union-find fast path (small graph) ...
     val cc = graft.operators.Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(cc == want)
+    // ... and the distributed label-propagation path must agree
+    val ccDist = graft.operators.Dedup
+      .connectedComponents(pairs, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist == want)
   }
 
   test("keepCanonical keeps exactly one doc per cluster plus all unpaired") {
