@@ -354,6 +354,19 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- scalar functions: regex family (extract / match / split_part) ----
+    "q_scalar_regex" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+          col("text").rlike("[0-9]").as("has_digit"),
+          split_part(col("text"), lit(" "), lit(2)).as("second_word"),
+          size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+            .cast("long").as("vowel_runs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scalar functions: date/time ----
     "q_scalar_date" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1037,6 +1050,15 @@ object SparkEntry {
         |  p_size % 7 AS size_mod,
         |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+        |  regexp_matches(text, '[0-9]') AS has_digit,
+        |  split_part(text, ' ', 2) AS second_word,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+        |    AS vowel_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_scalar_date" ->
       """SELECT o_orderkey,
