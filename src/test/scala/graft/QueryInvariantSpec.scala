@@ -122,6 +122,17 @@ class QueryInvariantSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L, 6L, 8L))  // 5,7 deduped into 2
   }
 
+  test("near-dup dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val once = Dedup.keepCanonical(docs, Dedup.jaccardPairs(docs, 0.3))
+    val twice = Dedup.keepCanonical(once, Dedup.jaccardPairs(once, 0.3))
+    val a = once.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = twice.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size < docs.count())  // the first pass actually removed dups
+  }
+
   test("hash split: disjoint, exhaustive, stable under repartitioning") {
     import graft.operators.Sampling
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
