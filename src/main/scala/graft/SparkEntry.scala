@@ -64,6 +64,27 @@ object SparkEntry {
         .orderBy(col("L_ORDERKEY"), col("l_linenumber"), col("l_shipdate"))
     }),
 
+    // ---- CDC upsert (merge) emulation: changes override base rows by
+    //      key, new keys insert — full outer join + coalesce, the
+    //      append-only-sink-compatible merge shape ----
+    "q_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val base = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val changes = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("c_key"),
+          lit("U").as("c_status"),
+          (col("o_totalprice") + 1000.0).as("c_price"))
+      base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("c_key")).as("o_orderkey"),
+          coalesce(col("c_status"), col("o_orderstatus"))
+            .as("o_orderstatus"),
+          coalesce(col("c_price"), col("o_totalprice")).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- schema-evolution union: unionByName with missing columns ----
     "q_union_evolve" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -852,6 +873,20 @@ object SparkEntry {
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
+
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 <> 0),
+        |changes AS (
+        |  SELECT o_orderkey AS c_key, 'U' AS c_status,
+        |    o_totalprice + 1000.0 AS c_price
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(o_orderkey, c_key) AS o_orderkey,
+        |  COALESCE(c_status, o_orderstatus) AS o_orderstatus,
+        |  COALESCE(c_price, o_totalprice) AS o_totalprice
+        |FROM base FULL OUTER JOIN changes ON o_orderkey = c_key
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_union_evolve" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR)
