@@ -676,6 +676,18 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- quantile sketch: approx_percentile (rows-only check like the
+    //      HLL sketch — sketch internals are not cross-engine stable) ----
+    "q_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
+            .as("price_quantiles"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- production-metric similarity (double cosine; rows-only:
     //      float ranking is not cross-engine hash-stable) ----
     "q_simsearch_cosine" -> ((s, dir) => {

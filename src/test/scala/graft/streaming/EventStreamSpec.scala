@@ -99,6 +99,31 @@ class EventStreamSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("foreachBatch streaming upsert: last event per user wins") {
+    // the standard streaming-merge pattern: each micro-batch is reduced
+    // to one row per key, then merged into the target state
+    val state = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = EventStream.readEvents(spark, sf())
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy(col("user_id"))
+          .agg(max_by(col("event_id"), struct(col("ts"), col("event_id")))
+            .as("last_event"))
+          .collect()
+          .foreach(r => state.put(r.getLong(0), r.getLong(1)))
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val want = graft.engine.Readers.events(spark, sf())
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_id"), struct(col("ts"), col("event_id")))
+        .as("last_event"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import scala.jdk.CollectionConverters._
+    assert(state.asScala.toMap == want)
+  }
+
   test("watermarked stream-stream join matches the batch time-range join") {
     val streamed = EventStream.runToMemory(
       EventStream.purchaseClickJoin(EventStream.readEvents(spark, sf())),
