@@ -1,0 +1,34 @@
+package graft.engine
+
+/** Secret resolution — the engine's analogue of the reference's GCP
+  * Secret Manager fetch (GCS2Postgres `src/utils/utils.go:70-87`, called
+  * from `main.go:21` to obtain the Postgres password).
+  *
+  * Config values may embed `secret://NAME` placeholders; `resolve`
+  * substitutes each from the configured provider. The default provider
+  * reads environment variables (the portable offline mechanism); a GCP /
+  * Vault / AWS provider is one function swap, mirroring how the reference
+  * isolates `FetchSecret`.
+  */
+object Secrets {
+
+  type Provider = String => Option[String]
+
+  val envProvider: Provider = name => sys.env.get(name)
+
+  private val Placeholder = "secret://([A-Za-z0-9_.-]+)".r
+
+  /** Replace every `secret://NAME` in `value` via `provider`; error on
+    * unresolvable names (fail fast like the reference, but per-value, not
+    * process-fatal).
+    */
+  def resolve(value: String, provider: Provider = envProvider): String =
+    Placeholder.replaceAllIn(value, m => {
+      val name = m.group(1)
+      val secret = provider(name).getOrElse(
+        throw new IllegalArgumentException(s"unresolvable secret: $name"))
+      // secrets routinely contain '$' and '\' — they must substitute
+      // literally, not as regex group references
+      scala.util.matching.Regex.quoteReplacement(secret)
+    })
+}

@@ -42,8 +42,10 @@ object Sink {
         // one connection per partition, batched inserts. `numPartitions`
         // caps sink-side connections when the upstream plan is very wide.
         df.write.format("jdbc")
-          .option("url", cfg.url.getOrElse(
-            throw new IllegalArgumentException("jdbc sink needs sink.url")))
+          // secret://NAME placeholders resolve here (reference R14:
+          // utils.go:70-87 fetched the PG password at startup)
+          .option("url", Secrets.resolve(cfg.url.getOrElse(
+            throw new IllegalArgumentException("jdbc sink needs sink.url"))))
           .option("dbtable", target)
           .option("batchsize", cfg.batchSize.toString)
           .option("isolationLevel", "NONE") // COPY-like throughput
