@@ -33,6 +33,32 @@ class PipelineSpec extends SparkSpec {
     assert(results(1).ok && results(1).rows.contains(25L))
   }
 
+  test("inter-table parallelism overlaps jobs and preserves per-job results") {
+    val out = java.nio.file.Files.createTempDirectory("graft_par").toString
+    val cfg = EngineConfig(
+      jobs = Seq("region", "nation", "supplier", "customer").map(t =>
+        JobSpec(source = sf() + s"/$t.parquet", target = s"${t}_t")),
+      sink = SinkConfig(format = "parquet", path = Some(out), mode = "overwrite"))
+    val results = Pipeline.run(spark, cfg, parallelism = 3)
+    assert(results.forall(_.ok))
+    assert(results.map(_.rows.get).sorted == Seq(5L, 10L, 25L, 150L))
+  }
+
+  test("Spread lifts under-split inputs and passes through the rest") {
+    val docs = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+    assert(docs.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism)
+    val spreadDocs = Spread(docs)
+    assert(spreadDocs.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // already-parallel input: unchanged plan (no extra exchange)
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism + 2)
+    assert(Spread(wide) eq wide)
+    // tiny input (below the byte threshold): unchanged
+    val tiny = spark.read.parquet(sf() + "/region.parquet")
+    assert(Spread(tiny) eq tiny)
+  }
+
   test("partitioned sink layout enables partition pruning") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val cfg = EngineConfig(
