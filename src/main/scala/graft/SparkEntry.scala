@@ -64,6 +64,31 @@ object SparkEntry {
         .orderBy(col("L_ORDERKEY"), col("l_linenumber"), col("l_shipdate"))
     }),
 
+    // ---- histogram / binning (floor arithmetic — engine-portable) ----
+    "q_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy((floor(col("o_totalprice") / 50000) * 50000)
+          .cast("long").as("bin_lo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("bin_total"))
+        .orderBy(col("bin_lo"))
+    }),
+
+    // ---- data profiling: null / distinct / extrema audit per column ----
+    "q_profile" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("nn_custkey"),
+          count_distinct(col("o_orderstatus")).as("d_status"),
+          count_distinct(col("o_orderpriority")).as("d_priority"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
     // ---- CDC upsert (merge) emulation: changes override base rows by
     //      key, new keys insert — full outer join + coalesce, the
     //      append-only-sink-compatible merge shape ----
@@ -697,6 +722,33 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- time-series gap-fill + forward-fill: per-user hourly slots
+    //      (sequence/explode), empty hours zero-counted, last observed
+    //      value carried forward ----
+    "q_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") <= 3)
+      val hourly = ev.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("hour_value"))
+      val spans = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+             date_trunc("hour", max(col("ts"))).as("hi"))
+      val slots = spans.select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("hour_start"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour_start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      slots.join(hourly, Seq("user_id", "hour_start"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("ffill_value",
+          last(col("hour_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("hour_start"), col("n"),
+          col("ffill_value"))
+        .orderBy(col("user_id"), col("hour_start"))
+    }),
+
     // ---- sessionization: gap > 30 min splits a session ----
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -885,6 +937,24 @@ object SparkEntry {
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bin_lo,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS bin_total
+        |FROM orders GROUP BY 1 ORDER BY bin_lo""".stripMargin,
+
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(o_custkey) AS nn_custkey,
+        |  count(DISTINCT o_orderstatus) AS d_status,
+        |  count(DISTINCT o_orderpriority) AS d_priority,
+        |  min(CAST(o_orderdate AS TIMESTAMP)) AS min_date,
+        |  max(CAST(o_orderdate AS TIMESTAMP)) AS max_date,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
 
     "q_upsert" ->
       """WITH base AS (
@@ -1144,6 +1214,33 @@ object SparkEntry {
         |FROM events
         |GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE user_id <= 3),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour_start,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hour_value
+        |  FROM e GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi
+        |  FROM e GROUP BY 1),
+        |slots AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        |  FROM spans),
+        |filled AS (
+        |  SELECT s.user_id, s.hour_start, COALESCE(h.n, 0) AS n,
+        |    h.hour_value
+        |  FROM slots s LEFT JOIN hourly h
+        |    ON s.user_id = h.user_id AND s.hour_start = h.hour_start)
+        |SELECT user_id, hour_start, n,
+        |  last_value(hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hour_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+        |FROM filled ORDER BY user_id, hour_start""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (
