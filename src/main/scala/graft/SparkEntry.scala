@@ -578,6 +578,31 @@ object SparkEntry {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // ---- north star CAPSTONE (vectors): LSH near-dup dedup -> keep
+    //      canonical -> coarse-quantizer assignment -> per-cell stats ----
+    "q_embed_pipeline" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.quantize
+      import graft.plans.LongArrayDot
+      val e = t(s, dir, "embeddings")
+      val pairs = graft.operators.Dedup.lshCosinePairs(e, 4, 10)
+        .select(col("v1").as("d1"), col("v2").as("d2"))
+      val kept = graft.operators.Dedup.keepCanonical(e, pairs, id = "vec_id")
+      val cents = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"),
+          quantize(col("embedding")).as("cent_v"))
+      val wAssign = Window.partitionBy(col("cid"))
+        .orderBy(col("cscore").desc, col("cent_id"))
+      kept.select(col("vec_id").as("cid"),
+          quantize(col("embedding")).as("cv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cscore", LongArrayDot(col("cv"), col("cent_v")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("cid")).as("min_vec"))
+        .orderBy(col("cent_id"))
+    }),
+
     // ---- north star: brute-force top-k similarity search ----
     "q_simsearch" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1641,6 +1666,67 @@ object SparkEntry {
          |WHERE d > 0
          |  AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2
          |ORDER BY v1, v2""".stripMargin,
+
+    // LSH pairs -> recursive-CTE components -> keep canonical -> argmax
+    // centroid assignment (window over exact quantized dots)
+    "q_embed_pipeline" ->
+      s"""WITH RECURSIVE hp AS (
+         |  SELECT j, list_transform(range(0, 64),
+         |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
+         |  FROM (SELECT unnest(range(0, 12)) AS j)),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT q.vec_id, hp.j,
+         |    CASE WHEN list_sum(list_transform(list_zip(q.qv, hp.h),
+         |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM q, hp),
+         |bandkeys AS (
+         |  SELECT vec_id, j // 3 AS band, sum(bit * (1 << (j % 3))) AS bk
+         |  FROM b GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bandkeys x JOIN bandkeys y
+         |    ON x.band = y.band AND x.bk = y.bk AND x.vec_id < y.vec_id),
+         |vv AS (
+         |  SELECT c.v1, c.v2,
+         |    ${qdotSql("a.embedding", "b.embedding")} AS d,
+         |    ${qnormSql("a.embedding")} AS qn1,
+         |    ${qnormSql("b.embedding")} AS qn2
+         |  FROM cand c JOIN embeddings a ON c.v1 = a.vec_id
+         |              JOIN embeddings b ON c.v2 = b.vec_id),
+         |jp AS (
+         |  SELECT v1 AS d1, v2 AS d2 FROM vv
+         |  WHERE d > 0
+         |    AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2),
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp
+         |      UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |removed AS (SELECT node FROM comp WHERE node <> component),
+         |kept AS (
+         |  SELECT vec_id, qv FROM q
+         |  WHERE vec_id NOT IN (SELECT node FROM removed)),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, qv AS cent_v FROM q
+         |  ORDER BY vec_id LIMIT 16),
+         |scores AS (
+         |  SELECT k.vec_id AS cid, c.cent_id,
+         |    list_sum(list_transform(list_zip(k.qv, c.cent_v),
+         |      z -> z[1] * z[2])) AS cscore
+         |  FROM kept k CROSS JOIN cents c),
+         |best AS (
+         |  SELECT cid, cent_id, row_number() OVER (
+         |    PARTITION BY cid ORDER BY cscore DESC, cent_id) AS crank
+         |  FROM scores)
+         |SELECT cent_id, count(*) AS n_vectors, min(cid) AS min_vec
+         |FROM best WHERE crank = 1
+         |GROUP BY cent_id ORDER BY cent_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
