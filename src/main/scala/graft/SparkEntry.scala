@@ -664,6 +664,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: hashed TF features (hashing-trick sparse vectors) ----
+    "q_tfvec" -> ((s, dir) => {
+      graft.operators.TextAnalysis.hashedTf(t(s, dir, "documents"), 64)
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     // ---- north star: multimodal binary-column pipeline (stubbed codec) ----
     "q_multimodal" -> ((s, dir) => {
       import graft.multimodal.Multimodal
@@ -1606,6 +1612,13 @@ object SparkEntry {
         |      i -> CAST(unicode(substr(chunk, CAST(i AS INT), 1)) AS BIGINT)),
         |    (a, b) -> (31 * a + b) % 1000000007) AS BIGINT) AS checksum
         |FROM k ORDER BY media_id, frame_no""".stripMargin,
+
+    "q_tfvec" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents)
+         |SELECT doc_id, ${hashSql("w")} % 64 AS bucket, count(*) AS tf
+         |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS media_id, 'image' AS kind,

@@ -161,6 +161,19 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1))).as("stopword_ratio"))
   }
 
+  /** Hashed term-frequency features (HashingTF shape): tokens bucketed by
+    * stable hash mod `numBuckets`, one (doc, bucket, tf) row per non-zero
+    * bucket — the sparse representation that feeds quality classifiers.
+    * One explode + one aggregation; bucket collisions are the standard
+    * hashing-trick tradeoff and deterministic across engines.
+    */
+  def hashedTf(docs: DataFrame, numBuckets: Int = 64): DataFrame =
+    graft.engine.Spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"),
+        (stableHash60(col("w")) % numBuckets).as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum and
     * maximum shingle hash plus the distinct-shingle count identify a
     * document up to shingle-set equality — O(1) state per doc.
