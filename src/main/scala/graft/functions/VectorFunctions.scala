@@ -18,10 +18,14 @@ object VectorFunctions {
 
   /** Element-wise quantization: FLOAT -> floor(x*1000) LONG.
     * float->double widening and *1000.0 are exact IEEE ops, so every
-    * engine computes the identical integer.
+    * engine computes the identical integer. Backed by the codegen'd
+    * QuantizeFloats expression — the HOF form
+    * (`transform(v, x => floor(x * scale))`) evaluates its lambda
+    * interpreted per element, and quantization prefixes every vector
+    * operator's hot loop.
     */
   def quantize(v: Column, scale: Int = 1000): Column =
-    transform(v, x => floor(x.cast("double") * scale).cast("long"))
+    graft.plans.QuantizeFloats(v, scale)
 
   /** Integer dot product of two quantized vectors. */
   def qdot(a: Column, b: Column): Column =
