@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.longArrayDotDescriptor)
     ext.injectFunction(GraftExtensions.rollingShingleHashesDescriptor)
+    ext.injectFunction(GraftExtensions.quantizeFloatsDescriptor)
   }
 }
 
@@ -49,10 +50,25 @@ object GraftExtensions {
       RollingShingleHashes(children.head, k)
     })
 
+  private[plans] val quantizeFloatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantize_floats"),
+    new ExpressionInfo(classOf[QuantizeFloats].getName, "quantize_floats"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"quantize_floats takes (vector, scale), got ${children.length} args")
+      val scale = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"quantize_floats scale must be an INT literal, got $other")
+      }
+      QuantizeFloats(children.head, scale)
+    })
+
   /** Register on an existing session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     for ((id, _, builder) <- Seq(longArrayDotDescriptor,
-        rollingShingleHashesDescriptor))
+        rollingShingleHashesDescriptor, quantizeFloatsDescriptor))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
   }
