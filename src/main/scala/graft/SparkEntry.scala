@@ -64,6 +64,36 @@ object SparkEntry {
         .orderBy(col("L_ORDERKEY"), col("l_linenumber"), col("l_shipdate"))
     }),
 
+    // ---- string aggregation (listagg shape, sorted for determinism) ----
+    "q_stringagg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- statistical moments in ONE pass via exact decimal sums
+    //      (sum-of-squares identity: partial-aggregation-friendly and
+    //      engine-portable, unlike built-in stddev's float accumulation) ----
+    "q_stats" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sum_x"),
+          sum((x * x).cast("decimal(28,4)")).cast("double").as("sum_x2"))
+        .withColumn("mean", col("sum_x") / col("n"))
+        .withColumn("variance",
+          (col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) /
+            (col("n") - 1))
+        .select(col("l_returnflag"), col("n"), col("mean"), col("variance"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- histogram / binning (floor arithmetic — engine-portable) ----
     "q_histogram" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -968,6 +998,28 @@ object SparkEntry {
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
+
+    "q_stringagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS mean,
+        |  (CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |      AS DOUBLE)
+        |   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     / count(*))
+        |  / (count(*) - 1) AS variance
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bin_lo,
