@@ -31,7 +31,7 @@ object Dedup {
 
   /** Docs with distinct-shingle-hash arrays attached (narrow map). */
   def withShingleSets(docs: DataFrame, k: Int = 3,
-                      hash: Column => Column = stableHash60): DataFrame =
+                      hash: Column => Column = null): DataFrame =
     docs.withColumn("sh", shingleHashes(col("text"), k, hash))
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.

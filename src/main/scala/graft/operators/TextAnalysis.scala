@@ -32,10 +32,16 @@ object TextAnalysis {
         i => array_join(slice(toks, i, lit(k)), " ")))
   }
 
-  /** Distinct shingle hash set — input to minhash / jaccard / fingerprint. */
+  /** Distinct shingle hash set — input to minhash / jaccard / fingerprint.
+    * The default (stableHash60) runs as the codegen'd WordShingleHashes
+    * kernel — value-identical, one static call per row instead of five
+    * nested interpreted higher-order expressions. Pass a custom `hash`
+    * for the generic (interpreted) form, e.g. xxhash64 in production.
+    */
   def shingleHashes(text: Column, k: Int = 3,
-                    hash: Column => Column = stableHash60): Column =
-    array_distinct(transform(shingles(text, k), hash))
+                    hash: Column => Column = null): Column =
+    if (hash == null) graft.plans.WordShingleHashes(text, k)
+    else array_distinct(transform(shingles(text, k), hash))
 
   /** Character k-gram shingle hashes ("abcd", k=3 -> hashes of
     * ["abc","bcd"]) — the tokenization-free near-dup representation
@@ -198,7 +204,7 @@ object TextAnalysis {
     * ~20x slower at sf0.1.
     */
   def shinglePosts(docs: DataFrame, k: Int = 3,
-                   hash: Column => Column = stableHash60): DataFrame =
+                   hash: Column => Column = null): DataFrame =
     graft.engine.Spread(docs).select(col("doc_id"),
       explode(shingleHashes(col("text"), k, hash)).as("h"))
 

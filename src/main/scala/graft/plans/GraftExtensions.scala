@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.longArrayDotDescriptor)
     ext.injectFunction(GraftExtensions.rollingShingleHashesDescriptor)
     ext.injectFunction(GraftExtensions.quantizeFloatsDescriptor)
+    ext.injectFunction(GraftExtensions.wordShingleHashesDescriptor)
   }
 }
 
@@ -65,10 +66,27 @@ object GraftExtensions {
       QuantizeFloats(children.head, scale)
     })
 
+  private[plans] val wordShingleHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingle_hashes"),
+    new ExpressionInfo(classOf[WordShingleHashes].getName,
+      "word_shingle_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"word_shingle_hashes takes (text, k), got ${children.length} args")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_shingle_hashes k must be an INT literal, got $other")
+      }
+      WordShingleHashes(children.head, k)
+    })
+
   /** Register on an existing session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     for ((id, _, builder) <- Seq(longArrayDotDescriptor,
-        rollingShingleHashesDescriptor, quantizeFloatsDescriptor))
+        rollingShingleHashesDescriptor, quantizeFloatsDescriptor,
+        wordShingleHashesDescriptor))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
   }
