@@ -95,6 +95,10 @@ class QueryInvariantSpec extends SparkSpec {
       s"recall collapsed: lsh=${lsh.size} brute=${brute.size}")
   }
 
+  test("driver smoke contract: entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("connected components: chain, clique, and two isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4, clique {10,11,12}, pair (20,21)

@@ -34,6 +34,24 @@ class WordShingleHashesSpec extends SparkSpec {
     assert(rows.head.getSeq[Long](1).isEmpty)
   }
 
+  test("property: kernel == HOF form on random spacey strings and widths") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val strGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "", "dd"))
+    } yield toks.mkString(" ")
+    val prop = Prop.forAll(Gen.listOfN(15, strGen), Gen.choose(1, 4)) {
+      (strs, k) =>
+        val rows = strs.toDF("s").select(
+          WordShingleHashes(col("s"), k).as("fast"),
+          hofForm(col("s"), k).as("slow")).collect()
+        rows.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("null input propagates") {
     val rows = Seq(Option("a b c d"), None).toDF("s")
       .select(WordShingleHashes(col("s"), 2).as("h")).collect()
