@@ -913,6 +913,22 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- unpivot / melt (wide -> long, the pivot inverse) ----
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          col("value"))
+    }),
+
     // ---- correlated subqueries: EXISTS / NOT EXISTS (decorrelation) ----
     "q_exists" -> ((s, dir) => {
       Readers.registerAll(s, dir)
@@ -1855,6 +1871,23 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_exists" -> existsSql,
+
+    // 3-way UNION ALL is the engine-portable unpivot spelling
+    "q_unpivot" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |    l_discount
+        |  FROM lineitem WHERE l_orderkey <= 1000)
+        |SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_quantity' AS metric, l_quantity AS value FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_extendedprice', l_extendedprice FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_discount', l_discount FROM base) u
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
 
     "q_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
