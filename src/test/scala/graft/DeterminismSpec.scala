@@ -1,0 +1,38 @@
+package graft
+
+/** Cross-environment determinism guard: every oracle-checked query must
+  * produce IDENTICAL ordered output regardless of
+  * spark.sql.shuffle.partitions — the knob that differs between this
+  * suite (4), the driver's Verify run, and a real cluster. Queries with
+  * incomplete ORDER BY tie-breaks or order-sensitive float accumulation
+  * fail here before they flake in the correctness gate.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // the order/shuffle-sensitive shapes: total sorts over duplicate-heavy
+  // keys, windows, multi-stage dedup joins, sampling, session windows
+  private val risky = Seq(
+    "ingest_lineitem", "q_filter", "q_align", "q_window_frame",
+    "q_window_lag", "q_window_dist", "q_topk_agg", "q_sample",
+    "q_dedup_minhash", "q_text_jaccard", "q_sessionize", "q_gapfill",
+    "q_corpus_pipeline", "q_stats")
+
+  test("risky queries are partition-count invariant (4 vs 13 partitions)") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Map[String, Seq[String]] =
+      risky.map { name =>
+        name -> SparkEntry.queries(name)(spark, sf())
+          .collect().toSeq.map(_.toString)
+      }.toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val at4 = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val at13 = runAll()
+      risky.foreach { name =>
+        assert(at4(name) == at13(name),
+          s"$name output changed with shuffle partition count")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
