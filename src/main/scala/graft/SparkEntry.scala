@@ -453,7 +453,11 @@ object SparkEntry {
           dayofmonth(col("o_orderdate")).as("o_day"),
           date_trunc("month", col("o_orderdate")).as("month_start"),
           datediff(col("o_orderdate").cast("date"),
-                   lit("1995-01-01").cast("date")).as("days_since"))
+                   lit("1995-01-01").cast("date")).as("days_since"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus2m"),
+          (weekday(col("o_orderdate").cast("date")) + 1).as("isodow"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -1282,7 +1286,11 @@ object SparkEntry {
         |  month(o_orderdate) AS o_month,
         |  dayofmonth(o_orderdate) AS o_day,
         |  date_trunc('month', o_orderdate) AS month_start,
-        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS isodow
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_scalar_array" ->
