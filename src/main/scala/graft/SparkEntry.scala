@@ -687,6 +687,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: pattern redaction (PII-masking shape) ----
+    "q_redact" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redact(col("text")).as("redacted"),
+          (length(col("text")) -
+            length(TextAnalysis.redact(col("text")))).as("delta"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: token counting (whitespace + BPE-ish regex) ----
     "q_tokencount" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -1663,6 +1674,15 @@ object SparkEntry {
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+        |    '[a-f]{8,}', '<ID>', 'g') AS redacted,
+        |  CAST(length(text) - length(
+        |    regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+        |      '[a-f]{8,}', '<ID>', 'g')) AS INT) AS delta
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_tokencount" ->

@@ -62,6 +62,15 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Pattern redaction — the PII-masking shape: digit runs become a
+    * <NUM> placeholder and long hex-ish runs become <ID>. Pure codegen'd
+    * regexp_replace; patterns use the Java/RE2-common subset.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[0-9]+", "<NUM>"),
+      "[a-f]{8,}", "<ID>")
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-space symbols — the standard pre-tokenizer shape. Regex is
     * POSIX-simple so Java and other engines agree.
