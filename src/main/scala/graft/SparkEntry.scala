@@ -487,6 +487,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- scalar functions: misc (nested arrays, conditionals, map
+    //      transforms) ----
+    "q_scalar_misc" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          flatten(array(slice(col("embedding"), 1, 2),
+            slice(col("embedding"), 3, 2))).as("first4"),
+          nullif(col("label"), lit(0)).as("label_nz"),
+          nvl2(nullif(col("label"), lit(0)), lit("labeled"), lit("zero"))
+            .as("label_kind"),
+          map_from_arrays(
+            sequence(lit(1), lit(3)).cast("array<int>"),
+            slice(col("embedding"), 1, 3)).as("m3"))
+        .select(col("vec_id"), col("first4"), col("label_nz"),
+          col("label_kind"),
+          map_values(transform_values(col("m3"),
+            (_, v) => floor(v.cast("double") * 1000).cast("long")))
+            .as("q3"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- JSON extraction ----
     "q_json" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1319,6 +1341,16 @@ object SparkEntry {
         |  [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_scalar_misc" ->
+      """SELECT vec_id,
+        |  flatten([embedding[1:2], embedding[3:4]]) AS first4,
+        |  nullif(label, 0) AS label_nz,
+        |  CASE WHEN nullif(label, 0) IS NOT NULL THEN 'labeled'
+        |       ELSE 'zero' END AS label_kind,
+        |  list_transform(embedding[1:3],
+        |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q3
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_json" ->
       """SELECT event_id,
