@@ -27,9 +27,6 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // filterless MIN/MAX/COUNT resolve from parquet footer statistics
-      // instead of scanning data — free for profiling/audit queries
-      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", s"$cat/warehouse")
       .config("spark.ui.enabled", "false")
