@@ -341,6 +341,20 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // ---- window: first_value / nth_value over a running frame ----
+    "q_window_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("first_key"),
+          col("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---- window: lag/lead over event time ----
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1230,6 +1244,17 @@ object SparkEntry {
         |FROM orders
         |QUALIFY rn <= 3
         |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_window_first" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
