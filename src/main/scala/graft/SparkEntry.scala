@@ -964,6 +964,27 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- explicit cross join (tiny dims; the deliberate cartesian) ----
+    "q_join_cross" -> ((s, dir) => {
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_regionkey"), col("n_nationkey"),
+          (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    // ---- filtered aggregates (FILTER clause, one pass, no self-join) ----
+    "q_agg_filter" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority,
+          |  count(*) AS n,
+          |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // ---- unpivot / melt (wide -> long, the pivot inverse) ----
     "q_unpivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1956,6 +1977,21 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_exists" -> existsSql,
+
+    "q_join_cross" ->
+      """SELECT r_regionkey, n_nationkey,
+        |  n_regionkey = r_regionkey AS is_home
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // 3-way UNION ALL is the engine-portable unpivot spelling
     "q_unpivot" ->
