@@ -13,9 +13,10 @@ class DeterminismSpec extends SparkSpec {
   // keys, windows, multi-stage dedup joins, sampling, session windows
   private val risky = Seq(
     "ingest_lineitem", "q_filter", "q_align", "q_window_frame",
-    "q_window_lag", "q_window_dist", "q_topk_agg", "q_sample",
-    "q_dedup_minhash", "q_text_jaccard", "q_sessionize", "q_gapfill",
-    "q_corpus_pipeline", "q_stats")
+    "q_window_lag", "q_window_dist", "q_window_first", "q_topk_agg",
+    "q_sample", "q_dedup_minhash", "q_text_jaccard", "q_sessionize",
+    "q_gapfill", "q_corpus_pipeline", "q_embed_pipeline", "q_stats",
+    "q_unpivot", "q_stringagg")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
