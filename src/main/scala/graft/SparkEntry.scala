@@ -440,7 +440,10 @@ object SparkEntry {
           concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
           length(col("p_name")).as("name_len"),
           (col("p_size") % 7).as("size_mod"),
-          floor(col("p_retailprice")).cast("long").as("price_floor"))
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          translate(col("p_brand"), "AEIOU", "aeiou").as("brand_tr"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          reverse(col("p_name")).as("name_rev"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -1347,7 +1350,10 @@ object SparkEntry {
         |  concat_ws('-', p_brand, p_type) AS brand_type,
         |  length(p_name) AS name_len,
         |  p_size % 7 AS size_mod,
-        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  translate(p_brand, 'AEIOU', 'aeiou') AS brand_tr,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  reverse(p_name) AS name_rev
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_scalar_regex" ->
