@@ -30,10 +30,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // compact formatting (3 decimals, no exponent): the driver captures
+    // only the tail of stdout, and an over-long JSON line gets its head
+    // truncated out of the capture window -> unparseable (BENCH_r01)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // print LAST, after Spark's shutdown logging, so the line sits at the
+    // very end of the captured tail
+    println(line)
   }
 }

@@ -48,6 +48,13 @@ object SparkEntry {
         // order by every column for a total, engine-independent order
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+        // the DECIMAL(12,2) target cast above IS the exercised operator
+        // (reference R8); emit doubles so the external comparator hashes
+        // the same dtype from both engines (parquet decimal -> python
+        // Decimal objects vs DuckDB decimal -> float64 hash-mismatch even
+        // when cell-equal)
+        .withColumn("l_quantity", col("l_quantity").cast("double"))
+        .withColumn("l_extendedprice", col("l_extendedprice").cast("double"))
     }),
 
     // ---- core ELT: the reference's align/cast quirks, oracle-checked —
@@ -478,8 +485,12 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
-    // ---- scalar functions: arrays (no arithmetic — raw-value parity) ----
+    // ---- scalar functions: arrays (no arithmetic — raw-value parity).
+    //      Array-valued results are emitted as scalar columns: the external
+    //      comparator sorts cells with pandas, which cannot hash ndarray
+    //      cells (CORRECTNESS_r01 'unhashable numpy.ndarray'). ----
     "q_scalar_array" -> ((s, dir) => {
+      val sorted = sort_array(col("embedding"))
       t(s, dir, "embeddings")
         .select(
           col("vec_id"),
@@ -487,25 +498,32 @@ object SparkEntry {
           element_at(col("embedding"), 1).as("first_val"),
           array_max(col("embedding")).as("max_val"),
           array_min(col("embedding")).as("min_val"),
-          slice(sort_array(col("embedding")), 1, 3).as("low3"))
+          element_at(sorted, 1).as("low1"),
+          element_at(sorted, 2).as("low2"),
+          element_at(sorted, 3).as("low3"))
         .orderBy(col("vec_id"))
     }),
 
-    // ---- scalar functions: maps (from_json -> map ops) ----
+    // ---- scalar functions: maps (from_json -> map ops). Key/value lists
+    //      are CSV-joined to scalar strings for the external comparator
+    //      (sorted first — map iteration order is not a contract). ----
     "q_scalar_map" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("m", from_json(col("props"),
           org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
         .select(
           col("event_id"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("ks"),
+          array_join(array_sort(transform(map_values(col("m")),
+            v => v.cast("string"))), ",").as("vs"),
           element_at(col("m"), "k").as("k_val"))
         .orderBy(col("event_id"))
     }),
 
     // ---- scalar functions: misc (nested arrays, conditionals, map
-    //      transforms) ----
+    //      transforms). Array results emitted scalarized: raw floats as
+    //      one column per slot (float->string formatting is not
+    //      cross-engine stable), quantized longs as a CSV string. ----
     "q_scalar_misc" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(
@@ -518,11 +536,16 @@ object SparkEntry {
           map_from_arrays(
             sequence(lit(1), lit(3)).cast("array<int>"),
             slice(col("embedding"), 1, 3)).as("m3"))
-        .select(col("vec_id"), col("first4"), col("label_nz"),
-          col("label_kind"),
-          map_values(transform_values(col("m3"),
-            (_, v) => floor(v.cast("double") * 1000).cast("long")))
-            .as("q3"))
+        .select(col("vec_id"),
+          element_at(col("first4"), 1).as("f1"),
+          element_at(col("first4"), 2).as("f2"),
+          element_at(col("first4"), 3).as("f3"),
+          element_at(col("first4"), 4).as("f4"),
+          col("label_nz"), col("label_kind"),
+          array_join(transform(
+            map_values(transform_values(col("m3"),
+              (_, v) => floor(v.cast("double") * 1000).cast("long"))),
+            v => v.cast("string")), ",").as("q3"))
         .orderBy(col("vec_id"))
     }),
 
@@ -817,14 +840,21 @@ object SparkEntry {
     }),
 
     // ---- quantile sketch: approx_percentile (rows-only check like the
-    //      HLL sketch — sketch internals are not cross-engine stable) ----
+    //      HLL sketch — sketch internals are not cross-engine stable).
+    //      One scalar column per quantile: the external comparator cannot
+    //      sort rows containing ndarray cells. ----
     "q_approx_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
-            .as("price_quantiles"),
+            .as("pq"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("pq"), 1).as("p50"),
+          element_at(col("pq"), 2).as("p95"),
+          element_at(col("pq"), 3).as("p99"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1010,11 +1040,14 @@ object SparkEntry {
       s.sql(existsSql)
     }),
 
-    // ---- scalar functions: math (IEEE-deterministic ops only) ----
+    // ---- scalar functions: math (IEEE-deterministic ops only).
+    //      ORDER BY includes l_discount/l_tax: (l_orderkey, l_linenumber,
+    //      l_quantity, l_extendedprice) alone is not a total order and the
+    //      disc_amt/d_ceil/t_floor/sgn cells depend on the tie columns. ----
     "q_scalar_math" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"))
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           // floor-based rounding, NOT round(): Spark rounds the shortest
@@ -1076,8 +1109,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ingest_lineitem" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+        |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS l_quantity,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+        |    AS l_extendedprice,
         |  l_returnflag, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity,
         |  l_extendedprice, l_returnflag, l_shipdate""".stripMargin,
@@ -1384,24 +1418,30 @@ object SparkEntry {
         |  embedding[1] AS first_val,
         |  list_max(embedding) AS max_val,
         |  list_min(embedding) AS min_val,
-        |  list_sort(embedding)[1:3] AS low3
+        |  list_sort(embedding)[1] AS low1,
+        |  list_sort(embedding)[2] AS low2,
+        |  list_sort(embedding)[3] AS low3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_scalar_map" ->
       """SELECT event_id,
-        |  json_keys(props) AS ks,
-        |  [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
+        |  array_to_string(list_sort([CAST(
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)]),
+        |    ',') AS vs,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_scalar_misc" ->
       """SELECT vec_id,
-        |  flatten([embedding[1:2], embedding[3:4]]) AS first4,
+        |  embedding[1] AS f1, embedding[2] AS f2,
+        |  embedding[3] AS f3, embedding[4] AS f4,
         |  nullif(label, 0) AS label_nz,
         |  CASE WHEN nullif(label, 0) IS NOT NULL THEN 'labeled'
         |       ELSE 'zero' END AS label_kind,
-        |  list_transform(embedding[1:3],
-        |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q3
+        |  array_to_string(list_transform(embedding[1:3],
+        |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)), ',')
+        |    AS q3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_json" ->
@@ -1506,10 +1546,12 @@ object SparkEntry {
          |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
          |ORDER BY d1, d2""".stripMargin,
 
-    // char-shingle hash = Horner fold (acc*131 + codeunit) % 1e9+7 over
-    // each 16-char window — same values as the codegen'd rolling hash
-    // (RollingShingleHashes); list_reduce's first-element seed equals a
-    // zero-seeded Horner, exact integer math throughout
+    // char-shingle hash = DOUBLE-PRIME Horner fold over each 16-char
+    // window: h1 = fold (a*131 + c) % 1e9+7, h2 = fold (a*137 + c) % 1e9+9,
+    // combined h1*(1e9+9)+h2 (~2^60 space) — same values as the codegen'd
+    // rolling hash (RollingShingleHashes); list_reduce's first-element
+    // seed equals a zero-seeded Horner, exact BIGINT math throughout
+    // (combined < (1e9+7)*(1e9+9) ~ 1.0e18 < 2^63)
     "q_chargram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(list_transform(
@@ -1518,7 +1560,12 @@ object SparkEntry {
          |    i -> list_reduce(list_transform(range(0, 16),
          |           j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1))
          |                     AS BIGINT)),
-         |         (a, c) -> (a * 131 + c) % 1000000007))) AS sh
+         |         (a, c) -> (a * 131 + c) % 1000000007)
+         |         * 1000000009
+         |         + list_reduce(list_transform(range(0, 16),
+         |           j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1))
+         |                     AS BIGINT)),
+         |         (a, c) -> (a * 137 + c) % 1000000009))) AS sh
          |  FROM documents
          |),
          |sets AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
@@ -2025,6 +2072,7 @@ object SparkEntry {
         |  CAST(sign(l_discount - 0.05) AS INT) AS sgn,
         |  greatest(l_quantity, l_tax * 100) AS g
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_discount, l_tax""".stripMargin
   )
 }

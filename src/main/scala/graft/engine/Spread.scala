@@ -1,6 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate,
+  Join, RepartitionOperation, Sort, Window}
 
 /** Scan-parallelism guard for compute-heavy narrow stages.
   *
@@ -31,11 +33,37 @@ object Spread {
     */
   val MinBytes: Long = 256L * 1024
 
+  /** Parallelism is estimated from the OPTIMIZED LOGICAL plan only —
+    * never `df.rdd.getNumPartitions`, which finalizes the physical plan
+    * and under AQE eagerly EXECUTES every upstream shuffle stage at
+    * plan-build time (those stages would then run twice: once for the
+    * probe, once in the real job).
+    *
+    *   - a plan containing any shuffle-inducing operator (aggregate,
+    *     join, sort, window, distinct, explicit repartition) already
+    *     emerges at `spark.sql.shuffle.partitions` parallelism — pass
+    *     through untouched;
+    *   - a narrow chain over a file scan parallelizes at roughly
+    *     sizeInBytes / maxPartitionBytes tasks — if that estimate falls
+    *     short of cluster parallelism, round-robin repartition (this is
+    *     exactly the small-file single-row-group case Spread exists for).
+    */
   def apply(df: DataFrame, minBytes: Long = MinBytes): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= minBytes && df.rdd.getNumPartitions < target)
-      df.repartition(target)
-    else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val plan = df.queryExecution.optimizedPlan
+    val bytes = plan.stats.sizeInBytes
+    val alreadyShuffled = plan.exists {
+      case _: Aggregate | _: Join | _: Sort | _: Window | _: Deduplicate |
+           _: RepartitionOperation => true
+      case _ => false
+    }
+    if (alreadyShuffled || bytes < minBytes) df
+    else {
+      val maxSplit = BigInt(
+        spark.sessionState.conf.filesMaxPartitionBytes).max(BigInt(1))
+      val estScanTasks = (bytes + maxSplit - 1) / maxSplit
+      if (estScanTasks < target) df.repartition(target) else df
+    }
   }
 }

@@ -235,20 +235,22 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
-  /** Connected components over near-dup pairs (d1, d2) by iterative
-    * min-label propagation: every node starts as its own label; each
-    * round every node takes the min label in its neighborhood; stop at
-    * fixpoint. Returns (doc_id, component) where component = the minimum
-    * doc_id reachable — the canonical representative.
+  /** Connected components over near-dup pairs (d1, d2). Returns
+    * (node, component) where component = the minimum doc_id reachable —
+    * the canonical representative.
     *
     * This is the pairs -> clusters step every near-dup pipeline needs
-    * before "keep one per cluster". Near-dup graphs are overwhelmingly
-    * tiny cliques/chains, so the loop converges in O(cluster diameter)
-    * rounds (driver checks an aggregate count per round —
-    * `localCheckpoint` truncates lineage so plans don't nest per
-    * iteration). Shuffles per round: one join by node + one groupBy.
+    * before "keep one per cluster". Small graphs (edge count below
+    * `smallGraphThreshold`) resolve driver-side in one union-find pass.
+    * The distributed path uses alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"), which converges in O(log n) rounds regardless of component
+    * DIAMETER — min-label propagation needs O(diameter) rounds and a
+    * path-shaped cluster longer than maxIter would silently split.
+    * Exceeding maxIter here (astronomically unlikely at 2 rounds per
+    * iteration) THROWS rather than returning wrong labels.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
                           smallGraphThreshold: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
     // symmetric edge list
@@ -285,31 +287,74 @@ object Dedup {
         .map(n => (n, find(n))).toDF("node", "component")
         .repartition(spark.sparkContext.defaultParallelism)
     }
-    var labels = edges.select(col("a").as("node"))
-      .distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint(true)
+    // ---- distributed path: alternating large-star / small-star ----
+    // Edge set kept canonical: unordered (lo, hi), lo < hi, distinct.
+    // large-star: every node u with min m over its closed neighborhood
+    //   rewires each LARGER neighbor v > u to (m, v).
+    // small-star: u rewires each neighbor v <= u (and itself) to (m, v).
+    // Fixpoint = star forest rooted at each component's minimum.
+    def canonical(e: DataFrame): DataFrame =
+      e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+
+    def closedMin(directed: DataFrame): DataFrame = directed
+      .groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("m"))
+
+    def bothDirections(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val d = bothDirections(e)
+      canonical(d.join(closedMin(d), Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("m").as("a"), col("b")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = bothDirections(e)
+      canonical(d.join(closedMin(d), Seq("a"))
+        .filter(col("b") <= col("a"))
+        .select(col("m"), col("a"), col("b"))
+        .select(explode(array(
+          struct(col("m").as("a"), col("b").as("b")),
+          struct(col("m").as("a"), col("a").as("b"))))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b")))
+    }
+
+    // 64-bit content checksum (count, XOR of per-edge hashes): equal
+    // checksums across a full round => edge-set fixpoint. XOR is
+    // order-independent and cannot overflow under ANSI mode; a collision
+    // between genuinely different sets is a ~2^-64 event — and the
+    // labeling below would still be a valid partial merge, never a crash.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var cur = canonical(edges).localCheckpoint(true)
+    var chk = checksum(cur)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts min(own label, neighbors' labels)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
-        .groupBy(col("a").as("node"))
-        .agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-          Seq("node"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      cur = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = checksum(cur)
+      converged = next == chk
+      chk = next
       i += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter large/small-star " +
+        "rounds — refusing to return possibly-split components")
+    // star forest: every edge is (root, leaf); roots label themselves
+    cur.select(col("b").as("node"), col("a").as("component"))
+      .unionAll(cur.select(col("a").as("node"), col("a").as("component")))
+      .distinct()
   }
 
   /** Keep-one-per-cluster: canonical (minimum) doc per near-dup

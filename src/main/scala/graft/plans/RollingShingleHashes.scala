@@ -12,11 +12,21 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Codegen'd rolling polynomial hash over all character k-grams of a
   * string: output[i] = hash(s[i .. i+k-1]) for every window position.
   *
-  * Hash is Horner over UTF-16 code units, base 131 mod 1e9+7 — the same
-  * value any engine computes with a fold `(acc*131 + code) % p`, so the
-  * DuckDB oracle replicates it with `list_reduce` (exact integer math,
-  * no overflow: acc < 2^30, acc*131 + c < 2^38). ASCII corpus assumption:
-  * code unit == codepoint (documented; the testdata is ASCII word soup).
+  * Hash is a DOUBLE-PRIME Horner over UTF-16 code units: two independent
+  * rolling hashes h1 (base 131 mod 1e9+7) and h2 (base 137 mod 1e9+9),
+  * combined as `h1 * (1e9+9) + h2` — a ~2^60 value space. A single
+  * ~2^30 modulus is not enough at corpus scale: with billions of distinct
+  * shingles, collisions become routine and inflate the inverted-index df
+  * counts and Jaccard numerators, so borderline NON-duplicates can cross
+  * tau and be wrongly dropped. Two independent moduli keep the O(n)
+  * rolling loop while restoring the collision margin of a 60-bit space.
+  *
+  * Every intermediate stays well inside a signed 64-bit integer
+  * (acc < 2^30, acc*137 + c < 2^38, combined < (1e9+7)*(1e9+9) ~ 2^60),
+  * so any engine reproduces the exact values with integer folds — the
+  * DuckDB oracle uses two `list_reduce` Horner folds and the same
+  * combine (q_chargram_jaccard). ASCII corpus assumption: code unit ==
+  * codepoint (documented; the testdata is ASCII word soup).
   *
   * Why a custom expression: the built-in route (`transform(sequence(...),
   * i -> hash(substring(text, i, k)))`) is O(n*k) with a per-window string
@@ -33,14 +43,16 @@ case class RollingShingleHashes(child: Expression, k: Int)
 
   require(k >= 1, s"shingle width must be positive, got $k")
 
-  private val P: Long = 1000000007L
-  private val B: Long = 131L
-  /** B^(k-1) mod P — the weight of the char leaving the window. */
-  private val BK1: Long = {
+  import RollingShingleHashes.{P1, B1, P2, B2}
+
+  /** B^(k-1) mod P — the weight of the char leaving each window. */
+  private def leadWeight(b: Long, p: Long): Long = {
     var r = 1L; var i = 1
-    while (i < k) { r = r * B % P; i += 1 }
+    while (i < k) { r = r * b % p; i += 1 }
     r
   }
+  private val W1: Long = leadWeight(B1, P1)
+  private val W2: Long = leadWeight(B2, P2)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -55,15 +67,21 @@ case class RollingShingleHashes(child: Expression, k: Int)
     val n = s.length
     val m = math.max(n - k + 1, 0)
     val out = new Array[Long](m)
-    var h = 0L
+    var h1 = 0L; var h2 = 0L
     var i = 0
-    while (i < n && i < k) { h = (h * B + s.charAt(i)) % P; i += 1 }
-    if (m > 0) out(0) = h
+    while (i < n && i < k) {
+      h1 = (h1 * B1 + s.charAt(i)) % P1
+      h2 = (h2 * B2 + s.charAt(i)) % P2
+      i += 1
+    }
+    if (m > 0) out(0) = h1 * P2 + h2
     i = k
     while (i < n) {
-      h = (h - s.charAt(i - k) * BK1 % P + P) % P
-      h = (h * B + s.charAt(i)) % P
-      out(i - k + 1) = h
+      h1 = (h1 - s.charAt(i - k) * W1 % P1 + P1) % P1
+      h1 = (h1 * B1 + s.charAt(i)) % P1
+      h2 = (h2 - s.charAt(i - k) * W2 % P2 + P2) % P2
+      h2 = (h2 * B2 + s.charAt(i)) % P2
+      out(i - k + 1) = h1 * P2 + h2
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
@@ -75,23 +93,27 @@ case class RollingShingleHashes(child: Expression, k: Int)
       val n = ctx.freshName("n")
       val m = ctx.freshName("m")
       val out = ctx.freshName("out")
-      val h = ctx.freshName("h")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
       val i = ctx.freshName("i")
       s"""
          |java.lang.String $s = $c.toString();
          |int $n = $s.length();
          |int $m = java.lang.Math.max($n - $k + 1, 0);
          |long[] $out = new long[$m];
-         |long $h = 0L;
+         |long $h1 = 0L; long $h2 = 0L;
          |int $i = 0;
          |for (; $i < $n && $i < $k; $i++) {
-         |  $h = ($h * ${B}L + $s.charAt($i)) % ${P}L;
+         |  $h1 = ($h1 * ${B1}L + $s.charAt($i)) % ${P1}L;
+         |  $h2 = ($h2 * ${B2}L + $s.charAt($i)) % ${P2}L;
          |}
-         |if ($m > 0) $out[0] = $h;
+         |if ($m > 0) $out[0] = $h1 * ${P2}L + $h2;
          |for ($i = $k; $i < $n; $i++) {
-         |  $h = ($h - $s.charAt($i - $k) * ${BK1}L % ${P}L + ${P}L) % ${P}L;
-         |  $h = ($h * ${B}L + $s.charAt($i)) % ${P}L;
-         |  $out[$i - $k + 1] = $h;
+         |  $h1 = ($h1 - $s.charAt($i - $k) * ${W1}L % ${P1}L + ${P1}L) % ${P1}L;
+         |  $h1 = ($h1 * ${B1}L + $s.charAt($i)) % ${P1}L;
+         |  $h2 = ($h2 - $s.charAt($i - $k) * ${W2}L % ${P2}L + ${P2}L) % ${P2}L;
+         |  $h2 = ($h2 * ${B2}L + $s.charAt($i)) % ${P2}L;
+         |  $out[$i - $k + 1] = $h1 * ${P2}L + $h2;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($out);
@@ -104,6 +126,11 @@ case class RollingShingleHashes(child: Expression, k: Int)
 }
 
 object RollingShingleHashes {
+  val P1: Long = 1000000007L
+  val B1: Long = 131L
+  val P2: Long = 1000000009L
+  val B2: Long = 137L
+
   /** Column-level API: array of rolling k-gram hashes of a string column. */
   def apply(text: Column, k: Int): Column =
     ColumnBridge.column(

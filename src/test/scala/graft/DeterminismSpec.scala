@@ -16,7 +16,8 @@ class DeterminismSpec extends SparkSpec {
     "q_window_lag", "q_window_dist", "q_window_first", "q_topk_agg",
     "q_sample", "q_dedup_minhash", "q_text_jaccard", "q_sessionize",
     "q_gapfill", "q_corpus_pipeline", "q_embed_pipeline", "q_stats",
-    "q_unpivot", "q_stringagg")
+    "q_unpivot", "q_stringagg", "q_scalar_math", "q_chargram_jaccard",
+    "q_dedup_cc")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -110,11 +110,24 @@ class QueryInvariantSpec extends SparkSpec {
     val cc = graft.operators.Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == want)
-    // ... and the distributed label-propagation path must agree
+    // ... and the distributed large/small-star path must agree
     val ccDist = graft.operators.Dedup
       .connectedComponents(pairs, smallGraphThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccDist == want)
+  }
+
+  test("connected components: 120-node path converges distributed " +
+       "(diameter >> round budget of naive label propagation)") {
+    import spark.implicits._
+    // a single path 1-2-3-...-120: min-label propagation moves the label
+    // one hop per round (would need 119 rounds); large/small-star
+    // contraction collapses it in O(log n)
+    val pairs = (1L until 120L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val cc = graft.operators.Dedup
+      .connectedComponents(pairs, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (1L to 120L).map(_ -> 1L).toMap)
   }
 
   test("keepCanonical keeps exactly one doc per cluster plus all unpaired") {

@@ -6,11 +6,16 @@ import graft.SparkSpec
 class RollingShingleHashesSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Reference implementation: direct Horner per window, no rolling. */
+  /** Reference implementation: direct double-prime Horner per window,
+    * no rolling — combined = h1(131 mod 1e9+7) * (1e9+9) + h2(137 mod 1e9+9).
+    */
   private def naive(s: String, k: Int): Seq[Long] =
     if (s.length < k) Seq.empty
     else (0 to s.length - k).map { i =>
-      s.substring(i, i + k).foldLeft(0L)((a, c) => (a * 131 + c) % 1000000007L)
+      val w = s.substring(i, i + k)
+      val h1 = w.foldLeft(0L)((a, c) => (a * 131 + c) % 1000000007L)
+      val h2 = w.foldLeft(0L)((a, c) => (a * 137 + c) % 1000000009L)
+      h1 * 1000000009L + h2
     }
 
   test("rolling hash == per-window Horner on real documents (codegen path)") {
@@ -36,9 +41,9 @@ class RollingShingleHashesSpec extends SparkSpec {
       assert(r.getSeq[Long](1) == naive(s, 3), s"k=3 on '$s'")
       assert(r.getSeq[Long](2) == naive(s, 1), s"k=1 on '$s'")
     }
-    // k=1 hashes are the raw code units
+    // k=1 combined hash of a single char c is c*(1e9+9) + c
     assert(rows.find(_.getString(0) == "abc").get.getSeq[Long](2) ==
-      Seq('a'.toLong, 'b'.toLong, 'c'.toLong))
+      Seq('a', 'b', 'c').map(c => c.toLong * 1000000009L + c.toLong))
   }
 
   test("null input propagates, values stay under the modulus") {
@@ -46,7 +51,9 @@ class RollingShingleHashesSpec extends SparkSpec {
     val rows = df.select(RollingShingleHashes(col("s"), 4).as("h")).collect()
     assert(rows.exists(_.isNullAt(0)))
     val hs = rows.filterNot(_.isNullAt(0)).flatMap(_.getSeq[Long](0))
-    assert(hs.nonEmpty && hs.forall(h => h >= 0 && h < 1000000007L))
+    // combined value < (1e9+7)*(1e9+9) + (1e9+9): strictly inside Long
+    assert(hs.nonEmpty &&
+      hs.forall(h => h >= 0 && h < 1000000007L * 1000000009L + 1000000009L))
   }
 
   test("property: rolling == per-window Horner on random strings and widths") {
