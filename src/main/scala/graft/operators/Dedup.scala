@@ -40,57 +40,58 @@ object Dedup {
     * (ubiquitous-shingle skew guard; 0 = keep all, exact).
     */
   def jaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
-                   maxPostings: Int = 0): DataFrame = {
-    // fold the expensive shingle+md5 explode into ONE doc-level
-    // aggregation; every downstream branch (both self-join sides, sizes)
-    // derives from the same exchange subtree, which ReuseExchange
-    // deduplicates — the md5 pass runs once, not once per branch
-    jaccardFromPosts(TextAnalysis.shinglePosts(docs, k), tau, maxPostings)
-  }
+                   maxPostings: Int = 0): DataFrame =
+    jaccardPairsFromSets(
+      graft.engine.Spread(docs).select(col("doc_id"),
+        shingleHashes(col("text"), k).as("sh")),
+      tau, maxPostings)
 
   /** Character n-gram variant: same machinery over char k-gram hashes. */
   def charJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
                        maxPostings: Int = 0): DataFrame =
-    jaccardFromPosts(
+    jaccardPairsFromSets(
       graft.engine.Spread(docs).select(col("doc_id"),
-        explode(TextAnalysis.charShingleHashes("text", k)).as("h")),
+        TextAnalysis.charShingleHashes("text", k).as("sh")),
       tau, maxPostings)
 
-  /** Aggregate posts into per-doc sets behind an exchange barrier, THEN
-    * fan out. The groupBy exchange is the memoization point: both
-    * self-join branches reuse it (ReuseExchange), so the expensive
-    * shingle+md5 pass runs once — a pure projection here would be
-    * re-inlined into every branch by project collapsing.
+  /** Shared pair pipeline over (doc_id, sh: array<long>) distinct-shingle
+    * sets — the whole DAG is a narrow hash pass plus exactly TWO shuffles.
+    *
+    * Pair generation is ONE aggregation by shingle + in-place pair
+    * enumeration, not a posting-list self-join. The self-join shape
+    * (doc-level collect_list barrier + dfreq groupBy + semi-join back +
+    * a⋈b on h) shuffles the exploded posting list three more times; here
+    * the set size rides along with each post (computed BEFORE the
+    * explode — no doc-level aggregation round-trip), the posting list is
+    * shuffled ONCE (groupBy h), pairs are enumerated inside each group
+    * with higher-order functions, and only the pair stream (the same
+    * rows the join would emit) is shuffled again for the (d1, d2) count.
+    * The df >= 2 gate falls out for free: singleton groups enumerate
+    * zero pairs.
+    *
+    * Per-group memory is O(df); the `maxPostings` cap remains the
+    * ubiquitous-shingle skew guard — but any df where a quadratic pair
+    * count is tractable at all fits comfortably in one aggregation
+    * buffer.
     */
-  private def jaccardFromPosts(posts: DataFrame, tau: Double,
-                               maxPostings: Int): DataFrame = {
-    // repartition memoizes the aggregated sets (one row per doc) behind a
-    // reusable exchange: downstream fans out into df-gate + join sides,
-    // and without it the shingle explode + collect_list re-runs per branch
-    val sets = posts.groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
-      .repartition(col("doc_id"))
-    jaccardPairsFromSets(sets, tau, maxPostings)
-  }
-
-  /** Shared pair pipeline over (doc_id, sh: array<long>, n) sets. */
   private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
                                    maxPostings: Int): DataFrame = {
-    val posts0 = sets.select(col("doc_id"), col("n"),
+    val posts0 = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
-    // document-frequency gate: a shingle in exactly one document cannot
-    // produce a pair, so only df >= 2 keys enter the self-join — on mostly
-    // unique corpora this cuts the join input by orders of magnitude
-    // (exact, not an approximation). The upper bound is the ubiquitous-
-    // shingle skew guard (conservative jaccard; `n` keeps the exact
-    // denominator). AQE broadcasts `kept` when it turns out small.
-    val dfreq = posts0.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val keep = if (maxPostings <= 0) col("df") >= 2
-               else col("df").between(2, maxPostings)
-    val posts = posts0.join(dfreq.filter(keep).select(col("h")), Seq("h"))
-    val a = posts.select(col("doc_id").as("d1"), col("n").as("n1"), col("h"))
-    val b = posts.select(col("doc_id").as("d2"), col("n").as("n2"), col("h"))
-    a.join(b, a("h") === b("h") && a("d1") < b("d2"))
+    val byShingle = posts0.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+    val kept = if (maxPostings <= 0) byShingle.filter(size(col("ds")) >= 2)
+               else byShingle.filter(size(col("ds")).between(2, maxPostings))
+    val pairStream = kept
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(
+          filter(col("ds"), y => y("doc_id") > x("doc_id")),
+          y => struct(x("doc_id").as("d1"), x("n").as("n1"),
+                      y("doc_id").as("d2"), y("n").as("n2"))))))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
+    pairStream
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -253,18 +254,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
                           smallGraphThreshold: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
-    // symmetric edge list
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint(true)
     // Near-dup graphs are tiny relative to the corpus (pairs, not docs):
     // below the threshold a driver-side union-find resolves components in
-    // ONE pass instead of O(diameter) shuffle rounds. The distributed
-    // label-propagation loop below remains the arbitrarily-large path.
-    val edgeCount = edges.count()
-    if (edgeCount <= smallGraphThreshold) {
+    // ONE pass instead of O(log n) shuffle rounds. The size probe and the
+    // edge fetch are the SAME single job: collect at most threshold+1
+    // rows — if the limit is not hit, these are already all the edges.
+    val probe = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
+      .limit(math.toIntExact(smallGraphThreshold) + 1)
+      .collect()
+    if (probe.length <= smallGraphThreshold) {
       import spark.implicits._
-      val es = edges.select(col("a"), col("b")).as[(Long, Long)].collect()
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -336,7 +336,8 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var cur = canonical(edges).localCheckpoint(true)
+    var cur = canonical(pairs.select(col("d1").as("a"), col("d2").as("b")))
+      .localCheckpoint(true)
     var chk = checksum(cur)
     var converged = false
     var i = 0
