@@ -305,6 +305,15 @@ object SparkEntry {
           |LIMIT 20""".stripMargin)
     }),
 
+    // ---- SQL API parity: TPC-H Q18 shape (large-volume orders) — the
+    //      HAVING subquery is planned as an aggregate + semi join;
+    //      l_quantity is integral so double sums are order-independent.
+    //      LIMIT is deterministic: unique o_orderkey ends the ORDER BY ----
+    "q_sql_tpch18" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch18Sql)
+    }),
+
     // ---- window: range frame (value-based bounds) ----
     "q_window_range" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -715,9 +724,39 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- north star: LSH-bucketed top-k (random-hyperplane buckets
+    //      prune the corpus; exact quantized ranking of survivors) ----
+    "q_simsearch_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.lshTopK(
+          e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- north star: per-language corpus stats ----
     "q_textstats" -> ((s, dir) =>
       graft.operators.TextAnalysis.languageStats(t(s, dir, "documents"))),
+
+    // ---- north star: bigram language-model statistics — top-10 word
+    //      bigrams per language. Adjacent-token pairing is a narrow
+    //      zip_with over the token array (no self-join on position);
+    //      one shuffle for the count, one window for the per-lang rank ----
+    "q_bigrams" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("bigram"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(zip_with(
+            slice(ws, lit(1), size(ws) - 1),
+            slice(ws, lit(2), size(ws) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("lang"), col("rnk"))
+    }),
 
     // ---- north star: language-ID heuristic (single tokenization pass:
     //      explode + one conditional-count aggregation; the column form
@@ -1064,6 +1103,22 @@ object SparkEntry {
     })
   )
 
+  /** Shared Spark/DuckDB SQL for q_sql_tpch18 (TPC-H Q18 shape: HAVING
+    * subquery -> aggregate + semi join; 250 keeps ~200 orders at sf0.01).
+    */
+  private val tpch18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  sum(l_quantity) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** Shared Spark/DuckDB SQL for q_exists (correlated EXISTS subqueries). */
   private val existsSql: String =
     """SELECT c_custkey, c_name
@@ -1283,6 +1338,10 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+
+    // identical SQL runs on both engines (timestamp cast is a no-op in
+    // DuckDB; doubles sum exactly: l_quantity is integral)
+    "q_sql_tpch18" -> tpch18Sql,
 
     "q_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
@@ -1717,6 +1776,39 @@ object SparkEntry {
          |  cid, score
          |FROM s QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
+    // same hyperplane/band CTEs as q_dedup_lsh; candidates = corpus rows
+    // sharing any band with a query, ranked by exact quantized dot
+    "q_simsearch_lsh" ->
+      s"""WITH hp AS (
+         |  SELECT j, list_transform(range(0, 64),
+         |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
+         |  FROM (SELECT unnest(range(0, 12)) AS j)),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT q.vec_id, hp.j,
+         |    CASE WHEN list_sum(list_transform(list_zip(q.qv, hp.h),
+         |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM q, hp),
+         |bandkeys AS (
+         |  SELECT vec_id, j // 3 AS band, sum(bit * (1 << (j % 3))) AS bk
+         |  FROM b GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
+         |  FROM bandkeys x JOIN bandkeys y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |  WHERE x.vec_id < 10 AND x.vec_id != y.vec_id),
+         |s AS (
+         |  SELECT c.qid, c.cid, ${qdotSql("a.embedding", "b.embedding")} AS score
+         |  FROM cand c JOIN embeddings a ON c.qid = a.vec_id
+         |              JOIN embeddings b ON c.cid = b.vec_id)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk,
+         |  cid, score
+         |FROM s QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     "q_simsearch_ivf" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_v
          |              FROM embeddings WHERE vec_id < 16),
@@ -1754,6 +1846,24 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
         |    AS avg_tokens_per_doc
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // adjacent-token bigrams via 1-based list indexing; range(1, len) is
+    // end-exclusive so a 1-token doc contributes nothing (= Spark's
+    // zero-length slice)
+    "q_bigrams" ->
+      """WITH w AS (
+        |  SELECT lang, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]))
+        |    AS bigram
+        |  FROM w),
+        |c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT lang, bigram, n, rnk FROM (
+        |  SELECT lang, bigram, n, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+        |  FROM c)
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
 
     "q_langid" ->
       """WITH x AS (

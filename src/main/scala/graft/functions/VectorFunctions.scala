@@ -63,4 +63,29 @@ object VectorFunctions {
       lit(tauNum.toLong * tauNum)
     d > 0 && lhs >= rhs
   }
+
+  /** Deterministic random-hyperplane family for cosine LSH: plane `j` is
+    * `dim` integers in [-1000, 1000] from a fixed affine sequence — no
+    * RNG, so signatures are identical across runs, engines, and the
+    * DuckDB oracle (which regenerates the family in SQL). Shared by
+    * `Dedup.lshCosinePairs` and `Similarity.lshTopK`.
+    */
+  def hyperplane(j: Int, dim: Int): Seq[Long] = (0 until dim).map(d =>
+    (1103515245L * (j * dim + d) + 12345L) % 2001L - 1000L)
+
+  /** Per-band LSH keys for a quantized vector column: `bits` sign bits
+    * (one per hyperplane) packed `bits/bands` per band into small ints.
+    */
+  def lshBandKeys(qv: Column, bits: Int, bands: Int, dim: Int): Seq[Column] = {
+    require(bits % bands == 0, "bits must split evenly into bands")
+    val perBand = bits / bands
+    val bitCols = (0 until bits).map { j =>
+      when(graft.plans.LongArrayDot(qv, typedLit(hyperplane(j, dim))) >= 0,
+        lit(1L)).otherwise(lit(0L))
+    }
+    (0 until bands).map { b =>
+      (0 until perBand).map(i => bitCols(b * perBand + i) * (1L << i))
+        .reduce(_ + _)
+    }
+  }
 }

@@ -390,22 +390,9 @@ object Dedup {
   def lshCosinePairs(embs: DataFrame, tauNum: Int, tauDen: Int,
                      bits: Int = 12, bands: Int = 4,
                      dim: Int = 64): DataFrame = {
-    import graft.functions.VectorFunctions.{quantize, qcosineGate}
+    import graft.functions.VectorFunctions.{quantize, qcosineGate, lshBandKeys}
     import graft.plans.LongArrayDot
-    require(bits % bands == 0, "bits must split evenly into bands")
-    val perBand = bits / bands
-    // deterministic integer hyperplanes in [-1000, 1000] from a fixed
-    // affine sequence — any fixed family works; portability is the point
-    def hyperplane(j: Int): Seq[Long] = (0 until dim).map(d =>
-      (1103515245L * (j * dim + d) + 12345L) % 2001L - 1000L)
-    val bitCols = (0 until bits).map { j =>
-      when(LongArrayDot(col("qv"), typedLit(hyperplane(j))) >= 0, lit(1L))
-        .otherwise(lit(0L))
-    }
-    val bandKeys = (0 until bands).map { b =>
-      (0 until perBand).map(i => bitCols(b * perBand + i) * (1L << i))
-        .reduce(_ + _)
-    }
+    val bandKeys = lshBandKeys(col("qv"), bits, bands, dim)
     // memo barrier: signatures + quantized vectors feed three branches
     // (banding, both verification sides) — same pattern as minhashPairs
     val prep = graft.engine.Spread(embs)

@@ -147,4 +147,39 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
   }
+
+  /** LSH-bucketed top-k: the bucketed alternative to IVF when no trained
+    * quantizer exists. Corpus and queries get random-hyperplane band
+    * signatures (same deterministic family as `Dedup.lshCosinePairs`);
+    * a query ranks only corpus vectors sharing at least one band key.
+    *
+    * Scale shape: candidate generation joins on (band, key) — constant
+    * bytes per vector shuffled, no corpus cross join. Recall is tuned by
+    * bands × (bits/band); ranking of survivors is exact quantized dot,
+    * so precision within the candidate set is exact. Queries that share
+    * no bucket with k others return fewer than k rows (standard ANN
+    * recall trade-off, documented at the call site).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bits: Int = 12, bands: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.lshBandKeys
+    def banded(prepped: DataFrame, id: String, v: String): DataFrame =
+      prepped
+        .withColumn("bks", array(lshBandKeys(col(v), bits, bands, dim): _*))
+        .select(col(id), col(v), posexplode(col("bks")).as(Seq("band", "bk")))
+    // queries are few: broadcast their banded signatures; the corpus side
+    // streams — the join shuffles nothing corpus-sized
+    val qb = banded(prepQ(queries), "qid", "qv")
+    val cb = banded(prepC(corpus), "cid", "cv")
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    cb.join(broadcast(qb), Seq("band", "bk"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qv"), col("cv"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("score", LongArrayDot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
 }

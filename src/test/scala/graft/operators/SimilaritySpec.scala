@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH top-k: at most k rows per query, candidates rank exactly, " +
+       "never beats brute-force top score") {
+    val bf = Similarity.bruteForceTopK(queries, e, k = 1)
+      .select("qid", "score").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(queries, e, k = 5)
+      .orderBy("qid", "rnk").collect()
+    val byQ = lsh.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty && byQ.values.forall(_.length <= 5))
+    byQ.foreach { case (qid, rows) =>
+      val scores = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.max <= bf(qid))
+      assert(rows.forall(r => r.getAs[Long]("cid") != qid))
+    }
+  }
+
   test("k-means centroids: deterministic, and recall >= naive centroids") {
     val cents1 = Similarity.trainCentroids(e, nlist = 8, iters = 2)
     val cents2 = Similarity.trainCentroids(e, nlist = 8, iters = 2)
