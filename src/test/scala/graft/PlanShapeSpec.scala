@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan shape guards for the properties that matter at 100 TB.
+  * Correctness gates catch wrong VALUES; these catch wrong PLANS — a
+  * regression that un-broadcasts a dimension join or stops pushing
+  * filters into the parquet scan produces identical rows at sf0.01 and a
+  * catastrophe at scale, so the plan properties are pinned here.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf())
+      .queryExecution.executedPlan.toString
+
+  test("q_filter: predicates and column pruning reach the parquet scan") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    // 6-of-11-column projection must show in ReadSchema, not post-scan
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("ingest_lineitem: target-schema projection prunes the scan") {
+    val p = plan("ingest_lineitem")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    // target DDL selects 6 of 11 lineitem columns; the rest must not be read
+    assert(!readSchema.contains("l_partkey") &&
+           !readSchema.contains("l_discount"), readSchema)
+  }
+
+  test("q_join_star: every dimension joins as broadcast, fact not shuffled") {
+    val p = plan("q_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk: order+limit plans as distributed top-k, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1_agg: two-phase (partial + final) hash aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_dedup_exact: one hash shuffle (map-side partial agg); the only " +
+       "other exchange is the deterministic output sort") {
+    val p = plan("q_dedup_exact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_event_window: tumbling window aggregates in one shuffle") {
+    val p = plan("q_event_window")
+    // one exchange for the groupBy, one for the final orderBy — no more
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+}
