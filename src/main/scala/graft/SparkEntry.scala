@@ -856,6 +856,48 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- as-of join, forward direction: next click at or after each
+    //      purchase (next-touch attribution); ties -> smallest click_id ----
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.asOfJoin(
+          purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("click_id", "click_value"),
+          suffix = "_click", tieBreak = Some("click_id"),
+          direction = "forward")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("click_id_click").as("click_id"),
+          col("ts_click").as("click_ts"),
+          col("click_value_click").as("click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- north star: substring-level exact dedup — repeated 64-char
+    //      chunks across documents (boilerplate detection). One explode +
+    //      one shuffle; at corpus scale the groupBy key would be the
+    //      chunk HASH, kept raw here so the oracle compares content ----
+    "q_dedup_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          """transform(
+            |  sequence(0, greatest(cast(ceil(length(text)/64.0) as int),
+            |                       1) - 1),
+            |  i -> substring(text, i*64 + 1, 64))""".stripMargin))
+          .as("chunk"))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n_copies"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("chunk"))
+    }),
+
     // ---- per-label embedding centroids (quantized, exact) ----
     "q_centroids" -> ((s, dir) => {
       import graft.functions.VectorFunctions.quantize
@@ -1575,6 +1617,37 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.cts <= p.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    // forward as-of via explicit arg-min window (no native ASOF here: its
+    // equal-timestamp tie-break is not a documented contract; the window
+    // pins ties to the smallest click_id exactly like the Spark side)
+    "q_asof_forward" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+        |        event_id AS click_id, value AS click_value
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.user_id, p.event_id, p.ts,
+        |    c.click_id, c.cts, c.click_value,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY c.cts NULLS LAST, c.click_id NULLS LAST) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.cts >= p.ts)
+        |SELECT user_id, event_id, ts, click_id, cts AS click_ts, click_value
+        |FROM j WHERE rn = 1
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_dedup_chunks" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(CAST(ceil(length(text)/64.0) AS INT), 1)),
+        |    i -> substr(text, CAST(i*64 + 1 AS INT), 64))) AS chunk
+        |  FROM documents)
+        |SELECT chunk, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc
+        |FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk""".stripMargin,
 
     "q_centroids" ->
       """SELECT label,

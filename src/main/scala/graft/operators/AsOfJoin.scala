@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join: for every left row, the most recent right
-  * row with rightTs <= leftTs within the same key group — the standard
-  * temporal-join primitive (market data, feature lookups, attribution).
+  * row with rightTs <= leftTs within the same key group (direction
+  * "backward", the default) or the earliest right row with
+  * rightTs >= leftTs ("forward") — the standard temporal-join primitive
+  * (market data, feature lookups, attribution / next-touch lookups).
   *
   * Spark has no native as-of join; the naive range-join (non-equi
   * condition) degenerates to a per-key cross product. This implementation
@@ -18,17 +20,25 @@ import org.apache.spark.sql.functions._
   *   3. keep left rows — each now carries the latest right payload at or
   *      before its timestamp (NULL when none: left-join semantics).
   *
+  * "forward" is the same machinery with the time axis reversed (ts
+  * descending), so "last preceding in sort order" becomes "nearest at or
+  * after".
+  *
   * Cost: ONE shuffle by key (the window), linear scan per key group — at
   * 100 TB this is a single exchange of left+right, no join explosion.
-  * Ties: rights sort before lefts at the same instant (<= semantics);
-  * among equal right timestamps `tieBreak` decides (last wins).
+  * Ties: rights sort before lefts at the same instant (<=/>= semantics);
+  * among equal right timestamps `tieBreak` decides — backward takes the
+  * LARGEST tieBreak (last wins), forward the SMALLEST (first wins).
   */
 object AsOfJoin {
 
   def asOfJoin(left: DataFrame, right: DataFrame,
                keys: Seq[String], leftTs: String, rightTs: String,
                rightPayload: Seq[String], suffix: String = "_r",
-               tieBreak: Option[String] = None): DataFrame = {
+               tieBreak: Option[String] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val payStruct = struct(
       (col(rightTs).as("__ts_r") +: rightPayload.map(col)): _*)
@@ -50,8 +60,13 @@ object AsOfJoin {
       .select((keys.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tb"),
         col("__rpay")) ++ leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val ordering =
+      if (direction == "backward")
+        Seq(col("__ts").asc, col("__tag").asc, col("__tb").asc)
+      else // reversed time axis; equal-ts rights still precede the left
+        Seq(col("__ts").desc, col("__tag").asc, col("__tb").desc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__tag"), col("__tb"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = leftPrepped.unionByName(rightAligned)
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))

@@ -48,4 +48,33 @@ class AsOfPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("forward as-of join == brute-force argmin on random data") {
+    val prop = Prop.forAll(
+      Gen.listOfN(12, rowGen), Gen.listOfN(12, rowGen)) { (ls, rs) =>
+      val rights = rs.zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val lefts = ls.zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, 10000L + i) }
+      val leftDf = lefts.map { case (k, t, id) => (k, ts(t), id) }
+        .toDF("k", "t", "lid")
+      val rightDf = rights.map { case (k, t, id) => (k, ts(t), id) }
+        .toDF("k", "t", "rid")
+      val got = AsOfJoin.asOfJoin(leftDf, rightDf, Seq("k"), "t", "t",
+          Seq("rid"), tieBreak = Some("rid"), direction = "forward")
+        .select("lid", "rid_r").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      // earliest right at-or-after; equal timestamps -> SMALLEST rid
+      val want = lefts.map { case (k, t, lid) =>
+        val cands = rights.filter(r => r._1 == k && r._2 >= t)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.minBy(c => (c._2, c._3))._3))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
