@@ -102,6 +102,25 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Distinct candidate pairs (a < b) from per-entity band keys: ONE
+    * aggregation per (band, key) bucket enumerates in-bucket pairs with
+    * higher-order functions (cf. jaccardPairsFromSets) instead of a
+    * banded self-join — the bucket is shuffled once and the join
+    * build/probe disappears. Buckets are small by LSH design (more bits
+    * per band shrink them as the corpus grows), so the quadratic
+    * in-bucket expansion is bounded by construction.
+    */
+  private def bandCandidatePairs(banded: DataFrame, id: String,
+                                 outA: String, outB: String): DataFrame =
+    banded.groupBy(col("band"), col("bk"))
+      .agg(collect_list(col(id)).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as(outA), col("p.b").as(outB))
+      .dropDuplicates(outA, outB)
+
   /** MinHash signatures as one codegen'd aggregation over the posting
     * list: numPerms `min((a_i*(h mod p)+b_i) mod p)` aggregates. Constant
     * numPerms longs per doc; partial (map-side) aggregation means the
@@ -151,12 +170,7 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
-    val cands = banded.select(col("doc_id").as("d1"), col("band"), col("bk"))
-      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bk")),
-        Seq("band", "bk"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"))
-      .dropDuplicates("d1", "d2")
+    val cands = bandCandidatePairs(banded, "doc_id", "d1", "d2")
     // exact verification on the (few) candidate pairs via set intersection
     val meta1 = sigs.select(col("doc_id").as("d1"), col("n").as("n1"),
       col("sh").as("sh1"))
@@ -222,13 +236,17 @@ object Dedup {
       posexplode(array((0 until 4).map(q =>
         shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("q", "qv")))
-    val l = banded.select(col("doc_id").as("d1"), col("fp").as("fp1"),
-      col("q"), col("qv"))
-    val r = banded.select(col("doc_id").as("d2"), col("fp").as("fp2"),
-      col("q"), col("qv"))
-    l.join(r, Seq("q", "qv"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("fp1"), col("fp2"))
+    // in-bucket pair enumeration (cf. bandCandidatePairs), fingerprints
+    // carried in the bucket struct so no join-back is needed
+    banded.groupBy(col("q"), col("qv"))
+      .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y("doc_id") > x("doc_id")),
+          y => struct(x("doc_id").as("d1"), y("doc_id").as("d2"),
+                      x("fp").as("fp1"), y("fp").as("fp2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.fp1").as("fp1"), col("p.fp2").as("fp2"))
       .dropDuplicates("d1", "d2")
       .withColumn("hamming",
         bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
@@ -402,12 +420,7 @@ object Dedup {
       .repartition(col("vec_id"))
     val banded = prep.select(col("vec_id"),
       posexplode(col("bks")).as(Seq("band", "bk")))
-    val cands = banded.select(col("vec_id").as("v1"), col("band"), col("bk"))
-      .join(banded.select(col("vec_id").as("v2"), col("band"), col("bk")),
-        Seq("band", "bk"))
-      .filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"))
-      .dropDuplicates("v1", "v2")
+    val cands = bandCandidatePairs(banded, "vec_id", "v1", "v2")
     val m1 = prep.select(col("vec_id").as("v1"), col("qv").as("qv1"),
       col("qn").as("qn1"))
     val m2 = prep.select(col("vec_id").as("v2"), col("qv").as("qv2"),

@@ -54,6 +54,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q_simsearch: rank<=k filter pushes down as WindowGroupLimit " +
+       "(per-key top-k heap, not a full per-partition sort)") {
+    val p = plan("q_simsearch")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_event_window: tumbling window aggregates in one shuffle") {
     val p = plan("q_event_window")
     // one exchange for the groupBy, one for the final orderBy — no more
