@@ -1121,6 +1121,20 @@ object SparkEntry {
       s.sql(existsSql)
     }),
 
+    // ---- NOT IN subquery: planned as a null-aware anti join (a distinct
+    //      physical shape from NOT EXISTS' plain anti join) ----
+    "q_not_in" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(notInSql)
+    }),
+
+    // ---- scalar subquery in a predicate (decorrelated to a broadcast
+    //      single-row join); the average is decimal-exact on both sides ----
+    "q_scalar_subq" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(scalarSubqSql)
+    }),
+
     // ---- scalar functions: math (IEEE-deterministic ops only).
     //      ORDER BY includes l_discount/l_tax: (l_orderkey, l_linenumber,
     //      l_quantity, l_extendedprice) alone is not a total order and the
@@ -1160,6 +1174,31 @@ object SparkEntry {
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       |LIMIT 100""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_not_in (null-aware anti join shape;
+    * the subquery column is non-null here, so semantics equal plain anti
+    * join and results are engine-portable).
+    */
+  private val notInSql: String =
+    """SELECT p_partkey, p_name, p_brand
+      |FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+      |                        WHERE l_quantity >= 49)
+      |  AND p_size <= 10
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_scalar_subq (scalar subquery in a
+    * predicate). The average is computed over DECIMAL(18,2) sums so both
+    * engines compare against the identical boundary value.
+    */
+  private val scalarSubqSql: String =
+    """SELECT p_partkey, p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (
+      |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / count(*) + 40
+      |  FROM part)
+      |ORDER BY p_partkey""".stripMargin
 
   /** Shared Spark/DuckDB SQL for q_exists (correlated EXISTS subqueries). */
   private val existsSql: String =
@@ -2213,6 +2252,8 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_exists" -> existsSql,
+    "q_not_in" -> notInSql,
+    "q_scalar_subq" -> scalarSubqSql,
 
     "q_join_cross" ->
       """SELECT r_regionkey, n_nationkey,
