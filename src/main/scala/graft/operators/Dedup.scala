@@ -272,17 +272,29 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
                           smallGraphThreshold: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // Both paths run over the SAME canonical edge set — unordered
+    // (lo, hi), lo < hi, self-loops dropped, distinct — materialized once
+    // via localCheckpoint so the (possibly expensive) upstream pair
+    // computation never re-runs. Self-loop pairs (d1 == d2) carry no
+    // merge information and are excluded identically from both paths.
+    def canonical(e: DataFrame): DataFrame =
+      e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+
+    val edges = canonical(
+      pairs.select(col("d1").cast("long").as("a"),
+                   col("d2").cast("long").as("b")))
+      .localCheckpoint(true)
     // Near-dup graphs are tiny relative to the corpus (pairs, not docs):
     // below the threshold a driver-side union-find resolves components in
-    // ONE pass instead of O(log n) shuffle rounds. The size probe and the
-    // edge fetch are the SAME single job: collect at most threshold+1
-    // rows — if the limit is not hit, these are already all the edges.
-    val probe = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
-      .limit(math.toIntExact(smallGraphThreshold) + 1)
-      .collect()
-    if (probe.length <= smallGraphThreshold) {
+    // ONE pass instead of O(log n) shuffle rounds. The count is a cheap
+    // scan of the checkpointed blocks, so nothing is ever collected to
+    // the driver unless the graph is confirmed small.
+    if (edges.count() <= smallGraphThreshold) {
       import spark.implicits._
-      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -306,17 +318,11 @@ object Dedup {
         .repartition(spark.sparkContext.defaultParallelism)
     }
     // ---- distributed path: alternating large-star / small-star ----
-    // Edge set kept canonical: unordered (lo, hi), lo < hi, distinct.
+    // Edge set kept canonical throughout (see `canonical` above).
     // large-star: every node u with min m over its closed neighborhood
     //   rewires each LARGER neighbor v > u to (m, v).
     // small-star: u rewires each neighbor v <= u (and itself) to (m, v).
     // Fixpoint = star forest rooted at each component's minimum.
-    def canonical(e: DataFrame): DataFrame =
-      e.select(least(col("a"), col("b")).as("a"),
-          greatest(col("a"), col("b")).as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-
     def closedMin(directed: DataFrame): DataFrame = directed
       .groupBy(col("a"))
       .agg(least(min(col("b")), col("a")).as("m"))
@@ -344,26 +350,31 @@ object Dedup {
     }
 
     // 64-bit content checksum (count, XOR of per-edge hashes): equal
-    // checksums across a full round => edge-set fixpoint. XOR is
-    // order-independent and cannot overflow under ANSI mode; a collision
-    // between genuinely different sets is a ~2^-64 event — and the
-    // labeling below would still be a valid partial merge, never a crash.
+    // checksums across a full round are a cheap fixpoint SIGNAL. XOR is
+    // order-independent and cannot overflow under ANSI mode. A collision
+    // between genuinely different sets (~2^-64) would mean converging on
+    // a non-fixpoint edge set, whose labeling can emit conflicting
+    // (node, component) rows — so checksum equality is CONFIRMED with
+    // one exact set comparison before the loop exits (checksums embed
+    // the count and the sets are distinct, so one-sided exceptAll
+    // emptiness proves equality). The exact check runs once per
+    // convergence, not per round.
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
         expr("bit_xor(xxhash64(a, b))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var cur = canonical(pairs.select(col("d1").as("a"), col("d2").as("b")))
-      .localCheckpoint(true)
+    var cur = edges
     var chk = checksum(cur)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      cur = smallStar(largeStar(cur)).localCheckpoint(true)
-      val next = checksum(cur)
-      converged = next == chk
-      chk = next
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nchk = checksum(next)
+      converged = nchk == chk && next.exceptAll(cur).isEmpty
+      cur = next
+      chk = nchk
       i += 1
     }
     if (!converged)

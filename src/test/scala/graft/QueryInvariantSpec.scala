@@ -102,8 +102,11 @@ class QueryInvariantSpec extends SparkSpec {
   test("connected components: chain, clique, and two isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4, clique {10,11,12}, pair (20,21)
+    // self-loops ((3,3) in a real component, (30,30) isolated) carry no
+    // merge information: BOTH paths must drop them identically — node 30
+    // appears in no output row
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
-      (11L, 12L), (20L, 21L)).toDF("d1", "d2")
+      (11L, 12L), (20L, 21L), (3L, 3L), (30L, 30L)).toDF("d1", "d2")
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
     // union-find fast path (small graph) ...
