@@ -733,6 +733,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- north star: product-quantization top-k (codes + ADC lookup —
+    //      the compressed-corpus ANN scale path) ----
+    "q_simsearch_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopK(
+          e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ---- north star: BM25 retrieval scoring (tf/df/idf machinery;
+    //      fixed-order per-term pivot keeps float math engine-exact) ----
+    "q_bm25" -> ((s, dir) => {
+      graft.operators.TextAnalysis.bm25(t(s, dir, "documents"),
+          Seq("data", "join", "hash", "scan", "batch"))
+        .withColumn("score",
+          floor(col("score") * 1e6 + 0.5) / 1e6)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: per-language corpus stats ----
     "q_textstats" -> ((s, dir) =>
       graft.operators.TextAnalysis.languageStats(t(s, dir, "documents"))),
@@ -1241,6 +1260,13 @@ object SparkEntry {
     s"""CAST(list_sum(list_transform($a,
        |    e -> CAST(floor(CAST(e AS DOUBLE)*1000) AS BIGINT)
        |       * CAST(floor(CAST(e AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  /** DuckDB SQL fragment: dot product of two already-quantized BIGINT
+    * lists (= LongArrayDot on pre-quantized columns).
+    */
+  private def ldotSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |    z -> z[1] * z[2])) AS BIGINT)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ingest_lineitem" ->
@@ -1950,6 +1976,92 @@ object SparkEntry {
          |  SELECT p.qid, a.cid, ${qdotSql("p.qv", "a.cv")} AS score
          |  FROM probes p JOIN asg a USING (cent_id) WHERE p.qid != a.cid)
          |QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // PQ: codebook = sub-vectors of the 16 lowest-vec_id vectors; encode
+    // by argmin L2 (= argmin |c|^2 - 2<v,c>, ties to lower code); ADC
+    // score = sum over subspaces of <q_sub, cent[code]> — all exact
+    // integer math on floor(x*1000) quantized vectors
+    "q_simsearch_pq" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sub AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+         |base AS (SELECT vec_id AS code_id, qv FROM q
+         |         ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT code_id, s.s AS s,
+         |    qv[(s.s*8+1):(s.s*8+8)] AS cent
+         |  FROM base, sub s),
+         |cs AS (
+         |  SELECT vec_id AS cid, s.s AS s,
+         |    qv[(s.s*8+1):(s.s*8+8)] AS sv
+         |  FROM q, sub s),
+         |enc AS (
+         |  SELECT cid, s, code_id FROM (
+         |    SELECT cs.cid, cs.s, cb.code_id, row_number() OVER (
+         |      PARTITION BY cs.cid, cs.s
+         |      ORDER BY ${ldotSql("cent", "cent")}
+         |               - 2 * ${ldotSql("sv", "cent")} ASC, cb.code_id) AS r
+         |    FROM cs JOIN cb USING (s))
+         |  WHERE r = 1),
+         |lutq AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT qid, cb.s, cb.code_id,
+         |    ${ldotSql("lutq.qv[(cb.s*8+1):(cb.s*8+8)]", "cb.cent")} AS p
+         |  FROM lutq, cb),
+         |sc AS (
+         |  SELECT l.qid, e.cid, CAST(sum(l.p) AS BIGINT) AS score
+         |  FROM enc e JOIN lut l ON e.s = l.s AND e.code_id = l.code_id
+         |  WHERE l.qid != e.cid
+         |  GROUP BY l.qid, e.cid)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk,
+         |  cid, score
+         |FROM sc QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // BM25: ln idf + fixed-order per-term pivot (see TextAnalysis.bm25 —
+    // literal constants and left-to-right sums keep IEEE results
+    // engine-identical; the final floor-round is belt and braces)
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
+        |  FROM tok WHERE w IN ('data','join','hash','scan','batch')
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |st AS (SELECT count(*) AS n_docs,
+        |              CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |                AS total_tok
+        |       FROM documents),
+        |c AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |      ((tf.tf * 2.2) / (tf.tf + 1.2 *
+        |        (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) /
+        |          (CAST(st.total_tok AS DOUBLE) / st.n_docs))))) AS c
+        |  FROM tf JOIN df USING (w) CROSS JOIN st),
+        |piv AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN w = 'data'  THEN c END) AS c_0,
+        |    max(CASE WHEN w = 'join'  THEN c END) AS c_1,
+        |    max(CASE WHEN w = 'hash'  THEN c END) AS c_2,
+        |    max(CASE WHEN w = 'scan'  THEN c END) AS c_3,
+        |    max(CASE WHEN w = 'batch' THEN c END) AS c_4
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |  (CASE WHEN c_0 IS NOT NULL THEN 1 ELSE 0 END +
+        |   CASE WHEN c_1 IS NOT NULL THEN 1 ELSE 0 END +
+        |   CASE WHEN c_2 IS NOT NULL THEN 1 ELSE 0 END +
+        |   CASE WHEN c_3 IS NOT NULL THEN 1 ELSE 0 END +
+        |   CASE WHEN c_4 IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+        |  floor((coalesce(c_0, 0.0) + coalesce(c_1, 0.0) +
+        |         coalesce(c_2, 0.0) + coalesce(c_3, 0.0) +
+        |         coalesce(c_4, 0.0)) * 1e6 + 0.5) / 1e6 AS score
+        |FROM piv ORDER BY doc_id""".stripMargin,
 
     "q_textstats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -143,6 +143,74 @@ object Similarity {
     probes.join(assigned, Seq("cent_id"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("score", LongArrayDot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
+  /** Product-quantization (PQ) top-k with asymmetric-distance scoring.
+    *
+    * The third ANN scale path (after IVF and LSH): corpus vectors are
+    * compressed to `subspaces` one-byte codes — vector `v` is split into
+    * `subspaces` sub-vectors, each encoded as the id of its nearest
+    * codebook centroid in that subspace — and queries score candidates
+    * through a per-query lookup table (ADC) without ever touching the
+    * original corpus floats. At 100 TB the corpus shrinks ~dim*4/subspaces
+    * fold (here 64 floats -> 8 codes), the code table becomes the only
+    * thing scanned at query time, and the LUT join is a broadcast (the
+    * LUT is queries x subspaces x nCodes rows, constant in corpus size).
+    *
+    * Everything is exact integer arithmetic on quantized vectors (same
+    * policy as the rest of this file), so encoding and ADC scores are
+    * engine-portable:
+    *   - codebook: per subspace, the sub-vectors of the `nCodes`
+    *     lowest-vec_id corpus vectors (deterministic; swap in per-subspace
+    *     Lloyd training in production — the index/search mechanics are
+    *     identical);
+    *   - encode: argmin_c ||v_s - c||^2 = argmin_c (|c|^2 - 2<v_s, c>),
+    *     ties to the lower code id, computed as a min-of-struct
+    *     aggregation (no window sort over the corpus);
+    *   - score: ADC = sum_s <q_s, cent[code_s]> — the PQ approximation of
+    *     <q, v> — summed as exact longs, ranked desc with ties to the
+    *     lower corpus id.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             subspaces: Int = 8, dim: Int = 64,
+             nCodes: Int = 16): DataFrame = {
+    require(dim % subspaces == 0, "dim must split evenly into subspaces")
+    val subDim = dim / subspaces
+    def subVectors(v: Column): Column =
+      array((0 until subspaces).map(s =>
+        slice(v, s * subDim + 1, subDim)): _*)
+    // codebook: (s, code_id, cent) — nCodes x subspaces tiny rows
+    val codebook = corpus.orderBy(col("vec_id")).limit(nCodes)
+      .select(col("vec_id").as("code_id"),
+        quantize(col("embedding")).as("qv"))
+      .select(col("code_id"),
+        posexplode(subVectors(col("qv"))).as(Seq("s", "cent")))
+    // encode: one broadcast join + one min-of-struct aggregation; the
+    // shuffle carries (cid, s, d2, code) — never the vectors themselves
+    val corpusSub = prepC(corpus).select(col("cid"),
+      posexplode(subVectors(col("cv"))).as(Seq("s", "sub")))
+    val codes = corpusSub.join(broadcast(codebook), Seq("s"))
+      .withColumn("d2",
+        LongArrayDot(col("cent"), col("cent")) -
+          lit(2L) * LongArrayDot(col("sub"), col("cent")))
+      .groupBy(col("cid"), col("s"))
+      .agg(min(struct(col("d2"), col("code_id"))).as("best"))
+      .select(col("cid"), col("s"), col("best.code_id").as("code_id"))
+    // ADC lookup table: per (query, subspace, code) partial dot product
+    val lut = prepQ(queries).select(col("qid"),
+        posexplode(subVectors(col("qv"))).as(Seq("s", "qsub")))
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("qid"), col("s"), col("code_id"),
+        LongArrayDot(col("qsub"), col("cent")).as("p"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    codes.join(broadcast(lut), Seq("s", "code_id"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("p")).as("score"))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), col("score"))

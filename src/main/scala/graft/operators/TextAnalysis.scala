@@ -228,6 +228,55 @@ object TextAnalysis {
         max(col("h")).as("fp_max"),
         count(lit(1)).as("fp_n"))
 
+  /** BM25 relevance scores for a fixed term set — the retrieval-grade
+    * ranking function (quality filtering / targeted corpus selection at
+    * training-data scale). One posting-list pass computes per-(doc, term)
+    * term frequencies; document frequencies and corpus stats (N, total
+    * tokens) are tiny aggregates broadcast back — the corpus text is
+    * never shuffled, only (doc_id, matched-term, tf) rows.
+    *
+    * Returns (doc_id, n_hit, score) for every document matching at least
+    * one term. Cross-engine determinism: per-term contributions are
+    * combined with a fixed-order pivot (one `max(when)` column per term,
+    * then a literal left-to-right sum) — never a float `sum()`
+    * aggregation, whose partition-dependent order would drift; `k1+1`
+    * etc. appear as the same literals on both engines (computing `1.2+1`
+    * does not equal the literal `2.2` in IEEE doubles).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val tok = graft.engine.Spread(docs).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"),
+      explode(tokens(col("text"))).as("w"))
+    val tf = tok.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("total_tok"))
+    val avgdl = col("total_tok").cast("double") / col("n_docs")
+    // Robertson-Sparck Jones idf with the +1 floor (Lucene shape):
+    // ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * ((col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    val perTerm = tf.join(dfreq, Seq("w")).crossJoin(broadcast(stats))
+      .withColumn("c", contrib)
+    val pivotAggs = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("w") === t, col("c"))).as(s"c_$i")
+    }
+    val byDoc = perTerm.groupBy(col("doc_id"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+    val nHit = terms.indices
+      .map(i => when(col(s"c_$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val score = terms.indices
+      .map(i => coalesce(col(s"c_$i"), lit(0.0)))
+      .reduce(_ + _)
+    byDoc.select(col("doc_id"), nHit.as("n_hit"), score.as("score"))
+  }
+
   /** Per-language corpus statistics (one shuffle: the groupBy). */
   def languageStats(docs: DataFrame): DataFrame =
     graft.engine.Spread(docs)

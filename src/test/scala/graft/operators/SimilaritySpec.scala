@@ -83,6 +83,35 @@ class SimilaritySpec extends SparkSpec {
       s"recall collapsed: trained $trained naive $naive")
   }
 
+  test("PQ top-k: exactly k rows per query, ADC scores non-increasing, " +
+       "no self; ADC is EXACT for codebook members") {
+    val pq = Similarity.pqTopK(queries, e, k = 5)
+      .orderBy("qid", "rnk").collect()
+    val byQ = pq.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 5))
+    byQ.foreach { case (qid, rows) =>
+      val scores = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(r => r.getAs[Long]("cid") != qid))
+    }
+    // a codebook member's sub-vectors encode to themselves (its own
+    // centroid minimizes |c|^2 - 2<v,c> = |v-c|^2 - |v|^2), so its ADC
+    // score collapses to the exact quantized dot product
+    val exact = Similarity.bruteForceTopK(queries, e, k = e.count().toInt - 1)
+      .filter(col("cid").between(5, 15))
+      .select("qid", "cid", "score")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    val adc = Similarity.pqTopK(queries, e, k = e.count().toInt - 1)
+      .filter(col("cid").between(5, 15))
+      .select("qid", "cid", "score")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    assert(adc.keySet == exact.keySet)
+    adc.foreach { case (k2, s) => assert(s == exact(k2),
+      s"ADC not exact for codebook member pair $k2") }
+  }
+
   test("IVF with nprobe = nlist probes everything -> equals brute force") {
     val bf = Similarity.bruteForceTopK(queries, e, k = 3)
       .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet

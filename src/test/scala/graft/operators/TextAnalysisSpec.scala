@@ -54,4 +54,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) == out(1))
     assert(out(0) != out(2))
   }
+
+  test("bm25: matches the formula computed by hand on a tiny corpus") {
+    // corpus: 3 docs, terms (a, b); doc 3 matches nothing -> absent
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "d e f"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("a", "b"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double) =
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    val exp1 = idf(1.0) * w(2.0, 3.0) + idf(2.0) * w(1.0, 3.0)
+    val exp2 = idf(2.0) * w(1.0, 2.0)
+    assert(out.length == 2)
+    assert(out(0)._1 == 1L && out(0)._2 == 2)
+    assert(out(1)._1 == 2L && out(1)._2 == 1)
+    assert(math.abs(out(0)._3 - exp1) < 1e-12, s"${out(0)._3} vs $exp1")
+    assert(math.abs(out(1)._3 - exp2) < 1e-12, s"${out(1)._3} vs $exp2")
+  }
 }
