@@ -16,12 +16,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.build("graft-bench",
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    // warm the JVM (codegen compiler, parquet reader, shuffle machinery)
-    // so the first measured query isn't charged for session start-up
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // warm the JVM (codegen compiler, parquet reader, shuffle machinery,
+    // sort + exchange paths) so the first measured query isn't charged
+    // for session start-up or first-use JIT
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .orderBy("l_orderkey", "l_linenumber")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // optional args = query-name filter (dev iteration on hotspots);
     // the driver passes none and always measures the full set
     val selected =

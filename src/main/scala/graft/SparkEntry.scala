@@ -752,6 +752,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: benchmark-contamination check (cross-corpus
+    //      shingle overlap; tiny eval side broadcast, corpus streams) ----
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.contamination(
+          docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20), minShared = 2)
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
+    // ---- north star: intra-doc repetition quality rule (Gopher shape;
+    //      narrow map, zero shuffles) ----
+    "q_repetition" -> ((s, dir) => {
+      graft.operators.TextAnalysis.repetitionFeatures(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: per-language corpus stats ----
     "q_textstats" -> ((s, dir) =>
       graft.operators.TextAnalysis.languageStats(t(s, dir, "documents"))),
@@ -2062,6 +2079,48 @@ object SparkEntry {
         |         coalesce(c_2, 0.0) + coalesce(c_3, 0.0) +
         |         coalesce(c_4, 0.0)) * 1e6 + 0.5) / 1e6 AS score
         |FROM piv ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""$shingleCte,
+         |cp AS (SELECT doc_id, len(sh) AS n_doc, unnest(sh) AS h
+         |       FROM sh WHERE doc_id >= 20),
+         |ep AS (SELECT doc_id AS eval_id, len(sh) AS n_eval, unnest(sh) AS h
+         |       FROM sh WHERE doc_id < 20),
+         |ov AS (
+         |  SELECT cp.doc_id, ep.eval_id, cp.n_doc, ep.n_eval,
+         |         count(*) AS n_shared
+         |  FROM cp JOIN ep USING (h)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, eval_id, n_shared,
+         |  CAST(n_doc AS BIGINT) AS n_doc, CAST(n_eval AS BIGINT) AS n_eval,
+         |  n_shared * 1.0 / n_doc AS frac_doc,
+         |  n_shared * 1.0 / n_eval AS frac_eval
+         |FROM ov WHERE n_shared >= 2 ORDER BY doc_id, eval_id""".stripMargin,
+
+    // word k-gram lists WITH multiplicity (raw strings, not distinct
+    // hashes): range(1, len) is end-exclusive, short docs -> empty list
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      range(1, CASE WHEN len(ts) < 2 THEN 1 ELSE len(ts) END),
+        |      i -> ts[i] || ' ' || ts[i+1]) AS s2,
+        |    list_transform(
+        |      range(1, CASE WHEN len(ts) < 3 THEN 1 ELSE len(ts) - 1 END),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS s3
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CAST(len(s2) AS BIGINT) AS n2,
+        |  CAST(len(list_distinct(s2)) AS BIGINT) AS d2,
+        |  (len(s2) - len(list_distinct(s2))) * 1.0
+        |    / greatest(len(s2), 1) AS dup2,
+        |  CAST(len(s3) AS BIGINT) AS n3,
+        |  CAST(len(list_distinct(s3)) AS BIGINT) AS d3,
+        |  (len(s3) - len(list_distinct(s3))) * 1.0
+        |    / greatest(len(s3), 1) AS dup3
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_textstats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -102,6 +102,39 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Cross-corpus contamination check — the benchmark-decontamination
+    * shape every LLM training pipeline runs: which corpus documents share
+    * at least `minShared` distinct word k-gram shingles with any document
+    * in an evaluation/benchmark set?
+    *
+    * Scale shape: this is NOT a self-join. The eval side is tiny by
+    * construction (benchmark suites are MBs against a 100 TB corpus), so
+    * its exploded posting list is BROADCAST and the corpus streams
+    * through a map-side hash join — the corpus text is never shuffled;
+    * the only shuffle is the (matched pairs only) overlap count. Shingle
+    * set sizes ride along with each post, so no join-back is needed for
+    * the overlap fractions.
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, k: Int = 3,
+                    minShared: Long = 2): DataFrame = {
+    def posts(df: DataFrame, idOut: String, nOut: String): DataFrame =
+      graft.engine.Spread(df)
+        .select(col("doc_id"), shingleHashes(col("text"), k).as("sh"))
+        .select(col("doc_id").as(idOut), size(col("sh")).as(nOut),
+          explode(col("sh")).as("h"))
+    posts(corpus, "doc_id", "n_doc")
+      .join(broadcast(posts(evalSet, "eval_id", "n_eval")), Seq("h"))
+      .groupBy(col("doc_id"), col("eval_id"),
+        col("n_doc"), col("n_eval"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("eval_id"), col("n_shared"),
+        col("n_doc").cast("long").as("n_doc"),
+        col("n_eval").cast("long").as("n_eval"),
+        (col("n_shared").cast("double") / col("n_doc")).as("frac_doc"),
+        (col("n_shared").cast("double") / col("n_eval")).as("frac_eval"))
+  }
+
   /** Distinct candidate pairs (a < b) from per-entity band keys: ONE
     * aggregation per (band, key) bucket enumerates in-bucket pairs with
     * higher-order functions (cf. jaccardPairsFromSets) instead of a

@@ -228,6 +228,26 @@ object TextAnalysis {
         max(col("h")).as("fp_max"),
         count(lit(1)).as("fp_n"))
 
+  /** Intra-document repetition features — the Gopher-style quality rule:
+    * a high fraction of duplicate word n-grams inside one document marks
+    * degenerate/boilerplate text. For each k in `ks`, emits the n-gram
+    * count (`n{k}`), distinct count (`d{k}`), and duplicate fraction
+    * (`dup{k}` = (n-d)/n, 0 for docs shorter than k tokens). Raw shingle
+    * strings (not hashes): duplicates must count multiplicity. Pure
+    * narrow map — zero shuffles at any corpus size.
+    */
+  def repetitionFeatures(docs: DataFrame,
+                         ks: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val cols = ks.flatMap { k =>
+      val sh = shingles(col("text"), k)
+      val n = size(sh).cast("long")
+      val d = size(array_distinct(sh)).cast("long")
+      Seq(n.as(s"n$k"), d.as(s"d$k"),
+        ((n - d).cast("double") / greatest(n, lit(1L))).as(s"dup$k"))
+    }
+    graft.engine.Spread(docs).select(col("doc_id") +: cols: _*)
+  }
+
   /** BM25 relevance scores for a fixed term set — the retrieval-grade
     * ranking function (quality filtering / targeted corpus selection at
     * training-data scale). One posting-list pass computes per-(doc, term)

@@ -65,4 +65,18 @@ class PlanShapeSpec extends SparkSpec {
     // one exchange for the groupBy, one for the final orderBy — no more
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
+
+  test("q_contamination: eval posting list broadcasts; the corpus side " +
+       "is never shuffled before the join") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_simsearch_pq: codebook and ADC lookup table both broadcast — " +
+       "corpus code assignment and scoring never sort-merge") {
+    val p = plan("q_simsearch_pq")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

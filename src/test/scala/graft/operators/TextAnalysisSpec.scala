@@ -55,6 +55,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) != out(2))
   }
 
+  test("repetition features: duplicate n-gram fractions, short-doc guard") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigrams: 5 total, 2 distinct
+      (2L, "x y z"),         // no repetition
+      (3L, "w")              // shorter than any k -> all zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(docs)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n2") == 5 && out(0).getAs[Long]("d2") == 2)
+    assert(out(0).getAs[Double]("dup2") == 0.6)
+    assert(out(1).getAs[Double]("dup2") == 0.0 &&
+           out(1).getAs[Double]("dup3") == 0.0)
+    assert(out(2).getAs[Long]("n2") == 0 &&
+           out(2).getAs[Double]("dup2") == 0.0)
+  }
+
+  test("contamination: finds the planted overlap, ignores disjoint docs") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "completely unrelated text with different words entirely")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "quick brown fox jumps over the lazy")).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, eval, minShared = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 100L &&
+           r.getAs[Long]("eval_id") == 1L)
+    // eval doc has 5 3-gram shingles, all contained in corpus doc 100
+    assert(r.getAs[Long]("n_shared") == 5)
+    assert(r.getAs[Double]("frac_eval") == 1.0)
+  }
+
   test("bm25: matches the formula computed by hand on a tiny corpus") {
     // corpus: 3 docs, terms (a, b); doc 3 matches nothing -> absent
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "d e f"))
