@@ -314,6 +314,14 @@ object SparkEntry {
       s.sql(tpch18Sql)
     }),
 
+    // ---- SQL API parity: TPC-H Q5 shape (local-supplier volume) — a
+    //      6-table join; Catalyst broadcasts the four dimension tables
+    //      (region/nation filter first, a true selective star probe) ----
+    "q_sql_tpch5" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch5Sql)
+    }),
+
     // ---- window: range frame (value-based bounds) ----
     "q_window_range" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -1211,6 +1219,27 @@ object SparkEntry {
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** Shared Spark/DuckDB SQL for q_sql_tpch5 (6-table star join; the
+    * exact-decimal revenue sum and the full ORDER BY tie-break keep it
+    * engine-portable, same policy as tpch3).
+    */
+  private val tpch5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Shared Spark/DuckDB SQL for q_not_in (null-aware anti join shape;
     * the subquery column is non-null here, so semantics equal plain anti
     * join and results are engine-portable).
@@ -1466,6 +1495,8 @@ object SparkEntry {
     // identical SQL runs on both engines (timestamp cast is a no-op in
     // DuckDB; doubles sum exactly: l_quantity is integral)
     "q_sql_tpch18" -> tpch18Sql,
+
+    "q_sql_tpch5" -> tpch5Sql,
 
     "q_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -66,6 +66,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q_sql_tpch5: the star dimensions broadcast; only the aggregate " +
+       "and final sort shuffle") {
+    val p = plan("q_sql_tpch5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // shuffle exchanges only — BroadcastExchange is the point, not a cost
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q_contamination: eval posting list broadcasts; the corpus side " +
        "is never shuffled before the join") {
     val p = plan("q_contamination")
