@@ -600,6 +600,14 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- north star: containment near-dup (asymmetric metric — catches
+    //      short docs embedded in long ones, invisible to Jaccard) ----
+    "q_containment" -> ((s, dir) => {
+      graft.operators.Dedup.containmentPairs(t(s, dir, "documents"),
+          tau = 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- north star: character n-gram Jaccard (tokenization-free).
     //      k=16 spans 2-3 words: on a tiny vocabulary short grams are
     //      ubiquitous and the posting-list join explodes quadratically ----
@@ -2297,6 +2305,20 @@ object SparkEntry {
          |WHERE ${hashSql("CAST(doc_id AS VARCHAR)")} % 10
          |      < CASE WHEN lang = 'en' THEN 5 ELSE 2 END
          |ORDER BY doc_id""".stripMargin,
+
+    "q_containment" ->
+      s"""$shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |pair AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+         |  inter * 1.0 / least(s1.n, s2.n) AS containment
+         |FROM pair JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
 
     "q_dedup_lsh" ->
       s"""WITH hp AS (

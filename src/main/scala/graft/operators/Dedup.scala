@@ -75,6 +75,37 @@ object Dedup {
     * buffer.
     */
   private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
+                                   maxPostings: Int): DataFrame =
+    overlapPairsFromSets(sets, maxPostings)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        col("jaccard"))
+
+  /** Containment near-dup pairs: inter / min(|A|, |B|) >= tau — the
+    * asymmetric metric that catches a short document wholly embedded in
+    * a longer one, which Jaccard structurally misses at size mismatch
+    * (a subset of 10% the size has jaccard <= 0.1 but containment 1.0).
+    * Same two-shuffle machinery as `jaccardPairs`.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double, k: Int = 3,
+                       maxPostings: Int = 0): DataFrame =
+    overlapPairsFromSets(
+      graft.engine.Spread(docs).select(col("doc_id"),
+        shingleHashes(col("text"), k).as("sh")),
+      maxPostings)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= tau)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        col("containment"))
+
+  /** Raw overlap counts (d1 < d2, inter, set sizes) shared by the
+    * jaccard/containment gates (see the shuffle-shape note above).
+    */
+  private def overlapPairsFromSets(sets: DataFrame,
                                    maxPostings: Int): DataFrame = {
     val posts0 = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
@@ -94,12 +125,6 @@ object Dedup {
     pairStream
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
-        col("jaccard"))
   }
 
   /** Cross-corpus contamination check — the benchmark-decontamination

@@ -38,6 +38,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("containment catches a short doc embedded in a long one that " +
+       "jaccard misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (1 to 8).map(i => s"w$i").mkString(" ")   // strict prefix
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    // shingle sets: |long| = 58, |short| = 6, all 6 shared
+    val cont = Dedup.containmentPairs(docs, tau = 0.9).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    val jac = Dedup.jaccardPairs(docs, tau = 0.3).collect()
+    assert(jac.isEmpty, "jaccard should miss the size-mismatched subset")
+  }
+
   test("minhash LSH pairs are a subset of exact jaccard pairs (no false positives after verify)") {
     val d = spark.read.parquet(sf() + "/documents.parquet")
     val exact = Dedup.jaccardPairs(d, tau = 0.3)
