@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streaming document-pipeline surface: continuous ingest of document
+  * shards with per-micro-batch decontamination.
+  *
+  * The design point: operators whose unit of work is a WHOLE document
+  * (contamination, quality gates, repetition scoring) need no cross-batch
+  * streaming state — a document arrives complete inside one file-grain
+  * micro-batch, so `foreachBatch` re-uses the EXACT batch operator per
+  * batch. That keeps streaming and batch semantics identical by
+  * construction (one code path), instead of re-deriving the operator
+  * under watermark/output-mode constraints. Cross-document state (the
+  * eval-set posting list) is static and broadcast, so each micro-batch
+  * is a stateless map-side join at any corpus scale.
+  */
+object DocStream {
+
+  /** documents schema (see FIXTURES.md) — streaming sources don't infer. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Open the documents table as a file stream (same symlink-directory
+    * device as EventStream.readEvents: FileStreamSource wants a
+    * directory, testdata is a single read-only parquet file).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        val d = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_docstream",
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+        java.nio.file.Files.createDirectories(d)
+        val link = d.resolve("documents.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, src)
+        d
+      }
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(streamDir.toString)
+  }
+
+  /** Continuous decontamination: every micro-batch of arriving documents
+    * runs `Dedup.contamination` against the static eval set and hands the
+    * flagged (doc, eval, overlap) pairs to `sink` (a JDBC/Delta/parquet
+    * append in production). Returns the running query; callers stop it.
+    */
+  def decontaminate(docsStream: DataFrame, evalSet: DataFrame,
+                    k: Int = 3, minShared: Long = 2)
+                   (sink: DataFrame => Unit): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.contamination(batch, evalSet, k, minShared))
+      }
+      .start()
+}
