@@ -830,6 +830,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: winnowing fingerprints (MOSS selection over the
+    //      positional char-16-gram rolling hashes; window w=8). The
+    //      xor/min/max/count summary pins the selected set exactly.
+    //      The hash array is materialized behind a repartition barrier:
+    //      winnow's window lambda references it per element, and inlined
+    //      (project-collapsed) it would re-run the O(n) kernel per
+    //      window — the Catalyst pitfall documented in ARCHITECTURE ----
+    "q_winnow" -> ((s, dir) => {
+      import graft.operators.TextAnalysis.winnow
+      graft.engine.Spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.plans.RollingShingleHashes(col("text"), 16).as("sh"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_windows"),
+          explode(winnow(col("sh"), 8)).as("fp"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("n_windows")).as("n_windows"),
+          count(lit(1)).as("n_fp"),
+          min(col("fp")).as("fp_min"),
+          max(col("fp")).as("fp_max"),
+          expr("bit_xor(fp)").as("fp_xor"))
+        .withColumn("density",
+          col("n_fp").cast("double") / greatest(col("n_windows"), lit(1L)))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: text normalization (pre-dedup cleanup) ----
     "q_normalize" -> ((s, dir) => {
       import graft.operators.TextAnalysis
@@ -2305,6 +2331,40 @@ object SparkEntry {
          |WHERE ${hashSql("CAST(doc_id AS VARCHAR)")} % 10
          |      < CASE WHEN lang = 'en' THEN 5 ELSE 2 END
          |ORDER BY doc_id""".stripMargin,
+
+    // positional (no distinct) char-16-gram rolling hashes, winnow w=8:
+    // min per window of 8, deduped; xor/min/max/count pin the set.
+    // list_reduce seeds with the first element == zero-seeded XOR fold.
+    // All corpus docs exceed 16+8 chars so the short-doc arms never fire
+    "q_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(
+        |    range(1, CASE WHEN length(text) < 16 THEN 1
+        |             ELSE length(text) - 14 END),
+        |    i -> list_reduce(list_transform(range(0, 16),
+        |           j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1))
+        |                     AS BIGINT)),
+        |         (a, c) -> (a * 131 + c) % 1000000007)
+        |         * 1000000009
+        |         + list_reduce(list_transform(range(0, 16),
+        |           j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1))
+        |                     AS BIGINT)),
+        |         (a, c) -> (a * 137 + c) % 1000000009)) AS hs
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, len(hs) AS n_windows,
+        |    CASE WHEN len(hs) < 8 THEN [list_min(hs)]
+        |         ELSE list_distinct(list_transform(range(1, len(hs) - 6),
+        |                i -> list_min(hs[CAST(i AS INT):CAST(i+7 AS INT)])))
+        |    END AS fps
+        |  FROM h),
+        |ex AS (SELECT doc_id, n_windows, unnest(fps) AS fp FROM wins)
+        |SELECT doc_id, CAST(min(n_windows) AS BIGINT) AS n_windows,
+        |  count(*) AS n_fp,
+        |  min(fp) AS fp_min, max(fp) AS fp_max,
+        |  bit_xor(fp) AS fp_xor,
+        |  count(*) * 1.0 / greatest(min(n_windows), 1) AS density
+        |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_containment" ->
       s"""$shingleCte,

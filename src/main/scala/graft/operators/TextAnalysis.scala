@@ -189,6 +189,26 @@ object TextAnalysis {
         (stableHash60(col("w")) % numBuckets).as("bucket"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): over the POSITIONAL k-gram hash sequence, keep the
+    * minimum of every sliding window of `w` consecutive hashes, then
+    * deduplicate. The selection guarantee: any substring of length
+    * >= w + k - 1 shared by two documents yields at least one shared
+    * fingerprint, while the index shrinks ~w-fold versus full shingling.
+    * Local (position-independent) selection — robust to edits elsewhere
+    * in the document, unlike global min-sampling.
+    *
+    * Sequences shorter than `w` collapse to their single minimum (empty
+    * input stays empty). Narrow per-row map over the codegen'd
+    * RollingShingleHashes kernel.
+    */
+  def winnow(hashes: Column, w: Int): Column =
+    when(size(hashes) === 0, hashes)
+      .otherwise(when(size(hashes) < w, array(array_min(hashes)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(hashes) - (w - 1)),
+          i => array_min(slice(hashes, i, lit(w)))))))
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum and
     * maximum shingle hash plus the distinct-shingle count identify a
     * document up to shingle-set equality — O(1) state per doc.

@@ -89,6 +89,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("frac_eval") == 1.0)
   }
 
+  test("winnow: fingerprints are window minima, deduped, and the " +
+       "shared-substring guarantee holds") {
+    import graft.plans.RollingShingleHashes
+    val k = 16; val w = 8
+    val shared = "the quick brown fox jumps over the lazy dog"  // 43 chars
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different start $shared other ending"),
+      (3L, "no overlap with anything else at all here truly")
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), RollingShingleHashes(col("text"), k).as("sh"))
+      .localCheckpoint(true)
+      .select(col("doc_id"), col("sh"),
+        TextAnalysis.winnow(col("sh"), w).as("fps"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toList))
+      .toMap
+    out.foreach { case (_, (hashes, fps)) =>
+      assert(fps.distinct == fps, "fingerprints must be deduplicated")
+      assert(fps.toSet.subsetOf(hashes), "every fp is some window's min")
+    }
+    // guarantee: a common substring of length >= w + k - 1 (= 23 here;
+    // `shared` is 43 chars) forces at least one common fingerprint
+    val f1 = out(1L)._2.toSet; val f2 = out(2L)._2.toSet
+    assert((f1 & f2).nonEmpty, "shared substring must share a fingerprint")
+    assert((f1 & out(3L)._2.toSet).isEmpty,
+      "disjoint docs should share nothing")
+  }
+
   test("bm25: matches the formula computed by hand on a tiny corpus") {
     // corpus: 3 docs, terms (a, b); doc 3 matches nothing -> absent
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "d e f"))
