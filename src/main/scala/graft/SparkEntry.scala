@@ -998,6 +998,24 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- MERGEABLE sketch rollup (Apache DataSketches HLL): fine-grain
+    //      sketches built once union to coarser grains without
+    //      rescanning — the re-aggregatable-summary pattern for 100 TB
+    //      rollup tables. Rows-only check (sketch bytes are not
+    //      cross-engine comparable), same policy as q_approx_distinct ----
+    "q_hll_merge" -> ((s, dir) => {
+      val detail = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("hll_sketch_agg(l_suppkey)").as("sk"),
+          count(lit(1)).as("n"))
+      detail.groupBy(col("l_returnflag"))
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("approx_suppliers"),
+          sum(col("n")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- quantile sketch: approx_percentile (rows-only check like the
     //      HLL sketch — sketch internals are not cross-engine stable).
     //      One scalar column per quantile: the external comparator cannot

@@ -99,6 +99,23 @@ class QueryInvariantSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("hll sketch rollup: union of partials == one global sketch, " +
+       "estimate near exact") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val partial = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("hll_sketch_agg(l_suppkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head().getLong(0)
+    val global = li
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey))"))
+      .head().getLong(0)
+    val exact = li.select("l_suppkey").distinct().count()
+    assert(partial == global, "sketch merge must be lossless")
+    assert(math.abs(partial - exact) <= math.max(1L, exact / 20),
+      s"estimate $partial vs exact $exact")
+  }
+
   test("connected components: chain, clique, and two isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4, clique {10,11,12}, pair (20,21)
