@@ -810,6 +810,15 @@ object SparkEntry {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    // ---- north star: bigram-LM coverage scoring (integer-exact
+    //      perplexity stand-in: corpus LM table -> join-back -> per-doc
+    //      common-bigram fraction) ----
+    "q_lm_coverage" -> ((s, dir) => {
+      graft.operators.TextAnalysis.bigramCoverage(
+          t(s, dir, "documents"), minCount = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: language-ID heuristic (single tokenization pass:
     //      explode + one conditional-count aggregation; the column form
     //      would re-tokenize once per language under project-collapsing) ----
@@ -2230,6 +2239,23 @@ object SparkEntry {
         |    PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
         |  FROM c)
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    "q_lm_coverage" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]))
+        |    AS bigram
+        |  FROM w),
+        |lm AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN lm.c >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common,
+        |  CAST(sum(CASE WHEN lm.c >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / greatest(count(*), 1) AS coverage
+        |FROM bg JOIN lm USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_langid" ->
       """WITH x AS (

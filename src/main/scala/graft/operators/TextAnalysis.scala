@@ -268,6 +268,45 @@ object TextAnalysis {
     graft.engine.Spread(docs).select(col("doc_id") +: cols: _*)
   }
 
+  /** Adjacent-token bigrams as a column expression (zip_with pairing —
+    * narrow, no position self-join). Shared by the LM-stats query and
+    * `bigramCoverage`.
+    */
+  def bigramsOf(text: Column): Column = {
+    val ws = tokens(text)
+    zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Bigram language-model coverage — a fluency/quality proxy that stays
+    * integer-exact: build the corpus bigram table (the LM), then score
+    * each document by the fraction of its bigram OCCURRENCES whose
+    * corpus frequency reaches `minCount`. Degenerate text (rare/garbled
+    * token sequences) scores low; formulaic text scores high — the
+    * deterministic stand-in for LM-perplexity filtering (whose log-prob
+    * sums are float-order-dependent and not oracle-comparable).
+    *
+    * Shape: one explode, one count aggregation (the LM table), one
+    * equi-join back by bigram, one per-doc aggregation. At 100 TB the LM
+    * table is Zipf-truncatable (drop count-1 tail) and the join key is
+    * the bigram hash — the standard n-gram-LM scoring layout.
+    */
+  def bigramCoverage(docs: DataFrame, minCount: Long = 3): DataFrame = {
+    val bg = graft.engine.Spread(docs).select(col("doc_id"),
+      explode(bigramsOf(col("text"))).as("bigram"))
+    val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+    bg.join(lm, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_common"),
+        (col("n_common").cast("double") /
+          greatest(col("n_bigrams"), lit(1L))).as("coverage"))
+  }
+
   /** BM25 relevance scores for a fixed term set — the retrieval-grade
     * ranking function (quality filtering / targeted corpus selection at
     * training-data scale). One posting-list pass computes per-(doc, term)

@@ -89,6 +89,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("frac_eval") == 1.0)
   }
 
+  test("bigram coverage: common bigrams counted per occurrence") {
+    // "a b" occurs in all 3 docs (corpus count 3 >= minCount 3);
+    // every other bigram is unique
+    val docs = Seq(
+      (1L, "a b c"),      // bigrams: "a b"(common), "b c"
+      (2L, "x a b"),      // "x a", "a b"(common)
+      (3L, "a b")         // "a b"(common)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCoverage(docs, minCount = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out(0) == ((1L, 2L, 1L, 0.5)))
+    assert(out(1) == ((2L, 2L, 1L, 0.5)))
+    assert(out(2) == ((3L, 1L, 1L, 1.0)))
+  }
+
   test("winnow: fingerprints are window minima, deduped, and the " +
        "shared-substring guarantee holds") {
     import graft.plans.RollingShingleHashes
