@@ -74,11 +74,15 @@ object Pipeline {
   }
 
   /** Align-only transform, exposed for query-level use and testing.
-    * `Spread` lifts under-split small inputs to cluster parallelism so the
-    * align/cast projection isn't serialized on one core (no-op at scale).
+    * Deliberately NO `Spread` here: align/cast is a codegen'd projection
+    * (~ns/row), so lifting an under-split input costs a full shuffle to
+    * parallelize work cheaper than the shuffle itself — and any
+    * downstream sort/aggregate re-distributes anyway. Spread is reserved
+    * for genuinely CPU-bound per-row kernels (shingling, hashing,
+    * quantization).
     */
   def ingest(spark: SparkSession, job: JobSpec): DataFrame = {
-    val src = Spread(Readers.read(spark, job))
+    val src = Readers.read(spark, job)
     job.targetSchema.map(SchemaAlign.align(src, _)).getOrElse(src)
   }
 }
