@@ -965,6 +965,28 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- as-of join, nearest direction: closest click either side of
+    //      each purchase (ties -> backward, the point-in-time-safe side) ----
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.asOfJoin(
+          purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("click_id", "click_value"),
+          suffix = "_click", tieBreak = Some("click_id"),
+          direction = "nearest")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("click_id_click").as("click_id"),
+          col("ts_click").as("click_ts"),
+          col("click_value_click").as("click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ---- north star: substring-level exact dedup — repeated 64-char
     //      chunks across documents (boilerplate detection). One explode +
     //      one shuffle; at corpus scale the groupBy key would be the
@@ -1808,6 +1830,28 @@ object SparkEntry {
         |      ORDER BY c.cts NULLS LAST, c.click_id NULLS LAST) AS rn
         |  FROM p LEFT JOIN c
         |    ON p.user_id = c.user_id AND c.cts >= p.ts)
+        |SELECT user_id, event_id, ts, click_id, cts AS click_ts, click_value
+        |FROM j WHERE rn = 1
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // nearest via global argmin over all candidate clicks: abs time delta,
+    // then backward-preferred, then the per-direction id tie (largest for
+    // backward, smallest for forward) — exactly the Spark combine rule
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+        |        event_id AS click_id, value AS click_value
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.user_id, p.event_id, p.ts,
+        |    c.click_id, c.cts, c.click_value,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY abs(epoch_us(c.cts) - epoch_us(p.ts)) NULLS LAST,
+        |        CASE WHEN c.cts <= p.ts THEN 0 ELSE 1 END,
+        |        CASE WHEN c.cts <= p.ts THEN -c.click_id
+        |             ELSE c.click_id END NULLS LAST) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
         |SELECT user_id, event_id, ts, click_id, cts AS click_ts, click_value
         |FROM j WHERE rn = 1
         |ORDER BY user_id, event_id""".stripMargin,

@@ -32,13 +32,20 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** "nearest" picks whichever of the backward/forward matches is closer
+    * in time (ties -> backward, the point-in-time-safe side). Both
+    * directional passes share ONE exchange: the second window re-sorts
+    * within the same hash partitioning, so the cost stays a single
+    * shuffle of left+right. Requires a ts type with subtraction
+    * (timestamp -> interval, or numeric).
+    */
   def asOfJoin(left: DataFrame, right: DataFrame,
                keys: Seq[String], leftTs: String, rightTs: String,
                rightPayload: Seq[String], suffix: String = "_r",
                tieBreak: Option[String] = None,
                direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
     val payStruct = struct(
       (col(rightTs).as("__ts_r") +: rightPayload.map(col)): _*)
@@ -60,18 +67,32 @@ object AsOfJoin {
       .select((keys.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tb"),
         col("__rpay")) ++ leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val ordering =
-      if (direction == "backward")
-        Seq(col("__ts").asc, col("__tag").asc, col("__tb").asc)
-      else // reversed time axis; equal-ts rights still precede the left
-        Seq(col("__ts").desc, col("__tag").asc, col("__tb").desc)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val backwardOrd = Seq(col("__ts").asc, col("__tag").asc, col("__tb").asc)
+    // reversed time axis; equal-ts rights still precede the left
+    val forwardOrd = Seq(col("__ts").desc, col("__tag").asc, col("__tb").desc)
+    def win(ordering: Seq[Column]) = Window.partitionBy(keys.map(col): _*)
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = leftPrepped.unionByName(rightAligned)
-      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 1)
-    val out = matched.select(
+    val unioned = leftPrepped.unionByName(rightAligned)
+    val matched = direction match {
+      case "backward" => unioned.withColumn("__match",
+        last(col("__rpay"), ignoreNulls = true).over(win(backwardOrd)))
+      case "forward" => unioned.withColumn("__match",
+        last(col("__rpay"), ignoreNulls = true).over(win(forwardOrd)))
+      case _ => // nearest: both passes, then the closer side (tie: backward)
+        unioned
+          .withColumn("__mb",
+            last(col("__rpay"), ignoreNulls = true).over(win(backwardOrd)))
+          .withColumn("__mf",
+            last(col("__rpay"), ignoreNulls = true).over(win(forwardOrd)))
+          .withColumn("__match",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when((col("__ts") - col("__mb.__ts_r")) <=
+                    (col("__mf.__ts_r") - col("__ts")), col("__mb"))
+              .otherwise(col("__mf")))
+    }
+    val out = matched.filter(col("__tag") === 1).select(
       (leftCols.map(col) :+
         col("__match.__ts_r").as(s"$rightTs$suffix")) ++
         rightPayload.map(c => col(s"__match.$c").as(s"$c$suffix")): _*)

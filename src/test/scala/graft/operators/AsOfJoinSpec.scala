@@ -44,6 +44,32 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("sym", "t", "trade_id", "t_r", "px_r"))
   }
 
+  test("nearest: closer side wins, equidistant ties go backward, " +
+       "one-sided rows still match") {
+    val left = Seq(
+      ("A", ts("2024-01-01 10:00:10"), 1L),  // quotes at :07(d3) :12(d2)
+      ("A", ts("2024-01-01 09:00:00"), 2L),  // only later quotes exist
+      ("B", ts("2024-01-01 10:00:10"), 3L),  // quotes at :08(d2) :12(d2)
+      ("C", ts("2024-01-01 10:00:10"), 4L)   // only earlier quote
+    ).toDF("sym", "t", "trade_id")
+    val right = Seq(
+      ("A", ts("2024-01-01 10:00:07"), 1.0, 20L),
+      ("A", ts("2024-01-01 10:00:12"), 2.0, 21L),
+      ("B", ts("2024-01-01 10:00:08"), 3.0, 22L),
+      ("B", ts("2024-01-01 10:00:12"), 4.0, 23L),
+      ("C", ts("2024-01-01 10:00:01"), 5.0, 24L)
+    ).toDF("sym", "t", "px", "qid")
+    val m = AsOfJoin.asOfJoin(left, right, Seq("sym"), "t", "t",
+      Seq("px"), suffix = "_q", tieBreak = Some("qid"),
+      direction = "nearest")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        r.getAs[Any]("px_q")).toMap
+    assert(m(1L) == 2.0)  // forward :12 (d=2) beats backward :07 (d=3)
+    assert(m(2L) == 1.0)  // nothing before -> earliest after
+    assert(m(3L) == 3.0)  // equidistant -> backward wins
+    assert(m(4L) == 5.0)  // nothing after -> latest before
+  }
+
   test("tie between equal right timestamps resolved by tieBreak (last wins)") {
     val dupQuotes = quotes.unionAll(
       Seq(("A", ts("2024-01-01 10:00:03"), 999.0, 13L))
