@@ -101,6 +101,34 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- bivariate statistics in ONE exact pass: built-in corr/covar
+    //      float-accumulate in partition order (not oracle-stable); here
+    //      the five sums are exact decimals and the closed forms combine
+    //      them in the identical IEEE expression on both engines ----
+    "q_corr" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_discount").cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"),
+          sum((y * y).cast("decimal(28,4)")).cast("double").as("syy"),
+          sum((x * y).cast("decimal(28,4)")).cast("double").as("sxy"))
+        .withColumn("covar_pop",
+          (col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+        .withColumn("corr",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        .select(col("l_returnflag"), col("n"),
+          (floor(col("covar_pop") * 1e6 + 0.5) / 1e6).as("covar_pop"),
+          (floor(col("corr") * 1e6 + 0.5) / 1e6).as("corr"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- histogram / binning (floor arithmetic — engine-portable) ----
     "q_histogram" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1436,6 +1464,30 @@ object SparkEntry {
         |  / (count(*) - 1) AS variance
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // five exact decimal sums -> identical IEEE closed forms (see the
+    // Spark side); floor-round is belt and braces on the final doubles
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,2))
+        |        * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  floor((sxy - sx * sy / n) / n * 1e6 + 0.5) / 1e6 AS covar_pop,
+        |  floor((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    * 1e6 + 0.5) / 1e6 AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bin_lo,
