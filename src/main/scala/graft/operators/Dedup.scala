@@ -110,9 +110,11 @@ object Dedup {
     val posts0 = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
     val byShingle = posts0.groupBy(col("h"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-    val kept = if (maxPostings <= 0) byShingle.filter(size(col("ds")) >= 2)
-               else byShingle.filter(size(col("ds")).between(2, maxPostings))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds0"))
+    val kept0 = if (maxPostings <= 0) byShingle.filter(size(col("ds0")) >= 2)
+                else byShingle.filter(size(col("ds0")).between(2, maxPostings))
+    val kept = kept0.select(guardedBucket(col("ds0"), "shingle posting",
+      "array<struct<doc_id:bigint,n:int>>").as("ds"))
     val pairStream = kept
       .select(explode(flatten(transform(col("ds"), x =>
         transform(
@@ -160,19 +162,46 @@ object Dedup {
         (col("n_shared").cast("double") / col("n_eval")).as("frac_eval"))
   }
 
+  /** Per-row in-bucket pair expansion materializes O(|bucket|^2) structs
+    * in one aggregation buffer. Beyond this bound (10^8 pairs, ~GBs) the
+    * executor would die on an opaque OOM mid-shuffle — a bucket that
+    * size means degenerate input (a giant exact-duplicate cluster that
+    * should have been hash-deduped first, or an LSH family with too few
+    * bits), so the guard THROWS with the fix spelled out instead. Same
+    * loud-failure philosophy as connectedComponents' maxIter.
+    */
+  private[graft] var maxBucketMembers: Int = 10000
+
+  /** Replaces the bucket array with a runtime error when it exceeds the
+    * quadratic-expansion bound; pass-through otherwise. `arrType` is the
+    * bucket's DDL type (needed to type the error branch pre-analysis).
+    */
+  private def guardedBucket(arr: Column, what: String,
+                            arrType: String): Column =
+    when(size(arr) > maxBucketMembers,
+      raise_error(concat(
+        lit(s"$what bucket exceeds $maxBucketMembers members — " +
+          "exact-dedup the corpus first or raise bits-per-band; " +
+          "refusing the O(n^2) in-bucket expansion (size "),
+        size(arr).cast("string"), lit(")"))).cast(arrType))
+      .otherwise(arr)
+
   /** Distinct candidate pairs (a < b) from per-entity band keys: ONE
     * aggregation per (band, key) bucket enumerates in-bucket pairs with
     * higher-order functions (cf. jaccardPairsFromSets) instead of a
     * banded self-join — the bucket is shuffled once and the join
     * build/probe disappears. Buckets are small by LSH design (more bits
     * per band shrink them as the corpus grows), so the quadratic
-    * in-bucket expansion is bounded by construction.
+    * in-bucket expansion is bounded by construction; `guardedBucket`
+    * makes a violation loud.
     */
   private def bandCandidatePairs(banded: DataFrame, id: String,
                                  outA: String, outB: String): DataFrame =
     banded.groupBy(col("band"), col("bk"))
-      .agg(collect_list(col(id)).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(collect_list(col(id)).as("ids0"))
+      .filter(size(col("ids0")) >= 2)
+      .select(guardedBucket(col("ids0"), "LSH band", "array<bigint>")
+        .as("ids"))
       .select(explode(flatten(transform(col("ids"), x =>
         transform(filter(col("ids"), y => y > x),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
@@ -297,8 +326,10 @@ object Dedup {
     // in-bucket pair enumeration (cf. bandCandidatePairs), fingerprints
     // carried in the bucket struct so no join-back is needed
     banded.groupBy(col("q"), col("qv"))
-      .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds0"))
+      .filter(size(col("ds0")) >= 2)
+      .select(guardedBucket(col("ds0"), "SimHash quarter",
+        "array<struct<doc_id:bigint,fp:bigint>>").as("ds"))
       .select(explode(flatten(transform(col("ds"), x =>
         transform(filter(col("ds"), y => y("doc_id") > x("doc_id")),
           y => struct(x("doc_id").as("d1"), y("doc_id").as("d2"),

@@ -38,6 +38,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("mega-bucket guard fails loudly instead of a quadratic expansion") {
+    // 5 identical docs -> every shingle's posting list has 5 members;
+    // with the bound forced to 4 the jaccard pass must throw the
+    // spelled-out error, not expand 5^2 pairs silently
+    val docs = (1L to 5L).map(i => (i, "w1 w2 w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val saved = Dedup.maxBucketMembers
+    Dedup.maxBucketMembers = 4
+    try {
+      val e = intercept[Exception] {
+        Dedup.jaccardPairs(docs, tau = 0.3).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("exact-dedup the corpus first")),
+        e.toString)
+    } finally Dedup.maxBucketMembers = saved
+    // back under the bound: same corpus dedups fine
+    assert(Dedup.jaccardPairs(docs, tau = 0.3).count() == 10)
+  }
+
   test("containment catches a short doc embedded in a long one that " +
        "jaccard misses") {
     val long = (1 to 60).map(i => s"w$i").mkString(" ")
