@@ -1151,6 +1151,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // ---- sessionization via the NATIVE session_window operator
+    //      (Catalyst SessionWindowing — merging windows [ts, ts+gap);
+    //      the manual lag/running-sum form above is the portable twin).
+    //      NB the boundary differs from the manual form: a gap of
+    //      exactly 30min starts a NEW session here (half-open windows);
+    //      the oracle mirrors that with >= ----
+    "q_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ---- aggregation: explicit GROUPING SETS (beyond rollup/cube) ----
     "q_grouping_sets" -> ((s, dir) => {
       Readers.registerAll(s, dir)
@@ -1853,6 +1869,29 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // session_window's half-open [ts, ts+gap) windows: a gap of exactly
+    // 30min does NOT merge (>=), and session_end = last ts + gap
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+        |             THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_asof" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
