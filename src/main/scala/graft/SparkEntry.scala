@@ -342,6 +342,13 @@ object SparkEntry {
       s.sql(tpch18Sql)
     }),
 
+    // ---- SQL API parity: TPC-H Q12 shape (shipping priority counts —
+    //      integer CASE-sums, the conditional-aggregation idiom) ----
+    "q_sql_tpch12" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch12Sql)
+    }),
+
     // ---- SQL API parity: TPC-H Q5 shape (local-supplier volume) — a
     //      6-table join; Catalyst broadcasts the four dimension tables
     //      (region/nation filter first, a true selective star probe) ----
@@ -1367,6 +1374,24 @@ object SparkEntry {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Shared Spark/DuckDB SQL for q_sql_tpch12 (shipping-priority line
+    * counts): integer CASE-sum aggregates over a fact-fact equi-join —
+    * fully deterministic (no float accumulation anywhere). The synthetic
+    * lineitem has no l_shipmode column; l_returnflag stands in as the
+    * grouping dimension, preserving the query shape.
+    */
+  private val tpch12Sql: String =
+    """SELECT l_returnflag AS shipmode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY shipmode""".stripMargin
+
   /** Shared Spark/DuckDB SQL for q_not_in (null-aware anti join shape;
     * the subquery column is non-null here, so semantics equal plain anti
     * join and results are engine-portable).
@@ -1648,6 +1673,8 @@ object SparkEntry {
     "q_sql_tpch18" -> tpch18Sql,
 
     "q_sql_tpch5" -> tpch5Sql,
+
+    "q_sql_tpch12" -> tpch12Sql,
 
     "q_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
