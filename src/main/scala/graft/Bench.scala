@@ -31,7 +31,13 @@ object Bench {
     // the driver passes none and always measures the full set
     val selected =
       if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"unknown quer${if (unknown.length == 1) "y" else "ies"}: " +
+            unknown.mkString(", "))
+        SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -530,9 +530,16 @@ object SparkEntry {
           date_trunc("month", col("o_orderdate")).as("month_start"),
           datediff(col("o_orderdate").cast("date"),
                    lit("1995-01-01").cast("date")).as("days_since"),
-          last_day(col("o_orderdate").cast("date")).as("month_end"),
-          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
-          add_months(col("o_orderdate").cast("date"), 2).as("plus2m"),
+          // date-typed results go out as timestamps: pandas reads parquet
+          // date32 as object(datetime.date) while DuckDB's .df() gives
+          // datetime64 for both DATE and TIMESTAMP — timestamp on both
+          // sides is the only dtype-stable representation of a date value
+          last_day(col("o_orderdate").cast("date")).cast("timestamp")
+            .as("month_end"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("timestamp")
+            .as("plus30"),
+          add_months(col("o_orderdate").cast("date"), 2).cast("timestamp")
+            .as("plus2m"),
           (weekday(col("o_orderdate").cast("date")) + 1).as("isodow"))
         .orderBy(col("o_orderkey"))
     }),
@@ -1798,9 +1805,11 @@ object SparkEntry {
         |  dayofmonth(o_orderdate) AS o_day,
         |  date_trunc('month', o_orderdate) AS month_start,
         |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
-        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
-        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
-        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+        |    AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+        |    AS TIMESTAMP) AS plus2m,
         |  CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS isodow
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
@@ -2559,7 +2568,8 @@ object SparkEntry {
         |  FROM documents),
         |wins AS (
         |  SELECT doc_id, len(hs) AS n_windows,
-        |    CASE WHEN len(hs) < 8 THEN [list_min(hs)]
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         WHEN len(hs) < 8 THEN [list_min(hs)]
         |         ELSE list_distinct(list_transform(range(1, len(hs) - 6),
         |                i -> list_min(hs[CAST(i AS INT):CAST(i+7 AS INT)])))
         |    END AS fps

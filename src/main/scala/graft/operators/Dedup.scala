@@ -114,7 +114,7 @@ object Dedup {
     val kept0 = if (maxPostings <= 0) byShingle.filter(size(col("ds0")) >= 2)
                 else byShingle.filter(size(col("ds0")).between(2, maxPostings))
     val kept = kept0.select(guardedBucket(col("ds0"), "shingle posting",
-      "array<struct<doc_id:bigint,n:int>>").as("ds"))
+      kept0.schema("ds0").dataType.catalogString).as("ds"))
     val pairStream = kept
       .select(explode(flatten(transform(col("ds"), x =>
         transform(
@@ -196,17 +196,19 @@ object Dedup {
     * makes a violation loud.
     */
   private def bandCandidatePairs(banded: DataFrame, id: String,
-                                 outA: String, outB: String): DataFrame =
-    banded.groupBy(col("band"), col("bk"))
+                                 outA: String, outB: String): DataFrame = {
+    val buckets = banded.groupBy(col("band"), col("bk"))
       .agg(collect_list(col(id)).as("ids0"))
       .filter(size(col("ids0")) >= 2)
-      .select(guardedBucket(col("ids0"), "LSH band", "array<bigint>")
-        .as("ids"))
+    buckets
+      .select(guardedBucket(col("ids0"), "LSH band",
+        buckets.schema("ids0").dataType.catalogString).as("ids"))
       .select(explode(flatten(transform(col("ids"), x =>
         transform(filter(col("ids"), y => y > x),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as(outA), col("p.b").as(outB))
       .dropDuplicates(outA, outB)
+  }
 
   /** MinHash signatures as one codegen'd aggregation over the posting
     * list: numPerms `min((a_i*(h mod p)+b_i) mod p)` aggregates. Constant
@@ -325,11 +327,12 @@ object Dedup {
         .as(Seq("q", "qv")))
     // in-bucket pair enumeration (cf. bandCandidatePairs), fingerprints
     // carried in the bucket struct so no join-back is needed
-    banded.groupBy(col("q"), col("qv"))
+    val quarters = banded.groupBy(col("q"), col("qv"))
       .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds0"))
       .filter(size(col("ds0")) >= 2)
+    quarters
       .select(guardedBucket(col("ds0"), "SimHash quarter",
-        "array<struct<doc_id:bigint,fp:bigint>>").as("ds"))
+        quarters.schema("ds0").dataType.catalogString).as("ds"))
       .select(explode(flatten(transform(col("ds"), x =>
         transform(filter(col("ds"), y => y("doc_id") > x("doc_id")),
           y => struct(x("doc_id").as("d1"), y("doc_id").as("d2"),

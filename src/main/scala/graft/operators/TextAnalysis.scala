@@ -258,14 +258,23 @@ object TextAnalysis {
     */
   def repetitionFeatures(docs: DataFrame,
                          ks: Seq[Int] = Seq(2, 3)): DataFrame = {
+    // one-element explode = a Generate node: project-collapsing does not
+    // cross it, so each k's shingle array is BUILT once per row and the
+    // count columns below reference the materialized attribute — without
+    // the generator, inlining would re-run the O(len) shingle
+    // construction ~5x per row per k (the documented Catalyst pitfall)
+    val shingleStruct = struct(ks.map(k =>
+      shingles(col("text"), k).as(s"sh$k")): _*)
     val cols = ks.flatMap { k =>
-      val sh = shingles(col("text"), k)
+      val sh = col(s"m.sh$k")
       val n = size(sh).cast("long")
       val d = size(array_distinct(sh)).cast("long")
       Seq(n.as(s"n$k"), d.as(s"d$k"),
         ((n - d).cast("double") / greatest(n, lit(1L))).as(s"dup$k"))
     }
-    graft.engine.Spread(docs).select(col("doc_id") +: cols: _*)
+    graft.engine.Spread(docs)
+      .select(col("doc_id"), explode(array(shingleStruct)).as("m"))
+      .select(col("doc_id") +: cols: _*)
   }
 
   /** Adjacent-token bigrams as a column expression (zip_with pairing —
@@ -288,14 +297,18 @@ object TextAnalysis {
     * deterministic stand-in for LM-perplexity filtering (whose log-prob
     * sums are float-order-dependent and not oracle-comparable).
     *
-    * Shape: one explode, one count aggregation (the LM table), one
-    * equi-join back by bigram, one per-doc aggregation. At 100 TB the LM
-    * table is Zipf-truncatable (drop count-1 tail) and the join key is
-    * the bigram hash — the standard n-gram-LM scoring layout.
+    * Shape: one explode, one exchange. `bg` feeds BOTH the LM count and
+    * the probe side of the join-back, so it is repartitioned by bigram
+    * up front: exchange reuse then memoizes the exploded bigrams (one
+    * tokenization pass), the groupBy consumes the partitioning without a
+    * second shuffle, and the join finds both sides co-partitioned. At
+    * 100 TB the LM table is additionally Zipf-truncatable (drop the
+    * count-1 tail) — the standard n-gram-LM scoring layout.
     */
   def bigramCoverage(docs: DataFrame, minCount: Long = 3): DataFrame = {
     val bg = graft.engine.Spread(docs).select(col("doc_id"),
-      explode(bigramsOf(col("text"))).as("bigram"))
+        explode(bigramsOf(col("text"))).as("bigram"))
+      .repartition(col("bigram"))
     val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
     bg.join(lm, Seq("bigram"))
       .groupBy(col("doc_id"))

@@ -27,28 +27,15 @@ object DocStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Open the documents table as a file stream (same symlink-directory
-    * device as EventStream.readEvents: FileStreamSource wants a
-    * directory, testdata is a single read-only parquet file).
+  /** Open the documents table as a file stream (shared symlink-directory
+    * device: FileStreamSource wants a directory, testdata is a single
+    * read-only parquet file).
     */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        val d = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_docstream",
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-        java.nio.file.Files.createDirectories(d)
-        val link = d.resolve("documents.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, src)
-        d
-      }
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(documentsSchema)
-      .parquet(streamDir.toString)
-  }
+      .parquet(StreamDirs.fileStreamDir(dir, "documents.parquet",
+        "graft_docstream").toString)
 
   /** Continuous decontamination: every micro-batch of arriving documents
     * runs `Dedup.contamination` against the static eval set and hands the

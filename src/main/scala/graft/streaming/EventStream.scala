@@ -40,22 +40,10 @@ object EventStream {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        val d = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_stream",
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-        java.nio.file.Files.createDirectories(d)
-        val link = d.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, src)
-        d
-      }
     spark.readStream
       .schema(eventsSchema)
-      .parquet(streamDir.toString)
+      .parquet(StreamDirs.fileStreamDir(dir, "events.parquet",
+        "graft_stream").toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
