@@ -810,6 +810,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: incremental dedup (daily-ingest shape — admit
+    //      only new-shard docs that duplicate nothing already ingested;
+    //      new side broadcasts, corpus streams) ----
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.incrementalDedup(
+          docs.filter(col("doc_id") >= 450),
+          docs.filter(col("doc_id") < 450), minShared = 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: benchmark-contamination check (cross-corpus
     //      shingle overlap; tiny eval side broadcast, corpus streams) ----
     "q_contamination" -> ((s, dir) => {
@@ -2342,6 +2354,25 @@ object SparkEntry {
         |         coalesce(c_2, 0.0) + coalesce(c_3, 0.0) +
         |         coalesce(c_4, 0.0)) * 1e6 + 0.5) / 1e6 AS score
         |FROM piv ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""$shingleCte,
+         |exact_ids AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM documents n JOIN documents c ON n.text = c.text
+         |  WHERE n.doc_id >= 450 AND c.doc_id < 450),
+         |np AS (SELECT doc_id, unnest(sh) AS h FROM sh
+         |       WHERE doc_id >= 450),
+         |cp AS (SELECT DISTINCT h FROM (
+         |  SELECT unnest(sh) AS h FROM sh WHERE doc_id < 450)),
+         |near_ids AS (
+         |  SELECT np.doc_id FROM np JOIN cp USING (h)
+         |  GROUP BY np.doc_id HAVING count(*) >= 20)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id >= 450
+         |  AND doc_id NOT IN (SELECT doc_id FROM exact_ids
+         |                     UNION SELECT doc_id FROM near_ids)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       s"""$shingleCte,

@@ -129,6 +129,40 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** Incremental dedup — the daily-ingest shape: admit only new-shard
+    * documents that duplicate nothing in the already-ingested corpus.
+    * Exact tier: anti-join on the text. Near-dup tier: shingle-overlap
+    * anti-join (any shared-shingle count >= minShared rejects, the
+    * conservative web-pipeline rule).
+    *
+    * Scale shape: the NEW shard is the small side (a day's crawl vs the
+    * full corpus), so its posting list broadcasts and the corpus index
+    * streams map-side — the mirror image of `contamination`. The corpus
+    * never re-shuffles per ingest; in production the corpus side is the
+    * stored fingerprint/posting index, not a re-shingling of raw text.
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame, k: Int = 3,
+                       minShared: Long = 2): DataFrame = {
+    // both tiers stream the corpus against a broadcast of the new shard
+    val exactIds = corpus.select(col("text"))
+      .join(broadcast(newDocs.select(col("doc_id"), col("text"))),
+        Seq("text"))
+      .select(col("doc_id"))
+    val newPosts = graft.engine.Spread(newDocs)
+      .select(col("doc_id"), explode(shingleHashes(col("text"), k)).as("h"))
+    // per new doc: how many of its DISTINCT shingles the corpus contains
+    val nearDupIds = graft.engine.Spread(corpus)
+      .select(explode(shingleHashes(col("text"), k)).as("h"))
+      .distinct()
+      .join(broadcast(newPosts), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"))
+    newDocs.join(exactIds.unionByName(nearDupIds).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Cross-corpus contamination check — the benchmark-decontamination
     * shape every LLM training pipeline runs: which corpus documents share
     * at least `minShared` distinct word k-gram shingles with any document

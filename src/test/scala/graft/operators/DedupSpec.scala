@@ -38,6 +38,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("incremental dedup: exact dup and near-dup rejected, fresh admitted") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val newShard = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),  // exact dup of 1
+      (11L, "one two three four seven eight"),        // near dup of 2
+      (12L, "totally fresh words nothing shared here")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalDedup(newShard, corpus, minShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(12L))
+  }
+
   test("mega-bucket guard fails loudly instead of a quadratic expansion") {
     // 5 identical docs -> every shingle's posting list has 5 members;
     // with the bound forced to 4 the jaccard pass must throw the
