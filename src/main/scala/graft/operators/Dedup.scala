@@ -262,7 +262,10 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: posting list -> signatures (one codegen
     * agg) -> band keys -> candidates (docs sharing any band) -> exact
     * Jaccard verification via a candidate-restricted posting-list join.
-    * Deterministic end-to-end (fixed permutation family).
+    * Deterministic end-to-end (fixed permutation family). The estimator
+    * is Broder's min-wise resemblance (Broder, "On the resemblance and
+    * containment of documents", 1997); banding is the standard LSH
+    * amplification.
     */
   def minhashPairs(docs: DataFrame, tau: Double, k: Int = 3,
                    numPerms: Int = 32, bands: Int = 16): DataFrame = {
@@ -307,7 +310,9 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** SimHash 64-bit fingerprint over token hashes: bit j of the result is
+  /** SimHash 64-bit fingerprint over token hashes (Charikar's
+    * random-hyperplane rounding, STOC 2002; banded near-dup detection as
+    * in Manku/Jain/Sarma, WWW 2007): bit j of the result is
     * set iff the sum over tokens of (bit j set ? +1 : -1) is positive.
     * Expressed as a fold over the token-hash array producing 64 vote
     * counters — a narrow map, no shuffle.

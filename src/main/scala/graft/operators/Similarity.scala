@@ -148,7 +148,9 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
   }
 
-  /** Product-quantization (PQ) top-k with asymmetric-distance scoring.
+  /** Product-quantization (PQ) top-k with asymmetric-distance scoring
+    * (Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011 — ADC = their asymmetric distance computation).
     *
     * The third ANN scale path (after IVF and LSH): corpus vectors are
     * compressed to `subspaces` one-byte codes — vector `v` is split into
