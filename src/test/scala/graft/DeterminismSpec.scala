@@ -17,7 +17,12 @@ class DeterminismSpec extends SparkSpec {
     "q_sample", "q_dedup_minhash", "q_text_jaccard", "q_sessionize",
     "q_gapfill", "q_corpus_pipeline", "q_embed_pipeline", "q_stats",
     "q_unpivot", "q_stringagg", "q_scalar_math", "q_chargram_jaccard",
-    "q_dedup_cc")
+    "q_dedup_cc",
+    // round-3 shapes with float math, multi-pass windows, or cross-corpus
+    // joins whose shuffle layout must not leak into results
+    "q_bm25", "q_simsearch_pq", "q_winnow", "q_contamination",
+    "q_containment", "q_lm_coverage", "q_asof_nearest", "q_corr",
+    "q_session_window", "q_dedup_incremental", "q_repetition")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
