@@ -791,6 +791,15 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- north star: k-NN GRAPH construction (every vector's top-k
+    //      neighbors, LSH-bucketed candidates + exact ranking) — the
+    //      semantic-dedup/clustering precursor; all-pairs work bounded
+    //      by bucket co-membership, never a corpus cross join ----
+    "q_knn_graph" -> ((s, dir) => {
+      graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- north star: product-quantization top-k (codes + ADC lookup —
     //      the compressed-corpus ANN scale path) ----
     "q_simsearch_pq" -> ((s, dir) => {
@@ -2205,6 +2214,39 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk,
          |  cid, score
          |FROM s QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // the k-NN graph: q_simsearch_lsh's CTEs with every vector as a
+    // query (no vec_id < 10 gate), k = 3
+    "q_knn_graph" ->
+      s"""WITH hp AS (
+         |  SELECT j, list_transform(range(0, 64),
+         |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
+         |  FROM (SELECT unnest(range(0, 12)) AS j)),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT q.vec_id, hp.j,
+         |    CASE WHEN list_sum(list_transform(list_zip(q.qv, hp.h),
+         |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM q, hp),
+         |bandkeys AS (
+         |  SELECT vec_id, j // 3 AS band, sum(bit * (1 << (j % 3))) AS bk
+         |  FROM b GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
+         |  FROM bandkeys x JOIN bandkeys y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |  WHERE x.vec_id != y.vec_id),
+         |s AS (
+         |  SELECT c.qid, c.cid, ${qdotSql("a.embedding", "b.embedding")} AS score
+         |  FROM cand c JOIN embeddings a ON c.qid = a.vec_id
+         |              JOIN embeddings b ON c.cid = b.vec_id)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk,
+         |  cid, score
+         |FROM s QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
     // same hyperplane/band CTEs as q_dedup_lsh; candidates = corpus rows
     // sharing any band with a query, ranked by exact quantized dot

@@ -229,7 +229,7 @@ object Dedup {
     * in-bucket expansion is bounded by construction; `guardedBucket`
     * makes a violation loud.
     */
-  private def bandCandidatePairs(banded: DataFrame, id: String,
+  private[operators] def bandCandidatePairs(banded: DataFrame, id: String,
                                  outA: String, outB: String): DataFrame = {
     val buckets = banded.groupBy(col("band"), col("bk"))
       .agg(collect_list(col(id)).as("ids0"))

@@ -218,6 +218,41 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
   }
 
+  /** k-NN graph construction: every corpus vector's top-k neighbors —
+    * the precursor to semantic dedup and clustering. Candidates come
+    * from an LSH bucket SELF-join (`Dedup.bandCandidatePairs`: one
+    * shuffle by (band, key), in-bucket enumeration), NOT from
+    * `lshTopK(corpus, corpus)` — that path broadcasts the query side,
+    * which is the whole corpus here. Survivors rank by exact quantized
+    * dot with ties to the lower neighbor id; vectors sharing no bucket
+    * with k others emit fewer than k edges (standard LSH recall
+    * trade-off).
+    */
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 12, bands: Int = 4,
+               dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.lshBandKeys
+    // memo barrier: quantized vectors + band keys feed the banding and
+    // both sides of the scoring join (cf. Dedup.lshCosinePairs)
+    val prep = prepC(corpus)
+      .withColumn("bks", array(lshBandKeys(col("cv"), bits, bands, dim): _*))
+      .repartition(col("cid"))
+    val banded = prep.select(col("cid"),
+      posexplode(col("bks")).as(Seq("band", "bk")))
+    val undirected = Dedup.bandCandidatePairs(banded, "cid", "a", "b")
+    val edges = undirected.unionAll(
+      undirected.select(col("b").as("a"), col("a").as("b")))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    edges
+      .join(prep.select(col("cid").as("a"), col("cv").as("qv")), Seq("a"))
+      .join(prep.select(col("cid").as("b"), col("cv")), Seq("b"))
+      .select(col("a").as("qid"), col("b").as("cid"),
+        LongArrayDot(col("qv"), col("cv")).as("score"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
   /** LSH-bucketed top-k: the bucketed alternative to IVF when no trained
     * quantizer exists. Corpus and queries get random-hyperplane band
     * signatures (same deterministic family as `Dedup.lshCosinePairs`);

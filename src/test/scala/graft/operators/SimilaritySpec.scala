@@ -112,6 +112,17 @@ class SimilaritySpec extends SparkSpec {
       s"ADC not exact for codebook member pair $k2") }
   }
 
+  test("knnGraph (bucket self-join) == lshTopK with corpus as queries") {
+    val graph = Similarity.knnGraph(e, k = 3)
+      .select("qid", "rnk", "cid", "score")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val viaTopK = Similarity.lshTopK(e, e, k = 3)
+      .select("qid", "rnk", "cid", "score")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(graph == viaTopK)
+    assert(graph.nonEmpty)
+  }
+
   test("IVF with nprobe = nlist probes everything -> equals brute force") {
     val bf = Similarity.bruteForceTopK(queries, e, k = 3)
       .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
