@@ -74,6 +74,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q_knn_graph: candidates come from the band-key shuffle — never " +
+       "a cartesian or nested-loop pass over the corpus") {
+    val p = plan("q_knn_graph")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_contamination: eval posting list broadcasts; the corpus side " +
        "is never shuffled before the join") {
     val p = plan("q_contamination")
