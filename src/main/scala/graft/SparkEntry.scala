@@ -896,6 +896,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: model-based quality filter (batch inference —
+    //      fixed-weight logistic scorer over quality features; one
+    //      narrow codegen'd expression, no shuffle beyond the feature
+    //      aggregation) ----
+    "q_quality_model" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val scored = TextAnalysis.qualityModelScore(
+        TextAnalysis.qualityPosting(t(s, dir, "documents")),
+        weights = Seq("type_token_ratio" -> 2.0,
+          "avg_token_len" -> -0.3, "stopword_ratio" -> 1.5),
+        bias = -0.5)
+      scored
+        .select(col("doc_id"),
+          (floor(col("q_score") * 1e6 + 0.5) / 1e6).as("q_score"),
+          when(col("q_score") >= 0.5, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: document fingerprinting (rolling hash) ----
     "q_fingerprint" -> ((s, dir) => {
       graft.operators.TextAnalysis.fingerprints(t(s, dir, "documents"))
@@ -2544,6 +2562,33 @@ object SparkEntry {
          |SELECT doc_id, list_min(sh) AS fp_min, list_max(sh) AS fp_max,
          |  CAST(len(sh) AS BIGINT) AS fp_n
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // logistic scorer over the q_quality features: the weighted sum
+    // folds left-to-right in the same order as the Spark side, so the
+    // IEEE logits agree bit-for-bit before the belt-and-braces round
+    "q_quality_model" ->
+      """WITH x AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(ts)) AS DOUBLE) / greatest(len(ts), 1)
+        |      AS ttr,
+        |    CAST(length(text) - (len(ts) - 1) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS atl,
+        |    CAST(len(list_filter(ts,
+        |        t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS swr
+        |  FROM x),
+        |sc AS (
+        |  SELECT doc_id,
+        |    1.0 / (1.0 + exp(-(-0.5 + ttr * 2.0 + atl * -0.3
+        |      + swr * 1.5))) AS q_score
+        |  FROM f)
+        |SELECT doc_id,
+        |  floor(q_score * 1e6 + 0.5) / 1e6 AS q_score,
+        |  CASE WHEN q_score >= 0.5 THEN 1 ELSE 0 END AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_normalize" ->
       """SELECT doc_id,

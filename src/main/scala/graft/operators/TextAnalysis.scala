@@ -176,6 +176,26 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1))).as("stopword_ratio"))
   }
 
+  /** Fixed-weight logistic quality scorer — the batch-INFERENCE shape of
+    * model-based corpus filtering (the fastText-quality-classifier
+    * stand-in): score = sigmoid(bias + sum w_i * feature_i) over the
+    * `qualityFeatures` columns, keep = score above threshold. Weights
+    * arrive as plain literals (in production, broadcast from a trained
+    * model); scoring is one narrow codegen'd expression per row — model
+    * application at 100 TB is a map, never a shuffle. The weighted sum
+    * folds in the caller-given order, so the IEEE result is reproducible
+    * and oracle-comparable.
+    */
+  def qualityModelScore(features: DataFrame,
+                        weights: Seq[(String, Double)],
+                        bias: Double): DataFrame = {
+    val logit = weights.foldLeft(lit(bias): Column) {
+      case (acc, (c, w)) => acc + col(c) * lit(w)
+    }
+    features.withColumn("q_score",
+      lit(1.0) / (lit(1.0) + exp(-logit)))
+  }
+
   /** Hashed term-frequency features (HashingTF shape): tokens bucketed by
     * stable hash mod `numBuckets`, one (doc, bucket, tf) row per non-zero
     * bucket — the sparse representation that feeds quality classifiers.
