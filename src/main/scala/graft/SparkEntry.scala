@@ -733,6 +733,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: semantic split-leakage check (embedding-space
+    //      decontamination — train vectors cosine-similar to holdout;
+    //      holdout broadcasts, train streams) ----
+    "q_split_leakage" -> ((s, dir) => {
+      graft.operators.Dedup.semanticLeakage(
+          t(s, dir, "embeddings"), folds = 10, holdoutFold = 0,
+          tauNum = 4, tauDen = 10)
+        .orderBy(col("t_id"), col("h_id"))
+    }),
+
     // ---- north star: LSH-bucketed cosine near-dup (random-hyperplane
     //      signatures; the no-blocking-column scale path) ----
     "q_dedup_lsh" -> ((s, dir) => {
@@ -2713,6 +2723,29 @@ object SparkEntry {
          |FROM pair JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
          |WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // deterministic hash-fold split, quantized-cosine gate across the
+    // train/holdout boundary (same md5 fold as q_sample)
+    "q_split_leakage" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    ${hashSql("CAST(vec_id AS VARCHAR)")} % 10 AS fold,
+         |    embedding
+         |  FROM embeddings),
+         |h AS (SELECT vec_id AS h_id, embedding AS he FROM e
+         |      WHERE fold = 0),
+         |t AS (SELECT vec_id AS t_id, embedding AS te FROM e
+         |      WHERE fold != 0),
+         |p AS (
+         |  SELECT t_id, h_id,
+         |    ${qdotSql("te", "he")} AS d,
+         |    ${qnormSql("te")} AS tn,
+         |    ${qnormSql("he")} AS hn
+         |  FROM t, h)
+         |SELECT t_id, h_id FROM p
+         |WHERE d > 0
+         |  AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(tn AS HUGEINT) * hn
+         |ORDER BY t_id, h_id""".stripMargin,
 
     "q_dedup_lsh" ->
       s"""WITH hp AS (

@@ -538,6 +538,38 @@ object Dedup {
       .drop("component")
   }
 
+  /** Semantic split-leakage detection — the embedding-space complement
+    * of `contamination`: which TRAIN vectors are cosine-similar (>=
+    * tauNum/tauDen, exact quantized gate) to any HOLDOUT/eval vector?
+    * N-gram decontamination misses paraphrases; this catches them at the
+    * representation level. The split is the deterministic hash fold
+    * (`Sampling.foldId`), so train/holdout membership is reproducible
+    * across runs and engines.
+    *
+    * Scale shape: the holdout is a fixed small fraction, so its
+    * quantized vectors broadcast and the train side streams one pass —
+    * no shuffle of the corpus (swap in LSH banding via `lshCosinePairs`
+    * machinery when the holdout outgrows the broadcast budget).
+    */
+  def semanticLeakage(embs: DataFrame, folds: Int, holdoutFold: Int,
+                      tauNum: Int, tauDen: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{quantize, qcosineGate}
+    import graft.plans.LongArrayDot
+    val withFold = embs.withColumn("fold",
+      graft.operators.Sampling.foldId(col("vec_id"), folds))
+    def prep(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
+        .withColumn(n, LongArrayDot(col(v), col(v)))
+    val holdout = prep(withFold.filter(col("fold") === holdoutFold),
+      "h_id", "hv", "hn")
+    val train = prep(withFold.filter(col("fold") =!= holdoutFold),
+      "t_id", "tv", "tn")
+    train.crossJoin(broadcast(holdout))
+      .withColumn("d", LongArrayDot(col("tv"), col("hv")))
+      .filter(qcosineGate(col("d"), col("tn"), col("hn"), tauNum, tauDen))
+      .select(col("t_id"), col("h_id"))
+  }
+
   /** Random-hyperplane LSH near-dup over embeddings (SimHash for
     * vectors): `bits` fixed hyperplanes give each vector a sign bit per
     * plane; bits are banded, vectors sharing any band key become

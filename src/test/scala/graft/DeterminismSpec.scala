@@ -22,7 +22,8 @@ class DeterminismSpec extends SparkSpec {
     // joins whose shuffle layout must not leak into results
     "q_bm25", "q_simsearch_pq", "q_winnow", "q_contamination",
     "q_containment", "q_lm_coverage", "q_asof_nearest", "q_corr",
-    "q_session_window", "q_dedup_incremental", "q_repetition")
+    "q_session_window", "q_dedup_incremental", "q_repetition",
+    "q_knn_graph", "q_quality_model", "q_split_leakage")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
