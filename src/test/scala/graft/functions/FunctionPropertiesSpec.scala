@@ -43,6 +43,26 @@ class FunctionPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("winnow: fingerprints are a non-empty subset of the positional " +
+       "hashes, at most one per window position") {
+    val textGen = Gen.listOfN(60,
+      Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    check(Prop.forAll(textGen) { s =>
+      val row = Seq(Tuple1(s)).toDF("text")
+        .select(graft.plans.RollingShingleHashes(col("text"), 8).as("sh"))
+        .select(col("sh"),
+          graft.operators.TextAnalysis.winnow(col("sh"), 4).as("fps"))
+        .head()
+      val hashes = row.getSeq[Long](0)
+      val fps = row.getSeq[Long](1)
+      val windows = math.max(hashes.length - 3, if (hashes.isEmpty) 0 else 1)
+      fps.nonEmpty == hashes.nonEmpty &&
+        fps.toSet.subsetOf(hashes.toSet) &&
+        fps.distinct.length == fps.length &&
+        fps.length <= windows
+    })
+  }
+
   test("stable hash: deterministic and non-negative") {
     check(Prop.forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
       val out = Seq(s, s).toDF("s")
