@@ -357,6 +357,24 @@ object SparkEntry {
       s.sql(tpch5Sql)
     }),
 
+    // ---- SQL API parity: TPC-H Q6 shape (revenue-change forecast) —
+    //      the pure filter+aggregate: every predicate reaches the
+    //      parquet scan (row-group pruning on l_shipdate) and the plan
+    //      is scan -> two-phase aggregate, one single-row exchange ----
+    "q_sql_tpch6" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch6Sql)
+    }),
+
+    // ---- SQL API parity: TPC-H Q10 shape (returned-item reporting) —
+    //      fact-fact join under a selective date probe, nation
+    //      broadcast, top-20 by exact decimal revenue planned as a
+    //      distributed top-k (TakeOrderedAndProject) ----
+    "q_sql_tpch10" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch10Sql)
+    }),
+
     // ---- window: range frame (value-based bounds) ----
     "q_window_range" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -1290,6 +1308,97 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- argmin/argmax aggregation — the deterministic struct-max
+    //      idiom: built-in max_by/min_by break value ties arbitrarily;
+    //      max/min over a (price, key) struct pin ties to the extreme
+    //      key in ONE aggregation pass, engine-portably ----
+    "q_argminmax" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(struct(col("o_totalprice"), col("o_orderkey"))).as("mx"),
+          min(struct(col("o_totalprice"), col("o_orderkey"))).as("mn"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          col("mx.o_orderkey").as("max_key"),
+          col("mx.o_totalprice").as("max_price"),
+          col("mn.o_orderkey").as("min_key"),
+          col("mn.o_totalprice").as("min_price"),
+          col("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- anomaly detection: per-type z-score over exact decimal
+    //      moments (the q_stats machinery); the tiny stats table
+    //      broadcasts back onto the stream — at 100 TB this is one scan
+    //      + a map-side join, the facts are never re-shuffled ----
+    "q_zscore" -> ((s, dir) => {
+      val x = col("value").cast("decimal(18,6)")
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum((x * x).cast("decimal(28,12)")).cast("double").as("sxx"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("sd",
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)))
+      ev.join(
+          broadcast(stats.select(col("event_type"), col("mean"), col("sd"))),
+          Seq("event_type"))
+        .withColumn("z", (col("value") - col("mean")) / col("sd"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"), col("value"),
+          (floor(col("z") * 1e6 + 0.5) / 1e6).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- robust outliers: median absolute deviation (5×MAD rule) —
+    //      two exact-percentile passes with broadcast join-backs; the
+    //      moment-free complement of q_zscore for heavy-tailed data.
+    //      The threshold uses the ROUNDED mad so the boundary value is
+    //      the identical double on both engines ----
+    "q_mad" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("floor(percentile(value, 0.5) * 1e6 + 0.5) / 1e6")
+          .as("med"))
+      val dv = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = dv.groupBy(col("event_type"))
+        .agg(expr("floor(percentile(ad, 0.5) * 1e6 + 0.5) / 1e6").as("mad"))
+      dv.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("ad") > lit(5) * col("mad"), 1).otherwise(0))
+            .cast("long").as("n_out"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- time-series downsampling: irregular events -> hourly grid
+    //      per type (last observation via the deterministic struct-max,
+    //      exact decimal mean). Complements q_gapfill, which fills the
+    //      empty slots; one shuffle on the (type, hour) grid key ----
+    "q_resample" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(
+          max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("hour_start"),
+          col("last.event_id").as("last_event_id"),
+          col("last.value").as("last_value"),
+          (col("sv") / col("n")).as("avg_value"),
+          col("n"))
+        .orderBy(col("event_type"), col("hour_start"))
+    }),
+
     // ---- edit-distance near-dup over short strings (exact DP) ----
     "q_editdist" -> ((s, dir) => {
       val p = t(s, dir, "part").filter(col("p_partkey") <= 200)
@@ -1447,6 +1556,42 @@ object SparkEntry {
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY l_returnflag
       |ORDER BY shipmode""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch6 (revenue-change forecast):
+    * the pure filter+aggregate — every predicate is parquet-pushdown
+    * eligible and the plan is scan -> two-phase aggregate, nothing else.
+    * Discount bounds written as >=/<= on the exact double literals.
+    */
+  private val tpch6Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice * l_discount
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch10 (returned-item report):
+    * top-20 customers by exact-decimal lost revenue; the unique
+    * c_custkey tie-break makes the LIMIT deterministic.
+    */
+  private val tpch10Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
 
   /** Shared Spark/DuckDB SQL for q_not_in (null-aware anti join shape;
     * the subquery column is non-null here, so semantics equal plain anti
@@ -1729,6 +1874,90 @@ object SparkEntry {
     "q_sql_tpch18" -> tpch18Sql,
 
     "q_sql_tpch5" -> tpch5Sql,
+    "q_sql_tpch6" -> tpch6Sql,
+    "q_sql_tpch10" -> tpch10Sql,
+
+    // struct-max argmin/argmax: ties resolved exactly like Spark's
+    // lexicographic struct ordering (max -> larger key, min -> smaller)
+    "q_argminmax" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rx,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rx = 1 THEN o_orderkey END) AS max_key,
+        |  max(CASE WHEN rx = 1 THEN o_totalprice END) AS max_price,
+        |  max(CASE WHEN rn = 1 THEN o_orderkey END) AS min_key,
+        |  max(CASE WHEN rn = 1 THEN o_totalprice END) AS min_price,
+        |  count(*) AS n
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // z-score anomalies from exact decimal sums; mean/sd/z are the
+    // identical IEEE expressions on both engines
+    "q_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type),
+        |z AS (
+        |  SELECT event_id, e.event_type, value,
+        |    (value - sx / n) /
+        |      sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+        |  FROM events e JOIN s ON e.event_type = s.event_type)
+        |SELECT event_id, event_type, value,
+        |  floor(z * 1e6 + 0.5) / 1e6 AS z
+        |FROM z WHERE abs(z) > 3 ORDER BY event_id""".stripMargin,
+
+    // MAD outliers: med and mad rounded to 1e-6 BEFORE the 5×MAD
+    // threshold so the boundary is the identical double on both engines
+    "q_mad" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, abs(value - med) AS ad, med
+        |  FROM events JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type,
+        |    floor(quantile_cont(ad, 0.5) * 1e6 + 0.5) / 1e6 AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type,
+        |  min(med) AS med, min(mad) AS mad, count(*) AS n,
+        |  CAST(sum(CASE WHEN ad > 5 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // hourly downsample: last observation = (ts, event_id, value)
+    // struct-max == row_number over the same DESC ordering
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |    CAST(ts AS TIMESTAMP) AS tsu, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, hour_start
+        |      ORDER BY tsu DESC, event_id DESC, value DESC) AS rn
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, hour_start, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY event_type, hour_start)
+        |SELECT a.event_type, a.hour_start,
+        |  r.event_id AS last_event_id, r.value AS last_value,
+        |  sv / n AS avg_value, n
+        |FROM a JOIN r ON a.event_type = r.event_type
+        |             AND a.hour_start = r.hour_start
+        |WHERE r.rn = 1
+        |ORDER BY a.event_type, a.hour_start""".stripMargin,
 
     "q_sql_tpch12" -> tpch12Sql,
 
