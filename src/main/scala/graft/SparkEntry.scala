@@ -910,6 +910,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: PMI collocations (multi-word expressions) — one
+    //      ln over an exact integer ratio, so score and ranking are
+    //      engine-identical; top-k plans as TakeOrderedAndProject ----
+    "q_pmi" -> ((s, dir) => {
+      graft.operators.TextAnalysis.pmiCollocations(
+        t(s, dir, "documents"), minCount = 5, topN = 50)
+    }),
+
+    // ---- north star: token-distribution entropy (diversity/quality
+    //      signal) — per-term micro-nat quantization keeps the fold
+    //      exact integer math; two shuffles, no joins ----
+    "q_entropy" -> ((s, dir) => {
+      graft.operators.TextAnalysis.tokenEntropy(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: language-ID heuristic (single tokenization pass:
     //      explode + one conditional-count aggregation; the column form
     //      would re-tokenize once per language under project-collapsing) ----
@@ -2740,6 +2756,51 @@ object SparkEntry {
         |    PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
         |  FROM c)
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    // PMI from one ln over an exact integer ratio; n_bg = n_uni - n_docs
+    // (t tokens -> t-1 adjacent bigrams per doc, corpus texts non-empty)
+    "q_pmi" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS n_uni,
+        |               CAST(sum(len(ts)) AS BIGINT) - count(*) AS n_bg
+        |        FROM tok),
+        |uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM tok)
+        |       GROUP BY w),
+        |bc AS (SELECT bg, count(*) AS c_xy FROM (
+        |         SELECT unnest(list_transform(range(1, len(ts)),
+        |           i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)]))
+        |           AS bg
+        |         FROM tok)
+        |       GROUP BY bg HAVING count(*) >= 5)
+        |SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+        |  c_xy, u1.c AS c_x, u2.c AS c_y,
+        |  floor(ln(CAST(c_xy * n_uni * n_uni AS DOUBLE) /
+        |           CAST(n_bg * u1.c * u2.c AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS pmi
+        |FROM bc
+        |JOIN uc u1 ON split_part(bg, ' ', 1) = u1.w
+        |JOIN uc u2 ON split_part(bg, ' ', 2) = u2.w
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 50""".stripMargin,
+
+    // per-term micro-nat quantization (floor(c ln c * 1e6) as BIGINT)
+    // makes the entropy fold exact integer math on both engines
+    "q_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY doc_id, w),
+        |e AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CAST(floor(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  floor((ln(n_tokens) - s / 1e6 / n_tokens) * 1e6 + 0.5) / 1e6
+        |    AS entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q_lm_coverage" ->
       """WITH w AS (

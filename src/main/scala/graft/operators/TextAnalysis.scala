@@ -340,6 +340,77 @@ object TextAnalysis {
           greatest(col("n_bigrams"), lit(1L))).as("coverage"))
   }
 
+  /** PMI collocations — pointwise mutual information over adjacent
+    * word pairs, the classic multi-word-expression detector (Church &
+    * Hanks, "Word Association Norms, Mutual Information, and
+    * Lexicography", 1990). PMI(x,y) = ln(p(xy) / (p(x) p(y))) computed
+    * as ONE ln over an exact integer ratio:
+    *   c_xy * n_uni^2 / (n_bg * c_x * c_y)
+    * so the double (and hence the ranking) is engine-identical — no
+    * float accumulation anywhere. n_bg = n_uni - n_docs (every doc with
+    * t tokens yields t-1 adjacent bigrams; corpus texts are non-empty),
+    * saving a separate bigram-total pass.
+    *
+    * Shape: two token passes (unigram counts, bigram counts), two joins
+    * of the bigram table against the vocab table, a broadcast of the
+    * single-row totals, and a distributed top-k (orderBy+limit plans as
+    * TakeOrderedAndProject — no global sort). At 100 TB the vocab join
+    * is the standard Zipf-skew risk; `minCount` prunes the bigram side
+    * before both joins.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+                      topN: Int = 50): DataFrame = {
+    val spread = graft.engine.Spread(docs)
+    val uni = spread.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = spread.agg(
+      sum(size(tokens(col("text")))).cast("long").as("n_uni"),
+      count(lit(1)).as("n_docs"))
+      .select(col("n_uni"), (col("n_uni") - col("n_docs")).as("n_bg"))
+    val bg = spread.select(explode(bigramsOf(col("text"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", floor(log(
+        (col("c_xy") * col("n_uni") * col("n_uni")).cast("double") /
+          (col("n_bg") * col("c_x") * col("c_y")).cast("double"))
+        * 1e6 + 0.5) / 1e6)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Per-document token-distribution (Shannon) entropy — the diversity/
+    * quality signal that separates natural text from degenerate
+    * repetition. H = ln(n) - (Σ c_i ln c_i) / n over per-doc token
+    * counts c_i; each ln-term is quantized to integer micro-nats
+    * (floor(c ln c * 1e6)) BEFORE the sum, so the aggregation is exact
+    * integer math and the result is engine-identical regardless of
+    * partition order.
+    *
+    * Shape: two shuffles — (doc, token) count, then per-doc fold. Pure
+    * streaming aggregation, no joins; at 100 TB this is the cheapest
+    * quality column after plain length stats.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    graft.engine.Spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(floor(col("c") * log(col("c")) * 1e6).cast("long")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (floor((log(col("n_tokens")) -
+          col("s") / 1e6 / col("n_tokens")) * 1e6 + 0.5) / 1e6)
+          .as("entropy"))
+
   /** BM25 relevance scores for a fixed term set — the retrieval-grade
     * ranking function (quality filtering / targeted corpus selection at
     * training-data scale). One posting-list pass computes per-(doc, term)
