@@ -1324,6 +1324,25 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- bloom-pruned join: the explicit runtime-filter pattern. A
+    //      bloom filter built over the (selective) dim keys is applied
+    //      map-side at the fact scan — at 100 TB this discards ~all
+    //      non-matching rows BEFORE the join shuffle; the exact
+    //      semi-join afterwards removes the bloom's false positives, so
+    //      the result (and the oracle) is the plain semi-join ----
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "supplier").filter(col("s_acctbal") > 8000)
+        .select(col("s_suppkey"))
+      graft.engine.BloomPrune.semiJoin(
+          t(s, dir, "lineitem"), dim, "l_suppkey", "s_suppkey",
+          expectedItems = 25L, numBits = 400L)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ---- argmin/argmax aggregation — the deterministic struct-max
     //      idiom: built-in max_by/min_by break value ties arbitrarily;
     //      max/min over a (price, key) struct pin ties to the extreme
@@ -1892,6 +1911,17 @@ object SparkEntry {
     "q_sql_tpch5" -> tpch5Sql,
     "q_sql_tpch6" -> tpch6Sql,
     "q_sql_tpch10" -> tpch10Sql,
+
+    // the bloom pre-filter is semantics-free (false positives removed by
+    // the exact semi-join), so the oracle is the plain semi-join
+    "q_bloom_join" ->
+      """SELECT l_suppkey, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                    WHERE s_acctbal > 8000)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     // struct-max argmin/argmax: ties resolved exactly like Spark's
     // lexicographic struct ordering (max -> larger key, min -> smaller)
