@@ -1047,6 +1047,32 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // ---- north star CAPSTONE: ensemble dedup — jaccard OR containment
+    //      votes from ONE overlap pass, unioned with exact-text pairs
+    //      (catches sub-shingle-width docs), then connected components
+    //      -> keep-canonical. The full detectors-vote-pairs composition
+    //      a production corpus dedup runs ----
+    "q_dedup_ensemble" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.keepCanonical(docs,
+          graft.operators.Dedup.ensemblePairs(docs, tauJ = 0.3, tauC = 0.5))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: audio window featurization (STFT-style frame/hop
+    //      flatMap over binary payloads; stub DSP kernel, real windowing
+    //      dataflow + exact integer byte stats) ----
+    "q_audio" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.audioWindows(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text",
+            "audio"),
+          winBytes = 256, hopBytes = 128)
+        .toDF()
+        .orderBy(col("media_id"), col("win_no"))
+    }),
+
     // ---- as-of join: each purchase matched to the user's latest
     //      prior click (union+window, one shuffle — no range explosion) ----
     "q_asof" -> ((s, dir) => {
@@ -2422,6 +2448,65 @@ object SparkEntry {
 
     // recursive CTE computes the same transitive closure (set-semantics
     // UNION converges); component = min reachable doc_id on both sides
+    // detectors vote pairs (one overlap scan scores both metrics; exact
+    // tier via text equality), union -> reachability labels -> survivors
+    // (docs that are their component's minimum, or unpaired)
+    "q_dedup_ensemble" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |pair AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |gp AS (
+         |  SELECT d1, d2 FROM pair
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
+         |     OR inter * 1.0 / least(s1.n, s2.n) >= 0.5),
+         |tp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |       FROM documents a JOIN documents b
+         |         ON a.text = b.text AND a.doc_id < b.doc_id),
+         |ap AS (SELECT d1, d2 FROM gp UNION SELECT d1, d2 FROM tp),
+         |e AS (SELECT d1 AS a, d2 AS b FROM ap
+         |      UNION ALL SELECT d2 AS a, d1 AS b FROM ap),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+         |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM lab WHERE component < node)
+         |ORDER BY doc_id""".stripMargin,
+
+    // STFT-style byte windows (win 256, hop 128, trailing partial kept);
+    // ASCII corpus text -> unicode(char) == byte value; list_reduce's
+    // first-element seed equals the zero-seeded Horner fold
+    "q_audio" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(length(text) / 128.0) AS BIGINT)))
+        |      AS k
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, CAST(k AS INT) AS win_no,
+        |    k * 128 AS start_byte,
+        |    substr(text, CAST(k * 128 + 1 AS INT), 256) AS seg
+        |  FROM w),
+        |b AS (
+        |  SELECT doc_id, win_no, start_byte,
+        |    list_transform(range(1, length(seg) + 1),
+        |      i -> CAST(unicode(substr(seg, CAST(i AS INT), 1)) AS BIGINT))
+        |      AS bs
+        |  FROM seg)
+        |SELECT doc_id AS media_id, win_no, start_byte,
+        |  CAST(len(bs) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(bs) AS BIGINT) AS amp_sum,
+        |  CAST(list_max(bs) AS INT) AS peak,
+        |  CAST(list_reduce(bs, (a, c) -> (31 * a + c) % 1000000007)
+        |    AS BIGINT) AS checksum
+        |FROM b ORDER BY media_id, win_no""".stripMargin,
+
     "q_dedup_cc" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),

@@ -131,6 +131,47 @@ object Multimodal {
     }
   }
 
+  /** One analysis window over an audio payload (STFT-style layout:
+    * fixed window length, fixed hop, trailing partial window kept).
+    */
+  final case class AudioWindow(
+      media_id: Long, win_no: Int, start_byte: Long, n_bytes: Long,
+      amp_sum: Long, peak: Int, checksum: Long)
+
+  /** Overlapping fixed-size windows over audio payloads — the
+    * frame/hop dataflow every audio featurizer (STFT, VAD, fingerprint)
+    * needs. Window starts at k*hopBytes for every k with a start inside
+    * the payload; the stub "features" are exact integer byte stats
+    * (amplitude sum, peak, modular polynomial checksum) standing in for
+    * the real DSP kernel, which would replace only the loop body.
+    */
+  def audioWindows(audio: Dataset[MediaRow], winBytes: Int,
+                   hopBytes: Int): Dataset[AudioWindow] = {
+    import audio.sparkSession.implicits._
+    require(winBytes > 0 && hopBytes > 0)
+    audio.mapPartitions { iter =>
+      // real DSP context (FFT plan, codec) would be allocated here
+      iter.flatMap { m =>
+        val n = m.payload.length
+        val nWins = if (n == 0) 0 else (n + hopBytes - 1) / hopBytes
+        (0 until nWins).iterator.map { k =>
+          val from = k * hopBytes
+          val until = math.min(from + winBytes, n)
+          var sum = 0L; var chk = 0L; var peak = 0; var i = from
+          while (i < until) {
+            val b = m.payload(i) & 0xff
+            sum += b
+            if (b > peak) peak = b
+            chk = (31 * chk + b) % 1000000007L
+            i += 1
+          }
+          AudioWindow(m.media_id, k, from.toLong, (until - from).toLong,
+            sum, peak, chk)
+        }
+      }
+    }
+  }
+
   /** Wrap any DataFrame with a binary column into the typed media schema. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
               kind: String): Dataset[MediaRow] = {

@@ -102,6 +102,36 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         col("containment"))
 
+  /** Ensemble near-dup pairs: jaccard >= tauJ OR containment >= tauC
+    * from ONE overlap pass (both metrics are functions of the same
+    * (inter, n1, n2) row — the second detector is free), unioned with
+    * exact-text pairs. The exact tier is NOT redundant: documents
+    * shorter than the shingle width k have empty shingle sets and are
+    * invisible to the overlap metrics, but still exact-duplicate.
+    *
+    * This is the production composition: detectors vote pairs, the
+    * union feeds one connectedComponents -> keep-canonical pass (see
+    * `keepCanonical`).
+    */
+  def ensemblePairs(docs: DataFrame, tauJ: Double, tauC: Double,
+                    k: Int = 3, maxPostings: Int = 0): DataFrame = {
+    val overlap = overlapPairsFromSets(
+      graft.engine.Spread(docs).select(col("doc_id"),
+        shingleHashes(col("text"), k).as("sh")),
+      maxPostings)
+      .filter(
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")) >= tauJ) ||
+        (col("inter").cast("double") / least(col("n1"), col("n2")) >= tauC))
+      .select(col("d1"), col("d2"))
+    val a = docs.select(col("doc_id").as("d1"), col("text"))
+    val b = docs.select(col("doc_id").as("d2"), col("text"))
+    val exactPairs = a.join(b, Seq("text"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    overlap.unionByName(exactPairs).distinct()
+  }
+
   /** Raw overlap counts (d1 < d2, inter, set sizes) shared by the
     * jaccard/containment gates (see the shuffle-shape note above).
     */

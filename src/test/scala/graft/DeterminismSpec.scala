@@ -23,7 +23,11 @@ class DeterminismSpec extends SparkSpec {
     "q_bm25", "q_simsearch_pq", "q_winnow", "q_contamination",
     "q_containment", "q_lm_coverage", "q_asof_nearest", "q_corr",
     "q_session_window", "q_dedup_incremental", "q_repetition",
-    "q_knn_graph", "q_quality_model", "q_split_leakage")
+    "q_knn_graph", "q_quality_model", "q_split_leakage",
+    // round-4 shapes: ensemble pair union + cc, percentile join-backs,
+    // exact-ratio ln scores, grid downsample struct-max
+    "q_dedup_ensemble", "q_mad", "q_zscore", "q_pmi", "q_entropy",
+    "q_resample", "q_bloom_join")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
