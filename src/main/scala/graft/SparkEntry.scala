@@ -366,6 +366,14 @@ object SparkEntry {
       s.sql(tpch6Sql)
     }),
 
+    // ---- SQL API parity: TPC-H Q14 shape (promotion effect) — the
+    //      conditional-share idiom: two exact-decimal CASE-sums over a
+    //      broadcast part join, combined into one ratio ----
+    "q_sql_tpch14" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch14Sql)
+    }),
+
     // ---- SQL API parity: TPC-H Q10 shape (returned-item reporting) —
     //      fact-fact join under a selective date probe, nation
     //      broadcast, top-20 by exact decimal revenue planned as a
@@ -1394,22 +1402,11 @@ object SparkEntry {
     //      broadcasts back onto the stream — at 100 TB this is one scan
     //      + a map-side join, the facts are never re-shuffled ----
     "q_zscore" -> ((s, dir) => {
-      val x = col("value").cast("decimal(18,6)")
+      import graft.operators.Anomaly
       val ev = t(s, dir, "events")
-      val stats = ev.groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(x).cast("double").as("sx"),
-          sum((x * x).cast("decimal(28,12)")).cast("double").as("sxx"))
-        .withColumn("mean", col("sx") / col("n"))
-        .withColumn("sd",
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
-            (col("n") - 1)))
-      ev.join(
-          broadcast(stats.select(col("event_type"), col("mean"), col("sd"))),
-          Seq("event_type"))
-        .withColumn("z", (col("value") - col("mean")) / col("sd"))
-        .filter(abs(col("z")) > 3)
+      Anomaly.zOutliers(ev,
+          Anomaly.groupStats(ev, "event_type", "value"),
+          "event_type", "value", threshold = 3.0)
         .select(col("event_id"), col("event_type"), col("value"),
           (floor(col("z") * 1e6 + 0.5) / 1e6).as("z"))
         .orderBy(col("event_id"))
@@ -1653,6 +1650,28 @@ object SparkEntry {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch14 (promotion effect): the
+    * conditional-share idiom — both CASE-sums are exact decimals, the
+    * percentage is one double ratio (identical IEEE expression), and the
+    * single-row result needs no ORDER BY.
+    */
+  private val tpch14Sql: String =
+    """SELECT
+      |  floor(100.0 *
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+      |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(18,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |    AS promo_pct,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+      |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
 
   /** Shared Spark/DuckDB SQL for q_not_in (null-aware anti join shape;
     * the subquery column is non-null here, so semantics equal plain anti
@@ -1937,6 +1956,7 @@ object SparkEntry {
     "q_sql_tpch5" -> tpch5Sql,
     "q_sql_tpch6" -> tpch6Sql,
     "q_sql_tpch10" -> tpch10Sql,
+    "q_sql_tpch14" -> tpch14Sql,
 
     // the bloom pre-filter is semantics-free (false positives removed by
     // the exact semi-join), so the oracle is the plain semi-join

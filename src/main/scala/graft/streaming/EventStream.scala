@@ -176,6 +176,18 @@ object EventStream {
         col("click_id"), col("c_ts"))
   }
 
+  /** Streaming anomaly detection: each micro-batch is scored against a
+    * STATIC per-group stats snapshot (mean/sd from the exact batch
+    * aggregation, graft.operators.Anomaly.groupStats) via a broadcast
+    * join, keeping |z| > threshold rows. Stateless and shuffle-free —
+    * the model-snapshot scoring shape: a scheduled batch job refreshes
+    * the snapshot; the stream never re-aggregates history.
+    */
+  def detectAnomalies(events: DataFrame, stats: DataFrame,
+                      threshold: Double = 3.0): DataFrame =
+    graft.operators.Anomaly.zOutliers(events, stats, "event_type", "value",
+      threshold)
+
   /** Stream-static enrichment join: every micro-batch joins against a
     * static dimension snapshot. Broadcast keeps it stateless and
     * shuffle-free — the standard shape for attaching user/item metadata

@@ -142,4 +142,18 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.count() > 0)
   }
+
+  test("streaming anomaly detection == batch q_zscore on the same data") {
+    val stats = graft.operators.Anomaly.groupStats(
+      graft.engine.Readers.events(spark, sf()), "event_type", "value")
+    val streamed = EventStream.runToMemory(
+      EventStream.detectAnomalies(EventStream.readEvents(spark, sf()), stats),
+      "anomaly_out")
+      .select(col("event_id"), col("event_type"), col("value"),
+        (floor(col("z") * 1e6 + 0.5) / 1e6).as("z"))
+      .orderBy(col("event_id"))
+    val batch = graft.SparkEntry.queries("q_zscore")(spark, sf())
+    assert(streamed.collect().sameElements(batch.collect()))
+    assert(streamed.count() > 0)
+  }
 }
