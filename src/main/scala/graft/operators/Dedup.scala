@@ -54,6 +54,77 @@ object Dedup {
         TextAnalysis.charShingleHashes("text", k).as("sh")),
       tau, maxPostings)
 
+  /** Prefix-filtered exact Jaccard pairs (AllPairs; Bayardo, Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007) —
+    * identical output to `jaccardPairsFromSets`, asymptotically cheaper
+    * candidate generation.
+    *
+    * The naive path enumerates Σ_h df_h² in-bucket pairs — THE scaling
+    * term on shared-vocabulary corpora (hot shingles quadratically
+    * dominate). Prefix filtering orders every doc's shingles by global
+    * rarity (ascending (df, h)) and enumerates pairs only among each
+    * doc's first m - ceil(tau·m) + 1 shingles: if two docs share NO
+    * prefix shingle, their intersection fits inside one suffix and is
+    * provably < tau·|union| — no qualifying pair is lost. Hot shingles
+    * sort to the suffixes, so hot buckets all but vanish from pair
+    * generation; candidates are then verified with an exact sorted-set
+    * intersection.
+    *
+    * Singleton shingles (df = 1) are dropped before prefixing — they
+    * cannot produce pairs, and the bound stays sound on the reduced
+    * sets because inter >= tau·|A| >= tau·|A'|. Original set sizes ride
+    * along for the exact jaccard. `maxPostings` keeps its meaning
+    * (shingles above the cap are excluded from candidates AND from the
+    * verified intersection, exactly like the naive path's bucket drop).
+    */
+  private[operators] def jaccardPairsFromSetsPrefix(
+      sets: DataFrame, tau: Double, maxPostings: Int): DataFrame = {
+    val posts = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h"))
+    val dfreq0 = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dfreq = if (maxPostings <= 0) dfreq0.filter(col("df") >= 2)
+                else dfreq0.filter(col("df").between(2, maxPostings))
+    // per-doc rarity-sorted reduced set; one aggregation feeds the
+    // prefix explode AND both verification sides (memo barrier)
+    val perDoc = posts.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("n")).as("n"),
+        sort_array(collect_list(struct(col("df"), col("h")))).as("dh"))
+      .withColumn("m", size(col("dh")))
+      .withColumn("p",
+        (col("m") - ceil(lit(tau) * col("m")) + 1).cast("int"))
+      .withColumn("sh2",
+        sort_array(transform(col("dh"), x => x.getField("h"))))
+      .select(col("doc_id"), col("n"), col("dh"), col("p"), col("sh2"))
+      .repartition(col("doc_id"))
+    val prefixPosts = perDoc
+      .select(col("doc_id"),
+        explode(slice(col("dh"), lit(1), col("p"))).as("x"))
+      .select(col("doc_id"), col("x.h").as("h"))
+    val byShingle = prefixPosts.groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ds0"))
+      .filter(size(col("ds0")) >= 2)
+    val cands = byShingle
+      .select(guardedBucket(col("ds0"), "prefix posting",
+        byShingle.schema("ds0").dataType.catalogString).as("ds"))
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y > x),
+          y => struct(x.as("d1"), y.as("d2")))))).as("pr"))
+      .select(col("pr.d1").as("d1"), col("pr.d2").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val m1 = perDoc.select(col("doc_id").as("d1"), col("n").as("n1"),
+      col("sh2").as("sh1"))
+    val m2 = perDoc.select(col("doc_id").as("d2"), col("n").as("n2"),
+      col("sh2").as("shB"))
+    cands.join(m1, "d1").join(m2, "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("shB"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        col("jaccard"))
+  }
+
   /** Shared pair pipeline over (doc_id, sh: array<long>) distinct-shingle
     * sets — the whole DAG is a narrow hash pass plus exactly TWO shuffles.
     *
@@ -74,8 +145,25 @@ object Dedup {
     * count is tractable at all fits comfortably in one aggregation
     * buffer.
     */
+  /** Default = direct enumeration: MEASURED 2.5x faster than the prefix
+    * path at sf0.1 (chargram k=16: 6.4s vs 16.6s) because this corpus's
+    * Σ_h df_h² is small (12.5M) and the prefix path pays three extra
+    * shuffles plus two per-doc sorts plus a per-candidate set
+    * intersection. Switch callers to `jaccardPairsFromSetsPrefix` when
+    * hot shingles make Σ df² the dominant term (shared boilerplate /
+    * short grams: char-3-grams here measure Σ df² = 2.2e9, 175x this
+    * corpus's k=16 value) — the outputs are property-proven identical.
+    */
   private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
                                    maxPostings: Int): DataFrame =
+    jaccardPairsFromSetsNaive(sets, tau, maxPostings)
+
+  /** The direct pair pipeline (enumerates EVERY in-bucket pair); also
+    * the reference implementation the property spec checks
+    * `jaccardPairsFromSetsPrefix` against.
+    */
+  private[operators] def jaccardPairsFromSetsNaive(
+      sets: DataFrame, tau: Double, maxPostings: Int): DataFrame =
     overlapPairsFromSets(sets, maxPostings)
       .withColumn("jaccard",
         col("inter").cast("double") /

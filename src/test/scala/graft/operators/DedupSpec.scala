@@ -38,6 +38,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("prefix-filtered jaccard == naive enumeration on the fixture corpus") {
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    for ((mkSets, tau) <- Seq(
+        ((d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"),
+          graft.operators.TextAnalysis.shingleHashes(col("text"), 3)
+            .as("sh")), 0.3),
+        ((d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"),
+          graft.operators.TextAnalysis.charShingleHashes("text", 16)
+            .as("sh")), 0.5))) {
+      val sets = mkSets(corpus)
+      val naive = Dedup.jaccardPairsFromSetsNaive(sets, tau, 0)
+        .orderBy("d1", "d2").collect().map(_.toString)
+      val pref = Dedup.jaccardPairsFromSetsPrefix(sets, tau, 0)
+        .orderBy("d1", "d2").collect().map(_.toString)
+      assert(pref.sameElements(naive))
+      assert(naive.nonEmpty || tau > 0.9) // fixture has near-dups
+    }
+  }
+
+  test("prefix-filtered jaccard honors maxPostings like the naive path") {
+    val sets = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.shingleHashes(col("text"), 2).as("sh"))
+    val naive = Dedup.jaccardPairsFromSetsNaive(sets, 0.2, 2)
+      .orderBy("d1", "d2").collect().map(_.toString)
+    val pref = Dedup.jaccardPairsFromSetsPrefix(sets, 0.2, 2)
+      .orderBy("d1", "d2").collect().map(_.toString)
+    assert(pref.sameElements(naive))
+  }
+
   test("incremental dedup: exact dup and near-dup rejected, fresh admitted") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
