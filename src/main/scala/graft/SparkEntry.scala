@@ -1081,6 +1081,41 @@ object SparkEntry {
         .orderBy(col("media_id"), col("win_no"))
     }),
 
+    // ---- north star: k-means clustering (Lloyd) over embeddings —
+    //      deterministic end-to-end: lowest-id init, exact integer
+    //      argmin assignment (|c|^2 - 2<v,c> on quantized vectors, ties
+    //      to the lower centroid), truncating integer mean update,
+    //      empty cells keep their centroid. Two training iterations +
+    //      final cell census, oracle-replicated iteration-for-iteration
+    //      in SQL. Scale shape per iteration: one broadcast of the
+    //      centroid table + one (cent, pos) shuffle — the corpus is
+    //      never shuffled ----
+    "q_kmeans" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.quantize
+      import graft.plans.LongArrayDot
+      val e = t(s, dir, "embeddings")
+      val cents = graft.operators.Similarity.trainCentroids(
+        e, nlist = 8, iters = 2)
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("dist2c").asc, col("cent_id").asc)
+      val census = e
+        .select(col("vec_id").as("vid"), quantize(col("embedding")).as("cv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist2c",
+          LongArrayDot(col("cent_v"), col("cent_v")) -
+            lit(2L) * LongArrayDot(col("cv"), col("cent_v")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("n_members"))
+      cents.join(census, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          LongArrayDot(col("cent_v"), col("cent_v")).as("cnorm2"),
+          element_at(col("cent_v"), 1).as("c0"),
+          element_at(col("cent_v"), 33).as("c32"))
+        .orderBy(col("cent_id"))
+    }),
+
     // ---- as-of join: each purchase matched to the user's latest
     //      prior click (union+window, one shuffle — no range explosion) ----
     "q_asof" -> ((s, dir) => {
@@ -1747,6 +1782,65 @@ object SparkEntry {
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
        |    z -> z[1] * z[2])) AS BIGINT)""".stripMargin
 
+  /** One Lloyd iteration as DuckDB CTEs (assign -> integer-mean update ->
+    * empty-cell carryover), mirroring Similarity.trainCentroids exactly:
+    * argmin |c|^2 - 2<v,c> with ties to the lower cent_id, and trunc()
+    * matching Spark's toward-zero long cast of the double mean.
+    */
+  private def kmeansIterSql(inCents: String, outA: String, outM: String,
+                            outC: String): String =
+    s"""$outA AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id, q.cv, $inCents.cent_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${ldotSql(s"$inCents.cent_v", s"$inCents.cent_v")}
+       |        - 2 * ${ldotSql("q.cv", s"$inCents.cent_v")} ASC,
+       |        $inCents.cent_id ASC) AS rk
+       |    FROM q CROSS JOIN $inCents)
+       |  WHERE rk = 1),
+       |$outM AS (
+       |  SELECT cent_id, list(m ORDER BY pos) AS cent_v FROM (
+       |    SELECT cent_id, u.pos,
+       |      CAST(trunc(sum(u.q) * 1.0 / count(*)) AS BIGINT) AS m
+       |    FROM $outA, LATERAL (SELECT unnest(cv) AS q,
+       |                 generate_subscripts(cv, 1) AS pos) u
+       |    GROUP BY cent_id, u.pos)
+       |  GROUP BY cent_id),
+       |$outC AS (
+       |  SELECT cent_id, cent_v FROM $outM
+       |  UNION ALL
+       |  SELECT cent_id, cent_v FROM $inCents
+       |  WHERE cent_id NOT IN (SELECT cent_id FROM $outM))"""
+
+  /** Full two-iteration k-means + final cell census (= q_kmeans). */
+  private lazy val kmeansSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cent_id, cv AS cent_v FROM q
+       |  ORDER BY vec_id LIMIT 8),
+       |${kmeansIterSql("c0", "a1", "m1", "c1")},
+       |${kmeansIterSql("c1", "a2", "m2", "c2")},
+       |af AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id, c2.cent_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${ldotSql("c2.cent_v", "c2.cent_v")}
+       |        - 2 * ${ldotSql("q.cv", "c2.cent_v")} ASC,
+       |        c2.cent_id ASC) AS rk
+       |    FROM q CROSS JOIN c2)
+       |  WHERE rk = 1),
+       |cnt AS (SELECT cent_id, count(*) AS n_members FROM af
+       |        GROUP BY cent_id)
+       |SELECT c2.cent_id,
+       |  COALESCE(cnt.n_members, 0) AS n_members,
+       |  ${ldotSql("c2.cent_v", "c2.cent_v")} AS cnorm2,
+       |  c2.cent_v[1] AS c0, c2.cent_v[33] AS c32
+       |FROM c2 LEFT JOIN cnt USING (cent_id)
+       |ORDER BY c2.cent_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ingest_lineitem" ->
       """SELECT l_orderkey, l_linenumber,
@@ -1953,6 +2047,7 @@ object SparkEntry {
     // DuckDB; doubles sum exactly: l_quantity is integral)
     "q_sql_tpch18" -> tpch18Sql,
 
+    "q_kmeans" -> kmeansSql,
     "q_sql_tpch5" -> tpch5Sql,
     "q_sql_tpch6" -> tpch6Sql,
     "q_sql_tpch10" -> tpch10Sql,

@@ -27,7 +27,7 @@ class DeterminismSpec extends SparkSpec {
     // round-4 shapes: ensemble pair union + cc, percentile join-backs,
     // exact-ratio ln scores, grid downsample struct-max
     "q_dedup_ensemble", "q_mad", "q_zscore", "q_pmi", "q_entropy",
-    "q_resample", "q_bloom_join")
+    "q_resample", "q_bloom_join", "q_kmeans")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
