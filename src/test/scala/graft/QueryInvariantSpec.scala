@@ -202,4 +202,60 @@ class QueryInvariantSpec extends SparkSpec {
       assert((disc * 100 - math.rint(disc * 100)).abs < 1e-9)
     }
   }
+
+  test("kmeans: 8 cells, members cover the corpus exactly once") {
+    val rows = q("q_kmeans").collect()
+    assert(rows.length == 8)
+    val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == corpus)
+  }
+
+  test("pmi: scores descend and every collocation meets minCount") {
+    val rows = q("q_pmi").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getDouble(5))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getLong(2) >= 5)) // c_xy >= minCount
+  }
+
+  test("entropy: bounded by ln(n_types) and zero for single-type docs") {
+    q("q_entropy").collect().foreach { r =>
+      val (types, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= -1e-6 && h <= math.log(types.toDouble) + 1e-6)
+    }
+  }
+
+  test("bloom join: result keys are exactly the high-balance suppliers " +
+       "with lineitems") {
+    val keys = q("q_bloom_join").collect().map(_.getLong(0)).toSet
+    val expect = spark.read.parquet(s"${sf()}/supplier.parquet")
+      .filter(col("s_acctbal") > 8000)
+      .join(spark.read.parquet(s"${sf()}/lineitem.parquet")
+        .select(col("l_suppkey").as("s_suppkey")).distinct(),
+        Seq("s_suppkey"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(keys == expect)
+  }
+
+  test("ensemble dedup: survivors + dropped == corpus; canonical ids kept") {
+    val survivors = q("q_dedup_ensemble").collect().map(_.getLong(0)).toSet
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(corpus))
+    // every exact-duplicate group keeps exactly its minimum id
+    val dupGroups = spark.read.parquet(s"${sf()}/documents.parquet")
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .collect().map(_.getSeq[Long](1))
+    dupGroups.foreach { ids =>
+      assert(survivors.contains(ids.min))
+      assert(ids.filterNot(_ == ids.min).forall(!survivors.contains(_)))
+    }
+  }
+
+  test("resample: per-cell n sums to the event count") {
+    val events = engine.Readers.events(spark, sf()).count()
+    assert(q("q_resample").agg(sum(col("n"))).collect().head.getLong(0)
+      == events)
+  }
 }
