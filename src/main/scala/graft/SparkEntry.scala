@@ -1107,7 +1107,7 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .groupBy(col("cent_id")).agg(count(lit(1)).as("n_members"))
-      cents.join(census, Seq("cent_id"), "left")
+      cents.join(broadcast(census), Seq("cent_id"), "left")
         .select(col("cent_id"),
           coalesce(col("n_members"), lit(0L)).as("n_members"),
           LongArrayDot(col("cent_v"), col("cent_v")).as("cnorm2"),

@@ -94,4 +94,44 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_bloom_join: the bloom literal filters AT the fact scan, " +
+       "upstream of a broadcast semi join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), p)
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sql_tpch6: every predicate reaches the parquet scan") {
+    val p = plan("q_sql_tpch6")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+           pushed.contains("l_quantity"), pushed)
+  }
+
+  test("q_sql_tpch10: top-20 plans as distributed top-k; nation broadcasts") {
+    val p = plan("q_sql_tpch10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_pmi: final top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_pmi")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_zscore: the stats snapshot broadcasts back over the facts") {
+    val p = plan("q_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_kmeans: centroid tables broadcast in every iteration — the " +
+       "corpus is never sort-merge joined") {
+    val p = plan("q_kmeans")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 1, p)
+  }
 }

@@ -19,6 +19,14 @@ class BloomPruneSpec extends SparkSpec {
     assert(plain.sameElements(Array(3L, 41L, 500L, 1999L)))
   }
 
+  test("empty dimension yields an empty (not failing) pruned join") {
+    val fact = (1L to 100L).toDF("k")
+    val dim = Seq.empty[Long].toDF("dk")
+    // bloomOf aggregates nothing -> null bloom; might_contain(null) is
+    // null -> all rows filtered, which matches the empty semi join
+    assert(BloomPrune.semiJoin(fact, dim, "k", "dk").count() == 0)
+  }
+
   test("pre-filter never drops a true match (no false negatives)") {
     val fact = (1L to 5000L).toDF("k")
     val dimKeys = (1L to 5000L by 7).toSeq
