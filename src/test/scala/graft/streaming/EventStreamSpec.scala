@@ -143,6 +143,63 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("late data beyond the watermark is dropped from its window") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_late").toString
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def writeBatch(sub: String, rows: Seq[(String, String, Double)]): Unit = {
+      import spark.implicits._
+      rows.toDF("t", "event_type", "value")
+        .select(to_timestamp(col("t")).as("ts"), col("event_type"),
+          col("value"))
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      // one file per micro-batch, ordered by mtime
+      Files.list(Paths.get(s"$dir/$sub")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, Paths.get(dir, s"$sub.parquet"))
+      }
+    }
+    // two separate query RUNS over one checkpoint: the watermark is
+    // recovered from state, so run 2 sees run 1's 11:30 watermark and
+    // must drop the 10:45 straggler for the already-closed 10:00 window
+    val ckpt = Files.createTempDirectory("graft_late_ckpt").toString
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    def run(): Unit = {
+      val q = EventStream.windowedCounts(
+          spark.readStream.schema(sch).parquet(dir),
+          watermark = "1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows }; ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // run 1: three on-time events in the 10:00 window; the 12:30 event
+    // advances the watermark to 11:30, closing (emitting) that window
+    writeBatch("b1", Seq(
+      ("2024-01-01 10:05:00", "click", 1.0),
+      ("2024-01-01 10:20:00", "click", 1.0),
+      ("2024-01-01 10:40:00", "click", 1.0),
+      ("2024-01-01 12:30:00", "click", 1.0)))
+    run()
+    // run 2: a LATE event for the closed 10:00 window (10:45 < recovered
+    // watermark 11:30) must be dropped, never re-emitted or re-counted
+    writeBatch("b2", Seq(
+      ("2024-01-01 10:45:00", "click", 1.0),
+      ("2024-01-01 13:40:00", "click", 1.0)))
+    run()
+    val w10 = emitted.filter(_.getTimestamp(0).toString.contains("10:00"))
+    assert(w10.length == 1)            // closed exactly once
+    assert(w10.head.getLong(2) == 3L)  // the late fourth event is absent
+  }
+
   test("streaming anomaly detection == batch q_zscore on the same data") {
     val stats = graft.operators.Anomaly.groupStats(
       graft.engine.Readers.events(spark, sf()), "event_type", "value")
