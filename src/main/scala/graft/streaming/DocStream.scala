@@ -50,4 +50,26 @@ object DocStream {
         sink(graft.operators.Dedup.contamination(batch, evalSet, k, minShared))
       }
       .start()
+
+  /** Continuous ingest-time dedup: every arriving shard is admitted only
+    * where it duplicates nothing in the STORED corpus
+    * (`Dedup.incrementalDedup` per micro-batch — the exact batch
+    * operator, so stream and batch admissions agree by construction).
+    * Same stateless-per-batch rationale as `decontaminate`: the arriving
+    * shard is the small broadcast side; the corpus index streams. Note
+    * the corpus snapshot is static per query run — admitting batch A
+    * does not block a duplicate in batch B; production re-snapshots the
+    * corpus (or unions recent admissions) between runs, the same
+    * trade-off every ingest pipeline makes between index freshness and
+    * re-index cost.
+    */
+  def dedupIncremental(docsStream: DataFrame, corpus: DataFrame,
+                       k: Int = 3, minShared: Long = 2)
+                      (sink: DataFrame => Unit): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.incrementalDedup(batch, corpus, k,
+          minShared))
+      }
+      .start()
 }

@@ -32,4 +32,24 @@ class DocStreamSpec extends SparkSpec {
     assert(want.nonEmpty, "batch contamination found nothing at this SF")
     assert(got == want)
   }
+
+  test("foreachBatch incremental dedup == batch incrementalDedup") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 450)
+    val stream = DocStream.readDocuments(spark, sf())
+      .filter(col("doc_id") >= 450)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = DocStream.dedupIncremental(stream, corpus,
+        minShared = 20) { admitted =>
+      buf.synchronized { buf ++= admitted.select("doc_id").collect() }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val got = buf.map(_.getLong(0)).sorted.toSeq
+    val want = graft.operators.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= 450), corpus, minShared = 20)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(want.nonEmpty, "batch incremental dedup admitted nothing")
+    assert(got == want)
+  }
 }
