@@ -366,6 +366,16 @@ object SparkEntry {
       s.sql(tpch6Sql)
     }),
 
+    // ---- SQL API parity: TPC-H Q4 shape (order-priority checking) —
+    //      EXISTS decorrelated to a left-semi join under an aggregate;
+    //      pure integer counts. The synthetic lineitem has no
+    //      l_commitdate/l_receiptdate; the l_quantity predicate stands
+    //      in, preserving the correlated-EXISTS-with-filter shape ----
+    "q_sql_tpch4" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch4Sql)
+    }),
+
     // ---- SQL API parity: TPC-H Q14 shape (promotion effect) — the
     //      conditional-share idiom: two exact-decimal CASE-sums over a
     //      broadcast part join, combined into one ratio ----
@@ -1686,6 +1696,19 @@ object SparkEntry {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** Shared Spark/DuckDB SQL for q_sql_tpch4 (order-priority checking):
+    * correlated EXISTS under an aggregate, integer counts only.
+    */
+  private val tpch4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Shared Spark/DuckDB SQL for q_sql_tpch14 (promotion effect): the
     * conditional-share idiom — both CASE-sums are exact decimals, the
     * percentage is one double ratio (identical IEEE expression), and the
@@ -2051,6 +2074,7 @@ object SparkEntry {
     "q_sql_tpch5" -> tpch5Sql,
     "q_sql_tpch6" -> tpch6Sql,
     "q_sql_tpch10" -> tpch10Sql,
+    "q_sql_tpch4" -> tpch4Sql,
     "q_sql_tpch14" -> tpch14Sql,
 
     // the bloom pre-filter is semantics-free (false positives removed by
