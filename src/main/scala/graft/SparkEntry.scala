@@ -1602,8 +1602,358 @@ object SparkEntry {
           floor(col("l_tax") * 100).cast("long").as("t_floor"),
           signum(col("l_discount") - 0.05).cast("int").as("sgn"),
           greatest(col("l_quantity"), col("l_tax") * 100).as("g"))
+    }),
+
+    // ---- SQL API parity: TPC-H Q7 shape (volume shipping) — the
+    //      symmetric nation-pair disjunction over a 6-table join; both
+    //      nation sides broadcast, revenue is exact decimal per
+    //      (supp_nation, cust_nation, year) cell ----
+    "q_sql_tpch7" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch7Sql)
+    }),
+
+    // ---- SQL API parity: TPC-H Q8 shape (national market share) — the
+    //      widest join in the suite (8 tables); the share is a ratio of
+    //      two exact decimal sums per year (identical IEEE division on
+    //      both engines) ----
+    "q_sql_tpch8" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch8Sql)
+    }),
+
+    // ---- SQL API parity: TPC-H Q13 shape (customer order-count
+    //      distribution) — LEFT OUTER with an ON-clause filter (kept
+    //      customers with zero surviving orders count 0), then a
+    //      histogram over the counts; pure integers ----
+    "q_sql_tpch13" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch13Sql)
+    }),
+
+    // ---- SQL API parity: TPC-H Q15 shape (top supplier) — CTE used
+    //      twice (revenue per supplier + its max); the equality gate is
+    //      on the exact DECIMAL revenue, so the argmax is engine-stable
+    //      without any float comparison ----
+    "q_sql_tpch15" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch15Sql)
+    }),
+
+    // ---- SQL API parity: TPC-H Q17 shape (small-quantity revenue) —
+    //      the per-part average gate, decorrelated to an aggregate join;
+    //      `q < 0.2 * avg` is rearranged to the integer-exact
+    //      `q * 5 * cnt < sum` so the boundary is bit-identical ----
+    "q_sql_tpch17" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch17Sql)
+    }),
+
+    // ---- SQL API parity: TPC-H Q19 shape (discounted revenue) — the
+    //      three-arm disjunctive predicate over a part join: Catalyst
+    //      extracts the common p_partkey equi-condition and pushes the
+    //      OR into a post-join filter ----
+    "q_sql_tpch19" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch19Sql)
+    }),
+
+    // ---- SQL API parity: TPC-H Q20 shape (excess inventory) — nested
+    //      IN subqueries with a HAVING gate: part probe -> per-supplier
+    //      shipped-quantity aggregate -> supplier semi join ----
+    "q_sql_tpch20" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch20Sql)
+    }),
+
+    // ---- SQL API parity: TPC-H Q21 shape (waiting suppliers) — the
+    //      EXISTS + NOT EXISTS pair over lineitem self-joins (another
+    //      supplier contributed / no other supplier was late);
+    //      l_returnflag='R' stands in for the missing receipt/commit
+    //      dates, preserving both correlated quantifiers ----
+    "q_sql_tpch21" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch21Sql)
+    }),
+
+    // ---- SQL API parity: TPC-H Q22 shape (global sales opportunity) —
+    //      substring-derived country code, positive-balance average as
+    //      an exact scalar subquery (rearranged to `bal * cnt > sum`),
+    //      and a NOT EXISTS anti join against orders ----
+    "q_sql_tpch22" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch22Sql)
+    }),
+
+    // ---- north star: token-budget sequence packing (the loader-facing
+    //      packing manifest) — hash-sharded streams, per-shard running
+    //      token offsets, bins cut at budget boundaries. Per-shard
+    //      window only: no global sort anywhere ----
+    "q_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Curation.packShards(d, col("doc_id"),
+          size(split(col("text"), " ")), shards = 8, budget = 512L)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("bin"))
+    }),
+
+    // ---- north star: deterministic corpus interleave (reproducible
+    //      global shuffle) — per-shard md5 order, arithmetic round-robin
+    //      merge; the 100 TB path is shard files walked round-robin ----
+    "q_interleave" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Curation.interleave(d, col("doc_id"), shards = 4)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+          col("global_pos"))
+        .orderBy(col("global_pos"))
+    }),
+
+    // ---- north star: domain-mixture rebalancing — per-language keep
+    //      rates (deterministic hash folds, no RNG) with the realized
+    //      mixture reported against the original distribution ----
+    "q_mixture" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val d = t(s, dir, "documents")
+      val orig = d.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+      val kept = Sampling.stratifiedSample(d, col("doc_id"), col("lang"),
+          rates = Map("en" -> 2, "zh" -> 8), defaultNum = 5, den = 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      orig.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_orig"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- north star: k-fold cross-validation assignment — salted hash
+    //      folds (decoupled from every other hash split in the
+    //      pipeline); per-(fold, lang) census proves balance ----
+    "q_folds" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(graft.operators.Curation.cvFold(col("doc_id"), 5).as("fold"),
+          col("lang"), col("n_chars"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("fold"), col("lang"))
+    }),
+
+    // ---- north star: curriculum binning — quartiles over token count
+    //      (rank-based ntile, ties broken by doc_id: engine-identical
+    //      without float thresholds). At 100 TB the bin boundaries come
+    //      from an approx-quantile pass broadcast back as a map-side
+    //      CASE; ntile here keeps the oracle exact ----
+    "q_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = Window.orderBy(col("n_tok"), col("doc_id"))
+      d.select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("bin", ntile(4).over(w).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("bin"))
+    }),
+
+    // ---- north star: split-drift integrity check — per-language counts
+    //      in two deterministic hash-halves plus the absolute skew; one
+    //      conditional-aggregation pass, integers only ----
+    "q_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Curation.halfDrift(d, col("doc_id"), col("lang"))
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang"))
     })
   )
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch7 (volume shipping): the
+    * symmetric nation-pair disjunction; year extracted as BIGINT on both
+    * engines, revenue exact decimal.
+    */
+  private val tpch7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+      |      AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch8 (national market share):
+    * ratio of two exact decimal sums — the division is one double op on
+    * identical operands, so the share is bit-identical cross-engine.
+    */
+  private val tpch8Sql: String =
+    """SELECT o_year,
+      |  CAST(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+      |                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      |     / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+      |      AS volume,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer,
+      |       nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey
+      |    AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |    AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    AND p_type = 'ECONOMY'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch13 (order-count histogram):
+    * LEFT OUTER with an ON-clause filter, two stacked aggregations,
+    * integers end-to-end.
+    */
+  private val tpch13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch15 (top supplier): the
+    * revenue CTE feeds both the per-supplier join and the max scalar
+    * subquery; the argmax equality is on the exact DECIMAL.
+    */
+  private val tpch15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch17 (small-quantity revenue):
+    * the avg gate `q < 0.2 * avg` rearranged to `q * 5 * cnt < sum` —
+    * decimal-exact, so the boundary rows agree bit-for-bit. p_type
+    * stands in for the missing p_container.
+    */
+  private val tpch17Sql: String =
+    """SELECT
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / 7.0 AS DOUBLE) AS avg_yearly,
+      |  count(*) AS n
+      |FROM lineitem, part,
+      |  (SELECT l_partkey AS a_partkey, count(*) AS cnt,
+      |     sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      |   FROM lineitem GROUP BY l_partkey) agg
+      |WHERE p_partkey = l_partkey AND a_partkey = l_partkey
+      |  AND p_brand = 'Brand#11' AND p_type = 'SMALL'
+      |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch19 (discounted revenue, the
+    * disjunctive-predicate probe): three brand/size/quantity arms OR'd
+    * over one part equi-join.
+    */
+  private val tpch19Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |        AND l_quantity >= 1 AND l_quantity <= 11)
+      |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |        AND l_quantity >= 10 AND l_quantity <= 20)
+      |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch20 (excess inventory):
+    * nested IN subqueries — part-name probe, per-supplier shipped
+    * quantity with a HAVING gate, supplier semi join.
+    */
+  private val tpch20Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN
+      |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 400)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch21 (waiting suppliers): the
+    * correlated EXISTS + NOT EXISTS pair over lineitem self-joins;
+    * l_returnflag = 'R' stands in for the missing receipt/commit dates.
+    */
+  private val tpch21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_tpch22 (global sales
+    * opportunity): country code from a name substring, the positive-
+    * balance average gate rearranged to the exact `bal * cnt > sum`,
+    * NOT EXISTS against urgent orders (every synthetic customer has
+    * SOME order, so the plain anti join would be empty).
+    */
+  private val tpch22Sql: String =
+    """WITH pos AS (
+      |  SELECT count(*) AS cnt,
+      |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+      |  FROM customer
+      |  WHERE c_acctbal > 0.0
+      |    AND substr(c_name, 17, 2)
+      |        IN ('00','11','22','33','44','55','66'))
+      |SELECT substr(c_name, 17, 2) AS cntrycode, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS totacctbal
+      |FROM customer, pos
+      |WHERE substr(c_name, 17, 2)
+      |      IN ('00','11','22','33','44','55','66')
+      |  AND CAST(c_acctbal AS DECIMAL(18,2)) * cnt > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY substr(c_name, 17, 2)
+      |ORDER BY cntrycode""".stripMargin
 
   /** Shared Spark/DuckDB SQL for q_sql_tpch18 (TPC-H Q18 shape: HAVING
     * subquery -> aggregate + semi join; 250 keeps ~200 orders at sf0.01).
@@ -2171,6 +2521,110 @@ object SparkEntry {
         |ORDER BY a.event_type, a.hour_start""".stripMargin,
 
     "q_sql_tpch12" -> tpch12Sql,
+    "q_sql_tpch7" -> tpch7Sql,
+    "q_sql_tpch8" -> tpch8Sql,
+    "q_sql_tpch13" -> tpch13Sql,
+    "q_sql_tpch15" -> tpch15Sql,
+    "q_sql_tpch17" -> tpch17Sql,
+    "q_sql_tpch19" -> tpch19Sql,
+    "q_sql_tpch20" -> tpch20Sql,
+    "q_sql_tpch21" -> tpch21Sql,
+    "q_sql_tpch22" -> tpch22Sql,
+
+    // token-budget packing manifest: hash shards, per-shard running
+    // offsets, bins cut every 512 tokens (mirrors Curation.packShards)
+    "q_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ${hashSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT shard,
+         |  CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT)
+         |    AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    // deterministic interleave: per-shard md5 order, round-robin merge
+    "q_interleave" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ${hashSql("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+         |    md5(CAST(doc_id AS VARCHAR) || ':shuf') AS sort_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, shard,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY sort_key, doc_id) AS BIGINT) AS pos_in_shard
+         |  FROM t)
+         |SELECT doc_id, shard, pos_in_shard,
+         |  (pos_in_shard - 1) * 4 + shard AS global_pos
+         |FROM r ORDER BY global_pos""".stripMargin,
+
+    // mixture rebalancing: hash-fold keep rates en 2/10, zh 8/10,
+    // default 5/10 (the q_sample fold family, different rates)
+    "q_mixture" ->
+      s"""WITH orig AS (
+         |  SELECT lang, count(*) AS n_orig FROM documents GROUP BY lang),
+         |kept AS (
+         |  SELECT lang, count(*) AS n_kept,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |  FROM documents
+         |  WHERE ${hashSql("CAST(doc_id AS VARCHAR)")} % 10 <
+         |    CASE WHEN lang = 'en' THEN 2
+         |         WHEN lang = 'zh' THEN 8 ELSE 5 END
+         |  GROUP BY lang)
+         |SELECT orig.lang AS lang, n_orig,
+         |  COALESCE(n_kept, 0) AS n_kept,
+         |  COALESCE(chars_kept, 0) AS chars_kept
+         |FROM orig LEFT JOIN kept ON orig.lang = kept.lang
+         |ORDER BY lang""".stripMargin,
+
+    // salted k-fold assignment census (salt ':cv' decouples from the
+    // q_sample fold family)
+    "q_folds" ->
+      s"""SELECT ${hashSql("CAST(doc_id AS VARCHAR) || ':cv'")} % 5
+         |    AS fold,
+         |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents
+         |GROUP BY fold, lang
+         |ORDER BY fold, lang""".stripMargin,
+
+    // curriculum quartiles over token count, rank-based (ntile), ties
+    // broken by doc_id
+    "q_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars, n_tok,
+        |    CAST(ntile(4) OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT bin, count(*) AS n, min(n_tok) AS min_tok,
+        |  max(n_tok) AS max_tok, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // hash-half drift census (salt ':drift'), integers only
+    "q_drift" ->
+      s"""SELECT lang,
+         |  CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_a,
+         |  CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_b,
+         |  CAST(abs(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)
+         |    - sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)) AS BIGINT)
+         |    AS skew
+         |FROM (SELECT lang,
+         |    ${hashSql("CAST(doc_id AS VARCHAR) || ':drift'")} % 2 AS h
+         |  FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

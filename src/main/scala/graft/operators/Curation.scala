@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash.stableHash60
+
+/** Corpus-curation operators for training-data assembly: sequence
+  * packing, deterministic interleaving, k-fold assignment, and
+  * distribution-drift checks. The reference has no analogue (it moves
+  * tables verbatim, SURVEY §0); these are the north-star operators a
+  * training pipeline runs between dedup and the data loader.
+  *
+  * Design rules shared with [[Sampling]]:
+  *   - everything keys on a stable content hash ([[stableHash60]]) —
+  *     never RNG, row position, or partition id — so results are
+  *     identical across runs, engines, and repartitions;
+  *   - per-shard windows, never a single global window: every window
+  *     below is `partitionBy(shard)`, so the work spreads over
+  *     `shards` independent streams and no task sees more than
+  *     |corpus|/shards rows. At 100 TB pick shards ~ O(total tokens /
+  *     10^9) and each stream stays executor-sized.
+  */
+object Curation {
+
+  /** Deterministic shard id in [0, shards) for a document key. */
+  def shardId(key: Column, shards: Int): Column =
+    stableHash60(key.cast("string")) % shards
+
+  /** Token-budget packing: documents are hash-bucketed into `shards`
+    * independent streams; each stream is ordered by `orderCol` and cut
+    * into consecutive bins at every `budget`-token boundary (a document
+    * belongs to the bin its FIRST token falls in — the streaming-chunk
+    * rule, so bin assignment is a pure function of the running offset).
+    *
+    * Output: one row per document with (shard, bin, n_tok, cum) — the
+    * loader-facing packing manifest. The only shuffle is the per-shard
+    * window sort; bins never cross shards, so at 100 TB the packing of
+    * each shard is an independent, executor-sized sort.
+    */
+  def packShards(docs: DataFrame, idCol: Column, tokens: Column,
+                 shards: Int, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(idCol.as("doc_id"), shardId(idCol, shards).as("shard"),
+        tokens.cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      // start offset of this doc = cum - n_tok; bin = offset div budget.
+      // Values are token counts (<< 2^53) so the double floor is exact.
+      .withColumn("bin",
+        floor((col("cum") - col("n_tok")).cast("double") / budget)
+          .cast("long"))
+  }
+
+  /** Deterministic corpus interleave (the reproducible global shuffle a
+    * training loader needs): per-shard md5-keyed order, round-robin
+    * merged across shards — global_pos = (pos_in_shard - 1) * shards +
+    * shard. Bit-identical on every run/engine; no global window (each
+    * row_number is per-shard) and the round-robin merge is arithmetic,
+    * not a sort — the 100 TB path writes shard files and the loader
+    * walks them round-robin.
+    */
+  def interleave(docs: DataFrame, idCol: Column, shards: Int,
+                 salt: String = "shuf"): DataFrame = {
+    val key = md5(concat(idCol.cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("sort_key"), col("doc_id"))
+    docs.select(idCol.as("doc_id"), shardId(idCol, shards).as("shard"),
+        key.as("sort_key"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .withColumn("global_pos",
+        (col("pos_in_shard") - 1) * shards + col("shard"))
+  }
+
+  /** K-fold cross-validation assignment: fold = salted stable hash mod
+    * `folds`. Salting decouples the CV split from any other hash-keyed
+    * split in the pipeline (the q_sample folds, dedup buckets, …) so
+    * folds stay unbiased even when upstream operators already filtered
+    * by doc_id hash. Narrow map, no shuffle.
+    */
+  def cvFold(key: Column, folds: Int, salt: String = "cv"): Column =
+    stableHash60(concat(key.cast("string"), lit(":" + salt))) % folds
+
+  /** Distribution drift between two deterministic halves of a corpus
+    * (the A/B integrity check run after any pipeline change): per-group
+    * counts in each hash-half plus the absolute skew. One conditional
+    * aggregation pass — integers only, no join, no second scan.
+    */
+  def halfDrift(docs: DataFrame, idCol: Column, groupCol: Column,
+                salt: String = "drift"): DataFrame = {
+    val half = stableHash60(concat(idCol.cast("string"), lit(":" + salt))) % 2
+    docs.select(groupCol.as("grp"), half.as("half"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("skew", abs(col("n_a") - col("n_b")))
+  }
+}

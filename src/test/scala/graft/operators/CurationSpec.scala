@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, ("w " * (10 + i % 20)).trim))
+      .toDF("doc_id", "text")
+
+  test("packShards: bins partition each shard's stream in order") {
+    val d = docs(200)
+    val out = Curation.packShards(d, col("doc_id"),
+      size(split(col("text"), " ")), shards = 4, budget = 64L)
+      .collect()
+    assert(out.length == 200)
+    // per (shard, bin): the docs are a contiguous doc_id run within the
+    // shard's stream, and every bin except a shard's last one starts
+    // within budget of its boundary
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    for ((_, rows) <- byShard) {
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      // running offsets are consistent: cum = prefix sum of n_tok
+      var run = 0L
+      for (r <- sorted) {
+        run += r.getAs[Long]("n_tok")
+        assert(r.getAs[Long]("cum") == run)
+        // bin = start offset div budget
+        val start = r.getAs[Long]("cum") - r.getAs[Long]("n_tok")
+        assert(r.getAs[Long]("bin") == start / 64L)
+      }
+      // bins are non-decreasing along the stream
+      val bins = sorted.map(_.getAs[Long]("bin")).toSeq
+      assert(bins == bins.sorted)
+    }
+  }
+
+  test("packShards is deterministic under repartitioning") {
+    val d = docs(100)
+    val a = Curation.packShards(d, col("doc_id"),
+      size(split(col("text"), " ")), 4, 64L).collect().toSet
+    val b = Curation.packShards(d.repartition(7), col("doc_id"),
+      size(split(col("text"), " ")), 4, 64L).collect().toSet
+    assert(a == b)
+  }
+
+  test("interleave: global positions are a permutation, round-robin by shard") {
+    val d = docs(97)
+    val out = Curation.interleave(d, col("doc_id"), shards = 4).collect()
+    assert(out.length == 97)
+    // every global_pos decodes back to (shard, pos_in_shard)
+    for (r <- out) {
+      val g = r.getAs[Long]("global_pos")
+      assert(g % 4 == r.getAs[Long]("shard"))
+      assert(g / 4 + 1 == r.getAs[Long]("pos_in_shard"))
+    }
+    // positions within a shard are 1..n with no gaps
+    for ((_, rows) <- out.groupBy(_.getAs[Long]("shard"))) {
+      val ps = rows.map(_.getAs[Long]("pos_in_shard")).sorted.toSeq
+      assert(ps == (1L to rows.length.toLong))
+    }
+  }
+
+  test("cvFold: salted folds differ from unsalted, stable across calls") {
+    val d = docs(50)
+    val cv = d.select(col("doc_id"),
+      Curation.cvFold(col("doc_id"), 5).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cv2 = d.select(col("doc_id"),
+      Curation.cvFold(col("doc_id"), 5).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cv == cv2)
+    assert(cv.values.forall(f => f >= 0 && f < 5))
+    // decoupled from the unsalted sampling folds: not identical mod 5
+    val plain = d.select(col("doc_id"),
+      Sampling.foldId(col("doc_id"), 5).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cv != plain)
+  }
+
+  test("halfDrift: halves are exhaustive and skew is |n_a - n_b|") {
+    val d = (0 until 60).map(i => (i.toLong, s"g${i % 3}"))
+      .toDF("doc_id", "grp0")
+    val out = Curation.halfDrift(d, col("doc_id"), col("grp0")).collect()
+    assert(out.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == 60)
+    for (r <- out)
+      assert(r.getAs[Long]("skew") ==
+        math.abs(r.getAs[Long]("n_a") - r.getAs[Long]("n_b")))
+  }
+}
