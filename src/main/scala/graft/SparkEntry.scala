@@ -1765,6 +1765,69 @@ object SparkEntry {
       graft.operators.Curation.halfDrift(d, col("doc_id"), col("lang"))
         .withColumnRenamed("grp", "lang")
         .orderBy(col("lang"))
+    }),
+
+    // ---- event analytics: conversion funnel (view -> click -> purchase,
+    //      each stage within 1 day of the previous). Every stage is a
+    //      groupBy(user_id) min-aggregate; all three shuffles hash on the
+    //      same key, so the exchanges line up and the stage joins never
+    //      re-shuffle the larger side ----
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val day = expr("INTERVAL 1 DAY")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + day)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + day)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      def stage(df: DataFrame, n: Int, name: String, tcol: String) =
+        df.agg(count(lit(1)).as("n_users"),
+            min(col(tcol)).as("first_ts"), max(col(tcol)).as("last_ts"))
+          .select(lit(n.toLong).as("stage_n"), lit(name).as("stage"),
+            col("n_users"), col("first_ts"), col("last_ts"))
+      stage(v, 1, "view", "t1")
+        .unionByName(stage(c, 2, "click", "t2"))
+        .unionByName(stage(p, 3, "purchase", "t3"))
+        .orderBy(col("stage_n"))
+    }),
+
+    // ---- event analytics: cohort retention matrix — cohort = first
+    //      active day, cell = distinct users active `d_off` days later.
+    //      Two aggregates + one join on user_id (the cohort table is
+    //      |users| rows and joins map-side after the first shuffle) ----
+    "q_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+      ev.join(firstDay, Seq("user_id"))
+        .select(col("user_id"), col("cohort"),
+          datediff(date_trunc("day", col("ts")), col("cohort")).cast("long")
+            .as("d_off"))
+        .filter(col("d_off") <= 7)
+        .distinct()
+        .groupBy(col("cohort").cast("date").as("cohort"), col("d_off"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort"), col("d_off"))
+    }),
+
+    // ---- event analytics: SCD2 history build (the CDC-dimension twin
+    //      of q_upsert's merge): per-key change stream -> validity
+    //      intervals via lead(), open interval = current row. One
+    //      window shuffle; at 100 TB the change stream is the small
+    //      CDC slice, never the full dimension ----
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+          col("value"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     })
   )
 
@@ -2610,6 +2673,67 @@ object SparkEntry {
         |SELECT bin, count(*) AS n, min(n_tok) AS min_tok,
         |  max(n_tok) AS max_tok, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // 1-day-window conversion funnel; stage thresholds are timestamp
+    // comparisons at µs granularity (ts cast to TIMESTAMP both sides)
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) > v.t1
+        |    AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 1 DAY
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) > c.t2
+        |    AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL 1 DAY
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage_n, 'view' AS stage,
+        |  count(*) AS n_users, min(t1) AS first_ts, max(t1) AS last_ts
+        |FROM v
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', count(*), min(t2), max(t2)
+        |FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(*), min(t3), max(t3)
+        |FROM p
+        |ORDER BY stage_n""".stripMargin,
+
+    // cohort retention: first-active day x day offset, distinct users
+    "q_retention" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST(datediff('day', f.cohort,
+        |      date_trunc('day', CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+        |      AS d_off
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT CAST(cohort AS DATE) AS cohort, d_off,
+        |  count(*) AS n_active
+        |FROM a WHERE d_off <= 7
+        |GROUP BY cohort, d_off
+        |ORDER BY cohort, d_off""".stripMargin,
+
+    // SCD2 validity intervals over the signup change stream
+    "q_scd2" ->
+      """SELECT user_id, event_id,
+        |  CAST(ts AS TIMESTAMP) AS valid_from, value,
+        |  lead(CAST(ts AS TIMESTAMP), 1) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to,
+        |  lead(CAST(ts AS TIMESTAMP), 1) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+        |    AS is_current
+        |FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     // hash-half drift census (salt ':drift'), integers only
     "q_drift" ->
