@@ -134,4 +134,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 1, p)
   }
+
+  test("q_pack: packing windows are per-shard — no single-partition " +
+       "global window anywhere in the plan") {
+    val p = plan("q_pack")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_interleave: per-shard row_number windows, no SinglePartition " +
+       "exchange before the final presentation sort") {
+    val p = plan("q_interleave")
+    // the only global structure is the final orderBy(global_pos) range
+    // exchange; the window itself must hash-partition by shard
+    assert(p.contains("Exchange hashpartitioning(shard"), p)
+  }
+
+  test("q_sql_tpch21: both correlated quantifiers plan as joins " +
+       "(semi/anti), never as per-row subquery execution") {
+    val p = plan("q_sql_tpch21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q_sql_tpch15: the revenue CTE's max gate is a reused subquery, " +
+       "supplier side broadcasts") {
+    val p = plan("q_sql_tpch15")
+    assert(p.contains("Subquery") || p.contains("ReusedSubquery"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_funnel: every stage aggregates on user_id — no stage " +
+       "re-shuffles on a different key") {
+    val p = plan("q_funnel")
+    // all hash exchanges in the funnel are keyed on user_id
+    val other = "Exchange hashpartitioning\\((?!user_id)".r.findAllIn(p)
+    assert(other.isEmpty, p)
+  }
+
+  test("q_retention: the cohort table joins back without a sort-merge " +
+       "(aggregate side reuses the user_id partitioning)") {
+    val p = plan("q_retention")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
