@@ -176,6 +176,79 @@ object EventStream {
         col("click_id"), col("c_ts"))
   }
 
+  final case class FunnelCand(minView: Option[Long], clicks: List[Long],
+                              purchases: List[Long])
+  final case class FunnelOut(user_id: Long, stage_n: Int,
+                             t1: Option[java.sql.Timestamp],
+                             t2: Option[java.sql.Timestamp],
+                             t3: Option[java.sql.Timestamp])
+
+  /** Stateful incremental funnel — streaming twin of the batch
+    * `q_funnel` (view -> click -> purchase, each stage within `windowUs`
+    * of the previous). Emits the user's recomputed funnel row whenever
+    * new events change it (Update semantics).
+    *
+    * Exactness under out-of-order arrival: the first-view time only ever
+    * DECREASES, so the click qualification interval (t1, t1+W] only
+    * moves left — a click above t1+W can never qualify later and is
+    * pruned; likewise purchases above t1+2W. State per user is therefore
+    * bounded to candidates inside a 2-window horizon after the earliest
+    * view (plus all candidates while no view has arrived, which a
+    * production deployment bounds with its watermark).
+    */
+  def funnel(events: Dataset[Event],
+             windowUs: Long = 86400L * 1000000L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelCand, FunnelOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelCand]) =>
+          val s0 = state.getOption.getOrElse(FunnelCand(None, Nil, Nil))
+          var minView = s0.minView
+          var clicks = s0.clicks
+          var purchases = s0.purchases
+          rows.foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" =>
+                if (minView.forall(t < _)) minView = Some(t)
+              case "click" => clicks ::= t
+              case _ => purchases ::= t
+            }
+          }
+          // prune candidates that can never qualify again (t1 is
+          // monotonically non-increasing, so the windows only move left)
+          minView.foreach { t1 =>
+            clicks = clicks.filter(_ <= t1 + windowUs)
+            purchases = purchases.filter(_ <= t1 + 2 * windowUs)
+          }
+          val next = FunnelCand(minView, clicks.sorted, purchases.sorted)
+          state.update(next)
+          val t1 = minView
+          val t2 = t1.flatMap(a =>
+            next.clicks.find(c => c > a && c <= a + windowUs))
+          val t3 = t2.flatMap(b =>
+            next.purchases.find(p => p > b && p <= b + windowUs))
+          t1 match {
+            case Some(_) =>
+              val stage = if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1
+              Iterator.single(FunnelOut(userId, stage, t1.map(toTs),
+                t2.map(toTs), t3.map(toTs)))
+            case None => Iterator.empty
+          }
+      }
+  }
+
   /** Streaming anomaly detection: each micro-batch is scored against a
     * STATIC per-group stats snapshot (mean/sd from the exact batch
     * aggregation, graft.operators.Anomaly.groupStats) via a broadcast

@@ -213,4 +213,33 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.collect().sameElements(batch.collect()))
     assert(streamed.count() > 0)
   }
+
+  test("stateful incremental funnel: final per-user stages match batch " +
+       "q_funnel stage aggregates") {
+    import spark.implicits._
+    val events = EventStream.readEvents(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val streamed = EventStream.runToMemory(
+      EventStream.funnel(events).toDF(), "funnel_out", OutputMode.Update)
+    // one row per user per micro-batch that changed it; the LAST row per
+    // user is the final funnel state. The file source drains in one
+    // batch here, so streamed == final.
+    val finalRows = streamed.collect()
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val batch = graft.SparkEntry.queries("q_funnel")(spark, sf()).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_users"),
+          us(r.getAs[java.sql.Timestamp]("first_ts")),
+          us(r.getAs[java.sql.Timestamp]("last_ts")))).toMap
+    def stageStats(n: Int, col: String) = {
+      val ts = finalRows.filter(_.getAs[Int]("stage_n") >= n)
+        .map(r => us(r.getAs[java.sql.Timestamp](col)))
+      (ts.length.toLong, ts.min, ts.max)
+    }
+    assert(stageStats(1, "t1") == batch("view"))
+    assert(stageStats(2, "t2") == batch("click"))
+    assert(stageStats(3, "t3") == batch("purchase"))
+  }
 }
