@@ -1767,6 +1767,22 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- north star: content-defined chunking dedup (FastCDC family) —
+    //      boundaries from the positional rolling hash (insertion-stable,
+    //      unlike fixed-width q_dedup_chunks); shared blocks collapse to
+    //      one chunk row regardless of offset ----
+    "q_dedup_cdc" -> ((s, dir) => {
+      import graft.functions.StableHash.stableHash60
+      graft.operators.TextAnalysis.cdcChunks(t(s, dir, "documents"))
+        .groupBy(stableHash60(col("chunk")).as("chunk_h"))
+        .agg(count(lit(1)).as("n_copies"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keep_doc"),
+          min(length(col("chunk"))).cast("long").as("chunk_len"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("chunk_h"))
+    }),
+
     // ---- event analytics: conversion funnel (view -> click -> purchase,
     //      each stage within 1 day of the previous). Every stage is a
     //      groupBy(user_id) min-aggregate; all three shuffles hash on the
@@ -2673,6 +2689,51 @@ object SparkEntry {
         |SELECT bin, count(*) AS n, min(n_tok) AS min_tok,
         |  max(n_tok) AS max_tok, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // content-defined chunking: positional rolling 16-gram double-prime
+    // hash (the q_winnow kernel), cut after char i+15 where h % 64 = 0,
+    // chunks between cuts, shared (n_docs >= 2) chunks only
+    "q_dedup_cdc" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    list_filter(list_transform(
+         |      range(1, CASE WHEN length(text) < 16 THEN 1
+         |               ELSE length(text) - 14 END),
+         |      i -> CASE WHEN (
+         |        list_reduce(list_transform(range(0, 16),
+         |          j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1))
+         |                    AS BIGINT)),
+         |          (a, x) -> (a * 131 + x) % 1000000007)
+         |        * 1000000009
+         |        + list_reduce(list_transform(range(0, 16),
+         |          j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1))
+         |                    AS BIGINT)),
+         |          (a, x) -> (a * 137 + x) % 1000000009)) % 64 = 0
+         |        THEN i + 15 END),
+         |      x -> x IS NOT NULL) AS cuts
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    ([1] || list_transform(cuts, x -> x + 1)) AS starts,
+         |    (cuts || [length(text)]) AS ends
+         |  FROM c),
+         |ch AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    list_transform(range(1, len(starts) + 1),
+         |      j -> substr(text, CAST(starts[CAST(j AS INT)] AS INT),
+         |        CAST(ends[CAST(j AS INT)] - starts[CAST(j AS INT)] + 1
+         |          AS INT))),
+         |    x -> length(x) > 0)) AS chunk
+         |  FROM s)
+         |SELECT ${hashSql("chunk")} AS chunk_h,
+         |  count(*) AS n_copies,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  min(doc_id) AS keep_doc,
+         |  CAST(min(length(chunk)) AS BIGINT) AS chunk_len
+         |FROM ch
+         |GROUP BY chunk_h
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_h""".stripMargin,
 
     // 1-day-window conversion funnel; stage thresholds are timestamp
     // comparisons at µs granularity (ts cast to TIMESTAMP both sides)

@@ -53,6 +53,49 @@ object TextAnalysis {
   def charShingleHashes(textCol: String, k: Int = 3): Column =
     array_distinct(graft.plans.RollingShingleHashes(col(textCol), k))
 
+  /** Content-defined chunking (the FastCDC/rsync family): chunk
+    * boundaries are placed where the POSITIONAL rolling k-gram hash is
+    * divisible by `div` (average chunk length ~`div` chars), so the
+    * boundary positions depend only on local content — an insertion
+    * shifts at most the one chunk it lands in, unlike fixed-width
+    * chunking (q_dedup_chunks) where one inserted byte re-frames every
+    * downstream chunk. This is the byte-level dedup representation for
+    * storage/transfer at 100 TB: shared boilerplate blocks collapse to
+    * one stored chunk regardless of their offset in each document.
+    *
+    * Convention (mirrored exactly in the DuckDB oracle): window position
+    * i (1-based) with hash(window) % div == 0 cuts AFTER character
+    * i+k-1; chunks are the substrings between consecutive cuts; texts
+    * shorter than k are one chunk. Returns one (doc_id, chunk) row per
+    * chunk, exploded.
+    *
+    * Scale shape: the rolling-hash array is materialized behind a
+    * repartition barrier (project-collapsing would otherwise inline the
+    * O(n) kernel into each of the two boundary consumers), then all
+    * chunk slicing is per-row codegen'd string work; the only shuffle
+    * downstream is whatever aggregation the caller runs on the chunk
+    * stream.
+    */
+  def cdcChunks(docs: DataFrame, k: Int = 16, div: Int = 64): DataFrame = {
+    val cuts = filter(
+      transform(graft.plans.RollingShingleHashes(col("text"), k),
+        (x, i) => when(x % div === 0, i + k).otherwise(-1)),
+      v => v > 0)
+    graft.engine.Spread(docs)
+      .select(col("doc_id"), col("text"), cuts.as("cuts"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        concat(array(lit(1)), transform(col("cuts"), c => c + 1))
+          .as("starts"),
+        concat(col("cuts"), array(length(col("text")))).as("ends"))
+      .select(col("doc_id"), explode(filter(
+        transform(sequence(lit(1), size(col("starts"))), j =>
+          col("text").substr(element_at(col("starts"), j),
+            element_at(col("ends"), j) - element_at(col("starts"), j)
+              + 1)),
+        s => length(s) > 0)).as("chunk"))
+  }
+
   /** Text normalization — the standard pre-dedup cleanup: lowercase,
     * strip everything but [a-z0-9 ], collapse whitespace runs, trim.
     * Pure codegen'd regexp/string ops; the regex subset used (character

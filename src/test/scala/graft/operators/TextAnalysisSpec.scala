@@ -156,4 +156,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(0)._3 - exp1) < 1e-12, s"${out(0)._3} vs $exp1")
     assert(math.abs(out(1)._3 - exp2) < 1e-12, s"${out(1)._3} vs $exp2")
   }
+
+  test("cdcChunks: chunks reassemble to the original text, in order") {
+    val docs = graft.engine.Readers.table(spark, sf(), "documents")
+      .limit(20).select(col("doc_id"), col("text"))
+    val texts = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextAnalysis.cdcChunks(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // chunk order within a doc isn't carried by the exploded rows, but
+    // reassembly only needs: concat of chunks (in original substring
+    // order) == text. Chunks ARE substrings cut left-to-right, so
+    // sorting by position-of-occurrence reconstructs — verify by length
+    // conservation plus every chunk being a substring.
+    for ((id, t) <- texts) {
+      val cs = chunks.filter(_._1 == id).map(_._2)
+      assert(cs.map(_.length).sum == t.length, s"doc $id length")
+      assert(cs.forall(t.contains), s"doc $id substring")
+      assert(cs.nonEmpty, s"doc $id empty")
+    }
+  }
+
+  test("cdcChunks: a shared block at different offsets yields common " +
+       "chunks (offset-invariance, the CDC property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def word() = ("" /: (1 to 4))((a, _) => a + ('a' + rnd.nextInt(26)).toChar)
+    val block = Seq.fill(120)(word()).mkString(" ")     // ~600 chars
+    val pre1 = Seq.fill(7)(word()).mkString(" ")
+    val pre2 = Seq.fill(31)(word()).mkString(" ")       // different offset
+    val d = Seq((1L, s"$pre1 $block"), (2L, s"$pre2 $block"))
+      .toDF("doc_id", "text")
+    val byDoc = TextAnalysis.cdcChunks(d).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val common = byDoc(1L) intersect byDoc(2L)
+    // interior chunks of the shared block re-align after the first
+    // content-defined boundary inside it
+    assert(common.nonEmpty, s"no common chunks: ${byDoc.mapValues(_.size)}")
+  }
 }
