@@ -1767,6 +1767,29 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- north star: ANN quality evaluation — recall@5 of the IVF
+    //      index against the brute-force ground truth, as exact integer
+    //      hit counts (the acceptance gate every production ANN rollout
+    //      runs before switching retrieval paths) ----
+    "q_simsearch_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Similarity.bruteForceTopK(qs, e, k = 5)
+        .select(col("qid"), col("cid"))
+      val approx = graft.operators.Similarity.ivfTopK(
+          qs, e, k = 5, nlist = 16, nprobe = 4)
+        .select(col("qid"), col("cid"))
+      val hits = exact.intersect(approx)
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0)
+            .as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // ---- north star: content-defined chunking dedup (FastCDC family) —
     //      boundaries from the positional rolling hash (insertion-stable,
     //      unlike fixed-width q_dedup_chunks); shared blocks collapse to
@@ -2689,6 +2712,57 @@ object SparkEntry {
         |SELECT bin, count(*) AS n, min(n_tok) AS min_tok,
         |  max(n_tok) AS max_tok, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // recall@5 of IVF vs brute force: both sides are the proven
+    // q_simsearch / q_simsearch_ivf pipelines (renamed CTEs), hits via
+    // INTERSECT, zero-hit queries kept by the left join
+    "q_simsearch_recall" ->
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS qv
+         |            FROM embeddings WHERE vec_id < 10),
+         |bc AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |bs AS (
+         |  SELECT qid, cid, ${qdotSql("qv", "cv")} AS score
+         |  FROM bq, bc WHERE qid != cid),
+         |ex AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+         |    FROM bs) WHERE rnk <= 5),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cent_v
+         |         FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT cid, cv, cent_id FROM (
+         |    SELECT cid, cv, cent_id, row_number() OVER (
+         |      PARTITION BY cid ORDER BY cscore DESC, cent_id) AS crank
+         |    FROM (SELECT cid, cv, cent_id,
+         |            ${qdotSql("cv", "cent_v")} AS cscore
+         |          FROM bc, cent))
+         |  WHERE crank = 1),
+         |probes AS (
+         |  SELECT qid, qv, cent_id FROM (
+         |    SELECT qid, qv, cent_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY pscore DESC, cent_id) AS prank
+         |    FROM (SELECT qid, qv, cent_id,
+         |            ${qdotSql("qv", "cent_v")} AS pscore
+         |          FROM bq, cent))
+         |  WHERE prank <= 4),
+         |ap AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+         |    FROM (SELECT p.qid, a.cid, ${qdotSql("p.qv", "a.cv")} AS score
+         |          FROM probes p JOIN asg a USING (cent_id)
+         |          WHERE p.qid != a.cid))
+         |  WHERE rnk <= 5),
+         |h AS (
+         |  SELECT qid, count(*) AS n_hits FROM (
+         |    SELECT qid, cid FROM ex INTERSECT SELECT qid, cid FROM ap)
+         |  GROUP BY qid)
+         |SELECT bq.qid AS qid,
+         |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM bq LEFT JOIN h ON bq.qid = h.qid
+         |ORDER BY qid""".stripMargin,
 
     // content-defined chunking: positional rolling 16-gram double-prime
     // hash (the q_winnow kernel), cut after char i+15 where h % 64 = 0,
