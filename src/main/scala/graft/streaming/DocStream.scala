@@ -72,4 +72,48 @@ object DocStream {
           minShared))
       }
       .start()
+
+  final case class PackState(cum: Long)
+  final case class PackOut(doc_id: Long, shard: Long, n_tok: Long,
+                           cum: Long, bin: Long)
+
+  /** Ingest-time incremental packing — the streaming twin of
+    * `Curation.packShards`: each shard keeps ONE running token offset as
+    * state, and every arriving document is appended to the shard's
+    * current bin (bin = start offset div budget, the same rule as the
+    * batch operator). Documents are assigned in arrival order (doc_id
+    * within a micro-batch), which is the production ingest semantic:
+    * the loader manifest grows append-only, already-emitted bins never
+    * change. When the whole corpus arrives ordered (one batch), the
+    * assignment equals the batch operator's exactly.
+    *
+    * State per shard is a single long — bounded regardless of stream
+    * length; shards process independently (hash-partitioned), so the
+    * operator scales with executors like its batch twin.
+    */
+  def packIncremental(docsStream: DataFrame, shards: Int,
+                      budget: Long): org.apache.spark.sql.Dataset[PackOut] = {
+    import docsStream.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docsStream
+      .select(col("doc_id").cast("long"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        graft.operators.Curation.shardId(col("doc_id"), shards)
+          .as("shard"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, tok, _) =>
+            val start = cum
+            cum += tok
+            PackOut(id, shard, tok, cum, start / budget)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
 }

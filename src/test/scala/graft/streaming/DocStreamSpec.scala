@@ -52,4 +52,50 @@ class DocStreamSpec extends SparkSpec {
     assert(want.nonEmpty, "batch incremental dedup admitted nothing")
     assert(got == want)
   }
+
+  test("incremental packing == batch packShards when the corpus arrives " +
+       "in one ordered batch") {
+    val streamed = EventStream.runToMemory(
+      DocStream.packIncremental(DocStream.readDocuments(spark, sf()),
+        shards = 8, budget = 512L).toDF(),
+      "pack_out")
+      .select("doc_id", "shard", "n_tok", "cum", "bin")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Curation.packShards(
+        spark.read.parquet(sf() + "/documents.parquet"),
+        col("doc_id"), size(split(col("text"), " ")),
+        shards = 8, budget = 512L)
+      .select("doc_id", "shard", "n_tok", "cum", "bin")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("incremental packing: shard offsets continue across micro-batches " +
+       "(already-emitted bins never move)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = DocStream.packIncremental(stream, shards = 2, budget = 10L)
+    val q = out.toDF().writeStream
+      .outputMode("append").format("memory").queryName("pack_inc").start()
+    def doc(i: Long) = (i, Seq.fill(4)("w").mkString(" "))  // 4 tokens
+    mem.addData((0L until 10L).map(doc): _*)
+    q.processAllAvailable()
+    mem.addData((10L until 20L).map(doc): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pack_inc")
+      .select("doc_id", "shard", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // per shard: cumulative offsets strictly increase across the two
+    // batches in arrival order — batch 2 continues where batch 1 ended
+    for ((_, rs) <- rows.groupBy(_._2)) {
+      val inArrival = rs.sortBy(_._1).map(_._3)
+      assert(inArrival.toSeq == inArrival.sorted.toSeq)
+      assert(inArrival.last == 4L * rs.length)
+    }
+  }
 }
