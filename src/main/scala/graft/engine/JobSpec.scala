@@ -19,9 +19,10 @@ object SourceFormat {
   case object Avro    extends SourceFormat("avro")     // needs spark-avro jar
   case object Iceberg extends SourceFormat("iceberg")  // needs iceberg-runtime
   case object Jdbc    extends SourceFormat("jdbc")     // needs driver jar
+  case object Bigquery extends SourceFormat("bigquery") // needs spark-bigquery
 
   val all: Seq[SourceFormat] =
-    Seq(Parquet, Csv, Json, Orc, Text, Avro, Iceberg, Jdbc)
+    Seq(Parquet, Csv, Json, Orc, Text, Avro, Iceberg, Jdbc, Bigquery)
 
   /** Reference behavior: format = file extension, case-insensitive
     * (db.go:27 uppercases the extension for BigQuery; Spark wants lower).
@@ -131,4 +132,58 @@ object EngineConfig {
   def fromYamlFile(path: String): EngineConfig =
     fromYaml(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Parse the REFERENCE'S OWN config format unchanged (GCS2Postgres
+    * `config.yaml:1-25`: `postgres.*`, `gcs.{bucket_name, files[]}`,
+    * `bq.{project_id, dataset, tables[]}`) — the drop-in migration path:
+    * a reference user points this engine at their existing file and gets
+    * the same (source, target) job list and a JDBC sink bound to the
+    * same Postgres, with the reference's semantics preserved:
+    *   - GCS entries become `gs://bucket/name` sources with the format
+    *     derived from the file extension (db.go:22, db.go:27);
+    *   - BQ entries become `project.dataset.name` sources in the
+    *     Bigquery source format (connector jar in prod; db.go:95-147);
+    *   - `postgres.secret_name` becomes a `secret://...` placeholder in
+    *     the JDBC url, resolved at write time by the pluggable secret
+    *     provider (utils.go:70-87 fetched it from GCP Secret Manager);
+    *   - `concurrent_jobs` is accepted and ignored — in the reference it
+    *     only sized a channel buffer (db.go:193), never actual
+    *     concurrency; here inter-table parallelism is a Pipeline option
+    *     and intra-table parallelism is Spark's.
+    */
+  def fromReferenceYaml(yaml: String): EngineConfig = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml).asScala
+    def section(name: String): Map[String, Object] =
+      root.get(name).map(_.asInstanceOf[java.util.Map[String, Object]]
+        .asScala.toMap).getOrElse(Map.empty)
+    def units(sec: Map[String, Object], key: String): Seq[(String, String)] =
+      sec.get(key).toSeq.flatMap {
+        case l: java.util.List[_] => l.asScala.toSeq.map {
+          case m: java.util.Map[_, _] =>
+            val u = m.asInstanceOf[java.util.Map[String, Object]].asScala
+            (u("name").toString, u("table").toString)
+        }
+      }
+    val gcs = section("gcs")
+    val gcsJobs = units(gcs, "files").map { case (name, table) =>
+      JobSpec(source = s"gs://${gcs("bucket_name")}/$name", target = table)
+    }
+    val bq = section("bq")
+    val bqJobs = units(bq, "tables").map { case (name, table) =>
+      JobSpec(source = s"${bq("project_id")}.${bq("dataset")}.$name",
+        target = table, format = Some(SourceFormat.Bigquery))
+    }
+    val pg = section("postgres")
+    val sink =
+      if (pg.isEmpty) SinkConfig()
+      else {
+        val pwd = pg.get("secret_name")
+          .map(s => s"&password=secret://$s").getOrElse("")
+        SinkConfig(format = "jdbc", url = Some(
+          s"jdbc:postgresql://${pg("host")}:${pg("port")}/${pg("dbname")}" +
+            s"?user=${pg("user")}&sslmode=${pg("sslmode")}$pwd"))
+      }
+    EngineConfig(gcsJobs ++ bqJobs, sink)
+  }
 }

@@ -16,7 +16,10 @@ object Secrets {
 
   val envProvider: Provider = name => sys.env.get(name)
 
-  private val Placeholder = "secret://([A-Za-z0-9_.-]+)".r
+  // '/' included: GCP Secret Manager names are full resource paths
+  // ("projects/<n>/secrets/<name>/versions/latest" — reference
+  // config.yaml:7); the provider receives the name verbatim
+  private val Placeholder = "secret://([A-Za-z0-9_./-]+)".r
 
   /** Replace every `secret://NAME` in `value` via `provider`; error on
     * unresolvable names (fail fast like the reference, but per-value, not

@@ -38,4 +38,54 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(Readers.tableIdFor("gs://b/dir/regions.parquet") == "regions")
     assert(Readers.tableIdFor("noext") == "noext")
   }
+
+  test("parses the reference's own config.yaml unchanged (drop-in " +
+       "migration; shape of /root/reference/config.yaml:1-25)") {
+    val cfg = EngineConfig.fromReferenceYaml(
+      """postgres:
+        |  host: "localhost"
+        |  port: 5432
+        |  user: "postgres"
+        |  dbname: "tfmv"
+        |  sslmode: "disable"
+        |  secret_name: "projects/858338514445/secrets/postgres-pwd/versions/latest"
+        |
+        |gcs:
+        |  bucket_name: "tfmv-gcs-to-pg"
+        |  project_id: "tfmv-371720"
+        |  dataset: "tfmv"
+        |  files:
+        |    - name: "regions.parquet"
+        |      table: "regions"
+        |    - name: "supplier.avro"
+        |      table: "supplier"
+        |  concurrent_jobs: 1
+        |
+        |bq:
+        |  project_id: "tfmv-371720"
+        |  dataset: "tpch"
+        |  tables:
+        |    - name: "nation"
+        |      table: "nation"
+        |""".stripMargin)
+    assert(cfg.jobs.map(_.target) == Seq("regions", "supplier", "nation"))
+    assert(cfg.jobs.head.source == "gs://tfmv-gcs-to-pg/regions.parquet")
+    // format from extension — the reference's db.go:27 rule
+    assert(cfg.jobs.head.resolvedFormat == SourceFormat.Parquet)
+    assert(cfg.jobs(1).resolvedFormat == SourceFormat.Avro)
+    assert(cfg.jobs(2).source == "tfmv-371720.tpch.nation")
+    assert(cfg.jobs(2).resolvedFormat == SourceFormat.Bigquery)
+    // sink: same Postgres, password deferred to the secret provider
+    assert(cfg.sink.format == "jdbc")
+    val url = cfg.sink.url.get
+    assert(url.startsWith("jdbc:postgresql://localhost:5432/tfmv?"))
+    assert(url.contains("user=postgres") && url.contains("sslmode=disable"))
+    assert(url.contains(
+      "password=secret://projects/858338514445/secrets/postgres-pwd/versions/latest"))
+    // the placeholder resolves through the pluggable provider (R14)
+    val resolved = Secrets.resolve(url,
+      name => if (name.endsWith("postgres-pwd/versions/latest"))
+        Some("s3cret") else None)
+    assert(resolved.contains("password=s3cret"))
+  }
 }
