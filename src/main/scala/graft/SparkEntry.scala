@@ -1767,6 +1767,22 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- north star: boilerplate excision over shared CDC chunks (the
+    //      C4/RefinedWeb template-removal step at chunk granularity);
+    //      common-chunk set broadcasts back as a left-anti gate, docs
+    //      reconstruct in original order ----
+    "q_boilerplate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.TextAnalysis.stripBoilerplate(d, minDocs = 3)
+        .join(d.select(col("doc_id"),
+          length(col("text")).cast("long").as("orig_len")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_kept"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          (col("orig_len") - length(col("clean_text")).cast("long"))
+            .as("removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: ANN quality evaluation — recall@5 of the IVF
     //      index against the brute-force ground truth, as exact integer
     //      hit counts (the acceptance gate every production ANN rollout
@@ -2712,6 +2728,63 @@ object SparkEntry {
         |SELECT bin, count(*) AS n, min(n_tok) AS min_tok,
         |  max(n_tok) AS max_tok, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // boilerplate excision: the q_dedup_cdc chunk CTEs with positions,
+    // chunks in >= 3 distinct docs removed, ordered reconstruction
+    "q_boilerplate" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(
+        |      range(1, CASE WHEN length(text) < 16 THEN 1
+        |               ELSE length(text) - 14 END),
+        |      i -> CASE WHEN (
+        |        list_reduce(list_transform(range(0, 16),
+        |          j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1))
+        |                    AS BIGINT)),
+        |          (a, x) -> (a * 131 + x) % 1000000007)
+        |        * 1000000009
+        |        + list_reduce(list_transform(range(0, 16),
+        |          j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1))
+        |                    AS BIGINT)),
+        |          (a, x) -> (a * 137 + x) % 1000000009)) % 64 = 0
+        |        THEN i + 15 END),
+        |      x -> x IS NOT NULL) AS cuts
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    ([1] || list_transform(cuts, x -> x + 1)) AS starts,
+        |    (cuts || [length(text)]) AS ends
+        |  FROM c),
+        |chlist AS (
+        |  SELECT doc_id, list_filter(
+        |    list_transform(range(1, len(starts) + 1),
+        |      j -> substr(text, CAST(starts[CAST(j AS INT)] AS INT),
+        |        CAST(ends[CAST(j AS INT)] - starts[CAST(j AS INT)] + 1
+        |          AS INT))),
+        |    x -> length(x) > 0) AS lst
+        |  FROM s),
+        |chx AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(lst))) AS j, lst
+        |  FROM chlist),
+        |ch AS (
+        |  SELECT doc_id, j - 1 AS idx, lst[CAST(j AS INT)] AS chunk
+        |  FROM chx),
+        |common AS (
+        |  SELECT chunk FROM ch GROUP BY chunk
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT doc_id, idx, chunk FROM ch
+        |  WHERE chunk NOT IN (SELECT chunk FROM common)),
+        |res AS (
+        |  SELECT doc_id,
+        |    string_agg(chunk, '' ORDER BY idx) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT res.doc_id AS doc_id, n_kept,
+        |  CAST(length(clean_text) AS BIGINT) AS clean_len,
+        |  CAST(length(d.text) - length(clean_text) AS BIGINT) AS removed
+        |FROM res JOIN documents d ON res.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // recall@5 of IVF vs brute force: both sides are the proven
     // q_simsearch / q_simsearch_ivf pipelines (renamed CTEs), hits via

@@ -76,7 +76,14 @@ object TextAnalysis {
     * downstream is whatever aggregation the caller runs on the chunk
     * stream.
     */
-  def cdcChunks(docs: DataFrame, k: Int = 16, div: Int = 64): DataFrame = {
+  def cdcChunks(docs: DataFrame, k: Int = 16, div: Int = 64): DataFrame =
+    cdcChunksPos(docs, k, div).select(col("doc_id"), col("chunk"))
+
+  /** [[cdcChunks]] with each chunk's 0-based position in its document —
+    * the representation that supports order-preserving reconstruction
+    * (see `stripBoilerplate`).
+    */
+  def cdcChunksPos(docs: DataFrame, k: Int = 16, div: Int = 64): DataFrame = {
     val cuts = filter(
       transform(graft.plans.RollingShingleHashes(col("text"), k),
         (x, i) => when(x % div === 0, i + k).otherwise(-1)),
@@ -88,12 +95,42 @@ object TextAnalysis {
         concat(array(lit(1)), transform(col("cuts"), c => c + 1))
           .as("starts"),
         concat(col("cuts"), array(length(col("text")))).as("ends"))
-      .select(col("doc_id"), explode(filter(
+      .select(col("doc_id"), posexplode(filter(
         transform(sequence(lit(1), size(col("starts"))), j =>
           col("text").substr(element_at(col("starts"), j),
             element_at(col("ends"), j) - element_at(col("starts"), j)
               + 1)),
-        s => length(s) > 0)).as("chunk"))
+        s => length(s) > 0)))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+  }
+
+  /** Boilerplate removal by shared-chunk excision (the C4/RefinedWeb
+    * shared-template step, at CDC-chunk rather than line granularity —
+    * the corpus has no line structure): chunks appearing in >=
+    * `minDocs` DISTINCT documents are template material and are cut
+    * from every document; the remainder re-concatenates in original
+    * order.
+    *
+    * Scale shape: the chunk stream shuffles once to count document
+    * frequency, the common-chunk set (tiny by construction — templates
+    * are few) broadcasts back as a left-anti gate, and reconstruction
+    * is one per-doc aggregation of (idx, chunk) structs. The raw text
+    * never joins against itself.
+    */
+  def stripBoilerplate(docs: DataFrame, k: Int = 16, div: Int = 64,
+                       minDocs: Long = 3): DataFrame = {
+    val ch = cdcChunksPos(docs, k, div)
+    val common = ch.groupBy(col("chunk"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("chunk"))
+    ch.join(common, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")), "").as("clean_text"),
+        count(lit(1)).as("n_kept"))
   }
 
   /** Text normalization — the standard pre-dedup cleanup: lowercase,

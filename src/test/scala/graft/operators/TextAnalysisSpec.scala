@@ -194,4 +194,28 @@ class TextAnalysisSpec extends SparkSpec {
     // content-defined boundary inside it
     assert(common.nonEmpty, s"no common chunks: ${byDoc.mapValues(_.size)}")
   }
+
+  test("stripBoilerplate: an injected shared template is excised from " +
+       "every document, unique content survives verbatim") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)(
+      ("" /: (1 to 4))((a, _) => a + ('a' + rnd.nextInt(26)).toChar))
+      .mkString(" ")
+    val template = words(150)                      // ~750 chars, shared
+    val uniques = (0 until 5).map(_ => words(40))  // per-doc unique tail
+    val d = uniques.zipWithIndex.map { case (u, i) =>
+      (i.toLong, s"$template $u")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(d, minDocs = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text"))
+      .toMap
+    for ((u, i) <- uniques.zipWithIndex) {
+      val clean = out(i.toLong)
+      // the template's interior chunks are gone: the cleaned text is
+      // much shorter than the original and keeps the unique tail
+      assert(clean.length < template.length / 2, s"doc $i: ${clean.length}")
+      assert(clean.contains(u.substring(u.length / 2)), s"doc $i tail")
+    }
+  }
 }
