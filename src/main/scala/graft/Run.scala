@@ -23,8 +23,14 @@ object Run {
     val spark = graft.engine.GraftSession.build("graft")
     val results = Pipeline.run(spark, config, parallelism)
     results.foreach { r =>
-      if (r.ok)
-        println(s"[graft] ${r.job.source} -> ${r.job.target}: ${r.rows.get} rows")
+      if (r.ok) {
+        val audit = if (r.nullCounts.isEmpty) ""
+          else r.nullCounts.toSeq.sortBy(_._1)
+            .map { case (c, n) => s"$c=$n" }
+            .mkString(" (null audit: ", ", ", ")")
+        println(s"[graft] ${r.job.source} -> ${r.job.target}: " +
+          s"${r.rows.get} rows$audit")
+      }
       else
         println(s"[graft] ${r.job.source} -> ${r.job.target}: FAILED: ${r.error.get.getMessage}")
     }

@@ -18,29 +18,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Pipeline {
 
   final case class JobResult(job: JobSpec, rows: Option[Long],
-                             error: Option[Throwable]) {
+                             error: Option[Throwable],
+                             nullCounts: Map[String, Long] = Map.empty) {
     def ok: Boolean = error.isEmpty
   }
 
   /** Run one job: read → align to target schema (when declared) → sink.
-    * Returns row count written (the reference logs `copyCount`, db.go:184).
-    * The count comes from an `observe` metric captured by a listener on the
-    * write's own QueryExecution — one pass over the data, no second scan.
+    * Returns row count written (the reference logs `copyCount`, db.go:184)
+    * plus a per-column null census. Both come from `observe` metrics
+    * captured by a listener on the write's own QueryExecution — ONE pass
+    * over the data; at 100 TB a separate data-quality scan would double
+    * the ingest cost, observe() rides the sink job for free.
     */
-  def runJob(spark: SparkSession, job: JobSpec, sink: SinkConfig): Long = {
+  def runJob(spark: SparkSession, job: JobSpec,
+             sink: SinkConfig): (Long, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     val src = Readers.read(spark, job)
     val aligned = job.targetSchema.map(SchemaAlign.align(src, _)).getOrElse(src)
     val metricName = s"graft_sink_${job.target}"
+    val auditCols = aligned.columns.toSeq.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
     val observed = aligned.observe(metricName,
-      org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows"))
-    val captured = new java.util.concurrent.atomic.AtomicLong(-1L)
+      count(lit(1)).as("rows"), auditCols: _*)
+    @volatile var captured: Option[org.apache.spark.sql.Row] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit =
         qe.observedMetrics.get(metricName)
-          .foreach(row => captured.set(row.getLong(0)))
+          .foreach(row => captured = Some(row))
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
@@ -50,8 +56,12 @@ object Pipeline {
       Sink.write(observed, job.target, sink)
       // Listener delivery is asynchronous off the event bus.
       val deadline = System.nanoTime() + 10e9.toLong
-      while (captured.get() < 0 && System.nanoTime() < deadline) Thread.sleep(20)
-      captured.get()
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      captured.map { row =>
+        val nulls = aligned.columns.toSeq.map(c =>
+          c -> row.getAs[Long](s"nulls_$c")).filter(_._2 > 0).toMap
+        (row.getAs[Long]("rows"), nulls)
+      }.getOrElse((-1L, Map.empty[String, Long]))
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -59,7 +69,7 @@ object Pipeline {
           parallelism: Int = 1): Seq[JobResult] = {
     def one(job: JobSpec): JobResult =
       Try(runJob(spark, job, config.sink)) match {
-        case Success(n) => JobResult(job, Some(n), None)
+        case Success((n, nulls)) => JobResult(job, Some(n), None, nulls)
         case Failure(e) => JobResult(job, None, Some(e))
       }
     if (parallelism <= 1) config.jobs.map(one)

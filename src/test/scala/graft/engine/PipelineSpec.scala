@@ -21,6 +21,23 @@ class PipelineSpec extends SparkSpec {
     assert(back.filter(back("missing_col").isNotNull).count() == 0)
   }
 
+  test("observe-based null audit rides the sink pass: the null-filled " +
+       "missing column is censused without a second scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val cfg = EngineConfig(
+      jobs = Seq(JobSpec(
+        source = sf() + "/nation.parquet",
+        target = "nation_a",
+        targetSchemaDdl =
+          Some("n_nationkey INT, n_name STRING, absent_col DOUBLE"))),
+      sink = SinkConfig(format = "parquet", path = Some(out),
+        mode = "overwrite"))
+    val r = Pipeline.run(spark, cfg).head
+    assert(r.ok && r.rows.contains(25L))
+    // every row's absent_col is NULL; populated columns don't report
+    assert(r.nullCounts == Map("absent_col" -> 25L))
+  }
+
   test("per-table failure isolation: one bad job doesn't kill the run") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val cfg = EngineConfig(
