@@ -27,7 +27,13 @@ class DeterminismSpec extends SparkSpec {
     // round-4 shapes: ensemble pair union + cc, percentile join-backs,
     // exact-ratio ln scores, grid downsample struct-max
     "q_dedup_ensemble", "q_mad", "q_zscore", "q_pmi", "q_entropy",
-    "q_resample", "q_bloom_join", "q_kmeans")
+    "q_resample", "q_bloom_join", "q_kmeans",
+    // round-4-continued shapes: per-shard windows (packing/interleave),
+    // collect_list reconstruction, CDC chunk streams, funnel stage
+    // joins, INTERSECT-based recall, correlated EXISTS/NOT EXISTS
+    "q_pack", "q_interleave", "q_curriculum", "q_dedup_cdc",
+    "q_boilerplate", "q_funnel", "q_retention", "q_scd2",
+    "q_simsearch_recall", "q_sql_tpch21")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
