@@ -249,6 +249,59 @@ object EventStream {
       }
   }
 
+  final case class RetState(firstDayUs: Long, mask: Long)
+  final case class RetOut(cohort: java.sql.Timestamp, d_off: Long)
+
+  /** Stateful cohort-retention increments — streaming twin of the batch
+    * `q_retention`: per user the state is the first-contact day plus a
+    * bitmask of already-emitted day offsets (one long each), and every
+    * newly observed (cohort, offset) cell emits exactly once; the sink
+    * counts rows per cell to materialize the matrix incrementally.
+    *
+    * First contact pins to the earliest day seen so far; an event that
+    * back-dates a user's first contact across micro-batches would
+    * re-cohort them, which append-mode cannot retract — the standard
+    * deployment bounds that with the source's watermark and corrects
+    * drift with a periodic batch recompute (the same snapshot pattern as
+    * `detectAnomalies`). Within a single batch processing is day-sorted,
+    * so a whole-corpus replay agrees with the batch operator exactly.
+    */
+  def retentionIncrements(events: Dataset[Event],
+                          maxOff: Int = 7): Dataset[RetOut] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[RetState]) =>
+          val days = rows.map(e => micros(e.ts) / dayUs * dayUs)
+            .toSeq.distinct.sorted
+          var (first, mask) = state.getOption
+            .map(s => (s.firstDayUs, s.mask))
+            .getOrElse((Long.MaxValue, 0L))
+          val out = Seq.newBuilder[RetOut]
+          days.foreach { d =>
+            if (first == Long.MaxValue) first = d
+            val off = (d - first) / dayUs
+            if (d >= first && off <= maxOff &&
+                (mask & (1L << off)) == 0) {
+              mask |= 1L << off
+              out += RetOut(toTs(first), off)
+            }
+          }
+          state.update(RetState(first, mask))
+          out.result().iterator
+      }
+  }
+
   /** Streaming anomaly detection: each micro-batch is scored against a
     * STATIC per-group stats snapshot (mean/sd from the exact batch
     * aggregation, graft.operators.Anomaly.groupStats) via a broadcast

@@ -242,4 +242,26 @@ class EventStreamSpec extends SparkSpec {
     assert(stageStats(2, "t2") == batch("click"))
     assert(stageStats(3, "t3") == batch("purchase"))
   }
+
+  test("stateful retention increments aggregate to the batch q_retention " +
+       "matrix") {
+    import spark.implicits._
+    val events = EventStream.readEvents(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val streamed = EventStream.runToMemory(
+      EventStream.retentionIncrements(events).toDF(), "ret_out")
+    val got = streamed
+      .groupBy(to_date(col("cohort")).as("cohort"), col("d_off"))
+      .agg(count(lit(1)).as("n_active"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val want = graft.SparkEntry.queries("q_retention")(spark, sf())
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
 }
