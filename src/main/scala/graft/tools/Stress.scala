@@ -29,11 +29,19 @@ object Stress {
       val rows = f
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
     }
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, TextAnalysis}
     time("contamination")(Dedup.contamination(dup, evalSet).count())
     time("minhash_pairs")(Dedup.minhashPairs(dup, tau = 0.3).count())
     time("simhash_pairs")(Dedup.simhashPairs(dup).count())
     time("containment_pairs")(Dedup.containmentPairs(dup, tau = 0.5).count())
+    // CDC family: chunking is per-doc (linear in corpus); the shared-
+    // chunk census and the boilerplate anti-gate see the duplicated
+    // chunks collapse into fewer, hotter groups
+    time("cdc_shared_chunks")(TextAnalysis.cdcChunks(dup)
+      .groupBy(col("chunk")).agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).count())
+    time("strip_boilerplate")(
+      TextAnalysis.stripBoilerplate(dup, minDocs = 3).count())
     spark.stop()
   }
 }
