@@ -1741,16 +1741,16 @@ object SparkEntry {
     }),
 
     // ---- north star: curriculum binning — quartiles over token count
-    //      (rank-based ntile, ties broken by doc_id: engine-identical
-    //      without float thresholds). At 100 TB the bin boundaries come
-    //      from an approx-quantile pass broadcast back as a map-side
-    //      CASE; ntile here keeps the oracle exact ----
+    //      with EXACT ntile semantics but no corpus-wide window: rank =
+    //      per-value window (parallel) + broadcast histogram offsets
+    //      (Curation.equalCountBins). The only single-partition work is
+    //      the tiny token-count histogram ----
     "q_curriculum" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val w = Window.orderBy(col("n_tok"), col("doc_id"))
-      d.select(col("doc_id"), col("n_chars"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("bin", ntile(4).over(w).cast("long"))
+      graft.operators.Curation.equalCountBins(
+          d.select(col("doc_id"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+          col("n_tok"), col("doc_id"), k = 4)
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), min(col("n_tok")).as("min_tok"),
           max(col("n_tok")).as("max_tok"), sum(col("n_chars")).as("chars"))

@@ -81,6 +81,44 @@ object Curation {
   def cvFold(key: Column, folds: Int, salt: String = "cv"): Column =
     stableHash60(concat(key.cast("string"), lit(":" + salt))) % folds
 
+  /** Equal-count binning (exact ntile semantics) without a global
+    * window: global rank = per-value rank (window PARTITIONED by the
+    * value — parallel) + the value's cumulative offset (computed on the
+    * value HISTOGRAM, which is |distinct values| rows — bounded by the
+    * value domain, not the corpus — then broadcast back). The bin
+    * formula reproduces SQL ntile exactly: the first n mod k buckets
+    * take ceil(n/k) rows, the rest floor(n/k).
+    *
+    * This is the 100 TB shape for rank-based curriculum binning: the
+    * only single-partition work is the tiny histogram scan; the corpus
+    * itself never passes through one task. Requires one count() action
+    * for n (same driver-side eagerness as the bloom build).
+    */
+  def equalCountBins(df: DataFrame, valueCol: Column, idCol: Column,
+                     k: Int): DataFrame = {
+    val n = df.count()
+    require(n >= k, s"need at least $k rows, got $n")
+    val m = n % k           // buckets that take one extra row
+    val big = n / k + 1
+    val small = n / k
+    val hist = df.groupBy(valueCol.as("v")).agg(count(lit(1)).as("c"))
+    val offsets = hist.withColumn("off",
+      coalesce(sum(col("c")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"), col("off"))
+    val perValue = Window.partitionBy(valueCol).orderBy(idCol)
+    df.withColumn("rw", row_number().over(perValue).cast("long"))
+      .join(broadcast(offsets), valueCol === col("v"))
+      .withColumn("rnk", col("off") + col("rw"))
+      .withColumn("bin",
+        when(col("rnk") <= m * big,
+          (col("rnk") - 1) / big + 1)
+          .otherwise(lit(m) + (col("rnk") - lit(m * big) - 1) / small + 1))
+      .withColumn("bin", floor(col("bin")).cast("long"))
+      .drop("v", "off", "rw", "rnk")
+  }
+
   /** Distribution drift between two deterministic halves of a corpus
     * (the A/B integrity check run after any pipeline change): per-group
     * counts in each hash-half plus the absolute skew. One conditional

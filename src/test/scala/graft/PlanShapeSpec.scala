@@ -164,6 +164,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_curriculum: the corpus rank window hash-partitions by token " +
+       "count; only the tiny value histogram sees a single partition") {
+    val p = plan("q_curriculum")
+    assert(p.contains("Exchange hashpartitioning(n_tok"), p)
+    assert(!p.contains("ntile"), p)
+  }
+
   test("q_funnel: every stage aggregates on user_id — no stage " +
        "re-shuffles on a different key") {
     val p = plan("q_funnel")

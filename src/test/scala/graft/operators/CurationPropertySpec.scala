@@ -46,6 +46,30 @@ class CurationPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("equalCountBins == ntile over (value, id) on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Prop.propBoolean
+    val prop = Prop.forAll(Gen.listOfN(25, docGen)) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      (docs.length >= 4) ==> {
+        val df = docs.toDF("doc_id", "v0")
+          .select(col("doc_id"), col("v0").cast("long").as("v0"))
+        val got = Curation.equalCountBins(df, col("v0"), col("doc_id"), 4)
+          .select("doc_id", "bin").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = df.withColumn("bin",
+            ntile(4).over(Window.orderBy(col("v0"), col("doc_id")))
+              .cast("long"))
+          .select("doc_id", "bin").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interleave emits a bijection onto distinct global positions") {
     val prop = Prop.forAll(Gen.listOfN(30, docGen)) { docs0 =>
       val docs = docs0.distinctBy(_._1)
