@@ -1767,6 +1767,48 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- north star: classifier evaluation — language-ID confusion
+    //      matrix against the labeled corpus (the eval harness every
+    //      heuristic filter needs before gating a corpus on it) ----
+    "q_langid_eval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.TextAnalysis.langIdPosting(d)
+        .select(col("doc_id"), col("lang_pred"))
+        .join(d.select(col("doc_id"), col("lang").as("lang_true")),
+          Seq("doc_id"))
+        .groupBy(col("lang_true"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_true"), col("lang_pred"))
+    }),
+
+    // ---- north star: sliding-window chunking (RAG/context-window
+    //      ingest: 32-token windows, stride 16 — sized to the synthetic
+    //      docs so windowing actually overlaps) — pure per-row explode,
+    //      no shuffle except the presentation sort ----
+    "q_chunk_windows" -> ((s, dir) => {
+      val win = 32
+      val stride = 16
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          col("toks"))
+        .select(col("doc_id"), col("n_tok"),
+          explode(transform(
+            sequence(lit(0),
+              when(col("n_tok") <= win, lit(0))
+                .otherwise(floor((col("n_tok") - win + stride - 1)
+                  .cast("double") / stride).cast("long"))),
+            i => struct(i.as("chunk_idx"),
+              (i * stride + 1).as("start_tok"),
+              least(lit(win.toLong), col("n_tok") - i * stride)
+                .as("chunk_toks")))).as("c"))
+        .select(col("doc_id"), col("n_tok"),
+          col("c.chunk_idx").cast("long").as("chunk_idx"),
+          col("c.start_tok").cast("long").as("start_tok"),
+          col("c.chunk_toks").cast("long").as("chunk_toks"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- north star: boilerplate excision over shared CDC chunks (the
     //      C4/RefinedWeb template-removal step at chunk granularity);
     //      common-chunk set broadcasts back as a left-anti gate, docs
@@ -2728,6 +2770,57 @@ object SparkEntry {
         |SELECT bin, count(*) AS n, min(n_tok) AS min_tok,
         |  max(n_tok) AS max_tok, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // langid confusion matrix: the q_langid scorer joined to the truth
+    // labels (zh has no stopword list — it lands on the en fallback arm,
+    // which is the point of measuring the confusion)
+    "q_langid_eval" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS score_en,
+        |    CAST(len(list_filter(ts, t -> t IN ('el','la','de','y','que'))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS score_es,
+        |    CAST(len(list_filter(ts, t -> t IN ('le','la','et','de','un'))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS score_fr,
+        |    CAST(len(list_filter(ts, t -> t IN ('der','die','und','das','ist'))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS score_de
+        |  FROM x),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN score_en >= score_es AND score_en >= score_fr
+        |           AND score_en >= score_de THEN 'en'
+        |      WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+        |      WHEN score_fr >= score_de THEN 'fr'
+        |      ELSE 'de' END AS lang_pred
+        |  FROM sc)
+        |SELECT d.lang AS lang_true, p.lang_pred AS lang_pred,
+        |  count(*) AS n
+        |FROM p JOIN documents d ON p.doc_id = d.doc_id
+        |GROUP BY lang_true, lang_pred
+        |ORDER BY lang_true, lang_pred""".stripMargin,
+
+    // sliding-window chunk manifest: win 32, stride 16; last window
+    // clipped; docs at or under one window emit a single chunk
+    "q_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    unnest(range(0, CASE WHEN n_tok <= 32 THEN 1
+        |      ELSE CAST(FLOOR(CAST(n_tok - 32 + 15 AS DOUBLE) / 16)
+        |             AS BIGINT) + 1 END)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, n_tok, chunk_idx,
+        |  chunk_idx * 16 + 1 AS start_tok,
+        |  least(32, n_tok - chunk_idx * 16) AS chunk_toks
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // boilerplate excision: the q_dedup_cdc chunk CTEs with positions,
     // chunks in >= 3 distinct docs removed, ordered reconstruction
