@@ -33,7 +33,8 @@ class DeterminismSpec extends SparkSpec {
     // joins, INTERSECT-based recall, correlated EXISTS/NOT EXISTS
     "q_pack", "q_interleave", "q_curriculum", "q_dedup_cdc",
     "q_boilerplate", "q_funnel", "q_retention", "q_scd2",
-    "q_simsearch_recall", "q_sql_tpch21")
+    "q_simsearch_recall", "q_sql_tpch21", "q_langid_eval",
+    "q_chunk_windows")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
