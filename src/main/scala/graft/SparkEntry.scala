@@ -1767,6 +1767,48 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- interval-overlap self-join: cross-user session overlaps via
+    //      hour-bucket equi-join (each interval explodes to the buckets
+    //      it spans; overlapping intervals always share the bucket that
+    //      contains the overlap, so the bucketed join finds exactly the
+    //      BNLJ pairs with a shuffle that scales in bucket occupancy,
+    //      not sessions²) ----
+    "q_join_interval" -> ((s, dir) => {
+      val hourUs = 3600000000L
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = lit(30L * 60 * 1000000)
+      val sess = t(s, dir, "events")
+        .filter(col("user_id") <= 30)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+               unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as("st"),
+          max(unix_micros(col("ts"))).as("en"))
+      val bucketed = sess.select(col("user_id"), col("session_id"),
+        col("st"), col("en"),
+        explode(sequence(floor(col("st") / hourUs).cast("long"),
+          floor(col("en") / hourUs).cast("long"))).as("b"))
+      val a = bucketed.select(col("b"), col("user_id").as("u1"),
+        col("session_id").as("s1"), col("st").as("st1"), col("en").as("en1"))
+      val bb = bucketed.select(col("b"), col("user_id").as("u2"),
+        col("session_id").as("s2"), col("st").as("st2"), col("en").as("en2"))
+      a.join(bb, Seq("b"))
+        .filter(col("u1") < col("u2"))
+        .filter(col("st1") <= col("en2") && col("st2") <= col("en1"))
+        .select(col("u1"), col("s1"), col("u2"), col("s2"),
+          (least(col("en1"), col("en2")) - greatest(col("st1"), col("st2")))
+            .as("overlap_us"))
+        .distinct()
+        .orderBy(col("u1"), col("s1"), col("u2"), col("s2"))
+    }),
+
     // ---- north star: classifier evaluation — language-ID confusion
     //      matrix against the labeled corpus (the eval harness every
     //      heuristic filter needs before gating a corpus on it) ----
@@ -2770,6 +2812,36 @@ object SparkEntry {
         |SELECT bin, count(*) AS n, min(n_tok) AS min_tok,
         |  max(n_tok) AS max_tok, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // interval overlap: sessions built exactly as q_sessionize (users
+    // <= 30), then the direct quadratic overlap join — the oracle takes
+    // the BNLJ path the Spark side's bucketed join is proven against
+    "q_join_interval" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events WHERE user_id <= 30
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |             THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM x
+        |), sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+        |  FROM y GROUP BY user_id, session_id)
+        |SELECT a.user_id AS u1, a.session_id AS s1,
+        |  b.user_id AS u2, b.session_id AS s2,
+        |  least(a.en, b.en) - greatest(a.st, b.st) AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id
+        | AND a.st <= b.en AND b.st <= a.en
+        |ORDER BY u1, s1, u2, s2""".stripMargin,
 
     // langid confusion matrix: the q_langid scorer joined to the truth
     // labels (zh has no stopword list — it lands on the en fallback arm,
