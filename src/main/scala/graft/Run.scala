@@ -9,16 +9,10 @@ import graft.engine.{EngineConfig, Pipeline}
 object Run {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Run <config.yaml> [parallelism]")
-    val yaml = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(args(0))),
-      java.nio.charset.StandardCharsets.UTF_8)
-    // accept the reference's own config format unchanged (gcs:/bq:
-    // sections, GCS2Postgres config.yaml:1-25) — drop-in migration
-    val config =
-      if (yaml.linesIterator.exists(l => l.startsWith("gcs:") ||
-          l.startsWith("bq:")))
-        EngineConfig.fromReferenceYaml(yaml)
-      else EngineConfig.fromYaml(yaml)
+    // accepts the reference's own config format unchanged (gcs:/bq:
+    // sections, GCS2Postgres config.yaml:1-25) as well as the native
+    // jobs:/sink: dialect — detection lives in EngineConfig
+    val config = EngineConfig.fromAnyYamlFile(args(0))
     val parallelism = if (args.length > 1) args(1).toInt else 1
     val spark = graft.engine.GraftSession.build("graft")
     val results = Pipeline.run(spark, config, parallelism)

@@ -3979,8 +3979,10 @@ object SparkEntry {
         |       GROUP BY bg HAVING count(*) >= 5)
         |SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
         |  c_xy, u1.c AS c_x, u2.c AS c_y,
-        |  floor(ln(CAST(c_xy * n_uni * n_uni AS DOUBLE) /
-        |           CAST(n_bg * u1.c * u2.c AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |  floor(ln(CAST(c_xy AS DOUBLE)
+        |           * (CAST(n_uni AS DOUBLE) / CAST(n_bg AS DOUBLE))
+        |           * (CAST(n_uni AS DOUBLE) / CAST(u1.c AS DOUBLE))
+        |           / CAST(u2.c AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    AS pmi
         |FROM bc
         |JOIN uc u1 ON split_part(bg, ' ', 1) = u1.w

@@ -152,38 +152,85 @@ object EngineConfig {
     *     and intra-table parallelism is Spark's.
     */
   def fromReferenceYaml(yaml: String): EngineConfig = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"reference config: $msg")
     val root = new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Object]](yaml).asScala
     def section(name: String): Map[String, Object] =
-      root.get(name).map(_.asInstanceOf[java.util.Map[String, Object]]
-        .asScala.toMap).getOrElse(Map.empty)
-    def units(sec: Map[String, Object], key: String): Seq[(String, String)] =
-      sec.get(key).toSeq.flatMap {
-        case l: java.util.List[_] => l.asScala.toSeq.map {
+      root.get(name) match {
+        case None | Some(null) => Map.empty
+        case Some(m: java.util.Map[_, _]) =>
+          m.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+        case Some(other) =>
+          fail(s"section '$name' must be a mapping, got " +
+            other.getClass.getSimpleName)
+      }
+    def need(sec: Map[String, Object], secName: String,
+             key: String): String =
+      sec.get(key) match {
+        case Some(v) if v != null => v.toString
+        case _ => fail(s"section '$secName' is missing required key '$key'")
+      }
+    def units(sec: Map[String, Object], secName: String,
+              key: String): Seq[(String, String)] =
+      sec.get(key) match {
+        case None | Some(null) => Nil
+        case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
           case m: java.util.Map[_, _] =>
             val u = m.asInstanceOf[java.util.Map[String, Object]].asScala
-            (u("name").toString, u("table").toString)
+              .toMap
+            (need(u, s"$secName.$key[]", "name"),
+              need(u, s"$secName.$key[]", "table"))
+          case other =>
+            fail(s"'$secName.$key' entries must be mappings with " +
+              s"name/table, got ${other.getClass.getSimpleName}")
         }
+        case Some(other) =>
+          fail(s"'$secName.$key' must be a list, got " +
+            other.getClass.getSimpleName)
       }
     val gcs = section("gcs")
-    val gcsJobs = units(gcs, "files").map { case (name, table) =>
-      JobSpec(source = s"gs://${gcs("bucket_name")}/$name", target = table)
+    val gcsJobs = units(gcs, "gcs", "files").map { case (name, table) =>
+      JobSpec(source = s"gs://${need(gcs, "gcs", "bucket_name")}/$name",
+        target = table)
     }
     val bq = section("bq")
-    val bqJobs = units(bq, "tables").map { case (name, table) =>
-      JobSpec(source = s"${bq("project_id")}.${bq("dataset")}.$name",
+    val bqJobs = units(bq, "bq", "tables").map { case (name, table) =>
+      JobSpec(source = s"${need(bq, "bq", "project_id")}." +
+          s"${need(bq, "bq", "dataset")}.$name",
         target = table, format = Some(SourceFormat.Bigquery))
     }
     val pg = section("postgres")
     val sink =
       if (pg.isEmpty) SinkConfig()
       else {
-        val pwd = pg.get("secret_name")
+        val pwd = pg.get("secret_name").filter(_ != null)
           .map(s => s"&password=secret://$s").getOrElse("")
         SinkConfig(format = "jdbc", url = Some(
-          s"jdbc:postgresql://${pg("host")}:${pg("port")}/${pg("dbname")}" +
-            s"?user=${pg("user")}&sslmode=${pg("sslmode")}$pwd"))
+          s"jdbc:postgresql://${need(pg, "postgres", "host")}:" +
+            s"${need(pg, "postgres", "port")}/" +
+            s"${need(pg, "postgres", "dbname")}" +
+            s"?user=${need(pg, "postgres", "user")}" +
+            s"&sslmode=${need(pg, "postgres", "sslmode")}$pwd"))
       }
     EngineConfig(gcsJobs ++ bqJobs, sink)
   }
+
+  /** Parse either config dialect: reference-format files (any `gcs:` or
+    * `bq:` top-level section) route to [[fromReferenceYaml]], everything
+    * else to the native [[fromYaml]]. This lives at the config layer so
+    * every entry point (CLI, tests, library use) gets the drop-in
+    * migration path, not just one particular main.
+    */
+  def fromAnyYaml(yaml: String): EngineConfig = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml)
+    val keys = Option(root).map(_.asScala.keySet).getOrElse(Set.empty)
+    if (keys("gcs") || keys("bq")) fromReferenceYaml(yaml)
+    else fromYaml(yaml)
+  }
+
+  def fromAnyYamlFile(path: String): EngineConfig =
+    fromAnyYaml(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
 }

@@ -29,9 +29,12 @@ object Readers {
           .csv(job.source)
       case SourceFormat.Json    => reader.json(job.source)
       case SourceFormat.Text    => reader.text(job.source)
-      case SourceFormat.Avro | SourceFormat.Iceberg =>
+      case SourceFormat.Avro | SourceFormat.Iceberg
+         | SourceFormat.Bigquery =>
         // Connector jars absent in this environment (offline coursier);
-        // the call shape is the production wiring.
+        // the call shape is the production wiring (for Bigquery, `load`
+        // takes the project.dataset.table id the reference-config
+        // parser emits).
         reader.format(fmt.sparkFormat).load(job.source)
       case SourceFormat.Jdbc =>
         reader.format("jdbc").load()

@@ -212,10 +212,16 @@ object Dedup {
           (col("n1") + col("n2") - col("inter")) >= tauJ) ||
         (col("inter").cast("double") / least(col("n1"), col("n2")) >= tauC))
       .select(col("d1"), col("d2"))
-    val a = docs.select(col("doc_id").as("d1"), col("text"))
-    val b = docs.select(col("doc_id").as("d2"), col("text"))
-    val exactPairs = a.join(b, Seq("text"))
-      .filter(col("d1") < col("d2"))
+    // exact tier joins on the 8-byte text hash, not the document text —
+    // the shuffle key stays constant-size at any document length; the
+    // equality filter after the join removes (2^-60) hash collisions
+    val th = graft.functions.StableHash.stableHash60(col("text"))
+    val a = docs.select(col("doc_id").as("d1"), th.as("th"),
+      col("text").as("t1"))
+    val b = docs.select(col("doc_id").as("d2"), th.as("th"),
+      col("text").as("t2"))
+    val exactPairs = a.join(b, Seq("th"))
+      .filter(col("d1") < col("d2") && col("t1") === col("t2"))
       .select(col("d1"), col("d2"))
     overlap.unionByName(exactPairs).distinct()
   }

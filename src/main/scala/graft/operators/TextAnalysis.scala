@@ -455,9 +455,17 @@ object TextAnalysis {
     bg.join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
       .crossJoin(broadcast(totals))
+      // ratio factored into doubles BEFORE multiplying: the integer
+      // product c_xy*n_uni^2 overflows Long once the corpus passes ~3e9
+      // tokens, far below the design target. Counts are exact in double
+      // up to 2^53 (~9e15 tokens) and the expression tree is identical
+      // on both engines, so every intermediate is bit-identical and the
+      // micro-nat floor stays engine-stable.
       .withColumn("pmi", floor(log(
-        (col("c_xy") * col("n_uni") * col("n_uni")).cast("double") /
-          (col("n_bg") * col("c_x") * col("c_y")).cast("double"))
+        col("c_xy").cast("double")
+          * (col("n_uni").cast("double") / col("n_bg").cast("double"))
+          * (col("n_uni").cast("double") / col("c_x").cast("double"))
+          / col("c_y").cast("double"))
         * 1e6 + 0.5) / 1e6)
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
         col("pmi"))

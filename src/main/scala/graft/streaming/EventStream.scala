@@ -86,6 +86,18 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Timestamp <-> microseconds-since-epoch, full µs precision (the
+    * millis-only Timestamp constructor would truncate and disagree with
+    * batch min/max aggregates). Shared by every stateful operator here.
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int)
@@ -106,15 +118,6 @@ object EventStream {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    // full-microsecond Timestamp (the millis-only constructor would
-    // truncate and disagree with the batch min(ts)/max(ts))
-    def toTs(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
-      t
-    }
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -199,13 +202,6 @@ object EventStream {
   def funnel(events: Dataset[Event],
              windowUs: Long = 86400L * 1000000L): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    def toTs(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
-      t
-    }
     events
       .filter(e => e.event_type == "view" || e.event_type == "click" ||
         e.event_type == "purchase")
@@ -270,13 +266,6 @@ object EventStream {
                           maxOff: Int = 7): Dataset[RetOut] = {
     import events.sparkSession.implicits._
     val dayUs = 86400L * 1000000L
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    def toTs(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
-      t
-    }
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RetState, RetOut](

@@ -88,4 +88,38 @@ class EngineConfigSpec extends AnyFunSuite {
         Some("s3cret") else None)
     assert(resolved.contains("password=s3cret"))
   }
+
+  test("fromAnyYaml dispatches on top-level keys, not line sniffing") {
+    val ref = EngineConfig.fromAnyYaml(
+      """bq:
+        |  project_id: p
+        |  dataset: d
+        |  tables:
+        |    - name: "t"
+        |      table: "t2"
+        |""".stripMargin)
+    assert(ref.jobs.head.resolvedFormat == SourceFormat.Bigquery)
+    val native = EngineConfig.fromAnyYaml(
+      """jobs:
+        |  - source: /x/a.parquet
+        |    target: a
+        |""".stripMargin)
+    assert(native.jobs.head.resolvedFormat == SourceFormat.Parquet)
+  }
+
+  test("malformed reference configs fail with the offending section and " +
+       "key named") {
+    def msg(yaml: String): String =
+      intercept[IllegalArgumentException](
+        EngineConfig.fromReferenceYaml(yaml)).getMessage
+    assert(msg("gcs:\n  files:\n    - name: x\n")
+      .contains("'gcs.files[]' is missing required key 'table'"))
+    assert(msg("gcs:\n  files: 7\n").contains("'gcs.files' must be a list"))
+    // a complete entry parses cleanly
+    val ok = EngineConfig.fromReferenceYaml(
+      "gcs:\n  bucket_name: b\n  files:\n    - name: x\n      table: t\n")
+    assert(ok.jobs.map(_.target) == Seq("t"))
+    assert(msg("postgres:\n  host: h\n")
+      .contains("section 'postgres' is missing required key 'port'"))
+  }
 }
