@@ -2945,10 +2945,12 @@ object SparkEntry {
         |    string_agg(chunk, '' ORDER BY idx) AS clean_text,
         |    count(*) AS n_kept
         |  FROM kept GROUP BY doc_id)
-        |SELECT res.doc_id AS doc_id, n_kept,
-        |  CAST(length(clean_text) AS BIGINT) AS clean_len,
-        |  CAST(length(d.text) - length(clean_text) AS BIGINT) AS removed
-        |FROM res JOIN documents d ON res.doc_id = d.doc_id
+        |SELECT d.doc_id AS doc_id,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  CAST(length(COALESCE(clean_text, '')) AS BIGINT) AS clean_len,
+        |  CAST(length(d.text) - length(COALESCE(clean_text, ''))
+        |    AS BIGINT) AS removed
+        |FROM documents d LEFT JOIN res ON res.doc_id = d.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // recall@5 of IVF vs brute force: both sides are the proven

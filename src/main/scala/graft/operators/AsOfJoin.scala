@@ -50,6 +50,11 @@ object AsOfJoin {
     val payStruct = struct(
       (col(rightTs).as("__ts_r") +: rightPayload.map(col)): _*)
     val rightPrepped = right
+      // a NULL right timestamp can never be "at or before"/"after" any
+      // left ts — but Spark's NULLS FIRST ascending order would sort it
+      // to the window's front, where the running last(ignoreNulls) turns
+      // it into a phantom match for every early left row. Drop up front.
+      .filter(col(rightTs).isNotNull)
       .select((keys.map(col) :+ col(rightTs).as("__ts") :+
         lit(0).as("__tag") :+
         tieBreak.map(col).getOrElse(lit(0L)).cast("long").as("__tb") :+

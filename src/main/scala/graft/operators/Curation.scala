@@ -28,7 +28,7 @@ object Curation {
     stableHash60(key.cast("string")) % shards
 
   /** Token-budget packing: documents are hash-bucketed into `shards`
-    * independent streams; each stream is ordered by `orderCol` and cut
+    * independent streams; each stream is ordered by doc_id and cut
     * into consecutive bins at every `budget`-token boundary (a document
     * belongs to the bin its FIRST token falls in — the streaming-chunk
     * rule, so bin assignment is a pure function of the running offset).
@@ -96,19 +96,25 @@ object Curation {
     */
   def equalCountBins(df: DataFrame, valueCol: Column, idCol: Column,
                      k: Int): DataFrame = {
-    val n = df.count()
+    // NULL values are excluded up front: the histogram join could never
+    // match them (NULL === NULL is null), so counting them in n would
+    // shift every bin boundary while silently dropping the rows. SQL
+    // ntile ranks NULLS FIRST instead — callers needing that must
+    // coalesce to a sentinel below the value domain.
+    val nonNull = df.filter(valueCol.isNotNull)
+    val n = nonNull.count()
     require(n >= k, s"need at least $k rows, got $n")
     val m = n % k           // buckets that take one extra row
     val big = n / k + 1
     val small = n / k
-    val hist = df.groupBy(valueCol.as("v")).agg(count(lit(1)).as("c"))
+    val hist = nonNull.groupBy(valueCol.as("v")).agg(count(lit(1)).as("c"))
     val offsets = hist.withColumn("off",
       coalesce(sum(col("c")).over(
         Window.orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("v"), col("off"))
     val perValue = Window.partitionBy(valueCol).orderBy(idCol)
-    df.withColumn("rw", row_number().over(perValue).cast("long"))
+    nonNull.withColumn("rw", row_number().over(perValue).cast("long"))
       .join(broadcast(offsets), valueCol === col("v"))
       .withColumn("rnk", col("off") + col("rw"))
       .withColumn("bin",

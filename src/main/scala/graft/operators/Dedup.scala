@@ -17,7 +17,7 @@ import graft.operators.TextAnalysis.shingleHashes
   *   - MinHash+LSH: constant-size signatures (k longs/doc) replace the
   *     full shingle index; candidate generation shuffles only
   *     (band, bandHash) keys. The classic 100-TB near-dup path.
-  *   - SimHash: one 64-bit fingerprint/doc; banding into 4×16-bit keys is
+  *   - SimHash: one 64-bit fingerprint/doc; banding into 4×15-bit keys is
   *     EXACT for hamming<=3 by pigeonhole — no recall loss, tiny shuffle.
   *   - embedding cosine: blocked all-pairs (here by `label`; in prod by
   *     coarse quantizer cell) with exact integer-quantized verification.
@@ -28,11 +28,6 @@ object Dedup {
   def exact(df: DataFrame, key: String, id: String): DataFrame =
     df.groupBy(col(key))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
-
-  /** Docs with distinct-shingle-hash arrays attached (narrow map). */
-  def withShingleSets(docs: DataFrame, k: Int = 3,
-                      hash: Column => Column = null): DataFrame =
-    docs.withColumn("sh", shingleHashes(col("text"), k, hash))
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
     * Returns (d1, d2, inter, n1, n2, jaccard) for jaccard >= tau.
@@ -275,12 +270,17 @@ object Dedup {
     val newPosts = graft.engine.Spread(newDocs)
       .select(col("doc_id"), explode(shingleHashes(col("text"), k)).as("h"))
     // per new doc: how many of its DISTINCT shingles the corpus contains
+    // broadcast-join FIRST, then dedup: a corpus-wide distinct() before
+    // the join would shuffle the full exploded posting list on every
+    // ingest — the map-side join keeps only shingles the new shard
+    // shares, so the count_distinct shuffle carries matched rows only
+    // (shingleHashes is per-doc distinct, so duplicates come solely
+    // from multiple corpus docs sharing a shingle)
     val nearDupIds = graft.engine.Spread(corpus)
       .select(explode(shingleHashes(col("text"), k)).as("h"))
-      .distinct()
       .join(broadcast(newPosts), Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count_distinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id"))
     newDocs.join(exactIds.unionByName(nearDupIds).distinct(),
@@ -393,6 +393,12 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, tau: Double, k: Int = 3,
                    numPerms: Int = 32, bands: Int = 16): DataFrame = {
+    // bands > numPerms would make rows = 0 and every band key a constant
+    // (all docs in one bucket -> the O(n^2) expansion the guard exists
+    // to prevent); non-divisible values silently ignore the trailing
+    // permutations and lower recall below the configured level
+    require(numPerms % bands == 0 && numPerms >= bands,
+      s"bands ($bands) must divide numPerms ($numPerms)")
     val rows = numPerms / bands
     val posts = TextAnalysis.shinglePosts(docs, k)
     // ONE pass over the posting list computes signatures, set sizes, and
@@ -477,16 +483,21 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist (<= 3).
-    * Banding into 4 disjoint 16-bit quarters is exact by pigeonhole:
-    * distance <= 3 forces at least one identical quarter. Shuffle is by
-    * (quarter index, 16-bit value) — tiny keys, then exact verification.
+    * Banding into 4 disjoint 15-bit quarters over bits 0-59 is exact by
+    * pigeonhole: distance <= 3 forces at least one identical quarter.
+    * Quarters cover only the low 60 bits because the token hash is
+    * [[stableHash60]] (< 2^60): bits 60-63 vote -1 on every token, so
+    * they are zero in EVERY fingerprint — banding over them would hand
+    * one quarter 4 dead bits and make its bucket space 16x hotter than
+    * the others. Shuffle is by (quarter index, 15-bit value) — tiny
+    * keys, then exact verification over the full fingerprints.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4x16 banding is only exact for distance <= 3")
+    require(maxDist <= 3, "4-band banding is only exact for distance <= 3")
     val fp = simhashFingerprints(docs)
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(q =>
-        shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftright(col("fp"), q * 15).bitwiseAND(lit(0x7FFFL))): _*))
         .as(Seq("q", "qv")))
     // in-bucket pair enumeration (cf. bandCandidatePairs), fingerprints
     // carried in the bucket struct so no join-back is needed

@@ -67,7 +67,7 @@ object Similarity {
     *   - init: the nlist lowest-vec_id corpus vectors;
     *   - assign: argmin L2 == argmin(|c|^2 - 2<v,c>) via LongArrayDot,
     *     ties to the lower cent_id;
-    *   - update: element-wise integer mean (floor division).
+    *   - update: element-wise integer mean (truncating (toward-zero) division).
     * No randomness, no floats — same centroids on every run/engine.
     * Returns (cent_id, cent_v: array<long>).
     */
@@ -90,7 +90,7 @@ object Similarity {
       val updated = assigned
         .select(col("cent_id"), posexplode(col("cv")).as(Seq("pos", "q")))
         .groupBy(col("cent_id"), col("pos"))
-        // floor division keeps the mean integral and deterministic
+        // truncating (toward-zero) division keeps the mean integral and deterministic
         .agg((sum(col("q")) / count(lit(1))).cast("long").as("m"))
         .groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))

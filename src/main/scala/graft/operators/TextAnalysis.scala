@@ -125,12 +125,20 @@ object TextAnalysis {
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("chunk"))
-    ch.join(common, Seq("chunk"), "left_anti")
+    val kept = ch.join(common, Seq("chunk"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
           s => s.getField("chunk")), "").as("clean_text"),
         count(lit(1)).as("n_kept"))
+    // every input document appears in the output: a doc whose every
+    // chunk was template material comes back EMPTY, not silently
+    // missing — downstream joins must not lose corpus rows
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Text normalization — the standard pre-dedup cleanup: lowercase,
@@ -167,7 +175,7 @@ object TextAnalysis {
 
   /** N-gram/stopword language-ID heuristic: score each language by the
     * fraction of tokens in its signature list; predict the argmax
-    * (ties broken by language name order, deterministic). Returns
+    * (ties broken by signature-list order (en, es, fr, de), deterministic). Returns
     * (lang, score) as a struct-free pair of columns via `Map`.
     */
   def langScores(text: Column): Seq[(String, Column)] = {

@@ -28,6 +28,25 @@ class AsOfJoinSpec extends SparkSpec {
     .collect().map(r => r.getAs[Long]("trade_id") ->
       Option(r.getAs[Any]("px_q"))).toMap
 
+  test("a NULL right timestamp never matches (no NULLS-FIRST phantom)") {
+    val nullQuotes = quotes.unionByName(
+      Seq(("A", null.asInstanceOf[Timestamp], 999.0, 13L))
+        .toDF("sym", "t", "px", "qid"))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = AsOfJoin.asOfJoin(
+        trades, nullQuotes, keys = Seq("sym"), leftTs = "t", rightTs = "t",
+        rightPayload = Seq("px", "qid"), suffix = "_q",
+        tieBreak = Some("qid"), direction = dir)
+        .collect().map(r => r.getAs[Long]("trade_id") ->
+          Option(r.getAs[Any]("px_q"))).toMap
+      // trade 3 (09:00, before any quote): backward must stay NULL —
+      // the NULL-ts row must not become its match; and 999.0 must not
+      // appear anywhere in any direction
+      if (dir == "backward") assert(out(3L).isEmpty, s"$dir: ${out(3L)}")
+      assert(!out.values.flatten.exists(_ == 999.0), s"$dir: $out")
+    }
+  }
+
   test("picks latest right at-or-before each left, null when none") {
     val m = run()
     assert(m(1L).contains(101.0))  // 10:00:05 -> quote at 10:00:03
