@@ -92,23 +92,35 @@ object EngineConfig {
     * }}}
     */
   def fromYaml(yaml: String): EngineConfig = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"engine config: $msg")
     val root = new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Object]](yaml).asScala
     val jobs = root.get("jobs").toSeq.flatMap {
       case l: java.util.List[_] => l.asScala.toSeq.map {
         case m: java.util.Map[_, _] =>
           val j = m.asInstanceOf[java.util.Map[String, Object]].asScala
+          def needj(key: String): String = j.get(key) match {
+            case Some(v) if v != null => v.toString
+            case _ => fail(s"'jobs' entry is missing required key '$key'")
+          }
           JobSpec(
-            source = j("source").toString,
-            target = j("target").toString,
+            source = needj("source"),
+            target = needj("target"),
             format = j.get("format").map(f => SourceFormat.fromName(f.toString)),
             targetSchemaDdl = j.get("target_schema").map(_.toString),
             options = j.get("options").map(_.asInstanceOf[java.util.Map[String, Object]]
               .asScala.map { case (k, v) => k -> v.toString }.toMap)
               .getOrElse(Map.empty))
+        case other =>
+          fail("'jobs' entries must be mappings with source/target, got " +
+            other.getClass.getSimpleName)
       }
+      case other =>
+        fail(s"'jobs' must be a list, got ${other.getClass.getSimpleName}")
     }
-    val sink = root.get("sink").map { case m: java.util.Map[_, _] =>
+    val sink = root.get("sink").map {
+      case m: java.util.Map[_, _] =>
       val s = m.asInstanceOf[java.util.Map[String, Object]].asScala
       SinkConfig(
         format = s.get("format").map(_.toString).getOrElse("parquet"),
@@ -125,6 +137,8 @@ object EngineConfig {
           case one => Seq(one.toString)
         },
         numBuckets = s.get("num_buckets").map(_.toString.toInt).getOrElse(0))
+      case other =>
+        fail(s"'sink' must be a mapping, got ${other.getClass.getSimpleName}")
     }.getOrElse(SinkConfig())
     EngineConfig(jobs, sink)
   }

@@ -69,17 +69,22 @@ object Pipeline {
           parallelism: Int = 1): Seq[JobResult] = {
     def one(job: JobSpec): JobResult =
       Try(runJob(spark, job, config.sink)) match {
-        case Success((n, nulls)) => JobResult(job, Some(n), None, nulls)
+        // a metrics-listener timeout reports rows = -1: surface that as
+        // "unknown" (None), never as a believable count
+        case Success((n, nulls)) =>
+          JobResult(job, Some(n).filter(_ >= 0), None, nulls)
         case Failure(e) => JobResult(job, None, Some(e))
       }
     if (parallelism <= 1) config.jobs.map(one)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-        java.util.concurrent.Executors.newFixedThreadPool(parallelism))
-      val fs = config.jobs.map(j => Future(one(j)))
-      Await.result(Future.sequence(fs), Duration.Inf)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = config.jobs.map(j => Future(one(j)))
+        Await.result(Future.sequence(fs), Duration.Inf)
+      } finally pool.shutdown() // non-daemon threads would pin the JVM
     }
   }
 

@@ -24,6 +24,12 @@ object Multimodal {
   /** A media payload row: opaque bytes + declared kind and source id. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
+  /** Null-safe payload view: a NULL payload (corrupt/quarantined source
+    * row) is empty bytes, not a task-killing NPE inside mapPartitions.
+    */
+  private def bytesOf(m: MediaRow): Array[Byte] =
+    if (m.payload == null) Array.emptyByteArray else m.payload
+
   /** Extracted features: deterministic metadata a real decoder would
     * produce (dimensions, duration, channel stats, ...).
     */
@@ -37,7 +43,7 @@ object Multimodal {
     */
   object StubDecoder {
     def decode(row: MediaRow): MediaFeatures = {
-      val bytes = row.payload
+      val bytes = bytesOf(row)
       val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
       // fake dims derived from content — a real decoder parses the header
       val w = if (bytes.length >= 2) ((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) % 4096 else 0
@@ -84,7 +90,7 @@ object Multimodal {
     }
     media.mapPartitions { iter =>
       // real codec context allocated here, once per task
-      iter.map(m => m.copy(payload = resample(m.payload)))
+      iter.map(m => m.copy(payload = resample(bytesOf(m))))
     }
   }
 
@@ -95,15 +101,17 @@ object Multimodal {
   def frameSample(videos: Dataset[MediaRow], everyN: Int,
                   frameBytes: Int = 1024): Dataset[FrameRow] = {
     import videos.sparkSession.implicits._
-    require(everyN > 0)
+    require(everyN > 0 && frameBytes > 0,
+      s"everyN and frameBytes must be positive, got $everyN/$frameBytes")
     videos.mapPartitions { iter =>
       iter.flatMap { m =>
-        val nFrames = (m.payload.length + frameBytes - 1) / frameBytes
+        val pay = bytesOf(m)
+        val nFrames = (pay.length + frameBytes - 1) / frameBytes
         (0 until nFrames by everyN).iterator.map { f =>
           val from = f * frameBytes
-          val until = math.min(from + frameBytes, m.payload.length)
+          val until = math.min(from + frameBytes, pay.length)
           FrameRow(m.media_id, f, java.util.Arrays.copyOfRange(
-            m.payload, from, until))
+            pay, from, until))
         }
       }
     }
@@ -152,14 +160,15 @@ object Multimodal {
     audio.mapPartitions { iter =>
       // real DSP context (FFT plan, codec) would be allocated here
       iter.flatMap { m =>
-        val n = m.payload.length
+        val pay = bytesOf(m)
+        val n = pay.length
         val nWins = if (n == 0) 0 else (n + hopBytes - 1) / hopBytes
         (0 until nWins).iterator.map { k =>
           val from = k * hopBytes
           val until = math.min(from + winBytes, n)
           var sum = 0L; var chk = 0L; var peak = 0; var i = from
           while (i < until) {
-            val b = m.payload(i) & 0xff
+            val b = pay(i) & 0xff
             sum += b
             if (b > peak) peak = b
             chk = (31 * chk + b) % 1000000007L

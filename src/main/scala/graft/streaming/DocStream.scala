@@ -93,12 +93,18 @@ object DocStream {
     */
   def packIncremental(docsStream: DataFrame, shards: Int,
                       budget: Long): org.apache.spark.sql.Dataset[PackOut] = {
+    require(budget > 0, s"budget must be positive, got $budget")
     import docsStream.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     docsStream
       .select(col("doc_id").cast("long"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        // a NULL text (quarantined/corrupt record) counts 0 tokens —
+        // size(split(NULL)) is NULL and would kill the whole query in
+        // the non-nullable tuple encoder
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long"))
+          .as("n_tok"),
         graft.operators.Curation.shardId(col("doc_id"), shards)
           .as("shard"))
       .as[(Long, Long, Long)]

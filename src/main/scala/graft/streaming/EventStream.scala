@@ -117,6 +117,11 @@ object EventStream {
       Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    // setTimeoutDuration (below) is only legal under processing-time
+    // timeouts; EventTimeTimeout would throw inside the first stateful
+    // micro-batch, so reject it at construction instead
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "sessionize supports ProcessingTimeTimeout or NoTimeout")
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
@@ -137,7 +142,14 @@ object EventStream {
               val t = micros(e.ts)
               cur match {
                 case Some(s) if t - s.end <= gapUs =>
-                  cur = Some(s.copy(end = t, n = s.n + 1))
+                  // cross-batch late events may arrive with t inside (or
+                  // before) the open session: bounds only widen — a
+                  // session end must never move backwards. A deeply-late
+                  // event (t < start) conservatively merges rather than
+                  // opening a retroactive session (append mode cannot
+                  // retract already-emitted sessions).
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   closed += SessionOut(userId,
                     toTs(s.start), toTs(s.end), s.n)

@@ -14,14 +14,25 @@ object StreamDirs {
     val src = Paths.get(dir, fileName)
     if (Files.isDirectory(src)) src
     else {
+      // sanitized name + a hash of the ORIGINAL path: sanitization alone
+      // is lossy ("/data/sf0.001" and "/data/sf0_001" would collide and
+      // silently share one symlink -> a stream reading the wrong table)
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))
+        .mkString
       val d = Paths.get(sys.props("java.io.tmpdir"), namespace,
-        dir.replaceAll("[^A-Za-z0-9]", "_"))
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + tag)
       Files.createDirectories(d)
       val link = d.resolve(fileName)
+      // a stale link (target moved/deleted) reads as non-existent via
+      // the following Files.exists — recreate rather than swallow
+      if (Files.isSymbolicLink(link) &&
+          Files.readSymbolicLink(link) != src.toAbsolutePath)
+        Files.delete(link)
       // tolerate a concurrent session creating the same link between the
       // exists-check and the create
       if (!Files.exists(link))
-        try Files.createSymbolicLink(link, src)
+        try Files.createSymbolicLink(link, src.toAbsolutePath)
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
       d
     }
