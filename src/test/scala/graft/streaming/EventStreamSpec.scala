@@ -200,6 +200,59 @@ class EventStreamSpec extends SparkSpec {
     assert(w10.head.getLong(2) == 3L)  // the late fourth event is absent
   }
 
+  test("funnel state survives a checkpoint restart: stage-2 completes " +
+       "across two separate query runs") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_funl").toString
+    val ckpt = Files.createTempDirectory("graft_funl_ckpt").toString
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def writeBatch(sub: String,
+                   rows: Seq[(Long, String, Long, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "t", "user_id", "event_type")
+        .select(col("event_id"), to_timestamp(col("t")).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"))
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      Files.list(Paths.get(s"$dir/$sub")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, Paths.get(dir, s"$sub.parquet"))
+      }
+    }
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    def run(): Unit = {
+      import spark.implicits._
+      val events = spark.readStream.schema(sch).parquet(dir)
+        .as[EventStream.Event]
+      val q = EventStream.funnel(events).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows }; ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // run 1: user 1 views only -> stage 1
+    writeBatch("b1", Seq((1L, "2024-01-01 10:00:00", 1L, "view")))
+    run()
+    // run 2 (fresh query over the same checkpoint): the click 2h later
+    // completes stage 2 ONLY if the recovered state still holds t1
+    writeBatch("b2", Seq((2L, "2024-01-01 12:00:00", 1L, "click")))
+    run()
+    val stages = emitted.map(_.getAs[Int]("stage_n")).toSeq
+    assert(stages == Seq(1, 2), s"got stages $stages")
+    val last = emitted.last
+    assert(last.getAs[java.sql.Timestamp]("t1").toString
+      .contains("10:00:00"), "recovered t1 lost across restart")
+  }
+
   test("streaming anomaly detection == batch q_zscore on the same data") {
     val stats = graft.operators.Anomaly.groupStats(
       graft.engine.Readers.events(spark, sf()), "event_type", "value")
