@@ -42,6 +42,15 @@ object Stress {
       .filter(col("nd") >= 2).count())
     time("strip_boilerplate")(
       TextAnalysis.stripBoilerplate(dup, minDocs = 3).count())
+    // the documented composition: exact-hash dedup FIRST collapses the
+    // duplicate flood, then template excision sees real df counts
+    time("dedup+boilerplate")({
+      val canon = dup.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.stripBoilerplate(canon, minDocs = 3)
+        .filter(length(col("clean_text")) > 0).count()
+    })
     spark.stop()
   }
 }
