@@ -368,6 +368,27 @@ object Dedup {
       .dropDuplicates(outA, outB)
   }
 
+  /** Distinct candidate pairs via a (band, key) SELF-JOIN — the
+    * codegen'd alternative to [[bandCandidatePairs]]'s in-bucket
+    * higher-order-function expansion. Same distinct pair set; the pair
+    * stream materializes inside a whole-stage-codegen'd shuffled join
+    * instead of an interpreted transform/flatten chain. Preferable when
+    * buckets are LARGE (the HOF path allocates every in-bucket struct
+    * interpreted — measured 2x on q_knn_graph's 625-member buckets);
+    * the HOF path wins when buckets are tiny and the join's second
+    * shuffle would dominate. No quadratic-expansion guard here: the
+    * join output is streamed, not buffered per group.
+    */
+  private[operators] def bandCandidatePairsJoin(banded: DataFrame,
+      id: String, outA: String, outB: String): DataFrame = {
+    val a = banded.select(col("band"), col("bk"), col(id).as(outA))
+    val b = banded.select(col("band"), col("bk"), col(id).as(outB))
+    a.join(b, Seq("band", "bk"))
+      .filter(col(outA) < col(outB))
+      .select(col(outA), col(outB))
+      .dropDuplicates(outA, outB)
+  }
+
   /** MinHash signatures as one codegen'd aggregation over the posting
     * list: numPerms `min((a_i*(h mod p)+b_i) mod p)` aggregates. Constant
     * numPerms longs per doc; partial (map-side) aggregation means the
@@ -735,7 +756,11 @@ object Dedup {
       .repartition(col("vec_id"))
     val banded = prep.select(col("vec_id"),
       posexplode(col("bks")).as(Seq("band", "bk")))
-    val cands = bandCandidatePairs(banded, "vec_id", "v1", "v2")
+    // join path, not HOF expansion: hyperplane buckets are corpus/2^bits
+    // members — large, the regime where the codegen'd self-join wins 2x
+    // (measured on q_knn_graph; minhashPairs keeps the HOF path because
+    // minhash buckets are tiny by LSH design)
+    val cands = bandCandidatePairsJoin(banded, "vec_id", "v1", "v2")
     val m1 = prep.select(col("vec_id").as("v1"), col("qv").as("qv1"),
       col("qn").as("qn1"))
     val m2 = prep.select(col("vec_id").as("v2"), col("qv").as("qv2"),

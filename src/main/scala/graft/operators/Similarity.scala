@@ -238,7 +238,7 @@ object Similarity {
       .repartition(col("cid"))
     val banded = prep.select(col("cid"),
       posexplode(col("bks")).as(Seq("band", "bk")))
-    val undirected = Dedup.bandCandidatePairs(banded, "cid", "a", "b")
+    val undirected = Dedup.bandCandidatePairsJoin(banded, "cid", "a", "b")
     val edges = undirected.unionAll(
       undirected.select(col("b").as("a"), col("a").as("b")))
     val wRank = Window.partitionBy(col("qid"))
