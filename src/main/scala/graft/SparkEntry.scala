@@ -729,6 +729,14 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- north star: MinHash estimator calibration — Broder estimate
+    //      vs exact Jaccard per candidate pair, the measurement behind
+    //      a production numPerms/bands choice ----
+    "q_minhash_calib" -> ((s, dir) => {
+      graft.operators.Dedup.minhashCalibration(t(s, dir, "documents"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- north star: SimHash near-dup (4x16 banding, exact for d<=3) ----
     "q_dedup_simhash" -> ((s, dir) => {
       graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)
@@ -1725,6 +1733,29 @@ object SparkEntry {
         .select(col("lang"), col("n_orig"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- north star: temperature-scaled mixture weights (the mT5/
+    //      XLM-R alpha-sampling rule, alpha = 1/2): w_l ∝ n_l^alpha.
+    //      Each sqrt term is quantized to integer micro-units BEFORE the
+    //      cross-language sum, so the normalizing constant is exact
+    //      integer math under any aggregation order; the final weight is
+    //      one fixed-order double ratio ----
+    "q_mixture_alpha" -> ((s, dir) => {
+      val perLang = t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("q_sqrt", floor(sqrt(col("n_docs").cast("double"))
+          * 1e6).cast("long"))
+      val total = perLang.agg(sum(col("q_sqrt")).as("z"),
+        sum(col("n_docs")).as("n_total"))
+      perLang.crossJoin(broadcast(total))
+        .select(col("lang"), col("n_docs"),
+          (col("q_sqrt").cast("double") / col("z").cast("double"))
+            .as("alpha_weight"),
+          floor(col("q_sqrt").cast("double") / col("z").cast("double")
+            * col("n_total").cast("double")).cast("long")
+            .as("expected_sample"))
         .orderBy(col("lang"))
     }),
 
@@ -2788,6 +2819,25 @@ object SparkEntry {
          |FROM orig LEFT JOIN kept ON orig.lang = kept.lang
          |ORDER BY lang""".stripMargin,
 
+    // alpha-sampling weights: sqrt terms quantized to integer micro-
+    // units before the normalizing sum (exact under any order); final
+    // ratios are fixed-order double expressions
+    "q_mixture_alpha" ->
+      """WITH pl AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS q_sqrt
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(q_sqrt) AS BIGINT) AS z,
+        |               CAST(sum(n_docs) AS BIGINT) AS n_total
+        |        FROM pl)
+        |SELECT lang, n_docs,
+        |  CAST(q_sqrt AS DOUBLE) / CAST(z AS DOUBLE) AS alpha_weight,
+        |  CAST(floor(CAST(q_sqrt AS DOUBLE) / CAST(z AS DOUBLE)
+        |    * CAST(n_total AS DOUBLE)) AS BIGINT) AS expected_sample
+        |FROM pl CROSS JOIN tot
+        |ORDER BY lang""".stripMargin,
+
     // salted k-fold assignment census (salt ':cv' decouples from the
     // q_sample fold family)
     "q_folds" ->
@@ -3645,6 +3695,50 @@ object SparkEntry {
          |            JOIN shnz s2 ON d2 = s2.doc_id)
          |SELECT d1, d2, inter * 1.0 / (n1 + n2 - inter) AS jaccard
          |FROM ver WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.3
+         |ORDER BY d1, d2""".stripMargin,
+
+    // estimator calibration: the q_dedup_minhash CTEs, keeping the
+    // matching-component count next to the exact overlap
+    "q_minhash_calib" ->
+      s"""$shingleCte,
+         |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |sig AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 32),
+         |    i -> list_min(list_transform(sh,
+         |      h -> ((2*i+1) * (h % 2147483647)
+         |            + (1000003*(i+1)) % 2147483647) % 2147483647))) AS sg
+         |  FROM shnz),
+         |bands AS (
+         |  SELECT doc_id,
+         |    b, ${hashSql("b::VARCHAR || ',' || sg[2*b+1]::VARCHAR || ',' || sg[2*b+2]::VARCHAR")} AS bk
+         |  FROM (SELECT doc_id, sg, unnest(range(0, 16)) AS b FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT d1, d2,
+         |  CAST(len(list_filter(range(1, 33),
+         |    i -> s1.sg[CAST(i AS INT)] = s2.sg[CAST(i AS INT)]))
+         |    AS BIGINT) AS n_match,
+         |  CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS inter,
+         |  CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))
+         |    AS BIGINT) AS un,
+         |  CAST(len(list_filter(range(1, 33),
+         |    i -> s1.sg[CAST(i AS INT)] = s2.sg[CAST(i AS INT)]))
+         |    AS DOUBLE) / 32 AS est,
+         |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         |    / CAST(len(s1.sh) + len(s2.sh)
+         |           - len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         |    AS jaccard,
+         |  abs(CAST(len(list_filter(range(1, 33),
+         |    i -> s1.sg[CAST(i AS INT)] = s2.sg[CAST(i AS INT)]))
+         |    AS DOUBLE) / 32
+         |    - CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         |      / CAST(len(s1.sh) + len(s2.sh)
+         |             - len(list_intersect(s1.sh, s2.sh)) AS DOUBLE))
+         |    AS abs_err
+         |FROM cand JOIN sig s1 ON d1 = s1.doc_id
+         |          JOIN sig s2 ON d2 = s2.doc_id
          |ORDER BY d1, d2""".stripMargin,
 
     "q_dedup_simhash" ->

@@ -461,6 +461,62 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** MinHash estimator calibration — the companion evaluation to
+    * [[minhashPairs]]: for every LSH candidate pair, the Broder
+    * estimate (matching signature components / numPerms) side by side
+    * with the exact Jaccard, plus the absolute error. This is the
+    * measurement that justifies a production numPerms/bands choice
+    * before a 100 TB dedup run commits to it. Integer outputs
+    * (n_match, inter, set sizes) are engine-exact; the two ratios and
+    * the error are single fixed-order double expressions.
+    */
+  def minhashCalibration(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
+                         bands: Int = 16): DataFrame = {
+    require(numPerms % bands == 0 && numPerms >= bands,
+      s"bands ($bands) must divide numPerms ($numPerms)")
+    val rows = numPerms / bands
+    val posts = TextAnalysis.shinglePosts(docs, k)
+    val p = MinhashPrime
+    val hm = col("h") % p
+    val aggs = (0 until numPerms).map { i =>
+      min((lit(permA(i)) * hm + lit(permB(i))) % p).as(s"sig_$i")
+    } ++ Seq(
+      count(lit(1)).as("n"),
+      sort_array(collect_list(col("h"))).as("sh"))
+    val sigs = posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .repartition(col("doc_id"))
+    val bandCols = (0 until bands).map { b =>
+      stableHash60(concat_ws(",",
+        lit(b.toString) +: (0 until rows).map(r =>
+          col(s"sig_${b * rows + r}").cast("string")): _*))
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+    val cands = bandCandidatePairs(banded, "doc_id", "d1", "d2")
+    def side(sfx: String, id: String) = sigs.select(
+      (col("doc_id").as(id) +: col("n").as(s"n$sfx") +:
+        col("sh").as(s"sh$sfx") +:
+        (0 until numPerms).map(i =>
+          col(s"sig_$i").as(s"sig_${i}$sfx"))): _*)
+    val nMatch = (0 until numPerms).map(i =>
+      when(col(s"sig_${i}a") === col(s"sig_${i}b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(side("a", "d1"), "d1").join(side("b", "d2"), "d2")
+      .withColumn("n_match", nMatch)
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb")))
+        .cast("long"))
+      .withColumn("un",
+        (col("na") + col("nb") - col("inter")).cast("long"))
+      .select(col("d1"), col("d2"), col("n_match"), col("inter"),
+        col("un"),
+        (col("n_match").cast("double") / numPerms).as("est"),
+        (col("inter").cast("double") / col("un").cast("double"))
+          .as("jaccard"),
+        abs(col("n_match").cast("double") / numPerms
+          - col("inter").cast("double") / col("un").cast("double"))
+          .as("abs_err"))
+  }
+
   /** SimHash 64-bit fingerprint over token hashes (Charikar's
     * random-hyperplane rounding, STOC 2002; banded near-dup detection as
     * in Manku/Jain/Sarma, WWW 2007): bit j of the result is

@@ -34,7 +34,8 @@ class DeterminismSpec extends SparkSpec {
     "q_pack", "q_interleave", "q_curriculum", "q_dedup_cdc",
     "q_boilerplate", "q_funnel", "q_retention", "q_scd2",
     "q_simsearch_recall", "q_sql_tpch21", "q_langid_eval",
-    "q_chunk_windows", "q_join_interval")
+    "q_chunk_windows", "q_join_interval", "q_minhash_calib",
+    "q_mixture_alpha")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
