@@ -59,6 +59,11 @@ object Curation {
     * row_number is per-shard) and the round-robin merge is arithmetic,
     * not a sort — the 100 TB path writes shard files and the loader
     * walks them round-robin.
+    *
+    * CONTRACT: `global_pos` is injective but SPARSE when shard sizes are
+    * unequal — once a shorter shard is exhausted, its round-robin slots
+    * are gaps. A loader must iterate positions in sorted order (or use
+    * [[interleaveDense]]), NOT assume a dense 0..n-1 index.
     */
   def interleave(docs: DataFrame, idCol: Column, shards: Int,
                  salt: String = "shuf"): DataFrame = {
@@ -70,6 +75,33 @@ object Curation {
       .withColumn("pos_in_shard", row_number().over(w).cast("long"))
       .withColumn("global_pos",
         (col("pos_in_shard") - 1) * shards + col("shard"))
+  }
+
+  /** [[interleave]] with a DENSE 0..n-1 `global_pos` even for unequal
+    * shard sizes: the dense rank of the sparse position is computed in
+    * closed form from the shard-size vector (for a row at 1-based
+    * per-shard position p in shard s, rows before it number
+    * Σ_{t<s} min(n_t, p) + Σ_{t>s} min(n_t, p−1) + (p−1)), so no global
+    * window is introduced — the size vector is `shards` longs, driver-
+    * collected and folded per row with `aggregate`. Costs one extra
+    * count-by-shard job over [[interleave]].
+    */
+  def interleaveDense(docs: DataFrame, idCol: Column, shards: Int,
+                      salt: String = "shuf"): DataFrame = {
+    val base = interleave(docs, idCol, shards, salt)
+    val sizes = base.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizeArr = array((0 until shards).map(s =>
+      lit(sizes.getOrElse(s.toLong, 0L))): _*)
+    base.withColumn("global_pos",
+      aggregate(
+        sequence(lit(0), lit(shards - 1)),
+        lit(0L),
+        (acc, t) => acc + when(t < col("shard"),
+            least(element_at(sizeArr, t + 1), col("pos_in_shard")))
+          .when(t > col("shard"),
+            least(element_at(sizeArr, t + 1), col("pos_in_shard") - 1))
+          .otherwise(col("pos_in_shard") - 1)))
   }
 
   /** K-fold cross-validation assignment: fold = salted stable hash mod
@@ -107,22 +139,32 @@ object Curation {
     val m = n % k           // buckets that take one extra row
     val big = n / k + 1
     val small = n / k
-    val hist = nonNull.groupBy(valueCol.as("v")).agg(count(lit(1)).as("c"))
-    val offsets = hist.withColumn("off",
-      coalesce(sum(col("c")).over(
-        Window.orderBy(col("v"))
+    // internal columns use a __ecb_ prefix so a caller schema that
+    // already has "v"/"off"/"rw"/"rnk" neither collides in the join
+    // condition nor gets dropped at the end
+    val hist = nonNull.groupBy(valueCol.as("__ecb_v"))
+      .agg(count(lit(1)).as("__ecb_c"))
+    // Spark warns `WindowExec: No Partition Defined` here — expected and
+    // safe: this global window runs over the value HISTOGRAM (|distinct
+    // values| rows, bounded by the domain, not the corpus) and the
+    // result is broadcast back. The corpus itself never enters a
+    // single-partition window.
+    val offsets = hist.withColumn("__ecb_off",
+      coalesce(sum(col("__ecb_c")).over(
+        Window.orderBy(col("__ecb_v"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("v"), col("off"))
+      .select(col("__ecb_v"), col("__ecb_off"))
     val perValue = Window.partitionBy(valueCol).orderBy(idCol)
-    nonNull.withColumn("rw", row_number().over(perValue).cast("long"))
-      .join(broadcast(offsets), valueCol === col("v"))
-      .withColumn("rnk", col("off") + col("rw"))
+    nonNull.withColumn("__ecb_rw", row_number().over(perValue).cast("long"))
+      .join(broadcast(offsets), valueCol === col("__ecb_v"))
+      .withColumn("__ecb_rnk", col("__ecb_off") + col("__ecb_rw"))
       .withColumn("bin",
-        when(col("rnk") <= m * big,
-          (col("rnk") - 1) / big + 1)
-          .otherwise(lit(m) + (col("rnk") - lit(m * big) - 1) / small + 1))
+        when(col("__ecb_rnk") <= m * big,
+          (col("__ecb_rnk") - 1) / big + 1)
+          .otherwise(
+            lit(m) + (col("__ecb_rnk") - lit(m * big) - 1) / small + 1))
       .withColumn("bin", floor(col("bin")).cast("long"))
-      .drop("v", "off", "rw", "rnk")
+      .drop("__ecb_v", "__ecb_off", "__ecb_rw", "__ecb_rnk")
   }
 
   /** Distribution drift between two deterministic halves of a corpus

@@ -192,7 +192,8 @@ object EventStream {
   }
 
   final case class FunnelCand(minView: Option[Long], clicks: List[Long],
-                              purchases: List[Long])
+                              purchases: List[Long],
+                              maxSeenUs: Long = Long.MinValue)
   final case class FunnelOut(user_id: Long, stage_n: Int,
                              t1: Option[java.sql.Timestamp],
                              t2: Option[java.sql.Timestamp],
@@ -208,11 +209,22 @@ object EventStream {
     * moves left — a click above t1+W can never qualify later and is
     * pruned; likewise purchases above t1+2W. State per user is therefore
     * bounded to candidates inside a 2-window horizon after the earliest
-    * view (plus all candidates while no view has arrived, which a
-    * production deployment bounds with its watermark).
+    * view (plus all candidates while no view has arrived — bound that
+    * with `horizonUs`).
+    *
+    * `horizonUs`: optional hard bound on pre-view state. While no view
+    * has arrived for a user, clicks/purchases older than
+    * (max event time seen for that user − horizonUs) are dropped, so a
+    * view-less hot user's state cannot grow without limit. Exactness is
+    * preserved whenever the source watermark guarantees a view is never
+    * more than `horizonUs` later than the clicks it qualifies; pick
+    * horizonUs ≥ watermark delay + windowUs. None (default) keeps the
+    * original unbounded-until-first-view behavior.
     */
   def funnel(events: Dataset[Event],
-             windowUs: Long = 86400L * 1000000L): Dataset[FunnelOut] = {
+             windowUs: Long = 86400L * 1000000L,
+             horizonUs: Option[Long] = None): Dataset[FunnelOut] = {
+    horizonUs.foreach(h => require(h > 0, s"horizonUs must be > 0, got $h"))
     import events.sparkSession.implicits._
     events
       .filter(e => e.event_type == "view" || e.event_type == "click" ||
@@ -225,8 +237,10 @@ object EventStream {
           var minView = s0.minView
           var clicks = s0.clicks
           var purchases = s0.purchases
+          var maxSeen = s0.maxSeenUs
           rows.foreach { e =>
             val t = micros(e.ts)
+            if (t > maxSeen) maxSeen = t
             e.event_type match {
               case "view" =>
                 if (minView.forall(t < _)) minView = Some(t)
@@ -240,7 +254,15 @@ object EventStream {
             clicks = clicks.filter(_ <= t1 + windowUs)
             purchases = purchases.filter(_ <= t1 + 2 * windowUs)
           }
-          val next = FunnelCand(minView, clicks.sorted, purchases.sorted)
+          // pre-view horizon: while no view exists, cap state to the
+          // trailing horizon behind this user's max observed event time
+          if (minView.isEmpty) horizonUs.foreach { h =>
+            val floor = maxSeen - h
+            clicks = clicks.filter(_ >= floor)
+            purchases = purchases.filter(_ >= floor)
+          }
+          val next = FunnelCand(minView, clicks.sorted, purchases.sorted,
+            maxSeen)
           state.update(next)
           val t1 = minView
           val t2 = t1.flatMap(a =>
@@ -276,6 +298,11 @@ object EventStream {
     */
   def retentionIncrements(events: Dataset[Event],
                           maxOff: Int = 7): Dataset[RetOut] = {
+    // the per-user emitted-cell mask is a single Long bitmap, so offsets
+    // must fit in [0, 63] — Scala's << wraps mod 64 and would silently
+    // double-mark/drop cells otherwise
+    require(maxOff >= 0 && maxOff < 64,
+      s"maxOff must be in [0, 63] (bitmask is one Long), got $maxOff")
     import events.sparkSession.implicits._
     val dayUs = 86400L * 1000000L
     events

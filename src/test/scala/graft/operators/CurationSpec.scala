@@ -63,6 +63,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("interleaveDense: positions are dense 0..n-1 and order-preserving") {
+    val d = docs(97)
+    val sparse = Curation.interleave(d, col("doc_id"), shards = 4).collect()
+    val dense = Curation.interleaveDense(d, col("doc_id"), shards = 4)
+      .collect()
+    // dense positions are exactly 0..96
+    val gs = dense.map(_.getAs[Long]("global_pos")).sorted.toSeq
+    assert(gs == (0L until 97L))
+    // dense order == rank of the sparse order (same loader walk)
+    val sparseRank = sparse.sortBy(_.getAs[Long]("global_pos"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val denseOrder = dense.sortBy(_.getAs[Long]("global_pos"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(denseOrder == sparseRank)
+  }
+
+  test("equalCountBins survives a caller column named 'v'") {
+    // internal names are __ecb_-prefixed, so a user column "v" neither
+    // makes the histogram join ambiguous nor gets dropped
+    val d = (0 until 40).map(i => (i.toLong, (i % 7).toLong, s"keep$i"))
+      .toDF("doc_id", "score", "v")
+    val out = Curation.equalCountBins(d, col("score"), col("doc_id"), 4)
+    assert(out.columns.contains("v"))
+    val rows = out.collect()
+    assert(rows.length == 40)
+    assert(rows.map(_.getAs[Long]("bin")).distinct.sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // exact ntile sizes: 40/4 = 10 each
+    assert(rows.groupBy(_.getAs[Long]("bin")).values.forall(_.length == 10))
+  }
+
   test("cvFold: salted folds differ from unsalted, stable across calls") {
     val d = docs(50)
     val cv = d.select(col("doc_id"),

@@ -296,6 +296,36 @@ class EventStreamSpec extends SparkSpec {
     assert(stageStats(3, "t3") == batch("purchase"))
   }
 
+  test("funnel horizonUs bounds pre-view state without changing results " +
+       "when the horizon covers the data") {
+    import spark.implicits._
+    val events = EventStream.readEvents(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    // a horizon wider than the whole event-time span cannot prune
+    // anything that would later qualify — identical output
+    val wide = 3650L * 86400L * 1000000L
+    val bounded = EventStream.runToMemory(
+      EventStream.funnel(events, horizonUs = Some(wide)).toDF(),
+      "funnel_h_out", OutputMode.Update).collect()
+    val plain = EventStream.runToMemory(
+      EventStream.funnel(events).toDF(),
+      "funnel_p_out", OutputMode.Update).collect()
+    assert(bounded.map(_.toString).sorted.sameElements(
+      plain.map(_.toString).sorted))
+  }
+
+  test("retentionIncrements rejects maxOff outside the Long bitmask") {
+    import spark.implicits._
+    val events = spark.emptyDataset[EventStream.Event]
+    assertThrows[IllegalArgumentException] {
+      EventStream.retentionIncrements(events, maxOff = 64)
+    }
+    assertThrows[IllegalArgumentException] {
+      EventStream.retentionIncrements(events, maxOff = -1)
+    }
+  }
+
   test("stateful retention increments aggregate to the batch q_retention " +
        "matrix") {
     import spark.implicits._
