@@ -1230,61 +1230,101 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
-    // ---- HLL sketch: approx distinct (rows-only check: HLL impls
-    //      differ across engines, deliberately no oracle entry) ----
+    // ---- HLL sketch: approx distinct, GATED — the sketch estimate is
+    //      not cross-engine comparable, but |approx − exact| ≤ ε·exact
+    //      is checkable: compute both in one pass and emit the exact
+    //      count plus the bound verdict (oracle emits TRUE). ε = 0.15 =
+    //      3× the default HLL++ rsd (0.05). ----
     "q_approx_distinct" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
           approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          count_distinct(col("o_custkey")).as("exact_customers"),
           count(lit(1)).as("n_orders"))
+        .select(col("o_orderstatus"), col("exact_customers"),
+          col("n_orders"),
+          (abs(col("approx_customers") - col("exact_customers")) <=
+            lit(0.15) * col("exact_customers")).as("approx_ok"))
         .orderBy(col("o_orderstatus"))
     }),
 
     // ---- MERGEABLE sketch rollup (Apache DataSketches HLL): fine-grain
     //      sketches built once union to coarser grains without
     //      rescanning — the re-aggregatable-summary pattern for 100 TB
-    //      rollup tables. Rows-only check (sketch bytes are not
-    //      cross-engine comparable), same policy as q_approx_distinct ----
+    //      rollup tables. GATED like q_approx_distinct: the merged
+    //      estimate must land within ε of the exact distinct computed in
+    //      the same job (oracle emits TRUE). ----
     "q_hll_merge" -> ((s, dir) => {
-      val detail = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem")
+      val detail = li
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(expr("hll_sketch_agg(l_suppkey)").as("sk"),
           count(lit(1)).as("n"))
-      detail.groupBy(col("l_returnflag"))
+      val merged = detail.groupBy(col("l_returnflag"))
         .agg(
           expr("hll_sketch_estimate(hll_union_agg(sk))")
             .as("approx_suppliers"),
           sum(col("n")).as("n"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_suppkey")).as("exact_suppliers"))
+      merged.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_suppliers"), col("n"),
+          (abs(col("approx_suppliers") - col("exact_suppliers")) <=
+            lit(0.15) * col("exact_suppliers")).as("merge_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
-    // ---- quantile sketch: approx_percentile (rows-only check like the
-    //      HLL sketch — sketch internals are not cross-engine stable).
-    //      One scalar column per quantile: the external comparator cannot
-    //      sort rows containing ndarray cells. ----
+    // ---- quantile sketch: approx_percentile, GATED by RANK error (the
+    //      sketch's actual guarantee: ≤ n/accuracy = 0.1 % rank). Each
+    //      approx quantile must land between the exact quantiles ±0.5 %
+    //      rank (5× margin), computed in the same pass; oracle emits
+    //      TRUE per bound. ----
     "q_approx_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
             .as("pq"),
+          expr("percentile(l_extendedprice, " +
+            "array(0.495, 0.505, 0.945, 0.955, 0.985, 0.995))")
+            .as("bnd"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          element_at(col("pq"), 1).as("p50"),
-          element_at(col("pq"), 2).as("p95"),
-          element_at(col("pq"), 3).as("p99"),
-          col("n"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("pq"), 1).between(
+            element_at(col("bnd"), 1), element_at(col("bnd"), 2))
+            .as("p50_ok"),
+          element_at(col("pq"), 2).between(
+            element_at(col("bnd"), 3), element_at(col("bnd"), 4))
+            .as("p95_ok"),
+          element_at(col("pq"), 3).between(
+            element_at(col("bnd"), 5), element_at(col("bnd"), 6))
+            .as("p99_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
-    // ---- production-metric similarity (double cosine; rows-only:
-    //      float ranking is not cross-engine hash-stable) ----
+    // ---- production-metric similarity (double cosine), GATED by rank
+    //      agreement: the float ranking itself is not cross-engine
+    //      hash-stable, but its top-5 set must overlap the oracle-exact
+    //      quantized top-5 (q_simsearch's metric) in ≥4 of 5 slots per
+    //      query — both rankings computed in this job, oracle emits
+    //      TRUE. ----
     "q_simsearch_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      graft.operators.Similarity.bruteForceTopKCosine(
-          e.filter(col("vec_id") < 10), e, k = 5)
-        .orderBy(col("qid"), col("rnk"))
+      val q = e.filter(col("vec_id") < 10)
+      val cosTop = graft.operators.Similarity
+        .bruteForceTopKCosine(q, e, k = 5)
+        .select(col("qid"), col("cid"))
+      val quantTop = graft.operators.Similarity
+        .bruteForceTopK(q, e, k = 5)
+        .select(col("qid"), col("cid"))
+      val overlap = cosTop.join(quantTop, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("overlap"))
+      q.select(col("vec_id").as("qid"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("overlap"), lit(0L)) >= 4).as("rank_agree_ok"))
+        .orderBy(col("qid"))
     }),
 
     // ---- time-series gap-fill + forward-fill: per-user hourly slots
@@ -4477,6 +4517,31 @@ object SparkEntry {
         |  floor(quantile_cont(l_quantity, 0.75) * 1e6 + 0.5) / 1e6 AS p75,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the sketch queries are gated on the ERROR BOUND, which is engine-
+    // portable even though the sketch estimates are not: the Spark side
+    // computes approx and exact in one job and emits exact + a bound
+    // verdict; the oracle recomputes exact and asserts the verdict TRUE
+    "q_approx_distinct" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS exact_customers,
+        |  count(*) AS n_orders, TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_hll_merge" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS exact_suppliers,
+        |  count(*) AS n, TRUE AS merge_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_simsearch_cosine" ->
+      """SELECT vec_id AS qid, TRUE AS rank_agree_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
 
     "q_editdist" ->
       """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)

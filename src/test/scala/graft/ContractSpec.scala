@@ -11,12 +11,14 @@ class ContractSpec extends AnyFunSuite {
 
   /** Deliberately un-oracled (cross-engine hash-unstable by nature);
     * each is documented at its SparkEntry definition site.
+    *
+    * Round 5 emptied it: the four former members (q_approx_distinct,
+    * q_approx_percentile, q_hll_merge, q_simsearch_cosine) now compute
+    * approx AND exact in one job and emit exact values plus a bounded-
+    * error verdict the oracle asserts TRUE — "rows + bounded error"
+    * instead of rows-only.
     */
-  private val rowsOnly = Set(
-    "q_approx_distinct",   // HLL++ sketch values differ across engines
-    "q_approx_percentile", // quantile sketch, same rationale
-    "q_hll_merge",         // DataSketches rollup, same rationale
-    "q_simsearch_cosine")  // double-float rank order not portable
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle or is an allowlisted rows-only check") {
     val missing = SparkEntry.queries.keySet --
