@@ -1099,6 +1099,19 @@ object SparkEntry {
         .orderBy(col("media_id"), col("win_no"))
     }),
 
+    // ---- north star: REAL WAV decode (pure-JVM RIFF walker + int16 PCM)
+    //      -> sample-domain windowed energy/zero-crossing/peak features,
+    //      exact integer math. The payloads are real WAV blobs built from
+    //      a closed-form waveform, so the oracle recomputes every decoded
+    //      sample arithmetically — decode correctness is oracle-gated ----
+    "q_audio_wav" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.pcmWindows(Multimodal.syntheticWavMedia(s, dir),
+          winSamples = 64, hopSamples = 32)
+        .toDF()
+        .orderBy(col("media_id"), col("win_no"))
+    }),
+
     // ---- north star: k-means clustering (Lloyd) over embeddings —
     //      deterministic end-to-end: lowest-id init, exact integer
     //      argmin assignment (|c|^2 - 2<v,c> on quantized vectors, ties
@@ -3688,6 +3701,39 @@ object SparkEntry {
         |  CAST(list_reduce(bs, (a, c) -> (31 * a + c) % 1000000007)
         |    AS BIGINT) AS checksum
         |FROM b ORDER BY media_id, win_no""".stripMargin,
+
+    // recomputes every DECODED sample from the closed-form waveform
+    // s(id, i) = ((id + i*2654435761) % 65536) - 32768 — byte-level WAV
+    // parsing happens only on the Spark side; agreement proves the
+    // decode (n_samples per blob = 160 + id % 200, win 64 / hop 32)
+    "q_audio_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(160 + doc_id % 200 AS BIGINT) AS ns
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, ns, unnest(range(0, (ns + 31) // 32)) AS k
+        |  FROM d),
+        |win AS (
+        |  SELECT doc_id, CAST(k AS INT) AS win_no, k * 32 AS s0,
+        |    least(k * 32 + 64, ns) AS s1
+        |  FROM w),
+        |sm AS (
+        |  SELECT doc_id, win_no, s0, s1,
+        |    list_transform(range(s0, s1),
+        |      i -> CAST((doc_id + i * 2654435761) % 65536 - 32768 AS BIGINT))
+        |      AS ss
+        |  FROM win)
+        |SELECT doc_id AS media_id, win_no,
+        |  CAST(s0 AS BIGINT) AS start_sample,
+        |  CAST(s1 - s0 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT)
+        |    AS energy,
+        |  CAST(len(list_filter(range(2, len(ss) + 1),
+        |    j -> ss[CAST(j - 1 AS INT)] * ss[CAST(j AS INT)] < 0))
+        |    AS BIGINT) AS zero_crossings,
+        |  CAST(list_max(list_transform(ss, s -> abs(s))) AS INT)
+        |    AS peak_abs
+        |FROM sm ORDER BY media_id, win_no""".stripMargin,
 
     "q_dedup_cc" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

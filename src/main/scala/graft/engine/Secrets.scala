@@ -16,16 +16,34 @@ object Secrets {
 
   val envProvider: Provider = name => sys.env.get(name)
 
+  /** Process-wide default provider (env-backed unless swapped). The
+    * cloud-manager swap point: production installs a GCP/Vault/AWS
+    * provider once at startup; tests scope a fake with `withProvider`.
+    */
+  @volatile private var default: Provider = envProvider
+
+  /** Run `body` with `p` as the default provider, restoring after. */
+  def withProvider[T](p: Provider)(body: => T): T = {
+    val prev = default
+    default = p
+    try body finally default = prev
+  }
+
   // '/' included: GCP Secret Manager names are full resource paths
   // ("projects/<n>/secrets/<name>/versions/latest" — reference
   // config.yaml:7); the provider receives the name verbatim
   private val Placeholder = "secret://([A-Za-z0-9_./-]+)".r
 
-  /** Replace every `secret://NAME` in `value` via `provider`; error on
-    * unresolvable names (fail fast like the reference, but per-value, not
-    * process-fatal).
+  /** Replace every `secret://NAME` in `value` via `provider` (the
+    * process default when omitted); error on unresolvable names (fail
+    * fast like the reference, but per-value, not process-fatal).
     */
-  def resolve(value: String, provider: Provider = envProvider): String =
+  def resolve(value: String, provider: Provider = null): String = {
+    val eff = if (provider == null) default else provider
+    resolveWith(value, eff)
+  }
+
+  private def resolveWith(value: String, provider: Provider): String =
     Placeholder.replaceAllIn(value, m => {
       val name = m.group(1)
       val secret = provider(name).getOrElse(

@@ -181,6 +181,158 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM WAV/PCM codec (no external libraries): RIFF chunk
+    * walker + 16-bit little-endian PCM sample decode/encode. This is the
+    * one multimodal kernel that is NOT a stub — `pcmWindows` features
+    * come from genuinely decoded samples.
+    */
+  final case class WavInfo(numChannels: Int, sampleRate: Int,
+                           bitsPerSample: Int, dataOffset: Int,
+                           dataBytes: Int)
+
+  object WavCodec {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Parse a RIFF/WAVE header by walking chunks ("fmt " and "data";
+      * unknown chunks like LIST/INFO are skipped, odd chunk sizes are
+      * padded per spec). Returns None for anything malformed — corrupt
+      * payloads quarantine as missing rows, never task failures.
+      */
+    def parse(bytes: Array[Byte]): Option[WavInfo] = {
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" ||
+        tag(bytes, 8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(bytes, off)
+        val sz = le32(bytes, off + 4)
+        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        id match {
+          case "fmt " =>
+            if (sz < 16) return None
+            val audioFormat = le16(bytes, off + 8)
+            if (audioFormat != 1) return None // PCM only
+            fmt = Some((le16(bytes, off + 10), le32(bytes, off + 12),
+              le16(bytes, off + 22)))
+          case "data" => data = Some((off + 8, sz))
+          case _ => () // skip LIST/INFO/fact/...
+        }
+        off += 8 + sz + (sz & 1) // odd sizes are padded
+      }
+      for {
+        (ch, rate, bits) <- fmt
+        (dOff, dSz) <- data
+        if ch >= 1 && bits == 16 && rate > 0
+      } yield WavInfo(ch, rate, bits, dOff, dSz)
+    }
+
+    /** Decode the data chunk to int16 samples (interleaved if stereo). */
+    def samples16(bytes: Array[Byte], info: WavInfo): Array[Int] = {
+      val n = info.dataBytes / 2
+      Array.tabulate(n)(i =>
+        le16(bytes, info.dataOffset + 2 * i).toShort.toInt)
+    }
+
+    /** Encode mono 16-bit PCM to a well-formed WAV blob. */
+    def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val dataBytes = samples.length * 2
+      val out = new Array[Byte](44 + dataBytes)
+      def put32(o: Int, v: Int): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+      def put16(o: Int, v: Int): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      }
+      def putTag(o: Int, s: String): Unit =
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          .copyToArray(out, o)
+      putTag(0, "RIFF"); put32(4, 36 + dataBytes); putTag(8, "WAVE")
+      putTag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+      put32(24, sampleRate); put32(28, sampleRate * 2) // byte rate
+      put16(32, 2); put16(34, 16) // block align, bits
+      putTag(36, "data"); put32(40, dataBytes)
+      var i = 0
+      while (i < samples.length) {
+        put16(44 + 2 * i, samples(i) & 0xffff); i += 1
+      }
+      out
+    }
+  }
+
+  /** One sample-domain analysis window over decoded PCM audio. All
+    * features are exact integer math on the decoded int16 samples:
+    * energy = Σ s², zero_crossings = |{i : s[i−1]·s[i] < 0}|, peak_abs =
+    * max |s| — engine-portable, no floats.
+    */
+  final case class PcmWindow(
+      media_id: Long, win_no: Int, start_sample: Long, n_samples: Long,
+      energy: Long, zero_crossings: Long, peak_abs: Int)
+
+  /** Windowed features over REAL decoded WAV payloads: parse the RIFF
+    * header, decode int16 PCM, then window over SAMPLES (not bytes) with
+    * the same frame/hop layout as [[audioWindows]]. Malformed payloads
+    * are dropped (quarantine-by-omission — the parse is the validity
+    * gate). Same batched mapPartitions scale shape as every codec here.
+    */
+  def pcmWindows(audio: Dataset[MediaRow], winSamples: Int,
+                 hopSamples: Int): Dataset[PcmWindow] = {
+    import audio.sparkSession.implicits._
+    require(winSamples > 0 && hopSamples > 0)
+    audio.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val bytes = bytesOf(m)
+        WavCodec.parse(bytes).iterator.flatMap { info =>
+          val s = WavCodec.samples16(bytes, info)
+          val n = s.length
+          val nWins = if (n == 0) 0 else (n + hopSamples - 1) / hopSamples
+          (0 until nWins).iterator.map { k =>
+            val from = k * hopSamples
+            val until = math.min(from + winSamples, n)
+            var energy = 0L; var zc = 0L; var peak = 0; var i = from
+            while (i < until) {
+              val v = s(i)
+              energy += v.toLong * v
+              val a = if (v < 0) -v else v
+              if (a > peak) peak = a
+              if (i > from && (s(i - 1).toLong * v) < 0) zc += 1
+              i += 1
+            }
+            PcmWindow(m.media_id, k, from.toLong, (until - from).toLong,
+              energy, zc, peak)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic WAV corpus: one mono 16 kHz blob per
+    * document, samples from the closed-form waveform
+    * s(id, i) = ((id + i·2654435761) mod 65536) − 32768 so an external
+    * oracle can recompute every decoded sample without parsing bytes.
+    * The blobs are REAL WAVs (header-walked by [[WavCodec.parse]]).
+    */
+  def syntheticWavMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val n = (160 + id % 200).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id + i.toLong * 2654435761L) % 65536L) - 32768L).toInt)
+          MediaRow(id, "audio", WavCodec.encode(samples, 16000))
+        }
+      }
+  }
+
   /** Wrap any DataFrame with a binary column into the typed media schema. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
               kind: String): Dataset[MediaRow] = {

@@ -73,7 +73,8 @@ object Dedup {
     * verified intersection, exactly like the naive path's bucket drop).
     */
   private[operators] def jaccardPairsFromSetsPrefix(
-      sets: DataFrame, tau: Double, maxPostings: Int): DataFrame = {
+      sets: DataFrame, tau: Double, maxPostings: Int,
+      verifyBytesHint: Option[Long] = None): DataFrame = {
     val posts = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
     val dfreq0 = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -96,29 +97,60 @@ object Dedup {
       .select(col("doc_id"),
         explode(slice(col("dh"), lit(1), col("p"))).as("x"))
       .select(col("doc_id"), col("x.h").as("h"))
-    val byShingle = prefixPosts.groupBy(col("h"))
-      .agg(collect_list(col("doc_id")).as("ds0"))
-      .filter(size(col("ds0")) >= 2)
-    val cands = byShingle
-      .select(guardedBucket(col("ds0"), "prefix posting",
-        byShingle.schema("ds0").dataType.catalogString).as("ds"))
-      .select(explode(flatten(transform(col("ds"), x =>
-        transform(filter(col("ds"), y => y > x),
-          y => struct(x.as("d1"), y.as("d2")))))).as("pr"))
-      .select(col("pr.d1").as("d1"), col("pr.d2").as("d2"))
+    // candidate generation = prefix-posting SELF-JOIN on h, not a
+    // collect_list + higher-order enumeration: the HOF lambdas evaluate
+    // interpreted (an allocation per emitted pair — measured ~2x the
+    // whole query at sf1's 17.8M candidates), while the equi-join stays
+    // inside whole-stage codegen end-to-end. Prefix buckets are small by
+    // construction (rarity-sorted; max bucket 46 at sf1) so the join is
+    // skew-free; AQE's skew-split backstops adversarial corpora.
+    val cands = prefixPosts.select(col("doc_id").as("d1"), col("h"))
+      .join(prefixPosts.select(col("doc_id").as("d2"), col("h")), "h")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
       .dropDuplicates("d1", "d2")
     val m1 = perDoc.select(col("doc_id").as("d1"), col("n").as("n1"),
       col("sh2").as("sh1"))
     val m2 = perDoc.select(col("doc_id").as("d2"), col("n").as("n2"),
       col("sh2").as("shB"))
-    cands.join(m1, "d1").join(m2, "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("shB"))))
+    // Verification join shape decides the wall clock: a shuffle join
+    // attaches BOTH ~|set|-element arrays to every candidate row (at
+    // sf1: 17.8M candidates x ~2.3 KB x 2 ≈ 80 GB of exchange traffic —
+    // the measured 89 s). When the whole reduced doc-set table fits in a
+    // broadcast (Σ df x 8 B ≈ 100 MB at sf1), broadcast BOTH sides: the
+    // arrays live once per executor, the codegen'd project computes the
+    // intersection size and drops them — zero per-pair array shuffle.
+    // The two-pointer SortedLongArrayIntersectSize replaces
+    // size(array_intersect(...)), which allocates a hash set per row.
+    // Cluster path (doc sets too big to broadcast) keeps the shuffle
+    // join — candidates are already pruned to ~linear by the prefix.
+    val setBytes = verifyBytesHint match {
+      case Some(b) => b
+      case None =>
+        val r = dfreq.agg(sum(col("df")).as("s")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) * 8L
+    }
+    val joined =
+      if (setBytes <= BroadcastVerifyBytes)
+        cands.join(broadcast(m1), "d1").join(broadcast(m2), "d2")
+      else cands.join(m1, "d1").join(m2, "d2")
+    joined
+      .withColumn("inter",
+        graft.plans.SortedLongArrayIntersectSize(col("sh1"), col("shB"))
+          .cast("int"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         col("jaccard"))
   }
+
+  /** Reduced-doc-set volume under which the prefix path's verification
+    * broadcasts the set table instead of shuffle-joining it (the hash
+    * relation costs ~3-4x this in heap; 512 MB of postings stays safe
+    * in an 8 GB driver).
+    */
+  private[operators] val BroadcastVerifyBytes = 512L * 1024 * 1024
 
   /** Shared pair pipeline over (doc_id, sh: array<long>) distinct-shingle
     * sets — the whole DAG is a narrow hash pass plus exactly TWO shuffles.
@@ -140,18 +172,41 @@ object Dedup {
     * count is tractable at all fits comfortably in one aggregation
     * buffer.
     */
-  /** Default = direct enumeration: MEASURED 2.5x faster than the prefix
-    * path at sf0.1 (chargram k=16: 6.4s vs 16.6s) because this corpus's
-    * Σ_h df_h² is small (12.5M) and the prefix path pays three extra
-    * shuffles plus two per-doc sorts plus a per-candidate set
-    * intersection. Switch callers to `jaccardPairsFromSetsPrefix` when
-    * hot shingles make Σ df² the dominant term (shared boilerplate /
-    * short grams: char-3-grams here measure Σ df² = 2.2e9, 175x this
-    * corpus's k=16 value) — the outputs are property-proven identical.
+  /** Direct enumeration emits Σ_h df_h² in-bucket pair rows; at sf0.1
+    * (chargram k=16, Σ df² = 12.5M) it is MEASURED 2.5x faster than the
+    * prefix path (6.4s vs 16.6s — three fewer shuffles, no per-doc
+    * sorts, no per-candidate set intersection). But on a FIXED
+    * vocabulary the distinct-gram space saturates, so df ∝ n and
+    * Σ df² ∝ n²: the same query at sf1 enumerates ~1.25e9 pairs and
+    * OOMs an 8 GB driver. Neither path dominates — so choose at
+    * runtime.
+    */
+  private[operators] val NaivePairBudget = 100000000L // ~2.4 GB pair stream
+
+  /** AQE-style runtime path choice: one cheap aggregate over the posting
+    * histogram (|posting list| rows, no pair blowup) computes Σ df² —
+    * the naive path's exact output cardinality. Under `NaivePairBudget`
+    * take direct enumeration (fewer shuffles, measured faster); over it
+    * take prefix filtering (asymptotically smaller candidate set). The
+    * two paths are property-proven identical (`DedupSpec`), so the
+    * switch is invisible to results — the same decision pattern as
+    * Spark's own runtime join-strategy re-plan, paid for with one extra
+    * scalar job per call.
     */
   private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
-                                   maxPostings: Int): DataFrame =
-    jaccardPairsFromSetsNaive(sets, tau, maxPostings)
+                                   maxPostings: Int): DataFrame = {
+    val statsRow = sets.select(explode(col("sh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("s2"), sum(col("df")).as("s1"))
+      .head()
+    val sumDf2 = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val sumDf = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    if (sumDf2 <= NaivePairBudget)
+      jaccardPairsFromSetsNaive(sets, tau, maxPostings)
+    else
+      jaccardPairsFromSetsPrefix(sets, tau, maxPostings,
+        verifyBytesHint = Some(sumDf * 8L))
+  }
 
   /** The direct pair pipeline (enumerates EVERY in-bucket pair); also
     * the reference implementation the property spec checks

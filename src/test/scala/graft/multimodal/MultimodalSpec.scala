@@ -46,4 +46,74 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.columns.toSeq == Seq("media_id", "kind", "n_bytes", "magic",
       "width", "height", "checksum"))
   }
+
+  test("WavCodec round-trips int16 PCM exactly through a real header") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345, 7)
+    val wav = WavCodec.encode(samples, 16000)
+    val info = WavCodec.parse(wav)
+    assert(info.contains(WavInfo(1, 16000, 16, 44, 16)))
+    assert(WavCodec.samples16(wav, info.get).toSeq == samples.toSeq)
+  }
+
+  test("WavCodec walks unknown chunks and rejects malformed payloads") {
+    val base = WavCodec.encode(Array(5, -5, 9), 8000)
+    // splice a LIST chunk between fmt and data: parse must skip it
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.take(36) ++ list ++ base.drop(36)
+    // RIFF size field is unused by the walker; fix-up not needed
+    val parsed = WavCodec.parse(spliced)
+    assert(parsed.isDefined)
+    assert(WavCodec.samples16(spliced, parsed.get).toSeq == Seq(5, -5, 9))
+    // corrupt cases -> None, never a throw
+    assert(WavCodec.parse(Array[Byte]()).isEmpty)
+    assert(WavCodec.parse("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(WavCodec.parse(base.take(40)).isEmpty)          // truncated data
+    val nonPcm = base.clone(); nonPcm(20) = 3               // IEEE float fmt
+    assert(WavCodec.parse(nonPcm).isEmpty)
+  }
+
+  test("pcmWindows: features computed from genuinely decoded samples; " +
+       "corrupt payloads quarantine by omission") {
+    val s1 = Array(100, -200, 300, -400, 500, -600) // alternating signs
+    val s2 = Array(0, 0, 7, 7)
+    val media = Seq(
+      MediaRow(1L, "audio", WavCodec.encode(s1, 16000)),
+      MediaRow(2L, "audio", WavCodec.encode(s2, 16000)),
+      MediaRow(3L, "audio", "not a wav at all".getBytes("UTF-8"))).toDS()
+    val wins = pcmWindows(media, winSamples = 4, hopSamples = 2)
+      .collect().sortBy(w => (w.media_id, w.win_no))
+    // media 3 dropped entirely
+    assert(!wins.exists(_.media_id == 3L))
+    // media 1: ceil(6/2)=3 windows; window 0 covers samples 0..3
+    val w0 = wins.find(w => w.media_id == 1L && w.win_no == 0).get
+    assert(w0.n_samples == 4)
+    assert(w0.energy == 100L*100 + 200L*200 + 300L*300 + 400L*400)
+    assert(w0.zero_crossings == 3) // every adjacent pair flips sign
+    assert(w0.peak_abs == 400)
+    // media 2 window 0: zeros produce no sign flips (strict product < 0)
+    val w2 = wins.find(w => w.media_id == 2L && w.win_no == 0).get
+    assert(w2.zero_crossings == 0 && w2.energy == 2L * 49)
+    // trailing window is partial
+    val last1 = wins.filter(_.media_id == 1L).maxBy(_.win_no)
+    assert(last1.start_sample + last1.n_samples == 6)
+  }
+
+  test("q_audio_wav pipeline: synthetic WAVs decode to the closed-form " +
+       "waveform") {
+    val media = syntheticWavMedia(spark, sf()).collect()
+    assert(media.length == 500)
+    // every blob parses and its decoded samples equal the formula
+    media.take(20).foreach { m =>
+      val info = WavCodec.parse(m.payload)
+      assert(info.isDefined, s"media ${m.media_id} failed to parse")
+      val s = WavCodec.samples16(m.payload, info.get)
+      assert(s.length == 160 + (m.media_id % 200).toInt)
+      s.zipWithIndex.foreach { case (v, i) =>
+        val want = (((m.media_id + i.toLong * 2654435761L) % 65536L) -
+          32768L).toInt
+        assert(v == want, s"sample $i of media ${m.media_id}")
+      }
+    }
+  }
 }

@@ -57,6 +57,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix path: broadcast and shuffle verification arms agree") {
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sets = corpus.select(col("doc_id"),
+      graft.operators.TextAnalysis.charShingleHashes("text", 16).as("sh"))
+    // tiny hint -> broadcast arm; huge hint -> shuffle-join arm
+    val bc = Dedup.jaccardPairsFromSetsPrefix(sets, 0.5, 0,
+      verifyBytesHint = Some(1L))
+      .orderBy("d1", "d2").collect().map(_.toString)
+    val sh = Dedup.jaccardPairsFromSetsPrefix(sets, 0.5, 0,
+      verifyBytesHint = Some(Long.MaxValue))
+      .orderBy("d1", "d2").collect().map(_.toString)
+    assert(bc.sameElements(sh))
+    assert(bc.nonEmpty)
+  }
+
   test("prefix-filtered jaccard honors maxPostings like the naive path") {
     val sets = docs.select(col("doc_id"),
       graft.operators.TextAnalysis.shingleHashes(col("text"), 2).as("sh"))
