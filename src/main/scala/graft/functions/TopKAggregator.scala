@@ -19,7 +19,7 @@ import org.apache.spark.sql.expressions.Aggregator
   *   ds.groupByKey(_.qid).agg(topk(...))   // typed API
   * }}}
   */
-class TopKAggregator(k: Int)
+class TopKAggregator(k: Int, distinctIds: Boolean = false)
     extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
   require(k > 0)
 
@@ -29,8 +29,16 @@ class TopKAggregator(k: Int)
   private def better(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
+  /** With `distinctIds`, a (score, id) whose id is already held is a
+    * no-op — lets callers feed a with-multiplicity pair stream (e.g.
+    * LSH candidates sharing several bands) WITHOUT a corpus-wide
+    * dropDuplicates shuffle first; the buffer is ≤ k entries so the
+    * membership scan is constant-time. Equal ids always carry equal
+    * scores in that usage, so which copy survives is immaterial.
+    */
   private def insert(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] =
-    if (buf.size < k) (buf :+ v).sortWith(better)
+    if (distinctIds && buf.exists(_._2 == v._2)) buf
+    else if (buf.size < k) (buf :+ v).sortWith(better)
     else if (better(v, buf.last)) (buf.init :+ v).sortWith(better)
     else buf
 

@@ -72,9 +72,16 @@ object Dedup {
     * (shingles above the cap are excluded from candidates AND from the
     * verified intersection, exactly like the naive path's bucket drop).
     */
-  private[operators] def jaccardPairsFromSetsPrefix(
-      sets: DataFrame, tau: Double, maxPostings: Int,
-      verifyBytesHint: Option[Long] = None): DataFrame = {
+  /** Rarity-sorted reduced per-doc sets + posting frequencies — the
+    * shared index every prefix-filtered pair path builds once.
+    * `perDoc`: (doc_id, n original size, dh rarity-sorted (df,h), m
+    * reduced size, p prefix length = m − ceil(tau·m) + 1, sh2 sorted
+    * hashes for verification).
+    */
+  private final case class PrefixIndex(dfreq: DataFrame, perDoc: DataFrame)
+
+  private def prefixIndex(sets: DataFrame, tau: Double,
+                          maxPostings: Int): PrefixIndex = {
     val posts = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
     val dfreq0 = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -91,43 +98,46 @@ object Dedup {
         (col("m") - ceil(lit(tau) * col("m")) + 1).cast("int"))
       .withColumn("sh2",
         sort_array(transform(col("dh"), x => x.getField("h"))))
-      .select(col("doc_id"), col("n"), col("dh"), col("p"), col("sh2"))
+      .select(col("doc_id"), col("n"), col("dh"), col("m"), col("p"),
+        col("sh2"))
       .repartition(col("doc_id"))
-    val prefixPosts = perDoc
-      .select(col("doc_id"),
-        explode(slice(col("dh"), lit(1), col("p"))).as("x"))
-      .select(col("doc_id"), col("x.h").as("h"))
-    // candidate generation = prefix-posting SELF-JOIN on h, not a
-    // collect_list + higher-order enumeration: the HOF lambdas evaluate
-    // interpreted (an allocation per emitted pair — measured ~2x the
-    // whole query at sf1's 17.8M candidates), while the equi-join stays
-    // inside whole-stage codegen end-to-end. Prefix buckets are small by
-    // construction (rarity-sorted; max bucket 46 at sf1) so the join is
-    // skew-free; AQE's skew-split backstops adversarial corpora.
-    val cands = prefixPosts.select(col("doc_id").as("d1"), col("h"))
-      .join(prefixPosts.select(col("doc_id").as("d2"), col("h")), "h")
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"))
-      .dropDuplicates("d1", "d2")
-    val m1 = perDoc.select(col("doc_id").as("d1"), col("n").as("n1"),
+    PrefixIndex(dfreq, perDoc)
+  }
+
+  /** (doc_id, m, h) for each doc's first p (rarest) reduced shingles. */
+  private def prefixPostsOf(perDoc: DataFrame): DataFrame = perDoc
+    .select(col("doc_id"), col("m"),
+      explode(slice(col("dh"), lit(1), col("p"))).as("x"))
+    .select(col("doc_id"), col("m"), col("x.h").as("h"))
+
+  /** (doc_id, m, h) for every reduced shingle (the full posting list). */
+  private def fullPostsOf(perDoc: DataFrame): DataFrame = perDoc
+    .select(col("doc_id"), col("m"), explode(col("dh")).as("x"))
+    .select(col("doc_id"), col("m"), col("x.h").as("h"))
+
+  /** Exact verification of (d1, d2) candidates → (d1, d2, inter, n1,
+    * n2). The join SHAPE decides the wall clock: a shuffle join attaches
+    * BOTH ~|set|-element arrays to every candidate row (at sf1: 17.8M
+    * candidates x ~2.3 KB x 2 ≈ 80 GB of exchange traffic — a measured
+    * 89 s). When the whole reduced doc-set table fits in a broadcast
+    * (Σ df x 8 B ≈ 100 MB at sf1), broadcast BOTH sides: the arrays
+    * live once per executor, the codegen'd project computes the
+    * intersection size and drops them — zero per-pair array shuffle.
+    * The two-pointer SortedLongArrayIntersectSize replaces
+    * size(array_intersect(...)), which allocates a hash set per row.
+    * Cluster path (doc sets too big to broadcast) keeps the shuffle
+    * join — candidates are already pruned to ~linear by the prefix.
+    */
+  private def verifyCandidates(idx: PrefixIndex, cands: DataFrame,
+                               verifyBytesHint: Option[Long]): DataFrame = {
+    val m1 = idx.perDoc.select(col("doc_id").as("d1"), col("n").as("n1"),
       col("sh2").as("sh1"))
-    val m2 = perDoc.select(col("doc_id").as("d2"), col("n").as("n2"),
+    val m2 = idx.perDoc.select(col("doc_id").as("d2"), col("n").as("n2"),
       col("sh2").as("shB"))
-    // Verification join shape decides the wall clock: a shuffle join
-    // attaches BOTH ~|set|-element arrays to every candidate row (at
-    // sf1: 17.8M candidates x ~2.3 KB x 2 ≈ 80 GB of exchange traffic —
-    // the measured 89 s). When the whole reduced doc-set table fits in a
-    // broadcast (Σ df x 8 B ≈ 100 MB at sf1), broadcast BOTH sides: the
-    // arrays live once per executor, the codegen'd project computes the
-    // intersection size and drops them — zero per-pair array shuffle.
-    // The two-pointer SortedLongArrayIntersectSize replaces
-    // size(array_intersect(...)), which allocates a hash set per row.
-    // Cluster path (doc sets too big to broadcast) keeps the shuffle
-    // join — candidates are already pruned to ~linear by the prefix.
     val setBytes = verifyBytesHint match {
       case Some(b) => b
       case None =>
-        val r = dfreq.agg(sum(col("df")).as("s")).head()
+        val r = idx.dfreq.agg(sum(col("df")).as("s")).head()
         if (r.isNullAt(0)) 0L else r.getLong(0) * 8L
     }
     val joined =
@@ -138,6 +148,94 @@ object Dedup {
       .withColumn("inter",
         graft.plans.SortedLongArrayIntersectSize(col("sh1"), col("shB"))
           .cast("int"))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+  }
+
+  /** Jaccard candidates: prefix-posting SELF-JOIN on h, not a
+    * collect_list + higher-order enumeration — the HOF lambdas evaluate
+    * interpreted (an allocation per emitted pair), while the equi-join
+    * stays inside whole-stage codegen end-to-end. Prefix buckets are
+    * small by construction (rarity-sorted; max bucket 46 at sf1) so the
+    * join is skew-free; AQE's skew-split backstops adversarial corpora.
+    */
+  private def jaccardCands(perDoc: DataFrame): DataFrame = {
+    val pp = prefixPostsOf(perDoc)
+    pp.select(col("doc_id").as("d1"), col("h"))
+      .join(pp.select(col("doc_id").as("d2"), col("h")), "h")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+  }
+
+  /** Containment candidates — the ASYMMETRIC prefix rule. Jaccard's
+    * both-sides-prefixed bound is unsound for containment (the larger
+    * doc's required intersection τ·min is far below τ·m_large), but:
+    * inter ≥ ceil(τ·min(n1,n2)) ≥ ceil(τ·m_small), so the SMALLEST
+    * shared shingle (global rarity order) must sit inside the smaller
+    * doc's p-prefix — and trivially inside the larger doc's full set.
+    * Candidates therefore come from prefix(smaller) ⋈ fullPostings
+    * (smaller = lower reduced m, ties by doc_id), yielding Σ pdf_h·df_h
+    * rows instead of Σ df_h² (at sf1 word-trigrams: 56M vs 239M, and no
+    * per-pair aggregation — just a dedup + broadcast-verify).
+    */
+  private def containmentCands(perDoc: DataFrame): DataFrame = {
+    val pp = prefixPostsOf(perDoc)
+      .select(col("doc_id").as("da"), col("m").as("ma"), col("h"))
+    val fp = fullPostsOf(perDoc)
+      .select(col("doc_id").as("db"), col("m").as("mb"), col("h"))
+    pp.join(fp, "h")
+      .filter(col("ma") < col("mb") ||
+        (col("ma") === col("mb") && col("da") < col("db")))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+  }
+
+  /** Prefix-filtered exact containment pairs (same output as the naive
+    * path; see [[containmentCands]] for the asymmetric bound).
+    */
+  private[operators] def containmentPairsFromSetsPrefix(
+      sets: DataFrame, tau: Double, maxPostings: Int,
+      verifyBytesHint: Option[Long] = None): DataFrame = {
+    val idx = prefixIndex(sets, tau, maxPostings)
+    verifyCandidates(idx,
+        containmentCands(idx.perDoc).dropDuplicates("d1", "d2"),
+        verifyBytesHint)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= tau)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        col("containment"))
+  }
+
+  /** Prefix-filtered ensemble candidates: a pair can qualify via
+    * jaccard ≥ tauJ OR containment ≥ tauC, so the candidate set is the
+    * UNION of the jaccard prefix self-join (at tauJ) and the asymmetric
+    * containment candidates (at tauC) — each sound for its own metric,
+    * the union sound for the disjunction. One verification pass scores
+    * both metrics from the same (inter, n1, n2).
+    */
+  private[operators] def ensemblePairsFromSetsPrefix(
+      sets: DataFrame, tauJ: Double, tauC: Double, maxPostings: Int,
+      verifyBytesHint: Option[Long] = None): DataFrame = {
+    val idxJ = prefixIndex(sets, tauJ, maxPostings)
+    val idxC = prefixIndex(sets, tauC, maxPostings)
+    val cands = jaccardCands(idxJ.perDoc)
+      .unionByName(containmentCands(idxC.perDoc))
+      .dropDuplicates("d1", "d2")
+    verifyCandidates(idxJ, cands, verifyBytesHint)
+      .filter(
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")) >= tauJ) ||
+        (col("inter").cast("double") / least(col("n1"), col("n2")) >= tauC))
+      .select(col("d1"), col("d2"))
+  }
+
+  private[operators] def jaccardPairsFromSetsPrefix(
+      sets: DataFrame, tau: Double, maxPostings: Int,
+      verifyBytesHint: Option[Long] = None): DataFrame = {
+    val idx = prefixIndex(sets, tau, maxPostings)
+    verifyCandidates(idx,
+        jaccardCands(idx.perDoc).dropDuplicates("d1", "d2"),
+        verifyBytesHint)
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -193,14 +291,22 @@ object Dedup {
     * Spark's own runtime join-strategy re-plan, paid for with one extra
     * scalar job per call.
     */
-  private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
-                                   maxPostings: Int): DataFrame = {
+  /** (Σ df², Σ df) over the posting histogram — the runtime statistics
+    * behind every naive-vs-prefix path choice. One cheap aggregate over
+    * |posting list| rows; no pair blowup.
+    */
+  private def postingStats(sets: DataFrame): (Long, Long) = {
     val statsRow = sets.select(explode(col("sh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .agg(sum(col("df") * col("df")).as("s2"), sum(col("df")).as("s1"))
       .head()
-    val sumDf2 = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
-    val sumDf = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    (if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0),
+      if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1))
+  }
+
+  private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
+                                   maxPostings: Int): DataFrame = {
+    val (sumDf2, sumDf) = postingStats(sets)
     if (sumDf2 <= NaivePairBudget)
       jaccardPairsFromSetsNaive(sets, tau, maxPostings)
     else
@@ -229,16 +335,23 @@ object Dedup {
     * Same two-shuffle machinery as `jaccardPairs`.
     */
   def containmentPairs(docs: DataFrame, tau: Double, k: Int = 3,
-                       maxPostings: Int = 0): DataFrame =
-    overlapPairsFromSets(
-      graft.engine.Spread(docs).select(col("doc_id"),
-        shingleHashes(col("text"), k).as("sh")),
-      maxPostings)
-      .withColumn("containment",
-        col("inter").cast("double") / least(col("n1"), col("n2")))
-      .filter(col("containment") >= tau)
-      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
-        col("containment"))
+                       maxPostings: Int = 0): DataFrame = {
+    val sets = graft.engine.Spread(docs).select(col("doc_id"),
+      shingleHashes(col("text"), k).as("sh"))
+    // same runtime path choice as jaccardPairsFromSets (Σ df² ∝ n² on
+    // saturated vocabularies: 239M at sf1 word-trigrams)
+    val (sumDf2, sumDf) = postingStats(sets)
+    if (sumDf2 <= NaivePairBudget)
+      overlapPairsFromSets(sets, maxPostings)
+        .withColumn("containment",
+          col("inter").cast("double") / least(col("n1"), col("n2")))
+        .filter(col("containment") >= tau)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          col("containment"))
+    else
+      containmentPairsFromSetsPrefix(sets, tau, maxPostings,
+        verifyBytesHint = Some(sumDf * 8L))
+  }
 
   /** Ensemble near-dup pairs: jaccard >= tauJ OR containment >= tauC
     * from ONE overlap pass (both metrics are functions of the same
@@ -253,15 +366,19 @@ object Dedup {
     */
   def ensemblePairs(docs: DataFrame, tauJ: Double, tauC: Double,
                     k: Int = 3, maxPostings: Int = 0): DataFrame = {
-    val overlap = overlapPairsFromSets(
-      graft.engine.Spread(docs).select(col("doc_id"),
-        shingleHashes(col("text"), k).as("sh")),
-      maxPostings)
-      .filter(
-        (col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")) >= tauJ) ||
-        (col("inter").cast("double") / least(col("n1"), col("n2")) >= tauC))
-      .select(col("d1"), col("d2"))
+    val sets = graft.engine.Spread(docs).select(col("doc_id"),
+      shingleHashes(col("text"), k).as("sh"))
+    val (sumDf2, sumDf) = postingStats(sets)
+    val overlap = if (sumDf2 <= NaivePairBudget)
+      overlapPairsFromSets(sets, maxPostings)
+        .filter(
+          (col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")) >= tauJ) ||
+          (col("inter").cast("double") / least(col("n1"), col("n2")) >= tauC))
+        .select(col("d1"), col("d2"))
+    else
+      ensemblePairsFromSetsPrefix(sets, tauJ, tauC, maxPostings,
+        verifyBytesHint = Some(sumDf * 8L))
     // exact tier joins on the 8-byte text hash, not the document text —
     // the shuffle key stays constant-size at any document length; the
     // equality filter after the join removes (2^-60) hash collisions
@@ -435,13 +552,19 @@ object Dedup {
     * join output is streamed, not buffered per group.
     */
   private[operators] def bandCandidatePairsJoin(banded: DataFrame,
-      id: String, outA: String, outB: String): DataFrame = {
+      id: String, outA: String, outB: String,
+      dedup: Boolean = true): DataFrame = {
     val a = banded.select(col("band"), col("bk"), col(id).as(outA))
     val b = banded.select(col("band"), col("bk"), col(id).as(outB))
-    a.join(b, Seq("band", "bk"))
+    val pairs = a.join(b, Seq("band", "bk"))
       .filter(col(outA) < col(outB))
       .select(col(outA), col(outB))
-      .dropDuplicates(outA, outB)
+    // dedup=false lets a caller with a CHEAP codegen'd verification gate
+    // skip this shuffle (the candidate stream is the big term: n²/2^r
+    // per band) and dedup only the small survivor set instead — a pair
+    // re-verifies once per shared band (≤ bands ×), which costs less
+    // than shuffling every candidate for distinctness first
+    if (dedup) pairs.dropDuplicates(outA, outB) else pairs
   }
 
   /** MinHash signatures as one codegen'd aggregation over the posting
@@ -858,29 +981,71 @@ object Dedup {
     import graft.functions.VectorFunctions.{quantize, qcosineGate, lshBandKeys}
     import graft.plans.LongArrayDot
     val bandKeys = lshBandKeys(col("qv"), bits, bands, dim)
+    val broadcastable = broadcastableVectors(embs, dim)
     // memo barrier: signatures + quantized vectors feed three branches
-    // (banding, both verification sides) — same pattern as minhashPairs
-    val prep = graft.engine.Spread(embs)
+    // (banding, both verification sides). On the broadcast arm the
+    // barrier is localCheckpoint, not repartition: the candidate join
+    // streams 120M+ rows (sf1) through whatever sits in its probe
+    // pipeline, and keeping the scan→quantize→explode chain there
+    // measured 3x slower than probing over materialized rows (the
+    // Generate+BHJ interplay, not the 20k-row subtree cost itself).
+    val prep0 = graft.engine.Spread(embs)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("qn", LongArrayDot(col("qv"), col("qv")))
       .withColumn("bks", array(bandKeys: _*))
       .repartition(col("vec_id"))
-    val banded = prep.select(col("vec_id"),
+    val prep = if (broadcastable) prep0.localCheckpoint(true) else prep0
+    val banded0 = prep.select(col("vec_id"),
       posexplode(col("bks")).as(Seq("band", "bk")))
+    val banded = if (broadcastable) banded0.localCheckpoint(true) else banded0
     // join path, not HOF expansion: hyperplane buckets are corpus/2^bits
     // members — large, the regime where the codegen'd self-join wins 2x
     // (measured on q_knn_graph; minhashPairs keeps the HOF path because
     // minhash buckets are tiny by LSH design)
-    val cands = bandCandidatePairsJoin(banded, "vec_id", "v1", "v2")
     val m1 = prep.select(col("vec_id").as("v1"), col("qv").as("qv1"),
       col("qn").as("qn1"))
     val m2 = prep.select(col("vec_id").as("v2"), col("qv").as("qv2"),
       col("qn").as("qn2"))
-    cands.join(m1, "v1").join(m2, "v2")
-      .withColumn("d", LongArrayDot(col("qv1"), col("qv2")))
-      .filter(qcosineGate(col("d"), col("qn1"), col("qn2"), tauNum, tauDen))
-      .select(col("v1"), col("v2"))
+    // The candidate stream is the scale term (n²/2^(bits/bands) per
+    // band — 100M rows at sf1) and the naive shape pays for it TWICE:
+    // a distinct-shuffle of every candidate, then shuffle joins that
+    // attach two 64-long arrays per candidate row (~100 GB of exchange
+    // at sf1 — a measured 344 s). When the whole quantized-vector table
+    // fits in a broadcast (n·dim·8 B ≈ 10 MB at sf1), invert the shape:
+    // stream RAW candidates (no pre-dedup) through two broadcast hash
+    // probes + the codegen'd dot/gate, and dedup only the tiny survivor
+    // set — a pair re-verifies once per shared band (≤ bands ×), far
+    // cheaper than shuffling 100M rows for distinctness. 344 s → the
+    // candidate join + 6.4G multiply-adds. Cluster path (corpus too big
+    // to broadcast) keeps the dedup-then-shuffle-join shape.
+    // QCosineGateExpr, not LongArrayDot + qcosineGate: Catalyst pushes
+    // this filter into the join CONDITION (good — candidates are pruned
+    // before the row materializes), but inlining the Column-level form
+    // there evaluates the dot THREE times per candidate plus decimal
+    // math (measured 107 s at sf1); the fused expression runs one
+    // codegen'd loop + a long compare (5 s).
+    val gate = graft.plans.QCosineGateExpr(col("qv1"), col("qv2"),
+      col("qn1"), col("qn2"), tauNum, tauDen)
+    if (broadcastable)
+      bandCandidatePairsJoin(banded, "vec_id", "v1", "v2", dedup = false)
+        .join(broadcast(m1), "v1").join(broadcast(m2), "v2")
+        .filter(gate)
+        .select(col("v1"), col("v2"))
+        .dropDuplicates("v1", "v2")
+    else
+      bandCandidatePairsJoin(banded, "vec_id", "v1", "v2")
+        .join(m1, "v1").join(m2, "v2")
+        .filter(gate)
+        .select(col("v1"), col("v2"))
   }
+
+  /** True when the whole quantized-vector table fits in a broadcast
+    * (count from parquet metadata; the hash relation costs ~3-4x the
+    * raw n·dim·8 bytes in heap).
+    */
+  private[operators] def broadcastableVectors(embs: DataFrame,
+                                              dim: Int): Boolean =
+    embs.count() * dim * 8L <= BroadcastVerifyBytes / 4
 
   /** Embedding near-dup pairs: blocked all-pairs join with exact
     * integer-quantized cosine >= tauNum/tauDen. `blockCol` bounds the
@@ -903,8 +1068,10 @@ object Dedup {
       col("qv").as("qv2"), col("qn").as("qn2"))
     a.join(b, Seq("blk"))
       .filter(col("v1") < col("v2"))
-      .withColumn("d", LongArrayDot(col("qv1"), col("qv2")))
-      .filter(qcosineGate(col("d"), col("qn1"), col("qn2"), tauNum, tauDen))
+      // fused gate (one dot per pair even when pushed into the join
+      // condition — see lshCosinePairs)
+      .filter(graft.plans.QCosineGateExpr(col("qv1"), col("qv2"),
+        col("qn1"), col("qn2"), tauNum, tauDen))
       .select(col("blk"), col("v1"), col("v2"))
   }
 }

@@ -231,26 +231,58 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int, bits: Int = 12, bands: Int = 4,
                dim: Int = 64): DataFrame = {
     import graft.functions.VectorFunctions.lshBandKeys
+    val broadcastable = Dedup.broadcastableVectors(corpus, dim)
     // memo barrier: quantized vectors + band keys feed the banding and
-    // both sides of the scoring join (cf. Dedup.lshCosinePairs)
-    val prep = prepC(corpus)
+    // both sides of the scoring join. localCheckpoint on the broadcast
+    // arm keeps the 100M+-row candidate probe pipeline free of the
+    // scan→quantize→explode chain (cf. Dedup.lshCosinePairs — measured
+    // 3x there)
+    val prep0 = prepC(corpus)
       .withColumn("bks", array(lshBandKeys(col("cv"), bits, bands, dim): _*))
       .repartition(col("cid"))
-    val banded = prep.select(col("cid"),
+    val prep = if (broadcastable) prep0.localCheckpoint(true) else prep0
+    val banded0 = prep.select(col("cid"),
       posexplode(col("bks")).as(Seq("band", "bk")))
-    val undirected = Dedup.bandCandidatePairsJoin(banded, "cid", "a", "b")
+    val banded = if (broadcastable) banded0.localCheckpoint(true) else banded0
+    // ranking needs DISTINCT edges (a duplicate (qid,cid) would occupy
+    // two ranks), so the candidate dedup stays — but it runs on slim
+    // 16-byte id pairs. The scoring joins broadcast the ~10 MB vector
+    // table when it fits, so the (2·candidates)-row edge stream never
+    // shuffles 64-long arrays (at sf1 that array traffic was ~100 GB
+    // and the query took 331 s); the cluster-scale fallback keeps the
+    // shuffle joins.
+    // no pre-dedup of the 120M-row candidate stream: duplicate
+    // (qid,cid) edges (pairs sharing several bands) are absorbed by the
+    // id-distinct top-k aggregator below, whose buffer-membership check
+    // replaces a corpus-wide distinct shuffle
+    val undirected = Dedup.bandCandidatePairsJoin(banded, "cid", "a", "b",
+      dedup = false)
     val edges = undirected.unionAll(
       undirected.select(col("b").as("a"), col("a").as("b")))
-    val wRank = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("cid"))
-    edges
-      .join(prep.select(col("cid").as("a"), col("cv").as("qv")), Seq("a"))
-      .join(prep.select(col("cid").as("b"), col("cv")), Seq("b"))
+    val aSide = prep.select(col("cid").as("a"), col("cv").as("qv"))
+    val bSide = prep.select(col("cid").as("b"), col("cv"))
+    val scored =
+      (if (broadcastable)
+        edges.join(broadcast(aSide), Seq("a"))
+          .join(broadcast(bSide), Seq("b"))
+      else edges.join(aSide, Seq("a")).join(bSide, Seq("b")))
       .select(col("a").as("qid"), col("b").as("cid"),
         LongArrayDot(col("qv"), col("cv")).as("score"))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+    // top-k per query via the NATIVE bounded aggregate, NOT a window
+    // (which shuffles and sorts every scored edge — 241M rows at sf1)
+    // and NOT the typed Aggregator (whose per-row kryo/boxing measured
+    // 97 s where native aggregation over the same stream takes 8 s).
+    // TopKPairsAgg partial-aggregates map-side with a primitive-array
+    // buffer, so the shuffle carries ≤ k pairs per query per map task;
+    // distinctIds absorbs duplicate candidate edges in place of a
+    // corpus-wide dropDuplicates. Ties match the window form
+    // (score desc, cid asc).
+    scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKPairsAgg(col("score"), col("cid"), k,
+        distinctIds = true).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "sc")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc.id").as("cid"), col("sc.score").as("score"))
   }
 
   /** LSH-bucketed top-k: the bucketed alternative to IVF when no trained

@@ -73,6 +73,73 @@ object DocStream {
       }
       .start()
 
+  /** The COMPOSED daily-ingest job a production pipeline actually runs:
+    * per micro-batch (one "day" of arriving shards), in ONE
+    * `foreachBatch` body —
+    *
+    *   1. incremental dedup against the stored corpus index (which
+    *      GROWS by each day's admissions: day-2 duplicates of day-1
+    *      admissions are rejected, the production re-snapshot
+    *      semantic);
+    *   2. decontamination of the admitted docs against the static eval
+    *      set (contaminated docs are kept in the dedup index — they ARE
+    *      corpus content — but excluded from the training manifest);
+    *   3. append-only packing of the clean docs: per-shard token
+    *      offsets carry across days, so already-emitted (shard, bin)
+    *      cells never move.
+    *
+    * Cross-day state is tiny and driver-held: `shards` longs of pack
+    * offsets plus the admitted-docs lineage (localCheckpoint'ed each
+    * day to keep plans flat). Each `sink` call receives that day's
+    * manifest rows (doc_id, shard, n_tok, cum, bin).
+    *
+    * When days arrive in doc_id order, the concatenated manifests equal
+    * the batch recomputation over the union (asserted in
+    * `DocStreamSpec`) — streaming and batch share one code path per
+    * stage, so the equivalence is structural, not coincidental.
+    */
+  def ingestPipeline(docsStream: DataFrame, corpus: DataFrame,
+                     evalSet: DataFrame, shards: Int, budget: Long,
+                     k: Int = 3, minShared: Long = 2)
+                    (sink: DataFrame => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    require(shards > 0 && budget > 0)
+    val offsets = scala.collection.mutable.Map.empty[Long, Long]
+    var corpusNow = corpus
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val admitted = graft.operators.Dedup
+          .incrementalDedup(batch, corpusNow, k, minShared)
+          .localCheckpoint(eager = true)
+        val flagged = graft.operators.Dedup
+          .contamination(admitted, evalSet, k, minShared)
+          .select(col("doc_id")).distinct()
+        val clean = admitted.join(flagged, Seq("doc_id"), "left_anti")
+        // pack this day's clean docs continuing each shard's offset
+        import spark.implicits._
+        val offDf = offsets.toSeq.toDF("shard", "off")
+        val packed = graft.operators.Curation.packShards(clean,
+            col("doc_id"), size(split(col("text"), " ")), shards, budget)
+          .join(broadcast(offDf), Seq("shard"), "left")
+          .withColumn("off", coalesce(col("off"), lit(0L)))
+          .withColumn("cum", col("cum") + col("off"))
+          .withColumn("bin",
+            floor((col("cum") - col("n_tok")).cast("double") / budget)
+              .cast("long"))
+          .drop("off")
+          .localCheckpoint(eager = true)
+        packed.groupBy(col("shard")).agg(max(col("cum")).as("hi"))
+          .collect()
+          .foreach(r => offsets(r.getLong(0)) = r.getLong(1))
+        corpusNow = corpusNow
+          .unionByName(admitted.select(corpus.columns.map(col): _*))
+          .localCheckpoint(eager = true)
+        sink(packed)
+      }
+      .start()
+  }
+
   final case class PackState(cum: Long)
   final case class PackOut(doc_id: Long, shard: Long, n_tok: Long,
                            cum: Long, bin: Long)

@@ -57,6 +57,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment prefix path == naive overlap path (asymmetric bound)") {
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val naive = Dedup.containmentPairs(corpus, tau)
+        .orderBy("d1", "d2").collect().map(_.toString)
+      val sets = corpus.select(col("doc_id"),
+        graft.operators.TextAnalysis.shingleHashes(col("text"), 3)
+          .as("sh"))
+      val pref = Dedup.containmentPairsFromSetsPrefix(sets, tau, 0)
+        .orderBy("d1", "d2").collect().map(_.toString)
+      assert(pref.sameElements(naive), s"tau=$tau")
+      assert(naive.nonEmpty || tau > 0.9)
+    }
+  }
+
+  test("ensemble prefix path == naive ensemble pair set") {
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sets = corpus.select(col("doc_id"),
+      graft.operators.TextAnalysis.shingleHashes(col("text"), 3).as("sh"))
+    val pref = Dedup.ensemblePairsFromSetsPrefix(sets, 0.3, 0.5, 0)
+      .orderBy("d1", "d2").collect().map(_.toString)
+    // ensemblePairs = overlap-tier ∪ exact-text tier; at this SF every
+    // doc has ≥ 3 words so exact-text pairs have jaccard 1.0 ≥ tauJ and
+    // the exact tier is a subset of the overlap tier — the full
+    // ensemble output must therefore equal the prefix overlap output
+    val naive = Dedup.ensemblePairs(corpus, 0.3, 0.5)
+      .orderBy("d1", "d2").collect().map(_.toString)
+    assert(pref.sameElements(naive))
+    assert(pref.nonEmpty)
+  }
+
   test("prefix path: broadcast and shuffle verification arms agree") {
     val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
     val sets = corpus.select(col("doc_id"),

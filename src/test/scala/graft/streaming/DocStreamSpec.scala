@@ -71,6 +71,63 @@ class DocStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("daily-ingest composition: dedup -> decontaminate -> pack over two " +
+       "days equals the batch recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val corpus0 = docs.filter(col("doc_id") < 450)
+    val evalSet = docs.filter(col("doc_id") < 20)
+    def day(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+    def tuples(df: DataFrame): Seq[(Long, String, String, String, Long)] = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+
+    // ---- streaming: two micro-batches through ONE composed job ----
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val stream = mem.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = DocStream.ingestPipeline(stream, corpus0, evalSet,
+        shards = 4, budget = 256L, minShared = 20) { packed =>
+      manifests.synchronized {
+        manifests ++= packed
+          .select("doc_id", "shard", "n_tok", "cum", "bin")
+          .collect().map(_.toSeq)
+      }
+    }
+    mem.addData(tuples(day(450, 475)): _*)
+    q.processAllAvailable()
+    mem.addData(tuples(day(475, 500)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // ---- batch recomputation: the same three stages, day-sequential ----
+    def admit(d: DataFrame, c: DataFrame) =
+      graft.operators.Dedup.incrementalDedup(d, c, minShared = 20)
+    val adm1 = admit(day(450, 475), corpus0)
+    val adm2 = admit(day(475, 500), corpus0.unionByName(adm1))
+    val admitted = adm1.unionByName(adm2)
+    val flagged = graft.operators.Dedup
+      .contamination(admitted, evalSet, minShared = 20)
+      .select("doc_id").distinct()
+    val clean = admitted.join(flagged, Seq("doc_id"), "left_anti")
+    // days arrive in doc_id order, so one packShards over the union
+    // reproduces the appended per-day manifests
+    val batchManifest = graft.operators.Curation.packShards(clean,
+        col("doc_id"), size(split(col("text"), " ")),
+        shards = 4, budget = 256L)
+      .select("doc_id", "shard", "n_tok", "cum", "bin")
+      .collect().map(_.toSeq).toSet
+    assert(batchManifest.nonEmpty)
+    // composition did real work: some docs were rejected or flagged
+    assert(batchManifest.size < 50)
+    assert(manifests.toSet == batchManifest)
+  }
+
   test("incremental packing: shard offsets continue across micro-batches " +
        "(already-emitted bins never move)") {
     import spark.implicits._
