@@ -28,14 +28,6 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // ObjectHashAggregate (typed + TypedImperativeAggregate, e.g. the
-      // top-k aggregates) falls back to SORT-BASED aggregation once a
-      // task sees this many distinct groups — the default (128) turns a
-      // bounded-buffer top-k over millions of rows into a full sort of
-      // the input. Group state here is tiny (≤ k longs per group); one
-      // million groups per task is still only ~MBs of buffer state.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
       .config("spark.sql.warehouse.dir", s"$cat/warehouse")
       .config("spark.ui.enabled", "false")
     extraConfs.foreach { case (k, v) => b.config(k, v) }

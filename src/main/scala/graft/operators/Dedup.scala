@@ -291,21 +291,44 @@ object Dedup {
     * Spark's own runtime join-strategy re-plan, paid for with one extra
     * scalar job per call.
     */
-  /** (Σ df², Σ df) over the posting histogram — the runtime statistics
-    * behind every naive-vs-prefix path choice. One cheap aggregate over
-    * |posting list| rows; no pair blowup.
+  /** Estimated (Σ df², Σ df) over the posting histogram — the runtime
+    * statistics behind every naive-vs-prefix path choice.
+    *
+    * Computed on a DETERMINISTIC 10 % doc sample (hash-selected), so
+    * the decision job costs a tenth of the shingle pass instead of
+    * repeating it. Per-shingle sampled frequency is Binomial(df, p),
+    * giving the unbiased corrections Σdf ≈ Σdf_s/p and
+    * Σdf² ≈ (Σdf_s² − (1−p)·Σdf_s)/p². The two regimes sit ~10x either
+    * side of `NaivePairBudget`, so estimator noise cannot flip a
+    * decision that matters; a borderline misdecision costs a constant
+    * factor, never correctness (the paths are property-proven equal).
     */
   private def postingStats(sets: DataFrame): (Long, Long) = {
-    val statsRow = sets.select(explode(col("sh")).as("h"))
+    val p = 0.1
+    val statsRow = sets
+      .filter(stableHash60(col("doc_id").cast("string")) % 10 === 0)
+      .select(explode(col("sh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .agg(sum(col("df") * col("df")).as("s2"), sum(col("df")).as("s1"))
       .head()
-    (if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0),
-      if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1))
+    val s2 = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val s1 = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    (((s2 - (1 - p) * s1) / (p * p)).toLong, (s1 / p).toLong)
   }
+
+  /** Corpora at or under this many documents take the direct path with
+    * NO stats job at all: the decision job itself (plan + codegen of a
+    * second shingle pass) costs more than any misdecision could, and a
+    * degenerate small corpus still fails loudly via `guardedBucket`.
+    * The count() that gates this is metadata-only — column pruning
+    * drops the shingle projection.
+    */
+  private[operators] val SmallCorpusDocs = 10000L
 
   private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
                                    maxPostings: Int): DataFrame = {
+    if (sets.count() <= SmallCorpusDocs)
+      return jaccardPairsFromSetsNaive(sets, tau, maxPostings)
     val (sumDf2, sumDf) = postingStats(sets)
     if (sumDf2 <= NaivePairBudget)
       jaccardPairsFromSetsNaive(sets, tau, maxPostings)
@@ -339,8 +362,10 @@ object Dedup {
     val sets = graft.engine.Spread(docs).select(col("doc_id"),
       shingleHashes(col("text"), k).as("sh"))
     // same runtime path choice as jaccardPairsFromSets (Σ df² ∝ n² on
-    // saturated vocabularies: 239M at sf1 word-trigrams)
-    val (sumDf2, sumDf) = postingStats(sets)
+    // saturated vocabularies: 239M at sf1 word-trigrams); small corpora
+    // skip the stats job entirely
+    val (sumDf2, sumDf) =
+      if (sets.count() <= SmallCorpusDocs) (0L, 0L) else postingStats(sets)
     if (sumDf2 <= NaivePairBudget)
       overlapPairsFromSets(sets, maxPostings)
         .withColumn("containment",
@@ -368,7 +393,8 @@ object Dedup {
                     k: Int = 3, maxPostings: Int = 0): DataFrame = {
     val sets = graft.engine.Spread(docs).select(col("doc_id"),
       shingleHashes(col("text"), k).as("sh"))
-    val (sumDf2, sumDf) = postingStats(sets)
+    val (sumDf2, sumDf) =
+      if (sets.count() <= SmallCorpusDocs) (0L, 0L) else postingStats(sets)
     val overlap = if (sumDf2 <= NaivePairBudget)
       overlapPairsFromSets(sets, maxPostings)
         .filter(

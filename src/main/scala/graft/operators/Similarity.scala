@@ -268,16 +268,39 @@ object Similarity {
       else edges.join(aSide, Seq("a")).join(bSide, Seq("b")))
       .select(col("a").as("qid"), col("b").as("cid"),
         LongArrayDot(col("qv"), col("cv")).as("score"))
-    // top-k per query via the NATIVE bounded aggregate, NOT a window
-    // (which shuffles and sorts every scored edge — 241M rows at sf1)
-    // and NOT the typed Aggregator (whose per-row kryo/boxing measured
-    // 97 s where native aggregation over the same stream takes 8 s).
-    // TopKPairsAgg partial-aggregates map-side with a primitive-array
-    // buffer, so the shuffle carries ≤ k pairs per query per map task;
-    // distinctIds absorbs duplicate candidate edges in place of a
-    // corpus-wide dropDuplicates. Ties match the window form
-    // (score desc, cid asc).
-    scored.groupBy(col("qid"))
+    // Two-phase top-k per query — never a window (which shuffles and
+    // sorts every scored edge: 241M rows at sf1, a measured 99 s), and
+    // never a single ObjectHashAggregate over the full stream (its
+    // 128-group sort-based fallback re-sorts the input; raising the
+    // threshold instead regresses every high-cardinality collect_list
+    // agg in the engine).
+    //   Phase A: per-PARTITION local top-k in a bounded hashmap
+    //   (mapPartitions; n_vectors × (k+1) longs of state), emitting
+    //   ≤ k rows per query per partition — the map-side combine,
+    //   hand-rolled to stay off the object-agg fallback path.
+    //   Phase B: the native TopKPairsAgg merges the ≤ k·partitions
+    //   rows per query; distinctIds absorbs duplicate candidate edges
+    //   in both phases in place of a corpus-wide dropDuplicates.
+    // Ties match the window form (score desc, cid asc).
+    val spark2 = corpus.sparkSession
+    import spark2.implicits._
+    val reduced = scored.as[(Long, Long, Long)].mapPartitions { it =>
+      val m = new java.util.HashMap[Long, graft.plans.TopKPairsBuffer]()
+      it.foreach { case (qid, cid, score) =>
+        var b = m.get(qid)
+        if (b == null) {
+          b = new graft.plans.TopKPairsBuffer(k); m.put(qid, b)
+        }
+        b.insert(score, cid, distinctIds = true)
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.flatMap { e =>
+        val b = e.getValue
+        (0 until b.n).iterator.map(i => (e.getKey.longValue, b.ids(i),
+          b.scores(i)))
+      }
+    }.toDF("qid", "cid", "score")
+    reduced.groupBy(col("qid"))
       .agg(graft.plans.TopKPairsAgg(col("score"), col("cid"), k,
         distinctIds = true).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "sc")))
