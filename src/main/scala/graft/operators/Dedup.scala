@@ -551,7 +551,7 @@ object Dedup {
     * in-bucket expansion is bounded by construction; `guardedBucket`
     * makes a violation loud.
     */
-  private[operators] def bandCandidatePairs(banded: DataFrame, id: String,
+  private[graft] def bandCandidatePairs(banded: DataFrame, id: String,
                                  outA: String, outB: String): DataFrame = {
     val buckets = banded.groupBy(col("band"), col("bk"))
       .agg(collect_list(col(id)).as("ids0"))
@@ -577,7 +577,7 @@ object Dedup {
     * shuffle would dominate. No quadratic-expansion guard here: the
     * join output is streamed, not buffered per group.
     */
-  private[operators] def bandCandidatePairsJoin(banded: DataFrame,
+  private[graft] def bandCandidatePairsJoin(banded: DataFrame,
       id: String, outA: String, outB: String,
       dedup: Boolean = true): DataFrame = {
     val a = banded.select(col("band"), col("bk"), col(id).as(outA))

@@ -51,6 +51,67 @@ object Stress {
       TextAnalysis.stripBoilerplate(canon, minDocs = 3)
         .filter(length(col("clean_text")) > 0).count()
     })
+    lshSkewStress(spark, nVec = 40000, hotFrac = 10)
     spark.stop()
+  }
+
+  /** Adversarial LSH-banding skew: a power-law corpus where 1/hotFrac of
+    * all vectors are near-clones of ONE vector — identical hyperplane
+    * signs, so every band hashes them into the SAME bucket (the
+    * worst case the rarity-balanced random corpus never shows). Pins:
+    *   - the max band-bucket size (≈ nVec/hotFrac) and the quadratic
+    *     in-bucket candidate count the hot bucket alone contributes;
+    *   - the HOF (groupBy + in-place expansion) vs codegen'd self-join
+    *     candidate paths on the SAME banded input — the join streams
+    *     the hot bucket's pair blow-up instead of buffering it, which
+    *     is why `lshCosinePairs` uses it;
+    *   - the full operator wall time under the skew.
+    */
+  def lshSkewStress(spark: org.apache.spark.sql.SparkSession, nVec: Int,
+                    hotFrac: Int): Unit = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{quantize, lshBandKeys}
+    import graft.plans.LongArrayDot
+    import graft.operators.Dedup
+    // deterministic corpus: id % hotFrac == 0 -> clone of vector 0 with
+    // sign-preserving noise (1e-4); else an independent random unit vec.
+    // bits=24 (6/band, 64 buckets/band) keeps the RANDOM mass spread so
+    // the hot clones are the only concentration — with the operator
+    // default (3 bits/band = 8 buckets) the cold mass alone overflows
+    // the HOF path's guardedBucket, which is itself a finding: bucket
+    // count must grow with the corpus (bits ~ log2(n/target)).
+    def unitVec(seed: Long): Array[Float] = {
+      val r = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 42L)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = unitVec(0L)
+    val emb = spark.range(0, nVec, 1, 32).map { id =>
+      if (id % hotFrac == 0) {
+        val r = new java.util.Random(id)
+        (id, base.map(x => x + (r.nextGaussian() * 1e-4).toFloat))
+      } else (id, unitVec(id))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val banded = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("bks", array(lshBandKeys(col("qv"), 24, 4, 64): _*))
+      .select(col("vec_id"),
+        posexplode(col("bks")).as(Seq("band", "bk")))
+      .localCheckpoint(true)
+    val maxBucket = banded.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+    println(s"lsh_skew: nVec=$nVec hot=1/$hotFrac maxBucket=$maxBucket")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+    }
+    time("lsh_cands_hof")(
+      Dedup.bandCandidatePairs(banded, "vec_id", "v1", "v2").count())
+    time("lsh_cands_join")(
+      Dedup.bandCandidatePairsJoin(banded, "vec_id", "v1", "v2").count())
+    time("lsh_pairs_full")(
+      Dedup.lshCosinePairs(emb, tauNum = 9, tauDen = 10, bits = 24).count())
   }
 }
