@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingShingleHashesDescriptor)
     ext.injectFunction(GraftExtensions.quantizeFloatsDescriptor)
     ext.injectFunction(GraftExtensions.wordShingleHashesDescriptor)
+    ext.injectFunction(GraftExtensions.sortedIntersectDescriptor)
+    ext.injectFunction(GraftExtensions.qcosineGateDescriptor)
   }
 }
 
@@ -82,11 +84,43 @@ object GraftExtensions {
       WordShingleHashes(children.head, k)
     })
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an INT literal, got $other")
+  }
+
+  private[plans] val sortedIntersectDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_long_array_intersect_size"),
+    new ExpressionInfo(classOf[SortedLongArrayIntersectSize].getName,
+      "sorted_long_array_intersect_size"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"sorted_long_array_intersect_size takes 2 arguments, " +
+          s"got ${children.length}")
+      SortedLongArrayIntersectSize(children.head, children(1))
+    })
+
+  private[plans] val qcosineGateDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("qcosine_gate"),
+    new ExpressionInfo(classOf[QCosineGateExpr].getName, "qcosine_gate"),
+    (children: Seq[Expression]) => {
+      require(children.length == 6,
+        s"qcosine_gate takes (qv1, qv2, qn1, qn2, tauNum, tauDen), " +
+          s"got ${children.length} args")
+      QCosineGateExpr(children(0), children(1), children(2), children(3),
+        intLit(children(4), "qcosine_gate tauNum"),
+        intLit(children(5), "qcosine_gate tauDen"))
+    })
+
   /** Register on an existing session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     for ((id, _, builder) <- Seq(longArrayDotDescriptor,
         rollingShingleHashesDescriptor, quantizeFloatsDescriptor,
-        wordShingleHashesDescriptor))
+        wordShingleHashesDescriptor, sortedIntersectDescriptor,
+        qcosineGateDescriptor))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
   }

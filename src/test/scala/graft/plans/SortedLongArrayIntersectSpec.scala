@@ -39,6 +39,22 @@ class SortedLongArrayIntersectSpec extends SparkSpec {
     assert(out(3).isNullAt(0))
   }
 
+  test("registered as SQL functions via extensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT sorted_long_array_intersect_size(array(1L, 3L, 5L), " +
+        "array(3L, 5L, 9L)) AS n").head().getLong(0)
+    assert(r == 2L)
+    val g = spark.sql(
+      "SELECT qcosine_gate(array(10L, 0L), array(10L, 0L), 100L, 100L, " +
+        "9, 10) AS ok").head().getBoolean(0)
+    assert(g) // cos = 1 >= 0.9
+    val g2 = spark.sql(
+      "SELECT qcosine_gate(array(10L, 0L), array(0L, 10L), 100L, 100L, " +
+        "1, 10) AS ok").head().getBoolean(0)
+    assert(!g2) // orthogonal: d = 0 -> gate false
+  }
+
   test("whole-stage codegen actually compiles the expression") {
     val e = spark.range(10).select(
       array(col("id"), col("id") + 5L).as("a"))
