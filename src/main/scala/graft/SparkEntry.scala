@@ -1771,6 +1771,33 @@ object SparkEntry {
         .orderBy(col("global_pos"))
     }),
 
+    // ---- dense interleave: 0..n-1 positions even with unequal shards
+    //      (closed-form rank from the shard-size vector — no global
+    //      window; the loader-facing variant of q_interleave) ----
+    "q_interleave_dense" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Curation.interleaveDense(d, col("doc_id"),
+          shards = 4)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+          col("global_pos"))
+        .orderBy(col("global_pos"))
+    }),
+
+    // ---- the near-dup SCALE paths, oracle-gated at gate SF: the
+    //      adaptive switch (Σ df² budget) would only ever run these at
+    //      10x scale, so force them here — outputs must equal the
+    //      direct-enumeration oracles exactly ----
+    "q_jaccard_prefix" -> ((s, dir) => {
+      graft.operators.Dedup.jaccardPairsPrefix(t(s, dir, "documents"),
+          tau = 0.3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+    "q_containment_prefix" -> ((s, dir) => {
+      graft.operators.Dedup.containmentPairsPrefix(t(s, dir, "documents"),
+          tau = 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- north star: domain-mixture rebalancing — per-language keep
     //      rates (deterministic hash folds, no RNG) with the realized
     //      mixture reported against the original distribution ----
@@ -2853,6 +2880,24 @@ object SparkEntry {
          |  (pos_in_shard - 1) * 4 + shard AS global_pos
          |FROM r ORDER BY global_pos""".stripMargin,
 
+    // dense variant: rank of the sparse round-robin position
+    "q_interleave_dense" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ${hashSql("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+         |    md5(CAST(doc_id AS VARCHAR) || ':shuf') AS sort_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, shard,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY sort_key, doc_id) AS BIGINT) AS pos_in_shard
+         |  FROM t)
+         |SELECT doc_id, shard, pos_in_shard,
+         |  CAST(row_number() OVER (
+         |    ORDER BY (pos_in_shard - 1) * 4 + shard) - 1 AS BIGINT)
+         |    AS global_pos
+         |FROM r ORDER BY global_pos""".stripMargin,
+
     // mixture rebalancing: hash-fold keep rates en 2/10, zh 8/10,
     // default 5/10 (the q_sample fold family, different rates)
     "q_mixture" ->
@@ -3555,6 +3600,22 @@ object SparkEntry {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "q_text_jaccard" ->
+      s"""$shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |pair AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+         |  inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+         |FROM pair JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
+         |ORDER BY d1, d2""".stripMargin,
+
+    // the forced prefix path must reproduce the SAME direct-enumeration
+    // oracle as q_text_jaccard
+    "q_jaccard_prefix" ->
       s"""$shingleCte,
          |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
          |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
@@ -4390,6 +4451,22 @@ object SparkEntry {
         |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_containment" ->
+      s"""$shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |pair AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+         |  inter * 1.0 / least(s1.n, s2.n) AS containment
+         |FROM pair JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    // the forced asymmetric-prefix path must reproduce the SAME
+    // direct-enumeration oracle as q_containment
+    "q_containment_prefix" ->
       s"""$shingleCte,
          |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
          |sz AS (SELECT doc_id, len(sh) AS n FROM sh),

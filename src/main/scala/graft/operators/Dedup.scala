@@ -49,6 +49,28 @@ object Dedup {
         TextAnalysis.charShingleHashes("text", k).as("sh")),
       tau, maxPostings)
 
+  /** FORCE the prefix-filtered path regardless of the runtime stats —
+    * same output as [[jaccardPairs]]; exists so the oracle correctness
+    * gate exercises the over-budget scale path at gate SF too (the
+    * adaptive switch would otherwise only ever run it at 10x scale).
+    */
+  def jaccardPairsPrefix(docs: DataFrame, tau: Double, k: Int = 3,
+                         maxPostings: Int = 0): DataFrame =
+    jaccardPairsFromSetsPrefix(
+      graft.engine.Spread(docs).select(col("doc_id"),
+        shingleHashes(col("text"), k).as("sh")),
+      tau, maxPostings)
+
+  /** FORCE the asymmetric containment prefix path (see
+    * [[jaccardPairsPrefix]] for why).
+    */
+  def containmentPairsPrefix(docs: DataFrame, tau: Double, k: Int = 3,
+                             maxPostings: Int = 0): DataFrame =
+    containmentPairsFromSetsPrefix(
+      graft.engine.Spread(docs).select(col("doc_id"),
+        shingleHashes(col("text"), k).as("sh")),
+      tau, maxPostings)
+
   /** Prefix-filtered exact Jaccard pairs (AllPairs; Bayardo, Ma &
     * Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007) —
     * identical output to `jaccardPairsFromSets`, asymptotically cheaper
