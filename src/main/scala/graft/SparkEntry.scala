@@ -1788,13 +1788,13 @@ object SparkEntry {
     //      10x scale, so force them here — outputs must equal the
     //      direct-enumeration oracles exactly ----
     "q_jaccard_prefix" -> ((s, dir) => {
-      graft.operators.Dedup.jaccardPairsPrefix(t(s, dir, "documents"),
-          tau = 0.3)
+      graft.operators.Dedup.jaccardPairsPrefix(
+          t(s, dir, "documents").filter(col("doc_id") < 2500), tau = 0.3)
         .orderBy(col("d1"), col("d2"))
     }),
     "q_containment_prefix" -> ((s, dir) => {
-      graft.operators.Dedup.containmentPairsPrefix(t(s, dir, "documents"),
-          tau = 0.5)
+      graft.operators.Dedup.containmentPairsPrefix(
+          t(s, dir, "documents").filter(col("doc_id") < 2500), tau = 0.5)
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -3616,7 +3616,8 @@ object SparkEntry {
     // the forced prefix path must reproduce the SAME direct-enumeration
     // oracle as q_text_jaccard
     "q_jaccard_prefix" ->
-      s"""$shingleCte,
+      s"""${shingleCte.replace("FROM documents",
+        "FROM documents WHERE doc_id < 2500")},
          |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
          |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
          |pair AS (
@@ -4467,7 +4468,8 @@ object SparkEntry {
     // the forced asymmetric-prefix path must reproduce the SAME
     // direct-enumeration oracle as q_containment
     "q_containment_prefix" ->
-      s"""$shingleCte,
+      s"""${shingleCte.replace("FROM documents",
+        "FROM documents WHERE doc_id < 2500")},
          |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
          |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
          |pair AS (
