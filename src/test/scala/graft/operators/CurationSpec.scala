@@ -79,6 +79,26 @@ class CurationSpec extends SparkSpec {
     assert(denseOrder == sparseRank)
   }
 
+  test("equalCountBins: the unpartitioned window runs over the value " +
+       "HISTOGRAM, never the corpus (the expected WindowExec warning)") {
+    val d = (0 until 400).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("doc_id", "score")
+    val out = Curation.equalCountBins(d, col("score"), col("doc_id"), 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly one global (unpartitioned) window...
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    // ...and the corpus side reaches the result through a broadcast
+    // join of the tiny offsets table, so the single-partition stage
+    // holds |distinct values| rows (5 here), not the 400-row corpus
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    // histogram cardinality == distinct values
+    val hist = d.select(col("score")).distinct().count()
+    assert(hist == 5)
+  }
+
   test("equalCountBins survives a caller column named 'v'") {
     // internal names are __ecb_-prefixed, so a user column "v" neither
     // makes the histogram join ambiguous nor gets dropped
