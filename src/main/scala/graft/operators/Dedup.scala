@@ -991,7 +991,7 @@ object Dedup {
     */
   def semanticLeakage(embs: DataFrame, folds: Int, holdoutFold: Int,
                       tauNum: Int, tauDen: Int): DataFrame = {
-    import graft.functions.VectorFunctions.{quantize, qcosineGate}
+    import graft.functions.VectorFunctions.quantize
     import graft.plans.LongArrayDot
     val withFold = embs.withColumn("fold",
       graft.operators.Sampling.foldId(col("vec_id"), folds))
@@ -1002,9 +1002,14 @@ object Dedup {
       "h_id", "hv", "hn")
     val train = prep(withFold.filter(col("fold") =!= holdoutFold),
       "t_id", "tv", "tn")
+    // fused gate, not LongArrayDot + the Column gate: Catalyst pushes
+    // the filter into the cross-join condition (good — rows are pruned
+    // in the broadcast probe loop) where the inlined Column form would
+    // evaluate the dot three times per (train, holdout) pair plus
+    // decimal math (measured 20x at sf1 on this query)
     train.crossJoin(broadcast(holdout))
-      .withColumn("d", LongArrayDot(col("tv"), col("hv")))
-      .filter(qcosineGate(col("d"), col("tn"), col("hn"), tauNum, tauDen))
+      .filter(graft.plans.QCosineGateExpr(col("tv"), col("hv"),
+        col("tn"), col("hn"), tauNum, tauDen))
       .select(col("t_id"), col("h_id"))
   }
 
@@ -1105,7 +1110,7 @@ object Dedup {
     */
   def embeddingPairs(embs: DataFrame, tauNum: Int, tauDen: Int,
                      blockCol: String = "label"): DataFrame = {
-    import graft.functions.VectorFunctions.{quantize, qcosineGate}
+    import graft.functions.VectorFunctions.quantize
     import graft.plans.LongArrayDot
     val prep = graft.engine.Spread(embs).select(col(blockCol).as("blk"), col("vec_id"),
         quantize(col("embedding")).as("qv"))
