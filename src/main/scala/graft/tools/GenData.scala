@@ -141,6 +141,14 @@ object GenData {
     val outDir = args(0)
     val sf = if (args.length > 1) args(1).toDouble else 1.0
     val spark = graft.engine.GraftSession.build("graft-gendata")
+    generate(spark, outDir, sf)
+    spark.stop()
+    println(s"[gendata] wrote sf=$sf to $outDir")
+  }
+
+  /** Write all ten tables under outDir; the caller owns the session. */
+  def generate(spark: org.apache.spark.sql.SparkSession, outDir: String,
+               sf: Double): Unit = {
     import spark.implicits._
 
     def n(base: Long): Long = math.max(1L, math.round(base * sf))
@@ -220,8 +228,5 @@ object GenData {
 
     write(spark.range(0, nVecs, 1, parts(nVecs)).map(id => embedding(id)).toDF(),
       "embeddings")
-
-    spark.stop()
-    println(s"[gendata] wrote sf=$sf to $outDir")
   }
 }
