@@ -1798,6 +1798,19 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- north star: exact substring dedup (the "l-token span already
+    //      seen elsewhere" rule) — duplicated spans and their excision;
+    //      one posting-keyed exchange, per-doc interval merge ----
+    "q_span_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.duplicateSpans(t(s, dir, "documents"), l = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+    "q_span_excise" -> ((s, dir) => {
+      graft.operators.Dedup.exciseDuplicateSpans(
+          t(s, dir, "documents"), l = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: domain-mixture rebalancing — per-language keep
     //      rates (deterministic hash folds, no RNG) with the realized
     //      mixture reported against the original distribution ----
@@ -2438,6 +2451,29 @@ object SparkEntry {
   /** DuckDB SQL fragment: distinct 3-gram shingle-hash CTEs over documents
     * (= TextAnalysis.shingleHashes with k=3).
     */
+  /** tok (doc_id, ts) + cov (doc_id, p): distinct 0-based token
+    * positions covered by a duplicated 8-token window in a
+    * non-canonical (doc_id > min holder) document — the DuckDB twin of
+    * Dedup.coveredPositions at l = 8.
+    */
+  private val spanCovCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |w AS (
+      |  SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS i
+      |  FROM tok WHERE len(ts) >= 8),
+      |wg AS (
+      |  SELECT doc_id, i, array_to_string(ts[i+1:i+8], ' ') AS gram
+      |  FROM w),
+      |mh AS (
+      |  SELECT gram, min(doc_id) AS d0, count(DISTINCT doc_id) AS nd
+      |  FROM wg GROUP BY 1),
+      |cp AS (
+      |  SELECT wg.doc_id, unnest(range(wg.i, wg.i + 8)) AS p
+      |  FROM wg JOIN mh USING (gram)
+      |  WHERE mh.nd >= 2 AND wg.doc_id > mh.d0),
+      |cov AS (SELECT DISTINCT doc_id, p FROM cp)""".stripMargin
+
   private val shingleCte: String =
     s"""WITH tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
@@ -3629,6 +3665,38 @@ object SparkEntry {
          |FROM pair JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
          |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
          |ORDER BY d1, d2""".stripMargin,
+
+    // exact substring dedup: an 8-token window occurring in >= 2 distinct
+    // docs is duplicated; the lowest doc_id keeps it, every covered
+    // position elsewhere is marked; maximal marked runs are the spans
+    // (0-based inclusive token indices)
+    "q_span_dedup" ->
+      s"""$spanCovCte,
+         |isl AS (
+         |  SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM cov)
+         |SELECT doc_id, min(p) AS span_start, max(p) AS span_end
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // excision keeps the uncovered tokens in order; untouched docs come
+    // back whole (single-space normalized), fully-covered docs as ''
+    "q_span_excise" ->
+      s"""$spanCovCte,
+         |tp AS (
+         |  SELECT doc_id, unnest(ts) AS w,
+         |         unnest(range(0, len(ts))) AS p
+         |  FROM tok),
+         |cl AS (
+         |  SELECT t.doc_id,
+         |    count(c.p) AS n_removed,
+         |    coalesce(string_agg(t.w, ' ' ORDER BY t.p)
+         |      FILTER (WHERE c.p IS NULL), '') AS clean_text
+         |  FROM tp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, n_removed, clean_text FROM cl
+         |ORDER BY doc_id""".stripMargin,
 
     // char-shingle hash = DOUBLE-PRIME Horner fold over each 16-char
     // window: h1 = fold (a*131 + c) % 1e9+7, h2 = fold (a*137 + c) % 1e9+9,

@@ -1127,4 +1127,97 @@ object Dedup {
         col("qn1"), col("qn2"), tauNum, tauDen))
       .select(col("blk"), col("v1"), col("v2"))
   }
+
+  // ------------------------------------------------------------------
+  // Exact substring (token-span) dedup — the "50-token overlap" family
+  // ------------------------------------------------------------------
+
+  /** (doc_id, p) pairs — 0-based token positions, distinct — covered by
+    * a duplicated window in a non-canonical holder. A window is the
+    * exact `l`-token sequence starting at each position; it is
+    * duplicated iff it occurs in >= 2 distinct docs, and the lowest
+    * doc_id holding it is the canonical keeper.
+    *
+    * One exchange keyed by the window resolves min-holder + distinct-doc
+    * count (partial aggregation halves it); the postings then join that
+    * table on the same key. No self-join, no per-pair work: cost is
+    * O(tokens * l) shuffled bytes — the posting formulation of exact
+    * substring dedup (vs the suffix-array formulation, which needs a
+    * global sort of the same volume).
+    */
+  private def coveredPositions(docs: DataFrame, l: Int,
+                               hashKeys: Boolean): DataFrame = {
+    require(l >= 1, s"window length l=$l must be >= 1")
+    val grams = graft.engine.Spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= l)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - l)).as("i"),
+        array_join(slice(col("ts"), col("i") + 1, lit(l)), " ").as("gram"))
+    val keyed = grams.select(col("doc_id"), col("i"),
+      (if (hashKeys) xxhash64(col("gram")) else col("gram")).as("g"))
+    val dupHolders = keyed.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("d0"),
+        count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"), col("d0"))
+    keyed.join(dupHolders, Seq("g"))
+      .filter(col("doc_id") > col("d0"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (l - 1))).as("p"))
+      .distinct()
+  }
+
+  /** Cross-doc duplicated token spans — exact-substring dedup (the
+    * "remove any 50-token span already seen elsewhere" rule LLM
+    * pipelines apply to training corpora and eval decontamination).
+    * Returns (doc_id, span_start, span_end): maximal runs (0-based
+    * token indices, inclusive) of positions covered by any duplicated
+    * `l`-token window in a non-canonical holder; the lowest doc_id
+    * holding a window keeps it (see [[coveredPositions]] for the
+    * contract and shuffle shape).
+    *
+    * The interval merge is gaps-and-islands over a doc-partitioned
+    * window — per-doc work only, never corpus-wide.
+    *
+    * `hashKeys=true` shuffles an 8-byte xxhash64 of each window instead
+    * of the window string (l·avgTokenBytes -> 8 bytes per posting: the
+    * 100 TB knob). A 64-bit collision can only MERGE two windows'
+    * holder sets — it may over-mark a span, never miss one; the exact
+    * string path is what the oracle gates, and `DedupSpec` pins the two
+    * paths equal on the testdata.
+    */
+  def duplicateSpans(docs: DataFrame, l: Int,
+                     hashKeys: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    coveredPositions(docs, l, hashKeys)
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("s"), max(col("p")).as("e"))
+      .select(col("doc_id"), col("s").cast("long").as("span_start"),
+        col("e").cast("long").as("span_end"))
+  }
+
+  /** Excision: every doc rebuilt with its duplicated spans removed (the
+    * canonical holder keeps its text — see [[duplicateSpans]]). Returns
+    * ALL input docs as (doc_id, n_removed, clean_text); untouched docs
+    * come back with n_removed = 0 and the single-space-normalized
+    * original. Covered positions arrive as one small per-doc set
+    * (collect_set), so the rebuild is a narrow higher-order filter —
+    * the doc text itself is never shuffled.
+    */
+  def exciseDuplicateSpans(docs: DataFrame, l: Int,
+                           hashKeys: Boolean = false): DataFrame = {
+    val covSets = coveredPositions(docs, l, hashKeys)
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    docs.join(covSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cov").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("n_removed"),
+        array_join(filter(split(col("text"), " "),
+            (t: Column, i: Column) =>
+              coalesce(!array_contains(col("cov"), i), lit(true))),
+          " ").as("clean_text"))
+  }
 }

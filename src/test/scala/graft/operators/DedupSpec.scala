@@ -191,6 +191,54 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("duplicateSpans: copies marked, canonical kept, mutation splits " +
+       "the span, short docs untouched") {
+    // doc 1 canonical; doc 2 full copy; doc 3 copies with word 4 mutated
+    // (windows crossing position 4 are unique -> two islands); doc 4
+    // shares nothing; doc 5 shorter than l
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c d X f g h i j"),
+      (4L, "p q r s t u v w x y"),
+      (5L, "a b c")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, l = 5)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 2: one span covering everything; doc 3: "a b c d" (windows
+    // [0..4] all cross the mutation except none fully fit left of it —
+    // only the window at 5 "f g h i j" survives on the right)
+    assert(spans == Seq((2L, 0L, 9L), (3L, 5L, 9L)))
+  }
+
+  test("exciseDuplicateSpans rebuilds text minus covered tokens; " +
+       "hashKeys path agrees with the exact path") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c d X f g h i j"),
+      (4L, "p q r s t u v w x y"),
+      (5L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(d, l = 5)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "a b c d e f g h i j"),
+      (2L, 10L, ""),
+      (3L, 5L, "a b c d X"),
+      (4L, 0L, "p q r s t u v w x y"),
+      (5L, 0L, "a b c")))
+    // the 8-byte-key scale path produces identical output on real data
+    val docsReal = spark.read.parquet(sf() + "/documents.parquet")
+    val exact = Dedup.exciseDuplicateSpans(docsReal, l = 8)
+      .orderBy("doc_id").collect().toSeq
+    val hashed = Dedup.exciseDuplicateSpans(docsReal, l = 8,
+        hashKeys = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(exact == hashed)
+  }
+
   test("embedding near-dup pairs respect the exact cosine threshold") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
     val pairs = Dedup.embeddingPairs(e, tauNum = 4, tauDen = 10)
