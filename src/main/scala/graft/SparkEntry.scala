@@ -704,6 +704,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // ---- north star: keep-BEST-per-cluster (longest copy wins) — the
+    //      production keep policy; narrow-column argmax, text never
+    //      shuffled ----
+    "q_dedup_keepbest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.keepBest(docs,
+          graft.operators.Dedup.jaccardPairs(docs, tau = 0.3),
+          score = col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star CAPSTONE: full corpus-preparation pipeline —
     //      near-dup dedup (pairs -> components -> keep canonical) ->
     //      normalize -> token-count quality gate -> stratified sample ----
@@ -3885,6 +3897,39 @@ object SparkEntry {
          |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node)
          |SELECT node, min(r) AS component FROM reach GROUP BY node
          |ORDER BY node""".stripMargin,
+
+    // same clusters as q_dedup_cc; the keep policy is max n_chars per
+    // component (ties -> lowest doc_id), singletons keep themselves
+    "q_dedup_keepbest" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |pair AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT d1, d2 FROM pair
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3),
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp
+         |      UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |fl AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars,
+         |         coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |rk AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (PARTITION BY component
+         |                       ORDER BY n_chars DESC, doc_id) AS r
+         |  FROM fl)
+         |SELECT doc_id, lang, n_chars FROM rk WHERE r = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""$shingleCte,

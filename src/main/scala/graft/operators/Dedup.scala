@@ -976,6 +976,34 @@ object Dedup {
       .drop("component")
   }
 
+  /** Keep-BEST-per-cluster: the production keep policy — per near-dup
+    * component retain the doc with the highest (numeric) `score`, ties
+    * broken by lowest id; unpaired docs keep themselves. "Longest copy
+    * wins" / "highest quality-classifier score wins" are this with the
+    * corresponding score column.
+    *
+    * Scale shape: only (id, score, component) rows reach the
+    * per-component argmax — ONE exchange of three narrow columns; the
+    * winner ids then semi-join back so the doc payload (text,
+    * embeddings, ...) is never shuffled. The argmax itself is
+    * min(struct(-score, id)) — lexicographic struct ordering gives max
+    * score then min id with full map-side partial aggregation (no
+    * window, no per-component sort).
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame, score: Column,
+               id: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val winners = docs.select(col(id), score.cast("double").as("__s"))
+      .join(cc.withColumnRenamed("node", id), Seq(id), "left")
+      .select(col(id), col("__s"),
+        coalesce(col("component"), col(id)).as("component"))
+      .groupBy(col("component"))
+      .agg(min(struct(negate(col("__s")).as("ns"),
+        col(id).as("kid"))).as("w"))
+      .select(col("w.kid").as(id))
+    docs.join(winners, Seq(id), "left_semi")
+  }
+
   /** Semantic split-leakage detection — the embedding-space complement
     * of `contamination`: which TRAIN vectors are cosine-similar (>=
     * tauNum/tauDen, exact quantized gate) to any HOLDOUT/eval vector?

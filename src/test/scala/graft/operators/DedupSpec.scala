@@ -191,6 +191,21 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("keepBest keeps the highest-score doc per cluster (tie -> lowest " +
+       "id), singletons keep themselves") {
+    // cluster {1,2,3}: 3 has the longest text -> wins over canonical 1;
+    // 4 and 5 are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val kept = Dedup.keepBest(docs, pairs, score = length(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // tie on score: docs 1 and 2 are identical -> lowest id wins
+    val keptTie = Dedup.keepBest(docs.filter(col("doc_id") <= 2),
+        Seq((1L, 2L)).toDF("d1", "d2"), score = length(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTie == Set(1L))
+  }
+
   test("duplicateSpans: copies marked, canonical kept, mutation splits " +
        "the span, short docs untouched") {
     // doc 1 canonical; doc 2 full copy; doc 3 copies with word 4 mutated
