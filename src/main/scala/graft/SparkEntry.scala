@@ -1822,6 +1822,15 @@ object SparkEntry {
           t(s, dir, "documents"), l = 8)
         .orderBy(col("doc_id"))
     }),
+    // decontamination by excision: windows seen in the reference corpus
+    // (doc_id < 450) are cut out of arriving docs (doc_id >= 450)
+    "q_span_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.exciseSeenSpans(
+          docs.filter(col("doc_id") >= 450),
+          docs.filter(col("doc_id") < 450), l = 8)
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- north star: domain-mixture rebalancing — per-language keep
     //      rates (deterministic hash folds, no RNG) with the realized
@@ -3709,6 +3718,37 @@ object SparkEntry {
          |  GROUP BY t.doc_id)
          |SELECT doc_id, n_removed, clean_text FROM cl
          |ORDER BY doc_id""".stripMargin,
+
+    // seen-side (corpus, doc_id < 450) windows are authoritative; every
+    // covered position in the arriving docs (doc_id >= 450) is excised
+    "q_span_decontam" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |wN AS (
+        |  SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS i
+        |  FROM tok WHERE len(ts) >= 8 AND doc_id >= 450),
+        |wgN AS (
+        |  SELECT doc_id, i, array_to_string(ts[i+1:i+8], ' ') AS gram
+        |  FROM wN),
+        |gC AS (
+        |  SELECT DISTINCT array_to_string(ts[i+1:i+8], ' ') AS gram
+        |  FROM (SELECT ts, unnest(range(0, len(ts) - 7)) AS i
+        |        FROM tok WHERE len(ts) >= 8 AND doc_id < 450)),
+        |cp AS (
+        |  SELECT wgN.doc_id, unnest(range(wgN.i, wgN.i + 8)) AS p
+        |  FROM wgN JOIN gC USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM cp),
+        |tp AS (
+        |  SELECT doc_id, unnest(ts) AS w, unnest(range(0, len(ts))) AS p
+        |  FROM tok WHERE doc_id >= 450),
+        |cl AS (
+        |  SELECT t.doc_id, count(c.p) AS n_removed,
+        |    coalesce(string_agg(t.w, ' ' ORDER BY t.p)
+        |      FILTER (WHERE c.p IS NULL), '') AS clean_text
+        |  FROM tp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_removed, clean_text FROM cl
+        |ORDER BY doc_id""".stripMargin,
 
     // char-shingle hash = DOUBLE-PRIME Horner fold over each 16-char
     // window: h1 = fold (a*131 + c) % 1e9+7, h2 = fold (a*137 + c) % 1e9+9,

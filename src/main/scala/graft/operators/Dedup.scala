@@ -1173,17 +1173,25 @@ object Dedup {
     * substring dedup (vs the suffix-array formulation, which needs a
     * global sort of the same volume).
     */
-  private def coveredPositions(docs: DataFrame, l: Int,
-                               hashKeys: Boolean): DataFrame = {
+  /** (doc_id, i, g) — every l-token window starting at 0-based position
+    * i, keyed by the window string (or its xxhash64 when `hashKeys`).
+    */
+  private def windowGrams(docs: DataFrame, l: Int,
+                          hashKeys: Boolean): DataFrame = {
     require(l >= 1, s"window length l=$l must be >= 1")
-    val grams = graft.engine.Spread(docs)
+    graft.engine.Spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= l)
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("ts")) - l)).as("i"),
         array_join(slice(col("ts"), col("i") + 1, lit(l)), " ").as("gram"))
-    val keyed = grams.select(col("doc_id"), col("i"),
-      (if (hashKeys) xxhash64(col("gram")) else col("gram")).as("g"))
+      .select(col("doc_id"), col("i"),
+        (if (hashKeys) xxhash64(col("gram")) else col("gram")).as("g"))
+  }
+
+  private def coveredPositions(docs: DataFrame, l: Int,
+                               hashKeys: Boolean): DataFrame = {
+    val keyed = windowGrams(docs, l, hashKeys)
     val dupHolders = keyed.groupBy(col("g"))
       .agg(min(col("doc_id")).as("d0"),
         count_distinct(col("doc_id")).as("nd"))
@@ -1194,6 +1202,25 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (l - 1))).as("p"))
       .distinct()
+  }
+
+  /** Every doc rebuilt without its covered token positions; `cov` is
+    * (doc_id, p) distinct. Covered positions arrive as one small
+    * per-doc set, so the rebuild is a narrow higher-order filter — the
+    * doc text is never shuffled.
+    */
+  private def rebuildMinusCovered(docs: DataFrame,
+                                  cov: DataFrame): DataFrame = {
+    val covSets = cov.groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("cov"))
+    docs.join(covSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cov").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("n_removed"),
+        array_join(filter(split(col("text"), " "),
+            (t: Column, i: Column) =>
+              coalesce(!array_contains(col("cov"), i), lit(true))),
+          " ").as("clean_text"))
   }
 
   /** Cross-doc duplicated token spans — exact-substring dedup (the
@@ -1236,16 +1263,36 @@ object Dedup {
     * the doc text itself is never shuffled.
     */
   def exciseDuplicateSpans(docs: DataFrame, l: Int,
-                           hashKeys: Boolean = false): DataFrame = {
-    val covSets = coveredPositions(docs, l, hashKeys)
-      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
-    docs.join(covSets, Seq("doc_id"), "left")
+                           hashKeys: Boolean = false): DataFrame =
+    rebuildMinusCovered(docs, coveredPositions(docs, l, hashKeys))
+
+  /** Decontamination by EXCISION: rebuild `docs` without any token
+    * position covered by an l-token window that occurs anywhere in
+    * `seen` — the reference side is authoritative, no canonical-holder
+    * logic. This is the surgical alternative to dropping whole flagged
+    * docs ([[contamination]] / `incrementalDedup`): an eval answer
+    * embedded in an otherwise-good document is cut out and the rest of
+    * the document survives.
+    *
+    * Scale regimes, both one equi-join on the window key:
+    *   - eval-set decontamination: `seen` is MBs against a 100 TB
+    *     corpus — its distinct grams broadcast and the corpus streams
+    *     map-side;
+    *   - daily-ingest vs stored corpus: `seen` is the big side —
+    *     `hashKeys=true` makes each posting 8 bytes and the join a
+    *     sort-merge on longs; AQE picks the arm by measured size.
+    * Either way only (doc_id, i, key) rows move; the rebuild is narrow
+    * (see [[rebuildMinusCovered]]). Returns ALL input docs as
+    * (doc_id, n_removed, clean_text).
+    */
+  def exciseSeenSpans(docs: DataFrame, seen: DataFrame, l: Int,
+                      hashKeys: Boolean = false): DataFrame = {
+    val cov = windowGrams(docs, l, hashKeys)
+      .join(windowGrams(seen, l, hashKeys).select(col("g")).distinct(),
+        Seq("g"))
       .select(col("doc_id"),
-        when(col("cov").isNull, lit(0L))
-          .otherwise(size(col("cov")).cast("long")).as("n_removed"),
-        array_join(filter(split(col("text"), " "),
-            (t: Column, i: Column) =>
-              coalesce(!array_contains(col("cov"), i), lit(true))),
-          " ").as("clean_text"))
+        explode(sequence(col("i"), col("i") + (l - 1))).as("p"))
+      .distinct()
+    rebuildMinusCovered(docs, cov)
   }
 }

@@ -51,6 +51,21 @@ object DocStream {
       }
       .start()
 
+  /** Continuous decontamination by EXCISION: every arriving micro-batch
+    * is rebuilt with any l-token window already present in `seen` (eval
+    * set or stored corpus) cut out — `Dedup.exciseSeenSpans` per batch,
+    * so stream and batch outputs agree by construction. Same static-
+    * snapshot caveat as [[dedupIncremental]].
+    */
+  def exciseIncremental(docsStream: DataFrame, seen: DataFrame,
+                        l: Int = 8, hashKeys: Boolean = false)
+                       (sink: DataFrame => Unit): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.exciseSeenSpans(batch, seen, l, hashKeys))
+      }
+      .start()
+
   /** Continuous ingest-time dedup: every arriving shard is admitted only
     * where it duplicates nothing in the STORED corpus
     * (`Dedup.incrementalDedup` per micro-batch — the exact batch

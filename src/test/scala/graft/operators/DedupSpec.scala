@@ -254,6 +254,22 @@ class DedupSpec extends SparkSpec {
     assert(exact == hashed)
   }
 
+  test("exciseSeenSpans: only windows present in the seen side are cut; " +
+       "the seen side is authoritative regardless of ids") {
+    val seen = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "z z a b c d e f g h i j z z"),   // seen span embedded mid-doc
+      (2L, "a b c d X f g h i j"),           // mutation breaks every window
+      (3L, "q r s t u v w x y z")            // shares nothing
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseSeenSpans(incoming, seen, l = 5)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, "z z z z"),
+      (2L, 5L, "a b c d X"),   // only the clean right half "f g h i j" matches
+      (3L, 0L, "q r s t u v w x y z")))
+  }
+
   test("embedding near-dup pairs respect the exact cosine threshold") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
     val pairs = Dedup.embeddingPairs(e, tauNum = 4, tauDen = 10)

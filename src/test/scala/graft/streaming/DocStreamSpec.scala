@@ -33,6 +33,32 @@ class DocStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("foreachBatch span excision == batch exciseSeenSpans") {
+    // l=3 so chance trigram matches over the 31-word vocabulary
+    // guarantee real excisions at this tiny SF (no constructed dups
+    // below doc_id 50)
+    val seen = spark.read.parquet(sf() + "/documents.parquet")
+      .filter(col("doc_id") < 25)
+    val stream = DocStream.readDocuments(spark, sf())
+      .filter(col("doc_id") >= 25)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = DocStream.exciseIncremental(stream, seen, l = 3) { cleaned =>
+      buf.synchronized { buf ++= cleaned.collect() }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val got = buf.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val want = graft.operators.Dedup.exciseSeenSpans(
+        spark.read.parquet(sf() + "/documents.parquet")
+          .filter(col("doc_id") >= 25),
+        seen, l = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(want.exists(_._2 > 0), "no doc lost a span at this SF")
+    assert(got == want)
+  }
+
   test("foreachBatch incremental dedup == batch incrementalDedup") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val corpus = docs.filter(col("doc_id") < 450)
