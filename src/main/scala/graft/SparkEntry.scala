@@ -1124,6 +1124,26 @@ object SparkEntry {
         .orderBy(col("media_id"), col("win_no"))
     }),
 
+    // ---- multimodal: REAL PPM image codec — parse -> integer features
+    //      on the original AND on a real nearest-neighbor resize
+    //      round-trip (decode -> resample -> re-encode -> re-decode);
+    //      payloads are real P6 blobs from a closed-form pixel function
+    //      so the oracle recomputes every pixel arithmetically ----
+    "q_image_ppm" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.syntheticPpmMedia(s, dir)
+      val orig = Multimodal.ppmFeatures(media).toDF()
+      val rz = Multimodal.ppmFeatures(
+          Multimodal.resizePpm(media, 6, 4)).toDF()
+        .select(col("media_id"), col("sum_r").as("rz_sum_r"),
+          col("sum_g").as("rz_sum_g"), col("sum_b").as("rz_sum_b"))
+      orig.join(rz, Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("hedges"),
+          col("rz_sum_r"), col("rz_sum_g"), col("rz_sum_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- north star: k-means clustering (Lloyd) over embeddings —
     //      deterministic end-to-end: lowest-id init, exact integer
     //      argmin assignment (|c|^2 - 2<v,c> on quantized vectors, ties
@@ -3916,6 +3936,45 @@ object SparkEntry {
         |  CAST(list_max(list_transform(ss, s -> abs(s))) AS INT)
         |    AS peak_abs
         |FROM sm ORDER BY media_id, win_no""".stripMargin,
+
+    // pixel (p, c) of image id = ((id + p*3 + c) * 2654435761) % 256;
+    // luma = (299r + 587g + 114b) // 1000; nearest-neighbor source pixel
+    // for resized (x2, y2) at 6x4 = ((y2*h)//4)*w + (x2*w)//6
+    "q_image_ppm" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS w,
+        |    CAST(6 + doc_id % 7 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    p -> ((doc_id + p*3) * 2654435761) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    p -> ((doc_id + p*3 + 1) * 2654435761) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    p -> ((doc_id + p*3 + 2) * 2654435761) % 256)) AS BIGINT) AS sum_b,
+        |  CAST(len(list_filter(range(0, w*h),
+        |    p -> p % w < w - 1 AND abs(
+        |      (299*(((doc_id + p*3) * 2654435761) % 256)
+        |       + 587*(((doc_id + p*3 + 1) * 2654435761) % 256)
+        |       + 114*(((doc_id + p*3 + 2) * 2654435761) % 256)) // 1000
+        |      - (299*(((doc_id + (p+1)*3) * 2654435761) % 256)
+        |       + 587*(((doc_id + (p+1)*3 + 1) * 2654435761) % 256)
+        |       + 114*(((doc_id + (p+1)*3 + 2) * 2654435761) % 256)) // 1000
+        |    ) > 64)) AS BIGINT) AS hedges,
+        |  CAST(list_sum(list_transform(range(0, 24),
+        |    p2 -> ((doc_id + (((p2 // 6) * h // 4) * w
+        |                      + ((p2 % 6) * w // 6)) * 3)
+        |           * 2654435761) % 256)) AS BIGINT) AS rz_sum_r,
+        |  CAST(list_sum(list_transform(range(0, 24),
+        |    p2 -> ((doc_id + (((p2 // 6) * h // 4) * w
+        |                      + ((p2 % 6) * w // 6)) * 3 + 1)
+        |           * 2654435761) % 256)) AS BIGINT) AS rz_sum_g,
+        |  CAST(list_sum(list_transform(range(0, 24),
+        |    p2 -> ((doc_id + (((p2 // 6) * h // 4) * w
+        |                      + ((p2 % 6) * w // 6)) * 3 + 2)
+        |           * 2654435761) % 256)) AS BIGINT) AS rz_sum_b
+        |FROM d ORDER BY media_id""".stripMargin,
 
     "q_dedup_cc" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

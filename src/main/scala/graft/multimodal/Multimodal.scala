@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * batched per-partition passes.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, typed
-  * mapPartitions signature) is real and tested; the codec itself is a
-  * clearly-marked STUB (`StubDecoder`) because no image/audio libraries
-  * exist in this container — in production the `decode` function body is
-  * the only thing that changes (JNI/javacpp codec call), the dataflow
-  * does not.
+  * mapPartitions signature) is real and tested. Two kernels are REAL
+  * pure-JVM codecs, oracle-gated end-to-end: [[WavCodec]] (WAV/PCM
+  * header walk + 16-bit samples) and [[PpmCodec]] (binary PPM parse /
+  * nearest-neighbor resize / re-encode). Compressed formats (JPEG,
+  * H.264, MP3) remain a clearly-marked STUB (`StubDecoder`) because no
+  * image/audio libraries exist in this container — in production the
+  * decode body is the only thing that changes (JNI/javacpp codec
+  * call), the dataflow does not.
   *
   * Scale design: decode runs inside `mapPartitions`, so each task decodes
   * its partition's blobs in one JVM pass without per-row UDF setup cost;
@@ -329,6 +332,170 @@ object Multimodal {
           val samples = Array.tabulate(n)(i =>
             (((id + i.toLong * 2654435761L) % 65536L) - 32768L).toInt)
           MediaRow(id, "audio", WavCodec.encode(samples, 16000))
+        }
+      }
+  }
+
+  /** Pure-JVM PPM (P6, 8-bit) codec — the SECOND non-stub multimodal
+    * kernel next to [[WavCodec]]: binary PPM is header-plus-raw-RGB, so
+    * decode, nearest-neighbor resize, and re-encode are exact integer
+    * work with no image library. Real decoders for compressed formats
+    * swap in behind the same parse/pixels surface.
+    */
+  object PpmCodec {
+    final case class PpmInfo(width: Int, height: Int, dataOffset: Int)
+
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == 3 * w * h,
+        s"rgb length ${rgb.length} != 3*$w*$h")
+      val hdr = s"P6\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](hdr.length + rgb.length)
+      System.arraycopy(hdr, 0, out, 0, hdr.length)
+      System.arraycopy(rgb, 0, out, hdr.length, rgb.length)
+      out
+    }
+
+    /** Header walk: "P6", then width/height/maxval as ASCII ints
+      * separated by whitespace (with #-comment lines), then ONE
+      * whitespace byte before the raw RGB plane. None on any
+      * malformation — corrupt blobs quarantine, they don't kill tasks.
+      */
+    def parse(bytes: Array[Byte]): Option[PpmInfo] = {
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+      var o = 2
+      def isWs(b: Byte) =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      def skipWs(): Unit = {
+        var more = true
+        while (more && o < bytes.length) {
+          if (bytes(o) == '#') {
+            while (o < bytes.length && bytes(o) != '\n') o += 1
+          } else if (isWs(bytes(o))) o += 1
+          else more = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        var v = 0; var any = false
+        while (o < bytes.length && bytes(o) >= '0' && bytes(o) <= '9') {
+          v = v * 10 + (bytes(o) - '0'); o += 1; any = true
+          if (v > (1 << 24)) return -1 // dimension bomb guard
+        }
+        if (any) v else -1
+      }
+      val w = readInt(); val h = readInt(); val mx = readInt()
+      if (w <= 0 || h <= 0 || mx != 255) return None
+      if (o >= bytes.length || !isWs(bytes(o))) return None
+      o += 1
+      if (bytes.length - o < 3L * w * h) None else Some(PpmInfo(w, h, o))
+    }
+
+    /** Nearest-neighbor resample to (w2, h2): out(x, y) =
+      * in((x*W)/w2, (y*H)/h2), integer division — the deterministic
+      * resize every engine reproduces exactly.
+      */
+    def resizeNearest(bytes: Array[Byte], info: PpmInfo,
+                      w2: Int, h2: Int): Array[Byte] = {
+      val out = new Array[Byte](3 * w2 * h2)
+      var y = 0
+      while (y < h2) {
+        val sy = y * info.height / h2
+        var x = 0
+        while (x < w2) {
+          val sx = x * info.width / w2
+          val so = info.dataOffset + 3 * (sy * info.width + sx)
+          val do_ = 3 * (y * w2 + x)
+          out(do_) = bytes(so); out(do_ + 1) = bytes(so + 1)
+          out(do_ + 2) = bytes(so + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Integer-exact image features from a decoded PPM: dimensions,
+    * per-channel sums, and a horizontal luma-edge count (adjacent
+    * pixels whose integer luma (299r+587g+114b)/1000 differs by > 64).
+    */
+  final case class ImageFeatures(
+      media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, hedges: Long)
+
+  /** Batched per-partition PPM decode + feature extraction — same
+    * dataflow as [[pcmWindows]]; blobs `PpmCodec.parse` rejects are
+    * dropped (quarantine path), not task failures.
+    */
+  def ppmFeatures(images: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val bytes = bytesOf(m)
+        PpmCodec.parse(bytes).iterator.map { info =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var edges = 0L
+          val w = info.width; val h = info.height; val off = info.dataOffset
+          def luma(p: Int): Int = {
+            val o = off + 3 * p
+            (299 * (bytes(o) & 0xff) + 587 * (bytes(o + 1) & 0xff) +
+              114 * (bytes(o + 2) & 0xff)) / 1000
+          }
+          var p = 0
+          val np = w * h
+          while (p < np) {
+            val o = off + 3 * p
+            sr += (bytes(o) & 0xff); sg += (bytes(o + 1) & 0xff)
+            sb += (bytes(o + 2) & 0xff)
+            if (p % w < w - 1 && math.abs(luma(p) - luma(p + 1)) > 64)
+              edges += 1
+            p += 1
+          }
+          ImageFeatures(m.media_id, w, h, sr, sg, sb, edges)
+        }
+      }
+    }
+  }
+
+  /** REAL resize for PPM payloads: parse -> nearest-neighbor -> encode,
+    * media in / media out (the [[resize]] stub's non-stub sibling).
+    * Unparseable payloads pass through untouched.
+    */
+  def resizePpm(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        val bytes = bytesOf(m)
+        PpmCodec.parse(bytes) match {
+          case Some(info) => m.copy(payload =
+            PpmCodec.encode(w, h, PpmCodec.resizeNearest(bytes, info, w, h)))
+          case None => m
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic PPM corpus: one small RGB image per
+    * document, w = 8 + id%9, h = 6 + id%7, byte j of the RGB plane =
+    * ((id + j) * 2654435761) mod 256 — closed form, so an external
+    * oracle recomputes every pixel arithmetically while the blobs are
+    * REAL PPMs (header-walked by [[PpmCodec.parse]]).
+    */
+  def syntheticPpmMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (6 + id % 7).toInt
+          val rgb = new Array[Byte](3 * w * h)
+          var j = 0
+          while (j < rgb.length) {
+            rgb(j) = (((id + j) * 2654435761L) % 256L).toByte
+            j += 1
+          }
+          MediaRow(id, "image", PpmCodec.encode(w, h, rgb))
         }
       }
   }

@@ -116,4 +116,58 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("PpmCodec round-trips, skips comments, rejects malformed blobs") {
+    val rgb = Array.tabulate(3 * 2 * 2)(i => (i * 37).toByte)
+    val ppm = Multimodal.PpmCodec.encode(2, 2, rgb)
+    val info = Multimodal.PpmCodec.parse(ppm)
+    assert(info.contains(Multimodal.PpmCodec.PpmInfo(2, 2, ppm.length - 12)))
+    // a #-comment between header fields must be skipped
+    val commented = ("P6\n# made by hand\n2 2\n255\n"
+      .getBytes("US-ASCII") ++ rgb)
+    assert(Multimodal.PpmCodec.parse(commented)
+      .map(i => (i.width, i.height)).contains((2, 2)))
+    // corrupt cases -> None, never a throw
+    assert(Multimodal.PpmCodec.parse(Array[Byte]()).isEmpty)
+    assert(Multimodal.PpmCodec.parse("P5\n2 2\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.PpmCodec.parse(ppm.take(ppm.length - 1)).isEmpty)  // short plane
+    assert(Multimodal.PpmCodec.parse("P6\n2 2\n254\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("resizeNearest picks exact source pixels; resizePpm passes " +
+       "non-PPM payloads through") {
+    // 4x2 image with distinct per-pixel bytes; downsample to 2x1:
+    // out(0,0) <- in(0,0), out(1,0) <- in(2,0)
+    val rgb = Array.tabulate(3 * 4 * 2)(_.toByte)
+    val ppm = Multimodal.PpmCodec.encode(4, 2, rgb)
+    val info = Multimodal.PpmCodec.parse(ppm).get
+    val rz = Multimodal.PpmCodec.resizeNearest(ppm, info, 2, 1)
+    assert(rz.toSeq == Seq(0, 1, 2, 6, 7, 8).map(_.toByte))
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", ppm),
+      Multimodal.MediaRow(2L, "junk", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.resizePpm(media, 2, 1).collect()
+      .map(m => m.media_id -> m.payload).toMap
+    assert(Multimodal.PpmCodec.parse(out(1L))
+      .map(i => (i.width, i.height)).contains((2, 1)))
+    assert(out(2L).toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("q_image_ppm pipeline: features come from genuinely decoded " +
+       "pixels (spot-check against the closed form)") {
+    val media = Multimodal.syntheticPpmMedia(spark, sf())
+    val f = Multimodal.ppmFeatures(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f.size == 500)
+    for (id <- Seq(0L, 7L, 23L)) {
+      val w = (8 + id % 9).toInt; val h = (6 + id % 7).toInt
+      def v(p: Int, c: Int): Long = ((id + p * 3 + c) * 2654435761L) % 256L
+      val row = f(id)
+      assert(row.width == w && row.height == h)
+      assert(row.sum_r == (0 until w * h).map(p => v(p, 0)).sum)
+      assert(row.sum_g == (0 until w * h).map(p => v(p, 1)).sum)
+      assert(row.sum_b == (0 until w * h).map(p => v(p, 2)).sum)
+    }
+  }
 }
