@@ -1321,30 +1321,33 @@ object SparkEntry {
     }),
 
     // ---- quantile sketch: approx_percentile, GATED by RANK error (the
-    //      sketch's actual guarantee: ≤ n/accuracy = 0.1 % rank). Each
-    //      approx quantile must land between the exact quantiles ±0.5 %
-    //      rank (5× margin), computed in the same pass; oracle emits
-    //      TRUE per bound. ----
+    //      sketch's actual guarantee: ≤ n/accuracy = 0.1 % rank). The
+    //      returned value's tie-robust rank window
+    //      [#(x < v), #(x <= v)] must overlap q·n ± 0.5 % (5× margin).
+    //      Rank-COUNTING, not exact percentile: two hash aggregations
+    //      and a broadcast of 5 tiny per-group rows — no per-group sort
+    //      anywhere (the former percentile() gate sorted 6M rows/group
+    //      at sf1: 24s of oracle-only cost; this shape is ~2s). ----
     "q_approx_percentile" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val pq = li.groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
             .as("pq"),
-          expr("percentile(l_extendedprice, " +
-            "array(0.495, 0.505, 0.945, 0.955, 0.985, 0.995))")
-            .as("bnd"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("n"),
-          element_at(col("pq"), 1).between(
-            element_at(col("bnd"), 1), element_at(col("bnd"), 2))
-            .as("p50_ok"),
-          element_at(col("pq"), 2).between(
-            element_at(col("bnd"), 3), element_at(col("bnd"), 4))
-            .as("p95_ok"),
-          element_at(col("pq"), 3).between(
-            element_at(col("bnd"), 5), element_at(col("bnd"), 6))
-            .as("p99_ok"))
+      def rankOk(q: Double, i: Int): Column = {
+        val v = element_at(col("pq"), i)
+        val lo = sum(when(col("l_extendedprice") < v, 1L).otherwise(0L))
+        val hi = sum(when(col("l_extendedprice") <= v, 1L).otherwise(0L))
+        (lo <= (lit(q) + lit(0.005)) * first(col("n")) &&
+          hi >= (lit(q) - lit(0.005)) * first(col("n")))
+          .as(s"p${(q * 100).round}_ok")
+      }
+      li.join(broadcast(pq), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n"), rankOk(0.5, 1), rankOk(0.95, 2),
+          rankOk(0.99, 3))
         .orderBy(col("l_returnflag"))
     }),
 
