@@ -1144,6 +1144,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal: REAL Y4M video codec — container header walk,
+    //      FRAME-marker frame offsets, keep every 2nd frame, exact
+    //      per-plane (YUV 4:2:0) sums; closed-form payloads so the
+    //      oracle recomputes every plane byte ----
+    "q_video_y4m" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.y4mFrameFeatures(
+          Multimodal.syntheticY4mMedia(s, dir), everyN = 2)
+        .toDF()
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // ---- north star: k-means clustering (Lloyd) over embeddings —
     //      deterministic end-to-end: lowest-id init, exact integer
     //      argmin assignment (|c|^2 - 2<v,c> on quantized vectors, ties
@@ -3978,6 +3990,31 @@ object SparkEntry {
         |                      + ((p2 % 6) * w // 6)) * 3 + 2)
         |           * 2654435761) % 256)) AS BIGINT) AS rz_sum_b
         |FROM d ORDER BY media_id""".stripMargin,
+
+    // byte j of frame f = ((id + f*131 + j) * 2654435761) % 256; planes:
+    // Y = [0, wh), U = [wh, wh + wh/4), V = [wh + wh/4, 3wh/2)
+    "q_video_y4m" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 5) * 2 AS INT) AS w,
+        |    CAST(6 + (doc_id % 4) * 2 AS INT) AS h,
+        |    CAST(3 + doc_id % 4 AS INT) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h,
+        |    unnest(list_filter(range(0, nf), f -> f % 2 = 0)) AS f
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    j -> ((doc_id + f*131 + j) * 2654435761) % 256))
+        |    AS BIGINT) AS sum_y,
+        |  CAST(list_sum(list_transform(range(w*h, w*h + (w*h)//4),
+        |    j -> ((doc_id + f*131 + j) * 2654435761) % 256))
+        |    AS BIGINT) AS sum_u,
+        |  CAST(list_sum(list_transform(range(w*h + (w*h)//4, (w*h*3)//2),
+        |    j -> ((doc_id + f*131 + j) * 2654435761) % 256))
+        |    AS BIGINT) AS sum_v
+        |FROM fr ORDER BY media_id, frame_no""".stripMargin,
 
     "q_dedup_cc" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

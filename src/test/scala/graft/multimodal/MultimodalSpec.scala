@@ -154,6 +154,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("Y4mCodec walks real frame markers, skips unknown header params, " +
+       "drops a truncated final frame") {
+    val fb = 4 * 2 * 3 / 2
+    val f0 = Array.tabulate(fb)(i => i.toByte)
+    val f1 = Array.tabulate(fb)(i => (i + 100).toByte)
+    val y4m = Multimodal.Y4mCodec.encode(4, 2, Seq(f0, f1))
+    val info = Multimodal.Y4mCodec.parse(y4m).get
+    assert(info.width == 4 && info.height == 2 && info.frameBytes == fb)
+    val offs = Multimodal.Y4mCodec.frameOffsets(y4m, info)
+    assert(offs.size == 2)
+    assert(y4m.slice(offs(0), offs(0) + fb).toSeq == f0.toSeq)
+    assert(y4m.slice(offs(1), offs(1) + fb).toSeq == f1.toSeq)
+    // unknown X param + C420mpeg2 variant: parse like a real demuxer
+    val hdr2 = ("YUV4MPEG2 W4 H2 F30000:1001 Ip A0:0 C420mpeg2 " +
+      "XYSCSS=420MPEG2\n").getBytes("US-ASCII")
+    val body = y4m.drop(y4m.indexOf('\n') + 1)
+    assert(Multimodal.Y4mCodec.parse(hdr2 ++ body)
+      .map(i => (i.width, i.height)).contains((4, 2)))
+    // C444 -> None; truncated final frame -> only the whole ones
+    val hdr444 = "YUV4MPEG2 W4 H2 C444\n".getBytes("US-ASCII")
+    assert(Multimodal.Y4mCodec.parse(hdr444 ++ body).isEmpty)
+    val cut = y4m.take(y4m.length - 3)
+    assert(Multimodal.Y4mCodec.frameOffsets(cut,
+      Multimodal.Y4mCodec.parse(cut).get) == offs.take(1))
+    assert(Multimodal.Y4mCodec.parse(Array[Byte]()).isEmpty)
+    assert(Multimodal.Y4mCodec.parse("RIFF".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("q_video_y4m pipeline: every-2nd-frame plane sums from genuinely " +
+       "decoded frames (spot-check against the closed form)") {
+    val feats = Multimodal.y4mFrameFeatures(
+        Multimodal.syntheticY4mMedia(spark, sf()), everyN = 2)
+      .collect().map(x => (x.media_id, x.frame_no) -> x).toMap
+    for (id <- Seq(0L, 5L, 13L)) {
+      val w = (8 + (id % 5) * 2).toInt; val h = (6 + (id % 4) * 2).toInt
+      val nf = (3 + id % 4).toInt
+      val np = w * h
+      def v(f: Int, j: Int): Long = ((id + f * 131L + j) * 2654435761L) % 256L
+      val kept = (0 until nf).filter(_ % 2 == 0)
+      assert(feats.keys.count(_._1 == id) == kept.size)
+      for (f <- kept) {
+        val row = feats((id, f))
+        assert(row.sum_y == (0 until np).map(v(f, _)).sum, s"y $id/$f")
+        assert(row.sum_u == (np until np + np / 4).map(v(f, _)).sum)
+        assert(row.sum_v == (np + np / 4 until np * 3 / 2).map(v(f, _)).sum)
+      }
+    }
+  }
+
   test("q_image_ppm pipeline: features come from genuinely decoded " +
        "pixels (spot-check against the closed form)") {
     val media = Multimodal.syntheticPpmMedia(spark, sf())
