@@ -184,4 +184,26 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_retention")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_span_decontam: the seen-side gram set broadcasts (corpus " +
+       "streams map-side); no cartesian anywhere") {
+    val p = plan("q_span_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_span_dedup: interval merge windows per-doc; postings shuffle " +
+       "by key, never a cartesian") {
+    val p = plan("q_span_dedup")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_keepbest: per-cluster argmax is aggregation-based (no " +
+       "window sort) and winners return via semi-join") {
+    val p = plan("q_dedup_keepbest")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
 }

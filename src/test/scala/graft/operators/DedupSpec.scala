@@ -254,6 +254,28 @@ class DedupSpec extends SparkSpec {
     assert(exact == hashed)
   }
 
+  test("span operators survive degenerate inputs: empty corpus, empty " +
+       "text, docs shorter than the window") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(empty, l = 5).count() == 0)
+    assert(Dedup.exciseDuplicateSpans(empty, l = 5).count() == 0)
+    val degenerate = Seq(
+      (1L, ""), (2L, ""), (3L, "one"), (4L, "one"), (5L, "a b c d")
+    ).toDF("doc_id", "text")
+    // every doc is shorter than l -> no windows, nothing marked, text
+    // survives verbatim (empty split yields [""] -> rejoins to "")
+    assert(Dedup.duplicateSpans(degenerate, l = 5).count() == 0)
+    val out = Dedup.exciseDuplicateSpans(degenerate, l = 5)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 0L, ""), (2L, 0L, ""), (3L, 0L, "one"),
+      (4L, 0L, "one"), (5L, 0L, "a b c d")))
+    // seen side empty -> nothing excised
+    val docs5 = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+    val cleaned = Dedup.exciseSeenSpans(docs5, empty, l = 5)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(cleaned == Seq((9L, 0L, "a b c d e f")))
+  }
+
   test("exciseSeenSpans: only windows present in the seen side are cut; " +
        "the seen side is authoritative regardless of ids") {
     val seen = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
