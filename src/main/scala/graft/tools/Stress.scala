@@ -42,6 +42,15 @@ object Stress {
       .filter(col("nd") >= 2).count())
     time("strip_boilerplate")(
       TextAnalysis.stripBoilerplate(dup, minDocs = 3).count())
+    // span excision joins each POSTING to its gram's min-holder row —
+    // per-posting fan-out is exactly 1, so an N-clique duplicate flood
+    // costs O(N * tokens), never the O(N^2) a pair enumeration pays on
+    // the same corpus (the property that makes it the safe first pass
+    // on boilerplate-heavy crawls)
+    time("span_excise")(Dedup.exciseDuplicateSpans(dup, l = 8)
+      .filter(col("n_removed") > 0).count())
+    time("span_decontam")(Dedup.exciseSeenSpans(dup, evalSet, l = 8)
+      .filter(col("n_removed") > 0).count())
     // the documented composition: exact-hash dedup FIRST collapses the
     // duplicate flood, then template excision sees real df counts
     time("dedup+boilerplate")({

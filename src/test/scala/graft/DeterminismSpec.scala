@@ -35,7 +35,14 @@ class DeterminismSpec extends SparkSpec {
     "q_boilerplate", "q_funnel", "q_retention", "q_scd2",
     "q_simsearch_recall", "q_sql_tpch21", "q_langid_eval",
     "q_chunk_windows", "q_join_interval", "q_minhash_calib",
-    "q_mixture_alpha")
+    "q_mixture_alpha",
+    // round-5 shapes: forced prefix paths, span postings + island
+    // windows + collect_set rebuilds, per-cluster argmax ties, the
+    // sketch-rank gate (booleans must hold at ANY partitioning), and
+    // both real-codec mapPartitions pipelines
+    "q_jaccard_prefix", "q_containment_prefix", "q_span_dedup",
+    "q_span_excise", "q_span_decontam", "q_dedup_keepbest",
+    "q_approx_percentile", "q_image_ppm", "q_video_y4m")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
