@@ -1769,6 +1769,27 @@ object SparkEntry {
     // ---- SQL API parity: TPC-H Q20 shape (excess inventory) — nested
     //      IN subqueries with a HAVING gate: part probe -> per-supplier
     //      shipped-quantity aggregate -> supplier semi join ----
+    // ---- SQL API parity: the four remaining TPC-H shapes (2/9/11/16,
+    //      adapted to the partsupp-free schema with lineitem as the
+    //      part-supplier relation; each keeps the construct the
+    //      original exists to test) — the 22-shape set is complete ----
+    "q_sql_tpch2" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch2Sql)
+    }),
+    "q_sql_tpch9" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch9Sql)
+    }),
+    "q_sql_tpch11" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch11Sql)
+    }),
+    "q_sql_tpch16" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(tpch16Sql)
+    }),
+
     "q_sql_tpch20" -> ((s, dir) => {
       Readers.registerAll(s, dir)
       s.sql(tpch20Sql)
@@ -2277,6 +2298,81 @@ object SparkEntry {
     * nested IN subqueries — part-name probe, per-supplier shipped
     * quantity with a HAVING gate, supplier semi join.
     */
+  /** Shared Spark/DuckDB SQL for q_sql_tpch2 (minimum-cost supplier):
+    * the correlated scalar-min subquery over the region-filtered
+    * supplier network. lineitem stands in for the missing partsupp
+    * (l_extendedprice as the supply cost); the correlated MIN and the
+    * two region joins — the shape Q2 exists to test — are intact.
+    */
+  private val tpch2Sql: String =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 15 AND p_type = 'STANDARD'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** q_sql_tpch9 (product-type profit): the multi-join profit rollup by
+    * nation and order year. Without partsupp the amount drops the
+    * ps_supplycost term; DECIMAL casts keep the sums order-independent.
+    */
+  private val tpch9Sql: String =
+    """SELECT nation, o_year, sum(amount) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |      AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q_sql_tpch11 (important stock): per-key value vs a global-total
+    * scalar subquery in HAVING. lineitem value (price x quantity)
+    * replaces partsupp; the x1000 rearrangement keeps both sides
+    * DECIMAL so the comparison is exact in every engine.
+    */
+  private val tpch11Sql: String =
+    """SELECT l_partkey AS ps_partkey,
+      |  sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_7'
+      |GROUP BY l_partkey
+      |HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) * 1000 >
+      |  (SELECT sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+      |   FROM lineitem, supplier, nation
+      |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |     AND n_name = 'NATION_7')
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** q_sql_tpch16 (parts/supplier relationship): count-distinct
+    * suppliers per (brand, type, size) with an IN-list, a <> exclusion,
+    * and a NOT IN anti-subquery — lineitem as the part-supplier
+    * relation, complaint suppliers matched by name pattern.
+    */
+  private val tpch16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#1' AND p_type NOT IN ('LARGE', 'ECONOMY')
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0007%')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   private val tpch20Sql: String =
     """SELECT s_suppkey, s_name
       |FROM supplier
@@ -2932,6 +3028,10 @@ object SparkEntry {
     "q_sql_tpch15" -> tpch15Sql,
     "q_sql_tpch17" -> tpch17Sql,
     "q_sql_tpch19" -> tpch19Sql,
+    "q_sql_tpch2" -> tpch2Sql,
+    "q_sql_tpch9" -> tpch9Sql,
+    "q_sql_tpch11" -> tpch11Sql,
+    "q_sql_tpch16" -> tpch16Sql,
     "q_sql_tpch20" -> tpch20Sql,
     "q_sql_tpch21" -> tpch21Sql,
     "q_sql_tpch22" -> tpch22Sql,
