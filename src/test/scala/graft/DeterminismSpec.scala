@@ -42,7 +42,10 @@ class DeterminismSpec extends SparkSpec {
     // both real-codec mapPartitions pipelines
     "q_jaccard_prefix", "q_containment_prefix", "q_span_dedup",
     "q_span_excise", "q_span_decontam", "q_dedup_keepbest",
-    "q_approx_percentile", "q_image_ppm", "q_video_y4m")
+    "q_approx_percentile", "q_image_ppm", "q_video_y4m",
+    // the four completing TPC-H shapes: LIMIT under a total order,
+    // decimal HAVING vs global scalar, profit rollup, NOT IN
+    "q_sql_tpch2", "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch16")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
