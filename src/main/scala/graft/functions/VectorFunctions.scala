@@ -88,4 +88,24 @@ object VectorFunctions {
         .reduce(_ + _)
     }
   }
+
+  /** Data-sized banding for the hyperplane-LSH family: total `bits`
+    * such that per-band-bucket occupancy n / 2^(bits/bands) stays near
+    * `targetBucket` as the corpus grows. At a FIXED bits the candidate
+    * count is ~n²/2^(bits/bands) — quadratic; sizing bits/band =
+    * ceil(log2(n / targetBucket)) returns it to ~n·targetBucket —
+    * linear. Measured (PLANS.md, sf3 sweep, 60k vectors): autoBits
+    * gives 24, the sweep's best point — lshCosinePairs 252.9s at the
+    * fixed default vs 32.7s at 24. Capped at 24 bits/band (16M
+    * buckets/band ≈ 10^10 vectors at targetBucket=1024) — band keys
+    * stay well inside one Long per band.
+    */
+  def autoBits(n: Long, targetBucket: Int = 1024, bands: Int = 4): Int = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
+    require(bands > 0, s"bands must be positive, got $bands")
+    val perBand = math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    bands * math.min(math.max(perBand, 1), 24)
+  }
 }

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = graft.engine.GraftSession.build("graft-stress",
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    if (args.lift(1).contains("-lshsweep")) {
+      lshBitsSweep(spark, sfDir); spark.stop(); return
+    }
+    val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val dup = (0 until rep)
@@ -62,6 +65,34 @@ object Stress {
     })
     lshSkewStress(spark, nVec = 40000, hotFrac = 10)
     spark.stop()
+  }
+
+  /** The production banding knob, measured: at a FIXED bits/bands the
+    * per-bucket occupancy grows with the corpus and candidates grow
+    * ~n²/buckets — the super-linear term the sf3 bench exposes on the
+    * embedding-LSH family. bits must grow with the corpus
+    * (bits ≈ log2(n / targetBucket)); this sweep pins time AND output
+    * rows per bits setting so the recall/cost trade is explicit.
+    * Usage: scripts/run.sh graft.tools.Stress <sfDir> -lshsweep
+    */
+  def lshBitsSweep(spark: org.apache.spark.sql.SparkSession,
+                   sfDir: String): Unit = {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .localCheckpoint(true)
+    println(s"vectors: ${embs.count()}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+    // bits must split evenly into the 4 bands: 12/16/20/24 total bits
+    // = 8/16/32/64 buckets per band
+    for (bits <- Seq(16, 20, 24))
+      time(s"lsh_pairs bits=$bits")(
+        graft.operators.Dedup.lshCosinePairs(embs, 4, 10, bits = bits).count())
+    for (bits <- Seq(16, 24))
+      time(s"knn_graph bits=$bits")(
+        graft.operators.Similarity.knnGraph(embs, k = 3, bits = bits).count())
   }
 
   /** Adversarial LSH-banding skew: a power-law corpus where 1/hotFrac of

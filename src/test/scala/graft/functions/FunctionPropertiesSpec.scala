@@ -70,4 +70,26 @@ class FunctionPropertiesSpec extends SparkSpec {
       out(0) == out(1) && out(0) >= 0L
     })
   }
+
+  test("autoBits: splits evenly into bands, monotone in n, and holds " +
+       "per-band-bucket occupancy within [targetBucket/2, targetBucket]") {
+    import graft.functions.VectorFunctions.autoBits
+    // pinned datapoints: the sf3 sweep's best setting and the 100TB sizing
+    assert(autoBits(60000L) == 24)          // sf3 corpus -> the 32.7s point
+    assert(autoBits(10000000000L) == 96)    // 10^10 vectors: 24 bits/band
+    assert(autoBits(100L) == 4)             // tiny corpus floors at 1 bit/band
+    check(Prop.forAll(Gen.chooseNum(1L, 1000000000000L),
+                      Gen.chooseNum(16, 8192), Gen.chooseNum(1, 8)) {
+      (n, target, bands) =>
+        val bits = autoBits(n, target, bands)
+        val perBand = bits / bands
+        val occupancy = n.toDouble / (1L << perBand)
+        bits % bands == 0 &&
+          perBand >= 1 && perBand <= 24 &&
+          autoBits(n * 2, target, bands) >= bits &&
+          // within range whenever neither clamp is active
+          (perBand == 1 || perBand == 24 ||
+            (occupancy <= target && occupancy > target / 2.0))
+    })
+  }
 }
