@@ -71,6 +71,28 @@ object SparkEntry {
         .orderBy(col("L_ORDERKEY"), col("l_linenumber"), col("l_shipdate"))
     }),
 
+    // ---- the reference's landing payload itself: Postgres COPY TEXT
+    //      encoding (db.go:175-180, pgx.CopyFrom) oracle-checked
+    //      byte-for-byte — in-field escapes, \N nulls, t/f booleans,
+    //      decimal/date text forms, array literal ----
+    "q_pgcopy" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.engine.PgCopy.lineCol(Seq(
+            col("l_orderkey"),
+            col("l_quantity").cast("decimal(12,2)"),
+            col("l_orderkey") % 2 === 0,
+            col("l_shipdate").cast("date"),
+            when(col("l_returnflag") === "A", lit(null).cast("string"))
+              .otherwise(col("l_returnflag")),
+            concat(col("l_linestatus"), lit("\t<\n>\\end")),
+            array(col("l_linenumber").cast("long"), col("l_orderkey") % 10)
+          )).as("copy_line"))
+        // copy_line in the sort: (l_orderkey, l_linenumber) is not unique
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("copy_line"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2732,6 +2754,23 @@ object SparkEntry {
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
+
+    // the oracle spells out the expected COPY TEXT bytes with standard-
+    // conforming (non-escaping) string literals: '\t' is backslash+t,
+    // '\N' is backslash+N — the POST-escape wire form
+    "q_pgcopy" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey AS VARCHAR)
+        |  || chr(9) || CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR)
+        |  || chr(9) || (CASE WHEN l_orderkey % 2 = 0 THEN 't' ELSE 'f' END)
+        |  || chr(9) || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+        |  || chr(9) || COALESCE(NULLIF(l_returnflag, 'A'), '\N')
+        |  || chr(9) || l_linestatus || '\t<\n>\\end'
+        |  || chr(9) || '{' || CAST(l_linenumber AS VARCHAR) || ','
+        |      || CAST(l_orderkey % 10 AS VARCHAR) || '}'
+        |  AS copy_line
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber, copy_line""".stripMargin,
 
     "q_stringagg" ->
       """SELECT o_orderpriority,

@@ -37,6 +37,23 @@ object Sink {
             df.write.partitionBy(cfg.partitionBy: _*)
           else df.write
         writer.mode(cfg.mode).parquet(s"$root/$target")
+      case "pgcopy" =>
+        // The reference's landing step (db.go:175-180, pgx.CopyFrom)
+        // re-expressed as payload files: one COPY TEXT file per upstream
+        // partition plus a `<target>.copy.sql` manifest with the exact
+        // `\COPY` command. No pg driver needed to produce or verify the
+        // payload; loading is one psql invocation per file (parallel
+        // COPY is the documented fast path for bulk Postgres loads).
+        val root = cfg.path.getOrElse(
+          throw new IllegalArgumentException("pgcopy sink needs sink.path"))
+        PgCopy.copyLines(df).write.mode(cfg.mode).text(s"$root/$target")
+        val manifest = new org.apache.hadoop.fs.Path(s"$root/$target.copy.sql")
+        val fs = manifest.getFileSystem(
+          df.sparkSession.sessionState.newHadoopConf())
+        val out = fs.create(manifest, true)
+        try out.write(PgCopy.copySql(target, df.columns.toSeq)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       case "jdbc" =>
         // Production wiring (driver jar absent in this environment):
         // one connection per partition, batched inserts. `numPartitions`
