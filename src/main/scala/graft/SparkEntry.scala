@@ -829,6 +829,20 @@ object SparkEntry {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // ---- the PRODUCTION banding path: bits sized from the corpus
+    //      (autoBits: bits/band = ceil(log2(n/targetBucket)), the knob
+    //      that keeps candidates ~n·targetBucket instead of ~n²/2^bits
+    //      — PLANS.md sf3 sweep). The corpus count is a parquet
+    //      metadata-only job; the oracle replicates the sizing rule in
+    //      SQL, so the data-dependent banding is hash-gated too. ----
+    "q_dedup_lsh_auto" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.autoBits
+      val e = t(s, dir, "embeddings")
+      graft.operators.Dedup.lshCosinePairs(e, tauNum = 4, tauDen = 10,
+          bits = autoBits(e.count()))
+        .orderBy(col("v1"), col("v2"))
+    }),
+
     // ---- north star CAPSTONE (vectors): LSH near-dup dedup -> keep
     //      canonical -> coarse-quantizer assignment -> per-cell stats ----
     "q_embed_pipeline" -> ((s, dir) => {
@@ -885,6 +899,17 @@ object SparkEntry {
     //      by bucket co-membership, never a corpus cross join ----
     "q_knn_graph" -> ((s, dir) => {
       graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ---- k-NN graph on the data-sized banding (same autoBits rule as
+    //      q_dedup_lsh_auto; output is n·k rows at ANY bits — bits only
+    //      moves which candidates get scored, so the oracle pins the
+    //      recall consequence of the sizing, not just its arithmetic) ----
+    "q_knn_graph_auto" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.autoBits
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.knnGraph(e, k = 3, bits = autoBits(e.count()))
         .orderBy(col("qid"), col("rnk"))
     }),
 
@@ -4361,6 +4386,45 @@ object SparkEntry {
          |  cid, score
          |FROM s QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
+    // k-NN on the autoBits banding (sizing rule in the p CTE, as in
+    // q_dedup_lsh_auto) — pins which candidates the data-sized buckets
+    // admit to scoring, not just the bit arithmetic
+    "q_knn_graph_auto" ->
+      s"""WITH p AS (
+         |  SELECT CAST(least(greatest(ceil(log2(count(*) / 1024.0)), 1), 24)
+         |    AS BIGINT) AS pb
+         |  FROM embeddings),
+         |hp AS (
+         |  SELECT j, list_transform(range(0, 64),
+         |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
+         |  FROM (SELECT unnest(range(0, 4 * (SELECT pb FROM p))) AS j)),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT q.vec_id, hp.j,
+         |    CASE WHEN list_sum(list_transform(list_zip(q.qv, hp.h),
+         |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM q, hp),
+         |bandkeys AS (
+         |  SELECT vec_id, j // (SELECT pb FROM p) AS band,
+         |    sum(bit * (1 << (j % (SELECT pb FROM p)))) AS bk
+         |  FROM b GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
+         |  FROM bandkeys x JOIN bandkeys y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |  WHERE x.vec_id != y.vec_id),
+         |s AS (
+         |  SELECT c.qid, c.cid, ${qdotSql("a.embedding", "b.embedding")} AS score
+         |  FROM cand c JOIN embeddings a ON c.qid = a.vec_id
+         |              JOIN embeddings b ON c.cid = b.vec_id)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk,
+         |  cid, score
+         |FROM s QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
     // same hyperplane/band CTEs as q_dedup_lsh; candidates = corpus rows
     // sharing any band with a query, ranked by exact quantized dot
     "q_simsearch_lsh" ->
@@ -4912,6 +4976,47 @@ object SparkEntry {
          |  FROM q, hp),
          |bandkeys AS (
          |  SELECT vec_id, j // 3 AS band, sum(bit * (1 << (j % 3))) AS bk
+         |  FROM b GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bandkeys x JOIN bandkeys y
+         |    ON x.band = y.band AND x.bk = y.bk AND x.vec_id < y.vec_id),
+         |v AS (
+         |  SELECT c.v1, c.v2,
+         |    ${qdotSql("a.embedding", "b.embedding")} AS d,
+         |    ${qnormSql("a.embedding")} AS qn1,
+         |    ${qnormSql("b.embedding")} AS qn2
+         |  FROM cand c JOIN embeddings a ON c.v1 = a.vec_id
+         |              JOIN embeddings b ON c.v2 = b.vec_id)
+         |SELECT v1, v2 FROM v
+         |WHERE d > 0
+         |  AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2
+         |ORDER BY v1, v2""".stripMargin,
+
+    // same pipeline with the autoBits sizing rule replicated in SQL:
+    // bits/band = clamp(ceil(log2(n/1024)), 1, 24), 4 bands — the count,
+    // the clamp, and the resulting banding all hash-gated
+    "q_dedup_lsh_auto" ->
+      s"""WITH p AS (
+         |  SELECT CAST(least(greatest(ceil(log2(count(*) / 1024.0)), 1), 24)
+         |    AS BIGINT) AS pb
+         |  FROM embeddings),
+         |hp AS (
+         |  SELECT j, list_transform(range(0, 64),
+         |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
+         |  FROM (SELECT unnest(range(0, 4 * (SELECT pb FROM p))) AS j)),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT q.vec_id, hp.j,
+         |    CASE WHEN list_sum(list_transform(list_zip(q.qv, hp.h),
+         |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM q, hp),
+         |bandkeys AS (
+         |  SELECT vec_id, j // (SELECT pb FROM p) AS band,
+         |    sum(bit * (1 << (j % (SELECT pb FROM p)))) AS bk
          |  FROM b GROUP BY 1, 2),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
