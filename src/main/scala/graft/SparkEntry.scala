@@ -822,24 +822,25 @@ object SparkEntry {
     }),
 
     // ---- north star: LSH-bucketed cosine near-dup (random-hyperplane
-    //      signatures; the no-blocking-column scale path) ----
+    //      signatures; the no-blocking-column scale path). The DEFAULT
+    //      is the data-sized banding (autoBits: bits/band =
+    //      ceil(log2(n/targetBucket)), the knob that keeps candidates
+    //      ~n·targetBucket instead of ~n²/2^bits — PLANS.md sf3 sweep,
+    //      252.9s fixed vs 32.7s sized). The corpus count is a parquet
+    //      metadata-only job; the oracle replicates the sizing rule in
+    //      SQL, so the data-dependent banding is hash-gated too. ----
     "q_dedup_lsh" -> ((s, dir) => {
       graft.operators.Dedup.lshCosinePairs(
           t(s, dir, "embeddings"), tauNum = 4, tauDen = 10)
         .orderBy(col("v1"), col("v2"))
     }),
 
-    // ---- the PRODUCTION banding path: bits sized from the corpus
-    //      (autoBits: bits/band = ceil(log2(n/targetBucket)), the knob
-    //      that keeps candidates ~n·targetBucket instead of ~n²/2^bits
-    //      — PLANS.md sf3 sweep). The corpus count is a parquet
-    //      metadata-only job; the oracle replicates the sizing rule in
-    //      SQL, so the data-dependent banding is hash-gated too. ----
-    "q_dedup_lsh_auto" -> ((s, dir) => {
-      import graft.functions.VectorFunctions.autoBits
-      val e = t(s, dir, "embeddings")
-      graft.operators.Dedup.lshCosinePairs(e, tauNum = 4, tauDen = 10,
-          bits = autoBits(e.count()))
+    // ---- the pinned-banding twin (bits = 12 regardless of corpus):
+    //      hash-gates the explicit-knob path — a caller tuning recall
+    //      by hand gets engine-exact candidates at any fixed bits ----
+    "q_dedup_lsh_fixed" -> ((s, dir) => {
+      graft.operators.Dedup.lshCosinePairs(
+          t(s, dir, "embeddings"), tauNum = 4, tauDen = 10, bits = 12)
         .orderBy(col("v1"), col("v2"))
     }),
 
@@ -896,20 +897,19 @@ object SparkEntry {
     // ---- north star: k-NN GRAPH construction (every vector's top-k
     //      neighbors, LSH-bucketed candidates + exact ranking) — the
     //      semantic-dedup/clustering precursor; all-pairs work bounded
-    //      by bucket co-membership, never a corpus cross join ----
+    //      by bucket co-membership, never a corpus cross join. Default
+    //      banding is data-sized (autoBits, as q_dedup_lsh); the
+    //      oracle pins the recall consequence of the sizing — which
+    //      candidates the sized buckets admit — not just arithmetic ----
     "q_knn_graph" -> ((s, dir) => {
       graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), k = 3)
         .orderBy(col("qid"), col("rnk"))
     }),
 
-    // ---- k-NN graph on the data-sized banding (same autoBits rule as
-    //      q_dedup_lsh_auto; output is n·k rows at ANY bits — bits only
-    //      moves which candidates get scored, so the oracle pins the
-    //      recall consequence of the sizing, not just its arithmetic) ----
-    "q_knn_graph_auto" -> ((s, dir) => {
-      import graft.functions.VectorFunctions.autoBits
-      val e = t(s, dir, "embeddings")
-      graft.operators.Similarity.knnGraph(e, k = 3, bits = autoBits(e.count()))
+    // ---- pinned-banding twin (bits = 12): the explicit-knob path ----
+    "q_knn_graph_fixed" -> ((s, dir) => {
+      graft.operators.Similarity.knnGraph(
+          t(s, dir, "embeddings"), k = 3, bits = 12)
         .orderBy(col("qid"), col("rnk"))
     }),
 
@@ -2371,7 +2371,8 @@ object SparkEntry {
     * ps_supplycost term; DECIMAL casts keep the sums order-independent.
     */
   private val tpch9Sql: String =
-    """SELECT nation, o_year, sum(amount) AS sum_profit
+    """SELECT nation, o_year,
+      |  CAST(sum(amount) AS DOUBLE) AS sum_profit
       |FROM (
       |  SELECT n_name AS nation,
       |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
@@ -2391,7 +2392,8 @@ object SparkEntry {
     */
   private val tpch11Sql: String =
     """SELECT l_partkey AS ps_partkey,
-      |  sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS value
+      |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+      |    AS DOUBLE) AS value
       |FROM lineitem, supplier, nation
       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       |  AND n_name = 'NATION_7'
@@ -4353,9 +4355,9 @@ object SparkEntry {
          |  cid, score
          |FROM s QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
-    // the k-NN graph: q_simsearch_lsh's CTEs with every vector as a
-    // query (no vec_id < 10 gate), k = 3
-    "q_knn_graph" ->
+    // the pinned-banding k-NN graph: q_simsearch_lsh's CTEs with every
+    // vector as a query (no vec_id < 10 gate), k = 3, bits fixed at 12
+    "q_knn_graph_fixed" ->
       s"""WITH hp AS (
          |  SELECT j, list_transform(range(0, 64),
          |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
@@ -4386,10 +4388,10 @@ object SparkEntry {
          |  cid, score
          |FROM s QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
-    // k-NN on the autoBits banding (sizing rule in the p CTE, as in
-    // q_dedup_lsh_auto) — pins which candidates the data-sized buckets
-    // admit to scoring, not just the bit arithmetic
-    "q_knn_graph_auto" ->
+    // k-NN on the DEFAULT (autoBits) banding — sizing rule in the p
+    // CTE, as in q_dedup_lsh — pins which candidates the data-sized
+    // buckets admit to scoring, not just the bit arithmetic
+    "q_knn_graph" ->
       s"""WITH p AS (
          |  SELECT CAST(least(greatest(ceil(log2(count(*) / 1024.0)), 1), 24)
          |    AS BIGINT) AS pb
@@ -4960,7 +4962,7 @@ object SparkEntry {
          |  AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(tn AS HUGEINT) * hn
          |ORDER BY t_id, h_id""".stripMargin,
 
-    "q_dedup_lsh" ->
+    "q_dedup_lsh_fixed" ->
       s"""WITH hp AS (
          |  SELECT j, list_transform(range(0, 64),
          |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
@@ -4993,10 +4995,10 @@ object SparkEntry {
          |  AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2
          |ORDER BY v1, v2""".stripMargin,
 
-    // same pipeline with the autoBits sizing rule replicated in SQL:
+    // the DEFAULT (autoBits) banding, sizing rule replicated in SQL:
     // bits/band = clamp(ceil(log2(n/1024)), 1, 24), 4 bands — the count,
     // the clamp, and the resulting banding all hash-gated
-    "q_dedup_lsh_auto" ->
+    "q_dedup_lsh" ->
       s"""WITH p AS (
          |  SELECT CAST(least(greatest(ceil(log2(count(*) / 1024.0)), 1), 24)
          |    AS BIGINT) AS pb
@@ -5034,13 +5036,18 @@ object SparkEntry {
          |  AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2
          |ORDER BY v1, v2""".stripMargin,
 
-    // LSH pairs -> recursive-CTE components -> keep canonical -> argmax
-    // centroid assignment (window over exact quantized dots)
+    // LSH pairs (DEFAULT autoBits banding, p CTE sizing rule as in
+    // q_dedup_lsh) -> recursive-CTE components -> keep canonical ->
+    // argmax centroid assignment (window over exact quantized dots)
     "q_embed_pipeline" ->
-      s"""WITH RECURSIVE hp AS (
+      s"""WITH RECURSIVE p AS (
+         |  SELECT CAST(least(greatest(ceil(log2(count(*) / 1024.0)), 1), 24)
+         |    AS BIGINT) AS pb
+         |  FROM embeddings),
+         |hp AS (
          |  SELECT j, list_transform(range(0, 64),
          |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
-         |  FROM (SELECT unnest(range(0, 12)) AS j)),
+         |  FROM (SELECT unnest(range(0, 4 * (SELECT pb FROM p))) AS j)),
          |q AS (
          |  SELECT vec_id, list_transform(embedding,
          |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
@@ -5051,7 +5058,8 @@ object SparkEntry {
          |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
          |  FROM q, hp),
          |bandkeys AS (
-         |  SELECT vec_id, j // 3 AS band, sum(bit * (1 << (j % 3))) AS bk
+         |  SELECT vec_id, j // (SELECT pb FROM p) AS band,
+         |    sum(bit * (1 << (j % (SELECT pb FROM p)))) AS bk
          |  FROM b GROUP BY 1, 2),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2

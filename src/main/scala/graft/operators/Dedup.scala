@@ -1057,11 +1057,18 @@ object Dedup {
     * precision exact.
     */
   def lshCosinePairs(embs: DataFrame, tauNum: Int, tauDen: Int,
-                     bits: Int = 12, bands: Int = 4,
+                     bits: Int = 0, bands: Int = 4,
                      dim: Int = 64): DataFrame = {
-    import graft.functions.VectorFunctions.{quantize, qcosineGate, lshBandKeys}
+    import graft.functions.VectorFunctions.{quantize, qcosineGate, lshBandKeys, autoBits}
     import graft.plans.LongArrayDot
-    val bandKeys = lshBandKeys(col("qv"), bits, bands, dim)
+    // bits = 0 (the default) sizes the banding from the corpus:
+    // bits/band = ceil(log2(n/target)) keeps candidates ~n·target
+    // (linear) where any FIXED bits is ~n²/2^(bits/bands) — the one
+    // measured super-linear plan term at sf3 (252.9s fixed vs 32.7s
+    // sized). The count is a parquet metadata-only job on a raw scan.
+    val sizedBits =
+      if (bits > 0) bits else autoBits(embs.count(), bands = bands)
+    val bandKeys = lshBandKeys(col("qv"), sizedBits, bands, dim)
     val broadcastable = broadcastableVectors(embs, dim)
     // memo barrier: signatures + quantized vectors feed three branches
     // (banding, both verification sides). On the broadcast arm the

@@ -228,9 +228,14 @@ object Similarity {
     * with k others emit fewer than k edges (standard LSH recall
     * trade-off).
     */
-  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 12, bands: Int = 4,
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 0, bands: Int = 4,
                dim: Int = 64): DataFrame = {
-    import graft.functions.VectorFunctions.lshBandKeys
+    import graft.functions.VectorFunctions.{lshBandKeys, autoBits}
+    // bits = 0 (the default) = data-sized banding (cf.
+    // Dedup.lshCosinePairs): fixed bits makes the candidate stream
+    // ~n²/2^(bits/bands); autoBits keeps it ~n·targetBucket.
+    val sizedBits =
+      if (bits > 0) bits else autoBits(corpus.count(), bands = bands)
     val broadcastable = Dedup.broadcastableVectors(corpus, dim)
     // memo barrier: quantized vectors + band keys feed the banding and
     // both sides of the scoring join. localCheckpoint on the broadcast
@@ -238,7 +243,7 @@ object Similarity {
     // scan→quantize→explode chain (cf. Dedup.lshCosinePairs — measured
     // 3x there)
     val prep0 = prepC(corpus)
-      .withColumn("bks", array(lshBandKeys(col("cv"), bits, bands, dim): _*))
+      .withColumn("bks", array(lshBandKeys(col("cv"), sizedBits, bands, dim): _*))
       .repartition(col("cid"))
     val prep = if (broadcastable) prep0.localCheckpoint(true) else prep0
     val banded0 = prep.select(col("cid"),

@@ -113,10 +113,13 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("knnGraph (bucket self-join) == lshTopK with corpus as queries") {
+    // knnGraph's default banding is data-sized (autoBits); hand lshTopK
+    // the same sizing so the equivalence holds candidate-for-candidate
+    val sized = graft.functions.VectorFunctions.autoBits(e.count())
     val graph = Similarity.knnGraph(e, k = 3)
       .select("qid", "rnk", "cid", "score")
       .as[(Long, Int, Long, Long)].collect().toSet
-    val viaTopK = Similarity.lshTopK(e, e, k = 3)
+    val viaTopK = Similarity.lshTopK(e, e, k = 3, bits = sized)
       .select("qid", "rnk", "cid", "score")
       .as[(Long, Int, Long, Long)].collect().toSet
     assert(graph == viaTopK)
