@@ -183,11 +183,12 @@ object PgCopy {
   def copyLines(df: DataFrame): DataFrame =
     df.select(lineCol(df.columns.toSeq.map(df.col)).as("copy_line"))
 
-  /** The `COPY … FROM` command a DBA runs per payload file — written as
-    * a manifest next to the files by the pgcopy sink.
+  /** The `COPY … FROM` command a DBA runs for one payload file — the
+    * pgcopy sink writes a manifest with one line per written part file.
     */
-  def copySql(table: String, columns: Seq[String]): String =
-    s"""\\COPY "$table" (${columns.map(c => s""""$c"""").mkString(", ")}) FROM 'payload.txt' WITH (FORMAT text)"""
+  def copySql(table: String, columns: Seq[String],
+              file: String = "payload.txt"): String =
+    s"""\\COPY "$table" (${columns.map(c => s""""$c"""").mkString(", ")}) FROM '$file' WITH (FORMAT text)"""
 }
 
 /** Catalyst expression for the COPY line. Sink-boundary projection:

@@ -22,12 +22,17 @@ object Secrets {
     */
   @volatile private var default: Provider = envProvider
 
-  /** Run `body` with `p` as the default provider, restoring after. */
-  def withProvider[T](p: Provider)(body: => T): T = {
-    val prev = default
-    default = p
-    try body finally default = prev
-  }
+  /** Thread-scoped provider override. `DynamicVariable` backs onto an
+    * `InheritableThreadLocal`, so concurrent callers (parallel test
+    * suites, jobs resolving secrets on separate threads) each see their
+    * own override — and child threads spawned inside the scope inherit
+    * it — without racing on the process-global default.
+    */
+  private val scoped = new scala.util.DynamicVariable[Option[Provider]](None)
+
+  /** Run `body` with `p` as this thread's provider, restoring after. */
+  def withProvider[T](p: Provider)(body: => T): T =
+    scoped.withValue(Some(p))(body)
 
   // '/' included: GCP Secret Manager names are full resource paths
   // ("projects/<n>/secrets/<name>/versions/latest" — reference
@@ -39,7 +44,8 @@ object Secrets {
     * fast like the reference, but per-value, not process-fatal).
     */
   def resolve(value: String, provider: Provider = null): String = {
-    val eff = if (provider == null) default else provider
+    val eff =
+      if (provider != null) provider else scoped.value.getOrElse(default)
     resolveWith(value, eff)
   }
 

@@ -47,12 +47,21 @@ object Sink {
         val root = cfg.path.getOrElse(
           throw new IllegalArgumentException("pgcopy sink needs sink.path"))
         PgCopy.copyLines(df).write.mode(cfg.mode).text(s"$root/$target")
-        val manifest = new org.apache.hadoop.fs.Path(s"$root/$target.copy.sql")
-        val fs = manifest.getFileSystem(
+        val dir = new org.apache.hadoop.fs.Path(s"$root/$target")
+        val fs = dir.getFileSystem(
           df.sparkSession.sessionState.newHadoopConf())
+        // one \COPY line per part file Spark actually wrote (names are
+        // Spark-assigned, so the manifest is built from a directory
+        // listing, not a guessed constant); files load in parallel, one
+        // psql invocation per line
+        val parts = fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith("part-")).sorted
+        val sql = parts.map(f =>
+          PgCopy.copySql(target, df.columns.toSeq, s"$target/$f"))
+          .mkString("", "\n", "\n")
+        val manifest = new org.apache.hadoop.fs.Path(s"$root/$target.copy.sql")
         val out = fs.create(manifest, true)
-        try out.write(PgCopy.copySql(target, df.columns.toSeq)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       case "jdbc" =>
         // Production wiring (driver jar absent in this environment):

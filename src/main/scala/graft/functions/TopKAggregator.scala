@@ -29,18 +29,22 @@ class TopKAggregator(k: Int, distinctIds: Boolean = false)
   private def better(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  /** With `distinctIds`, a (score, id) whose id is already held is a
-    * no-op — lets callers feed a with-multiplicity pair stream (e.g.
-    * LSH candidates sharing several bands) WITHOUT a corpus-wide
-    * dropDuplicates shuffle first; the buffer is ≤ k entries so the
-    * membership scan is constant-time. Equal ids always carry equal
-    * scores in that usage, so which copy survives is immaterial.
+  /** With `distinctIds`, a (score, id) whose id is already held keeps
+    * whichever copy scores better — lets callers feed a
+    * with-multiplicity pair stream (e.g. LSH candidates sharing several
+    * bands) WITHOUT a corpus-wide dropDuplicates shuffle first; the
+    * buffer is ≤ k entries so the membership scan is constant-time.
+    * (LSH callers emit equal scores per id, where replace == drop; the
+    * replace makes the aggregator order-independent for any caller.)
     */
-  private def insert(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] =
-    if (distinctIds && buf.exists(_._2 == v._2)) buf
+  private def insert(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] = {
+    val held = if (distinctIds) buf.indexWhere(_._2 == v._2) else -1
+    if (held >= 0)
+      if (better(v, buf(held))) buf.updated(held, v).sortWith(better) else buf
     else if (buf.size < k) (buf :+ v).sortWith(better)
     else if (better(v, buf.last)) (buf.init :+ v).sortWith(better)
     else buf
+  }
 
   override def zero: Seq[(Long, Long)] = Vector.empty
   override def reduce(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] =

@@ -162,8 +162,12 @@ object Dedup {
         val r = idx.dfreq.agg(sum(col("df")).as("s")).head()
         if (r.isNullAt(0)) 0L else r.getLong(0) * 8L
     }
+    // BOTH set tables broadcast here (m1 and m2 are full copies), and
+    // setBytes is a 10%-sampled estimate — so budget each copy half the
+    // threshold, keeping worst-case hash-relation heap at the same
+    // ~3-4x·512MB bound as a single-sided broadcast
     val joined =
-      if (setBytes <= BroadcastVerifyBytes)
+      if (setBytes <= BroadcastVerifyBytes / 2)
         cands.join(broadcast(m1), "d1").join(broadcast(m2), "d2")
       else cands.join(m1, "d1").join(m2, "d2")
     joined
@@ -993,7 +997,11 @@ object Dedup {
   def keepBest(docs: DataFrame, pairs: DataFrame, score: Column,
                id: String = "doc_id"): DataFrame = {
     val cc = connectedComponents(pairs)
-    val winners = docs.select(col(id), score.cast("double").as("__s"))
+    // null-safe keep policy: a null (or uncastable) score must LOSE its
+    // cluster, but struct ordering sorts a null field first — so a null
+    // would win the min(struct(-score, id)) argmax. Pin it to -inf.
+    val winners = docs.select(col(id),
+        coalesce(score.cast("double"), lit(Double.NegativeInfinity)).as("__s"))
       .join(cc.withColumnRenamed("node", id), Seq(id), "left")
       .select(col(id), col("__s"),
         coalesce(col("component"), col(id)).as("component"))

@@ -22,7 +22,19 @@ final class TopKPairsBuffer(val k: Int) {
   def insert(s: Long, id: Long, distinctIds: Boolean): Unit = {
     if (distinctIds) {
       var i = 0
-      while (i < n) { if (ids(i) == id) return; i += 1 }
+      while (i < n) {
+        if (ids(i) == id) {
+          // duplicate id: keep the better copy, so results are
+          // order-independent even when a caller feeds unequal scores
+          // for one id (LSH streams carry equal scores; replace == drop)
+          if (s <= scores(i)) return
+          var j = i
+          while (j < n - 1) { scores(j) = scores(j + 1); ids(j) = ids(j + 1); j += 1 }
+          n -= 1
+          i = n
+        }
+        i += 1
+      }
     }
     if (n < k) {
       // shift worse entries right, insert in order
@@ -55,9 +67,10 @@ final class TopKPairsBuffer(val k: Int) {
   *
   * `distinctIds` absorbs with-multiplicity inputs (e.g. LSH candidate
   * pairs sharing several bands): a (score, id) whose id is already
-  * held is a no-op — equal ids carry equal scores in such streams, so
-  * which copy survives is immaterial. Tie semantics match
-  * `row_number over (order by score desc, id asc)`.
+  * held keeps whichever copy scores higher — LSH streams carry equal
+  * scores per id (where replace == drop), and the replace makes the
+  * aggregator order-independent for any other caller. Tie semantics
+  * match `row_number over (order by score desc, id asc)`.
   */
 case class TopKPairsAgg(
     score: Expression, id: Expression, k: Int, distinctIds: Boolean,

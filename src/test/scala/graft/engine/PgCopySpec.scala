@@ -110,7 +110,12 @@ class PgCopySpec extends SparkSpec {
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$out/notes.copy.sql")),
       java.nio.charset.StandardCharsets.UTF_8)
-    assert(manifest ==
-      "\\COPY \"notes\" (\"id\", \"note\", \"flag\") FROM 'payload.txt' WITH (FORMAT text)")
+    // one \COPY line per part file actually written, in sorted order
+    val partNames = new java.io.File(s"$out/notes").listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).sorted
+    assert(partNames.nonEmpty)
+    assert(manifest == partNames.map(f =>
+      s"""\\COPY "notes" ("id", "note", "flag") FROM 'notes/$f' WITH (FORMAT text)""")
+      .mkString("", "\n", "\n"))
   }
 }

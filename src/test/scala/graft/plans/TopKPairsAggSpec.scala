@@ -50,6 +50,30 @@ class TopKPairsAggSpec extends SparkSpec {
     assert(got.sorted.sameElements(want.sorted))
   }
 
+  test("distinctIds with UNEQUAL scores per id keeps the best copy, " +
+       "order-independently") {
+    // id 7 appears with scores 5, 50, 20 (in varying arrival orders via
+    // repartition); the surviving copy must always be 50
+    val rows = Seq((1L, 5L, 7L), (1L, 50L, 7L), (1L, 20L, 7L),
+      (1L, 40L, 8L), (1L, 30L, 9L), (1L, 10L, 10L))
+      .toDF("grp", "score", "id").repartition(4)
+    val got = rows.groupBy(col("grp"))
+      .agg(TopKPairsAgg(col("score"), col("id"), 3,
+        distinctIds = true).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("pos", "sc")))
+      .select(col("sc.score"), col("sc.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((50L, 7L), (40L, 8L), (30L, 9L)))
+    // typed aggregator agrees (same replace-on-better semantics)
+    val buf = Seq((5L, 7L), (50L, 7L), (20L, 7L), (40L, 8L), (30L, 9L),
+      (10L, 10L))
+    val agg = new graft.functions.TopKAggregator(3, distinctIds = true)
+    assert(buf.permutations.take(24).forall { p =>
+      p.foldLeft(agg.zero)(agg.reduce) ==
+        Seq((50L, 7L), (40L, 8L), (30L, 9L))
+    })
+  }
+
   test("groups with fewer than k rows emit all their rows") {
     val tiny = Seq((1L, 10L, 100L), (1L, 20L, 101L)).toDF("grp", "score", "id")
     val out = tiny.groupBy(col("grp"))
