@@ -1934,6 +1934,20 @@ object SparkEntry {
           docs.filter(col("doc_id") < 450), l = 8)
         .orderBy(col("doc_id"))
     }),
+    // the SCALE knob of the same decontamination: hashKeys=true shuffles
+    // an 8-byte xxhash64 per posting instead of the l-token window
+    // string (the daily-ingest-vs-stored-corpus regime where `seen` is
+    // the big side and the join is a sort-merge on longs). The output
+    // contract is IDENTICAL — the hash only compresses the join key —
+    // so the string-path oracle gates the hashed plan end-to-end (a
+    // 64-bit collision could only over-mark a span; none at any SF here)
+    "q_span_decontam_hashed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.exciseSeenSpans(
+          docs.filter(col("doc_id") >= 450),
+          docs.filter(col("doc_id") < 450), l = 8, hashKeys = true)
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- north star: domain-mixture rebalancing — per-language keep
     //      rates (deterministic hash folds, no RNG) with the realized
@@ -2370,6 +2384,39 @@ object SparkEntry {
     * nation and order year. Without partsupp the amount drops the
     * ps_supplycost term; DECIMAL casts keep the sums order-independent.
     */
+  /** Oracle for BOTH q_span_decontam and q_span_decontam_hashed —
+    * the hashed-key plan is output-identical (xxhash64 postings are
+    * an internal shuffle compression, not a contract change).
+    */
+  private val spanDecontamSql: String =
+    """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |wN AS (
+        |  SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS i
+        |  FROM tok WHERE len(ts) >= 8 AND doc_id >= 450),
+        |wgN AS (
+        |  SELECT doc_id, i, array_to_string(ts[i+1:i+8], ' ') AS gram
+        |  FROM wN),
+        |gC AS (
+        |  SELECT DISTINCT array_to_string(ts[i+1:i+8], ' ') AS gram
+        |  FROM (SELECT ts, unnest(range(0, len(ts) - 7)) AS i
+        |        FROM tok WHERE len(ts) >= 8 AND doc_id < 450)),
+        |cp AS (
+        |  SELECT wgN.doc_id, unnest(range(wgN.i, wgN.i + 8)) AS p
+        |  FROM wgN JOIN gC USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM cp),
+        |tp AS (
+        |  SELECT doc_id, unnest(ts) AS w, unnest(range(0, len(ts))) AS p
+        |  FROM tok WHERE doc_id >= 450),
+        |cl AS (
+        |  SELECT t.doc_id, count(c.p) AS n_removed,
+        |    coalesce(string_agg(t.w, ' ' ORDER BY t.p)
+        |      FILTER (WHERE c.p IS NULL), '') AS clean_text
+        |  FROM tp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_removed, clean_text FROM cl
+        |ORDER BY doc_id""".stripMargin
+
   private val tpch9Sql: String =
     """SELECT nation, o_year,
       |  CAST(sum(amount) AS DOUBLE) AS sum_profit
@@ -3921,35 +3968,12 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     // seen-side (corpus, doc_id < 450) windows are authoritative; every
-    // covered position in the arriving docs (doc_id >= 450) is excised
-    "q_span_decontam" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |wN AS (
-        |  SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS i
-        |  FROM tok WHERE len(ts) >= 8 AND doc_id >= 450),
-        |wgN AS (
-        |  SELECT doc_id, i, array_to_string(ts[i+1:i+8], ' ') AS gram
-        |  FROM wN),
-        |gC AS (
-        |  SELECT DISTINCT array_to_string(ts[i+1:i+8], ' ') AS gram
-        |  FROM (SELECT ts, unnest(range(0, len(ts) - 7)) AS i
-        |        FROM tok WHERE len(ts) >= 8 AND doc_id < 450)),
-        |cp AS (
-        |  SELECT wgN.doc_id, unnest(range(wgN.i, wgN.i + 8)) AS p
-        |  FROM wgN JOIN gC USING (gram)),
-        |cov AS (SELECT DISTINCT doc_id, p FROM cp),
-        |tp AS (
-        |  SELECT doc_id, unnest(ts) AS w, unnest(range(0, len(ts))) AS p
-        |  FROM tok WHERE doc_id >= 450),
-        |cl AS (
-        |  SELECT t.doc_id, count(c.p) AS n_removed,
-        |    coalesce(string_agg(t.w, ' ' ORDER BY t.p)
-        |      FILTER (WHERE c.p IS NULL), '') AS clean_text
-        |  FROM tp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
-        |  GROUP BY t.doc_id)
-        |SELECT doc_id, n_removed, clean_text FROM cl
-        |ORDER BY doc_id""".stripMargin,
+    // covered position in the arriving docs (doc_id >= 450) is excised.
+    // The hashed-key twin shares this oracle verbatim: xxhash64 postings
+    // are an internal shuffle compression, not an output contract change
+    "q_span_decontam" -> spanDecontamSql,
+    "q_span_decontam_hashed" -> spanDecontamSql,
+
 
     // char-shingle hash = DOUBLE-PRIME Horner fold over each 16-char
     // window: h1 = fold (a*131 + c) % 1e9+7, h2 = fold (a*137 + c) % 1e9+9,
