@@ -1191,6 +1191,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal: REAL JPEG decode — full baseline-sequential
+    //      decoder (marker walk, canonical Huffman with byte
+    //      un-stuffing, dequantize, IDCT) -> exact luma-plane features.
+    //      Payloads are real compressed JPEGs of flat DC-only blocks,
+    //      whose decode is exact, so the oracle recomputes every
+    //      decoded pixel arithmetically ----
+    "q_image_jpeg" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.jpegFeatures(Multimodal.syntheticJpegMedia(s, dir))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // ---- multimodal: REAL Y4M video codec — container header walk,
     //      FRAME-marker frame offsets, keep every 2nd frame, exact
     //      per-plane (YUV 4:2:0) sums; closed-form payloads so the
@@ -4141,6 +4154,26 @@ object SparkEntry {
         |  CAST(list_max(list_transform(ss, s -> abs(s))) AS INT)
         |    AS peak_abs
         |FROM sm ORDER BY media_id, win_no""".stripMargin,
+
+    // flat 8x8 block b of JPEG id decodes to exactly
+    // ((id + b*131) * 2654435761) % 256 (DC-only blocks are lossless);
+    // features are exact sums/extrema over the (1+id%3) x (1+id%2)
+    // block grid
+    "q_image_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 3 AS INT) AS bw,
+        |    CAST(1 + doc_id % 2 AS INT) AS bh
+        |  FROM documents)
+        |SELECT doc_id AS media_id, bw * 8 AS width, bh * 8 AS height,
+        |  CAST(list_sum(list_transform(range(0, bw*bh),
+        |    b -> 64 * (((doc_id + b*131) * 2654435761) % 256)))
+        |    AS BIGINT) AS sum_y,
+        |  CAST(list_min(list_transform(range(0, bw*bh),
+        |    b -> ((doc_id + b*131) * 2654435761) % 256)) AS INT) AS min_y,
+        |  CAST(list_max(list_transform(range(0, bw*bh),
+        |    b -> ((doc_id + b*131) * 2654435761) % 256)) AS INT) AS max_y
+        |FROM d ORDER BY media_id""".stripMargin,
 
     // pixel (p, c) of image id = ((id + p*3 + c) * 2654435761) % 256;
     // luma = (299r + 587g + 114b) // 1000; nearest-neighbor source pixel

@@ -40,9 +40,14 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       magic: String, width: Int, height: Int, checksum: Long)
 
-  /** STUB decoder — deterministic fake standing in for the real codec.
-    * Reads "dimensions" from payload bytes so results are stable and
-    * testable. Replace `decode` with the real library call in prod.
+  /** STUB decoder — deterministic fake standing in for codecs this
+    * engine does NOT implement natively (H.264/MP3 and other heavy
+    * compressed A/V formats). Reads "dimensions" from payload bytes so
+    * results are stable and testable. Replace `decode` with the real
+    * library call in prod. The REAL pure-JVM kernels live alongside:
+    * [[WavCodec]] (PCM audio), [[PpmCodec]] (raw RGB), [[Y4mCodec]]
+    * (uncompressed video), and [[JpegCodec]] (baseline-sequential
+    * compressed images — full Huffman + IDCT decode).
     */
   object StubDecoder {
     def decode(row: MediaRow): MediaFeatures = {
@@ -636,6 +641,63 @@ object Multimodal {
               (((id + f * 131L + j) * 2654435761L) % 256L).toByte)
           }
           MediaRow(id, "video", Y4mCodec.encode(w, h, frames))
+        }
+      }
+  }
+
+  /** Integer features of one decoded grayscale JPEG: exact pixel sum
+    * and range over the luma plane.
+    */
+  final case class JpegFeatures(
+      media_id: Long, width: Int, height: Int,
+      sum_y: Long, min_y: Int, max_y: Int)
+
+  /** REAL compressed-image decode: full baseline-sequential JPEG
+    * (marker walk, Huffman entropy decode, dequantize, IDCT) -> exact
+    * integer features over the luma plane. Blobs [[JpegCodec.decode]]
+    * rejects are dropped (quarantine), same batched flatMap dataflow as
+    * [[ppmFeatures]].
+    */
+  def jpegFeatures(images: Dataset[MediaRow]): Dataset[JpegFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { iter =>
+      iter.flatMap { m =>
+        JpegCodec.decode(bytesOf(m)).iterator.map { img =>
+          val p = img.planes(0)
+          var s = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < p.pixels.length) {
+            val v = p.pixels(i)
+            s += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          JpegFeatures(m.media_id, img.width, img.height, s, mn, mx)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic JPEG corpus: per document a grayscale
+    * baseline JPEG of (1 + id%3) x (1 + id%2) flat 8x8 blocks, block b
+    * = ((id + b*131) * 2654435761) mod 256. DC-only blocks decode to
+    * EXACTLY those values, so the oracle recomputes every decoded pixel
+    * arithmetically while the payloads are real compressed JPEGs
+    * (Huffman-coded DC deltas + EOBs, byte stuffing, Annex K tables).
+    */
+  def syntheticJpegMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val bw = (1 + id % 3).toInt
+          val bh = (1 + id % 2).toInt
+          val flats = Array.tabulate(bw * bh)(b =>
+            (((id + b * 131L) * 2654435761L) % 256L).toInt)
+          MediaRow(id, "image",
+            JpegCodec.encodeGrayFlatBlocks(bw * 8, bh * 8, flats))
         }
       }
   }

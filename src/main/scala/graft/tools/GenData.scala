@@ -97,6 +97,80 @@ object GenData {
     Doc(id, text, lang, "src" + r.nextInt(20), text.length.toLong)
   }
 
+  // ---------------- zipf-duplication documents ----------------
+  //
+  // The driver corpus' 31-word soup makes threshold near-dup pairs grow
+  // ~n^2 BY CONSTRUCTION (any two docs share most trigrams at random).
+  // This corpus models a realistic web-crawl duplication profile
+  // instead: cluster sizes follow a truncated zeta distribution (one
+  // 64-member head cluster, a harmonic tail, ~25% singletons per
+  // 256-doc block), the vocabulary is 10,000 words so accidental
+  // cross-cluster n-gram overlap is ~0, and cluster members carry 0-3
+  // word substitutions off their leader. True near-dup pairs therefore
+  // grow LINEARLY in n (fixed pair count per block), which is what the
+  // time-per-output-pair scaling table in PLANS.md measures.
+
+  private val ZipfBlock = 256
+
+  /** Cluster index per slot within one block: sizes max(1, 64/k) until
+    * 3/4 of the block is assigned, then singletons.
+    */
+  private[tools] val ZipfPattern: Array[Int] = {
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    var k = 1
+    var total = 0
+    while (total < ZipfBlock * 3 / 4) {
+      val s = math.min(math.max(1, 64 / k), ZipfBlock * 3 / 4 - total + 1)
+      sizes += s; total += s; k += 1
+    }
+    while (total < ZipfBlock) { sizes += 1; total += 1 }
+    sizes.zipWithIndex.flatMap { case (s, ci) => Seq.fill(s)(ci) }.toArray
+  }
+
+  /** First slot of each cluster (the leader, whose text members copy). */
+  private[tools] val ZipfLeaderSlot: Array[Int] = {
+    val first = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    ZipfPattern.zipWithIndex.foreach { case (ci, slot) =>
+      if (!first.contains(ci)) first(ci) = slot
+    }
+    ZipfPattern.map(first)
+  }
+
+  private def zipfWord(i: Int): String = "w" + i
+
+  private def zipfBaseWords(leaderId: Long): Array[String] = {
+    val r = rng(7, leaderId)
+    val n = 30 + r.nextInt(51)
+    Array.fill(n)(zipfWord(r.nextInt(10000)))
+  }
+
+  /** Doc text: leader text with 0-3 word substitutions (members only;
+    * ~30% are verbatim copies). Pure function of id.
+    */
+  def zipfDocText(id: Long): String = {
+    val block = id / ZipfBlock
+    val slot = (id % ZipfBlock).toInt
+    val leaderId = block * ZipfBlock + ZipfLeaderSlot(slot)
+    val w = zipfBaseWords(leaderId)
+    if (id != leaderId) {
+      val r = rng(8, id)
+      val subs = if (r.nextDouble() < 0.3) 0 else 1 + r.nextInt(3)
+      var i = 0
+      while (i < subs) {
+        w(r.nextInt(w.length)) = zipfWord(r.nextInt(10000)); i += 1
+      }
+    }
+    w.mkString(" ")
+  }
+
+  def zipfDoc(id: Long): Doc = {
+    val r = rng(9, id)
+    val text = zipfDocText(id)
+    val p = r.nextDouble()
+    val lang = Langs(LangCum.indexWhere(p <= _))
+    Doc(id, text, lang, "src" + r.nextInt(20), text.length.toLong)
+  }
+
   // ---------------- embeddings ----------------
 
   final case class Embedding(vec_id: Long, embedding: Array[Float],
@@ -137,13 +211,23 @@ object GenData {
   private def round2(d: Double): Double = math.floor(d * 100 + 0.5) / 100
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: GenData <outDir> [sf=1.0]")
+    require(args.nonEmpty,
+      "usage: GenData <outDir> [sf=1.0] | GenData <outDir> -zipfdocs <nDocs>")
     val outDir = args(0)
-    val sf = if (args.length > 1) args(1).toDouble else 1.0
     val spark = graft.engine.GraftSession.build("graft-gendata")
-    generate(spark, outDir, sf)
+    if (args.length > 1 && args(1) == "-zipfdocs") {
+      import spark.implicits._
+      val nDocs = args(2).toLong
+      val parts = math.max(1, math.min(32, (nDocs / 10000).toInt))
+      spark.range(0, nDocs, 1, parts).map(id => zipfDoc(id)).toDF()
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+      println(s"[gendata] zipf documents n=$nDocs -> $outDir")
+    } else {
+      val sf = if (args.length > 1) args(1).toDouble else 1.0
+      generate(spark, outDir, sf)
+      println(s"[gendata] wrote sf=$sf to $outDir")
+    }
     spark.stop()
-    println(s"[gendata] wrote sf=$sf to $outDir")
   }
 
   /** Write all ten tables under outDir; the caller owns the session. */

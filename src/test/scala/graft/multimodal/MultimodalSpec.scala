@@ -203,6 +203,86 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JpegCodec: flat-block JPEGs decode back to the exact values " +
+       "(full marker walk + Huffman DC deltas + IDCT)") {
+    // spans every DC-delta category sign/magnitude and forces byte
+    // stuffing somewhere in the stream
+    val flats = Array(0, 255, 1, 254, 128, 127, 129, 64, 192, 7, 250, 33)
+    val bytes = JpegCodec.encodeGrayFlatBlocks(32, 24, flats) // 4x3 blocks
+    val img = JpegCodec.decode(bytes).get
+    assert(img.width == 32 && img.height == 24)
+    val p = img.planes(0)
+    assert(p.width == 32 && p.height == 24)
+    for (by <- 0 until 3; bx <- 0 until 4; y <- 0 until 8; x <- 0 until 8)
+      assert(p.pixels((by * 8 + y) * 32 + bx * 8 + x) == flats(by * 4 + bx),
+        s"block ($bx,$by) pixel ($x,$y)")
+  }
+
+  test("JpegCodec: AC coefficients round-trip through zigzag RLE + " +
+       "Huffman against an independent reference IDCT") {
+    // deterministic pseudo-random quantized blocks: exercises ZRL, EOB,
+    // every AC run/size path, and negative amplitudes
+    val r = new java.util.Random(7)
+    val blocks = Array.fill(6) {
+      val b = new Array[Int](64)
+      b(0) = r.nextInt(2033) - 1016 // DC within category 11 deltas
+      for (_ <- 0 until 8) b(1 + r.nextInt(63)) = r.nextInt(201) - 100
+      b
+    }
+    val img = JpegCodec.decode(JpegCodec.encodeGray(48, 8, blocks)).get
+    // reference: naive O(64^2) IDCT, same rounding contract
+    def refIdct(c: Array[Int]): Array[Int] = {
+      def ct(u: Int, x: Int): Double = {
+        val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+        cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+      }
+      Array.tabulate(64) { i =>
+        val x = i % 8; val y = i / 8
+        var s = 0.0
+        for (u <- 0 until 8; v <- 0 until 8)
+          s += ct(u, x) * ct(v, y) * c(u * 8 + v)
+        val p = Math.round(s / 4.0).toInt + 128
+        math.max(0, math.min(255, p))
+      }
+    }
+    val p = img.planes(0)
+    for (bx <- 0 until 6) {
+      val want = refIdct(blocks(bx))
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(p.pixels(y * 48 + bx * 8 + x) == want(y * 8 + x),
+          s"block $bx pixel ($x,$y)")
+    }
+  }
+
+  test("JpegCodec rejects malformed and out-of-scope payloads") {
+    val good = JpegCodec.encodeGrayFlatBlocks(8, 8, Array(100))
+    assert(JpegCodec.decode(good).isDefined)
+    assert(JpegCodec.decode(Array[Byte]()).isEmpty)
+    assert(JpegCodec.decode("not a jpeg".getBytes).isEmpty)
+    assert(JpegCodec.decode(good.take(good.length / 2)).isEmpty) // truncated
+    val progressive = good.clone()
+    progressive(good.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte)) + 1) =
+      0xc2.toByte
+    assert(JpegCodec.decode(progressive).isEmpty)
+  }
+
+  test("q_image_jpeg pipeline: features come from genuinely decoded " +
+       "JPEGs (spot-check against the closed form)") {
+    val media = Multimodal.syntheticJpegMedia(spark, sf())
+    val f = Multimodal.jpegFeatures(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f.size == 500)
+    for (id <- Seq(0L, 7L, 23L)) {
+      val bw = (1 + id % 3).toInt; val bh = (1 + id % 2).toInt
+      def v(b: Int): Long = ((id + b * 131L) * 2654435761L) % 256L
+      val row = f(id)
+      assert(row.width == bw * 8 && row.height == bh * 8)
+      assert(row.sum_y == (0 until bw * bh).map(b => 64L * v(b)).sum)
+      assert(row.min_y == (0 until bw * bh).map(v).min)
+      assert(row.max_y == (0 until bw * bh).map(v).max)
+    }
+  }
+
   test("q_image_ppm pipeline: features come from genuinely decoded " +
        "pixels (spot-check against the closed form)") {
     val media = Multimodal.syntheticPpmMedia(spark, sf())
