@@ -552,4 +552,71 @@ object JpegCodec {
       blk(0) = 8 * (v - 128) // orthonormal DC of a flat (v-128) block
       blk
     })
+
+  /** 3-component 4:2:0 baseline JPEG of flat blocks — the
+    * MCU-interleave + subsampling exercise for the decoder. Per MCU:
+    * four flat luma blocks (raster order within the MCU) and one flat
+    * block for each chroma component. Image is 16·mcusX x 16·mcusY;
+    * every component keeps its own DC predictor, as the standard
+    * requires.
+    */
+  def encode420FlatBlocks(mcusX: Int, mcusY: Int,
+                          yFlats: Array[Array[Int]], cbFlats: Array[Int],
+                          crFlats: Array[Int]): Array[Byte] = {
+    val nMcus = mcusX * mcusY
+    require(yFlats.length == nMcus && yFlats.forall(_.length == 4),
+      s"need $nMcus MCUs x 4 luma flats")
+    require(cbFlats.length == nMcus && crFlats.length == nMcus,
+      s"need $nMcus chroma flats per component")
+    val dcCodes = encodeTable(StdDcBits, StdDcVals)
+    val acCodes = encodeTable(StdAcBits, StdAcVals)
+    val bwtr = new BitWriter
+    val pred = new Array[Int](3)
+    def one(comp: Int, flat: Int): Unit = {
+      val dc = 8 * (flat - 128)
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val s = category(diff)
+      val (dcode, dlen) = dcCodes(s)
+      bwtr.put(dcode, dlen)
+      if (s > 0)
+        bwtr.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      val (ec, el) = acCodes(0x00)
+      bwtr.put(ec, el) // EOB: DC-only block
+    }
+    var mi = 0
+    while (mi < nMcus) {
+      var b = 0
+      while (b < 4) { one(0, yFlats(mi)(b)); b += 1 }
+      one(1, cbFlats(mi)); one(2, crFlats(mi))
+      mi += 1
+    }
+    val entropy = bwtr.finish()
+    val w = 16 * mcusX
+    val h = 16 * mcusY
+    val out = new java.io.ByteArrayOutputStream()
+    def m(a: Int, b: Int): Unit = { out.write(a); out.write(b) }
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xff, 0xd8) // SOI
+    m(0xff, 0xdb); w16(2 + 1 + 64); out.write(0x00) // DQT, all-ones
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xff, 0xc0); w16(2 + 6 + 9); out.write(8); w16(h); w16(w) // SOF0
+    out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y: 2x2 sampling
+    out.write(2); out.write(0x11); out.write(0) // Cb
+    out.write(3); out.write(0x11); out.write(0) // Cr
+    m(0xff, 0xc4); w16(2 + 1 + 16 + StdDcVals.length) // DHT DC
+    out.write(0x00); StdDcBits.foreach(out.write); StdDcVals.foreach(out.write)
+    m(0xff, 0xc4); w16(2 + 1 + 16 + StdAcVals.length) // DHT AC
+    out.write(0x10); StdAcBits.foreach(out.write); StdAcVals.foreach(out.write)
+    m(0xff, 0xda); w16(2 + 1 + 6 + 3) // SOS
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x00)
+    out.write(3); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    out.write(entropy, 0, entropy.length)
+    m(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
 }

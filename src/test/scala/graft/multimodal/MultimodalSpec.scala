@@ -254,6 +254,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JpegCodec: 4:2:0 three-component MCU interleave decodes to the " +
+       "right planes, dims, and per-component DC prediction") {
+    // 2x2 MCUs = 32x32 image; every block a distinct flat value
+    val yF = Array(Array(10, 20, 30, 40), Array(50, 60, 70, 80),
+      Array(90, 100, 110, 120), Array(130, 140, 150, 160))
+    val cbF = Array(200, 210, 220, 230)
+    val crF = Array(5, 15, 25, 35)
+    val img = JpegCodec.decode(
+      JpegCodec.encode420FlatBlocks(2, 2, yF, cbF, crF)).get
+    assert(img.width == 32 && img.height == 32 && img.planes.length == 3)
+    val y = img.planes(0); val cb = img.planes(1); val cr = img.planes(2)
+    assert(y.width == 32 && y.height == 32)
+    assert(cb.width == 16 && cb.height == 16 && cr.width == 16)
+    for (my <- 0 until 2; mx <- 0 until 2) {
+      val mcu = my * 2 + mx
+      for (b <- 0 until 4) { // luma block b at (mx*16 + (b%2)*8, ...)
+        val px = mx * 16 + (b % 2) * 8
+        val py = my * 16 + (b / 2) * 8
+        assert(y.pixels(py * 32 + px) == yF(mcu)(b),
+          s"mcu $mcu luma block $b")
+        assert(y.pixels((py + 7) * 32 + px + 7) == yF(mcu)(b))
+      }
+      assert(cb.pixels((my * 8) * 16 + mx * 8) == cbF(mcu), s"cb mcu $mcu")
+      assert(cr.pixels((my * 8) * 16 + mx * 8) == crF(mcu), s"cr mcu $mcu")
+    }
+  }
+
   test("JpegCodec rejects malformed and out-of-scope payloads") {
     val good = JpegCodec.encodeGrayFlatBlocks(8, 8, Array(100))
     assert(JpegCodec.decode(good).isDefined)
