@@ -31,9 +31,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val (reps, names) = {
       val i = args.indexOf("-reps")
-      if (i >= 0)
-        (args(i + 1).toInt, args.take(i) ++ args.drop(i + 2))
-      else
+      if (i >= 0) {
+        require(i + 1 < args.length, "usage: Bench [-reps N] [query ...]")
+        val v = args(i + 1)
+        require(v.forall(_.isDigit) && v.nonEmpty,
+          s"usage: Bench [-reps N] — N must be a positive integer, got '$v'")
+        (v.toInt, args.take(i) ++ args.drop(i + 2))
+      } else
         (sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt, args)
     }
     require(reps >= 1, s"reps must be >= 1, got $reps")

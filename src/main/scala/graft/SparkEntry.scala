@@ -850,7 +850,10 @@ object SparkEntry {
       import graft.functions.VectorFunctions.quantize
       import graft.plans.LongArrayDot
       val e = t(s, dir, "embeddings")
-      val pairs = graft.operators.Dedup.lshCosinePairs(e, 4, 10)
+      // one metadata count threaded into the LSH stage (the n hint) —
+      // the pipeline pays no extra corpus scan for the banding size
+      val pairs = graft.operators.Dedup.lshCosinePairs(e, 4, 10,
+          n = e.count())
         .select(col("v1").as("d1"), col("v2").as("d2"))
       val kept = graft.operators.Dedup.keepCanonical(e, pairs, id = "vec_id")
       val cents = e.orderBy(col("vec_id")).limit(16)

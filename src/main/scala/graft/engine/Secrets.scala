@@ -18,15 +18,26 @@ object Secrets {
 
   /** Process-wide default provider (env-backed unless swapped). The
     * cloud-manager swap point: production installs a GCP/Vault/AWS
-    * provider once at startup; tests scope a fake with `withProvider`.
+    * provider once at startup via [[installProvider]]; tests scope a
+    * fake with [[withProvider]].
     */
   @volatile private var default: Provider = envProvider
+
+  /** Install the process-global provider — the production swap point
+    * (call once at startup, before jobs run). Unlike [[withProvider]]
+    * this affects every thread, including pre-existing pools.
+    */
+  def installProvider(p: Provider): Unit = { default = p }
 
   /** Thread-scoped provider override. `DynamicVariable` backs onto an
     * `InheritableThreadLocal`, so concurrent callers (parallel test
     * suites, jobs resolving secrets on separate threads) each see their
-    * own override — and child threads spawned inside the scope inherit
-    * it — without racing on the process-global default.
+    * own override — and child threads spawned INSIDE the scope inherit
+    * it — without racing on the process-global default. Constraint:
+    * threads created BEFORE the scope opened (pre-existing pools, Spark
+    * task threads) do NOT see the override and fall back to the
+    * process default; use [[installProvider]] when the provider must be
+    * visible to such threads.
     */
   private val scoped = new scala.util.DynamicVariable[Option[Provider]](None)
 

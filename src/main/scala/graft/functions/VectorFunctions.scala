@@ -101,9 +101,13 @@ object VectorFunctions {
     * stay well inside one Long per band.
     */
   def autoBits(n: Long, targetBucket: Int = 1024, bands: Int = 4): Int = {
-    require(n > 0, s"corpus size must be positive, got $n")
+    require(n >= 0, s"corpus size must be non-negative, got $n")
     require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
     require(bands > 0, s"bands must be positive, got $bands")
+    // n == 0: min banding (1 bit/band) — an empty corpus yields an
+    // empty result either way; throwing here would make the default
+    // path stricter than any fixed-bits call
+    if (n == 0) return bands
     val perBand = math.ceil(
       math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
     bands * math.min(math.max(perBand, 1), 24)

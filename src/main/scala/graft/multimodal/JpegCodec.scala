@@ -324,6 +324,17 @@ object JpegCodec {
       (w * compH(c) + hMax - 1) / hMax)
     val logicalH = Array.tabulate(nComp)(c =>
       (h * compV(c) + vMax - 1) / vMax)
+    // Allocation bomb guard: the per-dimension cap alone still admits a
+    // ~60-byte header declaring 16384x16384x4-component 4x4 sampling
+    // (~4 GiB of Int planes). Bound the SUMMED padded samples both
+    // absolutely and by the entropy data actually present (a baseline
+    // block costs >= 6 bits, so samples plausibly decodable from `n`
+    // bytes is O(100n); 512x leaves slack for custom tables). OOM is an
+    // Error, not an Exception — it would break the quarantine contract.
+    val totalSamples = (0 until nComp)
+      .map(c => planeW(c).toLong * planeH(c)).sum
+    if (totalSamples > (1L << 24) ||
+        totalSamples > 512L * (bytes.length - dataStart).max(1)) return None
     val planes = Array.tabulate(nComp)(c =>
       new Array[Int](planeW(c) * planeH(c)))
     var c = 0

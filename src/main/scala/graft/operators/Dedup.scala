@@ -1066,18 +1066,22 @@ object Dedup {
     */
   def lshCosinePairs(embs: DataFrame, tauNum: Int, tauDen: Int,
                      bits: Int = 0, bands: Int = 4,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64, n: Long = -1L): DataFrame = {
     import graft.functions.VectorFunctions.{quantize, qcosineGate, lshBandKeys, autoBits}
     import graft.plans.LongArrayDot
     // bits = 0 (the default) sizes the banding from the corpus:
     // bits/band = ceil(log2(n/target)) keeps candidates ~n·target
     // (linear) where any FIXED bits is ~n²/2^(bits/bands) — the one
     // measured super-linear plan term at sf3 (252.9s fixed vs 32.7s
-    // sized). The count is a parquet metadata-only job on a raw scan.
+    // sized). The count is metadata-only on a bare parquet scan but a
+    // real job on a filtered/derived input — callers composing
+    // operators should thread one count through via `n` (resolved once
+    // here, shared by the banding and the broadcast-budget check).
+    val nRows = corpusCount(embs, n)
     val sizedBits =
-      if (bits > 0) bits else autoBits(embs.count(), bands = bands)
+      if (bits > 0) bits else autoBits(nRows, bands = bands)
     val bandKeys = lshBandKeys(col("qv"), sizedBits, bands, dim)
-    val broadcastable = broadcastableVectors(embs, dim)
+    val broadcastable = broadcastableVectors(nRows, dim)
     // memo barrier: signatures + quantized vectors feed three branches
     // (banding, both verification sides). On the broadcast arm the
     // barrier is localCheckpoint, not repartition: the candidate join
@@ -1136,12 +1140,25 @@ object Dedup {
   }
 
   /** True when the whole quantized-vector table fits in a broadcast
-    * (count from parquet metadata; the hash relation costs ~3-4x the
-    * raw n·dim·8 bytes in heap).
+    * (the hash relation costs ~3-4x the raw n·dim·8 bytes in heap).
     */
-  private[operators] def broadcastableVectors(embs: DataFrame,
-                                              dim: Int): Boolean =
-    embs.count() * dim * 8L <= BroadcastVerifyBytes / 4
+  private[operators] def broadcastableVectors(n: Long, dim: Int): Boolean =
+    n * dim * 8L <= BroadcastVerifyBytes / 4
+
+  /** Row count for banding / broadcast sizing: the caller's hint when
+    * given (>= 0), else the optimizer's row-count statistic when it
+    * carries one (LocalRelation / Range / limit — exact under the
+    * default size-only estimator), else one `count()` job. Exactness
+    * matters: the DuckDB oracles replicate the autoBits sizing rule
+    * from the true count, so an estimated statistic would shift the
+    * banding and the result.
+    */
+  private[operators] def corpusCount(df: DataFrame, hint: Long): Long =
+    if (hint >= 0L) hint
+    else df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(rc) => rc.toLong
+      case None     => df.count()
+    }
 
   /** Embedding near-dup pairs: blocked all-pairs join with exact
     * integer-quantized cosine >= tauNum/tauDen. `blockCol` bounds the

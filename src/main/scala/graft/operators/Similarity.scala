@@ -229,14 +229,17 @@ object Similarity {
     * trade-off).
     */
   def knnGraph(corpus: DataFrame, k: Int, bits: Int = 0, bands: Int = 4,
-               dim: Int = 64): DataFrame = {
+               dim: Int = 64, n: Long = -1L): DataFrame = {
     import graft.functions.VectorFunctions.{lshBandKeys, autoBits}
     // bits = 0 (the default) = data-sized banding (cf.
     // Dedup.lshCosinePairs): fixed bits makes the candidate stream
-    // ~n²/2^(bits/bands); autoBits keeps it ~n·targetBucket.
+    // ~n²/2^(bits/bands); autoBits keeps it ~n·targetBucket. One count
+    // (hint > stats > count() — Dedup.corpusCount) feeds both the
+    // banding and the broadcast-budget check.
+    val nRows = Dedup.corpusCount(corpus, n)
     val sizedBits =
-      if (bits > 0) bits else autoBits(corpus.count(), bands = bands)
-    val broadcastable = Dedup.broadcastableVectors(corpus, dim)
+      if (bits > 0) bits else autoBits(nRows, bands = bands)
+    val broadcastable = Dedup.broadcastableVectors(nRows, dim)
     // memo barrier: quantized vectors + band keys feed the banding and
     // both sides of the scoring join. localCheckpoint on the broadcast
     // arm keeps the 100M+-row candidate probe pipeline free of the

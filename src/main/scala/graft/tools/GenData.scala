@@ -120,7 +120,7 @@ object GenData {
     var k = 1
     var total = 0
     while (total < ZipfBlock * 3 / 4) {
-      val s = math.min(math.max(1, 64 / k), ZipfBlock * 3 / 4 - total + 1)
+      val s = math.min(math.max(1, 64 / k), ZipfBlock * 3 / 4 - total)
       sizes += s; total += s; k += 1
     }
     while (total < ZipfBlock) { sizes += 1; total += 1 }

@@ -78,6 +78,7 @@ class FunctionPropertiesSpec extends SparkSpec {
     assert(autoBits(60000L) == 24)          // sf3 corpus -> the 32.7s point
     assert(autoBits(10000000000L) == 96)    // 10^10 vectors: 24 bits/band
     assert(autoBits(100L) == 4)             // tiny corpus floors at 1 bit/band
+    assert(autoBits(0L) == 4)               // empty corpus: min banding, no throw
     check(Prop.forAll(Gen.chooseNum(1L, 1000000000000L),
                       Gen.chooseNum(16, 8192), Gen.chooseNum(1, 8)) {
       (n, target, bands) =>

@@ -293,6 +293,34 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode(progressive).isEmpty)
   }
 
+  test("JpegCodec quarantines an allocation-bomb header (huge declared " +
+       "dims x components x sampling) instead of OOMing the task") {
+    // A tiny payload whose SOF0 declares 16384x16384, 4 components at
+    // 4x4 sampling — within the per-dimension cap but ~4 GiB of Int
+    // planes if allocated. The summed-samples guard must return None
+    // BEFORE allocation (an OOM would be an Error, escaping the
+    // quarantine contract).
+    val good = JpegCodec.encodeGrayFlatBlocks(8, 8, Array(100))
+    val sof = good.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, sof) // SOI + DQT + (original SOF skipped below)
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xc0); w16(2 + 6 + 3 * 4) // SOF0, 4 comps
+    out.write(8); w16(16384); w16(16384); out.write(4)
+    for (c <- 1 to 4) { out.write(c); out.write(0x44); out.write(0) }
+    // skip the original 1-component SOF (11 bytes incl. marker), keep
+    // DHT + a 4-component SOS referencing ids 1..4
+    val afterSof = sof + 2 + 9
+    val sos = good.indexOfSlice(Seq(0xff.toByte, 0xda.toByte))
+    out.write(good, afterSof, sos - afterSof)
+    out.write(0xff); out.write(0xda); w16(2 + 1 + 8 + 3)
+    out.write(4)
+    for (c <- 1 to 4) { out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    out.write(0xff); out.write(0xd9)
+    assert(JpegCodec.decode(out.toByteArray).isEmpty)
+  }
+
   test("q_image_jpeg pipeline: features come from genuinely decoded " +
        "JPEGs (spot-check against the closed form)") {
     val media = Multimodal.syntheticJpegMedia(spark, sf())
