@@ -1219,6 +1219,21 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // ---- multimodal: REAL COMPRESSED video — MJPEG-in-AVI. RIFF
+    //      container walk (LIST hdrl/strl headers, movi chunks, idx1,
+    //      word alignment), every 2nd 00dc chunk decoded by the full
+    //      baseline JPEG decoder (Huffman + IDCT), exact luma features.
+    //      Payloads are real AVIs of real compressed frames whose
+    //      DC-only decode is closed-form, so the oracle recomputes
+    //      every decoded pixel arithmetically ----
+    "q_video_mjpeg" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.mjpegFrameFeatures(
+          Multimodal.syntheticMjpegMedia(s, dir), everyN = 2)
+        .toDF()
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // ---- north star: k-means clustering (Lloyd) over embeddings —
     //      deterministic end-to-end: lowest-id init, exact integer
     //      argmin assignment (|c|^2 - 2<v,c> on quantized vectors, ties
@@ -4240,6 +4255,35 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(w*h + (w*h)//4, (w*h*3)//2),
         |    j -> ((doc_id + f*131 + j) * 2654435761) % 256))
         |    AS BIGINT) AS sum_v
+        |FROM fr ORDER BY media_id, frame_no""".stripMargin,
+
+    // flat 8x8 block b of frame f decodes to exactly
+    // ((id + f*131 + b*17) * 2654435761) % 256 (DC-only blocks are
+    // lossless); clips have nf = 2 + id%3 frames, every 2nd kept, on a
+    // (1+id%3) x (1+id%2) block grid — byte-level AVI/JPEG parsing
+    // happens only on the Spark side, agreement proves the decode
+    "q_video_mjpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 3 AS INT) AS bw,
+        |    CAST(1 + doc_id % 2 AS INT) AS bh,
+        |    CAST(2 + doc_id % 3 AS INT) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, bw, bh,
+        |    unnest(list_filter(range(0, nf), f -> f % 2 = 0)) AS f
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+        |  bw * 8 AS width, bh * 8 AS height,
+        |  CAST(list_sum(list_transform(range(0, bw*bh),
+        |    b -> 64 * (((doc_id + f*131 + b*17) * 2654435761) % 256)))
+        |    AS BIGINT) AS sum_y,
+        |  CAST(list_min(list_transform(range(0, bw*bh),
+        |    b -> ((doc_id + f*131 + b*17) * 2654435761) % 256)) AS INT)
+        |    AS min_y,
+        |  CAST(list_max(list_transform(range(0, bw*bh),
+        |    b -> ((doc_id + f*131 + b*17) * 2654435761) % 256)) AS INT)
+        |    AS max_y
         |FROM fr ORDER BY media_id, frame_no""".stripMargin,
 
     "q_dedup_cc" ->

@@ -702,6 +702,274 @@ object Multimodal {
       }
   }
 
+  /** Pure-JVM RIFF/AVI container codec for MOTION JPEG — the FIFTH real
+    * kernel and the first COMPRESSED VIDEO one: a real RIFF walk (LIST
+    * hdrl/strl headers, LIST movi frame chunks, word alignment, `LIST
+    * rec ` nesting, idx1), where every `00dc` chunk is a complete
+    * baseline JPEG decoded by [[JpegCodec]]. This is how MJPEG-in-AVI
+    * actually ships (each frame independently JPEG-coded), so the
+    * container walk composes with the existing compressed-image decoder
+    * with no new entropy code. Reference behavior: GCS2Postgres treats
+    * binary columns as opaque (README.md:9); this extends the engine's
+    * multimodal surface per SURVEY §2.2.
+    */
+  object AviCodec {
+    final case class AviInfo(width: Int, height: Int, moviStart: Int,
+                             moviEnd: Int)
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk the RIFF: require an `AVI ` form, a `LIST hdrl` whose
+      * `avih` gives the frame dims and whose video `strl` declares
+      * fccType `vids` with MJPG coding (strh handler or strf
+      * biCompression), and a `LIST movi`. None on anything malformed —
+      * corrupt payloads quarantine, never task failures.
+      */
+    def parse(bytes: Array[Byte]): Option[AviInfo] = {
+      if (bytes.length < 12 || tag(bytes, 0) != "RIFF" ||
+          tag(bytes, 8) != "AVI ") return None
+      var w = -1; var h = -1
+      var mjpgVids = false
+      var movi: Option[(Int, Int)] = None
+      var off = 12
+      while (off + 8 <= bytes.length && movi.isEmpty) {
+        val id = tag(bytes, off)
+        val sz = le32(bytes, off + 4)
+        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        if (id == "LIST" && sz >= 4) {
+          val listType = tag(bytes, off + 8)
+          if (listType == "movi") movi = Some((off + 12, off + 8 + sz))
+          else if (listType == "hdrl") {
+            // inner walk: avih for dims, strl/strh+strf for the codec
+            var p = off + 12
+            val end = off + 8 + sz
+            while (p + 8 <= end) {
+              val cid = tag(bytes, p)
+              val csz = le32(bytes, p + 4)
+              if (csz < 0 || p + 8 + csz > end) return None
+              if (cid == "avih" && csz >= 40) {
+                w = le32(bytes, p + 8 + 32) // dwWidth
+                h = le32(bytes, p + 8 + 36) // dwHeight
+              } else if (cid == "LIST" && csz >= 4 &&
+                         tag(bytes, p + 8) == "strl") {
+                var q = p + 12
+                val lend = p + 8 + csz
+                var vids = false
+                while (q + 8 <= lend) {
+                  val sid = tag(bytes, q)
+                  val ssz = le32(bytes, q + 4)
+                  if (ssz < 0 || q + 8 + ssz > lend) return None
+                  if (sid == "strh" && ssz >= 8) {
+                    vids = tag(bytes, q + 8) == "vids"
+                    if (vids && tag(bytes, q + 12) == "MJPG")
+                      mjpgVids = true
+                  } else if (sid == "strf" && ssz >= 20 && vids &&
+                             tag(bytes, q + 8 + 16) == "MJPG") {
+                    mjpgVids = true // biCompression
+                  }
+                  q += 8 + ssz + (ssz & 1)
+                }
+              }
+              p += 8 + csz + (csz & 1)
+            }
+          }
+        }
+        off += 8 + sz + (sz & 1) // word alignment per RIFF
+      }
+      for {
+        (ms, me) <- movi
+        if mjpgVids && w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14)
+      } yield AviInfo(w, h, ms, me)
+    }
+
+    /** (offset, length) of each video frame's JPEG payload inside `LIST
+      * movi`, in stream order: `##dc`/`##db` chunks of any stream
+      * number, descending into `LIST rec ` groups (interleaved-AVI
+      * record nesting), skipping everything else (audio `##wb`, `ix##`
+      * sub-indexes) with word alignment. A malformed chunk ends the
+      * walk — prior frames survive, same contract as
+      * [[Y4mCodec.frameOffsets]].
+      */
+    def frameChunks(bytes: Array[Byte], info: AviInfo): Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int): Boolean = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = tag(bytes, o)
+          val sz = le32(bytes, o + 4)
+          if (sz < 0 || o + 8 + sz > end) return false
+          if (id == "LIST" && sz >= 4 && tag(bytes, o + 8) == "rec ") {
+            if (!walk(o + 12, o + 8 + sz)) return false
+          } else if (id.length == 4 &&
+                     id(0).isDigit && id(1).isDigit &&
+                     (id.substring(2) == "dc" || id.substring(2) == "db")) {
+            out += ((o + 8, sz))
+          }
+          o += 8 + sz + (sz & 1)
+        }
+        true
+      }
+      walk(info.moviStart, math.min(info.moviEnd, bytes.length))
+      out.toSeq
+    }
+
+    /** Encode JPEG frames as a well-formed MJPEG AVI: RIFF(AVI ) {
+      * LIST hdrl { avih, LIST strl { strh vids/MJPG, strf
+      * BITMAPINFOHEADER(MJPG) } }, LIST movi { 00dc... }, idx1 }.
+      * Every length field, alignment pad, and index entry is real — the
+      * blobs replay in standard players.
+      */
+    def encodeMjpeg(w: Int, h: Int, fps: Int,
+                    frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0 && fps > 0)
+      val out = new java.io.ByteArrayOutputStream()
+      def s4(s: String): Unit =
+        out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      def w32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      val moviContent = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val idxContent = 16 * frames.size
+      val hdrlContent = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+      val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent) +
+        (8 + idxContent)
+      s4("RIFF"); w32(riffContent); s4("AVI ")
+      s4("LIST"); w32(hdrlContent); s4("hdrl")
+      s4("avih"); w32(56)
+      w32(1000000 / fps)        // dwMicroSecPerFrame
+      w32(maxFrame * fps)       // dwMaxBytesPerSec
+      w32(0)                    // dwPaddingGranularity
+      w32(0x10)                 // dwFlags: AVIF_HASINDEX
+      w32(frames.size)          // dwTotalFrames
+      w32(0)                    // dwInitialFrames
+      w32(1)                    // dwStreams
+      w32(maxFrame)             // dwSuggestedBufferSize
+      w32(w); w32(h)
+      w32(0); w32(0); w32(0); w32(0) // dwReserved
+      s4("LIST"); w32(4 + (8 + 56) + (8 + 40)); s4("strl")
+      s4("strh"); w32(56)
+      s4("vids"); s4("MJPG")    // fccType, fccHandler
+      w32(0)                    // dwFlags
+      w16(0); w16(0)            // wPriority, wLanguage
+      w32(0)                    // dwInitialFrames
+      w32(1); w32(fps)          // dwScale / dwRate = frame rate
+      w32(0)                    // dwStart
+      w32(frames.size)          // dwLength
+      w32(maxFrame)             // dwSuggestedBufferSize
+      w32(-1)                   // dwQuality (default)
+      w32(0)                    // dwSampleSize (0: one sample = one frame)
+      w16(0); w16(0); w16(w); w16(h) // rcFrame
+      s4("strf"); w32(40)       // BITMAPINFOHEADER
+      w32(40); w32(w); w32(h)
+      w16(1); w16(24)           // biPlanes, biBitCount
+      s4("MJPG")                // biCompression
+      w32(w * h * 3)            // biSizeImage
+      w32(0); w32(0); w32(0); w32(0)
+      s4("LIST"); w32(moviContent); s4("movi")
+      val frameOffsets = frames.map { f =>
+        val rel = out.size() // offset of the chunk's fourcc...
+        s4("00dc"); w32(f.length)
+        out.write(f, 0, f.length)
+        if ((f.length & 1) == 1) out.write(0) // word-align
+        rel
+      }
+      val moviFourccAt = riffContent + 8 - (8 + moviContent) -
+        (8 + idxContent) + 8 // absolute offset of "movi"
+      s4("idx1"); w32(idxContent)
+      frameOffsets.zip(frames).foreach { case (abs, f) =>
+        s4("00dc")
+        w32(0x10)               // AVIIF_KEYFRAME
+        w32(abs - moviFourccAt) // offset relative to "movi" fourcc
+        w32(f.length)
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Exact luma features of one MJPEG frame after a REAL compressed
+    * decode (AVI chunk walk -> per-frame [[JpegCodec]] Huffman + IDCT).
+    */
+  final case class MjpegFrameFeatures(
+      media_id: Long, frame_no: Int, width: Int, height: Int,
+      sum_y: Long, min_y: Int, max_y: Int)
+
+  /** REAL compressed-video decode: walk the AVI container, keep every
+    * `everyN`-th video chunk, JPEG-decode it, and emit exact integer
+    * luma-plane features. Payloads [[AviCodec.parse]] rejects drop
+    * whole; frames [[JpegCodec.decode]] rejects drop individually
+    * (per-frame quarantine — one corrupt frame doesn't sink the clip).
+    * Same batched mapPartitions shape as every codec here.
+    */
+  def mjpegFrameFeatures(videos: Dataset[MediaRow],
+                         everyN: Int): Dataset[MjpegFrameFeatures] = {
+    import videos.sparkSession.implicits._
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    videos.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val bytes = bytesOf(m)
+        AviCodec.parse(bytes).iterator.flatMap { info =>
+          AviCodec.frameChunks(bytes, info).zipWithIndex
+            .collect { case ((off, len), f) if f % everyN == 0 =>
+              JpegCodec.decode(
+                  java.util.Arrays.copyOfRange(bytes, off, off + len))
+                .map { img =>
+                  val p = img.planes(0)
+                  var s = 0L; var mn = 255; var mx = 0
+                  var i = 0
+                  while (i < p.pixels.length) {
+                    val v = p.pixels(i)
+                    s += v
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
+                    i += 1
+                  }
+                  MjpegFrameFeatures(m.media_id, f, img.width, img.height,
+                    s, mn, mx)
+                }
+            }.flatten.iterator
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic MJPEG-AVI corpus: per document a clip of
+    * nf = 2 + id%3 frames at (1 + id%3) x (1 + id%2) flat 8x8 blocks;
+    * block b of frame f decodes to exactly
+    * ((id + f*131 + b*17) * 2654435761) mod 256 (DC-only blocks are
+    * lossless), so the oracle recomputes every decoded pixel while the
+    * payloads are real compressed AVIs (per-frame Huffman-coded JPEGs
+    * inside a real RIFF container).
+    */
+  def syntheticMjpegMedia(spark: SparkSession,
+                          sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val bw = (1 + id % 3).toInt
+          val bh = (1 + id % 2).toInt
+          val nf = (2 + id % 3).toInt
+          val frames = (0 until nf).map { f =>
+            val flats = Array.tabulate(bw * bh)(b =>
+              (((id + f * 131L + b * 17L) * 2654435761L) % 256L).toInt)
+            JpegCodec.encodeGrayFlatBlocks(bw * 8, bh * 8, flats)
+          }
+          MediaRow(id, "video", AviCodec.encodeMjpeg(bw * 8, bh * 8, 25,
+            frames))
+        }
+      }
+  }
+
   /** Wrap any DataFrame with a binary column into the typed media schema. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
               kind: String): Dataset[MediaRow] = {

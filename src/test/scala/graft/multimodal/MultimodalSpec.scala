@@ -321,6 +321,81 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode(out.toByteArray).isEmpty)
   }
 
+  test("AviCodec: encodeMjpeg builds a real RIFF the parser and chunk " +
+       "walker round-trip, frames decode via JpegCodec") {
+    val f0 = JpegCodec.encodeGrayFlatBlocks(16, 8, Array(10, 200))
+    val f1 = JpegCodec.encodeGrayFlatBlocks(16, 8, Array(77, 3))
+    val avi = AviCodec.encodeMjpeg(16, 8, 25, Seq(f0, f1))
+    val info = AviCodec.parse(avi).get
+    assert(info.width == 16 && info.height == 8)
+    val chunks = AviCodec.frameChunks(avi, info)
+    assert(chunks.size == 2)
+    // each chunk is byte-identical to the source JPEG and decodes back
+    // to the exact flat values
+    val payloads = chunks.map { case (o, l) =>
+      java.util.Arrays.copyOfRange(avi, o, o + l) }
+    assert(payloads(0).toSeq == f0.toSeq && payloads(1).toSeq == f1.toSeq)
+    val img = JpegCodec.decode(payloads(1)).get
+    assert(img.planes(0).pixels(0) == 77 && img.planes(0).pixels(8) == 3)
+    // odd-length frame payloads get a pad byte; the walker still lands
+    // on the next chunk boundary
+    assert(f0.length % 2 == 1 || f1.length % 2 == 1 ||
+      chunks(1)._1 % 2 == 0) // at least exercise alignment arithmetic
+  }
+
+  test("AviCodec rejects malformed and non-MJPEG containers; rec-list " +
+       "nesting and trailing garbage are handled") {
+    val f = JpegCodec.encodeGrayFlatBlocks(8, 8, Array(50))
+    val good = AviCodec.encodeMjpeg(8, 8, 25, Seq(f))
+    assert(AviCodec.parse(Array[Byte]()).isEmpty)
+    assert(AviCodec.parse("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(AviCodec.parse(good.take(good.length / 3)).isEmpty) // truncated
+    // flip the strh handler + strf biCompression away from MJPG
+    val bad = good.clone()
+    var changed = 0
+    var i = 0
+    while (i + 4 <= bad.length) {
+      if (bad(i) == 'M' && bad(i + 1) == 'J' && bad(i + 2) == 'P' &&
+          bad(i + 3) == 'G') { bad(i) = 'X'; changed += 1 }
+      i += 1
+    }
+    assert(changed >= 2 && AviCodec.parse(bad).isEmpty)
+    // a 'LIST rec ' wrapping the frame chunk still yields the frame
+    val info = AviCodec.parse(good).get
+    val inner = java.util.Arrays.copyOfRange(good, info.moviStart,
+      info.moviEnd)
+    val rec = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { rec.write(v & 0xff); rec.write((v >> 8) & 0xff)
+      rec.write((v >> 16) & 0xff); rec.write((v >> 24) & 0xff) }
+    rec.write("LIST".getBytes); w32(4 + inner.length)
+    rec.write("rec ".getBytes); rec.write(inner)
+    val wrapped = AviCodec.AviInfo(8, 8, 0, rec.size())
+    val got = AviCodec.frameChunks(rec.toByteArray, wrapped)
+    assert(got.size == 1 && got.head._2 == f.length)
+  }
+
+  test("q_video_mjpeg pipeline: features come from genuinely decoded " +
+       "compressed frames (spot-check against the closed form)") {
+    val media = Multimodal.syntheticMjpegMedia(spark, sf())
+    val feats = Multimodal.mjpegFrameFeatures(media, everyN = 2).collect()
+      .map(x => (x.media_id, x.frame_no) -> x).toMap
+    for (id <- Seq(0L, 7L, 23L)) {
+      val bw = (1 + id % 3).toInt; val bh = (1 + id % 2).toInt
+      val nf = (2 + id % 3).toInt
+      for (fno <- 0 until nf if fno % 2 == 0) {
+        def v(b: Int): Long = ((id + fno * 131L + b * 17L) * 2654435761L) % 256L
+        val row = feats((id, fno))
+        assert(row.width == bw * 8 && row.height == bh * 8)
+        assert(row.sum_y == (0 until bw * bh).map(b => 64L * v(b)).sum)
+        assert(row.min_y == (0 until bw * bh).map(v).min)
+        assert(row.max_y == (0 until bw * bh).map(v).max)
+      }
+    }
+    // frame count: ceil(nf / 2) rows per clip over 500 docs
+    val expect = (0L until 500L).map(id => (2 + id % 3 + 1) / 2).sum
+    assert(feats.size == expect)
+  }
+
   test("q_image_jpeg pipeline: features come from genuinely decoded " +
        "JPEGs (spot-check against the closed form)") {
     val media = Multimodal.syntheticJpegMedia(spark, sf())
