@@ -1174,6 +1174,20 @@ object SparkEntry {
         .orderBy(col("media_id"), col("win_no"))
     }),
 
+    // ---- multimodal: REAL COMPRESSED audio — IMA ADPCM (WAV fmt
+    //      0x11). RIFF walk, per-block header (predictor + step index),
+    //      4-bit nibble state machine with the public step/index
+    //      tables, exact integer features over the reconstructed
+    //      samples. Payloads carry closed-form nibble streams, so the
+    //      oracle replays the decoder arithmetic nibble for nibble
+    //      (WITH RECURSIVE) — decode correctness is oracle-gated ----
+    "q_audio_adpcm" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.adpcmFeatures(Multimodal.syntheticAdpcmMedia(s, dir))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // ---- multimodal: REAL PPM image codec — parse -> integer features
     //      on the original AND on a real nearest-neighbor resize
     //      round-trip (decode -> resample -> re-encode -> re-decode);
@@ -4172,6 +4186,61 @@ object SparkEntry {
         |  CAST(list_max(list_transform(ss, s -> abs(s))) AS INT)
         |    AS peak_abs
         |FROM sm ORDER BY media_id, win_no""".stripMargin,
+
+    // replays the IMA ADPCM decoder state machine nibble for nibble:
+    // sample 0 = header predictor p0 = ((id*2654435761) % 65536) -
+    // 32768, index i0 = id % 89; nibble j = ((id + j*2654435761) % 16)
+    // steps (pred, idx) through the public step/index tables with
+    // int16/[0,88] clamps — byte-level WAV/nibble parsing happens only
+    // on the Spark side, agreement proves the decode
+    "q_audio_adpcm" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(120 + (doc_id % 60) * 2 AS BIGINT) AS nn,
+        |    CAST((doc_id * 2654435761) % 65536 - 32768 AS BIGINT) AS p0,
+        |    CAST(doc_id % 89 AS BIGINT) AS i0
+        |  FROM documents),
+        |st(doc_id, j, pred, idx) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT), p0, i0 FROM d
+        |  UNION ALL
+        |  SELECT doc_id, j + 1,
+        |    greatest(-32768, least(32767,
+        |      pred + CASE WHEN nib >= 8 THEN -dif ELSE dif END)),
+        |    greatest(0, least(88,
+        |      idx + CASE WHEN nib % 8 < 4 THEN -1
+        |                 ELSE (nib % 8 - 3) * 2 END))
+        |  FROM (
+        |    SELECT doc_id, j, pred, idx, nib,
+        |      stp // 8
+        |        + CASE WHEN nib % 2 = 1 THEN stp // 4 ELSE 0 END
+        |        + CASE WHEN (nib // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+        |        + CASE WHEN (nib // 4) % 2 = 1 THEN stp ELSE 0 END AS dif
+        |    FROM (
+        |      SELECT st.doc_id, st.j, st.pred, st.idx,
+        |        (st.doc_id + st.j * 2654435761) % 16 AS nib,
+        |        [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        |         41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+        |         173,190,209,230,253,279,307,337,371,408,449,494,544,
+        |         598,658,724,796,876,963,1060,1166,1282,1411,1552,
+        |         1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+        |         4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+        |         11487,12635,13899,15289,16818,18500,20350,22385,
+        |         24623,27086,29794,32767][CAST(st.idx AS INT) + 1]
+        |          AS stp
+        |      FROM st JOIN d USING (doc_id)
+        |      WHERE st.j < d.nn) a) b),
+        |sq AS (
+        |  SELECT doc_id, j, pred,
+        |    lag(pred) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        |  FROM st)
+        |SELECT doc_id AS media_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(pred) AS BIGINT) AS sum_s,
+        |  CAST(sum(pred * pred) AS BIGINT) AS energy,
+        |  CAST(max(abs(pred)) AS INT) AS peak_abs,
+        |  CAST(sum(CASE WHEN prev * pred < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS zero_crossings
+        |FROM sq GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // flat 8x8 block b of JPEG id decodes to exactly
     // ((id + b*131) * 2654435761) % 256 (DC-only blocks are lossless);

@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * batched per-partition passes.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, typed
-  * mapPartitions signature) is real and tested. Two kernels are REAL
-  * pure-JVM codecs, oracle-gated end-to-end: [[WavCodec]] (WAV/PCM
-  * header walk + 16-bit samples) and [[PpmCodec]] (binary PPM parse /
-  * nearest-neighbor resize / re-encode). Compressed formats (JPEG,
-  * H.264, MP3) remain a clearly-marked STUB (`StubDecoder`) because no
-  * image/audio libraries exist in this container — in production the
-  * decode body is the only thing that changes (JNI/javacpp codec
-  * call), the dataflow does not.
+  * mapPartitions signature) is real and tested, and SIX kernels are
+  * REAL pure-JVM codecs, oracle-gated end-to-end: [[WavCodec]]
+  * (WAV/PCM), [[PpmCodec]] (binary PPM), [[Y4mCodec]] (uncompressed
+  * video), [[JpegCodec]] (compressed images: baseline JPEG Huffman +
+  * IDCT), [[AviCodec]] (compressed video: MJPEG-in-AVI), and
+  * [[ImaAdpcmCodec]] (compressed audio: IMA ADPCM) — every media
+  * family (raw/compressed x image/audio/video) has a real decode
+  * path. `StubDecoder` survives only as the generic-dataflow stand-in
+  * for formats whose codecs are foreign-library territory (H.264,
+  * MP3): in production that decode body is a JNI/javacpp call, the
+  * dataflow does not change.
   *
   * Scale design: decode runs inside `mapPartitions`, so each task decodes
   * its partition's blobs in one JVM pass without per-row UDF setup cost;
@@ -41,13 +44,14 @@ object Multimodal {
       magic: String, width: Int, height: Int, checksum: Long)
 
   /** STUB decoder — deterministic fake standing in for codecs this
-    * engine does NOT implement natively (H.264/MP3 and other heavy
-    * compressed A/V formats). Reads "dimensions" from payload bytes so
-    * results are stable and testable. Replace `decode` with the real
-    * library call in prod. The REAL pure-JVM kernels live alongside:
-    * [[WavCodec]] (PCM audio), [[PpmCodec]] (raw RGB), [[Y4mCodec]]
-    * (uncompressed video), and [[JpegCodec]] (baseline-sequential
-    * compressed images — full Huffman + IDCT decode).
+    * engine does NOT implement natively (H.264/MP3 and other
+    * foreign-library A/V formats). Reads "dimensions" from payload
+    * bytes so results are stable and testable. Replace `decode` with
+    * the real library call in prod. Every media family has a REAL
+    * pure-JVM kernel alongside: [[WavCodec]] (PCM audio), [[PpmCodec]]
+    * (raw RGB), [[Y4mCodec]] (uncompressed video), [[JpegCodec]]
+    * (compressed images), [[AviCodec]] (compressed video, MJPEG), and
+    * [[ImaAdpcmCodec]] (compressed audio).
     */
   object StubDecoder {
     def decode(row: MediaRow): MediaFeatures = {
@@ -698,6 +702,299 @@ object Multimodal {
             (((id + b * 131L) * 2654435761L) % 256L).toInt)
           MediaRow(id, "image",
             JpegCodec.encodeGrayFlatBlocks(bw * 8, bh * 8, flats))
+        }
+      }
+  }
+
+  /** Pure-JVM IMA ADPCM codec (WAV format tag 0x11) — the SIXTH real
+    * kernel and the first COMPRESSED AUDIO one: 4-bit adaptive
+    * differential PCM with the public IMA/DVI step and index tables, in
+    * standard WAV block layout (per-block 4-byte header = initial
+    * predictor + step index, then packed nibbles, low nibble first).
+    * Composes with the same RIFF chunk walk as [[WavCodec]]; the
+    * decoder is an integer state machine, so an external oracle can
+    * replay it arithmetically nibble for nibble. Reference behavior:
+    * GCS2Postgres treats binary columns as opaque (README.md:9); this
+    * extends the engine's multimodal surface per SURVEY §2.2.
+    */
+  object ImaAdpcmCodec {
+    /** Quantizer step sizes, public IMA ADPCM specification. */
+    val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+      1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+      4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+
+    /** Step-index adaptation per nibble, public IMA specification. */
+    val IndexTable: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    final case class AdpcmInfo(sampleRate: Int, blockAlign: Int,
+                               samplesPerBlock: Int, dataOffset: Int,
+                               dataBytes: Int)
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** One nibble through the decoder state machine (the spec's exact
+      * integer arithmetic — diff = step/8 + bit-selected step/4, step/2,
+      * step; sign bit subtracts; predictor clamps to int16, index to
+      * [0, 88]). Returns (sample, nextIndex).
+      */
+    def step(nib: Int, pred: Int, idx: Int): (Int, Int) = {
+      val st = StepTable(idx)
+      var diff = st >> 3
+      if ((nib & 1) != 0) diff += st >> 2
+      if ((nib & 2) != 0) diff += st >> 1
+      if ((nib & 4) != 0) diff += st
+      val p = if ((nib & 8) != 0) pred - diff else pred + diff
+      val pc = math.max(-32768, math.min(32767, p))
+      (pc, math.max(0, math.min(88, idx + IndexTable(nib))))
+    }
+
+    /** Parse a RIFF/WAVE header whose fmt declares IMA ADPCM (tag 0x11,
+      * mono, 4-bit) with the wSamplesPerBlock extension. None on
+      * anything malformed — same quarantine contract as
+      * [[WavCodec.parse]]; unknown chunks (fact/LIST/...) are skipped.
+      */
+    def parse(bytes: Array[Byte]): Option[AdpcmInfo] = {
+      if (bytes.length < 12 || tag(bytes, 0) != "RIFF" ||
+          tag(bytes, 8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // rate, blockAlign, spb
+      var data: Option[(Int, Int)] = None
+      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(bytes, off)
+        val sz = le32(bytes, off + 4)
+        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        id match {
+          case "fmt " =>
+            if (sz < 20) return None
+            val audioFormat = le16(bytes, off + 8)
+            val ch = le16(bytes, off + 10)
+            val bits = le16(bytes, off + 22)
+            if (audioFormat != 0x11 || ch != 1 || bits != 4) return None
+            fmt = Some((le32(bytes, off + 12), le16(bytes, off + 20),
+              le16(bytes, off + 26))) // wSamplesPerBlock (fmt ext.)
+          case "data" => data = Some((off + 8, sz))
+          case _ => () // fact/LIST/...
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      for {
+        (rate, align, spb) <- fmt
+        (dOff, dSz) <- data
+        if rate > 0 && spb >= 1 && align >= 4 + (spb - 1 + 1) / 2
+      } yield AdpcmInfo(rate, align, spb, dOff, dSz)
+    }
+
+    /** Decode every FULL block in the data chunk: per block the 4-byte
+      * header yields sample 0 (the predictor) and the step index, then
+      * samplesPerBlock-1 nibbles (low nibble of each byte first) run
+      * the state machine. A block whose header index exceeds 88
+      * quarantines individually (dropped, like a corrupt MJPEG frame);
+      * a trailing partial block is ignored.
+      */
+    def decode(bytes: Array[Byte], info: AdpcmInfo): Array[Int] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Int]()
+      val nBlocks = info.dataBytes / info.blockAlign
+      var k = 0
+      while (k < nBlocks) {
+        val base = info.dataOffset + k * info.blockAlign
+        var pred = le16(bytes, base).toShort.toInt
+        var idx = bytes(base + 2) & 0xff
+        if (idx <= 88) {
+          out += pred
+          var n = 0
+          while (n < info.samplesPerBlock - 1) {
+            val b = bytes(base + 4 + (n >> 1)) & 0xff
+            val nib = if ((n & 1) == 0) b & 0x0f else (b >> 4) & 0x0f
+            val (p, i) = step(nib, pred, idx)
+            pred = p; idx = i
+            out += pred
+            n += 1
+          }
+        }
+        k += 1
+      }
+      out.toArray
+    }
+
+    /** The encoder's nibble choice for one sample (successive
+      * approximation against step/1, step/2, step/4), predictor kept in
+      * sync by replaying [[step]] — the standard IMA encoder loop.
+      */
+    private def encodeNibble(sample: Int, pred: Int, idx: Int): Int = {
+      val st = StepTable(idx)
+      var delta = sample - pred
+      var nib = 0
+      if (delta < 0) { nib = 8; delta = -delta }
+      if (delta >= st) { nib |= 4; delta -= st }
+      if (delta >= (st >> 1)) { nib |= 2; delta -= st >> 1 }
+      if (delta >= (st >> 2)) nib |= 1
+      nib
+    }
+
+    /** Encode mono int16 samples (length a multiple of
+      * `samplesPerBlock`) as a well-formed IMA-ADPCM WAV: fmt 0x11 with
+      * the wSamplesPerBlock extension, a fact chunk with the true
+      * sample count, block headers carrying the running step index.
+      */
+    def encode(samples: Array[Int], sampleRate: Int,
+               samplesPerBlock: Int): Array[Byte] = {
+      require(samplesPerBlock >= 1 &&
+        samples.length % samplesPerBlock == 0,
+        s"sample count ${samples.length} must be a multiple of $samplesPerBlock")
+      val blockAlign = 4 + (samplesPerBlock - 1 + 1) / 2
+      val nBlocks = samples.length / samplesPerBlock
+      val data = new Array[Byte](nBlocks * blockAlign)
+      var idx = 0
+      var k = 0
+      while (k < nBlocks) {
+        val base = k * blockAlign
+        var pred = samples(k * samplesPerBlock)
+        data(base) = pred.toByte
+        data(base + 1) = (pred >> 8).toByte
+        data(base + 2) = idx.toByte
+        data(base + 3) = 0
+        var n = 0
+        while (n < samplesPerBlock - 1) {
+          val s = samples(k * samplesPerBlock + 1 + n)
+          val nib = encodeNibble(s, pred, idx)
+          val (p, i) = step(nib, pred, idx)
+          pred = p; idx = i
+          val o = base + 4 + (n >> 1)
+          if ((n & 1) == 0) data(o) = (data(o) & 0xf0 | nib).toByte
+          else data(o) = (data(o) & 0x0f | (nib << 4)).toByte
+          n += 1
+        }
+        k += 1
+      }
+      wrapWav(sampleRate, blockAlign, samplesPerBlock, samples.length, data)
+    }
+
+    /** Build one raw block from explicit header state + nibbles (the
+      * synthetic-corpus constructor: closed-form nibble streams make
+      * the decoded samples an arithmetic recurrence an oracle can
+      * replay), wrapped as a well-formed WAV.
+      */
+    def encodeRawBlock(pred0: Int, idx0: Int, nibbles: Array[Int],
+                       sampleRate: Int): Array[Byte] = {
+      require(idx0 >= 0 && idx0 <= 88, s"index $idx0 out of [0, 88]")
+      val blockAlign = 4 + (nibbles.length + 1) / 2
+      val data = new Array[Byte](blockAlign)
+      data(0) = pred0.toByte
+      data(1) = (pred0 >> 8).toByte
+      data(2) = idx0.toByte
+      var n = 0
+      while (n < nibbles.length) {
+        val o = 4 + (n >> 1)
+        val nib = nibbles(n) & 0x0f
+        if ((n & 1) == 0) data(o) = (data(o) & 0xf0 | nib).toByte
+        else data(o) = (data(o) & 0x0f | (nib << 4)).toByte
+        n += 1
+      }
+      wrapWav(sampleRate, blockAlign, nibbles.length + 1,
+        nibbles.length + 1, data)
+    }
+
+    private def wrapWav(sampleRate: Int, blockAlign: Int,
+                        samplesPerBlock: Int, totalSamples: Int,
+                        data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def s4(s: String): Unit =
+        out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      def w32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      val pad = data.length & 1
+      // fmt (20 = 16 base + cbSize + wSamplesPerBlock) + fact + data
+      val riff = 4 + (8 + 20) + (8 + 4) + (8 + data.length + pad)
+      s4("RIFF"); w32(riff); s4("WAVE")
+      s4("fmt "); w32(20)
+      w16(0x11); w16(1); w32(sampleRate)
+      // nAvgBytesPerSec: rate/spb blocks per second, blockAlign each
+      w32(if (samplesPerBlock > 0)
+        (sampleRate.toLong * blockAlign / samplesPerBlock).toInt else 0)
+      w16(blockAlign); w16(4) // 4 bits per sample
+      w16(2); w16(samplesPerBlock) // cbSize, wSamplesPerBlock
+      s4("fact"); w32(4); w32(totalSamples)
+      s4("data"); w32(data.length)
+      out.write(data, 0, data.length)
+      if (pad == 1) out.write(0)
+      out.toByteArray
+    }
+  }
+
+  /** Whole-clip integer features over REAL decoded ADPCM audio: exact
+    * sums/extrema/sign-flip count over the reconstructed int16 samples.
+    */
+  final case class AdpcmFeatures(
+      media_id: Long, n_samples: Long, sum_s: Long, energy: Long,
+      peak_abs: Int, zero_crossings: Long)
+
+  /** REAL compressed-audio decode: parse the fmt-0x11 WAV, run the IMA
+    * state machine over every nibble, aggregate exact integer features
+    * per clip. Malformed payloads drop (quarantine-by-omission); same
+    * batched mapPartitions shape as [[pcmWindows]].
+    */
+  def adpcmFeatures(audio: Dataset[MediaRow]): Dataset[AdpcmFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val bytes = bytesOf(m)
+        ImaAdpcmCodec.parse(bytes).iterator.map { info =>
+          val s = ImaAdpcmCodec.decode(bytes, info)
+          var sum = 0L; var energy = 0L; var peak = 0; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i)
+            sum += v
+            energy += v.toLong * v
+            val a = if (v < 0) -v else v
+            if (a > peak) peak = a
+            if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+            i += 1
+          }
+          AdpcmFeatures(m.media_id, s.length.toLong, sum, energy, peak, zc)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic IMA-ADPCM corpus: per document ONE block
+    * whose header and nibble stream are closed-form — predictor
+    * ((id*2654435761) mod 65536) − 32768, step index id mod 89, nibble
+    * j = ((id + j*2654435761) mod 16), nn = 120 + (id mod 60)*2
+    * nibbles — so the decoded samples are a pure integer recurrence the
+    * oracle replays (WITH RECURSIVE), while the payloads are real
+    * fmt-0x11 WAV blobs parsed by [[ImaAdpcmCodec.parse]].
+    */
+  def syntheticAdpcmMedia(spark: SparkSession,
+                          sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val nn = (120 + (id % 60) * 2).toInt
+          val pred0 = (((id * 2654435761L) % 65536L) - 32768L).toInt
+          val idx0 = (id % 89).toInt
+          val nibbles = Array.tabulate(nn)(j =>
+            ((id + j.toLong * 2654435761L) % 16L).toInt)
+          MediaRow(id, "audio",
+            ImaAdpcmCodec.encodeRawBlock(pred0, idx0, nibbles, 8000))
         }
       }
   }

@@ -321,6 +321,102 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode(out.toByteArray).isEmpty)
   }
 
+  test("ImaAdpcmCodec: multi-block encode/decode round-trip tracks an " +
+       "independent reference decoder bit for bit") {
+    // a waveform with slow and fast regions (exercises index adaptation)
+    val spb = 17 // odd nibble count per block: exercises the pad nibble
+    val samples = Array.tabulate(4 * spb) { i =>
+      (3000.0 * math.sin(i / 5.0) + 400.0 * math.sin(i * 1.7)).toInt
+    }
+    val wav = ImaAdpcmCodec.encode(samples, 8000, spb)
+    val info = ImaAdpcmCodec.parse(wav).get
+    assert(info.sampleRate == 8000 && info.samplesPerBlock == spb)
+    assert(info.blockAlign == 4 + (spb - 1 + 1) / 2)
+    val decoded = ImaAdpcmCodec.decode(wav, info)
+    assert(decoded.length == samples.length)
+    // independent reference: re-run the public-spec arithmetic directly
+    // over the packed nibble bytes (separate implementation from
+    // ImaAdpcmCodec.step's — table lookups inlined)
+    val stepT = ImaAdpcmCodec.StepTable
+    val ref = new scala.collection.mutable.ArrayBuffer[Int]()
+    for (k <- 0 until 4) {
+      val base = info.dataOffset + k * info.blockAlign
+      var pred = ((wav(base) & 0xff) | ((wav(base + 1) & 0xff) << 8))
+        .toShort.toInt
+      var idx = wav(base + 2) & 0xff
+      ref += pred
+      for (n <- 0 until spb - 1) {
+        val byte = wav(base + 4 + n / 2) & 0xff
+        val nib = if (n % 2 == 0) byte & 0x0f else byte >> 4
+        val st = stepT(idx)
+        var d = st / 8
+        if ((nib & 1) != 0) d += st / 4
+        if ((nib & 2) != 0) d += st / 2
+        if ((nib & 4) != 0) d += st
+        pred = math.max(-32768, math.min(32767,
+          if ((nib & 8) != 0) pred - d else pred + d))
+        idx = math.max(0, math.min(88,
+          idx + Array(-1, -1, -1, -1, 2, 4, 6, 8)(nib & 7)))
+        ref += pred
+      }
+    }
+    assert(decoded.toSeq == ref.toSeq)
+    // lossy but adaptive: early samples pay the step-size ramp from
+    // index 0 (bounded by the quantizer range), and once the index has
+    // adapted the reconstruction tracks the waveform closely — check
+    // the last block, whose header re-anchors the predictor exactly
+    // and inherits the converged index
+    val errs = samples.zip(decoded).map(p => math.abs(p._1 - p._2))
+    assert(errs.max < 4096, s"ADPCM tracking error ${errs.max}")
+    assert(errs.drop(3 * spb).max < 1500,
+      s"converged-block tracking error ${errs.drop(3 * spb).max}")
+  }
+
+  test("ImaAdpcmCodec rejects malformed payloads; corrupt block index " +
+       "quarantines the block, not the clip") {
+    val good = ImaAdpcmCodec.encodeRawBlock(100, 5,
+      Array.fill(10)(3), 8000)
+    assert(ImaAdpcmCodec.parse(good).isDefined)
+    assert(ImaAdpcmCodec.parse(Array[Byte]()).isEmpty)
+    assert(ImaAdpcmCodec.parse(good.take(20)).isEmpty)
+    // PCM WAVs are NOT ADPCM payloads (and vice versa)
+    val pcm = WavCodec.encode(Array(1, 2, 3), 8000)
+    assert(ImaAdpcmCodec.parse(pcm).isEmpty)
+    assert(WavCodec.parse(good).isEmpty)
+    // an out-of-range step index (> 88) drops that block's samples
+    val info = ImaAdpcmCodec.parse(good).get
+    val bad = good.clone()
+    bad(info.dataOffset + 2) = 120.toByte
+    assert(ImaAdpcmCodec.decode(bad, info).isEmpty)
+  }
+
+  test("q_audio_adpcm pipeline: features come from genuinely decoded " +
+       "nibble streams (spot-check against the recurrence)") {
+    val media = Multimodal.syntheticAdpcmMedia(spark, sf())
+    val feats = Multimodal.adpcmFeatures(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(feats.size == 500)
+    for (id <- Seq(0L, 7L, 23L, 88L)) {
+      val nn = (120 + (id % 60) * 2).toInt
+      var pred = (((id * 2654435761L) % 65536L) - 32768L).toInt
+      var idx = (id % 89).toInt
+      val ss = scala.collection.mutable.ArrayBuffer(pred)
+      for (j <- 0 until nn) {
+        val nib = ((id + j.toLong * 2654435761L) % 16L).toInt
+        val (p, i) = ImaAdpcmCodec.step(nib, pred, idx)
+        pred = p; idx = i
+        ss += pred
+      }
+      val row = feats(id)
+      assert(row.n_samples == nn + 1)
+      assert(row.sum_s == ss.map(_.toLong).sum)
+      assert(row.energy == ss.map(s => s.toLong * s).sum)
+      assert(row.peak_abs == ss.map(math.abs).max)
+      assert(row.zero_crossings ==
+        ss.sliding(2).count(w => w(0).toLong * w(1) < 0))
+    }
+  }
+
   test("AviCodec: encodeMjpeg builds a real RIFF the parser and chunk " +
        "walker round-trip, frames decode via JpegCodec") {
     val f0 = JpegCodec.encodeGrayFlatBlocks(16, 8, Array(10, 200))
