@@ -103,7 +103,16 @@ object Dedup {
   private final case class PrefixIndex(dfreq: DataFrame, perDoc: DataFrame)
 
   private def prefixIndex(sets: DataFrame, tau: Double,
-                          maxPostings: Int): PrefixIndex = {
+                          maxPostings: Int): PrefixIndex =
+    prefixIndexMulti(sets, Seq("p" -> tau), maxPostings)
+
+  /** One rarity-sorted index carrying a prefix-length column PER
+    * threshold — an ensemble over k metrics pays ONE posting
+    * aggregation pass (posts -> dfreq -> perDoc, two shuffles), not k:
+    * only the derived p columns differ by tau.
+    */
+  private def prefixIndexMulti(sets: DataFrame, taus: Seq[(String, Double)],
+                               maxPostings: Int): PrefixIndex = {
     val posts = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
     val dfreq0 = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -111,25 +120,31 @@ object Dedup {
                 else dfreq0.filter(col("df").between(2, maxPostings))
     // per-doc rarity-sorted reduced set; one aggregation feeds the
     // prefix explode AND both verification sides (memo barrier)
-    val perDoc = posts.join(dfreq, Seq("h"))
+    val perDoc0 = posts.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(min(col("n")).as("n"),
         sort_array(collect_list(struct(col("df"), col("h")))).as("dh"))
       .withColumn("m", size(col("dh")))
-      .withColumn("p",
+    val withP = taus.foldLeft(perDoc0) { case (df, (pCol, tau)) =>
+      df.withColumn(pCol,
         (col("m") - ceil(lit(tau) * col("m")) + 1).cast("int"))
+    }
+    val perDoc = withP
       .withColumn("sh2",
         sort_array(transform(col("dh"), x => x.getField("h"))))
-      .select(col("doc_id"), col("n"), col("dh"), col("m"), col("p"),
-        col("sh2"))
+      .select((Seq("doc_id", "n", "dh", "m") ++ taus.map(_._1) ++
+        Seq("sh2")).map(col): _*)
       .repartition(col("doc_id"))
     PrefixIndex(dfreq, perDoc)
   }
 
-  /** (doc_id, m, h) for each doc's first p (rarest) reduced shingles. */
-  private def prefixPostsOf(perDoc: DataFrame): DataFrame = perDoc
+  /** (doc_id, m, h) for each doc's first `pCol` (rarest) reduced
+    * shingles.
+    */
+  private def prefixPostsOf(perDoc: DataFrame,
+                            pCol: String = "p"): DataFrame = perDoc
     .select(col("doc_id"), col("m"),
-      explode(slice(col("dh"), lit(1), col("p"))).as("x"))
+      explode(slice(col("dh"), lit(1), col(pCol))).as("x"))
     .select(col("doc_id"), col("m"), col("x.h").as("h"))
 
   /** (doc_id, m, h) for every reduced shingle (the full posting list). */
@@ -150,18 +165,25 @@ object Dedup {
     * Cluster path (doc sets too big to broadcast) keeps the shuffle
     * join — candidates are already pruned to ~linear by the prefix.
     */
+  /** Reduced-set-table bytes for the broadcast-vs-shuffle verify
+    * decision: the hint when given, else one scalar job over dfreq.
+    */
+  private def resolvedSetBytes(idx: PrefixIndex,
+                               verifyBytesHint: Option[Long]): Long =
+    verifyBytesHint match {
+      case Some(b) => b
+      case None =>
+        val r = idx.dfreq.agg(sum(col("df")).as("s")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) * 8L
+    }
+
   private def verifyCandidates(idx: PrefixIndex, cands: DataFrame,
                                verifyBytesHint: Option[Long]): DataFrame = {
     val m1 = idx.perDoc.select(col("doc_id").as("d1"), col("n").as("n1"),
       col("sh2").as("sh1"))
     val m2 = idx.perDoc.select(col("doc_id").as("d2"), col("n").as("n2"),
       col("sh2").as("shB"))
-    val setBytes = verifyBytesHint match {
-      case Some(b) => b
-      case None =>
-        val r = idx.dfreq.agg(sum(col("df")).as("s")).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0) * 8L
-    }
+    val setBytes = resolvedSetBytes(idx, verifyBytesHint)
     // BOTH set tables broadcast here (m1 and m2 are full copies), and
     // setBytes is a 10%-sampled estimate — so budget each copy half the
     // threshold, keeping worst-case hash-relation heap at the same
@@ -184,8 +206,9 @@ object Dedup {
     * small by construction (rarity-sorted; max bucket 46 at sf1) so the
     * join is skew-free; AQE's skew-split backstops adversarial corpora.
     */
-  private def jaccardCands(perDoc: DataFrame): DataFrame = {
-    val pp = prefixPostsOf(perDoc)
+  private def jaccardCands(perDoc: DataFrame,
+                           pCol: String = "p"): DataFrame = {
+    val pp = prefixPostsOf(perDoc, pCol)
     pp.select(col("doc_id").as("d1"), col("h"))
       .join(pp.select(col("doc_id").as("d2"), col("h")), "h")
       .filter(col("d1") < col("d2"))
@@ -203,8 +226,9 @@ object Dedup {
     * rows instead of Σ df_h² (at sf1 word-trigrams: 56M vs 239M, and no
     * per-pair aggregation — just a dedup + broadcast-verify).
     */
-  private def containmentCands(perDoc: DataFrame): DataFrame = {
-    val pp = prefixPostsOf(perDoc)
+  private def containmentCands(perDoc: DataFrame,
+                               pCol: String = "p"): DataFrame = {
+    val pp = prefixPostsOf(perDoc, pCol)
       .select(col("doc_id").as("da"), col("m").as("ma"), col("h"))
     val fp = fullPostsOf(perDoc)
       .select(col("doc_id").as("db"), col("m").as("mb"), col("h"))
@@ -242,17 +266,35 @@ object Dedup {
   private[operators] def ensemblePairsFromSetsPrefix(
       sets: DataFrame, tauJ: Double, tauC: Double, maxPostings: Int,
       verifyBytesHint: Option[Long] = None): DataFrame = {
-    val idxJ = prefixIndex(sets, tauJ, maxPostings)
-    val idxC = prefixIndex(sets, tauC, maxPostings)
-    val cands = jaccardCands(idxJ.perDoc)
-      .unionByName(containmentCands(idxC.perDoc))
-      .dropDuplicates("d1", "d2")
-    verifyCandidates(idxJ, cands, verifyBytesHint)
+    // FUSED vote: one shared posting index carries both prefix lengths
+    // (pJ/pC) instead of two full index passes, and one verification
+    // computes (inter, n1, n2) once per candidate row — both gates read
+    // the same aggregates, so the disjunction is a single filter, never
+    // a union of verified arms.
+    val idx = prefixIndexMulti(sets,
+      Seq("pJ" -> tauJ, "pC" -> tauC), maxPostings)
+    val candsRaw = jaccardCands(idx.perDoc, "pJ")
+      .unionByName(containmentCands(idx.perDoc, "pC"))
+    val setBytes = resolvedSetBytes(idx, verifyBytesHint)
+    // broadcast-verify regime: stream RAW candidates (no pre-dedup
+    // exchange of the ~candidate-volume stream — the measured residual
+    // ensemble scale term) through the broadcast probes + codegen'd
+    // intersect, and dedup only the small survivor set (a pair
+    // re-verifies once per shared prefix hash / generating arm, cheaper
+    // than shuffling every candidate for distinctness — cf.
+    // lshCosinePairs). Cluster regime (sets too big to broadcast):
+    // dedup FIRST so the shuffle join never attaches arrays to
+    // duplicate candidate rows.
+    val broadcastable = setBytes <= BroadcastVerifyBytes / 2
+    val cands =
+      if (broadcastable) candsRaw else candsRaw.dropDuplicates("d1", "d2")
+    val verified = verifyCandidates(idx, cands, Some(setBytes))
       .filter(
         (col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")) >= tauJ) ||
         (col("inter").cast("double") / least(col("n1"), col("n2")) >= tauC))
       .select(col("d1"), col("d2"))
+    if (broadcastable) verified.dropDuplicates("d1", "d2") else verified
   }
 
   private[operators] def jaccardPairsFromSetsPrefix(
