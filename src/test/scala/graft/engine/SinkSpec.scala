@@ -52,4 +52,65 @@ class SinkSpec extends SparkSpec {
       Sink.write(df, "t_out", SinkConfig(format = "jdbc"))
     }
   }
+
+  private def readLines(dir: java.io.File): Seq[String] =
+    dir.listFiles().filter(_.getName.startsWith("part-"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+      .toSeq
+
+  test("pgcopy DataSourceV2: df.write.format(\"pgcopy\") produces " +
+       "byte-identical payload lines to the Sink facade, plus a manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("pgcopy_dsv2").toFile
+    val df = Seq(
+      (1L, "plain", Some(3.5), "2024-03-01 10:20:30"),
+      (2L, "tab\there", None, "2024-03-01 00:00:00"),
+      (3L, "back\\slash", Some(-0.25), "2024-12-31 23:59:59"))
+      .toDF("id", "txt", "score", "ts")
+      .selectExpr("id", "txt", "score", "CAST(ts AS TIMESTAMP) AS ts")
+      .repartition(2)
+    // facade path (the oracle-gated q_pgcopy encoder)
+    Sink.write(df, "t_fac", SinkConfig(format = "pgcopy",
+      path = Some(tmp.getAbsolutePath)))
+    // DataSourceV2 path, resolved by short name via DataSourceRegister
+    df.write.format("pgcopy").mode("append")
+      .option("table", "t_fac")
+      .option("path", s"${tmp.getAbsolutePath}/t_dsv2").save()
+    val fac = readLines(new java.io.File(tmp, "t_fac")).sorted
+    val v2 = readLines(new java.io.File(tmp, "t_dsv2")).sorted
+    assert(fac.nonEmpty && fac == v2) // byte-identical payload lines
+    // manifest exists with one \COPY per part file, naming the table
+    val manifest = new java.io.File(tmp, "t_dsv2.copy.sql")
+    assert(manifest.exists())
+    val mlines = scala.io.Source.fromFile(manifest, "UTF-8")
+      .getLines().toSeq
+    val nParts = new java.io.File(tmp, "t_dsv2").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(mlines.size == nParts)
+    assert(mlines.forall(l => l.startsWith("\\COPY \"t_fac\"") &&
+      l.contains("FORMAT text")))
+  }
+
+  test("pgcopy DataSourceV2: overwrite truncates prior payload " +
+       "generations; unsupported types and reads fail fast") {
+    val tmp = java.nio.file.Files.createTempDirectory("pgcopy_ow").toFile
+    val dir = s"${tmp.getAbsolutePath}/t"
+    Seq((1L, "old")).toDF("id", "txt").write.format("pgcopy")
+      .mode("append").option("path", dir).save()
+    Seq((2L, "new")).toDF("id", "txt").write.format("pgcopy")
+      .mode("overwrite").option("path", dir).save()
+    val lines = readLines(new java.io.File(dir))
+    assert(lines == Seq("2\tnew")) // old generation gone
+    // struct columns have no scalar Postgres analogue
+    val bad = Seq((1L, ("a", 2))).toDF("id", "s")
+    val e = intercept[Exception] {
+      bad.write.format("pgcopy").mode("append")
+        .option("path", s"${tmp.getAbsolutePath}/t_bad").save()
+    }
+    assert(e.getMessage.contains("flatten upstream") ||
+      Option(e.getCause).exists(_.getMessage.contains("flatten upstream")))
+    // write-only: reading the payload back as a table is rejected
+    assertThrows[Exception] {
+      spark.read.format("pgcopy").option("path", dir).load()
+    }
+  }
 }
