@@ -206,4 +206,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("LeftSemi"), p)
   }
+
+  // ---- expensive-query tier (the round-6 bench leaders): exchange
+  // counts and broadcast sides pinned so a plan regression (a new
+  // shuffle, a lost broadcast, a join falling back to sort-merge)
+  // fails here instead of surfacing as a bench mystery ----
+
+  test("q_containment: the two-shuffle overlap machinery — shingle " +
+       "groupBy + pair groupBy, no joins, map-side partials") {
+    val p = plan("q_containment")
+    // exactly 2 hash exchanges (posting aggregation, pair count) plus
+    // only the deterministic output sort's range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("Exchange".r.findAllIn(p).size == 3, p)
+    // pair enumeration is in-bucket HOFs, never a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"), p)
+    // both aggregations keep their map-side partial phase
+    assert(p.contains("partial_collect_list") && p.contains("partial_count"), p)
+  }
+
+  test("q_jaccard_prefix: candidate + verification joins all broadcast " +
+       "(the small-corpus regime) — no sort-merge, no cartesian") {
+    val p = plan("q_jaccard_prefix")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // prefix-posting self-join + two verification probes at minimum
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q_containment_prefix: asymmetric prefix join broadcasts; " +
+       "verification attaches sets via broadcast probes") {
+    val p = plan("q_containment_prefix")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q_dedup_ensemble: the post-clustering tail — canonical map " +
+       "returns via broadcast outer join, never sort-merge") {
+    // the pair machinery runs inside the edge-guarded union-find
+    // (bounded driver collect); the surviving plan is the canonical
+    // re-join over the corpus and must stay broadcast
+    val p = plan("q_dedup_ensemble")
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q_corpus_pipeline: the capstone's surviving plan keeps the " +
+       "canonical broadcast join and at most dedup+sort exchanges") {
+    val p = plan("q_corpus_pipeline")
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
 }

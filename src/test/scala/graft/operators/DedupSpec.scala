@@ -88,6 +88,44 @@ class DedupSpec extends SparkSpec {
     assert(pref.nonEmpty)
   }
 
+  test("ensemble prefix: broadcast (raw-candidate) and shuffle " +
+       "(pre-deduped) verification arms agree") {
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sets = corpus.select(col("doc_id"),
+      graft.operators.TextAnalysis.shingleHashes(col("text"), 3).as("sh"))
+    val bc = Dedup.ensemblePairsFromSetsPrefix(sets, 0.3, 0.5, 0,
+      verifyBytesHint = Some(1L))
+      .orderBy("d1", "d2").collect().map(_.toString)
+    val sh = Dedup.ensemblePairsFromSetsPrefix(sets, 0.3, 0.5, 0,
+      verifyBytesHint = Some(Long.MaxValue))
+      .orderBy("d1", "d2").collect().map(_.toString)
+    assert(bc.sameElements(sh))
+    assert(bc.nonEmpty)
+  }
+
+  test("ensemble prefix plan: ONE fused index (pJ/pC columns), and in " +
+       "the broadcast regime candidates stream raw — dedup only above " +
+       "the gate") {
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sets = corpus.select(col("doc_id"),
+      graft.operators.TextAnalysis.shingleHashes(col("text"), 3).as("sh"))
+    val p = Dedup.ensemblePairsFromSetsPrefix(sets, 0.3, 0.5, 0,
+        verifyBytesHint = Some(1L))
+      .queryExecution.executedPlan.toString
+    // the fused index carries BOTH prefix lengths in one perDoc pass
+    assert(p.contains("pJ") && p.contains("pC"), p)
+    // survivor dedup sits ABOVE the broadcast verification probes (tree
+    // prints parent-first): no pre-verify exchange of the raw candidate
+    // stream
+    val dedupAt = p.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("keys=[d1"))
+    val firstBhjAt = p.linesIterator.indexWhere(
+      _.contains("BroadcastHashJoin"))
+    assert(dedupAt >= 0 && firstBhjAt >= 0 && dedupAt < firstBhjAt,
+      s"dedup@$dedupAt bhj@$firstBhjAt\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("prefix path: broadcast and shuffle verification arms agree") {
     val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
     val sets = corpus.select(col("doc_id"),
