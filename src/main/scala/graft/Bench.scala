@@ -65,28 +65,39 @@ object Bench {
             unknown.mkString(", "))
         SparkEntry.queries.filter { case (n, _) => names.contains(n) }
       }
-    // (name, once, min): rep 1 includes plan/codegen constants; min-of-N
-    // is the steady state
+    // (name, once, min, ok): rep 1 includes plan/codegen constants;
+    // min-of-N is the steady state. A rep that throws marks the query
+    // FAILED — its elapsed-to-failure is NOT a measurement, and recording
+    // it as one would let a broken query post a fast "pass" and make a
+    // broken round look complete (round-7 lesson: q_sessionize errored in
+    // 0.05 s and counted in nq).
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.head, times.min)
+      (name, times.head, times.min, !failed)
     }
+    val failedNames = results.collect { case (n, _, _, false) => n }
+    val passed = results.collect { case (n, o, m, true) => (n, o, m) }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val detail = results.map { case (k, once, mn) =>
-      "\"" + k + "\":{\"once\":" + f2(once) + ",\"min\":" + f2(mn) + "}"
+    val detail = results.map { case (k, once, mn, ok) =>
+      "\"" + k + "\":{\"once\":" + f2(once) + ",\"min\":" + f2(mn) +
+        (if (ok) "" else ",\"failed\":true") + "}"
     }.mkString("{", ",", "}")
-    val totalOnce = results.map(_._2).sum
-    val totalMin = results.map(_._3).sum
+    // totals cover PASSED queries only — failed ones are listed, not summed
+    val totalOnce = passed.map(_._2).sum
+    val totalMin = passed.map(_._3).sum
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"detail","reps":$reps,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","reps":$reps,"queries":$detail,"nfailed":${failedNames.length},"failed":$failedJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     try {
@@ -97,13 +108,14 @@ object Bench {
     }
     // the 8 slowest (by min) ride inline in the summary so the capture
     // window alone still identifies hotspots
-    val slow = results.sortBy(-_._3).take(8).map { case (k, once, mn) =>
+    val slow = passed.sortBy(-_._3).take(8).map { case (k, once, mn) =>
       "\"" + k + "\":{\"once\":" + f2(once) + ",\"min\":" + f2(mn) + "}"
     }.mkString("{", ",", "}")
     // "value" stays the round-comparable one-shot total; "value_min" is
-    // the contamination-proof steady-state total
+    // the contamination-proof steady-state total; "nq" counts PASSED
+    // queries so nq + nfailed = attempted
     val line =
-      s"""{"metric":"total","value":${f3(totalOnce)},"unit":"sec","value_min":${f3(totalMin)},"reps":$reps,"nq":${results.length},"slowest":$slow,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(totalOnce)},"unit":"sec","value_min":${f3(totalMin)},"reps":$reps,"nq":${passed.length},"nfailed":${failedNames.length},"failed":$failedJson,"slowest":$slow,"detail":"$detailPath","sf":"$sfDir"}"""
     spark.stop()
     // print detail first, the compact summary LAST after Spark's
     // shutdown logging, so the parseable line sits at the very end of

@@ -57,8 +57,7 @@ object Readers {
     "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    readParquet(spark, s"$sfDir/$name.parquet")
 
   /** Parquet reader resilient to TIMESTAMP(NANOS) columns, which Spark 4
     * rejects outright (PARQUET_TYPE_ILLEGAL). The footer of the first
@@ -80,11 +79,41 @@ object Readers {
     if (nanos.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.options(options).parquet(path)
-    nanos.foldLeft(raw) { (df, c) =>
+    val denanosed = nanos.foldLeft(raw) { (df, c) =>
       // integer `div`, not `/` — double division would lose µs precision
       // on ~1.7e18 nanosecond values (> 2^53)
       df.withColumn(c, org.apache.spark.sql.functions
         .timestamp_micros(org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+    }
+    normalizeNtz(denanosed)
+  }
+
+  /** Normalize every TIMESTAMP_NTZ column (top-level or nested) to the
+    * session-local TimestampType. Parquet writers flip `isAdjustedToUTC`
+    * freely (pandas/pyarrow default to naive timestamps); the reference
+    * passes source-type drift through untouched
+    * (GCS2Postgres `src/utils/utils.go:136-166`), and downstream
+    * operators here (`unix_micros`, typed `java.sql.Timestamp` encoders)
+    * want one canonical timestamp type. The session timezone is pinned
+    * to UTC (build.sbt), so the NTZ wall-clock reading and the instant
+    * reading coincide — the cast is value-preserving and matches DuckDB,
+    * whose TIMESTAMP is naive.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def strip(dt: DataType): DataType = dt match {
+      case TimestampNTZType      => TimestampType
+      case s: StructType         =>
+        StructType(s.fields.map(f => f.copy(dataType = strip(f.dataType))))
+      case a: ArrayType          => a.copy(elementType = strip(a.elementType))
+      case m: MapType            =>
+        m.copy(keyType = strip(m.keyType), valueType = strip(m.valueType))
+      case other                 => other
+    }
+    val needed = df.schema.fields.filter(f => strip(f.dataType) != f.dataType)
+    if (needed.isEmpty) df
+    else needed.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, d.col(s"`${f.name}`").cast(strip(f.dataType)))
     }
   }
 

@@ -20,31 +20,31 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema (see FIXTURES.md) — required up front for readStream
-    * (streaming sources don't infer schemas). ts arrives as LongType
-    * nanoseconds here because the testdata parquet carries
-    * TIMESTAMP(NANOS) which Spark reads as long under nanosAsLong.
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Open the events table as a stream (file-based micro-batches).
     * FileStreamSource monitors a DIRECTORY; the testdata table is a
     * single parquet file, so expose it through a symlink dir (read-only
     * testdata stays untouched; prod sources are directories already).
+    *
+    * Streaming sources don't infer schemas, so the physical schema is
+    * probed with one driver-side batch read of the same files — which
+    * also makes this robust to writer drift on `ts`
+    * (TIMESTAMP(NANOS) → long under nanosAsLong; naive timestamp[us] →
+    * TIMESTAMP_NTZ; tz-adjusted → TIMESTAMP). All three are normalized
+    * to the session TimestampType (UTC-pinned, so values coincide).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(StreamDirs.fileStreamDir(dir, "events.parquet",
-        "graft_stream").toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamDir = StreamDirs.fileStreamDir(dir, "events.parquet",
+      "graft_stream").toString
+    val physical = spark.read.parquet(streamDir).schema
+    val raw = spark.readStream.schema(physical).parquet(streamDir)
+    physical("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read raw under nanosAsLong
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling event-time window counts/sums with a watermark for late
