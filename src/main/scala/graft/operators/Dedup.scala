@@ -39,7 +39,7 @@ object Dedup {
     jaccardPairsFromSets(
       graft.engine.Spread(docs).select(col("doc_id"),
         shingleHashes(col("text"), k).as("sh")),
-      tau, maxPostings)
+      tau, maxPostings, docCount = corpusCount(docs, -1L))
 
   /** Character n-gram variant: same machinery over char k-gram hashes. */
   def charJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
@@ -47,7 +47,7 @@ object Dedup {
     jaccardPairsFromSets(
       graft.engine.Spread(docs).select(col("doc_id"),
         TextAnalysis.charShingleHashes("text", k).as("sh")),
-      tau, maxPostings)
+      tau, maxPostings, docCount = corpusCount(docs, -1L))
 
   /** FORCE the prefix-filtered path regardless of the runtime stats —
     * same output as [[jaccardPairs]]; exists so the oracle correctness
@@ -388,14 +388,17 @@ object Dedup {
     * NO stats job at all: the decision job itself (plan + codegen of a
     * second shingle pass) costs more than any misdecision could, and a
     * degenerate small corpus still fails loudly via `guardedBucket`.
-    * The count() that gates this is metadata-only — column pruning
-    * drops the shingle projection.
+    * The gate is decided on the RAW doc count (optimizer statistic when
+    * exact, else a pruned-scan count() of the source — never the derived
+    * shingle frame, whose count would re-tokenize the corpus): at 100 TB
+    * a gate that re-runs shingling is itself a full extra corpus pass.
     */
   private[operators] val SmallCorpusDocs = 10000L
 
   private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
-                                   maxPostings: Int): DataFrame = {
-    if (sets.count() <= SmallCorpusDocs)
+                                   maxPostings: Int,
+                                   docCount: Long): DataFrame = {
+    if (docCount <= SmallCorpusDocs)
       return jaccardPairsFromSetsNaive(sets, tau, maxPostings)
     val (sumDf2, sumDf) = postingStats(sets)
     if (sumDf2 <= NaivePairBudget)
@@ -431,9 +434,11 @@ object Dedup {
       shingleHashes(col("text"), k).as("sh"))
     // same runtime path choice as jaccardPairsFromSets (Σ df² ∝ n² on
     // saturated vocabularies: 239M at sf1 word-trigrams); small corpora
-    // skip the stats job entirely
+    // skip the stats job entirely, and the gate counts the RAW docs
+    // (no shingle re-tokenization)
     val (sumDf2, sumDf) =
-      if (sets.count() <= SmallCorpusDocs) (0L, 0L) else postingStats(sets)
+      if (corpusCount(docs, -1L) <= SmallCorpusDocs) (0L, 0L)
+      else postingStats(sets)
     if (sumDf2 <= NaivePairBudget)
       overlapPairsFromSets(sets, maxPostings)
         .withColumn("containment",
@@ -462,7 +467,8 @@ object Dedup {
     val sets = graft.engine.Spread(docs).select(col("doc_id"),
       shingleHashes(col("text"), k).as("sh"))
     val (sumDf2, sumDf) =
-      if (sets.count() <= SmallCorpusDocs) (0L, 0L) else postingStats(sets)
+      if (corpusCount(docs, -1L) <= SmallCorpusDocs) (0L, 0L)
+      else postingStats(sets)
     val overlap = if (sumDf2 <= NaivePairBudget)
       overlapPairsFromSets(sets, maxPostings)
         .filter(
