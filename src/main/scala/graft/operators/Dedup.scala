@@ -285,6 +285,14 @@ object Dedup {
     // lshCosinePairs). Cluster regime (sets too big to broadcast):
     // dedup FIRST so the shuffle join never attaches arrays to
     // duplicate candidate rows.
+    // Scale note, measured at zipf10 (500k docs, setBytes 202 MB):
+    // once the broadcast outgrows CPU cache, per-candidate probe cost
+    // rises ~10x (1.7 -> 18 µs/row) while candidate volume stays
+    // linear — raw wall 82 s. The dedup-first alternative was tried
+    // and is WORSE there (143 s): exchanging 330M candidate rows costs
+    // more than the cache misses it saves. Raw streaming is the
+    // measured winner at every broadcastable scale; the constants just
+    // grow once per-probe locality is gone.
     val broadcastable = setBytes <= BroadcastVerifyBytes / 2
     val cands =
       if (broadcastable) candsRaw else candsRaw.dropDuplicates("d1", "d2")
@@ -295,6 +303,28 @@ object Dedup {
         (col("inter").cast("double") / least(col("n1"), col("n2")) >= tauC))
       .select(col("d1"), col("d2"))
     if (broadcastable) verified.dropDuplicates("d1", "d2") else verified
+  }
+
+  /** Diagnostic for CandProbe: per-arm candidate counts of the fused
+    * ensemble index (jaccard self-join arm, containment asymmetric arm,
+    * unique union) — attributes candidate-volume growth to an arm.
+    */
+  private[operators] def ensembleCandStats(docs: DataFrame, tauJ: Double,
+      tauC: Double): (Long, Long, Long) = {
+    val sets = graft.engine.Spread(docs).select(col("doc_id"),
+      shingleHashes(col("text"), 3).as("sh"))
+    val (sumDf2, sumDf) = postingStats(sets)
+    val setBytes = sumDf * 8L
+    System.err.println(s"[candprobe] sumDf2=$sumDf2 sumDf=$sumDf " +
+      s"setBytes=${setBytes / 1024 / 1024}MB " +
+      s"naive=${sumDf2 <= NaivePairBudget} " +
+      s"broadcastVerify=${setBytes <= BroadcastVerifyBytes / 2}")
+    val idx = prefixIndexMulti(sets,
+      Seq("pJ" -> tauJ, "pC" -> tauC), 0)
+    val jac = jaccardCands(idx.perDoc, "pJ")
+    val con = containmentCands(idx.perDoc, "pC")
+    (jac.count(), con.count(),
+      jac.unionByName(con).dropDuplicates("d1", "d2").count())
   }
 
   private[operators] def jaccardPairsFromSetsPrefix(
