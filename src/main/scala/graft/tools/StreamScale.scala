@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale validation for `DocStream.ingestPipeline`: runs the composed
+  * streaming ingest (incremental dedup -> decontaminate -> append-only
+  * pack) over a real corpus split into N day-batches, then recomputes
+  * the same three stages in batch over the union and asserts the
+  * manifests are IDENTICAL — the `DocStreamSpec` equivalence, executed
+  * at benchmark scale instead of the 50-doc spec fixture.
+  *
+  * The spec proves the composition law; this proves the law survives
+  * real data volume (state growth across micro-batches, checkpoint
+  * lineage truncation, shard-offset carry at thousands of bins/shard).
+  *
+  * Usage: StreamScale <sfDir> [days=4] [corpusFrac=0.6]
+  * Prints one JSON line: {"metric":"stream_manifest","rows":N,
+  * "match":true|false,"stream_sec":...,"batch_sec":...}
+  */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StreamScale <sfDir> [days] [corpusFrac]")
+    val sfDir = args(0)
+    val days = if (args.length > 1) args(1).toInt else 4
+    val corpusFrac = if (args.length > 2) args(2).toDouble else 0.6
+    val spark = graft.engine.GraftSession.build("graft-streamscale",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+
+    val docs = graft.engine.Readers
+      .table(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val n = docs.count()
+    val cut = (n * corpusFrac).toLong
+    val corpus0 = docs.filter(col("doc_id") < cut).localCheckpoint(true)
+    // eval set: a slice of the seed corpus, as in the spec — large
+    // enough that decontamination really excises docs at this scale
+    val evalSet = docs.filter(col("doc_id") < math.max(20L, n / 25))
+      .localCheckpoint(true)
+    val perDay = math.max(1L, (n - cut) / days)
+    def day(i: Int): DataFrame = {
+      val lo = cut + i * perDay
+      val hi = if (i == days - 1) n else cut + (i + 1) * perDay
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    }
+    val shards = 8
+    val budget = 4096L
+    val minShared = 20L
+
+    // ---- streaming: `days` micro-batches through ONE composed job ----
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val stream = mem.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val t0 = System.nanoTime()
+    val q = graft.streaming.DocStream.ingestPipeline(stream, corpus0,
+        evalSet, shards = shards, budget = budget,
+        minShared = minShared) { packed =>
+      manifests.synchronized {
+        manifests ++= packed
+          .select("doc_id", "shard", "n_tok", "cum", "bin")
+          .collect().map(_.toSeq)
+      }
+    }
+    (0 until days).foreach { i =>
+      val rows = day(i)
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamSec = (System.nanoTime() - t0) / 1e9
+
+    // ---- batch recomputation: same stages, day-sequential admission ----
+    val t1 = System.nanoTime()
+    var corpusNow = corpus0
+    var admitted: DataFrame = null
+    (0 until days).foreach { i =>
+      val adm = graft.operators.Dedup
+        .incrementalDedup(day(i), corpusNow, minShared = minShared)
+        .localCheckpoint(true)
+      admitted = if (admitted == null) adm else admitted.unionByName(adm)
+      corpusNow = corpusNow.unionByName(adm).localCheckpoint(true)
+    }
+    val flagged = graft.operators.Dedup
+      .contamination(admitted, evalSet, minShared = minShared)
+      .select("doc_id").distinct()
+    val clean = admitted.join(flagged, Seq("doc_id"), "left_anti")
+    val batchManifest = graft.operators.Curation.packShards(clean,
+        col("doc_id"), size(split(col("text"), " ")),
+        shards = shards, budget = budget)
+      .select("doc_id", "shard", "n_tok", "cum", "bin")
+      .collect().map(_.toSeq).toSet
+    val batchSec = (System.nanoTime() - t1) / 1e9
+
+    val streamSet = manifests.toSet
+    val ok = streamSet == batchManifest && batchManifest.nonEmpty
+    if (!ok) {
+      val onlyS = streamSet -- batchManifest
+      val onlyB = batchManifest -- streamSet
+      System.err.println(s"[streamscale] stream-only=${onlyS.size} " +
+        s"batch-only=${onlyB.size} sampleS=${onlyS.take(3)} " +
+        s"sampleB=${onlyB.take(3)}")
+    }
+    def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    spark.stop()
+    println(s"""{"metric":"stream_manifest","rows":${batchManifest.size},""" +
+      s""""days":$days,"match":$ok,"stream_sec":${f1(streamSec)},""" +
+      s""""batch_sec":${f1(batchSec)},"sf":"$sfDir"}""")
+    if (!ok) sys.exit(1)
+  }
+}
