@@ -16,6 +16,10 @@ object Stress {
     if (args.lift(1).contains("-lshsweep")) {
       lshBitsSweep(spark, sfDir); spark.stop(); return
     }
+    if (args.lift(1).contains("-postcap")) {
+      postingCap(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(2000))
+      spark.stop(); return
+    }
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -75,6 +79,33 @@ object Stress {
     * rows per bits setting so the recall/cost trade is explicit.
     * Usage: scripts/run.sh graft.tools.Stress <sfDir> -lshsweep
     */
+  /** Probe of the ubiquitous-shingle cap against a vocabulary-saturated
+    * corpus. MEASURED NEGATIVE RESULT (sf10 driver-shape, 500k docs):
+    * caps of 2000 AND 200 both still exhaust ~70 GB of shuffle disk —
+    * on a corpus whose whole df distribution is elevated (31-word
+    * vocabulary: average char-16-gram df ≈ 5000), even the sub-cap
+    * "rare" grams collectively enumerate ~1e10 candidate pairs
+    * (~1M grams x df² ≈ 1e4). The cap defends against SKEW (a few
+    * ubiquitous shingles on an otherwise sparse corpus); it cannot
+    * rescue uniform saturation, which violates the sparsity premise of
+    * every inverted-index near-dup method. Production path on such
+    * data is the bounded-signature sketch family — minhashPairs
+    * (49.5 s at the same sf10, linear), simhash, or embedding LSH.
+    * Usage: Stress <sfDir> -postcap [cap=2000]
+    */
+  def postingCap(spark: org.apache.spark.sql.SparkSession,
+                 sfDir: String, cap: Int): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    println(s"corpus: ${docs.count()} docs, charJaccardPairs k=16 " +
+      s"tau=0.8 maxPostings=$cap")
+    val t0 = System.nanoTime()
+    val rows = graft.operators.Dedup
+      .charJaccardPairs(docs, tau = 0.8, k = 16, maxPostings = cap)
+      .count()
+    println(f"postcap_chargram       ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+  }
+
   def lshBitsSweep(spark: org.apache.spark.sql.SparkSession,
                    sfDir: String): Unit = {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
