@@ -784,6 +784,23 @@ object SparkEntry {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // ---- SemDeDup: cluster-then-compare semantic dedup — kmeans cells
+    //      bound the pair enumeration, exact quantized cosine verifies,
+    //      components -> min-id canonical ----
+    "q_semantic_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.semanticDedup(
+          t(s, dir, "embeddings"), nlist = 8, iters = 2,
+          tauNum = 4, tauDen = 10)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- per-source quota cap (bounded-heap top-k per domain, never a
+    //      window sort over the hot domain) ----
+    "q_source_quota" -> ((s, dir) => {
+      graft.operators.Curation.sourceQuota(t(s, dir, "documents"), k = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- salted join: hot-key scatter (results identical to the plain
     //      join, which is exactly what the oracle checks) ----
     "q_join_salted" -> ((s, dir) => {
@@ -4515,6 +4532,65 @@ object SparkEntry {
          |WHERE d > 0
          |  AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2
          |ORDER BY v1, v2""".stripMargin,
+
+    // SemDeDup: the kmeans CTE chain (same fragments as q_kmeans) for
+    // the final assignment, within-cluster pairs gated on the exact
+    // quantized cosine (same gate as q_dedup_embedding), recursive
+    // reachability for components, min-id canonical with singleton
+    // fallback
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cent_id, cv AS cent_v FROM q
+         |  ORDER BY vec_id LIMIT 8),
+         |${kmeansIterSql("c0", "a1", "m1", "c1")},
+         |${kmeansIterSql("c1", "a2", "m2", "c2")},
+         |af AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id, q.cv, c2.cent_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${ldotSql("c2.cent_v", "c2.cent_v")}
+         |        - 2 * ${ldotSql("q.cv", "c2.cent_v")} ASC,
+         |        c2.cent_id ASC) AS rk
+         |    FROM q CROSS JOIN c2)
+         |  WHERE rk = 1),
+         |pr AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${ldotSql("a.cv", "b.cv")} AS d,
+         |    ${ldotSql("a.cv", "a.cv")} AS qn1,
+         |    ${ldotSql("b.cv", "b.cv")} AS qn2
+         |  FROM af a JOIN af b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |jp AS (
+         |  SELECT v1, v2 FROM pr
+         |  WHERE d > 0
+         |    AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2),
+         |e AS (SELECT v1 AS a, v2 AS b FROM jp
+         |      UNION ALL SELECT v2 AS a, v1 AS b FROM jp),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT af.vec_id, af.cent_id,
+         |  coalesce(comp.component, af.vec_id) AS canonical
+         |FROM af LEFT JOIN comp ON af.vec_id = comp.node
+         |ORDER BY af.vec_id""".stripMargin,
+
+    // per-source quota: first-k-by-salted-hash per source, with the
+    // per-source hash-order rank
+    "q_source_quota" ->
+      s"""SELECT doc_id, source, lang, rn AS qrank FROM (
+         |  SELECT doc_id, source, lang,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      ${hashSql("CAST(doc_id AS VARCHAR) || ':quota'")}, doc_id)
+         |      AS rn
+         |  FROM documents)
+         |WHERE rn <= 10
+         |ORDER BY doc_id""".stripMargin,
 
     "q_simsearch" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv

@@ -113,6 +113,44 @@ object Curation {
   def cvFold(key: Column, folds: Int, salt: String = "cv"): Column =
     stableHash60(concat(key.cast("string"), lit(":" + salt))) % folds
 
+  /** Per-source quota cap: keep at most `k` documents per source, chosen
+    * by stable hash — a reproducible "random" subset. This is the
+    * per-domain cap of web-crawl curation: no single domain (template
+    * farm, mirror network) may contribute more than `k` documents to
+    * the training mix, however large its crawl footprint.
+    *
+    * Scale shape: selection is a bounded-heap aggregation
+    * ([[graft.plans.TopKPairsAgg]] — map-side k-heap per source, at most
+    * k (hash, id) pairs per source per task cross the shuffle), NOT a
+    * row_number window. The window form must shuffle-and-SORT every row
+    * of the hottest domain (exactly the domain the cap exists for); the
+    * aggregator form's shuffle is k rows per source per task regardless
+    * of skew. Winners (≤ k·|sources| rows) broadcast back onto the
+    * corpus, which streams through one map-side join.
+    *
+    * Returns the kept documents with their 1-based per-source rank in
+    * hash order (`qrank` — stable, so re-running with a larger k only
+    * ever ADDS rows).
+    */
+  def sourceQuota(docs: DataFrame, k: Int,
+                  sourceCol: String = "source"): DataFrame = {
+    require(k > 0, s"quota k=$k must be positive")
+    // negate: TopKPairsAgg keeps (score desc, id asc) = (hash asc, id
+    // asc) — the "first k by hash order" rule (hash60 < 2^60, no
+    // overflow). The salt decorrelates from every other doc_id-hash
+    // split in the pipeline, same rule as cvFold.
+    val h = stableHash60(concat(col("doc_id").cast("string"), lit(":quota")))
+    val winners = graft.engine.Spread(docs)
+      .select(col(sourceCol), col("doc_id"), (-h).as("negh"))
+      .groupBy(col(sourceCol))
+      .agg(graft.plans.TopKPairsAgg(col("negh"), col("doc_id"), k,
+        distinctIds = false).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").as("doc_id"), (col("pos") + 1).cast("long").as("qrank"))
+    docs.join(broadcast(winners), Seq("doc_id"))
+      .select(col("doc_id"), col(sourceCol), col("lang"), col("qrank"))
+  }
+
   /** Equal-count binning (exact ntile semantics) without a global
     * window: global rank = per-value rank (window PARTITIONED by the
     * value — parallel) + the value's cumulative offset (computed on the

@@ -1266,6 +1266,58 @@ object Dedup {
       .select(col("blk"), col("v1"), col("v2"))
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-compare; Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): partition the embedding space with the
+    * deterministic k-means of [[Similarity.trainCentroids]], enumerate
+    * candidate pairs ONLY within a cluster, gate on exact quantized
+    * cosine >= tauNum/tauDen, close over connected components, and
+    * return every vector with its cluster and canonical (min-id)
+    * representative.
+    *
+    * Scale shape: centroids broadcast (nlist rows); assignment is a
+    * broadcast nested-loop over nlist candidates folded by a
+    * struct-min aggregation (one shuffle keyed by vec_id, no window
+    * sort); the only quadratic term is the within-cluster pair join,
+    * bounded by the largest cluster — nlist is the production knob and
+    * grows with the corpus exactly like autoBits
+    * (nlist ≈ n / targetCluster). The corpus is never all-pairs joined.
+    * The assignment is localCheckpointed because three consumers (both
+    * pair sides + the final projection) would otherwise re-run the
+    * centroid scan.
+    */
+  def semanticDedup(embs: DataFrame, nlist: Int = 8, iters: Int = 2,
+                    tauNum: Int = 4, tauDen: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.quantize
+    import graft.plans.LongArrayDot
+    val cents = Similarity.trainCentroids(embs, nlist, iters)
+    // argmin |c|^2 - 2<v,c>, ties to the lower cent_id — identical to
+    // the trainCentroids assignment rule, as a struct-min aggregation
+    // (every row of a vec_id group carries the same embedding, so
+    // first() is deterministic here)
+    val assigned = graft.engine.Spread(embs)
+      .select(col("vec_id").as("vid"), col("embedding"),
+        quantize(col("embedding")).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2c",
+        LongArrayDot(col("cent_v"), col("cent_v")) -
+          lit(2L) * LongArrayDot(col("cv"), col("cent_v")))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("dist2c"), col("cent_id"))).as("mc"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vid").as("vec_id"), col("embedding"),
+        col("mc.cent_id").as("cent_id"))
+      .localCheckpoint(true)
+    val pairs = embeddingPairs(assigned, tauNum, tauDen,
+      blockCol = "cent_id")
+    val comp = connectedComponents(
+      pairs.select(col("v1").as("d1"), col("v2").as("d2")))
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("component"), col("vec_id")).as("canonical"))
+  }
+
   // ------------------------------------------------------------------
   // Exact substring (token-span) dedup — the "50-token overlap" family
   // ------------------------------------------------------------------

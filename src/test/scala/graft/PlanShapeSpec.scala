@@ -259,4 +259,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert("Exchange".r.findAllIn(p).size <= 3, p)
   }
+
+  test("q_source_quota: per-source cap is a two-phase bounded-heap " +
+       "aggregation (map-side topk_pairs), never a window sort of the " +
+       "hot domain; winners broadcast back") {
+    val p = plan("q_source_quota")
+    assert(p.contains("partial_topk_pairs"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)  // no row_number fallback
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_semantic_dedup: the canonical map returns via broadcast " +
+       "outer join — the corpus-sized side is never sort-merge joined") {
+    val p = plan("q_semantic_dedup")
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -140,4 +140,36 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("skew") ==
         math.abs(r.getAs[Long]("n_a") - r.getAs[Long]("n_b")))
   }
+
+  // skewed corpus: source s0 has 50 docs, s1 has 7, s2 has 2
+  private def quotaDocs = (0 until 59).map { i =>
+    val src = if (i < 50) "s0" else if (i < 57) "s1" else "s2"
+    (i.toLong, src, "en")
+  }.toDF("doc_id", "source", "lang")
+
+  test("sourceQuota caps each source at k, keeps short sources whole, " +
+       "and ranks 1..kept within each source") {
+    val out = Curation.sourceQuota(quotaDocs, k = 5).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("s0").length == 5)   // capped
+    assert(bySrc("s1").length == 5)   // capped
+    assert(bySrc("s2").length == 2)   // whole (under quota)
+    for ((_, rows) <- bySrc)
+      assert(rows.map(_.getAs[Long]("qrank")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+  }
+
+  test("sourceQuota is deterministic, repartition-invariant, and " +
+       "monotone in k (smaller quota's picks nest inside larger)") {
+    def picks(df: org.apache.spark.sql.DataFrame, k: Int): Set[Long] =
+      Curation.sourceQuota(df, k).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val base = picks(quotaDocs, 5)
+    assert(picks(quotaDocs.repartition(13), 5) == base)
+    val wider = picks(quotaDocs, 9)
+    assert(base.subsetOf(wider))
+    // and the selection is by the salted hash order, not doc_id order:
+    // s0's keeps are NOT simply ids 0..4
+    assert(base.intersect((0L until 50L).toSet) != (0L until 5L).toSet)
+  }
 }

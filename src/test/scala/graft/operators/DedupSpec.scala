@@ -346,4 +346,61 @@ class DedupSpec extends SparkSpec {
     val cosines = checked.select("cos").as[Double].collect()
     assert(cosines.forall(_ >= 0.3999))
   }
+
+  // two orthogonal directions; v0/v1/v2 near-identical, v3/v4
+  // near-identical, v5 in-between-but-below-gate for neither... v5 is
+  // aligned with the first group but scaled (cosine is scale-free, so
+  // it IS a near-dup of v0-v2)
+  private def semVecs = Seq(
+    (0L, Array(1000f, 0f, 0f, 0f)),
+    (1L, Array(999f, 10f, 0f, 0f)),
+    (2L, Array(998f, 0f, 12f, 0f)),
+    (3L, Array(0f, 1000f, 0f, 0f)),
+    (4L, Array(0f, 997f, 0f, 9f)),
+    (5L, Array(500f, 0f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("semanticDedup: one row per vector, min-id canonicals, " +
+       "orthogonal directions never merge") {
+    val out = Dedup.semanticDedup(semVecs, nlist = 2, iters = 2,
+      tauNum = 9, tauDen = 10).collect()
+    assert(out.length == 6)
+    val canon = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("canonical")).toMap
+    assert(canon.forall { case (v, c) => c <= v })
+    // the two direction groups must not share a canonical
+    val g1 = Set(0L, 1L, 2L, 5L).map(canon)
+    val g2 = Set(3L, 4L).map(canon)
+    assert(g1.intersect(g2).isEmpty)
+    // v3/v4 are same-direction: cos ~ 1 > 0.9 — if they share a
+    // cluster they must share a canonical (min id 3)
+    val cents = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    if (cents(3L) == cents(4L)) assert(canon(3L) == 3L && canon(4L) == 3L)
+  }
+
+  test("semanticDedup with nlist=1 equals the unblocked exact dedup " +
+       "graph (clustering only ever REMOVES candidate pairs)") {
+    val sem = Dedup.semanticDedup(semVecs, nlist = 1, iters = 1,
+        tauNum = 9, tauDen = 10)
+      .select("vec_id", "canonical").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: single-block embeddingPairs -> cc -> min-id
+    val full = Dedup.embeddingPairs(
+      semVecs.withColumn("label", lit(1L)), tauNum = 9, tauDen = 10)
+    val comp = Dedup.connectedComponents(
+        full.select(col("v1").as("d1"), col("v2").as("d2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L to 5L).map(v => v -> comp.getOrElse(v, v)).toMap
+    assert(sem == want)
+  }
+
+  test("semanticDedup is repartition-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.semanticDedup(df, nlist = 2, iters = 2,
+          tauNum = 9, tauDen = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(run(semVecs) == run(semVecs.repartition(7)))
+  }
 }
