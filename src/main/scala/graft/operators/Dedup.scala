@@ -1279,18 +1279,35 @@ object Dedup {
     * broadcast nested-loop over nlist candidates folded by a
     * struct-min aggregation (one shuffle keyed by vec_id, no window
     * sort); the only quadratic term is the within-cluster pair join,
-    * bounded by the largest cluster — nlist is the production knob and
-    * grows with the corpus exactly like autoBits
-    * (nlist ≈ n / targetCluster). The corpus is never all-pairs joined.
-    * The assignment is localCheckpointed because three consumers (both
-    * pair sides + the final projection) would otherwise re-run the
-    * centroid scan.
+    * bounded by the largest cluster. The corpus is never all-pairs
+    * joined. The assignment is localCheckpointed because three
+    * consumers (both pair sides + the final projection) would
+    * otherwise re-run the centroid scan.
+    *
+    * `nlist` is the production knob and MUST grow with the corpus —
+    * the autoBits lesson replayed: at a FIXED nlist the in-cell pair
+    * term is ~n²/nlist (measured: 6.8 s at 20k vectors -> 418 s at
+    * 200k with nlist=8, PLANS.md r8). `nlist = 0` (the default)
+    * corpus-sizes it to ceil(sqrt(n)): assignment work is n·nlist
+    * dots and in-cell pair work ~n²/nlist gates, so sqrt(n) equalizes
+    * the two at n^1.5 — the balanced single-level quantizer (a fixed
+    * targetCluster = n/nlist would make the pair stage linear but the
+    * ASSIGNMENT quadratic instead). Past ~10^9 vectors the next step
+    * is a two-level (coarse x fine) quantizer cutting assignment to
+    * n·sqrt(nlist); not needed at any measured scale (sqrt caps the
+    * broadcast at ~16 MB even for 10^9 vectors).
     */
-  def semanticDedup(embs: DataFrame, nlist: Int = 8, iters: Int = 2,
-                    tauNum: Int = 4, tauDen: Int = 10): DataFrame = {
+  def semanticDedup(embs: DataFrame, nlist: Int = 0, iters: Int = 2,
+                    tauNum: Int = 4, tauDen: Int = 10,
+                    n: Long = -1L): DataFrame = {
     import graft.functions.VectorFunctions.quantize
     import graft.plans.LongArrayDot
-    val cents = Similarity.trainCentroids(embs, nlist, iters)
+    require(nlist >= 0, s"nlist=$nlist must be >= 0 (0 = corpus-sized)")
+    val sizedNlist =
+      if (nlist > 0) nlist
+      else math.max(1L, math.ceil(math.sqrt(
+        corpusCount(embs, n).toDouble)).toLong).toInt
+    val cents = Similarity.trainCentroids(embs, sizedNlist, iters)
     // argmin |c|^2 - 2<v,c>, ties to the lower cent_id — identical to
     // the trainCentroids assignment rule, as a struct-min aggregation
     // (every row of a vec_id group carries the same embedding, so

@@ -79,6 +79,16 @@ object Similarity {
       .select(col("vec_id").as("cent_id"),
         quantize(col("embedding")).as("cent_v"))
     for (_ <- 0 until iters) {
+      // argmin ties to the lower cent_id. The row_number window is the
+      // MEASURED winner for this assignment, not an oversight: at 200k
+      // vectors × 448 centroids (sf10, PLANS.md r8) the n×nlist
+      // distance stream through a per-vector sort beats every
+      // aggregation rewrite tried — min(struct) carrying the vector
+      // 2.2x slower (array in the agg buffer), the lean split
+      // (aggregate (dist2c, cent_id) only + n-row join back) 2.1x,
+      // even with the ObjectHashAggregate sort-fallback threshold
+      // raised (1.6x). The codegen'd sort of 24-byte rows outruns
+      // object-agg per-row overhead at every measured scale.
       val wAssign = Window.partitionBy(col("cid"))
         .orderBy(col("dist2c").asc, col("cent_id"))
       val assigned = qcorpus.crossJoin(broadcast(cents))

@@ -20,6 +20,10 @@ object Stress {
       postingCap(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(2000))
       spark.stop(); return
     }
+    if (args.lift(1).contains("-semdedup")) {
+      semDedup(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(0))
+      spark.stop(); return
+    }
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -104,6 +108,32 @@ object Stress {
       .charJaccardPairs(docs, tau = 0.8, k = 16, maxPostings = cap)
       .count()
     println(f"postcap_chargram       ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+  }
+
+  /** SemDeDup at scale with the corpus-sized nlist (0 = auto =
+    * ceil(sqrt(n))) — the measurement behind the auto default: a FIXED
+    * nlist leaves an ~n²/nlist in-cell pair term (418 s at 200k
+    * vectors with nlist=8 vs auto, PLANS.md r8).
+    * Usage: Stress <sfDir> -semdedup [nlist=0]
+    */
+  def semDedup(spark: org.apache.spark.sql.SparkSession,
+               sfDir: String, nlist: Int): Unit = {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .localCheckpoint(true)
+    val n = embs.count()
+    val resolved = if (nlist > 0) nlist
+      else math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    println(s"vectors: $n  nlist=$resolved" +
+      (if (nlist == 0) " (auto)" else ""))
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val out = graft.operators.Dedup
+        .semanticDedup(embs, nlist = nlist, n = n)
+      val rows = out.count()
+      val merged = out.filter(col("canonical") =!= col("vec_id")).count()
+      println(f"semdedup rep$rep         ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  ($rows rows, $merged merged)")
+    }
   }
 
   def lshBitsSweep(spark: org.apache.spark.sql.SparkSession,

@@ -403,4 +403,24 @@ class DedupSpec extends SparkSpec {
         .toSet
     assert(run(semVecs) == run(semVecs.repartition(7)))
   }
+
+  test("semanticDedup nlist=0 corpus-sizes to ceil(sqrt(n)) — " +
+       "identical to the explicit call, and the hint skips the count") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // 6 vectors -> ceil(sqrt(6)) = 3 cells
+    val auto = rows(Dedup.semanticDedup(semVecs, iters = 2,
+      tauNum = 9, tauDen = 10))
+    val explicit = rows(Dedup.semanticDedup(semVecs, nlist = 3, iters = 2,
+      tauNum = 9, tauDen = 10))
+    assert(auto == explicit)
+    // a (wrong) hint must win over the real count: proves the count job
+    // is skipped when the caller threads one through
+    val hinted = rows(Dedup.semanticDedup(semVecs, iters = 2,
+      tauNum = 9, tauDen = 10, n = 4L))  // ceil(sqrt(4)) = 2
+    val explicit2 = rows(Dedup.semanticDedup(semVecs, nlist = 2, iters = 2,
+      tauNum = 9, tauDen = 10))
+    assert(hinted == explicit2)
+  }
 }
