@@ -1063,6 +1063,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- blocklist screen (the C4 "badwords" filter): ONE
+    //      Aho–Corasick pass per document counts every overlapping
+    //      occurrence of every blocklisted substring — one scan
+    //      regardless of list size, vs a contains() per pattern ----
+    "q_blocklist" -> ((s, dir) => {
+      graft.operators.TextAnalysis.blocklistScreen(
+          t(s, dir, "documents"),
+          patterns = Seq("dup", "slow", "low", "scan batch"), maxHits = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: document fingerprinting (rolling hash) ----
     "q_fingerprint" -> ((s, dir) => {
       graft.operators.TextAnalysis.fingerprints(t(s, dir, "documents"))
@@ -5013,6 +5024,26 @@ object SparkEntry {
         |      t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE)
         |    / greatest(len(ts), 1) AS stopword_ratio
         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // blocklist: per-pattern OVERLAPPING occurrence counts (the
+    // Aho–Corasick semantics — replace()-based counting would miss
+    // overlaps), summed across the 4-pattern list
+    "q_blocklist" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(
+        |    len(list_filter(range(1, length(text) - 1),
+        |        i -> substr(text, i, 3) = 'dup'))
+        |    + len(list_filter(range(1, length(text) - 2),
+        |        i -> substr(text, i, 4) = 'slow'))
+        |    + len(list_filter(range(1, length(text) - 1),
+        |        i -> substr(text, i, 3) = 'low'))
+        |    + len(list_filter(range(1, length(text) - 8),
+        |        i -> substr(text, i, 10) = 'scan batch'))
+        |    AS BIGINT) AS n_hits
+        |  FROM documents)
+        |SELECT doc_id, n_hits,
+        |  CASE WHEN n_hits <= 2 THEN 1 ELSE 0 END AS keep
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       s"""$shingleCte

@@ -264,6 +264,20 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1))).as("stopword_ratio"))
   }
 
+  /** Blocklist screen (the C4-style "badwords" filter): per-document
+    * count of blocklisted substring occurrences — all patterns,
+    * overlapping included, in ONE Aho–Corasick pass per document
+    * ([[graft.plans.MultiPatternCount]]) — plus the keep flag at
+    * `maxHits`. One pass regardless of list size, vs one contains/rlike
+    * scan per pattern; narrow map, no shuffle — scan-rate at 100 TB.
+    */
+  def blocklistScreen(docs: DataFrame, patterns: Seq[String],
+                      maxHits: Long = 0L): DataFrame =
+    graft.engine.Spread(docs).select(col("doc_id"),
+        graft.plans.MultiPatternCount(col("text"), patterns).as("n_hits"))
+      .withColumn("keep",
+        when(col("n_hits") <= maxHits, 1).otherwise(0))
+
   /** Fixed-weight logistic quality scorer — the batch-INFERENCE shape of
     * model-based corpus filtering (the fastText-quality-classifier
     * stand-in): score = sigmoid(bias + sum w_i * feature_i) over the

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordShingleHashesDescriptor)
     ext.injectFunction(GraftExtensions.sortedIntersectDescriptor)
     ext.injectFunction(GraftExtensions.qcosineGateDescriptor)
+    ext.injectFunction(GraftExtensions.multiPatternCountDescriptor)
   }
 }
 
@@ -115,12 +116,47 @@ object GraftExtensions {
         intLit(children(5), "qcosine_gate tauDen"))
     })
 
+  private[plans] val multiPatternCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("multi_pattern_count"),
+    new ExpressionInfo(classOf[MultiPatternCount].getName,
+      "multi_pattern_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"multi_pattern_count takes (text, array('p1', ...)), " +
+          s"got ${children.length} args")
+      // patterns must be a literal string array: the automaton is built
+      // at plan time, not per row
+      import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+      import org.apache.spark.unsafe.types.UTF8String
+      val patterns = children(1) match {
+        case CreateArray(elems, _) => elems.map {
+          case Literal(s: UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"multi_pattern_count patterns must be STRING literals, got $other")
+        }
+        case lit @ Literal(_, _) =>
+          lit.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              (0 until a.numElements())
+                .map(i => a.getUTF8String(i).toString)
+            case other => throw new IllegalArgumentException(
+              s"multi_pattern_count patterns must be an ARRAY<STRING> " +
+                s"literal, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"multi_pattern_count patterns must be an ARRAY<STRING> " +
+            s"literal, got $other")
+      }
+      MultiPatternCount(children.head, patterns)
+    })
+
   /** Register on an existing session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     for ((id, _, builder) <- Seq(longArrayDotDescriptor,
         rollingShingleHashesDescriptor, quantizeFloatsDescriptor,
         wordShingleHashesDescriptor, sortedIntersectDescriptor,
-        qcosineGateDescriptor))
+        qcosineGateDescriptor, multiPatternCountDescriptor))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
   }
