@@ -49,6 +49,11 @@ object Spread {
     *     exactly the small-file single-row-group case Spread exists for).
     */
   def apply(df: DataFrame, minBytes: Long = MinBytes): DataFrame = {
+    // streaming frames pass through: probing optimizedPlan would trip the
+    // batch-only analysis check, and micro-batch parallelism is governed
+    // by the source trigger options, not scan-task byte sizing. Narrow
+    // operators built on Spread therefore compose on streams unchanged.
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val plan = df.queryExecution.optimizedPlan

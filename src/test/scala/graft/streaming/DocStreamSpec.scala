@@ -33,6 +33,28 @@ class DocStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("blocklistScreen composes on a stream unchanged (narrow map — " +
+       "no foreachBatch needed) and equals the batch result") {
+    val pats = Seq("dup", "slow", "low", "scan batch")
+    val screened = graft.operators.TextAnalysis.blocklistScreen(
+      DocStream.readDocuments(spark, sf()), pats, maxHits = 2L)
+    assert(screened.isStreaming, "the narrow map must stay a stream")
+    val q = screened.writeStream.format("memory")
+      .queryName("bl_stream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bl_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    val want = graft.operators.TextAnalysis.blocklistScreen(
+        spark.read.parquet(sf() + "/documents.parquet"), pats, maxHits = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    assert(want.exists(_._3 == 0) && want.exists(_._3 == 1),
+      "fixture must exercise both keep outcomes")
+    assert(got == want)
+  }
+
   test("foreachBatch span excision == batch exciseSeenSpans") {
     // l=3 so chance trigram matches over the 31-word vocabulary
     // guarantee real excisions at this tiny SF (no constructed dups
