@@ -1309,9 +1309,16 @@ object Dedup {
         corpusCount(embs, n).toDouble)).toLong).toInt
     val cents = Similarity.trainCentroids(embs, sizedNlist, iters)
     // argmin |c|^2 - 2<v,c>, ties to the lower cent_id — identical to
-    // the trainCentroids assignment rule, as a struct-min aggregation
-    // (every row of a vec_id group carries the same embedding, so
-    // first() is deterministic here)
+    // the trainCentroids assignment rule, as a struct-min aggregation.
+    // The OPPOSITE choice from the training loop's row_number window,
+    // and both are measured (PLANS.md r8): here every candidate row
+    // carries the embedding payload, and the aggregation's map-side
+    // partial collapse reduces the n×nlist stream to n rows BEFORE the
+    // exchange, where the window form must exchange-and-sort all
+    // n×nlist payload-bearing rows (239 s vs 120-143 s at sf10).
+    // Training rows are narrower and there the codegen'd sort wins.
+    // first() is deterministic: every row of a vid group carries the
+    // same embedding.
     val assigned = graft.engine.Spread(embs)
       .select(col("vec_id").as("vid"), col("embedding"),
         quantize(col("embedding")).as("cv"))
@@ -1325,6 +1332,15 @@ object Dedup {
       .select(col("vid").as("vec_id"), col("embedding"),
         col("mc.cent_id").as("cent_id"))
       .localCheckpoint(true)
+    semanticTail(assigned, tauNum, tauDen)
+  }
+
+  /** Shared pair/cluster/canonical tail of the semantic-dedup family:
+    * within-cell exact-cosine pairs -> connected components -> min-id
+    * canonical per vector.
+    */
+  private def semanticTail(assigned: DataFrame, tauNum: Int,
+                           tauDen: Int): DataFrame = {
     val pairs = embeddingPairs(assigned, tauNum, tauDen,
       blockCol = "cent_id")
     val comp = connectedComponents(
@@ -1333,6 +1349,145 @@ object Dedup {
       .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cent_id"),
         coalesce(col("component"), col("vec_id")).as("canonical"))
+  }
+
+  /** The documented next scale step of [[semanticDedup]]: two-level
+    * (coarse x fine) assignment plus sampled centroid training, cutting
+    * the n·nlist assignment and the iters·n·nlist training terms that
+    * make single-level SemDeDup n^1.5.
+    *
+    *   - fine centroids train on a DETERMINISTIC sample of
+    *     min(n, sampleFactor·nlist) vectors (lowest salted stable hash
+    *     of vec_id — the standard faiss practice of training the
+    *     quantizer on a corpus sample): train cost drops from
+    *     iters·n·nlist to iters·sampleFactor·nlist².
+    *   - the nlist fine centroids are grouped into kCoarse =
+    *     ceil(sqrt(nlist)) super-clusters by a driver-side Lloyd pass
+    *     (nlist rows of dim longs — bounded like the union-find edge
+    *     collect, a few MB even at 10^9 vectors where nlist ≈ 31k);
+    *   - every vector picks its nearest COARSE centroid (n·kCoarse
+    *     dots), then its nearest fine centroid WITHIN that coarse
+    *     group via a broadcast join on coarse_id (n·nlist/kCoarse
+    *     rows) — total assignment ~2·n·sqrt(nlist) = O(n^1.25) when
+    *     nlist = sqrt(n), vs O(n^1.5) single-level.
+    *
+    * APPROXIMATE by design: a vector whose true nearest fine centroid
+    * sits in a non-probed coarse group lands in a neighbor cell, so
+    * some cross-cell near-dup pairs are missed — the IVF recall
+    * trade-off. `nprobe` (default 2) is the standard buy-back knob:
+    * each vector's fine argmin runs over the fine centroids of its
+    * `nprobe` nearest coarse groups (a bounded-heap TopKPairsAgg pick,
+    * cost ~nprobe·n·nlist/kCoarse — still O(n^1.25)). nprobe =
+    * kCoarse, or kCoarse = 1, makes the fine argmin exact and the
+    * output equals [[semanticDedup]] on the same centroids
+    * (spec-locked). Deterministic: sampling, training, the driver
+    * Lloyd, and both picks are all integer/hash arithmetic with fixed
+    * tie-breaks.
+    */
+  def semanticDedupTwoLevel(embs: DataFrame, nlist: Int = 0,
+                            iters: Int = 2, tauNum: Int = 4,
+                            tauDen: Int = 10, n: Long = -1L,
+                            kCoarse: Int = 0, nprobe: Int = 2,
+                            sampleFactor: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.quantize
+    import graft.functions.StableHash.stableHash60
+    import graft.plans.LongArrayDot
+    val spark = embs.sparkSession
+    require(nlist >= 0 && kCoarse >= 0 && sampleFactor >= 1 && nprobe >= 1)
+    val nRows = corpusCount(embs, n)
+    val sizedNlist =
+      if (nlist > 0) nlist
+      else math.max(1L, math.ceil(math.sqrt(nRows.toDouble)).toLong).toInt
+    val m = math.min(nRows, sampleFactor.toLong * sizedNlist)
+    // deterministic training sample: lowest salted hash of vec_id (the
+    // salt decorrelates from every other doc/vec-hash split, the cvFold
+    // rule); TakeOrdered keeps m rows — executor-sized for any real
+    // sampleFactor — and the checkpoint stops trainCentroids' per-iter
+    // jobs from re-running the top-m selection
+    val sample =
+      if (m >= nRows) embs
+      else embs.orderBy(
+          stableHash60(concat(col("vec_id").cast("string"),
+            lit(":semsample"))).asc, col("vec_id"))
+        .limit(m.toInt).localCheckpoint(true)
+    val cents = Similarity.trainCentroids(sample, sizedNlist, iters)
+    val fineRows = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    if (fineRows.isEmpty)
+      return embs.select(col("vec_id"), lit(0L).as("cent_id"),
+        col("vec_id").as("canonical")).where(lit(false))
+    val kC = math.min(fineRows.length,
+      if (kCoarse > 0) kCoarse
+      else math.max(1L, math.ceil(math.sqrt(fineRows.length.toDouble)).toLong).toInt)
+    // driver Lloyd over the fine centroids: same rules as trainCentroids
+    // (init = lowest ids, argmin ties to lower id, truncating integer
+    // mean, empty groups keep their centroid)
+    val dim = fineRows.head._2.length
+    def argmin(v: Array[Long], cs: Array[Array[Long]]): Int = {
+      var best = 0; var bestD = Long.MaxValue
+      var j = 0
+      while (j < cs.length) {
+        var cc = 0L; var vc = 0L; var i = 0
+        while (i < dim) { cc += cs(j)(i) * cs(j)(i); vc += v(i) * cs(j)(i); i += 1 }
+        val d = cc - 2L * vc
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
+    var coarse = fineRows.take(kC).map(_._2)
+    for (_ <- 0 until iters) {
+      val groups = fineRows.groupBy { case (_, v) => argmin(v, coarse) }
+      coarse = coarse.zipWithIndex.map { case (prev, j) =>
+        groups.get(j) match {
+          case Some(members) =>
+            Array.tabulate(dim) { i =>
+              val s = members.map(_._2(i)).sum
+              (s.toDouble / members.length).toLong
+            }
+          case None => prev
+        }
+      }
+    }
+    val fineToCoarse = fineRows.map { case (id, v) =>
+      (id, v.toSeq, argmin(v, coarse).toLong) }
+    import spark.implicits._
+    val fineDf = fineToCoarse.toSeq
+      .toDF("fine_id", "fine_v", "coarse_id")
+    val coarseDf = coarse.zipWithIndex.toSeq
+      .map { case (v, j) => (j.toLong, v.toSeq) }.toDF("coarse_id", "coarse_v")
+    // both picks are bounded aggregations, not windows: the rows carry
+    // the embedding + quantized payloads, so the map-side partial
+    // collapse (n×k stream -> n rows before any exchange) is the
+    // measured winner exactly as in semanticDedup's final assignment.
+    // The coarse pick keeps the nprobe best groups via the same
+    // bounded-heap aggregator as sourceQuota ((-dist desc, id asc) ==
+    // (dist asc, id asc), the argmin tie rule).
+    val assigned = graft.engine.Spread(embs)
+      .select(col("vec_id").as("vid"), col("embedding"),
+        quantize(col("embedding")).as("cv"))
+      .crossJoin(broadcast(coarseDf))
+      .withColumn("dist2c",
+        LongArrayDot(col("coarse_v"), col("coarse_v")) -
+          lit(2L) * LongArrayDot(col("cv"), col("coarse_v")))
+      .groupBy(col("vid"))
+      .agg(graft.plans.TopKPairsAgg(-col("dist2c"), col("coarse_id"),
+          math.min(nprobe, kC), distinctIds = false).as("top"),
+        first(col("embedding")).as("embedding"), first(col("cv")).as("cv"))
+      .select(col("vid"), col("embedding"), col("cv"),
+        explode(col("top.id")).as("coarse_id"))
+      .join(broadcast(fineDf), Seq("coarse_id"))
+      .withColumn("dist2f",
+        LongArrayDot(col("fine_v"), col("fine_v")) -
+          lit(2L) * LongArrayDot(col("cv"), col("fine_v")))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("dist2f"), col("fine_id"))).as("mf"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vid").as("vec_id"), col("embedding"),
+        col("mf.fine_id").as("cent_id"))
+      .localCheckpoint(true)
+    semanticTail(assigned, tauNum, tauDen)
   }
 
   // ------------------------------------------------------------------

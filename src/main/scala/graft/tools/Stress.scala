@@ -24,6 +24,10 @@ object Stress {
       semDedup(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(0))
       spark.stop(); return
     }
+    if (args.lift(1).contains("-semdedup2")) {
+      semDedup2(spark, sfDir)
+      spark.stop(); return
+    }
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -134,6 +138,36 @@ object Stress {
       println(f"semdedup rep$rep         ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  ($rows rows, $merged merged)")
     }
+  }
+
+  /** Two-level (coarse x fine) SemDeDup vs the single-level operator on
+    * the same corpus: wall time, merged counts (recall proxy — single-
+    * level is the exact-within-cell reference), and canonical-map
+    * agreement. Usage: Stress <sfDir> -semdedup2
+    */
+  def semDedup2(spark: org.apache.spark.sql.SparkSession,
+                sfDir: String): Unit = {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .localCheckpoint(true)
+    val n = embs.count()
+    println(s"vectors: $n")
+    def run(name: String)(f: => org.apache.spark.sql.DataFrame): Long = {
+      var merged = 0L
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val out = f.localCheckpoint(true)
+        merged = out.filter(col("canonical") =!= col("vec_id")).count()
+        println(f"$name rep$rep      ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+          f"  ($merged merged)")
+      }
+      merged
+    }
+    val m1 = run("single-level")(
+      graft.operators.Dedup.semanticDedup(embs, n = n))
+    val m2 = run("two-level   ")(
+      graft.operators.Dedup.semanticDedupTwoLevel(embs, n = n))
+    println(f"two-level merge recall vs single-level: " +
+      f"${m2.toDouble / math.max(m1, 1)}%.4f")
   }
 
   def lshBitsSweep(spark: org.apache.spark.sql.SparkSession,

@@ -404,6 +404,36 @@ class DedupSpec extends SparkSpec {
     assert(run(semVecs) == run(semVecs.repartition(7)))
   }
 
+  test("semanticDedupTwoLevel with kCoarse=1 and a full-corpus sample " +
+       "equals semanticDedup exactly (the approximation vanishes)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val single = rows(Dedup.semanticDedup(semVecs, nlist = 3, iters = 2,
+      tauNum = 9, tauDen = 10))
+    val two = rows(Dedup.semanticDedupTwoLevel(semVecs, nlist = 3,
+      iters = 2, tauNum = 9, tauDen = 10, kCoarse = 1,
+      sampleFactor = 100))
+    assert(two == single)
+  }
+
+  test("semanticDedupTwoLevel: deterministic, repartition-invariant, " +
+       "orthogonal directions never merge at kCoarse=2") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.semanticDedupTwoLevel(df, nlist = 3, iters = 2,
+          tauNum = 9, tauDen = 10, kCoarse = 2, sampleFactor = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val a = run(semVecs)
+    assert(a == run(semVecs))
+    assert(a == run(semVecs.repartition(7)))
+    val canon = a.map(t => t._1 -> t._3).toMap
+    assert(canon.forall { case (v, c) => c <= v })
+    val g1 = Set(0L, 1L, 2L, 5L).map(canon)
+    val g2 = Set(3L, 4L).map(canon)
+    assert(g1.intersect(g2).isEmpty)
+  }
+
   test("semanticDedup nlist=0 corpus-sizes to ceil(sqrt(n)) — " +
        "identical to the explicit call, and the hint skips the count") {
     def rows(df: org.apache.spark.sql.DataFrame) =
