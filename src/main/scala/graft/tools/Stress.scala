@@ -25,7 +25,11 @@ object Stress {
       spark.stop(); return
     }
     if (args.lift(1).contains("-semdedup2")) {
-      semDedup2(spark, sfDir)
+      semDedup2(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(2))
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("-blocklist")) {
+      blocklist(spark, sfDir)
       spark.stop(); return
     }
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
@@ -146,11 +150,11 @@ object Stress {
     * agreement. Usage: Stress <sfDir> -semdedup2
     */
   def semDedup2(spark: org.apache.spark.sql.SparkSession,
-                sfDir: String): Unit = {
+                sfDir: String, nprobe: Int = 2): Unit = {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .localCheckpoint(true)
     val n = embs.count()
-    println(s"vectors: $n")
+    println(s"vectors: $n  nprobe=$nprobe")
     def run(name: String)(f: => org.apache.spark.sql.DataFrame): Long = {
       var merged = 0L
       for (rep <- 1 to 2) {
@@ -165,9 +169,28 @@ object Stress {
     val m1 = run("single-level")(
       graft.operators.Dedup.semanticDedup(embs, n = n))
     val m2 = run("two-level   ")(
-      graft.operators.Dedup.semanticDedupTwoLevel(embs, n = n))
+      graft.operators.Dedup.semanticDedupTwoLevel(embs, n = n,
+        nprobe = nprobe))
     println(f"two-level merge recall vs single-level: " +
       f"${m2.toDouble / math.max(m1, 1)}%.4f")
+  }
+
+  /** Blocklist screen wall time at scale — a narrow codegen'd map, so
+    * the expectation is scan-rate. Usage: Stress <sfDir> -blocklist
+    */
+  def blocklist(spark: org.apache.spark.sql.SparkSession,
+                sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .localCheckpoint(true)
+    println(s"docs: ${docs.count()}")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val kept = graft.operators.TextAnalysis.blocklistScreen(docs,
+          Seq("dup", "slow", "low", "scan batch"), maxHits = 2L)
+        .filter(col("keep") === 1).count()
+      println(f"blocklist rep$rep        ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  ($kept kept)")
+    }
   }
 
   def lshBitsSweep(spark: org.apache.spark.sql.SparkSession,
