@@ -45,7 +45,11 @@ class DeterminismSpec extends SparkSpec {
     "q_approx_percentile", "q_image_ppm", "q_video_y4m",
     // the four completing TPC-H shapes: LIMIT under a total order,
     // decimal HAVING vs global scalar, profit rollup, NOT IN
-    "q_sql_tpch2", "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch16")
+    "q_sql_tpch2", "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch16",
+    // round-8 shapes: kmeans-cell pair graph + cc (cluster ids must not
+    // depend on shuffle layout), bounded-heap quota winners, the
+    // Aho–Corasick screen (narrow, but keep flag rides a threshold)
+    "q_semantic_dedup", "q_source_quota", "q_blocklist")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
