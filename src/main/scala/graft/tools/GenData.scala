@@ -224,15 +224,20 @@ object GenData {
       println(s"[gendata] zipf documents n=$nDocs -> $outDir")
     } else {
       val sf = if (args.length > 1) args(1).toDouble else 1.0
-      generate(spark, outDir, sf)
+      // optional trailing args: write only these tables (scale
+      // measurements that need one table skip the 4·sf-million-row
+      // lineitem build)
+      generate(spark, outDir, sf, args.drop(2).toSet)
       println(s"[gendata] wrote sf=$sf to $outDir")
     }
     spark.stop()
   }
 
-  /** Write all ten tables under outDir; the caller owns the session. */
+  /** Write all ten tables under outDir (or the `only` subset); the
+    * caller owns the session.
+    */
   def generate(spark: org.apache.spark.sql.SparkSession, outDir: String,
-               sf: Double): Unit = {
+               sf: Double, only: Set[String] = Set.empty): Unit = {
     import spark.implicits._
 
     def n(base: Long): Long = math.max(1L, math.round(base * sf))
@@ -249,10 +254,11 @@ object GenData {
     def parts(rows: Long): Int =
       math.max(1, math.min(32, (rows / 50000).toInt)).toInt
 
-    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
-      println(s"[gendata] $name: done")
-    }
+    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      if (only.isEmpty || only(name)) {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+        println(s"[gendata] $name: done")
+      }
 
     write(Seq(
       (0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
