@@ -25,7 +25,8 @@ object Stress {
       spark.stop(); return
     }
     if (args.lift(1).contains("-semdedup2")) {
-      semDedup2(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(2))
+      semDedup2(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(2),
+        skipExact = args.contains("only2"))
       spark.stop(); return
     }
     if (args.lift(1).contains("-blocklist")) {
@@ -150,7 +151,8 @@ object Stress {
     * agreement. Usage: Stress <sfDir> -semdedup2
     */
   def semDedup2(spark: org.apache.spark.sql.SparkSession,
-                sfDir: String, nprobe: Int = 2): Unit = {
+                sfDir: String, nprobe: Int = 2,
+                skipExact: Boolean = false): Unit = {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .localCheckpoint(true)
     val n = embs.count()
@@ -166,13 +168,14 @@ object Stress {
       }
       merged
     }
-    val m1 = run("single-level")(
+    val m1 = if (skipExact) 0L else run("single-level")(
       graft.operators.Dedup.semanticDedup(embs, n = n))
     val m2 = run("two-level   ")(
       graft.operators.Dedup.semanticDedupTwoLevel(embs, n = n,
         nprobe = nprobe))
-    println(f"two-level merge recall vs single-level: " +
-      f"${m2.toDouble / math.max(m1, 1)}%.4f")
+    if (!skipExact)
+      println(f"two-level merge recall vs single-level: " +
+        f"${m2.toDouble / math.max(m1, 1)}%.4f")
   }
 
   /** Blocklist screen wall time at scale — a narrow codegen'd map, so
