@@ -794,6 +794,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- the two-level scale path, oracle-gated at its exact corner:
+    //      full-corpus sample (sampleFactor covers every test SF), so
+    //      training equals single-level; kCoarse=2 super-clusters via
+    //      the driver Lloyd; nprobe=1 coarse pick then in-group fine
+    //      argmin — the DuckDB twin replays all of it, so the
+    //      approximate path's every tie-break is hash-pinned ----
+    "q_semantic_dedup2" -> ((s, dir) => {
+      graft.operators.Dedup.semanticDedupTwoLevel(
+          t(s, dir, "embeddings"), nlist = 8, iters = 2,
+          tauNum = 4, tauDen = 10, kCoarse = 2, nprobe = 1,
+          sampleFactor = 1000)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- per-source quota cap (bounded-heap top-k per domain, never a
     //      window sort over the hot domain) ----
     "q_source_quota" -> ((s, dir) => {
@@ -2829,19 +2843,28 @@ object SparkEntry {
     * empty-cell carryover), mirroring Similarity.trainCentroids exactly:
     * argmin |c|^2 - 2<v,c> with ties to the lower cent_id, and trunc()
     * matching Spark's toward-zero long cast of the double mean.
+    * `corpus` is any (vec_id, cv) CTE — the default corpus "q", or a
+    * centroid table re-labeled as a corpus for the two-level coarse
+    * Lloyd (which clusters the FINE CENTROIDS). Every stage CTE is
+    * MATERIALIZED: DuckDB otherwise inlines CTEs per reference, and a
+    * chained-iteration oracle (each iteration referencing the previous
+    * ~3x, the two-level query referencing the fine chain ~5x more)
+    * re-evaluates the whole chain multiplicatively — the q_semantic_
+    * dedup2 oracle went from >12 min (killed) to seconds.
     */
   private def kmeansIterSql(inCents: String, outA: String, outM: String,
-                            outC: String): String =
-    s"""$outA AS (
+                            outC: String,
+                            corpus: String = "q"): String =
+    s"""$outA AS MATERIALIZED (
        |  SELECT * FROM (
-       |    SELECT q.vec_id, q.cv, $inCents.cent_id,
-       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    SELECT $corpus.vec_id, $corpus.cv, $inCents.cent_id,
+       |      row_number() OVER (PARTITION BY $corpus.vec_id ORDER BY
        |        ${ldotSql(s"$inCents.cent_v", s"$inCents.cent_v")}
-       |        - 2 * ${ldotSql("q.cv", s"$inCents.cent_v")} ASC,
+       |        - 2 * ${ldotSql(s"$corpus.cv", s"$inCents.cent_v")} ASC,
        |        $inCents.cent_id ASC) AS rk
-       |    FROM q CROSS JOIN $inCents)
+       |    FROM $corpus CROSS JOIN $inCents)
        |  WHERE rk = 1),
-       |$outM AS (
+       |$outM AS MATERIALIZED (
        |  SELECT cent_id, list(m ORDER BY pos) AS cent_v FROM (
        |    SELECT cent_id, u.pos,
        |      CAST(trunc(sum(u.q) * 1.0 / count(*)) AS BIGINT) AS m
@@ -2849,7 +2872,7 @@ object SparkEntry {
        |                 generate_subscripts(cv, 1) AS pos) u
        |    GROUP BY cent_id, u.pos)
        |  GROUP BY cent_id),
-       |$outC AS (
+       |$outC AS MATERIALIZED (
        |  SELECT cent_id, cent_v FROM $outM
        |  UNION ALL
        |  SELECT cent_id, cent_v FROM $inCents
@@ -4559,7 +4582,7 @@ object SparkEntry {
          |  ORDER BY vec_id LIMIT 8),
          |${kmeansIterSql("c0", "a1", "m1", "c1")},
          |${kmeansIterSql("c1", "a2", "m2", "c2")},
-         |af AS (
+         |af AS MATERIALIZED (
          |  SELECT * FROM (
          |    SELECT q.vec_id, q.cv, c2.cent_id,
          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -4567,6 +4590,81 @@ object SparkEntry {
          |        - 2 * ${ldotSql("q.cv", "c2.cent_v")} ASC,
          |        c2.cent_id ASC) AS rk
          |    FROM q CROSS JOIN c2)
+         |  WHERE rk = 1),
+         |pr AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${ldotSql("a.cv", "b.cv")} AS d,
+         |    ${ldotSql("a.cv", "a.cv")} AS qn1,
+         |    ${ldotSql("b.cv", "b.cv")} AS qn2
+         |  FROM af a JOIN af b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |jp AS (
+         |  SELECT v1, v2 FROM pr
+         |  WHERE d > 0
+         |    AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2),
+         |e AS (SELECT v1 AS a, v2 AS b FROM jp
+         |      UNION ALL SELECT v2 AS a, v1 AS b FROM jp),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT af.vec_id, af.cent_id,
+         |  coalesce(comp.component, af.vec_id) AS canonical
+         |FROM af LEFT JOIN comp ON af.vec_id = comp.node
+         |ORDER BY af.vec_id""".stripMargin,
+
+    // two-level: fine k-means as above (full-corpus sample), then the
+    // coarse Lloyd RE-RUNS the same iteration CTEs with the fine
+    // centroid table as the corpus (kCoarse=2 seeds = 2 lowest fine
+    // ids — label-equivalent to the driver's index-keyed Lloyd, ties
+    // identical), a coarse argmin per vector (nprobe=1 == top-1 of the
+    // bounded heap), and the fine argmin restricted to the probed
+    // group; pair/cc tail unchanged
+    "q_semantic_dedup2" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cent_id, cv AS cent_v FROM q
+         |  ORDER BY vec_id LIMIT 8),
+         |${kmeansIterSql("c0", "a1", "m1", "c1")},
+         |${kmeansIterSql("c1", "a2", "m2", "c2")},
+         |g AS MATERIALIZED (SELECT cent_id AS vec_id, cent_v AS cv FROM c2),
+         |k0 AS MATERIALIZED (
+         |  SELECT vec_id AS cent_id, cv AS cent_v FROM g
+         |  ORDER BY vec_id LIMIT 2),
+         |${kmeansIterSql("k0", "ka1", "km1", "k1", corpus = "g")},
+         |${kmeansIterSql("k1", "ka2", "km2", "k2", corpus = "g")},
+         |fc AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT g.vec_id AS fine_id, g.cv AS fine_v,
+         |      k2.cent_id AS coarse_id,
+         |      row_number() OVER (PARTITION BY g.vec_id ORDER BY
+         |        ${ldotSql("k2.cent_v", "k2.cent_v")}
+         |        - 2 * ${ldotSql("g.cv", "k2.cent_v")} ASC,
+         |        k2.cent_id ASC) AS rk
+         |    FROM g CROSS JOIN k2)
+         |  WHERE rk = 1),
+         |cp AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id, q.cv, k2.cent_id AS coarse_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${ldotSql("k2.cent_v", "k2.cent_v")}
+         |        - 2 * ${ldotSql("q.cv", "k2.cent_v")} ASC,
+         |        k2.cent_id ASC) AS rk
+         |    FROM q CROSS JOIN k2
+         |    WHERE k2.cent_id IN (SELECT coarse_id FROM fc))
+         |  WHERE rk = 1),
+         |af AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT cp.vec_id, cp.cv, fc.fine_id AS cent_id,
+         |      row_number() OVER (PARTITION BY cp.vec_id ORDER BY
+         |        ${ldotSql("fc.fine_v", "fc.fine_v")}
+         |        - 2 * ${ldotSql("cp.cv", "fc.fine_v")} ASC,
+         |        fc.fine_id ASC) AS rk
+         |    FROM cp JOIN fc ON cp.coarse_id = fc.coarse_id)
          |  WHERE rk = 1),
          |pr AS (
          |  SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -1455,8 +1455,14 @@ object Dedup {
     import spark.implicits._
     val fineDf = fineToCoarse.toSeq
       .toDF("fine_id", "fine_v", "coarse_id")
+    // only NON-EMPTY coarse groups are probe targets: a vector whose
+    // nearest coarse centroid owned no fine members would otherwise
+    // vanish through the inner fine join — every vector must appear in
+    // the output exactly once, like the single-level operator
+    val usedCoarse = fineToCoarse.map(_._3).toSet
     val coarseDf = coarse.zipWithIndex.toSeq
-      .map { case (v, j) => (j.toLong, v.toSeq) }.toDF("coarse_id", "coarse_v")
+      .collect { case (v, j) if usedCoarse(j.toLong) => (j.toLong, v.toSeq) }
+      .toDF("coarse_id", "coarse_v")
     // both picks are bounded aggregations, not windows: the rows carry
     // the embedding + quantized payloads, so the map-side partial
     // collapse (n×k stream -> n rows before any exchange) is the

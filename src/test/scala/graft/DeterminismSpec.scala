@@ -49,7 +49,8 @@ class DeterminismSpec extends SparkSpec {
     // round-8 shapes: kmeans-cell pair graph + cc (cluster ids must not
     // depend on shuffle layout), bounded-heap quota winners, the
     // Aho–Corasick screen (narrow, but keep flag rides a threshold)
-    "q_semantic_dedup", "q_source_quota", "q_blocklist")
+    "q_semantic_dedup", "q_semantic_dedup2", "q_source_quota",
+    "q_blocklist")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
