@@ -277,4 +277,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q_semantic_dedup2: the canonical map stays broadcast — no " +
+       "sort-merge, no cartesian in the surviving two-level plan (the " +
+       "coarse/fine assignment runs behind the eager checkpoint, like " +
+       "the single-level pin)") {
+    val p = plan("q_semantic_dedup2")
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
