@@ -12,12 +12,18 @@ import org.apache.spark.sql.SparkSession
   * (count() lets Catalyst drop final sorts and prune all columns, which
   * under-measures scan+compute).
   *
-  * Repetitions: each query runs `reps` times back-to-back
-  * ($SPARK_GRAFT_BENCH_REPS or `-reps N`, default 2). "once" is the
-  * first (cold-plan) run — comparable to earlier rounds; "min" is the
-  * min-of-N steady state. A single contaminated capture window (the
-  * round-5 driver bench reported 20-30x spikes that no isolated re-run
-  * reproduced) cannot fake a regression in the min column.
+  * Repetitions: the FULL suite runs as `reps` complete passes
+  * ($SPARK_GRAFT_BENCH_REPS or `-reps N`, default 2), and each query's
+  * "min" is taken ACROSS passes — reps of the same query are separated
+  * by the whole rest of the suite, never back-to-back. This is the
+  * contention defense the back-to-back form lacked: the r5/r7/r8
+  * driver captures were each poisoned by one transient machine-load
+  * window inflating BOTH adjacent reps of the same few queries
+  * (q_cube 23.56 s captured vs 1.48 s on every isolated re-run), which
+  * min-of-N cannot repair. Interleaved, a window of any length shorter
+  * than a full pass hits each query at most once and min survives.
+  * "once" is each query's pass-1 (cold-plan) run — comparable to
+  * earlier rounds.
   *
   * Output contract, sized for the driver's 2000-char stdout tail
   * capture (the round-1 and round-5 bench lines were head-truncated to
@@ -71,18 +77,22 @@ object Bench {
     // it as one would let a broken query post a fast "pass" and make a
     // broken round look complete (round-7 lesson: q_sessionize errored in
     // 0.05 s and counted in nq).
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var failed = false
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    val ordered = selected.toSeq.sortBy(_._1)
+    val times = Array.fill(ordered.length)(
+      Vector.empty[Double])
+    val failedFlags = Array.fill(ordered.length)(false)
+    for (pass <- 1 to reps; ((name, fn), idx) <- ordered.zipWithIndex) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failedFlags(idx) = true
+        System.err.println(
+          s"[bench] $name failed (pass $pass): ${e.getMessage}")
       }
-      (name, times.head, times.min, !failed)
+      times(idx) :+= (System.nanoTime() - t0) / 1e9
+    }
+    val results = ordered.zipWithIndex.map { case ((name, _), idx) =>
+      (name, times(idx).head, times(idx).min, !failedFlags(idx))
     }
     val failedNames = results.collect { case (n, _, _, false) => n }
     val passed = results.collect { case (n, o, m, true) => (n, o, m) }

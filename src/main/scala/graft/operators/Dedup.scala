@@ -425,6 +425,15 @@ object Dedup {
     */
   private[operators] val SmallCorpusDocs = 10000L
 
+  /** Corpus size past which [[semanticDedup]] auto-routes to the
+    * two-level quantizer. Measured basis (PLANS.md r8, 48 GB heap):
+    * at 200k vectors the single-level n×nlist quantizer aggregation
+    * spills (125 s warm / 899 s cold) while [[semanticDedupTwoLevel]]
+    * runs 62.6 s spill-free; at 100k both paths are healthy, so the
+    * exact path keeps the widest range it can afford.
+    */
+  val SemanticTwoLevelVectors = 100000L
+
   private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
                                    maxPostings: Int,
                                    docCount: Long): DataFrame = {
@@ -1292,21 +1301,49 @@ object Dedup {
     * dots and in-cell pair work ~n²/nlist gates, so sqrt(n) equalizes
     * the two at n^1.5 — the balanced single-level quantizer (a fixed
     * targetCluster = n/nlist would make the pair stage linear but the
-    * ASSIGNMENT quadratic instead). Past ~10^9 vectors the next step
-    * is a two-level (coarse x fine) quantizer cutting assignment to
-    * n·sqrt(nlist); not needed at any measured scale (sqrt caps the
-    * broadcast at ~16 MB even for 10^9 vectors).
+    * ASSIGNMENT quadratic instead).
+    *
+    * REGIME SWITCH (the Σdf² pattern of [[containmentPairs]], replayed
+    * here): past `autoTwoLevel` vectors (default
+    * [[SemanticTwoLevelVectors]]) the call routes to
+    * [[semanticDedupTwoLevel]] — the single-level n·nlist quantizer
+    * aggregation is MEASURED to spill a 48 GB heap at 200k vectors
+    * (125 s warm / 899 s cold) while the two-level path runs the same
+    * corpus in 62.6 s with no spill (PLANS.md r8). The routed result is
+    * APPROXIMATE in the IVF sense (sampled quantizer training +
+    * nprobe-probed coarse assignment; some cross-cell near-dup pairs
+    * are missed) — except when the training sample still covers the
+    * whole corpus (n <= sampleFactor·nlist), where the router upgrades
+    * nprobe to exact and the output is IDENTICAL to the single-level
+    * path (spec-locked boundary law in DedupSpec). Callers that need
+    * the exact single-level result at any size pass
+    * `autoTwoLevel = Long.MaxValue` and accept the spill.
     */
   def semanticDedup(embs: DataFrame, nlist: Int = 0, iters: Int = 2,
                     tauNum: Int = 4, tauDen: Int = 10,
-                    n: Long = -1L): DataFrame = {
+                    n: Long = -1L,
+                    autoTwoLevel: Long = SemanticTwoLevelVectors): DataFrame = {
     import graft.functions.VectorFunctions.quantize
     import graft.plans.LongArrayDot
     require(nlist >= 0, s"nlist=$nlist must be >= 0 (0 = corpus-sized)")
+    require(autoTwoLevel >= 1, s"autoTwoLevel=$autoTwoLevel must be >= 1")
+    val nRows = corpusCount(embs, n)
+    if (nRows > autoTwoLevel) {
+      val sized =
+        if (nlist > 0) nlist
+        else math.max(1L,
+          math.ceil(math.sqrt(nRows.toDouble)).toLong).toInt
+      // two-level defaults; when the training sample covers the whole
+      // corpus anyway, probing every coarse group costs what the
+      // single-level assignment would and buys back exactness
+      val sf = 50
+      val np = if (sf.toLong * sized >= nRows) sized else 2
+      return semanticDedupTwoLevel(embs, nlist, iters, tauNum, tauDen,
+        nRows, kCoarse = 0, nprobe = np, sampleFactor = sf)
+    }
     val sizedNlist =
       if (nlist > 0) nlist
-      else math.max(1L, math.ceil(math.sqrt(
-        corpusCount(embs, n).toDouble)).toLong).toInt
+      else math.max(1L, math.ceil(math.sqrt(nRows.toDouble)).toLong).toInt
     val cents = Similarity.trainCentroids(embs, sizedNlist, iters)
     // argmin |c|^2 - 2<v,c>, ties to the lower cent_id — identical to
     // the trainCentroids assignment rule, as a struct-min aggregation.
@@ -1404,6 +1441,10 @@ object Dedup {
     // rule); TakeOrdered keeps m rows — executor-sized for any real
     // sampleFactor — and the checkpoint stops trainCentroids' per-iter
     // jobs from re-running the top-m selection
+    require(m >= nRows || m <= Int.MaxValue,
+      s"training sample size $m (= sampleFactor=$sampleFactor x " +
+        s"nlist=$sizedNlist) exceeds Int.MaxValue — lower sampleFactor " +
+        "or nlist")
     val sample =
       if (m >= nRows) embs
       else embs.orderBy(

@@ -236,9 +236,18 @@ object GenData {
   /** Write all ten tables under outDir (or the `only` subset); the
     * caller owns the session.
     */
+  /** The ten table names `generate` can write. */
+  val Tables: Set[String] = Set("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
   def generate(spark: org.apache.spark.sql.SparkSession, outDir: String,
                sf: Double, only: Set[String] = Set.empty): Unit = {
     import spark.implicits._
+    val unknown = only -- Tables
+    require(unknown.isEmpty,
+      s"unknown table name(s) ${unknown.mkString(", ")} — known: " +
+        Tables.toSeq.sorted.mkString(", "))
 
     def n(base: Long): Long = math.max(1L, math.round(base * sf))
     val nCust = n(150000)

@@ -119,10 +119,12 @@ object Stress {
     println(f"postcap_chargram       ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
   }
 
-  /** SemDeDup at scale with the corpus-sized nlist (0 = auto =
-    * ceil(sqrt(n))) — the measurement behind the auto default: a FIXED
-    * nlist leaves an ~n²/nlist in-cell pair term (418 s at 200k
-    * vectors with nlist=8 vs auto, PLANS.md r8).
+  /** SemDeDup at scale through the DEFAULT entry point — corpus-sized
+    * nlist (0 = auto = ceil(sqrt(n))), and since r9 the corpus-count
+    * regime switch: past [[graft.operators.Dedup.SemanticTwoLevelVectors]]
+    * the call auto-routes to the two-level quantizer, so this tool now
+    * measures what a user actually gets at 200k vectors (r8: the forced
+    * single-level path spilled — 125 s warm / 899 s cold).
     * Usage: Stress <sfDir> -semdedup [nlist=0]
     */
   def semDedup(spark: org.apache.spark.sql.SparkSession,
@@ -168,8 +170,11 @@ object Stress {
       }
       merged
     }
+    // the single-level reference must stay the EXACT path — disable
+    // the corpus-count auto-route so recall is measured against it
     val m1 = if (skipExact) 0L else run("single-level")(
-      graft.operators.Dedup.semanticDedup(embs, n = n))
+      graft.operators.Dedup.semanticDedup(embs, n = n,
+        autoTwoLevel = Long.MaxValue))
     val m2 = run("two-level   ")(
       graft.operators.Dedup.semanticDedupTwoLevel(embs, n = n,
         nprobe = nprobe))

@@ -434,6 +434,33 @@ class DedupSpec extends SparkSpec {
     assert(g1.intersect(g2).isEmpty)
   }
 
+  test("semanticDedup auto-routes to the two-level path past " +
+       "autoTwoLevel, and at the boundary (training sample covers the " +
+       "corpus) the routed result is IDENTICAL to single-level") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val single = rows(Dedup.semanticDedup(semVecs, nlist = 3, iters = 2,
+      tauNum = 9, tauDen = 10, autoTwoLevel = Long.MaxValue))
+    // 6 vectors > autoTwoLevel=4 -> routed to two-level; the 50*nlist
+    // training sample covers the whole corpus, so the router upgrades
+    // nprobe to exact and the approximation vanishes
+    val routed = rows(Dedup.semanticDedup(semVecs, nlist = 3, iters = 2,
+      tauNum = 9, tauDen = 10, autoTwoLevel = 4L))
+    assert(routed == single)
+    // the routed call is exactly the two-level operator under the
+    // router's parameter choice (kCoarse auto, nprobe = nlist clamps
+    // to kCoarse = exact)
+    val direct = rows(Dedup.semanticDedupTwoLevel(semVecs, nlist = 3,
+      iters = 2, tauNum = 9, tauDen = 10, nprobe = 3,
+      sampleFactor = 50))
+    assert(routed == direct)
+    // default threshold leaves small corpora on the exact path
+    val default = rows(Dedup.semanticDedup(semVecs, nlist = 3, iters = 2,
+      tauNum = 9, tauDen = 10))
+    assert(default == single)
+  }
+
   test("semanticDedup nlist=0 corpus-sizes to ceil(sqrt(n)) — " +
        "identical to the explicit call, and the hint skips the count") {
     def rows(df: org.apache.spark.sql.DataFrame) =
