@@ -801,11 +801,45 @@ object SparkEntry {
     //      argmin — the DuckDB twin replays all of it, so the
     //      approximate path's every tie-break is hash-pinned ----
     "q_semantic_dedup2" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      // the oracle twin trains on the FULL corpus, so the Spark side's
+      // hash-sampled training must degenerate to it: guard the
+      // full-sample invariant (n <= sampleFactor*nlist) so raising the
+      // gate SF fails loud here instead of as a confusing hash mismatch
+      val n = embs.count()
+      require(n <= 1000L * 8,
+        s"q_semantic_dedup2 oracle needs a full-corpus training sample " +
+          s"(n=$n > sampleFactor*nlist=8000) — raise sampleFactor in " +
+          "BOTH the query and the DuckDB twin")
       graft.operators.Dedup.semanticDedupTwoLevel(
-          t(s, dir, "embeddings"), nlist = 8, iters = 2,
+          embs, nlist = 8, iters = 2,
           tauNum = 4, tauDen = 10, kCoarse = 2, nprobe = 1,
-          sampleFactor = 1000)
+          sampleFactor = 1000, n = n)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- frozen-quantizer semantic dedup: centroids trained on the
+    //      STORED half (vec_id < 100), every vector assigned to them —
+    //      the batch reference of the streaming incremental law
+    //      (EmbStream.semanticDedupIncremental must equal this) ----
+    "q_semantic_dedup_frozen" -> ((s, dir) => {
+      val all = t(s, dir, "embeddings")
+      val cents = graft.operators.Similarity.trainCentroids(
+        all.filter(col("vec_id") < 100), 8, 2)
+      graft.operators.Dedup.semanticDedupWith(all, cents,
+          tauNum = 4, tauDen = 10)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- cross-frame gated cosine pairs (arriving shard x stored
+    //      corpus) — the incremental twin's new×stored edge step ----
+    "q_emb_pairs_across" -> ((s, dir) => {
+      val all = t(s, dir, "embeddings")
+      graft.operators.Dedup.embeddingPairsAcross(
+          all.filter(col("vec_id") >= 100),
+          all.filter(col("vec_id") < 100),
+          tauNum = 3, tauDen = 10)
+        .orderBy(col("v1"), col("v2"))
     }),
 
     // ---- per-source quota cap (bounded-heap top-k per domain, never a
@@ -4613,6 +4647,73 @@ object SparkEntry {
          |  coalesce(comp.component, af.vec_id) AS canonical
          |FROM af LEFT JOIN comp ON af.vec_id = comp.node
          |ORDER BY af.vec_id""".stripMargin,
+
+    // frozen-quantizer SemDeDup: k-means trained on the stored half
+    // (vec_id < 100) ONLY, assignment over the whole table — the batch
+    // reference the streaming incremental operator must equal;
+    // pair/cc tail identical to q_semantic_dedup
+    "q_semantic_dedup_frozen" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |tr AS MATERIALIZED (SELECT vec_id, cv FROM q WHERE vec_id < 100),
+         |c0 AS (
+         |  SELECT vec_id AS cent_id, cv AS cent_v FROM tr
+         |  ORDER BY vec_id LIMIT 8),
+         |${kmeansIterSql("c0", "fa1", "fm1", "fc1", corpus = "tr")},
+         |${kmeansIterSql("fc1", "fa2", "fm2", "fc2", corpus = "tr")},
+         |af AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id, q.cv, fc2.cent_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${ldotSql("fc2.cent_v", "fc2.cent_v")}
+         |        - 2 * ${ldotSql("q.cv", "fc2.cent_v")} ASC,
+         |        fc2.cent_id ASC) AS rk
+         |    FROM q CROSS JOIN fc2)
+         |  WHERE rk = 1),
+         |pr AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${ldotSql("a.cv", "b.cv")} AS d,
+         |    ${ldotSql("a.cv", "a.cv")} AS qn1,
+         |    ${ldotSql("b.cv", "b.cv")} AS qn2
+         |  FROM af a JOIN af b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |jp AS (
+         |  SELECT v1, v2 FROM pr
+         |  WHERE d > 0
+         |    AND CAST(d AS HUGEINT) * d * 100 >= 16 * CAST(qn1 AS HUGEINT) * qn2),
+         |e AS (SELECT v1 AS a, v2 AS b FROM jp
+         |      UNION ALL SELECT v2 AS a, v1 AS b FROM jp),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT af.vec_id, af.cent_id,
+         |  coalesce(comp.component, af.vec_id) AS canonical
+         |FROM af LEFT JOIN comp ON af.vec_id = comp.node
+         |ORDER BY af.vec_id""".stripMargin,
+
+    // cross-frame pairs: shard (vec_id >= 100) x stored (vec_id < 100)
+    // sharing a label block, exact quantized cosine >= 3/10 (same gate
+    // algebra as q_dedup_embedding at the lower tau)
+    "q_emb_pairs_across" ->
+      s"""WITH q0 AS (
+         |  SELECT vec_id, label, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT a.label AS blk, a.vec_id AS v1, b.vec_id AS v2,
+         |    ${ldotSql("a.cv", "b.cv")} AS d,
+         |    ${ldotSql("a.cv", "a.cv")} AS qn1,
+         |    ${ldotSql("b.cv", "b.cv")} AS qn2
+         |  FROM q0 a JOIN q0 b
+         |    ON a.label = b.label AND a.vec_id >= 100 AND b.vec_id < 100)
+         |SELECT blk, v1, v2 FROM pr
+         |WHERE d > 0
+         |  AND CAST(d AS HUGEINT) * d * 100 >= 9 * CAST(qn1 AS HUGEINT) * qn2
+         |ORDER BY v1, v2""".stripMargin,
 
     // two-level: fine k-means as above (full-corpus sample), then the
     // coarse Lloyd RE-RUNS the same iteration CTEs with the fine

@@ -76,6 +76,20 @@ object Readers {
                   options: Map[String, String] = Map.empty): DataFrame = {
     val nanos = nanosCache.computeIfAbsent(path,
       p => nanosTimestampColumns(spark, p))
+    // CONTRACT NOTE (deliberate session-wide set, never restored): the
+    // flag cannot be scoped to this read — Spark re-reads it from the
+    // session conf at every physical planning of the lazy DataFrame
+    // (ParquetReadSupport re-converts the footer schema per scan), so a
+    // set-and-restore here would make the returned frame throw
+    // PARQUET_TYPE_ILLEGAL on its first action. Leaving it set is safe:
+    // the flag only changes how TIMESTAMP(NANOS) parquet columns read
+    // (raw long instead of hard error; non-nanos data is untouched),
+    // and every library read path lands here, where nanos longs are
+    // immediately truncated to microsecond timestamps below. The one
+    // observable: a session that first reads a nanos file through this
+    // reader and then calls spark.read.parquet DIRECTLY on another
+    // nanos file gets raw longs instead of Spark 4's error — strictly
+    // more permissive, never silently different values.
     if (nanos.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.options(options).parquet(path)

@@ -1275,6 +1275,32 @@ object Dedup {
       .select(col("blk"), col("v1"), col("v2"))
   }
 
+  /** Gated cosine pairs ACROSS two frames: every `a` vector against
+    * every `b` vector sharing a block, exact quantized cosine >=
+    * tauNum/tauDen — the incremental semantic-dedup twin's new×stored
+    * edge step (the self-join form can't see across frames). Same
+    * prep/gate as [[embeddingPairs]]; self-pairs excluded; callers pass
+    * disjoint vec_id sets (arriving shard vs stored corpus). The `b`
+    * side streams — only `a` (the shard) is exchanged per block.
+    */
+  def embeddingPairsAcross(a: DataFrame, b: DataFrame, tauNum: Int,
+                           tauDen: Int,
+                           blockCol: String = "label"): DataFrame = {
+    import graft.functions.VectorFunctions.quantize
+    import graft.plans.LongArrayDot
+    def prep(df: DataFrame, vid: String, qv: String, qn: String) =
+      graft.engine.Spread(df)
+        .select(col(blockCol).as("blk"), col("vec_id").as(vid),
+          quantize(col("embedding")).as(qv))
+        .withColumn(qn, LongArrayDot(col(qv), col(qv)))
+    prep(a, "v1", "qv1", "qn1")
+      .join(prep(b, "v2", "qv2", "qn2"), Seq("blk"))
+      .filter(col("v1") =!= col("v2"))
+      .filter(graft.plans.QCosineGateExpr(col("qv1"), col("qv2"),
+        col("qn1"), col("qn2"), tauNum, tauDen))
+      .select(col("blk"), col("v1"), col("v2"))
+  }
+
   /** SemDeDup-style semantic dedup (cluster-then-compare; Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", 2023): partition the embedding space with the
@@ -1323,8 +1349,6 @@ object Dedup {
                     tauNum: Int = 4, tauDen: Int = 10,
                     n: Long = -1L,
                     autoTwoLevel: Long = SemanticTwoLevelVectors): DataFrame = {
-    import graft.functions.VectorFunctions.quantize
-    import graft.plans.LongArrayDot
     require(nlist >= 0, s"nlist=$nlist must be >= 0 (0 = corpus-sized)")
     require(autoTwoLevel >= 1, s"autoTwoLevel=$autoTwoLevel must be >= 1")
     val nRows = corpusCount(embs, n)
@@ -1345,18 +1369,31 @@ object Dedup {
       if (nlist > 0) nlist
       else math.max(1L, math.ceil(math.sqrt(nRows.toDouble)).toLong).toInt
     val cents = Similarity.trainCentroids(embs, sizedNlist, iters)
-    // argmin |c|^2 - 2<v,c>, ties to the lower cent_id — identical to
-    // the trainCentroids assignment rule, as a struct-min aggregation.
-    // The OPPOSITE choice from the training loop's row_number window,
-    // and both are measured (PLANS.md r8): here every candidate row
-    // carries the embedding payload, and the aggregation's map-side
-    // partial collapse reduces the n×nlist stream to n rows BEFORE the
-    // exchange, where the window form must exchange-and-sort all
-    // n×nlist payload-bearing rows (239 s vs 120-143 s at sf10).
-    // Training rows are narrower and there the codegen'd sort wins.
-    // first() is deterministic: every row of a vid group carries the
-    // same embedding.
-    val assigned = graft.engine.Spread(embs)
+    semanticTail(assignToCentroids(embs, cents), tauNum, tauDen)
+  }
+
+  /** Nearest-centroid cell assignment (argmin |c|² − 2⟨v,c⟩, ties to
+    * the lower cent_id — identical to the trainCentroids rule) as a
+    * broadcast nested-loop + struct-min aggregation; returns
+    * (vec_id, embedding, cent_id), localCheckpointed for its multiple
+    * tail consumers. Shared by [[semanticDedup]] and the streaming
+    * incremental twin (frozen-quantizer assignment of arriving shards).
+    *
+    * Why an aggregation and not the training loop's row_number window —
+    * both are measured (PLANS.md r8): here every candidate row carries
+    * the embedding payload, and the aggregation's map-side partial
+    * collapse reduces the n×nlist stream to n rows BEFORE the exchange,
+    * where the window form must exchange-and-sort all n×nlist
+    * payload-bearing rows (239 s vs 120-143 s at sf10). Training rows
+    * are narrower and there the codegen'd sort wins. first() is
+    * deterministic: every row of a vid group carries the same
+    * embedding.
+    */
+  private[graft] def assignToCentroids(embs: DataFrame,
+                                       cents: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.quantize
+    import graft.plans.LongArrayDot
+    graft.engine.Spread(embs)
       .select(col("vec_id").as("vid"), col("embedding"),
         quantize(col("embedding")).as("cv"))
       .crossJoin(broadcast(cents))
@@ -1369,8 +1406,19 @@ object Dedup {
       .select(col("vid").as("vec_id"), col("embedding"),
         col("mc.cent_id").as("cent_id"))
       .localCheckpoint(true)
-    semanticTail(assigned, tauNum, tauDen)
   }
+
+  /** [[semanticDedup]] with a CALLER-SUPPLIED quantizer — assignment +
+    * pair/component/canonical tail over given centroids
+    * (cent_id, cent_v rows as produced by
+    * [[Similarity.trainCentroids]]). This is the batch reference the
+    * streaming incremental law compares against: stream shards assigned
+    * to the same frozen centroids must reproduce exactly this output
+    * over the union.
+    */
+  def semanticDedupWith(embs: DataFrame, cents: DataFrame,
+                        tauNum: Int = 4, tauDen: Int = 10): DataFrame =
+    semanticTail(assignToCentroids(embs, cents), tauNum, tauDen)
 
   /** Shared pair/cluster/canonical tail of the semantic-dedup family:
     * within-cell exact-cosine pairs -> connected components -> min-id

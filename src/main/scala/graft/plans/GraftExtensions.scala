@@ -133,13 +133,18 @@ object GraftExtensions {
         case CreateArray(elems, _) => elems.map {
           case Literal(s: UTF8String, _) => s.toString
           case other => throw new IllegalArgumentException(
-            s"multi_pattern_count patterns must be STRING literals, got $other")
+            s"multi_pattern_count patterns must be non-NULL STRING " +
+              s"literals, got $other")
         }
         case lit @ Literal(_, _) =>
           lit.eval() match {
             case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-              (0 until a.numElements())
-                .map(i => a.getUTF8String(i).toString)
+              (0 until a.numElements()).map { i =>
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  "multi_pattern_count patterns must be non-NULL STRING " +
+                    s"literals, got NULL at position $i")
+                a.getUTF8String(i).toString
+              }
             case other => throw new IllegalArgumentException(
               s"multi_pattern_count patterns must be an ARRAY<STRING> " +
                 s"literal, got $other")

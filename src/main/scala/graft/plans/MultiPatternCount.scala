@@ -59,14 +59,19 @@ case class MultiPatternCount(child: Expression, patterns: Seq[String])
     * one JIT'd JVM method, no interpreted expression tree per row).
     */
   def countMatches(s: UTF8String): Long = {
-    val str = s.toString
-    val n = str.length
+    // walk the UTF-8 bytes directly — no per-row String allocation
+    // (toString = copy + UTF-16 decode on the hot scan path). Patterns
+    // are ASCII, so the byte walk is semantics-identical to a char
+    // walk: every byte of a multi-byte UTF-8 sequence is >= 0x80
+    // (negative as a signed byte) and resets matching to the root,
+    // exactly as the non-ASCII char did.
+    val n = s.numBytes
     var state = 0
     var hits = 0L
     var i = 0
     while (i < n) {
-      val c = str.charAt(i)
-      state = if (c < 128) delta(state)(c) else 0
+      val b = s.getByte(i)
+      state = if (b >= 0) delta(state)(b) else 0
       hits += outCnt(state)
       i += 1
     }

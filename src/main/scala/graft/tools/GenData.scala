@@ -186,6 +186,29 @@ object GenData {
     Embedding(id, v.map(x => (x / norm).toFloat), r.nextInt(10))
   }
 
+  /** Planted-cluster unit vector — the shape REAL embedding corpora
+    * have (topics/templates cluster; the random-unit-vector table is
+    * IVF's documented worst case, so recall measured on it is a lower
+    * bound). `nClusters` centers are random unit vectors seeded by
+    * cluster id; each vector is its center plus per-dim Gaussian noise
+    * sigma=0.1 (dim 64 -> expected cosine to center 1/sqrt(1+0.64) ≈
+    * 0.78 — tight but overlapping clusters), re-normalized. Cluster
+    * sizes follow a u² power pick (skewed, like topic frequency).
+    * Deterministic per (id, nClusters); label = cluster % 10 so
+    * label-blocked operators see the geometry.
+    */
+  def clusteredEmbedding(id: Long, nClusters: Int): Embedding = {
+    val r = rng(7, id)
+    val c = math.min(nClusters - 1,
+      (math.pow(r.nextDouble(), 2.0) * nClusters).toInt)
+    val cr = rng(17, c.toLong)
+    val center = Array.fill(64)(cr.nextGaussian())
+    val cn = math.sqrt(center.map(x => x * x).sum)
+    val v = center.map(x => x / cn + 0.1 * r.nextGaussian())
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    Embedding(id, v.map(x => (x / norm).toFloat), c % 10)
+  }
+
   // ---------------- star schema + events ----------------
 
   final case class Customer(c_custkey: Long, c_name: String,
@@ -215,6 +238,19 @@ object GenData {
       "usage: GenData <outDir> [sf=1.0] | GenData <outDir> -zipfdocs <nDocs>")
     val outDir = args(0)
     val spark = graft.engine.GraftSession.build("graft-gendata")
+    if (args.length > 1 && args(1) == "-clustervecs") {
+      import spark.implicits._
+      val nVecs = args(2).toLong
+      val nClusters = if (args.length > 3) args(3).toInt else 256
+      val parts = math.max(1, math.min(32, (nVecs / 10000).toInt))
+      spark.range(0, nVecs, 1, parts)
+        .map(id => clusteredEmbedding(id, nClusters)).toDF()
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/embeddings.parquet")
+      println(s"[gendata] clustered embeddings n=$nVecs " +
+        s"k=$nClusters -> $outDir")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "-zipfdocs") {
       import spark.implicits._
       val nDocs = args(2).toLong

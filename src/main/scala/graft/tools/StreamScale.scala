@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: StreamScale <sfDir> [days] [corpusFrac]")
+    require(args.nonEmpty,
+      "usage: StreamScale <sfDir> [days] [corpusFrac] | " +
+        "StreamScale <sfDir> -emb [days]")
+    if (args.lift(1).contains("-emb")) {
+      embDedup(args(0), args.lift(2).map(_.toInt).getOrElse(4))
+      return
+    }
     val sfDir = args(0)
     val days = if (args.length > 1) args(1).toInt else 4
     val corpusFrac = if (args.length > 2) args(2).toDouble else 0.6
@@ -110,6 +116,79 @@ object StreamScale {
     println(s"""{"metric":"stream_manifest","rows":${batchManifest.size},""" +
       s""""days":$days,"match":$ok,"stream_sec":${f1(streamSec)},""" +
       s""""batch_sec":${f1(batchSec)},"sf":"$sfDir"}""")
+    if (!ok) sys.exit(1)
+  }
+
+  /** Scale validation for `EmbStream.semanticDedupIncremental`: half the
+    * embeddings table is the stored corpus (frozen quantizer), the rest
+    * streams in as `days` shards; asserts baseline+deltas
+    * (last-write-wins) equals batch `semanticDedupWith` over the union
+    * on the same centroids — the `EmbStreamSpec` law at benchmark scale
+    * (state growth across batches, re-closure over the accumulated dup
+    * graph, delta detection against a corpus-sized canonical table).
+    */
+  def embDedup(sfDir: String, days: Int): Unit = {
+    val spark = graft.engine.GraftSession.build("graft-streamscale-emb",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    val all = graft.engine.Readers.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label").localCheckpoint(true)
+    val n = all.count()
+    val cut = n / 2
+    val corpus = all.filter(col("vec_id") < cut).localCheckpoint(true)
+    val nlist = math.max(1L,
+      math.ceil(math.sqrt(cut.toDouble)).toLong).toInt
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+    val deltas =
+      scala.collection.mutable.ArrayBuffer.empty[Array[(Long, Long, Long)]]
+    val t0 = System.nanoTime()
+    val inc = graft.streaming.EmbStream.semanticDedupIncremental(
+        stream, corpus, nlist = nlist) { d =>
+      deltas.synchronized {
+        deltas += d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+    }
+    val perDay = math.max(1L, (n - cut) / days)
+    (0 until days).foreach { i =>
+      val lo = cut + i * perDay
+      val hi = if (i == days - 1) n else math.min(n, lo + perDay)
+      mem.addData(all.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .as[(Long, Array[Float], Int)].collect().toSeq: _*)
+      inc.query.processAllAvailable()
+    }
+    inc.query.stop()
+    val streamSec = (System.nanoTime() - t0) / 1e9
+    val got = {
+      val base = inc.baseline.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      deltas.flatten.foldLeft(base) { case (m, (v, c, cn)) =>
+        m.updated(v, (c, cn))
+      }
+    }
+    val t1 = System.nanoTime()
+    val cents = graft.operators.Similarity.trainCentroids(corpus, nlist, 2)
+    val want = graft.operators.Dedup.semanticDedupWith(all, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val batchSec = (System.nanoTime() - t1) / 1e9
+    val ok = got == want && want.nonEmpty
+    if (!ok) {
+      val diff = (got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)
+      System.err.println(s"[streamscale-emb] mismatch rows=${diff.size} " +
+        s"sample=${diff.take(3)}")
+    }
+    val merged = want.count { case (v, (_, c)) => v != c }
+    def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    spark.stop()
+    println(s"""{"metric":"stream_embdedup","rows":${want.size},""" +
+      s""""merged":$merged,"days":$days,"match":$ok,""" +
+      s""""stream_sec":${f1(streamSec)},"batch_sec":${f1(batchSec)},""" +
+      s""""sf":"$sfDir"}""")
     if (!ok) sys.exit(1)
   }
 }

@@ -25,7 +25,8 @@ object Stress {
       spark.stop(); return
     }
     if (args.lift(1).contains("-semdedup2")) {
-      semDedup2(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(2),
+      semDedup2(spark, sfDir,
+        args.lift(2).map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(2)),
         skipExact = args.contains("only2"))
       spark.stop(); return
     }
@@ -138,8 +139,10 @@ object Stress {
       (if (nlist == 0) " (auto)" else ""))
     for (rep <- 1 to 2) {
       val t0 = System.nanoTime()
+      // ONE evaluation of the DAG (checkpoint), both counts from cache —
+      // the semDedup2 measurement discipline
       val out = graft.operators.Dedup
-        .semanticDedup(embs, nlist = nlist, n = n)
+        .semanticDedup(embs, nlist = nlist, n = n).localCheckpoint(true)
       val rows = out.count()
       val merged = out.filter(col("canonical") =!= col("vec_id")).count()
       println(f"semdedup rep$rep         ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
@@ -150,15 +153,17 @@ object Stress {
   /** Two-level (coarse x fine) SemDeDup vs the single-level operator on
     * the same corpus: wall time, merged counts (recall proxy — single-
     * level is the exact-within-cell reference), and canonical-map
-    * agreement. Usage: Stress <sfDir> -semdedup2
+    * agreement. `nprobes` sweeps the probe knob against ONE single-level
+    * reference run (the r8 form re-ran the expensive exact reference per
+    * nprobe point). Usage: Stress <sfDir> -semdedup2 [np1,np2,...] [only2]
     */
   def semDedup2(spark: org.apache.spark.sql.SparkSession,
-                sfDir: String, nprobe: Int = 2,
+                sfDir: String, nprobes: Seq[Int] = Seq(2),
                 skipExact: Boolean = false): Unit = {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .localCheckpoint(true)
     val n = embs.count()
-    println(s"vectors: $n  nprobe=$nprobe")
+    println(s"vectors: $n  nprobes=${nprobes.mkString(",")}")
     def run(name: String)(f: => org.apache.spark.sql.DataFrame): Long = {
       var merged = 0L
       for (rep <- 1 to 2) {
@@ -175,12 +180,14 @@ object Stress {
     val m1 = if (skipExact) 0L else run("single-level")(
       graft.operators.Dedup.semanticDedup(embs, n = n,
         autoTwoLevel = Long.MaxValue))
-    val m2 = run("two-level   ")(
-      graft.operators.Dedup.semanticDedupTwoLevel(embs, n = n,
-        nprobe = nprobe))
-    if (!skipExact)
-      println(f"two-level merge recall vs single-level: " +
-        f"${m2.toDouble / math.max(m1, 1)}%.4f")
+    for (np <- nprobes) {
+      val m2 = run(f"two-level np=$np%-2d")(
+        graft.operators.Dedup.semanticDedupTwoLevel(embs, n = n,
+          nprobe = np))
+      if (!skipExact)
+        println(f"nprobe=$np merge recall vs single-level: " +
+          f"${m2.toDouble / math.max(m1, 1)}%.4f")
+    }
   }
 
   /** Blocklist screen wall time at scale — a narrow codegen'd map, so

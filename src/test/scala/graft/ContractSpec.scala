@@ -32,6 +32,21 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
   }
 
+  test("SURVEY.md §2.3 inventory count matches SparkEntry.queries.size " +
+       "(the count drifted twice inside round 8 — fail loud on drift)") {
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val text = try survey.mkString finally survey.close()
+    val m = """Every `SparkEntry\.queries` entry \((\d+) as of round"""
+      .r.findFirstMatchIn(text)
+    assert(m.isDefined,
+      "SURVEY.md no longer carries the inventory-count sentence " +
+        "(\"Every `SparkEntry.queries` entry (N as of round ...\")")
+    val stated = m.get.group(1).toInt
+    assert(stated == SparkEntry.queries.size,
+      s"SURVEY.md §2.3 states $stated queries but SparkEntry.queries " +
+        s"has ${SparkEntry.queries.size} — update the doc")
+  }
+
   test("rows-only allowlist stays minimal (everything in it exists)") {
     val stale = rowsOnly -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlisted names no longer exist: $stale")

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The streaming incremental semantic dedup must agree EXACTLY with the
+  * batch operator over the union on the same frozen quantizer — the
+  * structural law of EmbStream.semanticDedupIncremental.
+  */
+class EmbStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def vecsDf(rows: Seq[(Long, Array[Float], Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private def runStream(corpus: DataFrame, nlist: Int,
+                        batches: Seq[Seq[(Long, Array[Float], Int)]])
+      : (DataFrame, Seq[Seq[(Long, Long, Long)]]) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+    val deltas =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long)]]
+    val inc = EmbStream.semanticDedupIncremental(stream, corpus,
+        nlist = nlist, iters = 2, tauNum = 9, tauDen = 10) { d =>
+      deltas.synchronized {
+        deltas += d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+    }
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      inc.query.processAllAvailable()
+    }
+    inc.query.stop()
+    (inc.baseline, deltas.toSeq)
+  }
+
+  private def lastWriteWins(baseline: DataFrame,
+                            deltas: Seq[Seq[(Long, Long, Long)]])
+      : Map[Long, (Long, Long)] = {
+    val base = baseline.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    deltas.flatten.foldLeft(base) { case (m, (v, c, cn)) =>
+      m.updated(v, (c, cn))
+    }
+  }
+
+  // two orthogonal direction groups + singles, as in DedupSpec
+  private val corpusRows = Seq(
+    (0L, Array(1000f, 0f, 0f, 0f), 0),
+    (1L, Array(999f, 10f, 0f, 0f), 1),
+    (2L, Array(0f, 1000f, 0f, 0f), 2),
+    (3L, Array(0f, 997f, 0f, 9f), 3),
+    (4L, Array(0f, 0f, 1000f, 0f), 4),
+    (5L, Array(0f, 0f, 0f, 1000f), 5))
+
+  // batch 1: a dup of stored 0, a new singleton direction
+  private val batch1 = Seq(
+    (6L, Array(998f, 0f, 12f, 0f), 6),
+    (7L, Array(500f, 500f, 500f, 500f), 7))
+  // batch 2: a dup of batch-1's 7, a dup of stored 2, a lone vector
+  private val batch2 = Seq(
+    (8L, Array(501f, 499f, 500f, 500f), 8),
+    (9L, Array(0f, 998f, 0f, 20f), 9),
+    (10L, Array(0f, 0f, -1000f, 0f), 10))
+
+  test("stream baseline+deltas (last-write-wins) == batch " +
+       "semanticDedupWith over the union on the frozen quantizer") {
+    val corpus = vecsDf(corpusRows)
+    val (baseline, deltas) = runStream(corpus, nlist = 3,
+      Seq(batch1, batch2))
+    val got = lastWriteWins(baseline, deltas)
+    val cents = graft.operators.Similarity.trainCentroids(corpus, 3, 2)
+    val want = graft.operators.Dedup.semanticDedupWith(
+        vecsDf(corpusRows ++ batch1 ++ batch2), cents,
+        tauNum = 9, tauDen = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    // the fixture must really exercise merging across arrival epochs
+    assert(want(6L)._2 == 0L, "batch-1 vector must merge with stored 0")
+    assert(want(8L)._2 == 7L, "batch-2 vector must merge with batch-1 7")
+    assert(want(9L)._2 == 2L, "batch-2 vector must merge with stored 2")
+  }
+
+  test("a bridging vector merges two STORED components and the delta " +
+       "carries the changed old canonical (append-only-new would miss it)") {
+    // 0 at 0°, 1 at 36° (cos 0.809 < 0.9: separate components);
+    // the arriving 2 at 18° is within 0.951 of BOTH -> bridge
+    val corpus = vecsDf(Seq(
+      (0L, Array(1000f, 0f, 0f, 0f), 0),
+      (1L, Array(809f, 588f, 0f, 0f), 1)))
+    val (baseline, deltas) = runStream(corpus, nlist = 1,
+      Seq(Seq((2L, Array(951f, 309f, 0f, 0f), 2))))
+    val base = baseline.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(base == Map(0L -> 0L, 1L -> 1L),
+      s"baseline must hold two separate components, got $base")
+    val delta = deltas.head.map(t => t._1 -> t._3).toMap
+    assert(delta == Map(2L -> 0L, 1L -> 0L),
+      s"delta must carry the new vector AND the re-canonicalized old " +
+        s"one, got $delta")
+  }
+
+  test("file-stream reader: incremental over day-split embeddings " +
+       "shards equals batch over the union (real parquet path)") {
+    val all = spark.read.parquet(sf() + "/embeddings.parquet")
+    val n = all.count()
+    val cut = n / 2
+    val corpus = all.filter(col("vec_id") < cut).localCheckpoint(true)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+    val deltas =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long)]]
+    val inc = EmbStream.semanticDedupIncremental(stream, corpus,
+        nlist = 8, iters = 2, tauNum = 4, tauDen = 10) { d =>
+      deltas.synchronized {
+        deltas += d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+    }
+    val rest = all.filter(col("vec_id") >= cut)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+    val half = cut + (n - cut) / 2
+    mem.addData(rest.filter(_._1 < half).toSeq: _*)
+    inc.query.processAllAvailable()
+    mem.addData(rest.filter(_._1 >= half).toSeq: _*)
+    inc.query.processAllAvailable()
+    inc.query.stop()
+    val got = lastWriteWins(inc.baseline, deltas.toSeq)
+    val cents = graft.operators.Similarity.trainCentroids(corpus, 8, 2)
+    val want = graft.operators.Dedup.semanticDedupWith(all, cents,
+        tauNum = 4, tauDen = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    assert(want.exists { case (v, (_, c)) => v != c },
+      "fixture must contain at least one real merge")
+  }
+}
