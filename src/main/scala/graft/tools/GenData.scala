@@ -191,11 +191,14 @@ object GenData {
     * IVF's documented worst case, so recall measured on it is a lower
     * bound). `nClusters` centers are random unit vectors seeded by
     * cluster id; each vector is its center plus per-dim Gaussian noise
-    * sigma=0.1 (dim 64 -> expected cosine to center 1/sqrt(1+0.64) ≈
-    * 0.78 — tight but overlapping clusters), re-normalized. Cluster
-    * sizes follow a u² power pick (skewed, like topic frequency).
-    * Deterministic per (id, nClusters); label = cluster % 10 so
-    * label-blocked operators see the geometry.
+    * with a PER-VECTOR sigma drawn log-uniform from [0.05, 0.3]
+    * (re-normalized). The sigma spread matters: at a constant sigma
+    * every intra-cluster cosine concentrates at 1/(1+σ²·dim) and any
+    * tau gate is all-or-nothing; log-uniform sigmas spread pairwise
+    * cosines over ~[0.15, 0.9] so dedup thresholds see a graded pair
+    * population. Cluster sizes follow a u² power pick (skewed, like
+    * topic frequency). Deterministic per (id, nClusters);
+    * label = cluster % 10 so label-blocked operators see the geometry.
     */
   def clusteredEmbedding(id: Long, nClusters: Int): Embedding = {
     val r = rng(7, id)
@@ -204,7 +207,8 @@ object GenData {
     val cr = rng(17, c.toLong)
     val center = Array.fill(64)(cr.nextGaussian())
     val cn = math.sqrt(center.map(x => x * x).sum)
-    val v = center.map(x => x / cn + 0.1 * r.nextGaussian())
+    val sigma = 0.05 * math.pow(6.0, r.nextDouble())
+    val v = center.map(x => x / cn + sigma * r.nextGaussian())
     val norm = math.sqrt(v.map(x => x * x).sum)
     Embedding(id, v.map(x => (x / norm).toFloat), c % 10)
   }
