@@ -1493,12 +1493,20 @@ object Dedup {
       s"training sample size $m (= sampleFactor=$sampleFactor x " +
         s"nlist=$sizedNlist) exceeds Int.MaxValue — lower sampleFactor " +
         "or nlist")
+    // the repartition after limit matters at scale: GlobalLimit collapses
+    // the sample to ONE partition, and without it the iters×(m×nlist)
+    // training windows run single-threaded (measured: the 2M-vector run
+    // sat at ~1 core through training — 71k sample × nlist 1415 = 100M
+    // window rows per iteration on one thread). trainCentroids is
+    // partition-invariant (spec-locked), so the spread is free.
     val sample =
       if (m >= nRows) embs
       else embs.orderBy(
           stableHash60(concat(col("vec_id").cast("string"),
             lit(":semsample"))).asc, col("vec_id"))
-        .limit(m.toInt).localCheckpoint(true)
+        .limit(m.toInt)
+        .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
     val cents = Similarity.trainCentroids(sample, sizedNlist, iters)
     val fineRows = cents.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
