@@ -849,6 +849,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- BPE tokenizer training: k merge rules learned over the
+    //      distinct-word frequency table (the ONLY corpus-scale pass is
+    //      the word count; the merge loop iterates a vocab-sized table
+    //      with a 1-row collect per iteration). Oracle unrolls every
+    //      iteration as CTEs, with the greedy left-to-right rewrite
+    //      expressed as replace() over a 0x1F-delimited symbol
+    //      string — identical semantics by construction ----
+    "q_bpe" -> ((s, dir) => {
+      graft.operators.Bpe.trainMerges(t(s, dir, "documents"), iters = 10)
+        ._1
+        .select(col("iter"), col("left").as("lhs"), col("right").as("rhs"),
+          col("merged"), col("cnt"))
+        .orderBy(col("iter"))
+    }),
+
+    // ---- BPE encoding: per-doc token counts under the learned
+    //      segmentation — vocab broadcasts, corpus streams through one
+    //      explode + one aggregation ----
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, seg) = graft.operators.Bpe.trainMerges(docs, iters = 10)
+      graft.operators.Bpe.encode(docs, seg)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- salted join: hot-key scatter (results identical to the plain
     //      join, which is exactly what the oracle checks) ----
     "q_join_salted" -> ((s, dir) => {
@@ -2912,6 +2937,80 @@ object SparkEntry {
        |  SELECT cent_id, cent_v FROM $inCents
        |  WHERE cent_id NOT IN (SELECT cent_id FROM $outM))"""
 
+  /** One BPE merge iteration as CTEs: pair counts over the previous
+    * segmentation (overlap-inclusive, frequency-weighted), the winning
+    * pair (count desc, then lexicographic), and the greedy
+    * left-to-right rewrite — `replace()` over the 0x1F-delimited symbol
+    * string is exactly non-overlapping left-to-right merging.
+    * MATERIALIZED is load-bearing: each s(N-1) is referenced twice per
+    * iteration, so inlining would re-evaluate the chain exponentially.
+    */
+  private def bpeIterSql(prev: String, n: Int): String =
+    s"""p$n AS MATERIALIZED (
+       |  SELECT c[i.g] AS a, c[i.g + 1] AS b, sum(freq) AS cnt
+       |  FROM (SELECT freq, string_split(trim(seq, chr(31)), chr(31)) AS c
+       |        FROM $prev) x,
+       |    LATERAL (SELECT unnest(generate_series(1, len(c) - 1)) AS g) i
+       |  WHERE len(c) > 1
+       |  GROUP BY 1, 2),
+       |t$n AS MATERIALIZED (
+       |  SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
+       |s$n AS MATERIALIZED (SELECT word, freq,
+       |  replace(seq, chr(31) || a || chr(31) || b || chr(31),
+       |               chr(31) || a || b || chr(31)) AS seq
+       |  FROM $prev CROSS JOIN t$n)"""
+
+  private val bpeIters = 10
+
+  /** The shared BPE training chain: word frequencies (the only
+    * corpus-scale CTE), char-level initial segmentation, `bpeIters`
+    * unrolled merge iterations.
+    */
+  private lazy val bpeCtes: String = {
+    val iters = (1 to bpeIters)
+      .map(n => bpeIterSql(s"s${n - 1}", n)).mkString(",\n")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word, freq,
+       |  chr(31) || array_to_string(string_split(word, ''), chr(31))
+       |    || chr(31) AS seq
+       |  FROM w),
+       |$iters"""
+  }
+
+  /** The learned merge table (= q_bpe). */
+  private lazy val bpeSql: String = {
+    val union = (1 to bpeIters).map(n =>
+      s"""  SELECT CAST($n AS INT) AS iter, a AS lhs, b AS rhs,
+         |    a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM t$n"""
+    ).mkString("\n  UNION ALL\n")
+    s"""$bpeCtes
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY iter""".stripMargin
+  }
+
+  /** Per-doc token counts under the learned segmentation
+    * (= q_bpe_encode).
+    */
+  private lazy val bpeEncodeSql: String =
+    s"""$bpeCtes,
+       |seg AS MATERIALIZED (SELECT word,
+       |  CAST(len(string_split(trim(seq, chr(31)), chr(31))) AS BIGINT)
+       |    AS n_sub
+       |  FROM s$bpeIters),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |       FROM documents)
+       |SELECT dw.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(COALESCE(seg.n_sub, len(dw.word))) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM dw LEFT JOIN seg USING (word)
+       |WHERE word <> ''
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+
   /** Full two-iteration k-means + final cell census (= q_kmeans). */
   private lazy val kmeansSql: String =
     s"""WITH q AS (
@@ -3165,6 +3264,10 @@ object SparkEntry {
     "q_sql_tpch18" -> tpch18Sql,
 
     "q_kmeans" -> kmeansSql,
+
+    "q_bpe" -> bpeSql,
+
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_sql_tpch5" -> tpch5Sql,
     "q_sql_tpch6" -> tpch6Sql,
     "q_sql_tpch10" -> tpch10Sql,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("trainMerges: textbook corpus learns the expected first merges") {
+    // "low" x3, "lower" x2: pairs (l,o)=5, (o,w)=5, (w,e)=2, (e,r)=2.
+    // iter1 tie (l,o) vs (o,w) -> lexicographic: (l,o). iter2: (lo,w)=5.
+    val d = docs("low low low lower lower")
+    val (merges, seg) = Bpe.trainMerges(d, iters = 3)
+    val m = merges.orderBy("iter")
+      .as[(Int, String, String, String, Long)].collect()
+    assert(m(0) == ((1, "l", "o", "lo", 5L)))
+    assert(m(1) == ((2, "lo", "w", "low", 5L)))
+    // iter3: remaining pairs in "lower" only: (low,e)=2, (e,r)=2 ->
+    // lexicographic picks (e,r)
+    assert(m(2) == ((3, "e", "r", "er", 2L)))
+    val s = seg.orderBy("word")
+      .select(col("word"), col("syms")).as[(String, Seq[String])].collect()
+    assert(s.toSeq == Seq(
+      ("low", Seq("low")), ("lower", Seq("low", "er"))))
+  }
+
+  test("greedy left-to-right rewrite is non-overlapping: aaa -> (aa)(a)") {
+    val d = docs("aaa aaa")
+    val (merges, seg) = Bpe.trainMerges(d, iters = 1)
+    // overlap-inclusive counting: "aaa" has TWO (a,a) positions, x2 docs
+    val m = merges.as[(Int, String, String, String, Long)].head()
+    assert(m == ((1, "a", "a", "aa", 4L)))
+    val s = seg.select(col("syms")).as[Seq[String]].head()
+    assert(s == Seq("aa", "a"))
+  }
+
+  test("early exhaustion: single-char vocab stops with fewer merges") {
+    val d = docs("a b a b")
+    val (merges, seg) = Bpe.trainMerges(d, iters = 5)
+    assert(merges.count() == 0)
+    assert(seg.select(size(col("syms"))).as[Int].collect().forall(_ == 1))
+  }
+
+  test("encode: in-vocab words count learned symbols, OOV counts chars") {
+    val train = docs("low low low lower lower")
+    val (_, seg) = Bpe.trainMerges(train, iters = 3)
+    // doc 0: low (1 sym) + lower (2 syms: low|er); doc 1 has OOV
+    // "west" -> 4 chars
+    val enc = Bpe.encode(docs("low lower", "low west"), seg)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(enc(0) == ((0L, 2L, 3L)))
+    assert(enc(1) == ((1L, 2L, 5L)))
+  }
+
+  test("merge loop never touches the corpus: wordFreq is the only " +
+    "corpus-scale aggregation (vocab bounded by distinct words)") {
+    val d = docs("x y x y z zz")
+    val vocab = Bpe.wordFreq(d)
+    assert(vocab.count() == 4)
+    assert(vocab.filter(col("word") === "x")
+      .select(col("freq")).as[Long].head() == 2L)
+  }
+}
