@@ -849,6 +849,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- DSIR importance scoring: hashed-unigram multinomial
+    //      log-ratio weights (target = lang 'en' vs the rest), bucket
+    //      table broadcast, micro-nat integer fold per doc ----
+    "q_dsir" -> ((s, dir) => {
+      graft.operators.Curation.dsirScores(
+          t(s, dir, "documents"), col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- BPE tokenizer training: k merge rules learned over the
     //      distinct-word frequency table (the ONLY corpus-scale pass is
     //      the word count; the merge loop iterates a vocab-sized table
@@ -3264,6 +3273,30 @@ object SparkEntry {
     "q_sql_tpch18" -> tpch18Sql,
 
     "q_kmeans" -> kmeansSql,
+
+    "q_dsir" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, (lang = 'en') AS tgt, w,
+         |    ${hashSql("w")} % 256 AS b
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE w <> ''),
+         |bc AS (
+         |  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+         |  FROM tok GROUP BY b),
+         |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc),
+         |sc AS (
+         |  SELECT b, CAST(floor(1e6 * ln(
+         |      CAST((ct + 1) * (tr + 256) AS DOUBLE)
+         |        / CAST((cr + 1) * (tt + 256) AS DOUBLE)))
+         |    AS BIGINT) AS s
+         |  FROM bc, tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(s) AS BIGINT) AS w_micro,
+         |  CASE WHEN sum(s) >= 0 THEN 1 ELSE 0 END AS keep
+         |FROM tok JOIN sc USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bpe" -> bpeSql,
 

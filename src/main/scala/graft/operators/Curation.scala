@@ -219,4 +219,55 @@ object Curation {
         sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
       .withColumn("skew", abs(col("n_a") - col("n_b")))
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-unigram feature counts are,
+    * then keep documents whose log importance weight is non-negative.
+    *
+    * The estimator is two bag-of-hashed-tokens multinomials with add-one
+    * smoothing: weight(doc) = Σ_tokens log(p̂_target[b] / p̂_raw[b])
+    * where b = stableHash60(token) mod `buckets`, the target side is
+    * `targetCol` rows and raw is the rest. Per-BUCKET log-ratios are
+    * quantized to integer micro-nats before the per-doc sum (the
+    * q_entropy discipline), so the fold is order-free exact integer
+    * math — the ln itself is one IEEE call on a ratio of exact longs,
+    * DuckDB-replicable bit-for-bit.
+    *
+    * Scale shape: the bucket table is `buckets` rows (broadcast both
+    * times it is used); the corpus makes two narrow tokenization passes
+    * (count features, then score) — each a map-side-combined
+    * aggregation, no corpus-scale join or shuffle beyond the doc_id
+    * groupBy. The (c+1)·(total+B) products stay in exact long/double
+    * range up to ~10^14 tokens per side; past that, compute the two
+    * logs separately before differencing (documented contract, not an
+    * auto-switch — the quantization boundary would move).
+    *
+    * Deterministic stand-in for the paper's Gumbel-noise resampling:
+    * the keep rule is a fixed threshold at weight >= 0 (more
+    * target-like than raw), keeping selection RNG-free and
+    * oracle-exact.
+    */
+  def dsirScores(docs: DataFrame, targetCol: Column,
+                 buckets: Int = 256): DataFrame = {
+    val b = lit(buckets)
+    val tok = docs.select(col("doc_id"), targetCol.as("tgt"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("b", pmod(stableHash60(col("w")), b))
+    val bc = tok.groupBy(col("b")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+    val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val sc = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(lit(1e6) * log(
+          ((col("ct") + 1) * (col("tr") + b)).cast("double") /
+            ((col("cr") + 1) * (col("tt") + b)).cast("double")))
+          .cast("long").as("s"))
+    tok.join(broadcast(sc), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("w_micro"))
+      .withColumn("keep", when(col("w_micro") >= 0, 1).otherwise(0))
+  }
 }

@@ -172,4 +172,27 @@ class CurationSpec extends SparkSpec {
     // s0's keeps are NOT simply ids 0..4
     assert(base.intersect((0L until 50L).toSet) != (0L until 5L).toSet)
   }
+
+  test("dsirScores: target-only vocabulary scores positive, raw-only " +
+    "negative; weights are exact integer micro-nat sums") {
+    import spark.implicits._
+    // target docs speak {aa bb}, raw docs speak {cc dd}; "xx" is shared
+    val docs = Seq(
+      (0L, "aa bb aa", "en"), (1L, "bb aa xx", "en"),
+      (2L, "cc dd cc", "zh"), (3L, "dd xx cc", "zh")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.dsirScores(docs, col("lang") === "en", buckets = 64)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "w_micro", "keep")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.forall(_._2 == 3L))
+    // docs of target-exclusive tokens keep; raw-exclusive drop
+    assert(out(0)._3 > 0 && out(0)._4 == 1)
+    assert(out(2)._3 < 0 && out(2)._4 == 0)
+    // the shared token contributes the SAME per-bucket score to both
+    // sides, so doc1 - doc0 differences come only from the swap of one
+    // target token for the shared one
+    assert(out(1)._4 == 1 && out(3)._4 == 0)
+  }
 }
