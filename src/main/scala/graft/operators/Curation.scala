@@ -255,9 +255,14 @@ object Curation {
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("b", pmod(stableHash60(col("w")), b))
+    // eager checkpoint: bc feeds BOTH the totals and the score table —
+    // without it each consumer re-runs the full tokenization pass, and
+    // the corpus is scanned three times instead of two (seen in the
+    // formatted plan). The checkpoint is `buckets` rows.
     val bc = tok.groupBy(col("b")).agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+      .localCheckpoint(true)
     val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val sc = bc.crossJoin(broadcast(tot))
       .select(col("b"),
