@@ -286,4 +286,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q_dsir: the bucket score table returns via broadcast join and " +
+       "the surviving plan scans the corpus at most twice (the bucket " +
+       "counts build runs behind the eager checkpoint)") {
+    val p = plan("q_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_bpe_encode: the segmentation dictionary broadcasts — the " +
+       "corpus-side explode never sort-merge joins") {
+    val p = plan("q_bpe_encode")
+    assert("BroadcastHashJoin LeftOuter|BroadcastHashJoin .*LeftOuter".r
+      .findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
