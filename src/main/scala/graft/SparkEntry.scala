@@ -849,6 +849,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- interpolated bigram-LM perplexity (the CCNet-style quality
+    //      filter): per-bigram Jelinek-Mercer log-probs micro-nat
+    //      quantized before the order-free integer fold ----
+    "q_lm_ppl" -> ((s, dir) => {
+      graft.operators.TextAnalysis.lmPerplexity(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- DSIR importance scoring: hashed-unigram multinomial
     //      log-ratio weights (target = lang 'en' vs the rest), bucket
     //      table broadcast, micro-nat integer fold per doc ----
@@ -3273,6 +3281,37 @@ object SparkEntry {
     "q_sql_tpch18" -> tpch18Sql,
 
     "q_kmeans" -> kmeansSql,
+
+    "q_lm_ppl" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pr AS MATERIALIZED (
+        |  SELECT doc_id, ws[CAST(x.i AS INT)] AS a,
+        |    ws[CAST(x.i + 1 AS INT)] AS b
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) x),
+        |uni AS MATERIALIZED (
+        |  SELECT tokw, count(*) AS cu FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tokw FROM documents)
+        |  GROUP BY tokw),
+        |tot AS (SELECT sum(cu) AS t FROM uni),
+        |lm AS MATERIALIZED (
+        |  SELECT a, b, count(*) AS cab FROM pr GROUP BY a, b),
+        |sc AS (
+        |  SELECT pr.doc_id,
+        |    CAST(floor(1e6 * ln(
+        |      0.9 * (CAST(lm.cab AS DOUBLE) / CAST(ua.cu AS DOUBLE))
+        |      + 0.1 * (CAST(ub.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))))
+        |      AS BIGINT) AS s
+        |  FROM pr
+        |    JOIN lm USING (a, b)
+        |    JOIN uni ua ON ua.tokw = pr.a
+        |    JOIN uni ub ON ub.tokw = pr.b
+        |    CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(s) AS BIGINT) AS s_micro,
+        |  floor((-CAST(sum(s) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5)
+        |    / 1e6 AS xent
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dsir" ->
       s"""WITH tok AS MATERIALIZED (

@@ -416,8 +416,9 @@ object TextAnalysis {
     * each document by the fraction of its bigram OCCURRENCES whose
     * corpus frequency reaches `minCount`. Degenerate text (rare/garbled
     * token sequences) scores low; formulaic text scores high — the
-    * deterministic stand-in for LM-perplexity filtering (whose log-prob
-    * sums are float-order-dependent and not oracle-comparable).
+    * coarse integer tier of LM filtering. The real interpolated-LM
+    * cross-entropy (oracle-exact via per-term micro-nat quantization)
+    * is [[lmPerplexity]].
     *
     * Shape: one explode, one exchange. `bg` feeds BOTH the LM count and
     * the probe side of the join-back, so it is repartitioned by bigram
@@ -440,6 +441,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("n_common"),
         (col("n_common").cast("double") /
           greatest(col("n_bigrams"), lit(1L))).as("coverage"))
+  }
+
+  /** Interpolated bigram-LM cross-entropy — the real perplexity filter
+    * (the CCNet/KenLM curation step) that `bigramCoverage`'s Scaladoc
+    * once declared "not oracle-comparable". It is, with the micro-nat
+    * discipline: each bigram's Jelinek-Mercer probability
+    *   p(b|a) = 0.9 * c(ab)/c(a) + 0.1 * c(b)/T
+    * is ONE fixed-order IEEE expression over exact integer counts, its
+    * log is quantized to integer micro-nats (`floor(1e6 * ln p)`)
+    * BEFORE the per-doc fold, and the fold is an order-free integer
+    * sum — so cross-entropy is engine-identical bit-for-bit. (c(a) is
+    * the plain unigram count, not the history count — documented
+    * simplification; p stays < 1 because sum_b c(ab) <= c(a).)
+    *
+    * Shape: the bigram stream is repartitioned by (a, b) up front so
+    * the LM groupBy and the count join-back reuse one exchange (the
+    * `bigramCoverage` layout); the vocab table is checkpointed once and
+    * broadcast into both unigram probes; totals are a broadcast
+    * singleton. At 100 TB the vocab broadcast degrades to a shuffle
+    * join on the token key (Zipf-skewed — AQE skew-split applies) and
+    * the LM table Zipf-truncates like any n-gram LM.
+    */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val pairs = graft.engine.Spread(docs).select(col("doc_id"),
+        explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .repartition(col("a"), col("b"))
+    val uni = docs.select(explode(tokens(col("text"))).as("tokw"))
+      .groupBy(col("tokw")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true) // feeds the total + both unigram probes
+    val tot = uni.agg(sum(col("cu")).as("t"))
+    val lm = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    pairs
+      .join(lm, Seq("a", "b"))
+      .join(broadcast(uni.select(col("tokw").as("a"), col("cu").as("ca"))),
+        Seq("a"))
+      .join(broadcast(uni.select(col("tokw").as("b"), col("cu").as("cb"))),
+        Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("s", floor(lit(1e6) * log(
+        lit(0.9) * (col("cab").cast("double") / col("ca").cast("double")) +
+          lit(0.1) * (col("cb").cast("double") / col("t").cast("double"))))
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("s_micro"))
+      .withColumn("xent",
+        floor((-col("s_micro").cast("double") / lit(1e6) /
+          col("n_bigrams")) * lit(1e6) + lit(0.5)) / lit(1e6))
   }
 
   /** PMI collocations — pointwise mutual information over adjacent

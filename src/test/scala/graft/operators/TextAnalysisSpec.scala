@@ -218,4 +218,27 @@ class TextAnalysisSpec extends SparkSpec {
       assert(clean.contains(u.substring(u.length / 2)), s"doc $i tail")
     }
   }
+
+  test("lmPerplexity: exact micro-nat fold on a tiny corpus; a common " +
+    "phrase scores lower cross-entropy than a novel reordering of the " +
+    "same tokens") {
+    import spark.implicits._
+    val docs = (Seq((0L, "a b")) ++
+      (1L to 5L).map(i => (i, "the cat sat")) ++
+      Seq((6L, "cat the sat"))).toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexity(docs).orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "s_micro", "xent")
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 0: one bigram (a,b): c_ab=1, c_a=1, c_b=1, T=20
+    val p0 = 0.9 * (1.0 / 1.0) + 0.1 * (1.0 / 20.0)
+    assert(out(0)._3 == math.floor(1e6 * math.log(p0)).toLong)
+    assert(out(0)._2 == 1L)
+    // the 5x-seen phrase is far more predictable than its reordering
+    // (same unigrams, novel bigrams: c_ab=1 against c_history=6)
+    assert(out(1)._4 < out(6)._4)
+    // xent is the rounded negative mean of the integer fold
+    val x1 = math.floor(
+      (-out(1)._3.toDouble / 1e6 / out(1)._2) * 1e6 + 0.5) / 1e6
+    assert(out(1)._4 == x1)
+  }
 }
