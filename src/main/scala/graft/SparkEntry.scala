@@ -1375,6 +1375,17 @@ object SparkEntry {
     //      in SQL. Scale shape per iteration: one broadcast of the
     //      centroid table + one (cent, pos) shuffle — the corpus is
     //      never shuffled ----
+    // ---- k-Center greedy (farthest-point) coreset selection: the
+    //      running min-distance column folds in ONE new broadcast
+    //      center per iteration (k linear passes, never k·|chosen|
+    //      distance evals); per-iteration argmax is a distributed
+    //      1-heap + 1-row collect ----
+    "q_kcenter" -> ((s, dir) => {
+      graft.operators.Similarity.kCenterSelect(
+          t(s, dir, "embeddings"), k = 8)
+        .orderBy(col("sel_order"))
+    }),
+
     "q_kmeans" -> ((s, dir) => {
       import graft.functions.VectorFunctions.quantize
       import graft.plans.LongArrayDot
@@ -2954,6 +2965,45 @@ object SparkEntry {
        |  SELECT cent_id, cent_v FROM $inCents
        |  WHERE cent_id NOT IN (SELECT cent_id FROM $outM))"""
 
+  /** k-Center greedy traversal unrolled as CTEs (= q_kcenter):
+    * c1 = lowest vec_id; mN = running min-dist² after folding center N
+    * in via least(); cN = argmax of m(N-1) with ties to the lower
+    * vec_id. Full L2² (|x|² + |c|² - 2<x,c>) in exact BIGINT arithmetic
+    * over the quantized vectors.
+    */
+  private lazy val kcenterSql: String = {
+    val k = 8
+    def dist2(x: String, c: String) =
+      s"${ldotSql(x, x)} + ${ldotSql(c, c)} - 2 * ${ldotSql(x, c)}"
+    val iters = (2 to k).map { n =>
+      s"""c$n AS MATERIALIZED (
+         |  SELECT vec_id, cv, d2 FROM m${n - 1}
+         |  ORDER BY d2 DESC, vec_id LIMIT 1),
+         |m$n AS MATERIALIZED (
+         |  SELECT m.vec_id, m.cv,
+         |    least(m.d2, ${dist2("m.cv", "c.cv")}) AS d2
+         |  FROM m${n - 1} m, c$n c)"""
+    }.mkString(",\n")
+    val union = (2 to k).map(n =>
+      s"  UNION ALL SELECT $n, vec_id, d2 FROM c$n").mkString("\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (
+       |  SELECT vec_id, cv FROM q ORDER BY vec_id LIMIT 1),
+       |m1 AS MATERIALIZED (
+       |  SELECT q.vec_id, q.cv,
+       |    ${dist2("q.cv", "c.cv")} AS d2
+       |  FROM q, c1 c),
+       |$iters
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INT) AS sel_order, vec_id,
+       |    CAST(0 AS BIGINT) AS radius2 FROM c1
+       |$union
+       |) ORDER BY sel_order""".stripMargin
+  }
+
   /** One BPE merge iteration as CTEs: pair counts over the previous
     * segmentation (overlap-inclusive, frequency-weighted), the winning
     * pair (count desc, then lexicographic), and the greedy
@@ -3336,6 +3386,8 @@ object SparkEntry {
          |  CASE WHEN sum(s) >= 0 THEN 1 ELSE 0 END AS keep
          |FROM tok JOIN sc USING (b)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_kcenter" -> kcenterSql,
 
     "q_bpe" -> bpeSql,
 

@@ -360,4 +360,63 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
   }
+
+  /** k-Center greedy (farthest-point) selection — the classic 2-approx
+    * coreset / diversity-sampling traversal (Gonzalez 1985; the
+    * "k-center" selection baseline of the data-pruning literature):
+    * start from the lowest-vec_id vector, then k-1 times pick the
+    * vector farthest from everything chosen so far.
+    *
+    * Exact and deterministic like [[trainCentroids]]: quantized integer
+    * vectors, full L2² = |x|² + |c|² - 2<x,c> in long arithmetic
+    * (the |x|² term matters here — the argMAX ranges over x, so it is
+    * not a constant the way it is in the assignment argmin), distance
+    * ties broken to the lower vec_id.
+    *
+    * Scale shape: the running min-distance column is UPDATED
+    * incrementally — each iteration folds only the ONE new center in
+    * (`least(d2min, dist2(new))`, a broadcast of a single row) and
+    * re-checkpoints, so the whole traversal is k linear passes, not
+    * k·|chosen| distance evaluations. The per-iteration argmax is a
+    * TakeOrderedAndProject (distributed 1-heap) + 1-row collect. At
+    * 100 TB this selects a k ~ 10³-10⁴ coreset in k scan-rate jobs;
+    * for k beyond that, swap in the two-level quantizer as a coarse
+    * pre-filter (the `semanticDedup` regime lesson).
+    *
+    * Returns (sel_order, vec_id, radius2): radius2 is the chosen
+    * vector's min-distance² at selection time (= the coverage radius
+    * achieved by the previous prefix; 0 for the seed). radius2 is
+    * non-increasing in sel_order — the standard k-center certificate.
+    */
+  def kCenterSelect(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = prepC(corpus)
+      .withColumn("xn2", LongArrayDot(col("cv"), col("cv")))
+    val seed = base.orderBy(col("cid")).limit(1)
+      .select(col("cid"), col("cv")).collect()(0)
+    var chosen = List((1, seed.getLong(0), 0L))
+    var nextCenter = seed.getSeq[Long](1).toArray
+    // d2min after folding in the seed
+    var state = base.select(col("cid"), col("cv"), col("xn2"),
+        (col("xn2") + lit(nextCenter.map(x => x * x).sum) -
+          lit(2L) * LongArrayDot(col("cv"),
+            typedLit(nextCenter))).as("d2min"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val far = state.orderBy(col("d2min").desc, col("cid"))
+        .limit(1).select(col("cid"), col("cv"), col("d2min"))
+        .collect()(0)
+      chosen ::= ((i, far.getLong(0), far.getLong(2)))
+      nextCenter = far.getSeq[Long](1).toArray
+      state = state.select(col("cid"), col("cv"), col("xn2"),
+          least(col("d2min"),
+            col("xn2") + lit(nextCenter.map(x => x * x).sum) -
+              lit(2L) * LongArrayDot(col("cv"), typedLit(nextCenter)))
+            .as("d2min"))
+        .localCheckpoint(true)
+    }
+    chosen.reverse.toDF("sel_order", "vec_id", "radius2")
+  }
 }

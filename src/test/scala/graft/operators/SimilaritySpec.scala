@@ -133,4 +133,22 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
     assert(ivf == bf)
   }
+
+  test("kCenterSelect: farthest-point traversal with exact quantized " +
+    "L2 and lower-vec_id ties; radius2 non-increasing") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(10f, 0f)), (3L, Array(5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(embs, 4).orderBy("sel_order")
+      .as[(Int, Long, Long)].collect()
+    // seed = lowest vec_id; then x=10 (d2 = 10000^2), then the
+    // midpoint x=5 (min-dist 5000^2 to both), then x=1 (1000^2)
+    assert(out.toSeq == Seq(
+      (1, 0L, 0L), (2, 2L, 100000000L),
+      (3, 3L, 25000000L), (4, 1L, 1000000L)))
+    val radii = out.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a })
+  }
 }
