@@ -34,6 +34,10 @@ object Stress {
       blocklist(spark, sfDir)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-kcenter")) {
+      kcenter(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(8))
+      spark.stop(); return
+    }
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -187,6 +191,23 @@ object Stress {
       if (!skipExact)
         println(f"nprobe=$np merge recall vs single-level: " +
           f"${m2.toDouble / math.max(m1, 1)}%.4f")
+    }
+  }
+
+  /** k-Center greedy wall time at scale: k linear passes + k 1-row
+    * collects — the expectation is k × assignment-scan-rate, flat in k
+    * per pass. Usage: Stress <sfDir> -kcenter [k]
+    */
+  def kcenter(spark: org.apache.spark.sql.SparkSession,
+              sfDir: String, k: Int): Unit = {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .localCheckpoint(true)
+    println(s"vectors: ${embs.count()}  k=$k")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val out = graft.operators.Similarity.kCenterSelect(embs, k).collect()
+      println(f"kcenter k=$k rep$rep   ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (last radius2=${out.last.getLong(2)})")
     }
   }
 
