@@ -249,9 +249,17 @@ object Curation {
     * oracle-exact.
     */
   def dsirScores(docs: DataFrame, targetCol: Column,
-                 buckets: Int = 256): DataFrame = {
+                 buckets: Int = 256): DataFrame =
+    dsirScoreWith(docs, dsirStats(docs, targetCol, buckets), buckets)
+
+  /** The trained half of DSIR: the per-bucket micro-nat log importance
+    * ratio table (b, s) — `buckets` rows, the broadcastable frozen
+    * artifact a streaming scorer reuses shard after shard.
+    */
+  def dsirStats(docs: DataFrame, targetCol: Column,
+                buckets: Int = 256): DataFrame = {
     val b = lit(buckets)
-    val tok = docs.select(col("doc_id"), targetCol.as("tgt"),
+    val tok = docs.select(targetCol.as("tgt"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("b", pmod(stableHash60(col("w")), b))
@@ -264,15 +272,32 @@ object Curation {
         sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
       .localCheckpoint(true)
     val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val sc = bc.crossJoin(broadcast(tot))
+    bc.crossJoin(broadcast(tot))
       .select(col("b"),
         floor(lit(1e6) * log(
           ((col("ct") + 1) * (col("tr") + b)).cast("double") /
             ((col("cr") + 1) * (col("tt") + b)).cast("double")))
           .cast("long").as("s"))
-    tok.join(broadcast(sc), Seq("b"))
+  }
+
+  /** Score documents against a FROZEN bucket-score table (from
+    * [[dsirStats]]): one explode + broadcast join + doc_id fold.
+    * Per-doc scoring is independent of every other document, so the
+    * streaming twin (`DocStream.dsirIncremental`) equals this over the
+    * union of shards in any arrival order — the spec-locked law.
+    * Tokens hashing to a bucket ABSENT from the stats table (possible
+    * when stats were trained on a different corpus) contribute 0 — the
+    * neutral no-evidence prior.
+    */
+  def dsirScoreWith(docs: DataFrame, stats: DataFrame,
+                    buckets: Int = 256): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("b", pmod(stableHash60(col("w")), lit(buckets)))
+      .join(broadcast(stats), Seq("b"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("w_micro"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("s"), lit(0L))).as("w_micro"))
       .withColumn("keep", when(col("w_micro") >= 0, 1).otherwise(0))
   }
-}

@@ -88,6 +88,25 @@ object DocStream {
       }
       .start()
 
+  /** Continuous DSIR scoring against a FROZEN per-bucket score table
+    * (`Curation.dsirStats` trained once on the stored corpus): every
+    * arriving micro-batch runs `Curation.dsirScoreWith` — one explode,
+    * one broadcast join, one doc fold; no cross-batch state at all,
+    * because per-doc scores are independent. The law (DocStreamSpec):
+    * the union of per-batch outputs equals the batch scorer over the
+    * union, in any arrival order. Retraining the stats table is a
+    * deliberate batch event (swap the broadcast artifact), exactly how
+    * production DSIR pins its selection distribution per snapshot.
+    */
+  def dsirIncremental(docsStream: DataFrame, stats: DataFrame,
+                      buckets: Int = 256)
+                     (sink: DataFrame => Unit): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Curation.dsirScoreWith(batch, stats, buckets))
+      }
+      .start()
+
   /** The COMPOSED daily-ingest job a production pipeline actually runs:
     * per micro-batch (one "day" of arriving shards), in ONE
     * `foreachBatch` body —

@@ -101,6 +101,30 @@ class DocStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("foreachBatch DSIR scoring with frozen stats == batch scorer " +
+       "over the union") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val stats = graft.operators.Curation.dsirStats(
+      docs.filter(col("doc_id") < 300), col("lang") === "en")
+    val stream = DocStream.readDocuments(spark, sf())
+      .filter(col("doc_id") >= 300)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = DocStream.dsirIncremental(stream, stats) { scored =>
+      buf.synchronized { buf ++= scored.collect() }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val got = buf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getInt(3))).sorted.toSeq
+    val want = graft.operators.Curation.dsirScoreWith(
+        docs.filter(col("doc_id") >= 300), stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sorted.toSeq
+    assert(want.nonEmpty && want.exists(_._4 == 1) &&
+      want.exists(_._4 == 0), "degenerate keep split at this SF")
+    assert(got == want)
+  }
+
   test("incremental packing == batch packShards when the corpus arrives " +
        "in one ordered batch") {
     val streamed = EventStream.runToMemory(
