@@ -788,9 +788,14 @@ object SparkEntry {
     //      bound the pair enumeration, exact quantized cosine verifies,
     //      components -> min-id canonical ----
     "q_semantic_dedup" -> ((s, dir) => {
+      // autoTwoLevel pinned OFF: this oracle replays the EXACT
+      // single-level algorithm, so the query must never auto-route to
+      // the approximate two-level path at larger gate SFs (the routed
+      // regime is oracle-gated separately as q_semantic_dedup2, and
+      // DedupSpec locks single == routed == direct at the boundary)
       graft.operators.Dedup.semanticDedup(
           t(s, dir, "embeddings"), nlist = 8, iters = 2,
-          tauNum = 4, tauDen = 10)
+          tauNum = 4, tauDen = 10, autoTwoLevel = Long.MaxValue)
         .orderBy(col("vec_id"))
     }),
 
@@ -871,8 +876,8 @@ object SparkEntry {
     //      the word count; the merge loop iterates a vocab-sized table
     //      with a 1-row collect per iteration). Oracle unrolls every
     //      iteration as CTEs, with the greedy left-to-right rewrite
-    //      expressed as replace() over a 0x1F-delimited symbol
-    //      string — identical semantics by construction ----
+    //      expressed as the SAME list fold (list_reduce + ends_with
+    //      last-symbol check) the engine runs ----
     "q_bpe" -> ((s, dir) => {
       graft.operators.Bpe.trainMerges(t(s, dir, "documents"), iters = 10)
         ._1
@@ -2982,7 +2987,8 @@ object SparkEntry {
          |m$n AS MATERIALIZED (
          |  SELECT m.vec_id, m.cv,
          |    least(m.d2, ${dist2("m.cv", "c.cv")}) AS d2
-         |  FROM m${n - 1} m, c$n c)"""
+         |  FROM m${n - 1} m, c$n c
+         |  WHERE m.vec_id <> c.vec_id)"""
     }.mkString(",\n")
     val union = (2 to k).map(n =>
       s"  UNION ALL SELECT $n, vec_id, d2 FROM c$n").mkString("\n")
@@ -2995,7 +3001,8 @@ object SparkEntry {
        |m1 AS MATERIALIZED (
        |  SELECT q.vec_id, q.cv,
        |    ${dist2("q.cv", "c.cv")} AS d2
-       |  FROM q, c1 c),
+       |  FROM q, c1 c
+       |  WHERE q.vec_id <> c.vec_id),
        |$iters
        |SELECT * FROM (
        |  SELECT CAST(1 AS INT) AS sel_order, vec_id,
@@ -3007,10 +3014,18 @@ object SparkEntry {
   /** One BPE merge iteration as CTEs: pair counts over the previous
     * segmentation (overlap-inclusive, frequency-weighted), the winning
     * pair (count desc, then lexicographic), and the greedy
-    * left-to-right rewrite — `replace()` over the 0x1F-delimited symbol
-    * string is exactly non-overlapping left-to-right merging.
-    * MATERIALIZED is load-bearing: each s(N-1) is referenced twice per
-    * iteration, so inlining would re-evaluate the chain exponentially.
+    * left-to-right rewrite as the SAME list fold the engine runs
+    * (`list_reduce` over the symbol list with an `ends_with` last-symbol
+    * check) — NOT a `replace()` over the delimited string, which
+    * diverges on back-to-back occurrences of the winning pair ("abab"
+    * shares the middle delimiter, so replace() merges only the first;
+    * and in a==b runs of 6+ the resume-after-replacement scan merges
+    * different positions than the left-to-right fold). The LEFT JOIN ON
+    * TRUE passes the segmentation through unchanged when t$n is empty
+    * (merge exhaustion) — mirroring the engine's early stop instead of
+    * CROSS JOIN-ing the table away. MATERIALIZED is load-bearing: each
+    * s(N-1) is referenced twice per iteration, so inlining would
+    * re-evaluate the chain exponentially.
     */
   private def bpeIterSql(prev: String, n: Int): String =
     s"""p$n AS MATERIALIZED (
@@ -3023,9 +3038,15 @@ object SparkEntry {
        |t$n AS MATERIALIZED (
        |  SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
        |s$n AS MATERIALIZED (SELECT word, freq,
-       |  replace(seq, chr(31) || a || chr(31) || b || chr(31),
-       |               chr(31) || a || b || chr(31)) AS seq
-       |  FROM $prev CROSS JOIN t$n)"""
+       |  CASE WHEN a IS NULL THEN seq ELSE
+       |    list_reduce(
+       |      list_prepend('', string_split(trim(seq, chr(31)), chr(31))),
+       |      (acc, x) -> CASE
+       |        WHEN ends_with(acc, chr(31) || a) AND x = b
+       |        THEN left(acc, len(acc) - len(a)) || a || b
+       |        ELSE acc || chr(31) || x END) || chr(31)
+       |  END AS seq
+       |  FROM $prev LEFT JOIN t$n ON TRUE)"""
 
   private val bpeIters = 10
 

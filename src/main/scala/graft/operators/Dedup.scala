@@ -434,6 +434,16 @@ object Dedup {
     */
   val SemanticTwoLevelVectors = 100000L
 
+  /** Default training-sample multiple for the two-level quantizer
+    * (sample = sampleFactor × nlist). ONE definition shared by
+    * [[semanticDedupTwoLevel]]'s parameter default and the
+    * [[semanticDedup]] router's exactness-upgrade condition
+    * (n <= sampleFactor·nlist ⇒ the sample covers the corpus and
+    * probing every coarse group is exact) — two literals would let the
+    * condition silently disagree with the sample actually drawn.
+    */
+  val SemanticSampleFactor = 50
+
   private def jaccardPairsFromSets(sets: DataFrame, tau: Double,
                                    maxPostings: Int,
                                    docCount: Long): DataFrame = {
@@ -1255,25 +1265,32 @@ object Dedup {
     * join (the join exchange materializes them), so the per-pair work is
     * a single codegen'd LongArrayDot + integer gate.
     */
-  def embeddingPairs(embs: DataFrame, tauNum: Int, tauDen: Int,
-                     blockCol: String = "label"): DataFrame = {
+  /** One side of a gated-cosine pair join: block key + quantized vector
+    * + norm under positional names. Shared by [[embeddingPairs]] and
+    * [[embeddingPairsAcross]] so the self-join and cross-frame forms
+    * can never diverge in prep (scale, norm, spread) — the pair law the
+    * streaming twin depends on.
+    */
+  private def pairSide(df: DataFrame, blockCol: String, vid: String,
+                       qv: String, qn: String): DataFrame = {
     import graft.functions.VectorFunctions.quantize
     import graft.plans.LongArrayDot
-    val prep = graft.engine.Spread(embs).select(col(blockCol).as("blk"), col("vec_id"),
-        quantize(col("embedding")).as("qv"))
-      .withColumn("qn", LongArrayDot(col("qv"), col("qv")))
-    val a = prep.select(col("blk"), col("vec_id").as("v1"),
-      col("qv").as("qv1"), col("qn").as("qn1"))
-    val b = prep.select(col("blk"), col("vec_id").as("v2"),
-      col("qv").as("qv2"), col("qn").as("qn2"))
-    a.join(b, Seq("blk"))
+    graft.engine.Spread(df)
+      .select(col(blockCol).as("blk"), col("vec_id").as(vid),
+        quantize(col("embedding")).as(qv))
+      .withColumn(qn, LongArrayDot(col(qv), col(qv)))
+  }
+
+  def embeddingPairs(embs: DataFrame, tauNum: Int, tauDen: Int,
+                     blockCol: String = "label"): DataFrame =
+    pairSide(embs, blockCol, "v1", "qv1", "qn1")
+      .join(pairSide(embs, blockCol, "v2", "qv2", "qn2"), Seq("blk"))
       .filter(col("v1") < col("v2"))
       // fused gate (one dot per pair even when pushed into the join
       // condition — see lshCosinePairs)
       .filter(graft.plans.QCosineGateExpr(col("qv1"), col("qv2"),
         col("qn1"), col("qn2"), tauNum, tauDen))
       .select(col("blk"), col("v1"), col("v2"))
-  }
 
   /** Gated cosine pairs ACROSS two frames: every `a` vector against
     * every `b` vector sharing a block, exact quantized cosine >=
@@ -1285,21 +1302,13 @@ object Dedup {
     */
   def embeddingPairsAcross(a: DataFrame, b: DataFrame, tauNum: Int,
                            tauDen: Int,
-                           blockCol: String = "label"): DataFrame = {
-    import graft.functions.VectorFunctions.quantize
-    import graft.plans.LongArrayDot
-    def prep(df: DataFrame, vid: String, qv: String, qn: String) =
-      graft.engine.Spread(df)
-        .select(col(blockCol).as("blk"), col("vec_id").as(vid),
-          quantize(col("embedding")).as(qv))
-        .withColumn(qn, LongArrayDot(col(qv), col(qv)))
-    prep(a, "v1", "qv1", "qn1")
-      .join(prep(b, "v2", "qv2", "qn2"), Seq("blk"))
+                           blockCol: String = "label"): DataFrame =
+    pairSide(a, blockCol, "v1", "qv1", "qn1")
+      .join(pairSide(b, blockCol, "v2", "qv2", "qn2"), Seq("blk"))
       .filter(col("v1") =!= col("v2"))
       .filter(graft.plans.QCosineGateExpr(col("qv1"), col("qv2"),
         col("qn1"), col("qn2"), tauNum, tauDen))
       .select(col("blk"), col("v1"), col("v2"))
-  }
 
   /** SemDeDup-style semantic dedup (cluster-then-compare; Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1344,6 +1353,11 @@ object Dedup {
     * path (spec-locked boundary law in DedupSpec). Callers that need
     * the exact single-level result at any size pass
     * `autoTwoLevel = Long.MaxValue` and accept the spill.
+    *
+    * The route decision needs the corpus count even when `nlist` is
+    * explicit — one [[corpusCount]] per call (hint → optimizer
+    * statistic → count() job); pass `n` to skip the job on large
+    * frames.
     */
   def semanticDedup(embs: DataFrame, nlist: Int = 0, iters: Int = 2,
                     tauNum: Int = 4, tauDen: Int = 10,
@@ -1360,7 +1374,7 @@ object Dedup {
       // two-level defaults; when the training sample covers the whole
       // corpus anyway, probing every coarse group costs what the
       // single-level assignment would and buys back exactness
-      val sf = 50
+      val sf = SemanticSampleFactor
       val np = if (sf.toLong * sized >= nRows) sized else 2
       return semanticDedupTwoLevel(embs, nlist, iters, tauNum, tauDen,
         nRows, kCoarse = 0, nprobe = np, sampleFactor = sf)
@@ -1473,7 +1487,7 @@ object Dedup {
                             iters: Int = 2, tauNum: Int = 4,
                             tauDen: Int = 10, n: Long = -1L,
                             kCoarse: Int = 0, nprobe: Int = 2,
-                            sampleFactor: Int = 50): DataFrame = {
+                            sampleFactor: Int = SemanticSampleFactor): DataFrame = {
     import graft.functions.VectorFunctions.quantize
     import graft.functions.StableHash.stableHash60
     import graft.plans.LongArrayDot

@@ -394,28 +394,44 @@ object Similarity {
     import spark.implicits._
     val base = prepC(corpus)
       .withColumn("xn2", LongArrayDot(col("cv"), col("cv")))
-    val seed = base.orderBy(col("cid")).limit(1)
-      .select(col("cid"), col("cv")).collect()(0)
+    val seedRows = base.orderBy(col("cid")).limit(1)
+      .select(col("cid"), col("cv")).collect()
+    if (seedRows.isEmpty)
+      return Seq.empty[(Int, Long, Long)]
+        .toDF("sel_order", "vec_id", "radius2")
+    val seed = seedRows(0)
     var chosen = List((1, seed.getLong(0), 0L))
     var nextCenter = seed.getSeq[Long](1).toArray
-    // d2min after folding in the seed
-    var state = base.select(col("cid"), col("cv"), col("xn2"),
+    // each selected vector is REMOVED from the state before its
+    // distance folds in, so an id can never be selected twice — with
+    // quantization-identical duplicates the dup stays eligible at
+    // d2min = 0 and is picked only once everything farther is
+    // exhausted. If the corpus runs out before k (k > n), the
+    // traversal stops early and returns fewer rows.
+    var state = base.filter(col("cid") =!= seed.getLong(0))
+      .select(col("cid"), col("cv"), col("xn2"),
         (col("xn2") + lit(nextCenter.map(x => x * x).sum) -
           lit(2L) * LongArrayDot(col("cv"),
             typedLit(nextCenter))).as("d2min"))
       .localCheckpoint(true)
-    for (i <- 2 to k) {
-      val far = state.orderBy(col("d2min").desc, col("cid"))
+    var exhausted = false
+    for (i <- 2 to k if !exhausted) {
+      val farRows = state.orderBy(col("d2min").desc, col("cid"))
         .limit(1).select(col("cid"), col("cv"), col("d2min"))
-        .collect()(0)
-      chosen ::= ((i, far.getLong(0), far.getLong(2)))
-      nextCenter = far.getSeq[Long](1).toArray
-      state = state.select(col("cid"), col("cv"), col("xn2"),
-          least(col("d2min"),
-            col("xn2") + lit(nextCenter.map(x => x * x).sum) -
-              lit(2L) * LongArrayDot(col("cv"), typedLit(nextCenter)))
-            .as("d2min"))
-        .localCheckpoint(true)
+        .collect()
+      if (farRows.isEmpty) exhausted = true
+      else {
+        val far = farRows(0)
+        chosen ::= ((i, far.getLong(0), far.getLong(2)))
+        nextCenter = far.getSeq[Long](1).toArray
+        state = state.filter(col("cid") =!= far.getLong(0))
+          .select(col("cid"), col("cv"), col("xn2"),
+            least(col("d2min"),
+              col("xn2") + lit(nextCenter.map(x => x * x).sum) -
+                lit(2L) * LongArrayDot(col("cv"), typedLit(nextCenter)))
+              .as("d2min"))
+          .localCheckpoint(true)
+      }
     }
     chosen.reverse.toDF("sel_order", "vec_id", "radius2")
   }

@@ -80,10 +80,12 @@ object EmbStream {
                                tauNum: Int = 4, tauDen: Int = 10)
                               (sink: DataFrame => Unit): Incremental = {
     import graft.operators.{Dedup, Similarity}
-    val n = corpus.count()
+    // the count only feeds nlist auto-sizing — callers with an explicit
+    // nlist must not pay a full corpus scan at stream setup
     val sizedNlist =
       if (nlist > 0) nlist
-      else math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+      else math.max(1L,
+        math.ceil(math.sqrt(corpus.count().toDouble)).toLong).toInt
     val cents = Similarity.trainCentroids(corpus, sizedNlist, iters)
       .localCheckpoint(true)
 

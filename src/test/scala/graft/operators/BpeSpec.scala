@@ -38,6 +38,16 @@ class BpeSpec extends SparkSpec {
     assert(s == Seq("aa", "a"))
   }
 
+  test("back-to-back pair occurrences all merge in one pass: abab -> " +
+    "(ab)(ab) — the case a delimited-string replace() would miss") {
+    val d = docs("abab abab")
+    val (merges, seg) = Bpe.trainMerges(d, iters = 1)
+    val m = merges.as[(Int, String, String, String, Long)].head()
+    assert(m == ((1, "a", "b", "ab", 4L)))
+    val s = seg.select(col("syms")).as[Seq[String]].head()
+    assert(s == Seq("ab", "ab"))
+  }
+
   test("early exhaustion: single-char vocab stops with fewer merges") {
     val d = docs("a b a b")
     val (merges, seg) = Bpe.trainMerges(d, iters = 5)

@@ -151,4 +151,22 @@ class SimilaritySpec extends SparkSpec {
     val radii = out.drop(1).map(_._3)
     assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a })
   }
+
+  test("kCenterSelect: ids never repeat under quantization-identical " +
+    "duplicates; k past the corpus stops early; empty corpus -> empty") {
+    import spark.implicits._
+    val dups = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(dups, 5).orderBy("sel_order")
+      .as[(Int, Long, Long)].collect()
+    // 3 rows (k > n stops early), distinct ids; the duplicate of the
+    // seed is selected LAST with radius2 = 0
+    assert(out.map(_._2).toSeq == Seq(0L, 2L, 1L))
+    assert(out.map(_._2).distinct.length == 3)
+    assert(out(2)._3 == 0L)
+    val empty = Similarity.kCenterSelect(
+      dups.filter(col("vec_id") < 0), 3)
+    assert(empty.count() == 0)
+  }
 }
