@@ -34,6 +34,10 @@ object Stress {
       blocklist(spark, sfDir)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-cellprofile")) {
+      cellProfile(spark, sfDir)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-kcenter")) {
       kcenter(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(8))
       spark.stop(); return
@@ -192,6 +196,55 @@ object Stress {
         println(f"nprobe=$np merge recall vs single-level: " +
           f"${m2.toDouble / math.max(m1, 1)}%.4f")
     }
+  }
+
+  /** Two-level assignment cell-occupancy profile: where does the
+    * in-cell pair work concentrate? Prints cell-count percentiles, the
+    * max cell, and the Σ cell² pair-work share of the top cells — the
+    * straggler diagnostic for the pair-gate stage.
+    * Usage: Stress <sfDir> -cellprofile
+    */
+  def cellProfile(spark: org.apache.spark.sql.SparkSession,
+                  sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    // stage attribution: which stage owns the wall at this scale
+    final case class StageRow(id: Int, name: String, runMs: Long,
+                              tasks: Int)
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) stages.add(StageRow(s.stageInfo.stageId,
+            s.stageInfo.name.linesIterator.next(),
+            m.executorRunTime, s.stageInfo.numTasks))
+        }
+      })
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .localCheckpoint(true)
+    val n = embs.count()
+    val t0 = System.nanoTime()
+    val out = graft.operators.Dedup.semanticDedupTwoLevel(embs, n = n)
+      .localCheckpoint(true)
+    println(f"semdedup2 wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    import scala.jdk.CollectionConverters._
+    stages.asScala.toSeq.sortBy(-_.runMs).take(10).foreach { st =>
+      println(f"stage ${st.id}%4d  ${st.runMs / 1000.0}%8.1f cpu-s  " +
+        f"tasks=${st.tasks}%-4d ${st.name.take(90)}")
+    }
+    val cells = out.groupBy(col("cent_id")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val stats = cells.agg(count(lit(1)).as("ncells"), max(col("c")),
+      expr("approx_percentile(c, array(0.5, 0.9, 0.99))"),
+      sum(col("c") * col("c")).as("sum_c2")).collect()(0)
+    val top = cells.orderBy(col("c").desc).limit(10)
+      .collect().map(_.getLong(1))
+    println(s"n=$n cells=${stats.getLong(0)} max=${stats.getLong(1)} " +
+      s"p50/p90/p99=${stats.getSeq[Long](2).mkString("/")} " +
+      s"sum_c2=${stats.getLong(3)} top10=${top.mkString(",")}")
   }
 
   /** k-Center greedy wall time at scale: k linear passes + k 1-row
