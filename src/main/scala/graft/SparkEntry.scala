@@ -886,6 +886,27 @@ object SparkEntry {
         .orderBy(col("iter"))
     }),
 
+    // ---- cross-corpus BPE application: train on the 'en' slice,
+    //      replay the merge list over the full corpus' distinct words
+    //      (OOV words segmented by the same fold, not a fallback) ----
+    "q_bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (mergeDf, _) = graft.operators.Bpe.trainMerges(
+        docs.filter(col("lang") === "en"), iters = 10)
+      val merges = mergeDf.orderBy(col("iter")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = graft.operators.Bpe.applyMerges(docs, merges)
+      docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(seg.select(col("word"),
+          size(col("syms")).as("n_sub"))), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- BPE encoding: per-doc token counts under the learned
     //      segmentation — vocab broadcasts, corpus streams through one
     //      explode + one aggregation ----
@@ -1387,6 +1408,15 @@ object SparkEntry {
     //      1-heap + 1-row collect ----
     "q_kcenter" -> ((s, dir) => {
       graft.operators.Similarity.kCenterSelect(
+          t(s, dir, "embeddings"), k = 8)
+        .orderBy(col("sel_order"))
+    }),
+
+    // ---- coreset coverage census: nearest selected center per vector
+    //      (k-row center table broadcast), member counts + realized
+    //      radius² per center — the k-center quality certificate ----
+    "q_kcenter_census" -> ((s, dir) => {
+      graft.operators.Similarity.kCenterCensus(
           t(s, dir, "embeddings"), k = 8)
         .orderBy(col("sel_order"))
     }),
@@ -2976,22 +3006,24 @@ object SparkEntry {
     * vec_id. Full L2² (|x|² + |c|² - 2<x,c>) in exact BIGINT arithmetic
     * over the quantized vectors.
     */
-  private lazy val kcenterSql: String = {
-    val k = 8
-    def dist2(x: String, c: String) =
-      s"${ldotSql(x, x)} + ${ldotSql(c, c)} - 2 * ${ldotSql(x, c)}"
+  private val kcenterK = 8
+
+  private def kcenterDist2(x: String, c: String) =
+    s"${ldotSql(x, x)} + ${ldotSql(c, c)} - 2 * ${ldotSql(x, c)}"
+
+  /** The shared k-center traversal CTE chain (q, c1..ck, m1..mk). */
+  private lazy val kcenterCtes: String = {
+    val k = kcenterK
     val iters = (2 to k).map { n =>
       s"""c$n AS MATERIALIZED (
          |  SELECT vec_id, cv, d2 FROM m${n - 1}
          |  ORDER BY d2 DESC, vec_id LIMIT 1),
          |m$n AS MATERIALIZED (
          |  SELECT m.vec_id, m.cv,
-         |    least(m.d2, ${dist2("m.cv", "c.cv")}) AS d2
+         |    least(m.d2, ${kcenterDist2("m.cv", "c.cv")}) AS d2
          |  FROM m${n - 1} m, c$n c
          |  WHERE m.vec_id <> c.vec_id)"""
     }.mkString(",\n")
-    val union = (2 to k).map(n =>
-      s"  UNION ALL SELECT $n, vec_id, d2 FROM c$n").mkString("\n")
     s"""WITH q AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
@@ -3000,15 +3032,50 @@ object SparkEntry {
        |  SELECT vec_id, cv FROM q ORDER BY vec_id LIMIT 1),
        |m1 AS MATERIALIZED (
        |  SELECT q.vec_id, q.cv,
-       |    ${dist2("q.cv", "c.cv")} AS d2
+       |    ${kcenterDist2("q.cv", "c.cv")} AS d2
        |  FROM q, c1 c
        |  WHERE q.vec_id <> c.vec_id),
-       |$iters
+       |$iters"""
+  }
+
+  private lazy val kcenterSql: String = {
+    val union = (2 to kcenterK).map(n =>
+      s"  UNION ALL SELECT $n, vec_id, d2 FROM c$n").mkString("\n")
+    s"""$kcenterCtes
        |SELECT * FROM (
        |  SELECT CAST(1 AS INT) AS sel_order, vec_id,
        |    CAST(0 AS BIGINT) AS radius2 FROM c1
        |$union
        |) ORDER BY sel_order""".stripMargin
+  }
+
+  /** Coreset coverage census (= q_kcenter_census): every vector to its
+    * nearest selected center (full L2², ties to the lower center id),
+    * per-center member count + realized max distance².
+    */
+  private lazy val kcenterCensusSql: String = {
+    val centerUnion = (Seq(
+      s"  SELECT CAST(1 AS INT) AS sel_order, vec_id, cv FROM c1") ++
+      (2 to kcenterK).map(n =>
+        s"  UNION ALL SELECT $n, vec_id, cv FROM c$n")).mkString("\n")
+    s"""$kcenterCtes,
+       |ctr AS MATERIALIZED (
+       |$centerUnion
+       |),
+       |asg AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id, ctr.sel_order, ctr.vec_id AS center_id,
+       |      ${kcenterDist2("q.cv", "ctr.cv")} AS d2,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${kcenterDist2("q.cv", "ctr.cv")} ASC,
+       |        ctr.vec_id ASC) AS rk
+       |    FROM q CROSS JOIN ctr)
+       |  WHERE rk = 1)
+       |SELECT sel_order, center_id,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(max(d2) AS BIGINT) AS max_d2
+       |FROM asg GROUP BY sel_order, center_id
+       |ORDER BY sel_order""".stripMargin
   }
 
   /** One BPE merge iteration as CTEs: pair counts over the previous
@@ -3038,34 +3105,78 @@ object SparkEntry {
        |t$n AS MATERIALIZED (
        |  SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
        |s$n AS MATERIALIZED (SELECT word, freq,
-       |  CASE WHEN a IS NULL THEN seq ELSE
-       |    list_reduce(
-       |      list_prepend('', string_split(trim(seq, chr(31)), chr(31))),
-       |      (acc, x) -> CASE
-       |        WHEN ends_with(acc, chr(31) || a) AND x = b
-       |        THEN left(acc, len(acc) - len(a)) || a || b
-       |        ELSE acc || chr(31) || x END) || chr(31)
-       |  END AS seq
+       |  $bpeFoldSql AS seq
        |  FROM $prev LEFT JOIN t$n ON TRUE)"""
+
+  /** The fold expression shared by the training rewrite and the
+    * merge-application chain (columns in scope: seq, a, b).
+    */
+  private lazy val bpeFoldSql: String =
+    """CASE WHEN a IS NULL THEN seq ELSE
+      |    list_reduce(
+      |      list_prepend('', string_split(trim(seq, chr(31)), chr(31))),
+      |      (acc, x) -> CASE
+      |        WHEN ends_with(acc, chr(31) || a) AND x = b
+      |        THEN left(acc, len(acc) - len(a)) || a || b
+      |        ELSE acc || chr(31) || x END) || chr(31)
+      |  END""".stripMargin
 
   private val bpeIters = 10
 
   /** The shared BPE training chain: word frequencies (the only
     * corpus-scale CTE), char-level initial segmentation, `bpeIters`
-    * unrolled merge iterations.
+    * unrolled merge iterations. `src` is the training corpus relation
+    * (q_bpe_apply trains on a language slice).
     */
-  private lazy val bpeCtes: String = {
+  private def bpeCtesFrom(src: String): String = {
     val iters = (1 to bpeIters)
       .map(n => bpeIterSql(s"s${n - 1}", n)).mkString(",\n")
     s"""WITH w AS MATERIALIZED (
        |  SELECT word, count(*) AS freq FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM $src)
        |  WHERE word <> '' GROUP BY word),
        |s0 AS MATERIALIZED (SELECT word, freq,
        |  chr(31) || array_to_string(string_split(word, ''), chr(31))
        |    || chr(31) AS seq
        |  FROM w),
        |$iters"""
+  }
+
+  private lazy val bpeCtes: String = bpeCtesFrom("documents")
+
+  /** Cross-corpus BPE application (= q_bpe_apply): train on the 'en'
+    * slice, replay the k merges in priority order over the FULL
+    * corpus' distinct words (the same fold, one chain CTE per merge),
+    * then count per-doc tokens — the production encode path for
+    * corpora the tokenizer was not trained on.
+    */
+  private lazy val bpeApplySql: String = {
+    val applies = (1 to bpeIters).map { n =>
+      s"""b$n AS MATERIALIZED (SELECT word,
+         |  $bpeFoldSql AS seq
+         |  FROM b${n - 1} LEFT JOIN t$n ON TRUE)"""
+    }.mkString(",\n")
+    s"""${bpeCtesFrom("(SELECT * FROM documents WHERE lang = 'en')")},
+       |b0 AS MATERIALIZED (
+       |  SELECT DISTINCT word,
+       |    chr(31) || array_to_string(string_split(word, ''), chr(31))
+       |      || chr(31) AS seq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> ''),
+       |$applies,
+       |seg AS MATERIALIZED (SELECT word,
+       |  CAST(len(string_split(trim(seq, chr(31)), chr(31))) AS BIGINT)
+       |    AS n_sub
+       |  FROM b$bpeIters),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |       FROM documents)
+       |SELECT dw.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(seg.n_sub) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN seg USING (word)
+       |WHERE word <> ''
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
   }
 
   /** The learned merge table (= q_bpe). */
@@ -3410,9 +3521,13 @@ object SparkEntry {
 
     "q_kcenter" -> kcenterSql,
 
+    "q_kcenter_census" -> kcenterCensusSql,
+
     "q_bpe" -> bpeSql,
 
     "q_bpe_encode" -> bpeEncodeSql,
+
+    "q_bpe_apply" -> bpeApplySql,
     "q_sql_tpch5" -> tpch5Sql,
     "q_sql_tpch6" -> tpch6Sql,
     "q_sql_tpch10" -> tpch10Sql,

@@ -70,6 +70,46 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** The greedy left-to-right non-overlapping rewrite of one merge
+    * (a, b) over a symbol-array column — the fold shared by training
+    * and [[applyMerges]]. Correct under overlap because the merged text
+    * a+b can never equal `a` (b is non-empty), so a freshly-merged
+    * symbol cannot be consumed as the left half of the same pair.
+    */
+  private def mergeFold(syms: org.apache.spark.sql.Column, a: String,
+                        b: String): org.apache.spark.sql.Column = {
+    val aL = lit(a); val bL = lit(b); val mL = lit(a + b)
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      slice(syms, lit(1), lit(1)),
+      (acc, x) => when(
+        element_at(acc, -1) === aL && x === bL,
+        concat(slice(acc, lit(1), size(acc) - 1), array(mL)))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Apply an already-learned merge list, in priority order, to the
+    * distinct words of `docs` — the production encode path for corpora
+    * the tokenizer was NOT trained on (every word is segmented, known
+    * or OOV, by replaying the merges; contrast [[encode]]'s trained-
+    * vocabulary join with its char-count fallback). Same scale shape as
+    * training minus the counting: one distinct-words pass, then k
+    * narrow rewrites of the vocab-bounded table.
+    */
+  def applyMerges(docs: DataFrame,
+                  merges: Seq[(String, String)]): DataFrame = {
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(col("word"), split(col("word"), "").as("syms"))
+      .localCheckpoint(true)
+    for ((a, b) <- merges)
+      vocab = vocab
+        .select(col("word"), mergeFold(col("syms"), a, b).as("syms"))
+        .localCheckpoint(true)
+    vocab
+  }
+
   /** Train `iters` merges over the corpus; returns
     * (mergeTable, segmentation) where mergeTable has one row per
     * learned merge (iter, left, right, merged, cnt) and segmentation is
@@ -106,20 +146,8 @@ object Bpe {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(i, a, b, a + b, cnt)
-        // greedy left-to-right non-overlapping rewrite: fold the tail,
-        // merging when the accumulated last symbol is `a` and the next
-        // is `b`. Correct under overlap because the merged text a+b can
-        // never equal `a` (b is non-empty), so a freshly-merged symbol
-        // cannot be consumed as the left half of the same pair.
-        val aL = lit(a); val bL = lit(b); val mL = lit(a + b)
         vocab = vocab.select(col("word"), col("freq"),
-            aggregate(
-              slice(col("syms"), lit(2), size(col("syms")) - 1),
-              slice(col("syms"), lit(1), lit(1)),
-              (acc, x) => when(
-                element_at(acc, -1) === aL && x === bL,
-                concat(slice(acc, lit(1), size(acc) - 1), array(mL)))
-                .otherwise(concat(acc, array(x)))).as("syms"))
+            mergeFold(col("syms"), a, b).as("syms"))
           .localCheckpoint(true)
       }
     }

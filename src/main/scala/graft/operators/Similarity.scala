@@ -435,4 +435,33 @@ object Similarity {
     }
     chosen.reverse.toDF("sel_order", "vec_id", "radius2")
   }
+
+  /** Coverage census of a k-center coreset: every corpus vector is
+    * assigned to its nearest selected center (full quantized L2², ties
+    * to the lower center id — one broadcast of the k-row center table),
+    * and each center reports its member count and realized coverage
+    * radius (max member distance²). The k-center quality certificate:
+    * max over centers of max_d2 is the covering radius the greedy
+    * 2-approximation guarantees within 2× of optimal.
+    */
+  def kCenterCensus(corpus: DataFrame, k: Int): DataFrame = {
+    val centers = kCenterSelect(corpus, k)
+    val base = prepC(corpus)
+      .withColumn("xn2", LongArrayDot(col("cv"), col("cv")))
+    val cw = centers.select(col("sel_order"),
+        col("vec_id").as("center_id"))
+      .join(base.select(col("cid").as("center_id"),
+        col("cv").as("center_v")), Seq("center_id"))
+    base.crossJoin(broadcast(cw))
+      .withColumn("d2",
+        col("xn2") + LongArrayDot(col("center_v"), col("center_v")) -
+          lit(2L) * LongArrayDot(col("cv"), col("center_v")))
+      .groupBy(col("cid"))
+      .agg(min(struct(col("d2"), col("center_id"), col("sel_order")))
+        .as("m"))
+      .select(col("m.center_id").as("center_id"),
+        col("m.sel_order").as("sel_order"), col("m.d2").as("d2"))
+      .groupBy(col("sel_order"), col("center_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("d2")).as("max_d2"))
+  }
 }

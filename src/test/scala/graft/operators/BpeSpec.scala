@@ -67,6 +67,24 @@ class BpeSpec extends SparkSpec {
     assert(enc(1) == ((1L, 2L, 5L)))
   }
 
+  test("applyMerges replays training: on the training corpus it equals " +
+    "the learned segmentation; OOV words segment by the same merges") {
+    val train = docs("low low low lower lower")
+    val (mergeDf, seg) = Bpe.trainMerges(train, iters = 3)
+    val merges = mergeDf.orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val replayed = Bpe.applyMerges(train, merges)
+      .orderBy("word").as[(String, Seq[String])].collect().toSeq
+    val trained = seg.orderBy("word")
+      .select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect().toSeq
+    assert(replayed == trained)
+    // OOV "lowest": merges (l,o), (lo,w), (e,r) apply in order
+    val oov = Bpe.applyMerges(docs("lowest"), merges)
+      .select(col("syms")).as[Seq[String]].head()
+    assert(oov == Seq("low", "e", "s", "t"))
+  }
+
   test("merge loop never touches the corpus: wordFreq is the only " +
     "corpus-scale aggregation (vocab bounded by distinct words)") {
     val d = docs("x y x y z zz")

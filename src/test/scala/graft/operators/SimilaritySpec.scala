@@ -169,4 +169,18 @@ class SimilaritySpec extends SparkSpec {
       dups.filter(col("vec_id") < 0), 3)
     assert(empty.count() == 0)
   }
+
+  test("kCenterCensus: members partition the corpus, and the realized " +
+    "covering radius equals the (k+1)th selection's radius2") {
+    import spark.implicits._
+    val embs = spark.read.parquet(sf() + "/embeddings.parquet")
+    val n = embs.count()
+    val census = Similarity.kCenterCensus(embs, 4)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(census.map(_._3).sum == n)
+    val next = Similarity.kCenterSelect(embs, 5)
+      .filter(col("sel_order") === 5)
+      .select(col("radius2")).as[Long].head()
+    assert(census.map(_._4).max == next)
+  }
 }
