@@ -24,6 +24,20 @@ import graft.operators.TextAnalysis.shingleHashes
   */
 object Dedup {
 
+  /** Label the Spark jobs an action-bearing block triggers (driver
+    * thread-local, saved/restored) so the UI and any
+    * SparkListener-based profiler can attribute stages to pipeline
+    * tiers instead of thread-pool frames — AQE's exchange jobs inherit
+    * the submitting thread's local properties, so the label survives
+    * them too. Pure metadata: no effect on results or plans.
+    */
+  private def labeled[A](df: DataFrame, desc: String)(f: => A): A = {
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** Exact dedup: keep the lowest id per key. One shuffle. */
   def exact(df: DataFrame, key: String, id: String): DataFrame =
     df.groupBy(col(key))
@@ -944,9 +958,27 @@ object Dedup {
     * path-shaped cluster longer than maxIter would silently split.
     * Exceeding maxIter here (astronomically unlikely at 2 rounds per
     * iteration) THROWS rather than returning wrong labels.
+    *
+    * Graphs past the threshold are first CONTRACTED: each partition
+    * resolves its own edges with a local union-find and emits only the
+    * spanning-forest edges (partition-local component root -> member),
+    * which preserves connectivity exactly while cutting the edge count
+    * to at most the per-partition node count — on DENSE merge graphs
+    * (edges >> nodes, e.g. a heavily-duplicated corpus where most
+    * vectors merge) this collapses tens of millions of redundant edges
+    * into a forest in one narrow zero-shuffle pass. Up to three rounds
+    * run at shrinking partition counts; if the forest lands under the
+    * threshold the driver union-find finishes, otherwise the star loop
+    * runs over the (much smaller) forest. Output is identical either
+    * way: contraction never changes which nodes are reachable from
+    * which, so min-id components are preserved bit-for-bit.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
-                          smallGraphThreshold: Long = 4000000L): DataFrame = {
+                          smallGraphThreshold: Long = 4000000L,
+                          // measurement escape hatch (Stress -ccdense):
+                          // skip contraction so the star-only baseline
+                          // is timeable; results are identical
+                          contraction: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     // Both paths run over the SAME canonical edge set — unordered
     // (lo, hi), lo < hi, self-loops dropped, distinct — materialized once
@@ -959,19 +991,87 @@ object Dedup {
         .filter(col("a") =!= col("b"))
         .distinct()
 
-    val edges = canonical(
-      pairs.select(col("d1").cast("long").as("a"),
-                   col("d2").cast("long").as("b")))
-      .localCheckpoint(true)
+    // NOTE the label scope: the caller's (possibly expensive) pair
+    // computation executes INSIDE this checkpoint, so in job/stage
+    // attribution this tier carries the upstream pair-gate cost, not
+    // just the canonicalization shuffle.
+    var edges = labeled(pairs, "graft.cc: materialize+canonicalize edges") {
+      canonical(
+        pairs.select(col("d1").cast("long").as("a"),
+                     col("d2").cast("long").as("b")))
+        .localCheckpoint(true)
+    }
+    var nEdges = edges.count()
+    // Per-partition spanning-forest contraction (see Scaladoc): a local
+    // union-find per partition, emitting one (root, member) edge per
+    // non-root node. Union is by MIN root, so emitted edges stay
+    // canonical (a < b, no self-loops) and within a partition each
+    // member appears once (no distinct shuffle needed; cross-partition
+    // duplicates are harmless to both downstream paths). Node set is
+    // preserved exactly: every input node has degree >= 1 (self-loops
+    // were dropped), so it is either some forest edge's member or the
+    // root of a component with >= 2 nodes, i.e. some edge's `a`.
+    def contract(e: DataFrame): DataFrame = {
+      import spark.implicits._
+      e.select(col("a"), col("b")).as[(Long, Long)]
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x0: Long): Long = {
+            var r = x0
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x0
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent.getOrElse(c, c); parent(c) = r; c = n
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          // parent keys = exactly the non-root nodes (every entry points
+          // strictly toward the min; roots are never assigned)
+          parent.keysIterator.map(n => (find(n), n))
+        }
+        .toDF("a", "b")
+    }
+    if (contraction && nEdges > smallGraphThreshold)
+      labeled(pairs, "graft.cc: forest contraction") {
+        // round 1: in place, zero shuffle — on dense graphs this alone
+        // cuts edges to ~nodes per partition
+        edges = contract(edges).localCheckpoint(true)
+        nEdges = edges.count()
+        if (nEdges > smallGraphThreshold) {
+          // round 2: fewer partitions widen each local union's scope
+          val p = math.max(1, spark.sparkContext.defaultParallelism / 8)
+          edges = contract(edges.repartition(p)).localCheckpoint(true)
+          nEdges = edges.count()
+        }
+        if (nEdges > smallGraphThreshold &&
+            nEdges <= 16L * smallGraphThreshold) {
+          // round 3: one partition = a full executor-side union-find,
+          // bounded to near-driver-sized forests so a genuinely huge
+          // graph (billions of edges) goes to the star loop instead of
+          // serializing through one task
+          edges = contract(edges.repartition(1)).localCheckpoint(true)
+          nEdges = edges.count()
+        }
+      }
     // Near-dup graphs are tiny relative to the corpus (pairs, not docs):
     // below the threshold a driver-side union-find resolves components in
     // ONE pass instead of O(log n) shuffle rounds. The count is a cheap
     // scan of the checkpointed blocks, so nothing is ever collected to
     // the driver unless the graph is confirmed small.
-    if (edges.count() <= smallGraphThreshold) {
+    if (nEdges <= smallGraphThreshold) {
       import spark.implicits._
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      val es = labeled(pairs, "graft.cc: driver union-find collect") {
+        edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      // LongMap: unboxed keys/values — at the 4M-edge ceiling the boxed
+      // Map costs seconds of allocation for zero benefit
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -1042,17 +1142,18 @@ object Dedup {
     }
 
     var cur = edges
-    var chk = checksum(cur)
+    var chk = labeled(pairs, "graft.cc: star rounds")(checksum(cur))
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      val nchk = checksum(next)
-      converged = nchk == chk && next.exceptAll(cur).isEmpty
-      cur = next
-      chk = nchk
-      i += 1
-    }
+    while (!converged && i < maxIter)
+      labeled(pairs, s"graft.cc: star round ${i + 1}") {
+        val next = smallStar(largeStar(cur)).localCheckpoint(true)
+        val nchk = checksum(next)
+        converged = nchk == chk && next.exceptAll(cur).isEmpty
+        cur = next
+        chk = nchk
+        i += 1
+      }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter large/small-star " +
@@ -1382,8 +1483,10 @@ object Dedup {
     val sizedNlist =
       if (nlist > 0) nlist
       else math.max(1L, math.ceil(math.sqrt(nRows.toDouble)).toLong).toInt
-    val cents = Similarity.trainCentroids(embs, sizedNlist, iters)
-    semanticTail(assignToCentroids(embs, cents), tauNum, tauDen)
+    val cents = labeled(embs, "graft.semdedup: centroid training")(
+      Similarity.trainCentroids(embs, sizedNlist, iters))
+    semanticTail(labeled(embs, "graft.semdedup: assignment")(
+      assignToCentroids(embs, cents)), tauNum, tauDen)
   }
 
   /** Nearest-centroid cell assignment (argmin |c|² − 2⟨v,c⟩, ties to
@@ -1515,15 +1618,17 @@ object Dedup {
     // partition-invariant (spec-locked), so the spread is free.
     val sample =
       if (m >= nRows) embs
-      else embs.orderBy(
-          stableHash60(concat(col("vec_id").cast("string"),
-            lit(":semsample"))).asc, col("vec_id"))
-        .limit(m.toInt)
-        .repartition(embs.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint(true)
-    val cents = Similarity.trainCentroids(sample, sizedNlist, iters)
-    val fineRows = cents.collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      else labeled(embs, "graft.semdedup2: training sample") {
+        embs.orderBy(
+            stableHash60(concat(col("vec_id").cast("string"),
+              lit(":semsample"))).asc, col("vec_id"))
+          .limit(m.toInt)
+          .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+      }
+    val fineRows = labeled(embs, "graft.semdedup2: centroid training") {
+      Similarity.trainCentroids(sample, sizedNlist, iters).collect()
+    }.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     if (fineRows.isEmpty)
       return embs.select(col("vec_id"), lit(0L).as("cent_id"),
@@ -1581,7 +1686,8 @@ object Dedup {
     // The coarse pick keeps the nprobe best groups via the same
     // bounded-heap aggregator as sourceQuota ((-dist desc, id asc) ==
     // (dist asc, id asc), the argmin tie rule).
-    val assigned = graft.engine.Spread(embs)
+    val assigned = labeled(embs, "graft.semdedup2: coarse+fine assignment") {
+      graft.engine.Spread(embs)
       .select(col("vec_id").as("vid"), col("embedding"),
         quantize(col("embedding")).as("cv"))
       .crossJoin(broadcast(coarseDf))
@@ -1604,6 +1710,7 @@ object Dedup {
       .select(col("vid").as("vec_id"), col("embedding"),
         col("mf.fine_id").as("cent_id"))
       .localCheckpoint(true)
+    }
     semanticTail(assigned, tauNum, tauDen)
   }
 

@@ -34,6 +34,15 @@ object Stress {
       blocklist(spark, sfDir)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-semtiers")) {
+      semTiers(spark, sfDir)
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("-ccdense")) {
+      ccDense(spark, args.lift(2).map(_.toLong).getOrElse(40000000L),
+        args.lift(3))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-cellprofile")) {
       cellProfile(spark, sfDir)
       spark.stop(); return
@@ -198,6 +207,125 @@ object Stress {
     }
   }
 
+  /** Dense-merge-graph connected components: star-only vs
+    * spanning-forest contraction on the same synthetic graph — the
+    * topology a heavily-duplicated corpus produces (edges >> nodes,
+    * most nodes in a few big components). nEdges edges over 2M nodes
+    * in 1000 planted components (node % 1000); both arms must produce
+    * the identical labeling (count + XOR checksum compared).
+    * Usage: Stress <sfDir> -ccdense [nEdges] [star|cdriver|cstar]
+    * With no arm selector all three run in one JVM (cross-checks the
+    * checksums but run order confounds timings — later arms are
+    * JIT-warm); pass an arm for fresh-JVM honest timing.
+    */
+  def ccDense(spark: org.apache.spark.sql.SparkSession,
+              nEdges: Long, arm: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val nNodes = 2000000L
+    val comps = 1000L
+    val stride = nNodes / comps
+    val edges = spark.range(nEdges).select(
+        (pmod(xxhash64(col("id"), lit(1)), lit(stride)) * comps +
+          pmod(col("id"), lit(comps))).as("d1"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(stride)) * comps +
+          pmod(col("id"), lit(comps))).as("d2"))
+      .localCheckpoint(true)
+    println(s"graph: ${edges.count()} raw edges, $nNodes nodes, " +
+      s"$comps planted components")
+    def run(name: String, contraction: Boolean, threshold: Long): Long = {
+      val t0 = System.nanoTime()
+      val out = Dedup.connectedComponents(edges,
+        smallGraphThreshold = threshold, contraction = contraction)
+      val r = out.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(node, component))")).head()
+      val chk = r.getLong(1)
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+        s"rows=${r.getLong(0)} chk=$chk")
+      chk
+    }
+    arm match {
+      case Some("star") =>
+        run("star-only", contraction = false, threshold = 4000000L)
+      case Some("cdriver") =>
+        run("contract+driver", contraction = true, threshold = 4000000L)
+      case Some("cstar") =>
+        run("contract+star", contraction = true, threshold = 100000L)
+      case Some(other) =>
+        sys.error(s"unknown -ccdense arm '$other' (star|cdriver|cstar)")
+      case None =>
+        // star-only baseline: large/small-star rounds on the full edges
+        val a = run("star-only", contraction = false, threshold = 4000000L)
+        // contraction -> forest (~nNodes edges) -> driver union-find
+        val b = run("contract+driver", contraction = true,
+          threshold = 4000000L)
+        // contraction floor below forest size -> star loop on the forest
+        val c = run("contract+star", contraction = true, threshold = 100000L)
+        require(a == b && b == c, "labelings diverged across paths")
+    }
+  }
+
+  /** Wall-clock per TIER of the semantic-dedup pipeline, isolating
+    * which tier owns a scale jump: sampled training, single-level
+    * assignment (structural stand-in for the two-level assignment),
+    * the in-cell pair gate, and component closure.
+    * Usage: Stress <sfDir> -semtiers
+    */
+  def semTiers(spark: org.apache.spark.sql.SparkSession,
+               sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-10s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    }
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .localCheckpoint(true)
+    val n = embs.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toInt
+    val m = Dedup.SemanticSampleFactor * nlist
+    println(s"n=$n nlist=$nlist sample=$m")
+    val sample = timed("sample") {
+      embs.orderBy(col("vec_id")).limit(m)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+    }
+    val cents = timed("train") {
+      Similarity.trainCentroids(sample, nlist, 2).localCheckpoint(true)
+    }
+    val assigned = timed("assign") {
+      Dedup.assignToCentroids(embs, cents)
+    }
+    import graft.functions.VectorFunctions.quantize
+    import graft.plans.{LongArrayDot, QCosineGateExpr}
+    val withV = timed("prep") {
+      assigned
+        .select(col("vec_id"), col("cent_id"),
+          quantize(col("embedding")).as("qv"))
+        .withColumn("qn", LongArrayDot(col("qv"), col("qv")))
+        .localCheckpoint(true)
+    }
+    val edges = timed("pairs") {
+      withV.select(col("cent_id"), col("vec_id").as("v1"),
+          col("qv").as("qv1"), col("qn").as("qn1"))
+        .join(withV.select(col("cent_id"), col("vec_id").as("v2"),
+          col("qv").as("qv2"), col("qn").as("qn2")), Seq("cent_id"))
+        .filter(col("v1") < col("v2"))
+        .filter(QCosineGateExpr(col("qv1"), col("qv2"),
+          col("qn1"), col("qn2"), 4, 10))
+        .select(col("v1").as("a"), col("v2").as("b"))
+        .localCheckpoint(true)
+    }
+    println(s"edges=${edges.count()}")
+    timed("closure") {
+      Dedup.connectedComponents(
+          edges.select(col("a").as("d1"), col("b").as("d2")))
+        .count()
+    }
+  }
+
   /** Two-level assignment cell-occupancy profile: where does the
     * in-cell pair work concentrate? Prints cell-count percentiles, the
     * max cell, and the Σ cell² pair-work share of the top cells — the
@@ -212,15 +340,29 @@ object Stress {
                               tasks: Int)
     val stages =
       new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+    // AQE materializes every exchange through a thread-pool job whose
+    // own stack is CompletableFuture plumbing — but the job PROPERTIES
+    // are captured from the submitting thread, so callSite.short still
+    // names the user-level action that owns the stage. Map stage ids to
+    // it at job start.
+    val stageSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val p = Option(j.properties)
+          val site = p.flatMap(x => Option(x.getProperty("spark.job.description")))
+            .orElse(p.flatMap(x => Option(x.getProperty("callSite.short"))))
+          site.foreach(s => j.stageIds.foreach(id => stageSite.put(id, s)))
+        }
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted)
             : Unit = {
           val m = s.stageInfo.taskMetrics
+          val site = stageSite.getOrDefault(s.stageInfo.stageId,
+            s.stageInfo.name.linesIterator.next().trim)
           if (m != null) stages.add(StageRow(s.stageInfo.stageId,
-            s.stageInfo.name.linesIterator.next(),
-            m.executorRunTime, s.stageInfo.numTasks))
+            site, m.executorRunTime, s.stageInfo.numTasks))
         }
       })
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -237,6 +379,26 @@ object Stress {
     }
     val cells = out.groupBy(col("cent_id")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
+    // closure-tier inputs: gated edge volume (re-derived from the
+    // output cells — Σc² gates, one extra job) and component census
+    val withV = out.join(embs, Seq("vec_id"))
+      .select(col("vec_id"), col("cent_id"),
+        graft.functions.VectorFunctions.quantize(col("embedding"))
+          .as("qv"))
+      .withColumn("qn", graft.plans.LongArrayDot(col("qv"), col("qv")))
+      .localCheckpoint(true)
+    val e1 = withV.select(col("cent_id"), col("vec_id").as("v1"),
+      col("qv").as("qv1"), col("qn").as("qn1"))
+    val e2 = withV.select(col("cent_id"), col("vec_id").as("v2"),
+      col("qv").as("qv2"), col("qn").as("qn2"))
+    val nEdges = e1.join(e2, Seq("cent_id"))
+      .filter(col("v1") < col("v2"))
+      .filter(graft.plans.QCosineGateExpr(col("qv1"), col("qv2"),
+        col("qn1"), col("qn2"), 4, 10))
+      .count()
+    val nComp = out.filter(col("canonical") =!= col("vec_id"))
+      .select(col("canonical")).distinct().count()
+    println(s"edges=$nEdges merged_components=$nComp")
     val stats = cells.agg(count(lit(1)).as("ncells"), max(col("c")),
       expr("approx_percentile(c, array(0.5, 0.9, 0.99))"),
       sum(col("c") * col("c")).as("sum_c2")).collect()(0)

@@ -480,4 +480,32 @@ class DedupSpec extends SparkSpec {
       tauNum = 9, tauDen = 10))
     assert(hinted == explicit2)
   }
+
+  test("connectedComponents contraction path == driver union-find " +
+       "bit-for-bit on a dense multi-component graph") {
+    // deterministic pseudo-random dense graph: 3 planted components
+    // (node % 3 buckets chained densely) so edges >> nodes, the regime
+    // the spanning-forest contraction exists for
+    val rng = new scala.util.Random(42)
+    val nodes = (0L until 90L)
+    val edges = (1 to 1200).map { _ =>
+      val g = rng.nextInt(3)
+      val a = nodes(g + 3 * rng.nextInt(30))
+      val b = nodes(g + 3 * rng.nextInt(30))
+      (a, b)
+    }.toDF("d1", "d2").repartition(8)
+    def comp(threshold: Long) =
+      Dedup.connectedComponents(edges, smallGraphThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // default threshold: graph is small -> pure driver union-find
+    val want = comp(4000000L)
+    // threshold 1: round-1 contraction runs, forest still > 1 edge ->
+    // round 2 + round 3 (<= 16) skipped-or-run, star loop finishes
+    assert(comp(1L) == want)
+    // threshold sized so contraction LANDS below it -> contracted
+    // forest finishes on the driver path instead
+    assert(comp(100L) == want)
+    // sanity: 3 components, labeled by min node id (0, 1, 2)
+    assert(want.values.toSet.subsetOf(Set(0L, 1L, 2L)))
+  }
 }
