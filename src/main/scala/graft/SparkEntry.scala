@@ -896,15 +896,10 @@ object SparkEntry {
       val merges = mergeDf.orderBy(col("iter")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val seg = graft.operators.Bpe.applyMerges(docs, merges)
-      docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .join(broadcast(seg.select(col("word"),
-          size(col("syms")).as("n_sub"))), Seq("word"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_sub")).as("n_bpe_tokens"))
-        .orderBy(col("doc_id"))
+      // applyMerges segments every distinct corpus word, so encode's
+      // left-join char-count fallback never fires — same result, one
+      // shared encode shape
+      graft.operators.Bpe.encode(docs, seg).orderBy(col("doc_id"))
     }),
 
     // ---- BPE encoding: per-doc token counts under the learned

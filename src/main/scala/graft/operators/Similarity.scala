@@ -388,7 +388,16 @@ object Similarity {
     * achieved by the previous prefix; 0 for the seed). radius2 is
     * non-increasing in sel_order — the standard k-center certificate.
     */
-  def kCenterSelect(corpus: DataFrame, k: Int): DataFrame = {
+  def kCenterSelect(corpus: DataFrame, k: Int): DataFrame =
+    kCenterSelectFull(corpus, k).drop("cv")
+
+  /** As [[kCenterSelect]] but keeps each center's quantized vector
+    * (already on the driver from the traversal's 1-row collects) so
+    * callers like [[kCenterCensus]] don't re-scan the corpus to
+    * recover k rows.
+    */
+  private[operators] def kCenterSelectFull(
+      corpus: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -397,10 +406,11 @@ object Similarity {
     val seedRows = base.orderBy(col("cid")).limit(1)
       .select(col("cid"), col("cv")).collect()
     if (seedRows.isEmpty)
-      return Seq.empty[(Int, Long, Long)]
-        .toDF("sel_order", "vec_id", "radius2")
+      return Seq.empty[(Int, Long, Long, Array[Long])]
+        .toDF("sel_order", "vec_id", "radius2", "cv")
     val seed = seedRows(0)
-    var chosen = List((1, seed.getLong(0), 0L))
+    var chosen =
+      List((1, seed.getLong(0), 0L, seed.getSeq[Long](1).toArray))
     var nextCenter = seed.getSeq[Long](1).toArray
     // each selected vector is REMOVED from the state before its
     // distance folds in, so an id can never be selected twice — with
@@ -422,8 +432,8 @@ object Similarity {
       if (farRows.isEmpty) exhausted = true
       else {
         val far = farRows(0)
-        chosen ::= ((i, far.getLong(0), far.getLong(2)))
         nextCenter = far.getSeq[Long](1).toArray
+        chosen ::= ((i, far.getLong(0), far.getLong(2), nextCenter))
         state = state.filter(col("cid") =!= far.getLong(0))
           .select(col("cid"), col("cv"), col("xn2"),
             least(col("d2min"),
@@ -433,7 +443,7 @@ object Similarity {
           .localCheckpoint(true)
       }
     }
-    chosen.reverse.toDF("sel_order", "vec_id", "radius2")
+    chosen.reverse.toDF("sel_order", "vec_id", "radius2", "cv")
   }
 
   /** Coverage census of a k-center coreset: every corpus vector is
@@ -445,13 +455,14 @@ object Similarity {
     * 2-approximation guarantees within 2× of optimal.
     */
   def kCenterCensus(corpus: DataFrame, k: Int): DataFrame = {
-    val centers = kCenterSelect(corpus, k)
+    // the traversal already collected each center's quantized vector
+    // driver-side — reuse it (k rows, broadcast) instead of re-joining
+    // against a second full corpus scan to recover k rows
+    val centers = kCenterSelectFull(corpus, k)
     val base = prepC(corpus)
       .withColumn("xn2", LongArrayDot(col("cv"), col("cv")))
     val cw = centers.select(col("sel_order"),
-        col("vec_id").as("center_id"))
-      .join(base.select(col("cid").as("center_id"),
-        col("cv").as("center_v")), Seq("center_id"))
+      col("vec_id").as("center_id"), col("cv").as("center_v"))
     base.crossJoin(broadcast(cw))
       .withColumn("d2",
         col("xn2") + LongArrayDot(col("center_v"), col("center_v")) -

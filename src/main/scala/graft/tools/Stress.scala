@@ -39,8 +39,11 @@ object Stress {
       spark.stop(); return
     }
     if (args.lift(1).contains("-ccdense")) {
-      ccDense(spark, args.lift(2).map(_.toLong).getOrElse(40000000L),
-        args.lift(3))
+      // both trailing args are independently optional: a numeric arg 2
+      // is nEdges, a non-numeric one is the arm selector
+      val nEdges = args.lift(2).flatMap(_.toLongOption)
+      val arm = if (nEdges.isEmpty) args.lift(2) else args.lift(3)
+      ccDense(spark, nEdges.getOrElse(40000000L), arm)
       spark.stop(); return
     }
     if (args.lift(1).contains("-cellprofile")) {
