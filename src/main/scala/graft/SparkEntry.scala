@@ -1174,6 +1174,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- trainable classifier (the CCNet/fastText TRAINING side),
+    //      run as RULE DISTILLATION: teacher label = the Aho-Corasick
+    //      blocklist screen's keep decision, student = softsign-link
+    //      logistic GD over hashed bag-of-words features. Quantized
+    //      integer gradient sums — one corpus featurize, then T
+    //      scan-rate aggregates of d+2 longs; the oracle replays the
+    //      whole trajectory bit-for-bit ----
+    "q_classifier_train" -> ((s, dir) => {
+      graft.operators.Classifier.trainTrajectory(
+          t(s, dir, "documents"), graft.plans.MultiPatternCount(
+            col("text"), Seq("dup", "slow", "low", "scan batch")) > 2L)
+        .orderBy(col("iter"), col("term"))
+    }),
+
+    // ---- train→infer composition: score every document with the
+    //      LEARNED weights (inference is one narrow codegen'd map) ----
+    "q_classifier_score" -> ((s, dir) => {
+      graft.operators.Classifier.trainAndScore(
+          t(s, dir, "documents"), graft.plans.MultiPatternCount(
+            col("text"), Seq("dup", "slow", "low", "scan batch")) > 2L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- blocklist screen (the C4 "badwords" filter): ONE
     //      Aho–Corasick pass per document counts every overlapping
     //      occurrence of every blocklisted substring — one scan
@@ -3204,6 +3227,122 @@ object SparkEntry {
        |FROM dw LEFT JOIN seg USING (word)
        |WHERE word <> ''
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+
+  private val clsIters = 40
+  private val clsLr = 1.5
+  private val clsBuckets = 16
+
+  /** Oracle replay of `Classifier.train` over the blocklist-distillation
+    * task: the featurize CTEs mirror `Classifier.featurize`
+    * expression-for-expression (teacher label = the q_blocklist
+    * Aho-Corasick hit count > 2, features = stableHash60-bucketed token
+    * frequencies squashed tf/(tf+5)), then each gradient iteration is an
+    * unrolled (p, g, w) CTE triple. Because the link is the algebraic
+    * softsign (no transcendentals) and per-row gradient contributions are
+    * quantized to BIGINTs before the sum, every double on both engines is
+    * bit-identical and the row-visit order can't matter — the whole
+    * training trajectory replays exactly. Margin folds and update chains
+    * are written with the same associativity the Spark side uses
+    * (left-to-right). MATERIALIZED is load-bearing: w(i-1) is referenced
+    * twice per iteration, so inlining would re-expand the chain
+    * exponentially.
+    */
+  private lazy val classifierTrainCtes: String = {
+    val tfs = (0 until clsBuckets).map(j =>
+      s"    sum(CASE WHEN CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)" +
+        s" % $clsBuckets = $j THEN 1 ELSE 0 END) AS tf$j").mkString(",\n")
+    val fs = (0 until clsBuckets).map(j =>
+      f"    tf$j / (tf$j + 5.0) AS f$j%02d").mkString(",\n")
+    val featNames = (0 until clsBuckets).map(j => f"f$j%02d")
+    val head =
+      s"""lab AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN
+         |    len(list_filter(range(1, length(text) - 1),
+         |        i -> substr(text, i, 3) = 'dup'))
+         |    + len(list_filter(range(1, length(text) - 2),
+         |        i -> substr(text, i, 4) = 'slow'))
+         |    + len(list_filter(range(1, length(text) - 1),
+         |        i -> substr(text, i, 3) = 'low'))
+         |    + len(list_filter(range(1, length(text) - 8),
+         |        i -> substr(text, i, 10) = 'scan batch'))
+         |    > 2 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |tfx AS MATERIALIZED (
+         |  SELECT doc_id,
+         |$tfs
+         |  FROM tok GROUP BY doc_id),
+         |feat AS MATERIALIZED (
+         |  SELECT tfx.doc_id, y,
+         |$fs
+         |  FROM tfx JOIN lab USING (doc_id)),
+         |w0 AS MATERIALIZED (SELECT 0.0 AS b, ${(1 to clsBuckets)
+        .map(k => "0.0 AS v" + k).mkString(", ")})""".stripMargin
+    val margin = "b + " + featNames.zipWithIndex
+      .map { case (f, j) => s"v${j + 1} * $f" }.mkString(" + ")
+    val iterCtes = (1 to clsIters).map { i =>
+      val gs = featNames.zipWithIndex.map { case (f, j) =>
+        s"    sum(CAST(floor(e * $f * 1000000.0 + 0.5) AS BIGINT))" +
+          s" AS g${j + 1},"
+      }.mkString("\n")
+      val ws = (1 to clsBuckets).map(k =>
+        s"         v$k - $clsLr * (g$k / 1000000.0 / n) AS v$k")
+        .mkString(",\n")
+      s"""p$i AS MATERIALIZED (
+         |  SELECT ${featNames.mkString(", ")},
+         |    (0.5 + (0.5 * m) / (1.0 + abs(m))) - y AS e
+         |  FROM (SELECT f.*, $margin AS m
+         |        FROM feat f, w${i - 1})),
+         |g$i AS MATERIALIZED (
+         |  SELECT
+         |    sum(CAST(floor(e * 1000000.0 + 0.5) AS BIGINT)) AS g0,
+         |$gs
+         |    sum(CAST(floor(e * e * 1000000.0 + 0.5) AS BIGINT)) AS se,
+         |    count(*) AS n
+         |  FROM p$i),
+         |w$i AS MATERIALIZED (
+         |  SELECT b - $clsLr * (g0 / 1000000.0 / n) AS b,
+         |$ws
+         |  FROM w${i - 1}, g$i)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$iterCtes"
+  }
+
+  /** Training trajectory (= q_classifier_train): post-update weights and
+    * the pass's mean squared error, one (iter, term, value) row each.
+    */
+  private lazy val classifierTrainSql: String = {
+    val rows = (1 to clsIters).flatMap { i =>
+      Seq(s"SELECT $i AS iter, 'bias' AS term, b AS value FROM w$i") ++
+        (0 until clsBuckets).map(j =>
+          f"SELECT $i, 'w_f$j%02d', v${j + 1} FROM w$i") ++
+        Seq(s"SELECT $i, 'mse', se / 1000000.0 / n FROM g$i")
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $classifierTrainCtes,
+       |sel AS (
+       |  $rows)
+       |SELECT iter, term, value FROM sel ORDER BY iter, term""".stripMargin
+  }
+
+  /** Train-then-score with the learned weights (= q_classifier_score):
+    * the same CTE chain, final weights applied to every document.
+    */
+  private lazy val classifierScoreSql: String = {
+    val margin = "b + " + (0 until clsBuckets)
+      .map(j => f"v${j + 1} * f$j%02d").mkString(" + ")
+    s"""WITH $classifierTrainCtes,
+       |msel AS (
+       |  SELECT f.doc_id, $margin AS m
+       |  FROM feat f, w$clsIters),
+       |ps AS (SELECT doc_id,
+       |         0.5 + (0.5 * m) / (1.0 + abs(m)) AS p FROM msel)
+       |SELECT doc_id,
+       |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS q_score,
+       |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS keep
+       |FROM ps ORDER BY doc_id""".stripMargin
+  }
 
   /** Full two-iteration k-means + final cell census (= q_kmeans). */
   private lazy val kmeansSql: String =
@@ -5634,6 +5773,10 @@ object SparkEntry {
         |  floor(q_score * 1e6 + 0.5) / 1e6 AS q_score,
         |  CASE WHEN q_score >= 0.5 THEN 1 ELSE 0 END AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_classifier_train" -> classifierTrainSql,
+
+    "q_classifier_score" -> classifierScoreSql,
 
     "q_normalize" ->
       """SELECT doc_id,
