@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.StableHash.stableHash60
 
 /** Trainable linear classifier — the TRAINING side of model-based corpus
@@ -20,13 +21,19 @@ import graft.functions.StableHash.stableHash60
   * Execution shape (the part that must survive 100 TB): the corpus is
   * featurized ONCE — one explode + one aggregation (the same shape as
   * [[TextAnalysis.hashedTf]], with the teacher label riding along) — into
-  * a compact (y, f0..f{d-1}) numeric frame that is cached
-  * (`localCheckpoint`); each of the T gradient iterations is then one
-  * scan-rate global aggregate over that frame producing d+2 longs —
-  * partial (map-side) sums, a single 1-row collect, zero shuffles of
-  * corpus data, weights re-broadcast as plain literals. Driver state is
-  * d+1 doubles. T scans of an n×(d+2) double frame is the whole training
-  * cost; the corpus text is read exactly once.
+  * a compact (y, f0..f{d-1}) numeric frame, materialized ONCE more as a
+  * cached RDD of primitive double arrays; each of the T gradient
+  * iterations is then one closure-only `treeAggregate` over that RDD
+  * producing d+2 longs — partial (map-side) sums, an O(d) driver merge,
+  * zero shuffles of corpus data. This is the spark.ml pattern
+  * (LogisticRegression's cost aggregator runs exactly this loop) and it
+  * is deliberate: the DataFrame form of the same loop inlines the
+  * iteration's weights as codegen constants, so EVERY iteration
+  * janino-recompiles the whole-stage class — measured at a flat
+  * ~0.27 s/iteration that dwarfs the data cost at any SF (sf0.001 and
+  * sf0.1 both profiled ~11 s for 40 iterations). The closure touches no
+  * per-row allocation; driver state is d+1 doubles. The corpus text is
+  * read exactly once regardless of T.
   *
   * Numeric policy (why training is oracle-replayable bit-for-bit):
   *   - the link is the ALGEBRAIC softsign sigmoid
@@ -116,31 +123,62 @@ object Classifier {
             lr: Double = 1.5): Seq[IterState] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val featCols = featColsOf(feat)
-    // one corpus read: everything after this scans the cached frame
-    val f = feat.localCheckpoint(true)
-    val n = f.count()
-    require(n > 0, "train needs a non-empty corpus")
-    require(n < 9000000000L,
-      s"n=$n rows: n*Scale must stay below 2^53 for exact long->double " +
-        "gradient sums — shrink Classifier.Scale for corpora this large")
-    var bias = 0.0
-    var w = Array.fill(featCols.size)(0.0)
-    val traj = Seq.newBuilder[IterState]
-    for (i <- 1 to iters) {
-      val err = probability(featCols, bias, w) - col("y")
-      val qsum = (v: Column) =>
-        sum(floor(v * lit(Scale) + lit(0.5)).cast("long"))
-      val row = f.agg(
-        qsum(err).as("g0"),
-        featCols.map(c => qsum(err * col(c))) :+ qsum(err * err): _*)
-        .first()
-      val step = (g: Long) => lr * (g.toDouble / Scale / n)
-      bias -= step(row.getLong(0))
-      w = w.zipWithIndex.map { case (wj, j) => wj - step(row.getLong(j + 1)) }
-      val mse = row.getLong(featCols.size + 1).toDouble / Scale / n
-      traj += IterState(i, bias, w.clone(), mse)
-    }
-    traj.result()
+    val d = featCols.size
+    // one corpus read: primitive-array rows, cached — every iteration is
+    // a constant-free closure, so the generated deserializer compiles once
+    val rows = feat.select((col("y") +: featCols.map(col)): _*)
+      .rdd.map { r =>
+        val a = new Array[Double](d + 1)
+        var j = 0
+        while (j <= d) { a(j) = r.getDouble(j); j += 1 }
+        a
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rows.count()
+      require(n > 0, "train needs a non-empty corpus")
+      require(n < 9000000000L,
+        s"n=$n rows: n*Scale must stay below 2^53 for exact long->double " +
+          "gradient sums — shrink Classifier.Scale for corpora this large")
+      var bias = 0.0
+      var w = Array.fill(d)(0.0)
+      val traj = Seq.newBuilder[IterState]
+      for (i <- 1 to iters) {
+        // capture by value: the vars are driver state, the closure ships
+        // this iteration's snapshot
+        val bb = bias
+        val ww = w
+        val scale = Scale
+        val row = rows.treeAggregate(new Array[Long](d + 2))(
+          // the same IEEE op sequence the DataFrame/oracle form computes:
+          // m left-fold, softsign p, per-row quantize-to-long, exact sums
+          seqOp = (acc, a) => {
+            var m = bb
+            var j = 0
+            while (j < d) { m += a(j + 1) * ww(j); j += 1 }
+            val p = 0.5 + (0.5 * m) / (1.0 + math.abs(m))
+            val err = p - a(0)
+            acc(0) += math.floor(err * scale + 0.5).toLong
+            j = 0
+            while (j < d) {
+              acc(j + 1) += math.floor(err * a(j + 1) * scale + 0.5).toLong
+              j += 1
+            }
+            acc(d + 1) += math.floor(err * err * scale + 0.5).toLong
+            acc
+          },
+          combOp = (x, y) => {
+            var j = 0
+            while (j < d + 2) { x(j) += y(j); j += 1 }
+            x
+          })
+        val step = (g: Long) => lr * (g.toDouble / Scale / n)
+        bias -= step(row(0))
+        w = w.zipWithIndex.map { case (wj, j) => wj - step(row(j + 1)) }
+        val mse = row(d + 1).toDouble / Scale / n
+        traj += IterState(i, bias, w.clone(), mse)
+      }
+      traj.result()
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Training trajectory as a tidy frame: (iter, term, value) with
