@@ -204,7 +204,9 @@ object Classifier {
     */
   def trainAndScore(docs: DataFrame, label: Column, buckets: Int = 16,
                     iters: Int = 40, lr: Double = 1.5): DataFrame = {
-    val feat = featurize(docs, label, buckets)
+    // checkpoint the featurized frame so training AND scoring read the
+    // one materialization — the corpus is tokenized/shuffled exactly once
+    val feat = featurize(docs, label, buckets).localCheckpoint(true)
     val last = train(feat, iters, lr).last
     val p = probability(featColsOf(feat), last.bias, last.weights)
     feat.select(col("doc_id"),
