@@ -1044,6 +1044,20 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- graph-centrality curation: PageRank over the k-NN similarity
+    //      graph — high-rank nodes are representative cluster cores,
+    //      low-rank nodes outliers. Edges partitioned ONCE; each of the
+    //      10 iterations moves only the O(N) rank frame; quantized
+    //      long contribution sums make every iteration oracle-exact ----
+    "q_pagerank" -> ((s, dir) => {
+      val knn = graft.operators.Similarity.knnGraph(
+        t(s, dir, "embeddings"), k = 3, bits = 12)
+      graft.operators.Graph.pageRank(
+          knn.select(col("qid").as("src"), col("cid").as("dst")),
+          iters = prIters)
+        .orderBy(col("id"))
+    }),
+
     // ---- north star: product-quantization top-k (codes + ADC lookup —
     //      the compressed-corpus ANN scale path) ----
     "q_simsearch_pq" -> ((s, dir) => {
@@ -2967,6 +2981,83 @@ object SparkEntry {
        |    z -> CAST(floor(CAST(z[1] AS DOUBLE)*1000) AS BIGINT)
        |       * CAST(floor(CAST(z[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)""".stripMargin
 
+  /** The pinned-banding (bits=12, bands=4, k=3) k-NN graph as DuckDB
+    * CTEs ending at `s` (qid, cid, score) — shared by q_knn_graph_fixed
+    * and the q_pagerank edge set so the graph queries rank over the
+    * same verified edges.
+    */
+  private lazy val knnFixedCtes: String =
+    s"""hp AS (
+       |  SELECT j, list_transform(range(0, 64),
+       |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
+       |  FROM (SELECT unnest(range(0, 12)) AS j)),
+       |q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT q.vec_id, hp.j,
+       |    CASE WHEN list_sum(list_transform(list_zip(q.qv, hp.h),
+       |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM q, hp),
+       |bandkeys AS (
+       |  SELECT vec_id, j // 3 AS band, sum(bit * (1 << (j % 3))) AS bk
+       |  FROM b GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
+       |  FROM bandkeys x JOIN bandkeys y
+       |    ON x.band = y.band AND x.bk = y.bk
+       |  WHERE x.vec_id != y.vec_id),
+       |s AS (
+       |  SELECT c.qid, c.cid, ${qdotSql("a.embedding", "b.embedding")} AS score
+       |  FROM cand c JOIN embeddings a ON c.qid = a.vec_id
+       |              JOIN embeddings b ON c.cid = b.vec_id)""".stripMargin
+
+  /** PageRank over the pinned-banding k-NN graph, unrolled to
+    * [[prIters]] DuckDB CTE pairs (contribution sum, rank update) that
+    * replay Graph.pageRank bit-for-bit: per-edge contributions
+    * rank/outdeg quantized to BIGINTs (order-free exact sums), the new
+    * rank the same IEEE chain (1.0-d)/n + d*(s/1e9) Spark computes.
+    * MATERIALIZED on the shared frames: knn feeds deg+e, e feeds every
+    * iteration, nodes feeds every rank update.
+    */
+  private lazy val pagerankSql: String = {
+    // CAST keeps the base chain in DOUBLE: DuckDB parses 0.85 as
+    // DECIMAL, so un-cast (1.0 - 0.85) folds to decimal 0.15 exactly
+    // while the engine computes the IEEE double 0.15000000000000002 —
+    // a measured 1e-9 divergence in the final quantization
+    val base = "(CAST(1.0 AS DOUBLE) - 0.85) / (SELECT cnt FROM nn)"
+    val iterCtes = (1 to prIters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, sum(CAST(floor(r.rank / e.outdeg * 1000000000.0
+         |    + 0.5) AS BIGINT)) AS s
+         |  FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.id, $base + 0.85 *
+         |    (CAST(coalesce(c.s, 0) AS DOUBLE) / 1000000000.0) AS rank
+         |  FROM nodes n LEFT JOIN c$i c ON n.id = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnFixedCtes,
+       |knn AS MATERIALIZED (
+       |  SELECT qid AS src, cid AS dst FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+       |        AS rnk
+       |    FROM s) WHERE rnk <= 3),
+       |deg AS (SELECT src, count(*) AS outdeg FROM knn GROUP BY 1),
+       |e AS MATERIALIZED (
+       |  SELECT k.src, k.dst, d.outdeg FROM knn k JOIN deg d ON k.src = d.src),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+       |nn AS MATERIALIZED (SELECT count(*) AS cnt FROM nodes),
+       |r0 AS (SELECT id,
+       |  CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS rank FROM nodes),
+       |$iterCtes
+       |SELECT id, floor(rank * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+       |FROM r$prIters ORDER BY id""".stripMargin
+  }
+
   private def qnormSql(a: String): String =
     s"""CAST(list_sum(list_transform($a,
        |    e -> CAST(floor(CAST(e AS DOUBLE)*1000) AS BIGINT)
@@ -3227,6 +3318,9 @@ object SparkEntry {
        |FROM dw LEFT JOIN seg USING (word)
        |WHERE word <> ''
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+
+  /** PageRank iteration count shared by q_pagerank and its oracle. */
+  private val prIters = 10
 
   private val clsIters = 40
   private val clsLr = 1.5
@@ -5314,31 +5408,7 @@ object SparkEntry {
     // the pinned-banding k-NN graph: q_simsearch_lsh's CTEs with every
     // vector as a query (no vec_id < 10 gate), k = 3, bits fixed at 12
     "q_knn_graph_fixed" ->
-      s"""WITH hp AS (
-         |  SELECT j, list_transform(range(0, 64),
-         |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
-         |  FROM (SELECT unnest(range(0, 12)) AS j)),
-         |q AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |b AS (
-         |  SELECT q.vec_id, hp.j,
-         |    CASE WHEN list_sum(list_transform(list_zip(q.qv, hp.h),
-         |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
-         |  FROM q, hp),
-         |bandkeys AS (
-         |  SELECT vec_id, j // 3 AS band, sum(bit * (1 << (j % 3))) AS bk
-         |  FROM b GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
-         |  FROM bandkeys x JOIN bandkeys y
-         |    ON x.band = y.band AND x.bk = y.bk
-         |  WHERE x.vec_id != y.vec_id),
-         |s AS (
-         |  SELECT c.qid, c.cid, ${qdotSql("a.embedding", "b.embedding")} AS score
-         |  FROM cand c JOIN embeddings a ON c.qid = a.vec_id
-         |              JOIN embeddings b ON c.cid = b.vec_id)
+      s"""WITH $knnFixedCtes
          |SELECT qid,
          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk,
          |  cid, score
@@ -5773,6 +5843,8 @@ object SparkEntry {
         |  floor(q_score * 1e6 + 0.5) / 1e6 AS q_score,
         |  CASE WHEN q_score >= 0.5 THEN 1 ELSE 0 END AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank" -> pagerankSql,
 
     "q_classifier_train" -> classifierTrainSql,
 

@@ -46,6 +46,15 @@ object Stress {
       ccDense(spark, nEdges.getOrElse(40000000L), arm)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-pagerank")) {
+      val nNodes = args.lift(2).flatMap(_.toLongOption).getOrElse(2000000L)
+      val k = args.lift(3).flatMap(_.toIntOption).getOrElse(6)
+      val arm = args.lift(4).orElse(
+        args.lift(3).filter(_.toIntOption.isEmpty)).orElse(
+        args.lift(2).filter(_.toLongOption.isEmpty))
+      pagerankStress(spark, nNodes, k, arm)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-cellprofile")) {
       cellProfile(spark, sfDir)
       spark.stop(); return
@@ -221,6 +230,45 @@ object Stress {
     * checksums but run order confounds timings — later arms are
     * JIT-warm); pass an arm for fresh-JVM honest timing.
     */
+  /** PageRank regime stress: a deterministic kNN-shaped graph (every
+    * node emits k pseudo-random edges — the out-degree profile
+    * Similarity.knnGraph produces) at a chosen node count, ranked by
+    * both regimes. With no arm selector both run in one JVM and the
+    * quantized-checksum equality is asserted (the GraphSpec boundary
+    * law at scale); pass `driver`/`join` for fresh-JVM honest timing.
+    * Usage: Stress <sfDir> -pagerank [nNodes] [k] [driver|join]
+    */
+  def pagerankStress(spark: org.apache.spark.sql.SparkSession,
+                     nNodes: Long, k: Int,
+                     arm: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Graph
+    val edges = spark.range(nNodes * k).select(
+        (col("id") / k).cast("long").as("src"),
+        pmod(xxhash64(col("id"), lit(7)), lit(nNodes)).as("dst"))
+      .localCheckpoint(true)
+    println(s"graph: ${edges.count()} edges, $nNodes nodes, outdeg=$k")
+    def run(name: String, limit: Long): Long = {
+      val t0 = System.nanoTime()
+      val out = Graph.pageRank(edges, iters = 10, driverNodeLimit = limit)
+      val r = out.agg(count(lit(1)), expr(
+        "bit_xor(xxhash64(id, CAST(pr * 1000000000.0 AS LONG)))")).head()
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+        s"rows=${r.getLong(0)} chk=${r.getLong(1)}")
+      r.getLong(1)
+    }
+    arm match {
+      case Some("driver") => run("broadcast-rank", Long.MaxValue)
+      case Some("join")   => run("join-path", 0L)
+      case Some(other) =>
+        sys.error(s"unknown -pagerank arm '$other' (driver|join)")
+      case None =>
+        val a = run("broadcast-rank", Long.MaxValue)
+        val b = run("join-path", 0L)
+        require(a == b, "regimes diverged: ranks must be bit-identical")
+    }
+  }
+
   def ccDense(spark: org.apache.spark.sql.SparkSession,
               nEdges: Long, arm: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
