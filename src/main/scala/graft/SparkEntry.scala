@@ -1058,6 +1058,40 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- curation audit: every filter rule evaluated on every doc
+    //      (no short-circuit) — the drop-reason attribution pass. One
+    //      narrow codegen'd projection + one slim window shuffle on
+    //      md5(text) for the exact-dup rule ----
+    "q_curation_audit" -> ((s, dir) => {
+      graft.operators.Curation.curationAudit(
+          t(s, dir, "documents"), col("doc_id"), col("text"), auditRules)
+        .select(col("doc_id"), array_join(col("fails"), ",").as("fails"),
+          col("n_fails").cast("long").as("n_fails"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- marginal rule attribution over the audit: n_fail (total
+    //      drops) vs n_solo (docs ONLY that rule removes — a rule with
+    //      n_solo = 0 is dead weight on the pipeline) ----
+    "q_audit_rates" -> ((s, dir) => {
+      graft.operators.Curation.auditSummary(
+          graft.operators.Curation.curationAudit(
+            t(s, dir, "documents"), col("doc_id"), col("text"), auditRules))
+        .orderBy(col("rule"))
+    }),
+
+    // ---- snapshot (recrawl) dedup: two simulated crawl dumps of the
+    //      corpus — dump 1 recrawls every page, every third page
+    //      changed — collapsed to first-fetch-per-content-version.
+    //      Content is hashed map-side; the one shuffle carries
+    //      (url, md5, snap, fetch_id), never document bodies ----
+    "q_snapshot_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.snapshotDedup(simulatedCrawl(t(s, dir,
+          "documents")), col("url"), col("snap"), col("text"),
+          col("fetch_id"))
+        .orderBy(col("url"), col("keep_fetch"))
+    }),
+
     // ---- north star: product-quantization top-k (codes + ADC lookup —
     //      the compressed-corpus ANN scale path) ----
     "q_simsearch_pq" -> ((s, dir) => {
@@ -3321,6 +3355,83 @@ object SparkEntry {
 
   /** PageRank iteration count shared by q_pagerank and its oracle. */
   private val prIters = 10
+
+  /** Oracle flags CTE shared by the q_curation_audit / q_audit_rates
+    * oracles — one boolean per [[auditRules]] rule plus exact_dup,
+    * folded to the sorted fail-name list exactly as
+    * `Curation.curationAudit` does.
+    */
+  private val auditFlagsCte: String =
+    """WITH x AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS ts
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    length(text) < 120 AS too_short,
+      |    lang NOT IN ('en','es','fr','de') AS bad_lang,
+      |    CAST(len(list_distinct(ts)) AS DOUBLE)
+      |      / greatest(len(ts), 1) < 0.35 AS low_ttr,
+      |    CAST(len(list_filter(ts,
+      |        t -> t IN ('a','the','of','and','to','in'))) AS DOUBLE)
+      |      / greatest(len(ts), 1) < 0.03 AS low_stopword,
+      |    (len(list_filter(range(1, length(text) - 1),
+      |        i -> substr(text, i, 3) = 'dup'))
+      |     + len(list_filter(range(1, length(text) - 2),
+      |        i -> substr(text, i, 4) = 'slow'))
+      |     + len(list_filter(range(1, length(text) - 1),
+      |        i -> substr(text, i, 3) = 'low'))
+      |     + len(list_filter(range(1, length(text) - 8),
+      |        i -> substr(text, i, 10) = 'scan batch'))) > 2
+      |      AS blocklist,
+      |    doc_id <> min(doc_id) OVER (PARTITION BY text) AS exact_dup
+      |  FROM x),
+      |a AS (
+      |  SELECT doc_id, list_sort(list_filter([
+      |    CASE WHEN too_short THEN 'too_short' END,
+      |    CASE WHEN bad_lang THEN 'bad_lang' END,
+      |    CASE WHEN low_ttr THEN 'low_ttr' END,
+      |    CASE WHEN low_stopword THEN 'low_stopword' END,
+      |    CASE WHEN blocklist THEN 'blocklist' END,
+      |    CASE WHEN exact_dup THEN 'exact_dup' END],
+      |    z -> z IS NOT NULL)) AS fl
+      |  FROM f)""".stripMargin
+
+  /** Audit rule battery shared by q_curation_audit and q_audit_rates.
+    * The ratio rules reuse `TextAnalysis.qualityFeatures` expressions
+    * so the oracle's q_quality CTEs replay them exactly; the blocklist
+    * rule is the q_blocklist Aho–Corasick screen at the same threshold.
+    */
+  private def auditRules: Seq[(String, Column)] = {
+    val feats = graft.operators.TextAnalysis
+      .qualityFeatures(col("text")).toMap
+    Seq(
+      "too_short" -> (length(col("text")) < 120),
+      "bad_lang" -> !col("lang").isin("en", "es", "fr", "de"),
+      "low_ttr" -> (feats("type_token_ratio") < 0.35),
+      "low_stopword" -> (feats("stopword_ratio") < 0.03),
+      "blocklist" -> (graft.plans.MultiPatternCount(col("text"),
+        Seq("dup", "slow", "low", "scan batch")) > 2L))
+  }
+
+  /** Two-dump crawl simulation shared by q_snapshot_dedup and its
+    * oracle: dump 0 = the corpus; dump 1 recrawls every page, with
+    * every third page's content changed. fetch_id = doc_id*2 + snap is
+    * unique per fetch and increases with snap for a fixed page, so the
+    * oracle's min(fetch_id) equals the engine's min-(snap, fetch_id)
+    * struct on this fixture (the general tie-break law is spec-locked
+    * in DedupSpec).
+    */
+  private def simulatedCrawl(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      concat(col("source"), lit("/"), col("doc_id")).as("url"),
+      col("doc_id"), col("text"))
+    base.select(col("url"), lit(0).as("snap"), col("text"),
+        (col("doc_id") * 2).as("fetch_id"))
+      .unionAll(base.select(col("url"), lit(1).as("snap"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"),
+        (col("doc_id") * 2 + 1).as("fetch_id")))
+  }
 
   private val clsIters = 40
   private val clsLr = 1.5
@@ -5845,6 +5956,41 @@ object SparkEntry {
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pagerankSql,
+
+    // audit: flags CTE shared by the two audit oracles; the ratio
+    // rules replay the q_quality CTE expressions, the blocklist rule
+    // replays q_blocklist's overlapping-count idiom, exact_dup windows
+    // over the text partition (same grouping as the engine's md5)
+    "q_curation_audit" ->
+      s"""$auditFlagsCte
+         |SELECT doc_id, COALESCE(array_to_string(fl, ','), '') AS fails,
+         |  CAST(len(fl) AS BIGINT) AS n_fails,
+         |  CASE WHEN len(fl) = 0 THEN 1 ELSE 0 END AS kept
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_audit_rates" ->
+      s"""$auditFlagsCte,
+         |e AS (SELECT len(fl) AS n_fails, unnest(fl) AS rule FROM a)
+         |SELECT rule, count(*) AS n_fail,
+         |  CAST(sum(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_solo
+         |FROM e GROUP BY rule ORDER BY rule""".stripMargin,
+
+    "q_snapshot_dedup" ->
+      """WITH base AS (
+        |  SELECT source || '/' || doc_id AS url, doc_id, text
+        |  FROM documents),
+        |crawl AS (
+        |  SELECT url, 0 AS snap, text, doc_id * 2 AS fetch_id FROM base
+        |  UNION ALL
+        |  SELECT url, 1 AS snap,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' updated'
+        |         ELSE text END AS text,
+        |    doc_id * 2 + 1 AS fetch_id FROM base)
+        |SELECT url, min(snap) AS first_snap, min(fetch_id) AS keep_fetch,
+        |  count(*) AS n_fetches
+        |FROM crawl GROUP BY url, md5(text)
+        |ORDER BY url, keep_fetch""".stripMargin,
 
     "q_classifier_train" -> classifierTrainSql,
 

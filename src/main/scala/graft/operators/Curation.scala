@@ -300,4 +300,58 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("s"), lit(0L))).as("w_micro"))
       .withColumn("keep", when(col("w_micro") >= 0, 1).otherwise(0))
+
+  /** Curation audit: evaluate EVERY filter rule on EVERY document —
+    * no short-circuit — and emit the full set of rules each document
+    * fails. A production pipeline applies filters first-fail-wins, so
+    * its drop log can't answer "which later filters would ALSO have
+    * dropped this doc" or "which rule is doing marginal work" — the
+    * questions you actually debug a 100 TB shrink with. The audit is
+    * the attribution pass you run on a sample (or the whole corpus)
+    * before touching thresholds.
+    *
+    * `rules` are (name, fail-predicate) pairs evaluated in one narrow
+    * codegen'd projection. An `exact_dup` rule is added internally:
+    * a document fails it when it is not the canonical (min `idCol`)
+    * holder of its content group. The duplicate check windows over
+    * md5(`textCol`) on a SLIM pre-projection (id + rule flags + 32-char
+    * hash) so the exchange never carries document bodies — the only
+    * shuffle in the operator, and its groups are duplicate-sets
+    * (tiny), so no hot partition exists at any scale.
+    *
+    * Output: (doc_id, fails array<string> sorted, n_fails, kept 0/1).
+    * The reference has no analogue (it filters nothing, SURVEY §0).
+    */
+  def curationAudit(docs: DataFrame, idCol: Column, textCol: Column,
+                    rules: Seq[(String, Column)]): DataFrame = {
+    val names = rules.map(_._1) :+ "exact_dup"
+    require(names.distinct.size == names.size &&
+        !rules.exists(r => r._1 == "doc_id" || r._1 == "c_hash"),
+      s"rule names must be distinct and not shadow doc_id/c_hash: $names")
+    val slim = docs.select(
+      (idCol.as("doc_id") +: md5(textCol).as("c_hash") +:
+        rules.map { case (n, c) => c.as(n) }): _*)
+    val dup = col("doc_id") =!=
+      min(col("doc_id")).over(Window.partitionBy(col("c_hash")))
+    val failArr = array_sort(filter(
+      array(names.map(n => when(col(n), lit(n))): _*), x => x.isNotNull))
+    slim.withColumn("exact_dup", dup)
+      .withColumn("fails", failArr)
+      .select(col("doc_id"), col("fails"),
+        size(col("fails")).as("n_fails"),
+        when(size(col("fails")) === 0, 1).otherwise(0).as("kept"))
+  }
+
+  /** Marginal attribution over a [[curationAudit]] frame: per rule,
+    * how many documents fail it at all (`n_fail`) and how many are
+    * dropped ONLY by it (`n_solo` — the documents that rule alone is
+    * responsible for removing; a rule with n_fail ≫ n_solo = 0 is
+    * dead weight). One explode + one aggregation; rules the corpus
+    * never trips are absent (attribution, not a rule inventory).
+    */
+  def auditSummary(audit: DataFrame): DataFrame =
+    audit.select(col("n_fails"), explode(col("fails")).as("rule"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_fail"),
+        sum(when(col("n_fails") === 1, 1L).otherwise(0L)).as("n_solo"))
   }

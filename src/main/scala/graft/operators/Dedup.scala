@@ -43,6 +43,34 @@ object Dedup {
     df.groupBy(col(key))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Snapshot (recrawl) dedup: across repeated crawls of the same
+    * corpus, keep only the FIRST fetch of each distinct content
+    * version per url — an unchanged page recrawled in later dumps is
+    * collapsed onto its earliest copy, while a changed page keeps one
+    * row per version. This is the cross-dump dedup a CommonCrawl-style
+    * pipeline runs before any content-level dedup: at 100 TB most
+    * bytes in a new dump are unchanged recrawls.
+    *
+    * One aggregation keyed on (url, md5(content)): the content is
+    * hashed MAP-SIDE, so the single shuffle carries (url, 32-char
+    * hash, snap, fetch_id) — never document bodies — and min/count
+    * partially aggregate before the exchange. No per-url window sort:
+    * the window-lag formulation would sort every fetch of the hottest
+    * url in one task; the group-by form has no hot key because groups
+    * are per content VERSION.
+    *
+    * The kept fetch is the lexicographic min of (snap, fetch_id) —
+    * earliest snapshot, ties (two identical fetches inside one dump)
+    * broken by fetch id, deterministic under any arrival order.
+    */
+  def snapshotDedup(crawl: DataFrame, urlCol: Column, snapCol: Column,
+                    contentCol: Column, fetchIdCol: Column): DataFrame =
+    crawl.groupBy(urlCol.as("url"), md5(contentCol).as("c_hash"))
+      .agg(min(struct(snapCol.as("snap"), fetchIdCol.as("fid"))).as("f"),
+        count(lit(1)).as("n_fetches"))
+      .select(col("url"), col("f.snap").as("first_snap"),
+        col("f.fid").as("keep_fetch"), col("n_fetches"))
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
     * Returns (d1, d2, inter, n1, n2, jaccard) for jaccard >= tau.
     * `maxPostings` drops shingles shared by more than that many docs

@@ -195,4 +195,47 @@ class CurationSpec extends SparkSpec {
     // target token for the shared one
     assert(out(1)._4 == 1 && out(3)._4 == 0)
   }
+
+  test("curationAudit: every rule evaluated on every doc (no " +
+       "short-circuit), exact_dup fails non-canonical copies, and " +
+       "auditSummary separates total from solo attribution") {
+    val docs = Seq(
+      (0L, "good long document with many distinct words here"), // clean
+      (1L, "bad"),                       // too_short only (solo)
+      (2L, "good long document with many distinct words here"), // dup of 0
+      (3L, "x x x x x x x x x x x x")    // too_short AND low_ttr
+    ).toDF("doc_id", "text")
+    val rules = Seq(
+      "too_short" -> (length(col("text")) < 30),
+      "low_ttr" -> (size(array_distinct(split(col("text"), " ")))
+        .cast("double") / size(split(col("text"), " ")) < 0.3))
+    val audit = Curation.curationAudit(docs, col("doc_id"), col("text"),
+      rules).orderBy("doc_id")
+      .select(col("doc_id"), array_join(col("fails"), ",").as("f"),
+        col("kept")).as[(Long, String, Int)].collect()
+    assert(audit.toSeq == Seq(
+      (0L, "", 1),
+      (1L, "too_short", 0),
+      (2L, "exact_dup", 0),
+      (3L, "low_ttr,too_short", 0)))  // sorted names, both rules present
+    val summ = Curation.auditSummary(Curation.curationAudit(docs,
+        col("doc_id"), col("text"), rules))
+      .orderBy("rule").as[(String, Long, Long)].collect()
+    assert(summ.toSeq == Seq(
+      ("exact_dup", 1L, 1L),          // doc 2: fails only exact_dup
+      ("low_ttr", 1L, 0L),            // doc 3 also fails too_short
+      ("too_short", 2L, 1L)))         // docs 1 (solo) and 3
+  }
+
+  test("curationAudit: duplicate rule names rejected") {
+    val docs = Seq((0L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.curationAudit(docs, col("doc_id"), col("text"),
+        Seq("r" -> lit(true), "r" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.curationAudit(docs, col("doc_id"), col("text"),
+        Seq("doc_id" -> lit(true)))
+    }
+  }
 }

@@ -508,4 +508,29 @@ class DedupSpec extends SparkSpec {
     // sanity: 3 components, labeled by min node id (0, 1, 2)
     assert(want.values.toSet.subsetOf(Set(0L, 1L, 2L)))
   }
+
+  test("snapshotDedup: keeps the lexicographic-min (snap, fetch_id) " +
+       "fetch per (url, content) — including non-adjacent revisits " +
+       "and out-of-order fetch ids") {
+    import spark.implicits._
+    val crawl = Seq(
+      // url A: unchanged recrawl with a LATER snap but SMALLER fetch id
+      // (min(fetch_id) would wrongly pick fid=5; first-snap wins)
+      ("a", 0, "v1", 100L), ("a", 1, "v1", 5L),
+      // url B: A,B,A version pattern — revisit to the OLD version in
+      // snap 2 collapses onto snap 0, not a new row
+      ("b", 0, "v1", 10L), ("b", 1, "v2", 11L), ("b", 2, "v1", 12L),
+      // url C: two identical fetches INSIDE one dump — fid tie-break
+      ("c", 0, "v1", 21L), ("c", 0, "v1", 20L)
+    ).toDF("url", "snap", "text", "fetch_id")
+    val out = Dedup.snapshotDedup(crawl, col("url"), col("snap"),
+        col("text"), col("fetch_id"))
+      .orderBy("url", "keep_fetch")
+      .select("url", "first_snap", "keep_fetch", "n_fetches")
+      .as[(String, Int, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("a", 0, 100L, 2L),
+      ("b", 0, 10L, 2L), ("b", 1, 11L, 1L),
+      ("c", 0, 20L, 2L)))
+  }
 }
