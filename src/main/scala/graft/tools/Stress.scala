@@ -34,6 +34,10 @@ object Stress {
       blocklist(spark, sfDir)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-audit")) {
+      audit(spark, sfDir)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-semtiers")) {
       semTiers(spark, sfDir)
       spark.stop(); return
@@ -492,6 +496,56 @@ object Stress {
         .filter(col("keep") === 1).count()
       println(f"blocklist rep$rep        ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  ($kept kept)")
+    }
+  }
+
+  /** Scale walls for the round-9 audit/snapshot operators: the full
+    * q_curation_audit rule battery + auditSummary, and snapshotDedup
+    * over the two-dump crawl simulation (2n fetches). Both are
+    * one-shuffle slim-row pipelines — expected scan-rate/linear.
+    */
+  def audit(spark: org.apache.spark.sql.SparkSession,
+            sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .localCheckpoint(true)
+    println(s"docs: ${docs.count()}")
+    val feats = graft.operators.TextAnalysis
+      .qualityFeatures(col("text")).toMap
+    val rules = Seq(
+      "too_short" -> (length(col("text")) < 120),
+      "bad_lang" -> !col("lang").isin("en", "es", "fr", "de"),
+      "low_ttr" -> (feats("type_token_ratio") < 0.35),
+      "low_stopword" -> (feats("stopword_ratio") < 0.03),
+      "blocklist" -> (graft.plans.MultiPatternCount(col("text"),
+        Seq("dup", "slow", "low", "scan batch")) > 2L))
+    for (rep <- 1 to 2) {
+      var t0 = System.nanoTime()
+      val aud = graft.operators.Curation.curationAudit(
+        docs, col("doc_id"), col("text"), rules)
+      val kept = aud.filter(col("kept") === 1).count()
+      println(f"audit rep$rep       ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  ($kept kept)")
+      t0 = System.nanoTime()
+      val solo = graft.operators.Curation.auditSummary(aud)
+        .agg(sum(col("n_solo"))).collect()(0).getLong(0)
+      println(f"audit+summary rep$rep ${(System.nanoTime() - t0) / 1e9}%5.2f s" +
+        f"  ($solo solo-dropped)")
+      t0 = System.nanoTime()
+      val base = docs.select(
+        concat(col("source"), lit("/"), col("doc_id")).as("url"),
+        col("doc_id"), col("text"))
+      val crawl = base.select(col("url"), lit(0).as("snap"), col("text"),
+          (col("doc_id") * 2).as("fetch_id"))
+        .unionAll(base.select(col("url"), lit(1).as("snap"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"),
+          (col("doc_id") * 2 + 1).as("fetch_id")))
+      val rows = graft.operators.Dedup.snapshotDedup(crawl, col("url"),
+        col("snap"), col("text"), col("fetch_id")).count()
+      println(f"snapshot rep$rep    ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  ($rows versions kept)")
     }
   }
 
