@@ -912,6 +912,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- tokenizer fertility per language: tokens/word and
+    //      chars/token under the learned vocab — the per-language
+    //      tokenizer-quality report; |langs| output rows ----
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, seg) = graft.operators.Bpe.trainMerges(docs, iters = 10)
+      graft.operators.Bpe.fertility(docs, seg, col("lang"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          (floor(col("n_bpe_tokens") / col("n_words") * 1e6 + 0.5) / 1e6)
+            .as("fertility"),
+          (floor(col("n_chars") / col("n_bpe_tokens") * 1e6 + 0.5) / 1e6)
+            .as("chars_per_token"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- salted join: hot-key scatter (results identical to the plain
     //      join, which is exactly what the oracle checks) ----
     "q_join_salted" -> ((s, dir) => {
@@ -3353,6 +3368,33 @@ object SparkEntry {
        |WHERE word <> ''
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 
+  /** Per-language fertility under the learned segmentation
+    * (= q_bpe_fertility): the [[bpeEncodeSql]] aggregation keyed on
+    * lang, plus the two ratio metrics.
+    */
+  private lazy val bpeFertilitySql: String =
+    s"""$bpeCtes,
+       |seg AS MATERIALIZED (SELECT word,
+       |  CAST(len(string_split(trim(seq, chr(31)), chr(31))) AS BIGINT)
+       |    AS n_sub
+       |  FROM s$bpeIters),
+       |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |       FROM documents),
+       |g AS (SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(COALESCE(seg.n_sub, len(dw.word))) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM dw LEFT JOIN seg USING (word)
+       |WHERE word <> ''
+       |GROUP BY lang)
+       |SELECT lang, n_words, n_bpe_tokens,
+       |  floor(CAST(n_bpe_tokens AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6
+       |    AS fertility,
+       |  floor(CAST(n_chars AS DOUBLE) / n_bpe_tokens * 1e6 + 0.5) / 1e6
+       |    AS chars_per_token
+       |FROM g ORDER BY lang""".stripMargin
+
   /** PageRank iteration count shared by q_pagerank and its oracle. */
   private val prIters = 10
 
@@ -3865,6 +3907,8 @@ object SparkEntry {
     "q_bpe" -> bpeSql,
 
     "q_bpe_encode" -> bpeEncodeSql,
+
+    "q_bpe_fertility" -> bpeFertilitySql,
 
     "q_bpe_apply" -> bpeApplySql,
     "q_sql_tpch5" -> tpch5Sql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -174,6 +174,30 @@ object Bpe {
       .join(broadcast(seg), Seq("word"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), length(col("word"))))
+          .as("n_bpe_tokens"))
+  }
+
+  /** Tokenizer fertility per group (usually language): total words,
+    * characters, and BPE tokens under the learned segmentation — the
+    * standard tokenizer-quality evaluation (fertility = tokens/word,
+    * compression = chars/token) a pipeline runs per language before
+    * committing to a vocabulary. Same shape as [[encode]] with the
+    * aggregation keyed on the group instead of the document: the vocab
+    * broadcasts, the corpus streams through one explode + one
+    * aggregation whose output is |groups| rows.
+    */
+  def fertility(docs: DataFrame, segmentation: DataFrame,
+                groupCol: Column): DataFrame = {
+    val seg = segmentation
+      .select(col("word"), size(col("syms")).as("n_sub"))
+    docs.select(groupCol.as("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(seg), Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
         sum(coalesce(col("n_sub"), length(col("word"))))
           .as("n_bpe_tokens"))
   }

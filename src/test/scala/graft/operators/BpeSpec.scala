@@ -93,4 +93,23 @@ class BpeSpec extends SparkSpec {
     assert(vocab.filter(col("word") === "x")
       .select(col("freq")).as[Long].head() == 2L)
   }
+
+  test("fertility: per-group sums equal the per-doc encode sums, and " +
+    "OOV groups fall back to character counts") {
+    val d = Seq((0L, "low low lower", "en"), (1L, "lower low", "en"),
+        (2L, "zz q", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val (_, seg) = Bpe.trainMerges(d.filter(col("lang") === "en"),
+      iters = 2)
+    val f = Bpe.fertility(d, seg, col("lang")).orderBy("lang")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // en: merges (l,o)+(lo,w) -> low=1 sym, lower=3 syms
+    //     5 words, 11+8=19 chars, 1+1+3 + 3+1 = 9 tokens
+    // zh: both words OOV -> char fallback, 2 words, 3 chars, 3 tokens
+    assert(f == Seq(("en", 5L, 19L, 9L), ("zh", 2L, 3L, 3L)))
+    val enc = Bpe.encode(d, seg)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens")))
+      .as[(Long, Long)].head()
+    assert(enc == ((7L, 12L)))
+  }
 }
