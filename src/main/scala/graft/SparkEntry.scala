@@ -912,6 +912,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- exact per-group quantile selection WITHOUT a per-group
+    //      sort: keep the longest 60% of every source via distributed
+    //      radix selection — ~8 linear scans of a slim checkpoint +
+    //      one broadcast-threshold filter; the window-rank oracle
+    //      definition would sort the hottest group in one task ----
+    "q_group_quantile" -> ((s, dir) => {
+      graft.operators.Sampling.topFractionByGroup(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          col("source"), -col("n_chars"), col("doc_id"), num = 3, den = 5,
+          windowMaxGroup = 0L) // pin radix: the regime the oracle gates
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- tokenizer fertility per language: tokens/word and
     //      chars/token under the learned vocab — the per-language
     //      tokenizer-quality report; |langs| output rows ----
@@ -3909,6 +3923,18 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeSql,
 
     "q_bpe_fertility" -> bpeFertilitySql,
+
+    // integer-rank keep rule: rn <= ceil(3n/5) written as
+    // (rn-1)*5 < 3n so neither engine computes a float ceil
+    "q_group_quantile" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY -n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM r
+        |WHERE (rn - 1) * 5 < n * 3 ORDER BY doc_id""".stripMargin,
 
     "q_bpe_apply" -> bpeApplySql,
     "q_sql_tpch5" -> tpch5Sql,

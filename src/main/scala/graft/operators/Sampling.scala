@@ -47,4 +47,169 @@ object Sampling {
     }
     df.filter(foldId(key, den) < rate)
   }
+
+  /** EXACT per-group score-quantile thresholds WITHOUT any per-group
+    * sort — the scale path for "keep the best num/den fraction of each
+    * language/source by score" (perplexity filtering, length filtering,
+    * quality-score selection). The window-rank formulation sorts every
+    * row of the hottest group in one task; an approx-percentile
+    * threshold doesn't keep an exact count and double-rounds the
+    * boundary. This is distributed radix SELECTION instead: walk the
+    * score's bits 12 at a time, keeping one (group → bit-prefix,
+    * remaining-rank) entry per group on the driver; each round is one
+    * linear scan producing a ≤4096-bucket histogram per group. The
+    * k-th smallest (score, id) composite of every group is pinned
+    * exactly after ≤6 score rounds plus, only for groups whose k-th
+    * score is tied, ≤6 id rounds over the tie rows.
+    *
+    * k(g) = ceil(num·n_g / den) in INTEGER arithmetic (the double
+    * `ceil(0.6*25)` is 16 on IEEE engines and 15 on decimal ones —
+    * the fraction is taken as a rational on purpose).
+    *
+    * Scale contract: ~8 linear scans of a checkpointed (group, score,
+    * id) projection (~20 bytes/row); driver state is one entry per
+    * group per round plus the per-round histogram, O(min(rows,
+    * 4096·|groups|)) — groups are languages/domains (≤ ~10^4), never
+    * documents. No shuffle ever carries more than the histogram.
+    * Requires (score, id) unique per row within a group (id a row id);
+    * rows with a NULL group are not selected.
+    *
+    * Returns one row per group: (g, n, k, thr_s, thr_id); a row is
+    * kept iff score < thr_s OR (score = thr_s AND id <= thr_id) —
+    * [[topFractionByGroup]] applies exactly that broadcast filter.
+    */
+  def quantileThresholds(df: DataFrame, groupCol: Column, scoreCol: Column,
+                         idCol: Column, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"need 0 < num/den <= 1, got $num/$den")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flip = lit(Long.MinValue)
+    // sign-bit-flipped images: bitwise-prefix order == signed order
+    val slim = df.select(groupCol.cast("string").as("g"),
+        scoreCol.cast("long").bitwiseXOR(flip).as("u"),
+        idCol.cast("long").bitwiseXOR(flip).as("v"))
+      .filter(col("g").isNotNull)
+      .localCheckpoint(true) // eager: up to 14 scans follow
+    val widths = Seq(12, 12, 12, 12, 12, 4) // 64 bits, ≤4096 buckets
+    def highMask(bits: Int): Long =
+      if (bits == 0) 0L else ~((1L << (64 - bits)) - 1)
+
+    final case class St(g: String, var need: Long,
+                        var prefU: Long, var prefV: Long)
+    val st = slim.groupBy($"g").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+      .map { case (g, n) =>
+        (g, n, St(g, need = (num.toLong * n + den - 1) / den, 0L, 0L))
+      }
+    val byG = st.map(t => t._1 -> t._3).toMap
+
+    /** One radix phase over `keyCol` ("u" or "v") for `groups`;
+      * candidate rows are pinned to each group's resolved prefixes.
+      * Mutates need + the phase's prefix in place.
+      */
+    def phase(keyCol: String, groups: Array[St]): Unit = {
+      var bits = 0
+      for (w <- widths if groups.nonEmpty) {
+        val stDf = broadcast(groups.toSeq
+          .map(s => (s.g, s.prefU, s.prefV)).toDF("g", "pu", "pv"))
+        val mU = if (keyCol == "u") highMask(bits)
+                 else highMask(64) // id phase: score fully pinned
+        val mV = if (keyCol == "u") 0L else highMask(bits)
+        val shift = 64 - bits - w
+        val hist = slim.join(stDf, "g")
+          .filter(($"u".bitwiseAND(lit(mU)) === $"pu") &&
+            ($"v".bitwiseAND(lit(mV)) === $"pv"))
+          .groupBy($"g", shiftrightunsigned(col(keyCol), shift)
+            .bitwiseAND(lit((1L << w) - 1)).as("d"))
+          .agg(count(lit(1)).as("c"))
+          .as[(String, Long, Long)].collect()
+          .groupBy(_._1)
+        for (s <- groups) {
+          // ascending cumulative walk to the bucket holding the k-th
+          var need = s.need
+          var chosen = -1L
+          for ((_, d, c) <- hist(s.g).sortBy(_._2) if chosen < 0) {
+            if (c >= need) chosen = d else need -= c
+          }
+          require(chosen >= 0, // every prefix holds >= need rows
+            s"radix invariant broken for group ${s.g} at bits=$bits")
+          s.need = need
+          if (keyCol == "u") s.prefU |= chosen << shift
+          else s.prefV |= chosen << shift
+        }
+        bits += w
+      }
+    }
+
+    phase("u", st.map(_._3))
+    // groups whose k-th score is tied more broadly than `need` must
+    // refine the id; the rest admit every tie row (thr_id = MAX)
+    val ties = slim.join(broadcast(st.toSeq
+        .map(t => (t._1, t._3.prefU)).toDF("g", "pu")), "g")
+      .filter($"u" === $"pu").groupBy($"g")
+      .agg(count(lit(1)).as("c")).as[(String, Long)].collect().toMap
+    val needId = st.map(_._3).filter(s => ties(s.g) != s.need)
+    needId.foreach(_.prefV = 0L)
+    if (needId.nonEmpty) phase("v", needId)
+    val needIdSet = needId.map(_.g).toSet
+
+    st.toSeq.map { case (g, n, s) =>
+      val thrId = if (needIdSet.contains(g)) s.prefV ^ Long.MinValue
+                  else Long.MaxValue
+      (g, n, (num.toLong * n + den - 1) / den,
+        s.prefU ^ Long.MinValue, thrId)
+    }.toDF("g", "n", "k", "thr_s", "thr_id")
+  }
+
+  /** Keep EXACTLY ceil(num·n_g/den) rows per group — the num/den
+    * best-by-(score, id); lower score = better (negate the score to
+    * keep the largest). Two regimes, auto-routed on the MAX GROUP
+    * SIZE (one counting scan):
+    *
+    *   - every group fits a single task's sort (max n_g <=
+    *     `windowMaxGroup`) → the window-rank form: one shuffle, one
+    *     per-group sort. Measured 3× faster than radix at <=1M-row
+    *     groups (Stress -quantile, PLANS.md r9).
+    *   - some group exceeds it → [[quantileThresholds]] radix
+    *     selection + one broadcast-threshold filter: no task ever
+    *     sorts the hot group. Measured 3× faster at an 18M-row hot
+    *     group, and the window form's gap grows n·log n while radix
+    *     stays corpus-linear.
+    *
+    * The default boundary (4M rows) sits between the measured 1M
+    * (window wins 3×) and 18M (radix wins 3×) points. Pass
+    * `windowMaxGroup = 0` to force radix (the oracle-gated path);
+    * both regimes produce identical rows (spec law).
+    */
+  def topFractionByGroup(df: DataFrame, groupCol: Column, scoreCol: Column,
+                         idCol: Column, num: Int, den: Int,
+                         windowMaxGroup: Long = 4000000L): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"need 0 < num/den <= 1, got $num/$den")
+    if (windowMaxGroup > 0) {
+      val maxN = df.filter(groupCol.isNotNull).groupBy(groupCol)
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0)
+      if (!maxN.isNullAt(0) && maxN.getLong(0) <= windowMaxGroup) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(groupCol)
+          .orderBy(scoreCol.cast("long"), idCol.cast("long"))
+        return df.filter(groupCol.isNotNull)
+          .withColumn("__qt_rn", row_number().over(w))
+          .withColumn("__qt_n",
+            count(lit(1)).over(Window.partitionBy(groupCol)))
+          .filter((col("__qt_rn") - 1) * den < col("__qt_n") * num)
+          .drop("__qt_rn", "__qt_n")
+      }
+    }
+    // reserved names: the caller's own columns may be named g/thr_s/...
+    val thr = quantileThresholds(df, groupCol, scoreCol, idCol, num, den)
+      .select(col("g").as("__qt_g"), col("thr_s").as("__qt_s"),
+        col("thr_id").as("__qt_id"))
+    val s = scoreCol.cast("long")
+    df.join(broadcast(thr), groupCol.cast("string") === col("__qt_g"))
+      .filter(s < col("__qt_s") ||
+        (s === col("__qt_s") && idCol.cast("long") <= col("__qt_id")))
+      .drop("__qt_g", "__qt_s", "__qt_id")
+  }
 }

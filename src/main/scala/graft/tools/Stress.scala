@@ -38,6 +38,10 @@ object Stress {
       audit(spark, sfDir)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-quantile")) {
+      quantile(spark, sfDir, args.lift(2).map(_.toLong))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-semtiers")) {
       semTiers(spark, sfDir)
       spark.stop(); return
@@ -546,6 +550,57 @@ object Stress {
         col("snap"), col("text"), col("fetch_id")).count()
       println(f"snapshot rep$rep    ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  ($rows versions kept)")
+    }
+  }
+
+  /** Radix exact per-group quantile selection vs the window-rank
+    * form, on (a) the uniform 20-source corpus and (b) a 90%-hot
+    * synthetic group — the case the radix path exists for (the window
+    * form sorts the whole hot group in one task). Keep-sets must be
+    * identical (count + id-sum checksums).
+    */
+  def quantile(spark: org.apache.spark.sql.SparkSession,
+               sfDir: String, synthetic: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // synthetic N: doc_id = row id, n_chars = decorrelated pseudo-score
+    // (same distribution per group), source uniform over 20
+    val docs = synthetic.map { n =>
+      spark.range(0, n, 1, 32).toDF("doc_id")
+        .withColumn("source", concat(lit("src"), pmod(
+          graft.functions.StableHash.stableHash60(
+            col("doc_id").cast("string")), lit(20))))
+        .withColumn("n_chars", pmod(col("doc_id") * 2654435761L, lit(100000L)))
+    }.getOrElse(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars")))
+      .withColumn("hot", when(col("doc_id") % 10 < 9, lit("hot"))
+        .otherwise(concat(lit("cold"), col("doc_id") % 10)))
+      .localCheckpoint(true)
+    println(s"docs: ${docs.count()}")
+    def sums(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    def windowed(g: org.apache.spark.sql.Column) = {
+      val w = Window.partitionBy(g).orderBy(-col("n_chars"), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(g)))
+        .filter((col("rn") - 1) * 5 < col("n") * 3)
+    }
+    for (rep <- 1 to 2; (label, g) <- Seq(
+        "uniform" -> col("source"), "hot90" -> col("hot"))) {
+      var t0 = System.nanoTime()
+      val r = sums(graft.operators.Sampling.topFractionByGroup(
+        docs, g, -col("n_chars"), col("doc_id"), 3, 5,
+        windowMaxGroup = 0L)) // pin radix: this A/B IS the router input
+      val tR = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val ww = sums(windowed(g))
+      val tW = (System.nanoTime() - t0) / 1e9
+      require(r == ww, s"$label keep-sets diverge: $r vs $ww")
+      println(f"$label%-8s rep$rep  radix $tR%7.2f s   window $tW%7.2f s" +
+        f"   (${r._1} kept, checksum ${r._2})")
     }
   }
 

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.SparkSpec
+
+/** Laws for the radix exact per-group quantile selection: equality
+  * with the window-rank reference definition on adversarial inputs
+  * (heavy ties at the boundary, negative scores, singleton and
+  * all-equal groups), exact-k cardinality, and integer-ceil k.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rankReference(df: org.apache.spark.sql.DataFrame,
+                            num: Int, den: Int): Set[(String, Long)] = {
+    val w = Window.partitionBy("g").orderBy(col("s"), col("i"))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .filter((col("rn") - 1) * den < col("n") * num)
+      .select(col("g"), col("i")).as[(String, Long)].collect().toSet
+  }
+
+  private def radix(df: org.apache.spark.sql.DataFrame,
+                    num: Int, den: Int): Set[(String, Long)] =
+    Sampling.topFractionByGroup(df, col("g"), col("s"), col("i"),
+        num, den, windowMaxGroup = 0L) // pin the radix regime
+      .select(col("g"), col("i")).as[(String, Long)].collect().toSet
+
+  test("topFractionByGroup equals the window-rank definition on a " +
+       "deterministic pseudo-random corpus with heavy ties and " +
+       "negative scores, across fractions") {
+    // scores collide a lot (mod 7) and cross zero; ids unique
+    val rows = (0 until 500).map { i =>
+      val g = s"g${i % 4}"
+      val s = ((i * 2654435761L) % 7) - 3 // in [-3, 3], many ties
+      (g, s, i.toLong)
+    }
+    val df = rows.toDF("g", "s", "i")
+    for ((num, den) <- Seq((1, 2), (3, 5), (1, 500), (499, 500), (1, 1)))
+      assert(radix(df, num, den) == rankReference(df, num, den),
+        s"mismatch at $num/$den")
+    // regime law: the auto-routed call (window regime at this size)
+    // returns the same rows as the pinned radix path
+    val auto = Sampling.topFractionByGroup(df, col("g"), col("s"),
+        col("i"), 3, 5)
+      .select(col("g"), col("i")).as[(String, Long)].collect().toSet
+    assert(auto == radix(df, 3, 5))
+  }
+
+  test("exact-k cardinality with integer-ceil semantics (the IEEE " +
+       "ceil(0.6*25)=16 trap) plus singleton and all-equal groups") {
+    val df = ((0 until 25).map(i => ("a", 10L, i.toLong)) ++ // all tied
+      Seq(("b", -5L, 100L)) ++                               // singleton
+      (0 until 10).map(i => ("c", i.toLong, i.toLong))).toDF("g", "s", "i")
+    val kept = Sampling.topFractionByGroup(df, col("g"), col("s"),
+        col("i"), 3, 5)
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    // ceil(3*25/5)=15 (not the double-ceil 16), ceil(3/5)=1, ceil(6)=6
+    assert(kept == Map("a" -> 15L, "b" -> 1L, "c" -> 6L))
+    // all-equal group admits the 15 SMALLEST ids — the id radix phase
+    val aIds = radix(df, 3, 5).filter(_._1 == "a").map(_._2)
+    assert(aIds == (0 until 15).map(_.toLong).toSet)
+  }
+
+  test("quantileThresholds: thr_id is MaxValue exactly when the k-th " +
+       "score's ties are all admitted; extreme Long scores survive " +
+       "the bit walk") {
+    val df = Seq(
+      ("x", Long.MinValue, 1L), ("x", Long.MaxValue, 2L),
+      ("x", 0L, 3L), ("x", 0L, 4L),
+      ("y", 7L, 9L), ("y", 7L, 2L), ("y", 7L, 5L), ("y", 7L, 1L))
+      .toDF("g", "s", "i")
+    // x at 3/4: k=ceil(12/4)=3 -> thr_s=0, both score-0 ties admitted
+    // (need=2=ties) -> thr_id=MaxValue
+    val tx = Sampling.quantileThresholds(df, col("g"), col("s"),
+        col("i"), 3, 4).orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(tx(0) == (("x", 4L, 3L, 0L, Long.MaxValue)))
+    // y at 3/4: k=ceil(12/4)=3, ties=4 > need=3 -> id phase pins the
+    // 3rd-smallest id among {1,2,5,9}
+    assert(tx(1) == (("y", 4L, 3L, 7L, 5L)))
+  }
+
+  test("rows with a NULL group are not selected; fraction bounds " +
+       "validated") {
+    val df = Seq((Option("a"), 1L, 1L), (None, 0L, 2L))
+      .toDF("g", "s", "i")
+    assert(radix(df, 1, 1) == Set(("a", 1L)))
+    intercept[IllegalArgumentException] {
+      Sampling.quantileThresholds(df, col("g"), col("s"), col("i"), 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.quantileThresholds(df, col("g"), col("s"), col("i"), 3, 2)
+    }
+  }
+}
