@@ -862,6 +862,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-language perplexity-quantile filter (the CCNet keep
+    //      rule): bigram-LM xent scores → keep the most-fluent 70% of
+    //      each language EXACTLY via the radix group-quantile
+    //      selection; docs with no bigrams are unscorable and excluded
+    //      upstream of the rank, matching q_lm_ppl's domain ----
+    "q_ppl_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.lmPerplexity(docs)
+        .withColumn("xent_micro",
+          floor((-col("s_micro").cast("double") / lit(1e6) /
+            col("n_bigrams")) * lit(1e6) + lit(0.5)).cast("long"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("xent_micro"))
+      graft.operators.Sampling.topFractionByGroup(scored, col("lang"),
+          col("xent_micro"), col("doc_id"), num = 7, den = 10,
+          windowMaxGroup = 0L) // pin radix: the regime the oracle gates
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- DSIR importance scoring: hashed-unigram multinomial
     //      log-ratio weights (target = lang 'en' vs the rest), bucket
     //      table broadcast, micro-nat integer fold per doc ----
@@ -3382,6 +3401,35 @@ object SparkEntry {
        |WHERE word <> ''
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 
+  /** Shared bigram-LM scoring chain (= q_lm_ppl through the per-bigram
+    * micro-nat scores CTE `sc`); q_ppl_filter ranks on top of it.
+    */
+  private val lmPplCtes: String =
+    """WITH w AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pr AS MATERIALIZED (
+      |  SELECT doc_id, ws[CAST(x.i AS INT)] AS a,
+      |    ws[CAST(x.i + 1 AS INT)] AS b
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) x),
+      |uni AS MATERIALIZED (
+      |  SELECT tokw, count(*) AS cu FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tokw FROM documents)
+      |  GROUP BY tokw),
+      |tot AS (SELECT sum(cu) AS t FROM uni),
+      |lm AS MATERIALIZED (
+      |  SELECT a, b, count(*) AS cab FROM pr GROUP BY a, b),
+      |sc AS (
+      |  SELECT pr.doc_id,
+      |    CAST(floor(1e6 * ln(
+      |      0.9 * (CAST(lm.cab AS DOUBLE) / CAST(ua.cu AS DOUBLE))
+      |      + 0.1 * (CAST(ub.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))))
+      |      AS BIGINT) AS s
+      |  FROM pr
+      |    JOIN lm USING (a, b)
+      |    JOIN uni ua ON ua.tokw = pr.a
+      |    JOIN uni ub ON ub.tokw = pr.b
+      |    CROSS JOIN tot)""".stripMargin
+
   /** Per-language fertility under the learned segmentation
     * (= q_bpe_fertility): the [[bpeEncodeSql]] aggregation keyed on
     * lang, plus the two ratio metrics.
@@ -3860,35 +3908,29 @@ object SparkEntry {
     "q_kmeans" -> kmeansSql,
 
     "q_lm_ppl" ->
-      """WITH w AS MATERIALIZED (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |pr AS MATERIALIZED (
-        |  SELECT doc_id, ws[CAST(x.i AS INT)] AS a,
-        |    ws[CAST(x.i + 1 AS INT)] AS b
-        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) x),
-        |uni AS MATERIALIZED (
-        |  SELECT tokw, count(*) AS cu FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tokw FROM documents)
-        |  GROUP BY tokw),
-        |tot AS (SELECT sum(cu) AS t FROM uni),
-        |lm AS MATERIALIZED (
-        |  SELECT a, b, count(*) AS cab FROM pr GROUP BY a, b),
-        |sc AS (
-        |  SELECT pr.doc_id,
-        |    CAST(floor(1e6 * ln(
-        |      0.9 * (CAST(lm.cab AS DOUBLE) / CAST(ua.cu AS DOUBLE))
-        |      + 0.1 * (CAST(ub.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))))
-        |      AS BIGINT) AS s
-        |  FROM pr
-        |    JOIN lm USING (a, b)
-        |    JOIN uni ua ON ua.tokw = pr.a
-        |    JOIN uni ub ON ub.tokw = pr.b
-        |    CROSS JOIN tot)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(s) AS BIGINT) AS s_micro,
-        |  floor((-CAST(sum(s) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5)
-        |    / 1e6 AS xent
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$lmPplCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(s) AS BIGINT) AS s_micro,
+         |  floor((-CAST(sum(s) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5)
+         |    / 1e6 AS xent
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ppl CTEs + the integer-rank keep rule of q_group_quantile:
+    // keep the most-fluent 70% per language
+    "q_ppl_filter" ->
+      s"""$lmPplCtes,
+         |ppl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(s) AS BIGINT) AS s_micro FROM sc GROUP BY doc_id),
+         |x AS (SELECT p.doc_id, d.lang,
+         |  CAST(floor((-CAST(s_micro AS DOUBLE) / 1e6 / n_bigrams)
+         |    * 1e6 + 0.5) AS BIGINT) AS xent_micro
+         |  FROM ppl p JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id, lang, xent_micro,
+         |  row_number() OVER (PARTITION BY lang
+         |                     ORDER BY xent_micro, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM x)
+         |SELECT doc_id, lang, xent_micro FROM r
+         |WHERE (rn - 1) * 10 < n * 7 ORDER BY doc_id""".stripMargin,
 
     "q_dsir" ->
       s"""WITH tok AS MATERIALIZED (
