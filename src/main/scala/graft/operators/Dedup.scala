@@ -65,10 +65,19 @@ object Dedup {
     */
   def snapshotDedup(crawl: DataFrame, urlCol: Column, snapCol: Column,
                     contentCol: Column, fetchIdCol: Column): DataFrame =
+    snapshotVersions(crawl, urlCol, snapCol, contentCol, fetchIdCol)
+      .drop("c_hash")
+
+  /** [[snapshotDedup]] with the content hash kept in the output —
+    * the (url, c_hash) pair IS the version identity the incremental
+    * twin (`DocStream.snapshotIncremental`) carries across dumps.
+    */
+  def snapshotVersions(crawl: DataFrame, urlCol: Column, snapCol: Column,
+                       contentCol: Column, fetchIdCol: Column): DataFrame =
     crawl.groupBy(urlCol.as("url"), md5(contentCol).as("c_hash"))
       .agg(min(struct(snapCol.as("snap"), fetchIdCol.as("fid"))).as("f"),
         count(lit(1)).as("n_fetches"))
-      .select(col("url"), col("f.snap").as("first_snap"),
+      .select(col("url"), col("c_hash"), col("f.snap").as("first_snap"),
         col("f.fid").as("keep_fetch"), col("n_fetches"))
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.

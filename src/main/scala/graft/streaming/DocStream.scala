@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
@@ -222,5 +223,57 @@ object DocStream {
           state.update(PackState(cum))
           out.iterator
       }
+  }
+
+  /** Continuous snapshot (recrawl) dedup: each arriving micro-batch is
+    * one crawl dump; a fetch is emitted only when its (url, content)
+    * version was never seen in ANY earlier dump — the unchanged-recrawl
+    * bytes that dominate a new dump at 100 TB are dropped at ingest
+    * instead of re-entering every downstream dedup. Per batch: the
+    * batch's own version table (`Dedup.snapshotVersions` — the exact
+    * batch operator, so within-dump semantics are shared by
+    * construction), then one anti-join against the accumulated
+    * (url, c_hash) version set. Cross-dump state is that version
+    * TABLE, not driver memory — it grows by each dump's new versions
+    * and is lineage-truncated per batch; at scale it lives in the
+    * lakehouse and the anti-join is bloom-prefilterable
+    * (`engine.BloomPrune`), exactly like the incremental text-dedup
+    * corpus index.
+    *
+    * Law (DocStreamSpec): when dumps arrive in snapshot order with
+    * fetch ids increasing across dumps, the concatenated emissions
+    * equal batch `snapshotDedup` over the union on
+    * (url, first_snap, keep_fetch); `n_fetches` counts only the
+    * EMITTING dump's fetches (later identical recrawls were suppressed,
+    * not merged — the one field where stream and batch views differ,
+    * by design: the stream answers "what was new in dump d").
+    *
+    * `seen0` seeds prior state (re-starting against an existing
+    * version store); pass None for a cold start.
+    */
+  def snapshotIncremental(crawlStream: DataFrame, urlCol: Column,
+                          snapCol: Column, contentCol: Column,
+                          fetchIdCol: Column,
+                          seen0: Option[DataFrame] = None)
+                         (sink: DataFrame => Unit): StreamingQuery = {
+    var seen: Option[DataFrame] = seen0.map(_.select(col("url"),
+      col("c_hash")).localCheckpoint(true))
+    crawlStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val versions = graft.operators.Dedup.snapshotVersions(
+          batch, urlCol, snapCol, contentCol, fetchIdCol)
+        val fresh = seen match {
+          case Some(s) => versions.join(s, Seq("url", "c_hash"),
+            "left_anti")
+          case None => versions
+        }
+        // one pass: emit + fold the new version keys into the state
+        val kept = fresh.localCheckpoint(true)
+        sink(kept.drop("c_hash"))
+        val keys = kept.select(col("url"), col("c_hash"))
+        seen = Some(seen.map(_.unionAll(keys)).getOrElse(keys)
+          .localCheckpoint(true))
+      }
+      .start()
   }
 }

@@ -227,4 +227,42 @@ class DocStreamSpec extends SparkSpec {
       assert(inArrival.last == 4L * rs.length)
     }
   }
+
+  test("streaming snapshot dedup over dumps-in-order == batch " +
+       "snapshotDedup over the union on (url, first_snap, keep_fetch); " +
+       "revisits to OLD versions are suppressed cross-dump") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, String, Long)]
+    val stream = mem.toDF().toDF("url", "snap", "text", "fetch_id")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+    val q = DocStream.snapshotIncremental(stream, col("url"), col("snap"),
+        col("text"), col("fetch_id")) { kept =>
+      buf.synchronized {
+        buf ++= kept.select("url", "first_snap", "keep_fetch").collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      }
+    }
+    // dump 0: pages a/b/c (+ a same-dump duplicate fetch of a's content)
+    val d0 = Seq(("a", 0, "v1", 1L), ("a", 0, "v1", 0L),
+      ("b", 0, "v1", 2L), ("c", 0, "v1", 3L))
+    // dump 1: a unchanged (suppress), b changed (emit), c changed (emit)
+    val d1 = Seq(("a", 1, "v1", 10L), ("b", 1, "v2", 11L),
+      ("c", 1, "v2", 12L))
+    // dump 2: c reverts to its dump-0 content (suppress — version
+    // already seen), b changed again (emit), new page d (emit)
+    val d2 = Seq(("c", 2, "v1", 20L), ("b", 2, "v3", 21L),
+      ("d", 2, "v1", 22L))
+    for (d <- Seq(d0, d1, d2)) { mem.addData(d: _*); q.processAllAvailable() }
+    q.stop()
+    val want = graft.operators.Dedup.snapshotDedup(
+        (d0 ++ d1 ++ d2).toDF("url", "snap", "text", "fetch_id"),
+        col("url"), col("snap"), col("text"), col("fetch_id"))
+      .select("url", "first_snap", "keep_fetch").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(buf.toSet == want)
+    assert(buf.toSet == Set(("a", 0, 0L), ("b", 0, 2L), ("c", 0, 3L),
+      ("b", 1, 11L), ("c", 1, 12L), ("b", 2, 21L), ("d", 2, 22L)))
+  }
 }
