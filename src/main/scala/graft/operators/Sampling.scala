@@ -102,7 +102,18 @@ object Sampling {
       .map { case (g, n) =>
         (g, n, St(g, need = (num.toLong * n + den - 1) / den, 0L, 0L))
       }
-    val byG = st.map(t => t._1 -> t._3).toMap
+    if (st.isEmpty) // no non-null groups: empty threshold table
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("g", "n", "k", "thr_s", "thr_id")
+    // global key ranges: digit rounds that fall entirely inside the
+    // bits COMMON to min and max are answered without a scan (every
+    // group shares that digit). Real scores occupy a narrow band —
+    // e.g. micro-nat xents or document lengths pin ~45 of 64 bits —
+    // so this typically collapses 6 rounds per key to 2-3 scans.
+    val ext = slim.agg(min($"u"), max($"u"), min($"v"), max($"v"))
+      .as[(Long, Long, Long, Long)].collect()(0)
+    def commonBits(lo: Long, hi: Long): Int =
+      java.lang.Long.numberOfLeadingZeros(lo ^ hi)
 
     /** One radix phase over `keyCol` ("u" or "v") for `groups`;
       * candidate rows are pinned to each group's resolved prefixes.
@@ -110,33 +121,45 @@ object Sampling {
       */
     def phase(keyCol: String, groups: Array[St]): Unit = {
       var bits = 0
+      val (lo, common) =
+        if (keyCol == "u") (ext._1, commonBits(ext._1, ext._2))
+        else (ext._3, commonBits(ext._3, ext._4))
       for (w <- widths if groups.nonEmpty) {
-        val stDf = broadcast(groups.toSeq
-          .map(s => (s.g, s.prefU, s.prefV)).toDF("g", "pu", "pv"))
-        val mU = if (keyCol == "u") highMask(bits)
-                 else highMask(64) // id phase: score fully pinned
-        val mV = if (keyCol == "u") 0L else highMask(bits)
         val shift = 64 - bits - w
-        val hist = slim.join(stDf, "g")
-          .filter(($"u".bitwiseAND(lit(mU)) === $"pu") &&
-            ($"v".bitwiseAND(lit(mV)) === $"pv"))
-          .groupBy($"g", shiftrightunsigned(col(keyCol), shift)
-            .bitwiseAND(lit((1L << w) - 1)).as("d"))
-          .agg(count(lit(1)).as("c"))
-          .as[(String, Long, Long)].collect()
-          .groupBy(_._1)
-        for (s <- groups) {
-          // ascending cumulative walk to the bucket holding the k-th
-          var need = s.need
-          var chosen = -1L
-          for ((_, d, c) <- hist(s.g).sortBy(_._2) if chosen < 0) {
-            if (c >= need) chosen = d else need -= c
+        if (bits + w <= common) {
+          // whole window inside the shared prefix: one digit possible
+          val d = (lo >>> shift) & ((1L << w) - 1)
+          for (s <- groups) {
+            if (keyCol == "u") s.prefU |= d << shift
+            else s.prefV |= d << shift
           }
-          require(chosen >= 0, // every prefix holds >= need rows
-            s"radix invariant broken for group ${s.g} at bits=$bits")
-          s.need = need
-          if (keyCol == "u") s.prefU |= chosen << shift
-          else s.prefV |= chosen << shift
+        } else {
+          val stDf = broadcast(groups.toSeq
+            .map(s => (s.g, s.prefU, s.prefV)).toDF("g", "pu", "pv"))
+          val mU = if (keyCol == "u") highMask(bits)
+                   else highMask(64) // id phase: score fully pinned
+          val mV = if (keyCol == "u") 0L else highMask(bits)
+          val hist = slim.join(stDf, "g")
+            .filter(($"u".bitwiseAND(lit(mU)) === $"pu") &&
+              ($"v".bitwiseAND(lit(mV)) === $"pv"))
+            .groupBy($"g", shiftrightunsigned(col(keyCol), shift)
+              .bitwiseAND(lit((1L << w) - 1)).as("d"))
+            .agg(count(lit(1)).as("c"))
+            .as[(String, Long, Long)].collect()
+            .groupBy(_._1)
+          for (s <- groups) {
+            // ascending cumulative walk to the bucket holding the k-th
+            var need = s.need
+            var chosen = -1L
+            for ((_, d, c) <- hist(s.g).sortBy(_._2) if chosen < 0) {
+              if (c >= need) chosen = d else need -= c
+            }
+            require(chosen >= 0, // every prefix holds >= need rows
+              s"radix invariant broken for group ${s.g} at bits=$bits")
+            s.need = need
+            if (keyCol == "u") s.prefU |= chosen << shift
+            else s.prefV |= chosen << shift
+          }
         }
         bits += w
       }
