@@ -1128,6 +1128,15 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    // ---- domain screening: drop WHOLE sources by aggregate quality —
+    //      per-doc ratios micro-quantized then integer-summed per
+    //      source (no float accumulation), keep rule = integer compare
+    //      against threshold·n_docs; |sources| output rows ----
+    "q_domain_screen" -> ((s, dir) => {
+      graft.operators.Curation.domainScreen(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    }),
+
     // ---- snapshot (recrawl) dedup: two simulated crawl dumps of the
     //      corpus — dump 1 recrawls every page, every third page
     //      changed — collapsed to first-fetch-per-content-version.
@@ -6087,6 +6096,24 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_solo
          |FROM e GROUP BY rule ORDER BY rule""".stripMargin,
+
+    "q_domain_screen" ->
+      """WITH x AS (
+        |  SELECT source, string_split(text, ' ') AS ts FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    CAST(floor(1e6 * len(list_distinct(ts))
+        |      / greatest(len(ts), 1)) AS BIGINT) AS tm,
+        |    CAST(floor(1e6 * len(list_filter(ts,
+        |        t -> t IN ('a','the','of','and','to','in')))
+        |      / greatest(len(ts), 1)) AS BIGINT) AS sm
+        |  FROM x)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tm) AS BIGINT) AS sum_ttr_micro,
+        |  CAST(sum(sm) AS BIGINT) AS sum_stop_micro,
+        |  CASE WHEN sum(tm) >= 500000 * count(*)
+        |        AND sum(sm) >= 60000 * count(*) THEN 1 ELSE 0 END AS keep
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q_snapshot_dedup" ->
       """WITH base AS (

@@ -342,6 +342,37 @@ object Curation {
         when(size(col("fails")) === 0, 1).otherwise(0).as("kept"))
   }
 
+  /** Domain-level screening (the C4/RefinedWeb move of dropping WHOLE
+    * sources): per-document quality ratios are micro-quantized to
+    * integers FIRST (floor(1e6·x) — deterministic per doc), then
+    * summed per source, so the per-source means are exact integer
+    * folds with no float-accumulation order anywhere (the engine's
+    * standard micro-nat policy). The keep rule compares integer sums
+    * against threshold·n_docs — no division. One tokenization pass +
+    * one |sources|-row aggregation; the output is the broadcastable
+    * allow-list a pipeline joins against its next scan.
+    */
+  def domainScreen(docs: DataFrame, minTtrMicro: Long = 500000L,
+                   minStopMicro: Long = 60000L): DataFrame = {
+    val ts = split(col("text"), " ")
+    val nTok = greatest(size(ts), lit(1))
+    val ttrM = floor(lit(1e6) * size(array_distinct(ts)) / nTok)
+      .cast("long")
+    val stopM = floor(lit(1e6) * size(filter(ts,
+        t => Seq("a", "the", "of", "and", "to", "in")
+          .map(w => t === w).reduce(_ || _))) / nTok)
+      .cast("long")
+    docs.select(col("source"), ttrM.as("tm"), stopM.as("sm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tm")).as("sum_ttr_micro"),
+        sum(col("sm")).as("sum_stop_micro"))
+      .withColumn("keep",
+        when(col("sum_ttr_micro") >= lit(minTtrMicro) * col("n_docs") &&
+          col("sum_stop_micro") >= lit(minStopMicro) * col("n_docs"),
+          1).otherwise(0))
+  }
+
   /** Marginal attribution over a [[curationAudit]] frame: per rule,
     * how many documents fail it at all (`n_fail`) and how many are
     * dropped ONLY by it (`n_solo` — the documents that rule alone is

@@ -227,6 +227,25 @@ class CurationSpec extends SparkSpec {
       ("too_short", 2L, 1L)))         // docs 1 (solo) and 3
   }
 
+  test("domainScreen: integer micro-sums, threshold rule exact at the " +
+       "boundary, both outcomes reachable") {
+    // src A: ttr 1.0 stop 0.5 per doc; src B: ttr floor(1e6/3) stop 0
+    val docs = Seq(
+      (0L, "the x", "A"), (1L, "the y", "A"),
+      (2L, "z z z", "B")).toDF("doc_id", "text", "source")
+    val out = Curation.domainScreen(docs, minTtrMicro = 500000L,
+        minStopMicro = 60000L).orderBy("source")
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq(
+      ("A", 2L, 2000000L, 1000000L, 1),
+      ("B", 1L, 333333L, 0L, 0)))
+    // boundary exactness: threshold exactly at the mean keeps (>=)
+    val boundary = Curation.domainScreen(docs, minTtrMicro = 1000000L,
+        minStopMicro = 500000L).filter(col("source") === "A")
+      .select(col("keep")).as[Int].head()
+    assert(boundary == 1)
+  }
+
   test("curationAudit: duplicate rule names rejected") {
     val docs = Seq((0L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
