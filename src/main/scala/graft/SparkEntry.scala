@@ -3514,7 +3514,7 @@ object SparkEntry {
     * so the oracle's q_quality CTEs replay them exactly; the blocklist
     * rule is the q_blocklist Aho–Corasick screen at the same threshold.
     */
-  private def auditRules: Seq[(String, Column)] = {
+  private[graft] def auditRules: Seq[(String, Column)] = {
     val feats = graft.operators.TextAnalysis
       .qualityFeatures(col("text")).toMap
     Seq(
@@ -3534,7 +3534,7 @@ object SparkEntry {
     * struct on this fixture (the general tie-break law is spec-locked
     * in DedupSpec).
     */
-  private def simulatedCrawl(docs: DataFrame): DataFrame = {
+  private[graft] def simulatedCrawl(docs: DataFrame): DataFrame = {
     val base = docs.select(
       concat(col("source"), lit("/"), col("doc_id")).as("url"),
       col("doc_id"), col("text"))

@@ -165,17 +165,27 @@ object Bpe {
     * same two-exchange shape as any word-count. OOV words (never seen
     * in training) count their characters.
     */
-  def encode(docs: DataFrame, segmentation: DataFrame): DataFrame = {
-    val seg = segmentation
-      .select(col("word"), size(col("syms")).as("n_sub"))
-    docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .join(broadcast(seg), Seq("word"), "left")
+  def encode(docs: DataFrame, segmentation: DataFrame): DataFrame =
+    encodedWords(docs, segmentation, col("doc_id"), "doc_id")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_sub"), length(col("word"))))
           .as("n_bpe_tokens"))
+
+  /** Shared encode prep: corpus words exploded and left-joined against
+    * the broadcast (word → subword count) dictionary, keyed by the
+    * caller's aggregation key (doc for [[encode]], language for
+    * [[fertility]]). OOV words carry a NULL n_sub; the aggregations
+    * fall back to character counts via coalesce.
+    */
+  private def encodedWords(docs: DataFrame, segmentation: DataFrame,
+                           keyCol: Column, keyName: String): DataFrame = {
+    val seg = segmentation
+      .select(col("word"), size(col("syms")).as("n_sub"))
+    docs.select(keyCol.as(keyName),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(seg), Seq("word"), "left")
   }
 
   /** Tokenizer fertility per group (usually language): total words,
@@ -188,17 +198,11 @@ object Bpe {
     * aggregation whose output is |groups| rows.
     */
   def fertility(docs: DataFrame, segmentation: DataFrame,
-                groupCol: Column): DataFrame = {
-    val seg = segmentation
-      .select(col("word"), size(col("syms")).as("n_sub"))
-    docs.select(groupCol.as("lang"),
-        explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .join(broadcast(seg), Seq("word"), "left")
+                groupCol: Column): DataFrame =
+    encodedWords(docs, segmentation, groupCol, "lang")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word")).cast("long")).as("n_chars"),
         sum(coalesce(col("n_sub"), length(col("word"))))
           .as("n_bpe_tokens"))
-  }
 }

@@ -72,37 +72,70 @@ object Sampling {
     * 4096·|groups|)) — groups are languages/domains (≤ ~10^4), never
     * documents. No shuffle ever carries more than the histogram.
     * Requires (score, id) unique per row within a group (id a row id);
-    * rows with a NULL group are not selected.
+    * rows with a NULL group or a NULL score are not selected (and do
+    * not count toward n_g) in either regime.
     *
     * Returns one row per group: (g, n, k, thr_s, thr_id); a row is
     * kept iff score < thr_s OR (score = thr_s AND id <= thr_id) —
     * [[topFractionByGroup]] applies exactly that broadcast filter.
     */
+  /** Slim sign-flipped projection shared by both quantile regimes:
+    * (group, score-image, id-image). Flipping the sign bit makes
+    * bitwise-prefix order equal signed order for both keys. Rows with
+    * a NULL group or NULL score are excluded BY CONTRACT (both
+    * regimes; the score must be an integral column — a double would
+    * truncate in the cast).
+    */
+  private def slimOf(df: DataFrame, groupCol: Column, scoreCol: Column,
+                     idCol: Column): DataFrame = {
+    val flip = lit(Long.MinValue)
+    df.select(groupCol.cast("string").as("g"),
+        scoreCol.cast("long").bitwiseXOR(flip).as("u"),
+        idCol.cast("long").bitwiseXOR(flip).as("v"))
+      .filter(col("g").isNotNull && col("u").isNotNull)
+  }
+
+  /** One scan: per-group counts plus the per-group key extremes (the
+    * global extremes reduce on the driver — they ride the counting
+    * pass instead of costing a second scan).
+    */
+  private def statsOf(slim: DataFrame): Array[(String, Long, Long, Long,
+      Long, Long)] = {
+    import slim.sparkSession.implicits._
+    slim.groupBy(col("g")).agg(count(lit(1)).as("n"),
+        min(col("u")), max(col("u")), min(col("v")), max(col("v")))
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+  }
+
   def quantileThresholds(df: DataFrame, groupCol: Column, scoreCol: Column,
                          idCol: Column, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"need 0 < num/den <= 1, got $num/$den")
-    val spark = df.sparkSession
+    val slim = slimOf(df, groupCol, scoreCol, idCol)
+      .localCheckpoint(true) // eager: up to 13 scans follow
+    thresholdsFrom(slim, statsOf(slim), num, den)
+  }
+
+  /** The radix machinery proper, over a checkpointed slim projection
+    * and its precomputed per-group stats (see [[quantileThresholds]]
+    * for the semantics and scale contract).
+    */
+  private def thresholdsFrom(slim: DataFrame,
+                             stats: Array[(String, Long, Long, Long,
+                               Long, Long)],
+                             num: Int, den: Int): DataFrame = {
+    val spark = slim.sparkSession
     import spark.implicits._
-    val flip = lit(Long.MinValue)
-    // sign-bit-flipped images: bitwise-prefix order == signed order
-    val slim = df.select(groupCol.cast("string").as("g"),
-        scoreCol.cast("long").bitwiseXOR(flip).as("u"),
-        idCol.cast("long").bitwiseXOR(flip).as("v"))
-      .filter(col("g").isNotNull)
-      .localCheckpoint(true) // eager: up to 14 scans follow
     val widths = Seq(12, 12, 12, 12, 12, 4) // 64 bits, ≤4096 buckets
     def highMask(bits: Int): Long =
       if (bits == 0) 0L else ~((1L << (64 - bits)) - 1)
 
     final case class St(g: String, var need: Long,
                         var prefU: Long, var prefV: Long)
-    val st = slim.groupBy($"g").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().sortBy(_._1)
-      .map { case (g, n) =>
-        (g, n, St(g, need = (num.toLong * n + den - 1) / den, 0L, 0L))
-      }
-    if (st.isEmpty) // no non-null groups: empty threshold table
+    val st = stats.map { case (g, n, _, _, _, _) =>
+      (g, n, St(g, need = (num.toLong * n + den - 1) / den, 0L, 0L))
+    }
+    if (st.isEmpty) // no selectable groups: empty threshold table
       return Seq.empty[(String, Long, Long, Long, Long)]
         .toDF("g", "n", "k", "thr_s", "thr_id")
     // global key ranges: digit rounds that fall entirely inside the
@@ -110,8 +143,8 @@ object Sampling {
     // group shares that digit). Real scores occupy a narrow band —
     // e.g. micro-nat xents or document lengths pin ~45 of 64 bits —
     // so this typically collapses 6 rounds per key to 2-3 scans.
-    val ext = slim.agg(min($"u"), max($"u"), min($"v"), max($"v"))
-      .as[(Long, Long, Long, Long)].collect()(0)
+    val ext = (stats.map(_._3).min, stats.map(_._4).max,
+      stats.map(_._5).min, stats.map(_._6).max)
     def commonBits(lo: Long, hi: Long): Int =
       java.lang.Long.numberOfLeadingZeros(lo ^ hi)
 
@@ -173,8 +206,8 @@ object Sampling {
       .filter($"u" === $"pu").groupBy($"g")
       .agg(count(lit(1)).as("c")).as[(String, Long)].collect().toMap
     val needId = st.map(_._3).filter(s => ties(s.g) != s.need)
-    needId.foreach(_.prefV = 0L)
-    if (needId.nonEmpty) phase("v", needId)
+    if (needId.nonEmpty) phase("v", needId) // prefV still pristine 0
+
     val needIdSet = needId.map(_.g).toSet
 
     st.toSeq.map { case (g, n, s) =>
@@ -210,29 +243,35 @@ object Sampling {
                          windowMaxGroup: Long = 4000000L): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"need 0 < num/den <= 1, got $num/$den")
-    if (windowMaxGroup > 0) {
-      val maxN = df.filter(groupCol.isNotNull).groupBy(groupCol)
-        .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0)
-      if (!maxN.isNullAt(0) && maxN.getLong(0) <= windowMaxGroup) {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(groupCol)
-          .orderBy(scoreCol.cast("long"), idCol.cast("long"))
-        return df.filter(groupCol.isNotNull)
-          .withColumn("__qt_rn", row_number().over(w))
-          .withColumn("__qt_n",
-            count(lit(1)).over(Window.partitionBy(groupCol)))
-          .filter((col("__qt_rn") - 1) * den < col("__qt_n") * num)
-          .drop("__qt_rn", "__qt_n")
-      }
+    // ONE counting scan (pruned to the three key columns) serves both
+    // the route decision and, on the radix route, the per-group stats
+    def joinThresholds(thresholds: DataFrame): DataFrame = {
+      // reserved names: the caller's columns may be named g/thr_s/...
+      val thr = thresholds
+        .select(col("g").as("__qt_g"), col("thr_s").as("__qt_s"),
+          col("thr_id").as("__qt_id"))
+      val s = scoreCol.cast("long")
+      df.join(broadcast(thr), groupCol.cast("string") === col("__qt_g"))
+        .filter(s < col("__qt_s") ||
+          (s === col("__qt_s") && idCol.cast("long") <= col("__qt_id")))
+        .drop("__qt_g", "__qt_s", "__qt_id")
     }
-    // reserved names: the caller's own columns may be named g/thr_s/...
-    val thr = quantileThresholds(df, groupCol, scoreCol, idCol, num, den)
-      .select(col("g").as("__qt_g"), col("thr_s").as("__qt_s"),
-        col("thr_id").as("__qt_id"))
-    val s = scoreCol.cast("long")
-    df.join(broadcast(thr), groupCol.cast("string") === col("__qt_g"))
-      .filter(s < col("__qt_s") ||
-        (s === col("__qt_s") && idCol.cast("long") <= col("__qt_id")))
-      .drop("__qt_g", "__qt_s", "__qt_id")
+    if (windowMaxGroup == 0)
+      return joinThresholds(
+        quantileThresholds(df, groupCol, scoreCol, idCol, num, den))
+    val slim = slimOf(df, groupCol, scoreCol, idCol)
+    val stats = statsOf(slim)
+    if (stats.isEmpty || stats.map(_._2).max <= windowMaxGroup) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(groupCol)
+        .orderBy(scoreCol.cast("long"), idCol.cast("long"))
+      df.filter(groupCol.isNotNull && scoreCol.isNotNull)
+        .withColumn("__qt_rn", row_number().over(w).cast("long"))
+        .withColumn("__qt_n",
+          count(lit(1)).over(Window.partitionBy(groupCol)))
+        .filter((col("__qt_rn") - 1) * den < col("__qt_n") * num)
+        .drop("__qt_rn", "__qt_n")
+    } else joinThresholds(
+      thresholdsFrom(slim.localCheckpoint(true), stats, num, den))
   }
 }

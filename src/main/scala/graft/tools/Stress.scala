@@ -514,15 +514,9 @@ object Stress {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .localCheckpoint(true)
     println(s"docs: ${docs.count()}")
-    val feats = graft.operators.TextAnalysis
-      .qualityFeatures(col("text")).toMap
-    val rules = Seq(
-      "too_short" -> (length(col("text")) < 120),
-      "bad_lang" -> !col("lang").isin("en", "es", "fr", "de"),
-      "low_ttr" -> (feats("type_token_ratio") < 0.35),
-      "low_stopword" -> (feats("stopword_ratio") < 0.03),
-      "blocklist" -> (graft.plans.MultiPatternCount(col("text"),
-        Seq("dup", "slow", "low", "scan batch")) > 2L))
+    // the ONE rule battery / crawl simulation (shared with the
+    // oracle-gated queries, so the bench measures the shipped shape)
+    val rules = graft.SparkEntry.auditRules
     for (rep <- 1 to 2) {
       var t0 = System.nanoTime()
       val aud = graft.operators.Curation.curationAudit(
@@ -536,16 +530,7 @@ object Stress {
       println(f"audit+summary rep$rep ${(System.nanoTime() - t0) / 1e9}%5.2f s" +
         f"  ($solo solo-dropped)")
       t0 = System.nanoTime()
-      val base = docs.select(
-        concat(col("source"), lit("/"), col("doc_id")).as("url"),
-        col("doc_id"), col("text"))
-      val crawl = base.select(col("url"), lit(0).as("snap"), col("text"),
-          (col("doc_id") * 2).as("fetch_id"))
-        .unionAll(base.select(col("url"), lit(1).as("snap"),
-          when(col("doc_id") % 3 === 0,
-            concat(col("text"), lit(" updated")))
-            .otherwise(col("text")).as("text"),
-          (col("doc_id") * 2 + 1).as("fetch_id")))
+      val crawl = graft.SparkEntry.simulatedCrawl(docs)
       val rows = graft.operators.Dedup.snapshotDedup(crawl, col("url"),
         col("snap"), col("text"), col("fetch_id")).count()
       println(f"snapshot rep$rep    ${(System.nanoTime() - t0) / 1e9}%7.2f s" +

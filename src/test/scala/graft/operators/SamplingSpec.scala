@@ -83,16 +83,35 @@ class SamplingSpec extends SparkSpec {
     assert(tx(1) == (("y", 4L, 3L, 7L, 5L)))
   }
 
-  test("rows with a NULL group are not selected; fraction bounds " +
+  test("rows with a NULL group or NULL score are not selected (both " +
+       "regimes, and they don't count toward n_g); fraction bounds " +
        "validated") {
-    val df = Seq((Option("a"), 1L, 1L), (None, 0L, 2L))
+    val df = Seq((Option("a"), Option(1L), 1L), (None, Option(0L), 2L),
+        (Option("a"), Option(2L), 3L), (Option("a"), None, 4L))
       .toDF("g", "s", "i")
-    assert(radix(df, 1, 1) == Set(("a", 1L)))
+    // k over non-null rows only: ceil(2/2)=1 -> just the best row —
+    // if the NULL-score row counted, k would be 2
+    assert(radix(df, 1, 2) == Set(("a", 1L)))
+    val auto = Sampling.topFractionByGroup(df, col("g"), col("s"),
+        col("i"), 1, 2)
+      .select(col("g"), col("i")).as[(String, Long)].collect().toSet
+    assert(auto == Set(("a", 1L)))
     intercept[IllegalArgumentException] {
       Sampling.quantileThresholds(df, col("g"), col("s"), col("i"), 0, 1)
     }
     intercept[IllegalArgumentException] {
       Sampling.quantileThresholds(df, col("g"), col("s"), col("i"), 3, 2)
     }
+  }
+
+  test("window regime: rank arithmetic stays in longs (a 3M-row group " +
+       "at den=1000 would wrap 32-bit (rn-1)*den and keep tail rows)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = spark.range(0, 3000000L, 1, 8)
+      .select(lit("a").as("g"), (col("id") % 97).as("s"), col("id").as("i"))
+    val kept = Sampling.topFractionByGroup(df, col("g"), col("s"),
+      col("i"), 1, 1000).count() // window-routed (3M < 4M default)
+    assert(kept == 3000L) // ceil(3e6/1000)
   }
 }
