@@ -353,7 +353,16 @@ object Curation {
     * allow-list a pipeline joins against its next scan.
     */
   def domainScreen(docs: DataFrame, minTtrMicro: Long = 500000L,
-                   minStopMicro: Long = 60000L): DataFrame = {
+                   minStopMicro: Long = 60000L): DataFrame =
+    screenFromStats(domainStats(docs), minTtrMicro, minStopMicro)
+
+  /** The MERGEABLE half of [[domainScreen]]: per-source
+    * (n_docs, sum_ttr_micro, sum_stop_micro). Pure integer sums, so
+    * stats from disjoint shards merge by addition — the streaming twin
+    * (`DocStream.domainStatsIncremental`) folds each micro-batch's
+    * stats into a running table and the result is arrival-order-free.
+    */
+  def domainStats(docs: DataFrame): DataFrame = {
     val ts = split(col("text"), " ")
     val nTok = greatest(size(ts), lit(1))
     val ttrM = floor(lit(1e6) * size(array_distinct(ts)) / nTok)
@@ -367,11 +376,26 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tm")).as("sum_ttr_micro"),
         sum(col("sm")).as("sum_stop_micro"))
-      .withColumn("keep",
-        when(col("sum_ttr_micro") >= lit(minTtrMicro) * col("n_docs") &&
-          col("sum_stop_micro") >= lit(minStopMicro) * col("n_docs"),
-          1).otherwise(0))
   }
+
+  /** Merge per-shard [[domainStats]] tables by addition (same schema
+    * in, same schema out).
+    */
+  def mergeDomainStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_ttr_micro")).as("sum_ttr_micro"),
+        sum(col("sum_stop_micro")).as("sum_stop_micro"))
+
+  /** The keep rule over a [[domainStats]] table: integer compare of
+    * sums against threshold·n_docs — no division, no float anywhere.
+    */
+  def screenFromStats(stats: DataFrame, minTtrMicro: Long = 500000L,
+                      minStopMicro: Long = 60000L): DataFrame =
+    stats.withColumn("keep",
+      when(col("sum_ttr_micro") >= lit(minTtrMicro) * col("n_docs") &&
+        col("sum_stop_micro") >= lit(minStopMicro) * col("n_docs"),
+        1).otherwise(0))
 
   /** Marginal attribution over a [[curationAudit]] frame: per rule,
     * how many documents fail it at all (`n_fail`) and how many are

@@ -225,6 +225,37 @@ object DocStream {
       }
   }
 
+  /** Continuous domain screening: the per-source quality stats are
+    * pure integer sums ([[graft.operators.Curation.domainStats]]), so
+    * each micro-batch's stats MERGE BY ADDITION into a running
+    * |sources|-row table — the mergeable-sketch shape (like the HLL
+    * rollup) rather than a re-scan. After every batch the sink
+    * receives the refreshed allow-list over ALL data so far; by
+    * commutativity of the sums the result is identical to batch
+    * `domainScreen` over the union, in any arrival order (the
+    * spec-locked law — stronger than the in-order-only laws of the
+    * dedup twins). State is the stats table itself,
+    * lineage-truncated per batch.
+    */
+  def domainStatsIncremental(docsStream: DataFrame,
+                             minTtrMicro: Long = 500000L,
+                             minStopMicro: Long = 60000L,
+                             stats0: Option[DataFrame] = None)
+                            (sink: DataFrame => Unit): StreamingQuery = {
+    var stats: Option[DataFrame] = stats0.map(_.localCheckpoint(true))
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = graft.operators.Curation.domainStats(batch)
+        val merged = stats.map(s =>
+          graft.operators.Curation.mergeDomainStats(s, b)).getOrElse(b)
+          .localCheckpoint(true)
+        stats = Some(merged)
+        sink(graft.operators.Curation.screenFromStats(merged,
+          minTtrMicro, minStopMicro))
+      }
+      .start()
+  }
+
   /** Continuous snapshot (recrawl) dedup: each arriving micro-batch is
     * one crawl dump; a fetch is emitted only when its (url, content)
     * version was never seen in ANY earlier dump — the unchanged-recrawl

@@ -303,4 +303,42 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_curation_audit: document text never crosses an exchange — " +
+       "the rule flags and the md5 are computed in the map-side " +
+       "projection below the window shuffle") {
+    val q = SparkEntry.queries("q_curation_audit")(spark, sf())
+    val p = q.queryExecution.executedPlan.toString
+    // every Exchange's output schema must be text-free: flags + hash
+    // + id only (text#N would appear in the exchange's partitioning
+    // input or output attributes)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")), p)
+    // and the scan reads only the three needed columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      readSchema)
+  }
+
+  test("q_snapshot_dedup: ONE hash shuffle, partially aggregated " +
+       "map-side (min-struct + count combine before the exchange), " +
+       "and the exchange carries the hash, never text") {
+    val p = plan("q_snapshot_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")), p)
+  }
+
+  test("q_group_quantile (radix regime): the threshold table joins " +
+       "back as a broadcast — the corpus is never shuffled or sorted " +
+       "for the selection itself") {
+    val p = plan("q_group_quantile")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // no corpus-wide Window in the final selection plan (the window
+    // regime is the small-group route, pinned OFF here)
+    assert(!p.contains("Window"), p)
+  }
 }

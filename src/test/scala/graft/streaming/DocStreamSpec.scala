@@ -265,4 +265,35 @@ class DocStreamSpec extends SparkSpec {
     assert(buf.toSet == Set(("a", 0, 0L), ("b", 0, 2L), ("c", 0, 3L),
       ("b", 1, 11L), ("c", 1, 12L), ("b", 2, 21L), ("d", 2, 22L)))
   }
+
+  test("streaming domain screening: the running allow-list after the " +
+       "last batch equals batch domainScreen over the union, with " +
+       "shards arriving in ANY order (mergeable integer sums)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source")
+    var last: Array[(String, Long, Long, Long, Int)] = Array.empty
+    val q = DocStream.domainStatsIncremental(stream) { screen =>
+      last = screen.orderBy("source")
+        .as[(String, Long, Long, Long, Int)].collect()
+    }
+    def shard(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq
+    // reverse arrival order on purpose: the law is order-free
+    for (s <- Seq(shard(300, 500), shard(100, 300), shard(0, 100))) {
+      mem.addData(s: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val want = graft.operators.Curation.domainScreen(docs)
+      .orderBy("source").as[(String, Long, Long, Long, Int)]
+      .collect()
+    assert(want.exists(_._5 == 0) && want.exists(_._5 == 1),
+      "fixture must exercise both screen outcomes")
+    assert(last.toSeq == want.toSeq)
+  }
 }
