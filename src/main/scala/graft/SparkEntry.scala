@@ -875,6 +875,10 @@ object SparkEntry {
             col("n_bigrams")) * lit(1e6) + lit(0.5)).cast("long"))
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("xent_micro"))
+        // 20-byte rows; both the threshold scans and the final keep
+        // filter consume it — without this the whole LM chain runs
+        // twice (once to checkpoint the radix slim, once in the join)
+        .localCheckpoint(true)
       graft.operators.Sampling.topFractionByGroup(scored, col("lang"),
           col("xent_micro"), col("doc_id"), num = 7, den = 10,
           windowMaxGroup = 0L) // pin radix: the regime the oracle gates
