@@ -1492,6 +1492,16 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal: REAL GIF decode — LZW with variable code
+    //      widths, dictionary rebuild, KwKwK; closed-form palette
+    //      indices so the oracle recomputes every decoded pixel ----
+    "q_image_gif" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.gifFeatures(Multimodal.syntheticGifMedia(s, dir))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // ---- multimodal: REAL Y4M video codec — container header walk,
     //      FRAME-marker frame offsets, keep every 2nd frame, exact
     //      per-plane (YUV 4:2:0) sums; closed-form payloads so the
@@ -5172,6 +5182,25 @@ object SparkEntry {
         |    b -> ((doc_id + b*131) * 2654435761) % 256)) AS INT) AS min_y,
         |  CAST(list_max(list_transform(range(0, bw*bh),
         |    b -> ((doc_id + b*131) * 2654435761) % 256)) AS INT) AS max_y
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // palette index of pixel p = ((id + p*7) * 2654435761) % 256; the
+    // grayscale palette maps index i to gray i, so the features are
+    // arithmetic over the closed-form index stream
+    "q_image_gif" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 17 AS INT) AS w,
+        |    CAST(6 + doc_id % 11 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    p -> ((doc_id + p*7) * 2654435761) % 256)) AS BIGINT)
+        |    AS sum_gray,
+        |  CAST(list_min(list_transform(range(0, w*h),
+        |    p -> ((doc_id + p*7) * 2654435761) % 256)) AS INT) AS min_gray,
+        |  CAST(list_max(list_transform(range(0, w*h),
+        |    p -> ((doc_id + p*7) * 2654435761) % 256)) AS INT) AS max_gray
         |FROM d ORDER BY media_id""".stripMargin,
 
     // pixel (p, c) of image id = ((id + p*3 + c) * 2654435761) % 256;

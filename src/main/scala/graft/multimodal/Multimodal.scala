@@ -656,6 +656,63 @@ object Multimodal {
       media_id: Long, width: Int, height: Int,
       sum_y: Long, min_y: Int, max_y: Int)
 
+  /** Integer features of one decoded GIF: exact palette-mapped gray
+    * sum and range (the palette lookup exercises the GCT parse; on the
+    * synthetic grayscale palette gray(i) = i, which is what lets the
+    * oracle recompute the features from the closed-form indices).
+    */
+  final case class GifFeatures(
+      media_id: Long, width: Int, height: Int,
+      sum_gray: Long, min_gray: Int, max_gray: Int)
+
+  /** REAL compressed-image decode #2: GIF — header/descriptor walk +
+    * variable-code-width LZW with dictionary rebuild
+    * ([[GifCodec.decode]]) -> exact integer features over the
+    * palette-mapped gray channel. Rejected blobs quarantine; same
+    * batched flatMap dataflow as [[jpegFeatures]].
+    */
+  def gifFeatures(images: Dataset[MediaRow]): Dataset[GifFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { iter =>
+      iter.flatMap { m =>
+        GifCodec.decode(bytesOf(m)).iterator.map { img =>
+          var s = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < img.indices.length) {
+            val g = (img.palette(img.indices(i)) >> 16) & 0xFF
+            s += g
+            if (g < mn) mn = g
+            if (g > mx) mx = g
+            i += 1
+          }
+          GifFeatures(m.media_id, img.width, img.height, s, mn, mx)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic GIF corpus: per document a
+    * (8 + id%17) x (6 + id%11) grayscale GIF whose pixel p has palette
+    * index ((id + p*7) * 2654435761) % 256 — pseudo-random indices, so
+    * the LZW dictionary grows on nearly every pixel (the adversarial
+    * compression case; the repetitive clear-on-full case is spec-locked
+    * in GifCodecSpec).
+    */
+  def syntheticGifMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val w = (8 + id % 17).toInt
+          val h = (6 + id % 11).toInt
+          val idx = Array.tabulate(w * h)(p =>
+            (((id + p * 7L) * 2654435761L) % 256L).toInt)
+          MediaRow(id, "image", GifCodec.encodeGray(w, h, idx))
+        }
+      }
+  }
+
   /** REAL compressed-image decode: full baseline-sequential JPEG
     * (marker walk, Huffman entropy decode, dequantize, IDCT) -> exact
     * integer features over the luma plane. Blobs [[JpegCodec.decode]]
