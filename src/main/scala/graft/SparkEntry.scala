@@ -2016,6 +2016,17 @@ object SparkEntry {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    // ---- blocked entity resolution (fuzzy RECORD dedup — the
+    //      dimension-table data-quality op): within-block candidate
+    //      pairs, codegen'd Levenshtein gate, shared CC clustering;
+    //      the all-pairs q_editdist is the naive contrast ----
+    "q_entity_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.fuzzyRecordClusters(
+          t(s, dir, "customer"), col("c_custkey"), col("c_name"),
+          substring(col("c_name"), 1, 16), maxDist = 1)
+        .orderBy(col("node"))
+    }),
+
     // ---- pivot (wide conditional aggregation) ----
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -6129,6 +6140,24 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_solo
          |FROM e GROUP BY rule ORDER BY rule""".stripMargin,
+
+    "q_entity_dedup" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS k, c_name AS nm,
+        |    substr(c_name, 1, 16) AS blk
+        |  FROM customer),
+        |jp AS (
+        |  SELECT a.k AS d1, b.k AS d2 FROM c a JOIN c b
+        |  ON a.blk = b.blk AND a.k < b.k
+        |    AND levenshtein(a.nm, b.nm) <= 1),
+        |e AS (SELECT d1 AS a, d2 AS b FROM jp
+        |      UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node)
+        |SELECT node, min(r) AS component FROM reach GROUP BY node
+        |ORDER BY node""".stripMargin,
 
     "q_domain_screen" ->
       """WITH x AS (

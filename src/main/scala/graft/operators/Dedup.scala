@@ -68,6 +68,31 @@ object Dedup {
     snapshotVersions(crawl, urlCol, snapCol, contentCol, fetchIdCol)
       .drop("c_hash")
 
+  /** Blocked fuzzy record dedup (entity resolution over STRUCTURED
+    * rows — the data-quality dedup an ELT pipeline runs on dimension
+    * tables, complementing the document-dedup family): candidate pairs
+    * are generated ONLY within a caller-chosen blocking key (standard
+    * ER blocking — per-block |b|² work bounded by the key's
+    * granularity, never corpus²; pick the key so the hottest block's
+    * square fits a task), verified by the codegen'd Levenshtein gate,
+    * then clustered through the shared [[connectedComponents]]
+    * machinery (driver / contraction / star regimes). Returns
+    * (node, component) with min-id canonical labels, like the
+    * document CC — records whose name matches nothing are absent
+    * (singleton semantics shared with q_dedup_cc).
+    */
+  def fuzzyRecordClusters(records: DataFrame, idCol: Column,
+                          nameCol: Column, blockCol: Column,
+                          maxDist: Int): DataFrame = {
+    val a = records.select(blockCol.as("blk"), idCol.as("d1"),
+      nameCol.as("n1"))
+    val b = records.select(blockCol.as("blk"), idCol.as("d2"),
+      nameCol.as("n2"))
+    connectedComponents(a.join(b, Seq("blk"))
+      .filter(col("d1") < col("d2") &&
+        levenshtein(col("n1"), col("n2")) <= maxDist))
+  }
+
   /** [[snapshotDedup]] with the content hash kept in the output —
     * the (url, c_hash) pair IS the version identity the incremental
     * twin (`DocStream.snapshotIncremental`) carries across dumps.
