@@ -324,19 +324,38 @@ object Curation {
     */
   def curationAudit(docs: DataFrame, idCol: Column, textCol: Column,
                     rules: Seq[(String, Column)]): DataFrame = {
+    val (slim, names) = auditFlags(docs, idCol, textCol, rules)
+    val dup = col("doc_id") =!=
+      min(col("doc_id")).over(Window.partitionBy(col("c_hash")))
+    auditFold(slim.withColumn("exact_dup", dup), names)
+  }
+
+  /** The map-side half of [[curationAudit]]: one codegen'd projection
+    * of (doc_id, md5(text), one boolean per rule). The exact_dup flag
+    * is NOT included — the batch audit windows over c_hash, the
+    * streaming twin (`DocStream.auditIncremental`) resolves it against
+    * its accumulated hash table.
+    */
+  private[graft] def auditFlags(docs: DataFrame, idCol: Column,
+      textCol: Column,
+      rules: Seq[(String, Column)]): (DataFrame, Seq[String]) = {
     val names = rules.map(_._1) :+ "exact_dup"
     require(names.distinct.size == names.size &&
         !rules.exists(r => r._1 == "doc_id" || r._1 == "c_hash"),
       s"rule names must be distinct and not shadow doc_id/c_hash: $names")
-    val slim = docs.select(
+    (docs.select(
       (idCol.as("doc_id") +: md5(textCol).as("c_hash") +:
-        rules.map { case (n, c) => c.as(n) }): _*)
-    val dup = col("doc_id") =!=
-      min(col("doc_id")).over(Window.partitionBy(col("c_hash")))
+        rules.map { case (n, c) => c.as(n) }): _*), names)
+  }
+
+  /** Fold the flag columns (including a resolved `exact_dup`) to the
+    * audit output shape (doc_id, fails sorted, n_fails, kept).
+    */
+  private[graft] def auditFold(flagged: DataFrame,
+                               names: Seq[String]): DataFrame = {
     val failArr = array_sort(filter(
       array(names.map(n => when(col(n), lit(n))): _*), x => x.isNotNull))
-    slim.withColumn("exact_dup", dup)
-      .withColumn("fails", failArr)
+    flagged.withColumn("fails", failArr)
       .select(col("doc_id"), col("fails"),
         size(col("fails")).as("n_fails"),
         when(size(col("fails")) === 0, 1).otherwise(0).as("kept"))

@@ -256,6 +256,46 @@ object DocStream {
       .start()
   }
 
+  /** Continuous curation audit: the rule battery is per-document
+    * stateless (the same map-side flags projection as the batch
+    * audit — shared code), and the one corpus-wide rule, exact_dup,
+    * resolves against an accumulated content-hash table: a document
+    * fails it when its hash was seen in ANY earlier batch, or earlier
+    * (by id) inside its own batch. When batches arrive in id order the
+    * concatenated audits equal the batch audit over the union (the
+    * spec-locked law — same in-order contract as the dedup twins).
+    * State is the distinct-hash table, lineage-truncated per batch.
+    */
+  def auditIncremental(docsStream: DataFrame,
+                       rules: Seq[(String, Column)],
+                       seen0: Option[DataFrame] = None)
+                      (sink: DataFrame => Unit): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, min, when}
+    var seen: Option[DataFrame] = seen0.map(_.select(col("c_hash"))
+      .localCheckpoint(true))
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (slim0, names) = graft.operators.Curation.auditFlags(
+          batch, col("doc_id"), col("text"), rules)
+        val slim = slim0.localCheckpoint(true) // audited AND folded into state
+        val batchDup = col("doc_id") =!=
+          min(col("doc_id")).over(Window.partitionBy(col("c_hash")))
+        val flagged = seen match {
+          case Some(s) => slim
+            .join(s.withColumn("__seen", lit(1)), Seq("c_hash"), "left")
+            .withColumn("exact_dup", batchDup || col("__seen").isNotNull)
+            .drop("__seen")
+          case None => slim.withColumn("exact_dup", batchDup)
+        }
+        sink(graft.operators.Curation.auditFold(flagged, names))
+        val keys = slim.select(col("c_hash"))
+        seen = Some(seen.map(_.unionAll(keys)).getOrElse(keys)
+          .distinct().localCheckpoint(true))
+      }
+      .start()
+  }
+
   /** Continuous snapshot (recrawl) dedup: each arriving micro-batch is
     * one crawl dump; a fetch is emitted only when its (url, content)
     * version was never seen in ANY earlier dump — the unchanged-recrawl

@@ -42,6 +42,10 @@ object Stress {
       quantile(spark, sfDir, args.lift(2).map(_.toLong))
       spark.stop(); return
     }
+    if (args.lift(1).contains("-gif")) {
+      gif(spark, sfDir)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-semtiers")) {
       semTiers(spark, sfDir)
       spark.stop(); return
@@ -535,6 +539,23 @@ object Stress {
         col("snap"), col("text"), col("fetch_id")).count()
       println(f"snapshot rep$rep    ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  ($rows versions kept)")
+    }
+  }
+
+  /** GIF codec wall at corpus scale: encode + LZW decode + features
+    * per document, zero shuffles — expected scan-rate (the encode side
+    * rides along, so the number is an upper bound on decode).
+    */
+  def gif(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    println(s"docs: ${spark.read.parquet(s"$sfDir/documents.parquet").count()}")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val sums = graft.multimodal.Multimodal.gifFeatures(
+          graft.multimodal.Multimodal.syntheticGifMedia(spark, sfDir))
+        .toDF().agg(count(lit(1)), sum(col("sum_gray"))).collect()(0)
+      println(f"gif rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${sums.getLong(0)} images, graysum ${sums.getLong(1)})")
     }
   }
 

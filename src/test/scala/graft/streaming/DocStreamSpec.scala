@@ -266,6 +266,44 @@ class DocStreamSpec extends SparkSpec {
       ("b", 1, 11L), ("c", 1, 12L), ("b", 2, 21L), ("d", 2, 22L)))
   }
 
+  test("streaming curation audit over id-ordered batches == batch " +
+       "curationAudit over the union, including exact_dup across the " +
+       "batch boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(
+      "too_short" -> (length(col("text")) < 10),
+      "has_x" -> col("text").contains("x"))
+    // doc 5 duplicates doc 0 (cross-batch dup), doc 3 duplicates doc 2
+    // (same-batch dup), doc 4 is short AND x-ridden
+    val docs = Seq(
+      (0L, "a long enough document"), (1L, "another long document"),
+      (2L, "same words twice here!!"), (3L, "same words twice here!!"),
+      (4L, "x!"), (5L, "a long enough document"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+    val q = DocStream.auditIncremental(stream, rules) { audited =>
+      buf.synchronized {
+        buf ++= audited
+          .select(col("doc_id"), array_join(col("fails"), ",").as("f"),
+            col("kept")).as[(Long, String, Int)].collect()
+      }
+    }
+    for (b <- docs.grouped(3)) { mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val want = graft.operators.Curation.curationAudit(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"), rules)
+      .select(col("doc_id"), array_join(col("fails"), ",").as("f"),
+        col("kept")).as[(Long, String, Int)].collect()
+    assert(want.exists(_._2 == "exact_dup"), "fixture must have dups")
+    assert(buf.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+    assert(buf.sortBy(_._1).map(r => (r._1, r._2)).toSeq == Seq(
+      0L -> "", 1L -> "", 2L -> "", 3L -> "exact_dup",
+      4L -> "has_x,too_short", 5L -> "exact_dup"))
+  }
+
   test("streaming domain screening: the running allow-list after the " +
        "last batch equals batch domainScreen over the union, with " +
        "shards arriving in ANY order (mergeable integer sums)") {
