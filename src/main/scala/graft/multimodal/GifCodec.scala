@@ -70,7 +70,19 @@ object GifCodec {
           if ((idPacked & 0x40) != 0) return null // interlaced: out of scope
           pos += 10
           val minCodeSize = u8(b, pos); pos += 1
-          val idx = lzwDecode(b, pos, minCodeSize, w.toLong * h)
+          // quarantine guards: the LZW alphabet must fit the palette
+          // (else the feature extractor's palette lookup would throw),
+          // and the pixel buffer must be plausible for the payload —
+          // LZW expands < 11000x/byte (<=8/3 codes/byte at width 3,
+          // <=4095 symbols/code), so a tiny blob declaring a huge
+          // image is malformed, not expensive (an unchecked
+          // new Array on header-declared dims would OOM the executor,
+          // and OutOfMemoryError escapes the Exception catch)
+          if ((1 << minCodeSize) > gctSize) return null
+          val nPixels = w.toLong * h
+          if (nPixels > Int.MaxValue ||
+              nPixels > (b.length - pos).toLong * 11000L) return null
+          val idx = lzwDecode(b, pos, minCodeSize, nPixels)
           if (idx == null) return null
           return GifImage(w, h, palette, idx)
         case 0x3B => return null // trailer before any image

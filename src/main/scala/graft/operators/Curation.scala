@@ -340,9 +340,11 @@ object Curation {
       textCol: Column,
       rules: Seq[(String, Column)]): (DataFrame, Seq[String]) = {
     val names = rules.map(_._1) :+ "exact_dup"
+    val reserved = // output / join-marker columns of the two audits
+      Set("doc_id", "c_hash", "fails", "n_fails", "kept", "__seen")
     require(names.distinct.size == names.size &&
-        !rules.exists(r => r._1 == "doc_id" || r._1 == "c_hash"),
-      s"rule names must be distinct and not shadow doc_id/c_hash: $names")
+        !rules.exists(r => reserved.contains(r._1)),
+      s"rule names must be distinct and not shadow $reserved: $names")
     (docs.select(
       (idCol.as("doc_id") +: md5(textCol).as("c_hash") +:
         rules.map { case (n, c) => c.as(n) }): _*), names)
@@ -371,8 +373,16 @@ object Curation {
     * one |sources|-row aggregation; the output is the broadcastable
     * allow-list a pipeline joins against its next scan.
     */
-  def domainScreen(docs: DataFrame, minTtrMicro: Long = 500000L,
-                   minStopMicro: Long = 60000L): DataFrame =
+  /** Default screen thresholds (micro-quantized ratio means) — ONE
+    * definition shared by the batch screen, the stats-table screen,
+    * and the streaming twin, so the three entry points cannot drift.
+    */
+  val DefaultMinTtrMicro: Long = 500000L
+  val DefaultMinStopMicro: Long = 60000L
+
+  def domainScreen(docs: DataFrame,
+                   minTtrMicro: Long = DefaultMinTtrMicro,
+                   minStopMicro: Long = DefaultMinStopMicro): DataFrame =
     screenFromStats(domainStats(docs), minTtrMicro, minStopMicro)
 
   /** The MERGEABLE half of [[domainScreen]]: per-source
@@ -409,8 +419,9 @@ object Curation {
   /** The keep rule over a [[domainStats]] table: integer compare of
     * sums against threshold·n_docs — no division, no float anywhere.
     */
-  def screenFromStats(stats: DataFrame, minTtrMicro: Long = 500000L,
-                      minStopMicro: Long = 60000L): DataFrame =
+  def screenFromStats(stats: DataFrame,
+                      minTtrMicro: Long = DefaultMinTtrMicro,
+                      minStopMicro: Long = DefaultMinStopMicro): DataFrame =
     stats.withColumn("keep",
       when(col("sum_ttr_micro") >= lit(minTtrMicro) * col("n_docs") &&
         col("sum_stop_micro") >= lit(minStopMicro) * col("n_docs"),

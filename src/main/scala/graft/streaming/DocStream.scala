@@ -238,9 +238,9 @@ object DocStream {
     * lineage-truncated per batch.
     */
   def domainStatsIncremental(docsStream: DataFrame,
-                             minTtrMicro: Long = 500000L,
-                             minStopMicro: Long = 60000L,
-                             stats0: Option[DataFrame] = None)
+      minTtrMicro: Long = graft.operators.Curation.DefaultMinTtrMicro,
+      minStopMicro: Long = graft.operators.Curation.DefaultMinStopMicro,
+      stats0: Option[DataFrame] = None)
                             (sink: DataFrame => Unit): StreamingQuery = {
     var stats: Option[DataFrame] = stats0.map(_.localCheckpoint(true))
     docsStream.writeStream
@@ -272,8 +272,10 @@ object DocStream {
                       (sink: DataFrame => Unit): StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{lit, min, when}
+    // distinct: a naively-built prior state (hashes with repeats)
+    // would fan out the left join and duplicate audit rows
     var seen: Option[DataFrame] = seen0.map(_.select(col("c_hash"))
-      .localCheckpoint(true))
+      .distinct().localCheckpoint(true))
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (slim0, names) = graft.operators.Curation.auditFlags(

@@ -291,7 +291,10 @@ class DocStreamSpec extends SparkSpec {
             col("kept")).as[(Long, String, Int)].collect()
       }
     }
-    for (b <- docs.grouped(3)) { mem.addData(b: _*); q.processAllAvailable() }
+    // grouped(4): docs 2,3 share a batch (intra-batch window dup) and
+    // doc 5 duplicates batch-1's doc 0 (cross-batch seen-table dup) —
+    // both exact_dup resolution paths exercised
+    for (b <- docs.grouped(4)) { mem.addData(b: _*); q.processAllAvailable() }
     q.stop()
     val want = graft.operators.Curation.curationAudit(
         docs.toDF("doc_id", "text"), col("doc_id"), col("text"), rules)
