@@ -238,6 +238,31 @@ object Sampling {
     * `windowMaxGroup = 0` to force radix (the oracle-gated path);
     * both regimes produce identical rows (spec law).
     */
+  /** Apply a FROZEN [[quantileThresholds]] table to any frame (batch
+    * or streaming — broadcast join + narrow filter, no aggregation):
+    * keep rows at-or-better than the group's pinned k-th (score, id).
+    * The frozen-artifact twin of the dsirStats/dsirScoreWith split —
+    * train thresholds on a snapshot, score every arriving shard
+    * against them; rows of groups absent from the table are dropped
+    * (no threshold = no selection mandate). The id component is only
+    * pinned when training REQUIRED tie-breaking (thr_id = MaxValue
+    * otherwise), so on new data every row scoring at thr_s keeps —
+    * the score decides, the id merely reproduces training's exact-k
+    * cut.
+    */
+  def keepByThresholds(df: DataFrame, groupCol: Column, scoreCol: Column,
+                       idCol: Column, thresholds: DataFrame): DataFrame = {
+    // reserved names: the caller's columns may be named g/thr_s/...
+    val thr = thresholds
+      .select(col("g").as("__qt_g"), col("thr_s").as("__qt_s"),
+        col("thr_id").as("__qt_id"))
+    val s = scoreCol.cast("long")
+    df.join(broadcast(thr), groupCol.cast("string") === col("__qt_g"))
+      .filter(s < col("__qt_s") ||
+        (s === col("__qt_s") && idCol.cast("long") <= col("__qt_id")))
+      .drop("__qt_g", "__qt_s", "__qt_id")
+  }
+
   def topFractionByGroup(df: DataFrame, groupCol: Column, scoreCol: Column,
                          idCol: Column, num: Int, den: Int,
                          windowMaxGroup: Long = 4000000L): DataFrame = {
@@ -245,17 +270,8 @@ object Sampling {
       s"need 0 < num/den <= 1, got $num/$den")
     // ONE counting scan (pruned to the three key columns) serves both
     // the route decision and, on the radix route, the per-group stats
-    def joinThresholds(thresholds: DataFrame): DataFrame = {
-      // reserved names: the caller's columns may be named g/thr_s/...
-      val thr = thresholds
-        .select(col("g").as("__qt_g"), col("thr_s").as("__qt_s"),
-          col("thr_id").as("__qt_id"))
-      val s = scoreCol.cast("long")
-      df.join(broadcast(thr), groupCol.cast("string") === col("__qt_g"))
-        .filter(s < col("__qt_s") ||
-          (s === col("__qt_s") && idCol.cast("long") <= col("__qt_id")))
-        .drop("__qt_g", "__qt_s", "__qt_id")
-    }
+    def joinThresholds(thresholds: DataFrame): DataFrame =
+      keepByThresholds(df, groupCol, scoreCol, idCol, thresholds)
     if (windowMaxGroup == 0)
       return joinThresholds(
         quantileThresholds(df, groupCol, scoreCol, idCol, num, den))

@@ -104,6 +104,38 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("keepByThresholds: a frozen threshold table scores a NEW shard " +
+       "streaming-style — rows strictly better than the pinned k-th " +
+       "keep, worse drop, unknown groups drop; composes on a stream " +
+       "unchanged (narrow broadcast join, no aggregation)") {
+    val train = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("a", 4L, 4L)).toDF("g", "s", "i")
+    val thr = Sampling.quantileThresholds(train, col("g"), col("s"),
+      col("i"), 1, 2) // k=2: thr_s=2
+    val shard = Seq(("a", 1L, 10L), ("a", 2L, 11L), ("a", 3L, 12L),
+      ("zz", -99L, 13L)).toDF("g", "s", "i")
+    val kept = Sampling.keepByThresholds(shard, col("g"), col("s"),
+        col("i"), thr)
+      .select(col("i")).as[Long].collect().toSet
+    // s=1 < thr keeps; s=2 == thr_s keeps too (training needed no id
+    // tie-break, so thr_id = MaxValue and the score class decides);
+    // s=3 drops; group zz has no mandate
+    assert(kept == Set(10L, 11L))
+    // streaming composition: the scorer is a narrow map over a stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val scored = Sampling.keepByThresholds(
+      mem.toDF().toDF("g", "s", "i"), col("g"), col("s"), col("i"), thr)
+    assert(scored.isStreaming, "the frozen scorer must stay a stream")
+    val q = scored.writeStream.format("memory")
+      .queryName("qt_stream").outputMode("append").start()
+    mem.addData(("a", 1L, 10L), ("a", 3L, 12L), ("zz", -99L, 13L))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("qt_stream").select(col("i")).as[Long]
+      .collect().toSet == Set(10L))
+  }
+
   test("window regime: rank arithmetic stays in longs (a 3M-row group " +
        "at den=1000 would wrap 32-bit (rn-1)*den and keep tail rows)") {
     val spark2 = spark
