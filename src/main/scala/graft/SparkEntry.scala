@@ -949,6 +949,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- exact-count stratified sample: EXACTLY ceil(n_g/4) docs per
+    //      language, chosen by stable content hash (deterministic
+    //      across runs/partitionings); the hash-bucket sampler's
+    //      per-group counts are only binomial-approximate ----
+    "q_exact_sample" -> ((s, dir) => {
+      graft.operators.Sampling.exactSampleByGroup(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          col("lang"), col("doc_id"), col("doc_id"), num = 1, den = 4,
+          windowMaxGroup = 0L) // pin radix: the regime the oracle gates
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- tokenizer fertility per language: tokens/word and
     //      chars/token under the learned vocab — the per-language
     //      tokenizer-quality report; |langs| output rows ----
@@ -6140,6 +6153,20 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_solo
          |FROM e GROUP BY rule ORDER BY rule""".stripMargin,
+
+    // the hash-order rank replays stableHash60 = first 15 md5 hex
+    // digits as a BIGINT; ties (impossible on distinct doc_ids, but
+    // the contract) break by doc_id
+    "q_exact_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${hashSql("CAST(doc_id AS VARCHAR)")}, doc_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars FROM r
+         |WHERE (rn - 1) * 4 < n ORDER BY doc_id""".stripMargin,
 
     "q_entity_dedup" ->
       """WITH RECURSIVE c AS (

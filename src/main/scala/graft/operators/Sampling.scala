@@ -238,6 +238,22 @@ object Sampling {
     * `windowMaxGroup = 0` to force radix (the oracle-gated path);
     * both regimes produce identical rows (spec law).
     */
+  /** EXACT-count deterministic stratified sample: keep exactly
+    * ceil(num·n_g/den) rows per group, chosen by stable content hash —
+    * [[sampleByHash]]'s rate is only approximate per group (hash
+    * buckets are binomial), while training-data recipes specify exact
+    * per-language/per-source row budgets. Implemented as
+    * [[topFractionByGroup]] with score = stableHash60(key): same
+    * regimes (window for task-sortable groups, radix selection for hot
+    * ones), same determinism guarantee (re-runs and repartitions keep
+    * the identical sample).
+    */
+  def exactSampleByGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+                         idCol: Column, num: Int, den: Int,
+                         windowMaxGroup: Long = 4000000L): DataFrame =
+    topFractionByGroup(df, groupCol, stableHash60(keyCol.cast("string")),
+      idCol, num, den, windowMaxGroup)
+
   /** Apply a FROZEN [[quantileThresholds]] table to any frame (batch
     * or streaming — broadcast join + narrow filter, no aggregation):
     * keep rows at-or-better than the group's pinned k-th (score, id).

@@ -136,6 +136,24 @@ class SamplingSpec extends SparkSpec {
       .collect().toSet == Set(10L))
   }
 
+  test("exactSampleByGroup: exactly ceil(n_g*num/den) rows per group, " +
+       "identical sample under repartitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0 until 1000).map(i => (s"g${i % 3}", i.toLong))
+      .toDF("g", "i")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.exactSampleByGroup(d, col("g"), col("i"), col("i"), 1, 3,
+        windowMaxGroup = 0L)
+    val counts = sample(df).groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    // group sizes 334/333/333 -> ceil(/3) = 112/111/111
+    assert(counts == Map("g0" -> 112L, "g1" -> 111L, "g2" -> 111L))
+    val a = sample(df).select("i").as[Long].collect().toSet
+    val b = sample(df.repartition(17)).select("i").as[Long].collect().toSet
+    assert(a == b) // the sample is a pure function of content
+  }
+
   test("window regime: rank arithmetic stays in longs (a 3M-row group " +
        "at den=1000 would wrap 32-bit (rn-1)*den and keep tail rows)") {
     val spark2 = spark
