@@ -46,6 +46,10 @@ object Stress {
       gif(spark, sfDir)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-entity")) {
+      entity(spark, sfDir)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-semtiers")) {
       semTiers(spark, sfDir)
       spark.stop(); return
@@ -539,6 +543,28 @@ object Stress {
         col("snap"), col("text"), col("fetch_id")).count()
       println(f"snapshot rep$rep    ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  ($rows versions kept)")
+    }
+  }
+
+  /** Blocked entity resolution at corpus scale: the q_entity_dedup
+    * shape (substr-16 blocking on customer names, Levenshtein <= 1,
+    * CC). Work = sum over blocks of |b|^2 Levenshtein gates + the
+    * merge-graph CC — the blocking key bounds the quadratic.
+    */
+  def entity(spark: org.apache.spark.sql.SparkSession,
+             sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .localCheckpoint(true)
+    println(s"customers: ${cust.count()}")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val comps = graft.operators.Dedup.fuzzyRecordClusters(cust,
+          col("c_custkey"), col("c_name"),
+          substring(col("c_name"), 1, 16), maxDist = 1)
+        .agg(count(lit(1)), countDistinct(col("component"))).collect()(0)
+      println(f"entity rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${comps.getLong(0)} nodes, ${comps.getLong(1)} components)")
     }
   }
 
