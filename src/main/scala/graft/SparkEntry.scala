@@ -1145,6 +1145,14 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    // ---- T5 span corruption: (input, target) pretraining pairs with
+    //      hash-phased non-overlapping masked spans — a pure function
+    //      of content (no RNG), one narrow projection, no shuffle ----
+    "q_span_corrupt" -> ((s, dir) => {
+      graft.operators.Curation.spanCorrupt(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- domain screening: drop WHOLE sources by aggregate quality —
     //      per-doc ratios micro-quantized then integer-summed per
     //      source (no float accumulation), keep rule = integer compare
@@ -6185,6 +6193,33 @@ object SparkEntry {
         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node)
         |SELECT node, min(r) AS component FROM reach GROUP BY node
         |ORDER BY node""".stripMargin,
+
+    // hash-phased span mask: position p masked iff p >= ph and
+    // (p-ph) % 8 < 2; span index = (p-ph) // 8
+    "q_span_corrupt" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts,
+         |    ${hashSql("CAST(doc_id AS VARCHAR)")} % 8 AS ph
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  COALESCE(array_to_string(list_filter(list_transform(
+         |    range(0, len(ts)), p -> CASE
+         |      WHEN p < ph OR (p - ph) % 8 >= 2
+         |        THEN ts[CAST(p + 1 AS INT)]
+         |      WHEN (p - ph) % 8 = 0 THEN '<extra_id_'
+         |        || CAST((p - ph) // 8 AS BIGINT) || '>'
+         |      ELSE NULL END), z -> z IS NOT NULL), ' '), '')
+         |    AS input_text,
+         |  COALESCE(array_to_string(list_filter(list_transform(
+         |    range(0, len(ts)), p -> CASE
+         |      WHEN p >= ph AND (p - ph) % 8 = 0 THEN '<extra_id_'
+         |        || CAST((p - ph) // 8 AS BIGINT) || '> '
+         |        || ts[CAST(p + 1 AS INT)]
+         |      WHEN p >= ph AND (p - ph) % 8 < 2
+         |        THEN ts[CAST(p + 1 AS INT)]
+         |      ELSE NULL END), z -> z IS NOT NULL), ' '), '')
+         |    AS target_text
+         |FROM x ORDER BY doc_id""".stripMargin,
 
     "q_domain_screen" ->
       """WITH x AS (

@@ -363,6 +363,42 @@ object Curation {
         when(size(col("fails")) === 0, 1).otherwise(0).as("kept"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020): build
+    * (input, target) pretraining pairs by masking fixed-length token
+    * spans and replacing each with a numbered sentinel; the target is
+    * the sentinel-delimited sequence of masked spans. The mask
+    * placement is a pure function of content — each document gets a
+    * hash-derived phase, and every `period`-th position from that
+    * phase starts a `spanLen`-token span — so pairs are identical
+    * across runs, partitionings, and engines (no RNG), non-overlapping
+    * by construction, and the mask rate is exactly spanLen/period.
+    * One narrow codegen'd projection over the token array: no shuffle,
+    * scan-rate at any corpus size.
+    */
+  def spanCorrupt(docs: DataFrame, period: Int = 8,
+                  spanLen: Int = 2): DataFrame = {
+    require(spanLen > 0 && period > spanLen,
+      s"need 0 < spanLen < period, got spanLen=$spanLen period=$period")
+    val toks = split(col("text"), " ")
+    val phase = pmod(stableHash60(col("doc_id").cast("string")),
+      lit(period))
+    def off(p: Column): Column = pmod(p - phase, lit(period))
+    def masked(p: Column): Column = p >= phase && off(p) < spanLen
+    def sentinel(p: Column): Column =
+      concat(lit("<extra_id_"), ((p - phase) / period).cast("long"),
+        lit(">"))
+    val pos = sequence(lit(0), size(toks) - 1)
+    val input = array_join(filter(transform(pos, p =>
+      when(!masked(p), element_at(toks, p + 1))
+        .when(off(p) === 0, sentinel(p))), x => x.isNotNull), " ")
+    val target = array_join(filter(transform(pos, p =>
+      when(masked(p) && off(p) === 0,
+        concat(sentinel(p), lit(" "), element_at(toks, p + 1)))
+        .when(masked(p), element_at(toks, p + 1))), x => x.isNotNull), " ")
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+      input.as("input_text"), target.as("target_text"))
+  }
+
   /** Domain-level screening (the C4/RefinedWeb move of dropping WHOLE
     * sources): per-document quality ratios are micro-quantized to
     * integers FIRST (floor(1e6·x) — deterministic per doc), then

@@ -246,6 +246,40 @@ class CurationSpec extends SparkSpec {
     assert(boundary == 1)
   }
 
+  test("spanCorrupt: de-corruption reconstructs the original text " +
+       "exactly (every token lands in input or target, spans " +
+       "non-overlapping, sentinels numbered in order)") {
+    val docs = (0L until 20L).map(i =>
+      (i, (0 until (10 + i).toInt).map(t => s"w$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.spanCorrupt(docs, period = 8, spanLen = 2)
+      .join(docs, "doc_id")
+      .select("doc_id", "input_text", "target_text", "text")
+      .as[(Long, String, String, String)].collect()
+    assert(out.length == 20)
+    for ((id, inp, tgt, orig) <- out) {
+      // parse target into sentinel -> tokens
+      val spans = scala.collection.mutable.Map.empty[String, Vector[String]]
+      var cur: String = null
+      for (t <- tgt.split(" ") if t.nonEmpty)
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Vector() }
+        else spans(cur) = spans(cur) :+ t
+      // substitute back
+      val rebuilt = inp.split(" ").flatMap(t =>
+        if (t.startsWith("<extra_id_")) spans(t) else Vector(t))
+      assert(rebuilt.mkString(" ") == orig, s"doc $id")
+      // every masked span has exactly spanLen tokens except a possible
+      // truncated final span
+      val lens = spans.values.map(_.length).toSeq
+      assert(lens.forall(l => l >= 1 && l <= 2), s"doc $id: $lens")
+      assert(lens.count(_ < 2) <= 1, s"doc $id: $lens")
+    }
+    // determinism: same content, different partitioning -> same pairs
+    val again = Curation.spanCorrupt(docs.repartition(7), 8, 2)
+      .select("doc_id", "input_text").as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, inp, _, _) => again(id) == inp })
+  }
+
   test("curationAudit: duplicate rule names rejected") {
     val docs = Seq((0L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
