@@ -6195,11 +6195,12 @@ object SparkEntry {
         |ORDER BY node""".stripMargin,
 
     // hash-phased span mask: position p masked iff p >= ph and
-    // (p-ph) % 8 < 2; span index = (p-ph) // 8
+    // (p-ph) % 8 < 2; span index = (p-ph) // 8; phase = Knuth
+    // multiplicative hash of the id (exact int64 on both engines)
     "q_span_corrupt" ->
       s"""WITH x AS (
          |  SELECT doc_id, string_split(text, ' ') AS ts,
-         |    ${hashSql("CAST(doc_id AS VARCHAR)")} % 8 AS ph
+         |    (doc_id * 2654435761) % 8 AS ph
          |  FROM documents)
          |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
          |  COALESCE(array_to_string(list_filter(list_transform(

@@ -372,29 +372,38 @@ object Curation {
     * phase starts a `spanLen`-token span — so pairs are identical
     * across runs, partitionings, and engines (no RNG), non-overlapping
     * by construction, and the mask rate is exactly spanLen/period.
-    * One narrow codegen'd projection over the token array: no shuffle,
-    * scan-rate at any corpus size.
+    * One narrow projection over the token array: no shuffle, scan-rate
+    * at any corpus size.
+    *
+    * The phase hash is the Knuth multiplicative idiom (id·2654435761
+    * mod period, exact in int64 on both engines), NOT stableHash60:
+    * higher-order-function lambdas re-evaluate captured expressions
+    * PER ELEMENT on the interpreted path, and the md5-based hash
+    * measured 4× the wall (3.85 → 0.97 s at sf0.1) for zero semantic
+    * benefit here — any id-keyed phase decorrelates span placement.
     */
   def spanCorrupt(docs: DataFrame, period: Int = 8,
                   spanLen: Int = 2): DataFrame = {
     require(spanLen > 0 && period > spanLen,
       s"need 0 < spanLen < period, got spanLen=$spanLen period=$period")
     val toks = split(col("text"), " ")
-    val phase = pmod(stableHash60(col("doc_id").cast("string")),
-      lit(period))
+    val phase = pmod(col("doc_id") * lit(2654435761L), lit(period.toLong))
+      .cast("int")
     def off(p: Column): Column = pmod(p - phase, lit(period))
     def masked(p: Column): Column = p >= phase && off(p) < spanLen
     def sentinel(p: Column): Column =
       concat(lit("<extra_id_"), ((p - phase) / period).cast("long"),
         lit(">"))
-    val pos = sequence(lit(0), size(toks) - 1)
-    val input = array_join(filter(transform(pos, p =>
-      when(!masked(p), element_at(toks, p + 1))
+    // the INDEX variant of transform hands the lambda each token
+    // directly — an element_at(toks, p) inside the lambda would
+    // re-inline (project-collapse) the split per POSITION, turning the
+    // narrow map O(n²)-per-document (measured 5.5 s vs 0.6 s at sf0.1)
+    val input = array_join(filter(transform(toks, (t, p) =>
+      when(!masked(p), t)
         .when(off(p) === 0, sentinel(p))), x => x.isNotNull), " ")
-    val target = array_join(filter(transform(pos, p =>
-      when(masked(p) && off(p) === 0,
-        concat(sentinel(p), lit(" "), element_at(toks, p + 1)))
-        .when(masked(p), element_at(toks, p + 1))), x => x.isNotNull), " ")
+    val target = array_join(filter(transform(toks, (t, p) =>
+      when(masked(p) && off(p) === 0, concat(sentinel(p), lit(" "), t))
+        .when(masked(p), t)), x => x.isNotNull), " ")
     docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
       input.as("input_text"), target.as("target_text"))
   }
