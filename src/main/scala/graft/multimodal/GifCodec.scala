@@ -72,15 +72,21 @@ object GifCodec {
           val minCodeSize = u8(b, pos); pos += 1
           // quarantine guards: the LZW alphabet must fit the palette
           // (else the feature extractor's palette lookup would throw),
-          // and the pixel buffer must be plausible for the payload —
+          // the pixel buffer must be plausible for the payload —
           // LZW expands < 11000x/byte (<=8/3 codes/byte at width 3,
-          // <=4095 symbols/code), so a tiny blob declaring a huge
-          // image is malformed, not expensive (an unchecked
-          // new Array on header-declared dims would OOM the executor,
-          // and OutOfMemoryError escapes the Exception catch)
+          // <=4095 symbols/code) — AND the pixel count must clear an
+          // absolute cap: the payload-relative bound alone still lets
+          // a ~190 KB blob declare ~2.1e9 pixels and allocate an ~8 GB
+          // Array[Int] whose OutOfMemoryError would escape the
+          // Exception quarantine. 256 Mpx (1 GiB of indices) is far
+          // beyond any real GIF and keeps the allocation bounded.
+          // Zero-area frames (w or h = 0) are also malformed — the
+          // LZW loop would be skipped entirely and downstream feature
+          // extraction would emit nonsense (min>max) over zero pixels.
           if ((1 << minCodeSize) > gctSize) return null
+          if (w == 0 || h == 0) return null
           val nPixels = w.toLong * h
-          if (nPixels > Int.MaxValue ||
+          if (nPixels > (1L << 28) ||
               nPixels > (b.length - pos).toLong * 11000L) return null
           val idx = lzwDecode(b, pos, minCodeSize, nPixels)
           if (idx == null) return null

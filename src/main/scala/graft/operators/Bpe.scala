@@ -198,9 +198,9 @@ object Bpe {
     * aggregation whose output is |groups| rows.
     */
   def fertility(docs: DataFrame, segmentation: DataFrame,
-                groupCol: Column): DataFrame =
-    encodedWords(docs, segmentation, groupCol, "lang")
-      .groupBy(col("lang"))
+                groupCol: Column, keyName: String = "lang"): DataFrame =
+    encodedWords(docs, segmentation, groupCol, keyName)
+      .groupBy(col(keyName))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word")).cast("long")).as("n_chars"),
         sum(coalesce(col("n_sub"), length(col("word"))))

@@ -88,9 +88,18 @@ object Dedup {
       nameCol.as("n1"))
     val b = records.select(blockCol.as("blk"), idCol.as("d2"),
       nameCol.as("n2"))
+    // two output-invariant cheap gates before the O(|s|²) DP:
+    // (1) a length pre-gate — |len(a)-len(b)| > maxDist already implies
+    //     dist > maxDist, and length() is free vs the DP, so most of a
+    //     hot block's pairs die before Levenshtein runs;
+    // (2) the thresholded 3-arg levenshtein (Spark >= 3.5), which
+    //     early-exits the DP band once the running minimum passes the
+    //     threshold (returns -1 above it) — O(maxDist·min(|s|)) instead
+    //     of O(|a|·|b|) per surviving pair.
     connectedComponents(a.join(b, Seq("blk"))
       .filter(col("d1") < col("d2") &&
-        levenshtein(col("n1"), col("n2")) <= maxDist))
+        abs(length(col("n1")) - length(col("n2"))) <= maxDist &&
+        levenshtein(col("n1"), col("n2"), maxDist) =!= -1))
   }
 
   /** [[snapshotDedup]] with the content hash kept in the output —
@@ -872,22 +881,57 @@ object Dedup {
     * before a 100 TB dedup run commits to it. Integer outputs
     * (n_match, inter, set sizes) are engine-exact; the two ratios and
     * the error are single fixed-order double expressions.
+    *
+    * SAMPLED-INPUT CONTRACT: this is the estimator-validation tool,
+    * not a dedup path — the exact-Jaccard ground truth needs the full
+    * shingle sets, which must never ride a corpus-scale shuffle. Two
+    * structural guards enforce that: (1) inputs over `maxDocs` docs
+    * are deterministically hash-downsampled to ~`maxDocs` before any
+    * posting is built (calibration on a uniform sample IS the
+    * methodology — the estimator-error distribution is what's being
+    * measured, not the corpus); (2) the shingle arrays join the
+    * candidate pairs via BROADCAST with the codegen'd two-pointer
+    * [[graft.plans.SortedLongArrayIntersectSize]] — the sampled set
+    * table lives once per executor (~100k docs x ~300 shingles x 8 B
+    * ≈ 250 MB) and only (d1, d2, ints) rows ever cross an exchange.
     */
   def minhashCalibration(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
-                         bands: Int = 16): DataFrame = {
+                         bands: Int = 16,
+                         maxDocs: Long = 100000L): DataFrame = {
     require(numPerms % bands == 0 && numPerms >= bands,
       s"bands ($bands) must divide numPerms ($numPerms)")
     val rows = numPerms / bands
-    val posts = TextAnalysis.shinglePosts(docs, k)
+    val base = {
+      val n = docs.count() // one pruned count job: the sample gate
+      if (n <= maxDocs) docs
+      else {
+        val den = 1 << 20
+        val num = math.max(1L, maxDocs * den / n).toInt
+        Sampling.sampleByHash(docs, col("doc_id").cast("string"), num, den)
+      }
+    }
+    // one scalar (doc_id, h) shuffle shared by BOTH aggregations below
+    // (identical subtree -> reused exchange); no array column ever
+    // crosses a shuffle in this plan (PlanShapeSpec-pinned)
+    val posts = TextAnalysis.shinglePosts(base, k)
+      .repartition(col("doc_id"))
     val p = MinhashPrime
     val hm = col("h") % p
-    val aggs = (0 until numPerms).map { i =>
+    val sigAggs = (0 until numPerms).map { i =>
       min((lit(permA(i)) * hm + lit(permB(i))) % p).as(s"sig_$i")
-    } ++ Seq(
+    }
+    // scalar-only signature frame: the repartition ABOVE the agg is a
+    // reusable exchange so the 32-permutation pass runs once across its
+    // three consumers (banding + both verification sides) — and it now
+    // carries only longs
+    val sigs = posts.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .repartition(col("doc_id"))
+    // shingle-set frame, consumed only under broadcast exchanges (the
+    // collect_list re-runs once per broadcast side over the reused
+    // scalar posting shuffle — bounded by the sample gate)
+    val shs = posts.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n"),
       sort_array(collect_list(col("h"))).as("sh"))
-    val sigs = posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .repartition(col("doc_id"))
     val bandCols = (0 until bands).map { b =>
       stableHash60(concat_ws(",",
         lit(b.toString) +: (0 until rows).map(r =>
@@ -896,18 +940,25 @@ object Dedup {
     val banded = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
     val cands = bandCandidatePairs(banded, "doc_id", "d1", "d2")
-    def side(sfx: String, id: String) = sigs.select(
-      (col("doc_id").as(id) +: col("n").as(s"n$sfx") +:
-        col("sh").as(s"sh$sfx") +:
+    // signature sides (numPerms longs/doc — cheap) may shuffle; the
+    // shingle-set sides broadcast (sample-gated above, so bounded)
+    def sigSide(sfx: String, id: String) = sigs.select(
+      (col("doc_id").as(id) +:
         (0 until numPerms).map(i =>
           col(s"sig_$i").as(s"sig_${i}$sfx"))): _*)
+    def shSide(sfx: String, id: String) = shs.select(
+      col("doc_id").as(id), col("n").as(s"n$sfx"),
+      col("sh").as(s"sh$sfx"))
     val nMatch = (0 until numPerms).map(i =>
       when(col(s"sig_${i}a") === col(s"sig_${i}b"), 1L).otherwise(0L))
       .reduce(_ + _)
-    cands.join(side("a", "d1"), "d1").join(side("b", "d2"), "d2")
+    cands.join(sigSide("a", "d1"), "d1").join(sigSide("b", "d2"), "d2")
+      .join(broadcast(shSide("a", "d1")), "d1")
+      .join(broadcast(shSide("b", "d2")), "d2")
       .withColumn("n_match", nMatch)
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb")))
-        .cast("long"))
+      .withColumn("inter",
+        graft.plans.SortedLongArrayIntersectSize(col("sha"), col("shb"))
+          .cast("long"))
       .withColumn("un",
         (col("na") + col("nb") - col("inter")).cast("long"))
       .select(col("d1"), col("d2"), col("n_match"), col("inter"),

@@ -82,9 +82,9 @@ object Sampling {
   /** Slim sign-flipped projection shared by both quantile regimes:
     * (group, score-image, id-image). Flipping the sign bit makes
     * bitwise-prefix order equal signed order for both keys. Rows with
-    * a NULL group or NULL score are excluded BY CONTRACT (both
-    * regimes; the score must be an integral column — a double would
-    * truncate in the cast).
+    * a NULL group, NULL score, or NULL id are excluded BY CONTRACT
+    * (both regimes; the score must be an integral column — a double
+    * would truncate in the cast).
     */
   private def slimOf(df: DataFrame, groupCol: Column, scoreCol: Column,
                      idCol: Column): DataFrame = {
@@ -92,7 +92,8 @@ object Sampling {
     df.select(groupCol.cast("string").as("g"),
         scoreCol.cast("long").bitwiseXOR(flip).as("u"),
         idCol.cast("long").bitwiseXOR(flip).as("v"))
-      .filter(col("g").isNotNull && col("u").isNotNull)
+      .filter(col("g").isNotNull && col("u").isNotNull &&
+        col("v").isNotNull)
   }
 
   /** One scan: per-group counts plus the per-group key extremes (the
@@ -297,7 +298,11 @@ object Sampling {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(groupCol)
         .orderBy(scoreCol.cast("long"), idCol.cast("long"))
-      df.filter(groupCol.isNotNull && scoreCol.isNotNull)
+      // idCol.isNotNull mirrors slimOf's filter so both regimes apply
+      // the same NULL contract (a NULL id would otherwise rank
+      // nulls-first here but crash the radix stats collect)
+      df.filter(groupCol.isNotNull && scoreCol.isNotNull &&
+          idCol.isNotNull)
         .withColumn("__qt_rn", row_number().over(w).cast("long"))
         .withColumn("__qt_n",
           count(lit(1)).over(Window.partitionBy(groupCol)))

@@ -47,6 +47,23 @@ class ContractSpec extends AnyFunSuite {
         s"has ${SparkEntry.queries.size} — update the doc")
   }
 
+  test("SURVEY.md §2.3 inventory has no duplicate rows (q_audio_wav " +
+       "was listed twice through round 9) and every row names a real query") {
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val lines = try survey.getLines().toList finally survey.close()
+    val names = lines.collect {
+      case l if l.startsWith("| q_") || l.startsWith("| ingest_") =>
+        l.drop(2).takeWhile(_ != ' ')
+    }
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keySet
+    assert(dups.isEmpty, s"duplicate inventory rows: $dups")
+    // compound rows ("q_sql_tpch2/9/11/16") cover several queries; the
+    // leading name before the first "/" must still be real
+    val ghosts = names.map(_.takeWhile(_ != '/')).toSet --
+      SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"inventory rows with no query entry: $ghosts")
+  }
+
   test("rows-only allowlist stays minimal (everything in it exists)") {
     val stale = rowsOnly -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlisted names no longer exist: $stale")

@@ -341,4 +341,30 @@ class PlanShapeSpec extends SparkSpec {
     // regime is the small-group route, pinned OFF here)
     assert(!p.contains("Window"), p)
   }
+
+  test("q_minhash_calib: shingle-set arrays attach via BROADCAST and " +
+       "never ride a shuffle — only ids/signatures cross hash exchanges") {
+    val df = SparkEntry.queries("q_minhash_calib")(spark, sf())
+    // structural check on the pre-AQE physical tree (traversable,
+    // unlike the AdaptiveSparkPlanExec leaf wrapper): no shuffle
+    // exchange may output an array column — the sorted shingle sets
+    // (array<bigint>) must reach the verification join through
+    // BroadcastExchange only
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val leaky = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec
+          if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    }
+    assert(leaky.isEmpty,
+      s"shuffle exchange carries an array column:\n${leaky.mkString("\n")}")
+    val p = df.queryExecution.sparkPlan.toString
+    // exact ground truth runs through the codegen'd two-pointer
+    // intersect over the broadcast sides, not array_intersect
+    assert(p.contains("sorted_long_array_intersect_size"), p)
+    // the broadcast() hints force the shingle-set sides into
+    // BroadcastHashJoin regardless of size stats (sparkPlan is
+    // pre-exchange-insertion, so count join nodes, not exchanges)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
 }

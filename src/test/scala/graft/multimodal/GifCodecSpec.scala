@@ -71,4 +71,30 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifCodec.decode("NOTAGIF".getBytes).isEmpty)
     assert(GifCodec.decode(Array.fill[Byte](200)(0x2C)).isEmpty)
   }
+
+  test("dimension guards: zero-area and absurd declared dims " +
+       "quarantine without allocating the pixel buffer") {
+    // patch the image-descriptor w/h of a valid blob:
+    // 13-byte header + 256*3 palette => descriptor at 781,
+    // w at 781+5, h at 781+7 (little-endian u16)
+    val good = GifCodec.encodeGray(9, 7, Array.tabulate(63)(_ % 256))
+    def patched(w: Int, h: Int): Array[Byte] = {
+      val b = good.clone()
+      b(786) = (w & 0xFF).toByte; b(787) = ((w >> 8) & 0xFF).toByte
+      b(788) = (h & 0xFF).toByte; b(789) = ((h >> 8) & 0xFF).toByte
+      b
+    }
+    assert(GifCodec.decode(patched(0, 7)).isEmpty)   // zero width
+    assert(GifCodec.decode(patched(9, 0)).isEmpty)   // zero height
+    assert(GifCodec.decode(patched(0, 0)).isEmpty)
+    // 65535 x 65535 ~ 4.3e9 px: over the absolute cap (and over
+    // Int.MaxValue) — must reject BEFORE new Array, never OOM
+    assert(GifCodec.decode(patched(0xFFFF, 0xFFFF)).isEmpty)
+    // 20000 x 20000 = 4e8 px: under Int.MaxValue but over the 256 Mpx
+    // absolute cap — the payload-relative bound alone would need the
+    // blob to be tiny; the absolute cap rejects regardless
+    assert(GifCodec.decode(patched(20000, 20000)).isEmpty)
+    // sanity: the unpatched blob still decodes
+    assert(GifCodec.decode(good).nonEmpty)
+  }
 }

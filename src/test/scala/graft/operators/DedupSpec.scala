@@ -212,6 +212,57 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("minhashCalibration sample gate: over-maxDocs input downsamples " +
+       "to the same rows an explicit hash-sample selects; under-maxDocs " +
+       "input is untouched") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val n = d.count()
+    val maxDocs = n / 2
+    // the gate must reproduce exactly Sampling.sampleByHash's subset:
+    // run calibration on the gated full input and on the pre-sampled
+    // subset with the gate disabled — identical frames
+    val den = 1 << 20
+    val num = math.max(1L, maxDocs * den / n).toInt
+    val pre = graft.operators.Sampling.sampleByHash(
+      d, col("doc_id").cast("string"), num, den)
+    val gated = Dedup.minhashCalibration(d, maxDocs = maxDocs)
+      .orderBy("d1", "d2").collect().toSeq
+    val manual = Dedup.minhashCalibration(pre, maxDocs = Long.MaxValue)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(gated == manual)
+    // and the gate is inert when n <= maxDocs
+    val all = Dedup.minhashCalibration(d).orderBy("d1", "d2").count()
+    val allGated = Dedup.minhashCalibration(d, maxDocs = n)
+      .orderBy("d1", "d2").count()
+    assert(all == allGated && gated.size < all)
+  }
+
+  test("fuzzyRecordClusters: the length pre-gate and thresholded " +
+       "levenshtein are output-invariant (same clusters as the " +
+       "unthresholded distance)") {
+    val recs = Seq(
+      (1L, "jonathan smith"), (2L, "jonathan smyth"),  // dist 1, same block
+      (3L, "jonathan smithson"),                        // dist 3 from 1
+      (4L, "kate johnson"), (5L, "kate jonson"),        // dist 1
+      (6L, "kate j"),                                   // far by length
+      (7L, "zed")
+    ).toDF("id", "name")
+    val blk = substring(col("name"), 1, 4)
+    val got = Dedup.fuzzyRecordClusters(recs, col("id"), col("name"), blk,
+        maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: brute-force unthresholded levenshtein within blocks
+    val a = recs.select(blk.as("b"), col("id").as("i1"), col("name").as("n1"))
+    val b = recs.select(blk.as("b"), col("id").as("i2"), col("name").as("n2"))
+    val ref = Dedup.connectedComponents(
+      a.join(b, "b").filter(col("i1") < col("i2") &&
+        levenshtein(col("n1"), col("n2")) <= 1)
+        .select(col("i1").as("d1"), col("i2").as("d2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref)
+    assert(got.nonEmpty)
+  }
+
   test("simhash banding is exact for hamming <= 3 (matches brute force)") {
     val d = spark.read.parquet(sf() + "/documents.parquet")
     val banded = Dedup.simhashPairs(d, maxDist = 3)
