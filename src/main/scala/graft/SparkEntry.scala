@@ -1280,6 +1280,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: script-aware (CJK) tokenization + language ID
+    //      (new r10) — the char-level fallback for space-free scripts.
+    //      Corpus is a closed-form mixed-script variant (latin /
+    //      unsegmented han or kana / mixed per doc_id % 3) that the
+    //      oracle reconstructs character-for-character via chr() and
+    //      then tokenizes with the IDENTICAL regex (RE2-compatible
+    //      \x{...} classes run unchanged in Java and DuckDB). The
+    //      naive space-split count rides along: an unsegmented run is
+    //      ONE naive token vs nc aware tokens — the silent degradation
+    //      this operator removes. Scale shape: one narrow regexp map +
+    //      one hash aggregation, identical to q_langid. ----
+    "q_tokencjk" -> ((s, dir) => {
+      graft.operators.TextAnalysis.scriptTokenProfile(
+          graft.operators.TextAnalysis.syntheticMixedDocs(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: quality scoring (single tokenization pass) ----
     "q_quality" -> ((s, dir) => {
       graft.operators.TextAnalysis.qualityPosting(t(s, dir, "documents"))
@@ -6072,6 +6089,76 @@ object SparkEntry {
         |    WHEN score_fr >= score_de THEN 'fr'
         |    ELSE 'de' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // reconstructs the closed-form mixed-script corpus character-for-
+    // character (chr() + list folds), then tokenizes with the IDENTICAL
+    // RE2/Java-compatible pattern the engine runs; the priority argmax
+    // compares raw hit counts (shared denominator), so every compared
+    // value is an exact integer
+    "q_tokencjk" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 AS cls,
+        |    CAST(4 + doc_id % 5 AS INT) AS nw,
+        |    CAST(6 + doc_id % 9 AS INT) AS nc
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, cls,
+        |    list_aggregate(list_transform(range(0, nw), i ->
+        |      list_aggregate(list_transform(range(0, 2 + (doc_id + i*3) % 4),
+        |        j -> chr(CAST(97 + (doc_id + i*7 + j*3) % 26 AS INT))),
+        |        'string_agg', '')),
+        |      'string_agg', ' ') AS latin,
+        |    list_aggregate(list_transform(range(0, nc), j ->
+        |      chr(CAST(CASE WHEN doc_id % 2 = 0
+        |        THEN 19968 + ((doc_id + j*11) * 2654435761) % 512
+        |        ELSE 12353 + (doc_id + j*7) % 85 END AS INT))),
+        |      'string_agg', '') AS cjk
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id,
+        |    CASE cls WHEN 0 THEN latin WHEN 1 THEN cjk
+        |      ELSE latin || ' ' || cjk END AS text
+        |  FROM t),
+        |tok AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text,
+        |      '[\x{3040}-\x{30FF}\x{3400}-\x{9FFF}]|[^\s\x{3040}-\x{30FF}\x{3400}-\x{9FFF}]+')
+        |      AS ts,
+        |    len(string_split(text, ' ')) AS nsp
+        |  FROM x),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(nsp AS BIGINT) AS n_space_tokens,
+        |    CAST(len(list_filter(ts, t ->
+        |      t IN ('the','a','of','and','to'))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(ts, t ->
+        |      t IN ('el','la','de','y','que'))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(ts, t ->
+        |      t IN ('le','la','et','de','un'))) AS BIGINT) AS hits_fr,
+        |    CAST(len(list_filter(ts, t ->
+        |      t IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(ts, t ->
+        |      regexp_matches(t, '^[\x{3400}-\x{9FFF}]$'))) AS BIGINT)
+        |      AS n_han,
+        |    CAST(len(list_filter(ts, t ->
+        |      regexp_matches(t, '^[\x{3040}-\x{30FF}]$'))) AS BIGINT)
+        |      AS n_kana
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, n_space_tokens,
+        |  hits_en, hits_es, hits_fr, hits_de, n_han, n_kana,
+        |  CASE
+        |    WHEN hits_en >= hits_es AND hits_en >= hits_fr
+        |         AND hits_en >= hits_de AND hits_en >= n_han
+        |         AND hits_en >= n_kana THEN 'en'
+        |    WHEN hits_es >= hits_fr AND hits_es >= hits_de
+        |         AND hits_es >= n_han AND hits_es >= n_kana THEN 'es'
+        |    WHEN hits_fr >= hits_de AND hits_fr >= n_han
+        |         AND hits_fr >= n_kana THEN 'fr'
+        |    WHEN hits_de >= n_han AND hits_de >= n_kana THEN 'de'
+        |    WHEN n_han >= n_kana THEN 'zh'
+        |    ELSE 'ja' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_quality" ->
       """WITH x AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.StableHash.stableHash60
 
@@ -18,6 +18,34 @@ object TextAnalysis {
 
   /** Whitespace tokenization (the corpus is single-space-separated). */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Char class of the space-free scripts this engine treats char-level:
+    * kana (hiragana+katakana, U+3040-30FF) and the CJK ideograph area
+    * (ext-A through URO, U+3400-9FFF). RE2-compatible `\x{...}` escapes
+    * so the SAME pattern string runs in Java regex (Spark) and RE2
+    * (DuckDB oracle).
+    */
+  val kanaCharClass: String = "\\x{3040}-\\x{30FF}"
+  val hanCharClass: String = "\\x{3400}-\\x{9FFF}"
+
+  /** Script-aware tokenization pattern: every char of a space-free
+    * script is its OWN token (the standard char-level fallback for
+    * unsegmented text — fastText / CCNet treat CJK this way), while
+    * maximal runs of any other non-space chars stay word tokens. On
+    * single-space ASCII text this yields exactly [[tokens]]' output, but
+    * the space-split stays the corpus-contract default so every
+    * existing oracle is byte-identical.
+    */
+  val scriptTokenPattern: String =
+    s"[$kanaCharClass$hanCharClass]|[^\\s$kanaCharClass$hanCharClass]+"
+
+  /** [[tokens]] with the script-aware fallback: a codegen'd
+    * `regexp_extract_all` over [[scriptTokenPattern]]. One narrow map —
+    * same scale shape as the space split.
+    */
+  def tokens(text: Column, scriptAware: Boolean): Column =
+    if (scriptAware) regexp_extract_all(text, lit(scriptTokenPattern), lit(0))
+    else tokens(text)
 
   /** Word k-gram shingles: ["a","b","c","d"], k=3 ->
     * ["a b c", "b c d"]. Positions via `sequence`+`slice` — pure codegen.
@@ -212,6 +240,102 @@ object TextAnalysis {
       case ((l, i), elseC) =>
         val ge = langs.drop(i + 1)
           .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(elseC)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Deterministic mixed-script corpus row (see [[syntheticMixedDocs]]). */
+  final case class ScriptDoc(doc_id: Long, text: String)
+
+  /** Closed-form mixed-script documents variant (the codec-query
+    * pattern, cf. `Multimodal.syntheticGifMedia`): one row per
+    * `documents` doc_id, with text that is a pure function of the id so
+    * the DuckDB oracle reconstructs the IDENTICAL string via `chr()`
+    * and list folds. doc_id % 3 selects the class — 0: space-separated
+    * latin words; 1: an unsegmented CJK run (han for even ids, hiragana
+    * for odd); 2: latin words then the CJK run, space-adjacent (the
+    * real-web mixed-script shape).
+    */
+  def syntheticMixedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sb = new java.lang.StringBuilder
+          def latin(): Unit = {
+            val nw = (4 + id % 5).toInt
+            var i = 0
+            while (i < nw) {
+              if (i > 0) sb.append(' ')
+              val lw = (2 + (id + i * 3) % 4).toInt
+              var j = 0
+              while (j < lw) {
+                sb.append(('a' + (id + i * 7 + j * 3) % 26).toChar); j += 1
+              }
+              i += 1
+            }
+          }
+          def cjk(): Unit = {
+            val nc = (6 + id % 9).toInt
+            var j = 0
+            while (j < nc) {
+              val cp =
+                if (id % 2 == 0)
+                  (0x4E00 + ((id + j * 11) * 2654435761L) % 512).toInt
+                else (0x3041 + (id + j * 7) % 85).toInt
+              sb.appendCodePoint(cp); j += 1
+            }
+          }
+          (id % 3) match {
+            case 0 => latin()
+            case 1 => cjk()
+            case _ => latin(); sb.append(' '); cjk()
+          }
+          ScriptDoc(id, sb.toString)
+        }
+      }.toDF()
+  }
+
+  /** Script-aware token + language profile, ONE tokenization pass (the
+    * posting shape of [[langIdPosting]], extended): explode
+    * [[scriptTokenPattern]] tokens, then a single codegen'd aggregation
+    * counting tokens, per-stopword-language hits, and per-char-class
+    * hits (han -> zh, kana -> ja). The prediction is the priority
+    * argmax over (en, es, fr, de, zh, ja) — since every score shares
+    * the denominator, it compares raw hit counts (exact integers, no
+    * doubles cross the oracle). `n_space_tokens` (the naive space
+    * split's count) rides along so the CJK degradation the aware
+    * tokenizer fixes is visible in the output: an unsegmented run is
+    * ONE naive token but nc aware tokens.
+    */
+  def scriptTokenProfile(docs: DataFrame): DataFrame = {
+    val tok = graft.engine.Spread(docs).select(col("doc_id"),
+      size(tokens(col("text"))).as("nsp"),
+      explode(tokens(col("text"), scriptAware = true)).as("w"))
+    val sigPreds: Seq[(String, Column)] =
+      langSignatures.map { case (lang, words) =>
+        lang -> words.map(w => col("w") === w).reduce(_ || _)
+      } ++ Seq(
+        "zh" -> col("w").rlike(s"^[$hanCharClass]$$"),
+        "ja" -> col("w").rlike(s"^[$kanaCharClass]$$"))
+    val aggs = Seq(
+      count(lit(1)).as("n_tokens"),
+      first(col("nsp")).cast("long").as("n_space_tokens")) ++
+      sigPreds.map { case (lang, p) =>
+        sum(when(p, 1L).otherwise(0L)).as(s"hits_$lang")
+      }
+    val scored = tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("hits_zh", "n_han")
+      .withColumnRenamed("hits_ja", "n_kana")
+    val langs = sigPreds.map(_._1)
+    val name = Map("zh" -> "n_han", "ja" -> "n_kana")
+      .withDefault(l => s"hits_$l")
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseC) =>
+        val ge = langs.drop(i + 1)
+          .map(o => col(name(l)) >= col(name(o))).reduce(_ && _)
         when(ge, lit(l)).otherwise(elseC)
     }
     scored.withColumn("lang_pred", pred)

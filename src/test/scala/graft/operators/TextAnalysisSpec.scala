@@ -241,4 +241,62 @@ class TextAnalysisSpec extends SparkSpec {
       (-out(1)._3.toDouble / 1e6 / out(1)._2) * 1e6 + 0.5) / 1e6
     assert(out(1)._4 == x1)
   }
+
+  test("script-aware tokens == space split on single-spaced ASCII (every " +
+       "existing oracle stays byte-identical under the default)") {
+    val docs = graft.engine.Readers.table(spark, sf(), "documents")
+    val diff = docs.select(
+        TextAnalysis.tokens(col("text")).as("a"),
+        TextAnalysis.tokens(col("text"), scriptAware = true).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+  }
+
+  test("script-aware tokens: CJK chars are single tokens, latin runs " +
+       "stay words, mixed text interleaves correctly") {
+    val out = Seq("中文 abc", "中文abc def", "あい", "plain words")
+      .toDF("text")
+      .select(TextAnalysis.tokens(col("text"), scriptAware = true))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("中", "文", "abc"))
+    assert(out(1) == Seq("中", "文", "abc", "def"))
+    assert(out(2) == Seq("あ", "い"))
+    assert(out(3) == Seq("plain", "words"))
+  }
+
+  test("scriptTokenProfile: unsegmented runs are ONE naive token but " +
+       "n aware tokens, and the char-signature languages win on them") {
+    val docs = Seq(
+      (1L, "中文中文中文"),           // 6 han chars, no spaces
+      (2L, "あいうえおかきく"),       // 8 kana chars
+      (3L, "the cat of the hat"),     // stopword-heavy latin
+      (4L, "abc def 中文中文中")      // mixed: 2 words + 5 han
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptTokenProfile(docs).orderBy("doc_id")
+      .select("n_tokens", "n_space_tokens", "n_han", "n_kana", "lang_pred")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((6L, 1L, 6L, 0L, "zh")))
+    assert(out(1) == ((8L, 1L, 0L, 8L, "ja")))
+    assert(out(2) == ((5L, 5L, 0L, 0L, "en")))
+    assert(out(3) == ((7L, 3L, 5L, 0L, "zh")))
+  }
+
+  test("syntheticMixedDocs is deterministic and class-shaped: cls-1 docs " +
+       "have no spaces, cls-2 docs carry both scripts") {
+    val d1 = TextAnalysis.syntheticMixedDocs(spark, sf())
+    val d2 = TextAnalysis.syntheticMixedDocs(spark, sf())
+    assert(d1.orderBy("doc_id").collect().toSeq ==
+      d2.orderBy("doc_id").collect().toSeq)
+    val prof = TextAnalysis.scriptTokenProfile(d1)
+    // unsegmented class: exactly one naive token, nc = 6 + id % 9 aware
+    val bad1 = prof.filter(col("doc_id") % 3 === 1 &&
+      (col("n_space_tokens") =!= 1 ||
+       col("n_tokens") =!= lit(6) + col("doc_id") % 9)).count()
+    assert(bad1 == 0L)
+    // mixed class: latin words AND cjk chars both present
+    val bad2 = prof.filter(col("doc_id") % 3 === 2 &&
+      (col("n_han") + col("n_kana") === 0 ||
+       col("n_tokens") === col("n_han") + col("n_kana"))).count()
+    assert(bad2 == 0L)
+  }
 }
