@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -123,10 +126,22 @@ object DocStream {
     *      offsets carry across days, so already-emitted (shard, bin)
     *      cells never move.
     *
-    * Cross-day state is tiny and driver-held: `shards` longs of pack
-    * offsets plus the admitted-docs lineage (localCheckpoint'ed each
-    * day to keep plans flat). Each `sink` call receives that day's
-    * manifest rows (doc_id, shard, n_tok, cum, bin).
+    * Cross-day state is tiny and driver-held (`shards` longs of pack
+    * offsets) plus an APPEND-ONLY admissions store on disk: each day's
+    * admitted docs are written once — O(day), never O(corpus) — into
+    * their own parquet subdir of `stateDir`, and the dedup's corpus
+    * side is `corpus` unioned with ONE multi-path scan over every
+    * prior subdir. Plans stay flat for any number of batches (a single
+    * file-scan relation, not a growing union lineage), and per-batch
+    * I/O is bounded by the day's admissions — the earlier
+    * `localCheckpoint` of the whole accumulated corpus paid
+    * O(corpus x batches) write I/O over a long-running stream. Each
+    * `sink` call receives that day's manifest rows
+    * (doc_id, shard, n_tok, cum, bin).
+    *
+    * `stateDir` defaults to a fresh temp directory (the spec/benchmark
+    * mode); production passes a durable path so a restarted query
+    * resumes against the admissions already stored.
     *
     * When days arrive in doc_id order, the concatenated manifests equal
     * the batch recomputation over the union (asserted in
@@ -135,18 +150,44 @@ object DocStream {
     */
   def ingestPipeline(docsStream: DataFrame, corpus: DataFrame,
                      evalSet: DataFrame, shards: Int, budget: Long,
-                     k: Int = 3, minShared: Long = 2)
+                     k: Int = 3, minShared: Long = 2,
+                     stateDir: Option[String] = None)
                     (sink: DataFrame => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions._
     require(shards > 0 && budget > 0)
     val offsets = scala.collection.mutable.Map.empty[Long, Long]
-    var corpusNow = corpus
+    val admitRoot = stateDir.map(Paths.get(_)).getOrElse(
+      Files.createTempDirectory("graft_ingest_admitted"))
+    Files.createDirectories(admitRoot)
+    // resume support: pre-existing subdirs (durable stateDir) are prior
+    // admissions; a fresh temp dir starts empty
+    def subdirs(): Seq[String] = {
+      val s = Files.list(admitRoot)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("b"))
+        .map(_.toString).toList.sorted
+      finally s.close()
+    }
+    var seq = subdirs().size
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val admitted = graft.operators.Dedup
-          .incrementalDedup(batch, corpusNow, k, minShared)
-          .localCheckpoint(eager = true)
+        val prior = subdirs()
+        val corpusSide =
+          if (prior.isEmpty) corpus
+          else corpus.unionByName(
+            spark.read.schema(batch.schema).parquet(prior: _*)
+              .select(corpus.columns.map(col): _*))
+        val sub = admitRoot.resolve(s"b$seq")
+        graft.operators.Dedup
+          .incrementalDedup(batch, corpusSide, k, minShared)
+          .write.parquet(sub.toString)
+        seq += 1
+        // read the day's admissions BACK from the store: downstream
+        // stages run off the one materialized copy (flat file-scan
+        // lineage — the job the write ran is never recomputed)
+        val admitted = spark.read.schema(batch.schema).parquet(sub.toString)
         val flagged = graft.operators.Dedup
           .contamination(admitted, evalSet, k, minShared)
           .select(col("doc_id")).distinct()
@@ -167,9 +208,6 @@ object DocStream {
         packed.groupBy(col("shard")).agg(max(col("cum")).as("hi"))
           .collect()
           .foreach(r => offsets(r.getLong(0)) = r.getLong(1))
-        corpusNow = corpusNow
-          .unionByName(admitted.select(corpus.columns.map(col): _*))
-          .localCheckpoint(eager = true)
         sink(packed)
       }
       .start()

@@ -71,11 +71,16 @@ object StreamScale {
           .collect().map(_.toSeq)
       }
     }
-    (0 until days).foreach { i =>
+    // per-batch wall: the state-carry regression detector — with the
+    // append-only admissions store this must stay ~flat as batches
+    // accumulate (the old full-corpus localCheckpoint grew linearly)
+    val batchSecs = (0 until days).map { i =>
       val rows = day(i)
         .as[(Long, String, String, String, Long)].collect().toSeq
+      val tb = System.nanoTime()
       mem.addData(rows: _*)
       q.processAllAvailable()
+      (System.nanoTime() - tb) / 1e9
     }
     q.stop()
     val streamSec = (System.nanoTime() - t0) / 1e9
@@ -115,7 +120,9 @@ object StreamScale {
     spark.stop()
     println(s"""{"metric":"stream_manifest","rows":${batchManifest.size},""" +
       s""""days":$days,"match":$ok,"stream_sec":${f1(streamSec)},""" +
-      s""""batch_sec":${f1(batchSec)},"sf":"$sfDir"}""")
+      s""""batch_sec":${f1(batchSec)},""" +
+      s""""per_batch_sec":[${batchSecs.map(f1).mkString(",")}],""" +
+      s""""sf":"$sfDir"}""")
     if (!ok) sys.exit(1)
   }
 
