@@ -31,7 +31,27 @@ object Run {
       else
         println(s"[graft] ${r.job.source} -> ${r.job.target}: FAILED: ${r.error.get.getMessage}")
     }
+    // the curation pipeline (pipeline: section) runs after ELT jobs so
+    // a config can land a table and immediately curate it
+    val pipelineFailed = config.pipeline.exists { p =>
+      scala.util.Try {
+        val out = graft.engine.CurationPipeline.run(spark, p)
+        if (config.sink.path.isDefined || config.sink.url.isDefined) {
+          graft.engine.Sink.write(out, p.target, config.sink)
+          println(s"[graft] pipeline ${p.source} -> ${p.target}: " +
+            s"${p.stages.map(_.op).mkString(" -> ")} (written)")
+        } else {
+          println(s"[graft] pipeline ${p.source} -> ${p.target}: " +
+            s"${p.stages.map(_.op).mkString(" -> ")}: ${out.count()} rows")
+        }
+      } match {
+        case scala.util.Success(_) => false
+        case scala.util.Failure(e) =>
+          println(s"[graft] pipeline ${p.source}: FAILED: ${e.getMessage}")
+          true
+      }
+    }
     spark.stop()
-    if (results.exists(!_.ok)) sys.exit(1)
+    if (results.exists(!_.ok) || pipelineFailed) sys.exit(1)
   }
 }

@@ -757,6 +757,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- north star: the SAME capstone pipeline, but driven from a
+    //      YAML config (new r10) — the reference's config-to-jobs
+    //      identity (config.yaml:9-25 -> utils.go:52-67) extended to
+    //      the curation operators. Stage list parses to the exact
+    //      operator calls q_corpus_pipeline composes by hand, so this
+    //      shares its oracle; PipelineSpec additionally pins
+    //      config == code row-for-row ----
+    "q_yaml_pipeline" -> ((s, dir) => {
+      val yaml =
+        s"""pipeline:
+           |  source: $dir/documents.parquet
+           |  stages:
+           |    - op: dedup
+           |      tau: 0.3
+           |    - op: quality_gate
+           |      min_tokens: 20
+           |      max_tokens: 200
+           |    - op: sample
+           |      rates: {en: 5}
+           |      default_num: 8
+           |      den: 10
+           |""".stripMargin
+      graft.engine.CurationPipeline.run(s,
+          graft.engine.EngineConfig.fromAnyYaml(yaml).pipeline.get)
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: MinHash + LSH near-dup ----
     "q_dedup_minhash" -> ((s, dir) => {
       graft.operators.Dedup.minhashPairs(t(s, dir, "documents"), tau = 0.3)
@@ -3754,7 +3782,14 @@ object SparkEntry {
        |FROM c2 LEFT JOIN cnt USING (cent_id)
        |ORDER BY c2.cent_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlLiteral ++ Map(
+    // the YAML-driven pipeline runs the exact operator composition of
+    // q_corpus_pipeline (PipelineSpec pins config == code row-for-row),
+    // so it is gated by the same oracle
+    "q_yaml_pipeline" -> oracleSqlLiteral("q_corpus_pipeline")
+  )
+
+  private def oracleSqlLiteral: Map[String, String] = Map(
     "ingest_lineitem" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS l_quantity,

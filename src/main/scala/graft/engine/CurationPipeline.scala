@@ -1,0 +1,136 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Config-driven curation pipelines: the reference's whole identity is
+  * YAML-driven jobs (GCS2Postgres `config.yaml:9-25` mapped to transfer
+  * jobs by `src/utils/utils.go:52-67`), and this engine parses that
+  * dialect for ELT (`EngineConfig.fromReferenceYaml`) — but the LLM
+  * curation operators were reachable only from Scala. A `pipeline:`
+  * section closes that gap: a source plus an ordered stage list, each
+  * stage naming an operator from the curation set, so a YAML file runs
+  * dedup -> gate -> sample the way the reference's YAML runs
+  * gcs -> bq -> postgres.
+  *
+  * Every stage maps 1:1 onto the SAME operator the oracle-gated queries
+  * call (`Dedup.keepCanonical`, `TextAnalysis.normalize`,
+  * `Sampling.stratifiedSample`, ...) — the YAML surface adds zero new
+  * semantics, so `PipelineSpec` pins config-equals-code equality
+  * against the hand-composed `q_corpus_pipeline` stages, and the scale
+  * properties are exactly the operators' own.
+  *
+  * {{{
+  * pipeline:
+  *   source: /data/documents.parquet
+  *   stages:
+  *     - op: dedup              # near-dup keep-canonical (jaccard CC)
+  *       tau: 0.3               # optional k: 3
+  *     - op: quality_gate       # normalize + token-count gate
+  *       min_tokens: 20
+  *       max_tokens: 200
+  *     - op: sample             # deterministic stratified sample
+  *       rates: {en: 5}
+  *       default_num: 8
+  *       den: 10
+  * sink:
+  *   path: /tmp/corpus_out      # optional; Run writes parquet
+  * }}}
+  */
+object CurationPipeline {
+
+  final case class Stage(op: String, params: Map[String, Object]) {
+    def str(key: String, default: => String): String =
+      params.get(key).map(_.toString).getOrElse(default)
+    def need(key: String): String = params.get(key) match {
+      case Some(v) if v != null => v.toString
+      case _ => throw new IllegalArgumentException(
+        s"pipeline stage '$op' is missing required key '$key'")
+    }
+    def int(key: String, default: Int): Int =
+      params.get(key).map(_.toString.toInt).getOrElse(default)
+    def long(key: String, default: Long): Long =
+      params.get(key).map(_.toString.toLong).getOrElse(default)
+    def dbl(key: String, default: Double): Double =
+      params.get(key).map(_.toString.toDouble).getOrElse(default)
+  }
+
+  final case class Config(source: String, format: Option[SourceFormat],
+                          stages: Seq[Stage], target: String)
+
+  val KnownOps: Seq[String] = Seq("exact_dedup", "dedup", "quality_gate",
+    "blocklist", "quantile_filter", "sample", "pack")
+
+  /** Read the source and fold the stages left-to-right. */
+  def run(spark: SparkSession, cfg: Config): DataFrame = {
+    val src = Readers.read(spark,
+      JobSpec(source = cfg.source, target = cfg.target, format = cfg.format))
+    cfg.stages.foldLeft(src)(applyStage)
+  }
+
+  /** One stage — each arm is the same call the oracle-gated query for
+    * that operator makes (stage semantics and scale shape documented at
+    * the operator).
+    */
+  def applyStage(df: DataFrame, st: Stage): DataFrame = st.op match {
+    case "exact_dedup" =>
+      // keep the min-id copy per distinct key value (md5 map-side in
+      // Dedup.exact; only (key, id) crosses the exchange)
+      val id = st.str("id", "doc_id")
+      val kept = graft.operators.Dedup.exact(df, st.str("key", "text"), id)
+        .select(col("keep_id").as(id))
+      df.join(kept, Seq(id), "left_semi")
+    case "dedup" =>
+      graft.operators.Dedup.keepCanonical(df,
+        graft.operators.Dedup.jaccardPairs(df, tau = st.dbl("tau", 0.3),
+          k = st.int("k", 3)),
+        id = st.str("id", "doc_id"))
+    case "quality_gate" =>
+      df.withColumn("norm_text",
+          graft.operators.TextAnalysis.normalize(col("text")))
+        .withColumn("n_tok",
+          size(split(col("norm_text"), " ")).cast("long"))
+        .filter(col("n_tok").between(st.long("min_tokens", 1L),
+          st.long("max_tokens", Long.MaxValue)))
+    case "blocklist" =>
+      val pats = st.params.get("patterns") match {
+        case Some(l: java.util.List[_]) =>
+          import scala.jdk.CollectionConverters._
+          l.asScala.toSeq.map(_.toString)
+        case _ => throw new IllegalArgumentException(
+          "pipeline stage 'blocklist' needs a 'patterns' list")
+      }
+      val id = st.str("id", "doc_id")
+      val keep = graft.operators.TextAnalysis
+        .blocklistScreen(df, pats, maxHits = st.long("max_hits", 0L))
+        .filter(col("keep") === 1).select(col("doc_id").as(id))
+      df.join(keep, Seq(id), "left_semi")
+    case "quantile_filter" =>
+      graft.operators.Sampling.topFractionByGroup(df,
+        col(st.str("group", "lang")), col(st.need("score")),
+        col(st.str("id", "doc_id")),
+        num = st.int("num", 7), den = st.int("den", 10))
+    case "sample" =>
+      val rates = st.params.get("rates") match {
+        case Some(m: java.util.Map[_, _]) =>
+          import scala.jdk.CollectionConverters._
+          m.asInstanceOf[java.util.Map[String, Object]].asScala
+            .map { case (k, v) => k -> v.toString.toInt }.toMap
+        case _ => Map.empty[String, Int]
+      }
+      graft.operators.Sampling.stratifiedSample(df,
+        col(st.str("key", "doc_id")), col(st.str("stratum", "lang")),
+        rates, defaultNum = st.int("default_num", 1),
+        den = st.int("den", 1))
+    case "pack" =>
+      // terminal stage: emits the loader manifest, not documents
+      val tokens = st.params.get("tokens_col").map(c => col(c.toString))
+        .getOrElse(size(split(col("text"), " ")).cast("long"))
+      graft.operators.Curation.packShards(df, col(st.str("id", "doc_id")),
+        tokens, shards = st.int("shards", 8),
+        budget = st.long("budget", 4096L))
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown pipeline op '$other' — known: ${KnownOps.mkString(", ")}")
+  }
+}

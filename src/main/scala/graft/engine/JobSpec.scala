@@ -66,7 +66,8 @@ final case class JobSpec(
   */
 final case class EngineConfig(
     jobs: Seq[JobSpec],
-    sink: SinkConfig = SinkConfig())
+    sink: SinkConfig = SinkConfig(),
+    pipeline: Option[CurationPipeline.Config] = None)
 
 final case class SinkConfig(
     format: String = "parquet",         // "jdbc" in prod
@@ -140,7 +141,41 @@ object EngineConfig {
       case other =>
         fail(s"'sink' must be a mapping, got ${other.getClass.getSimpleName}")
     }.getOrElse(SinkConfig())
-    EngineConfig(jobs, sink)
+    val pipeline = root.get("pipeline").map {
+      case m: java.util.Map[_, _] =>
+        val p = m.asInstanceOf[java.util.Map[String, Object]].asScala
+        def needp(key: String): String = p.get(key) match {
+          case Some(v) if v != null => v.toString
+          case _ => fail(s"'pipeline' is missing required key '$key'")
+        }
+        val stages = p.get("stages") match {
+          case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
+            case sm: java.util.Map[_, _] =>
+              val s = sm.asInstanceOf[java.util.Map[String, Object]]
+                .asScala
+              val op = s.get("op") match {
+                case Some(v) if v != null => v.toString
+                case _ => fail("'pipeline.stages' entry is missing 'op'")
+              }
+              CurationPipeline.Stage(op, s.toMap - "op")
+            case other =>
+              fail("'pipeline.stages' entries must be mappings, got " +
+                other.getClass.getSimpleName)
+          }
+          case _ => fail("'pipeline' needs a 'stages' list")
+        }
+        CurationPipeline.Config(
+          source = needp("source"),
+          format = p.get("format")
+            .map(f => SourceFormat.fromName(f.toString)),
+          stages = stages,
+          target = p.get("target").map(_.toString)
+            .getOrElse("pipeline_out"))
+      case other =>
+        fail(s"'pipeline' must be a mapping, got " +
+          other.getClass.getSimpleName)
+    }
+    EngineConfig(jobs, sink, pipeline)
   }
 
   def fromYamlFile(path: String): EngineConfig =

@@ -113,4 +113,87 @@ class PipelineSpec extends SparkSpec {
     assert(fromCsv.schema("n_nationkey").dataType ==
       org.apache.spark.sql.types.IntegerType)
   }
+
+  test("YAML curation pipeline == hand-composed q_corpus_pipeline " +
+       "stages (config adds zero semantics: same operators, same rows)") {
+    import org.apache.spark.sql.functions._
+    val yaml =
+      s"""pipeline:
+         |  source: ${sf()}/documents.parquet
+         |  stages:
+         |    - op: dedup
+         |      tau: 0.3
+         |    - op: quality_gate
+         |      min_tokens: 20
+         |      max_tokens: 200
+         |    - op: sample
+         |      rates: {en: 5}
+         |      default_num: 8
+         |      den: 10
+         |""".stripMargin
+    val cfg = EngineConfig.fromAnyYaml(yaml)
+    assert(cfg.pipeline.isDefined && cfg.jobs.isEmpty)
+    assert(cfg.pipeline.get.stages.map(_.op) ==
+      Seq("dedup", "quality_gate", "sample"))
+    val got = CurationPipeline.run(spark, cfg.pipeline.get)
+      .select("doc_id", "lang", "n_tok").orderBy("doc_id")
+      .collect().toSeq
+    // hand-composed: the exact q_corpus_pipeline body (SparkEntry)
+    import graft.operators.{Dedup, Sampling, TextAnalysis}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val deduped = Dedup.keepCanonical(docs,
+      Dedup.jaccardPairs(docs, tau = 0.3))
+    val gated = deduped
+      .withColumn("norm_text", TextAnalysis.normalize(col("text")))
+      .withColumn("n_tok",
+        size(split(col("norm_text"), " ")).cast("long"))
+      .filter(col("n_tok").between(20, 200))
+    val want = Sampling.stratifiedSample(gated, col("doc_id"), col("lang"),
+        rates = Map("en" -> 5), defaultNum = 8, den = 10)
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("pipeline stages: exact_dedup / blocklist / quantile_filter / " +
+       "pack each match their operator called directly") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.CurationPipeline.{Stage, applyStage}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    // exact_dedup keeps the min-id copy per distinct text
+    val ed = applyStage(docs, Stage("exact_dedup", Map.empty))
+    val wantIds = graft.operators.Dedup.exact(docs, "text", "doc_id")
+      .select(col("keep_id")).orderBy("keep_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ed.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq == wantIds)
+    // blocklist drops every doc containing a pattern
+    val pats = new java.util.ArrayList[String]()
+    pats.add("table"); pats.add("spark")
+    val bl = applyStage(docs,
+      Stage("blocklist", Map("patterns" -> pats)))
+    assert(bl.filter(col("text").contains("table") ||
+      col("text").contains("spark")).count() == 0)
+    assert(bl.count() > 0 && bl.count() < docs.count())
+    // quantile_filter == topFractionByGroup directly
+    val qf = applyStage(docs, Stage("quantile_filter",
+      Map("score" -> "n_chars", "num" -> "7", "den" -> "10")))
+    val wantQf = graft.operators.Sampling.topFractionByGroup(docs,
+        col("lang"), col("n_chars"), col("doc_id"), num = 7, den = 10)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(qf.select("doc_id").orderBy("doc_id")
+      .collect().toSeq == wantQf)
+    // pack emits the packShards manifest
+    val pk = applyStage(docs, Stage("pack",
+      Map("shards" -> "4", "budget" -> "1024")))
+    val wantPk = graft.operators.Curation.packShards(docs, col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), 4, 1024L)
+      .orderBy("doc_id").collect().toSeq
+    assert(pk.orderBy("doc_id").collect().toSeq == wantPk)
+    // unknown op fails loud with the known-op list
+    val e = intercept[IllegalArgumentException] {
+      applyStage(docs, Stage("nope", Map.empty))
+    }
+    assert(e.getMessage.contains("known:"))
+  }
 }
