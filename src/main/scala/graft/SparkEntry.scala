@@ -913,6 +913,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- unigram-LM (SentencePiece-family) tokenizer TRAINING (new
+    //      r10): over-complete substring seed -> 2 hard-EM (Viterbi)
+    //      iterations -> prune to vocabSize + alphabet. Corpus touched
+    //      once (word-frequency agg); the EM loop iterates the
+    //      vocab-bounded table with one vocab collect per iteration
+    //      (the BPE pattern). Oracle unrolls every iteration as CTEs,
+    //      enumerating ALL segmentations per word recursively and
+    //      picking the engine's exact Viterbi tie-break
+    //      (cost, ntok, longest-token-first) ----
+    "q_unigram_lm" -> ((s, dir) => {
+      graft.operators.Unigram.train(t(s, dir, "documents"), vocabSize = 60)
+        .orderBy(col("token"))
+    }),
+
+    // ---- unigram-LM fertility per language — the side-by-side row
+    //      for q_bpe_fertility (same output shape), the tokenizer-
+    //      family comparison a pipeline runs before freezing a vocab ----
+    "q_unigram_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Unigram.fertility(docs,
+          graft.operators.Unigram.train(docs, vocabSize = 60), col("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- DSIR importance scoring: hashed-unigram multinomial
     //      log-ratio weights (target = lang 'en' vs the rest), bucket
     //      table broadcast, micro-nat integer fold per doc ----
@@ -2811,6 +2835,106 @@ object SparkEntry {
     * the hashed-key plan is output-identical (xxhash64 postings are
     * an internal shuffle compression, not a contract change).
     */
+  /** Unigram-LM training unrolled as CTEs (q_unigram_lm /
+    * q_unigram_fertility): word freq -> substring seed (top-150 +
+    * alphabet) -> micro-nat costs -> 2 hard-EM iterations, each a
+    * RECURSIVE enumeration of every segmentation per word with the
+    * engine's exact Viterbi tie-break (cost, ntok, longest-token-first
+    * via `list_transform(path, x -> -len(x))` ordering) -> prune to
+    * top-60 + alphabet -> final costs. Selection branches use
+    * UNION ALL with an explicit NOT IN disjointness guard (NOT plain
+    * UNION): under WITH RECURSIVE DuckDB skips UNION dedup for
+    * branches holding an ORDER/LIMIT subquery, which silently
+    * duplicated alphabet rows and inflated every cost total.
+    */
+  private val unigramCte: String =
+    """WITH RECURSIVE
+      |wf AS (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |seed0 AS (
+      |  SELECT token, CAST(sum(f) AS BIGINT) AS cnt FROM (
+      |    SELECT freq AS f,
+      |      unnest(flatten(list_transform(range(1, least(4, len(word)) + 1),
+      |        l -> list_transform(range(1, len(word) - l + 2),
+      |          s -> substring(word, s, l))))) AS token
+      |    FROM wf) GROUP BY token),
+      |chars AS (SELECT DISTINCT token FROM seed0 WHERE len(token) = 1),
+      |top0 AS (
+      |  SELECT token, cnt FROM seed0 ORDER BY cnt DESC, token LIMIT 150),
+      |v0c AS (
+      |  SELECT token, cnt FROM top0
+      |  UNION ALL
+      |  SELECT token, cnt FROM seed0
+      |  WHERE token IN (SELECT token FROM chars)
+      |    AND token NOT IN (SELECT token FROM top0)),
+      |v0 AS (
+      |  SELECT token, cnt, CAST(floor(-1000000.0 * ln(CAST(cnt AS DOUBLE) /
+      |    CAST((SELECT sum(cnt) FROM v0c) AS DOUBLE)) + 0.5) AS BIGINT)
+      |    AS cost
+      |  FROM v0c),
+      |seg1(word, pos, path, c, ntok) AS (
+      |  SELECT word, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT), 0 FROM wf
+      |  UNION ALL
+      |  SELECT s.word, s.pos + len(v.token), list_append(s.path, v.token),
+      |         s.c + v.cost, s.ntok + 1
+      |  FROM seg1 s JOIN v0 v
+      |    ON substring(s.word, s.pos + 1, len(v.token)) = v.token),
+      |best1 AS (
+      |  SELECT word, path FROM (
+      |    SELECT word, path, row_number() OVER (PARTITION BY word
+      |      ORDER BY c, ntok, list_transform(path, x -> -len(x))) AS rn
+      |    FROM seg1 WHERE pos = len(word)) WHERE rn = 1),
+      |use1 AS (
+      |  SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT wf.freq, unnest(b.path) AS token
+      |    FROM best1 b JOIN wf USING (word)) GROUP BY token),
+      |u1 AS (
+      |  SELECT token, cnt FROM use1
+      |  UNION ALL
+      |  SELECT token, CAST(1 AS BIGINT) FROM chars
+      |  WHERE token NOT IN (SELECT token FROM use1)),
+      |v1 AS (
+      |  SELECT token, cnt, CAST(floor(-1000000.0 * ln(CAST(cnt AS DOUBLE) /
+      |    CAST((SELECT sum(cnt) FROM u1) AS DOUBLE)) + 0.5) AS BIGINT)
+      |    AS cost
+      |  FROM u1),
+      |seg2(word, pos, path, c, ntok) AS (
+      |  SELECT word, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT), 0 FROM wf
+      |  UNION ALL
+      |  SELECT s.word, s.pos + len(v.token), list_append(s.path, v.token),
+      |         s.c + v.cost, s.ntok + 1
+      |  FROM seg2 s JOIN v1 v
+      |    ON substring(s.word, s.pos + 1, len(v.token)) = v.token),
+      |best2 AS (
+      |  SELECT word, path FROM (
+      |    SELECT word, path, row_number() OVER (PARTITION BY word
+      |      ORDER BY c, ntok, list_transform(path, x -> -len(x))) AS rn
+      |    FROM seg2 WHERE pos = len(word)) WHERE rn = 1),
+      |use2 AS (
+      |  SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT wf.freq, unnest(b.path) AS token
+      |    FROM best2 b JOIN wf USING (word)) GROUP BY token),
+      |u2 AS (
+      |  SELECT token, cnt FROM use2
+      |  UNION ALL
+      |  SELECT token, CAST(1 AS BIGINT) FROM chars
+      |  WHERE token NOT IN (SELECT token FROM use2)),
+      |top2 AS (
+      |  SELECT token, cnt FROM u2 ORDER BY cnt DESC, token LIMIT 60),
+      |kept AS (
+      |  SELECT token, cnt FROM top2
+      |  UNION ALL
+      |  SELECT token, cnt FROM u2
+      |  WHERE token IN (SELECT token FROM chars)
+      |    AND token NOT IN (SELECT token FROM top2)),
+      |vf AS (
+      |  SELECT token, cnt, CAST(floor(-1000000.0 * ln(CAST(cnt AS DOUBLE) /
+      |    CAST((SELECT sum(cnt) FROM kept) AS DOUBLE)) + 0.5) AS BIGINT)
+      |    AS cost
+      |  FROM kept)""".stripMargin
+
   private val spanDecontamSql: String =
     """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -6194,6 +6318,36 @@ object SparkEntry {
         |    WHEN n_han >= n_kana THEN 'zh'
         |    ELSE 'ja' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_lm" ->
+      s"""$unigramCte
+         |SELECT token, cnt, cost FROM vf ORDER BY token""".stripMargin,
+
+    "q_unigram_fertility" ->
+      s"""$unigramCte,
+         |segf(word, pos, path, c, ntok) AS (
+         |  SELECT word, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT), 0
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT s.word, s.pos + len(v.token), list_append(s.path, v.token),
+         |         s.c + v.cost, s.ntok + 1
+         |  FROM segf s JOIN vf v
+         |    ON substring(s.word, s.pos + 1, len(v.token)) = v.token),
+         |bestf AS (
+         |  SELECT word, path FROM (
+         |    SELECT word, path, row_number() OVER (PARTITION BY word
+         |      ORDER BY c, ntok, list_transform(path, x -> -len(x))) AS rn
+         |    FROM segf WHERE pos = len(word)) WHERE rn = 1)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(coalesce(ns.n_sub, len(word))) AS BIGINT)
+         |    AS n_unigram_tokens
+         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |      FROM documents) d
+         |LEFT JOIN (SELECT word, len(path) AS n_sub FROM bestf) ns
+         |  USING (word)
+         |WHERE len(word) > 0
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_quality" ->
       """WITH x AS (
