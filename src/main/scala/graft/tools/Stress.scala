@@ -557,14 +557,65 @@ object Stress {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
       .localCheckpoint(true)
     println(s"customers: ${cust.count()}")
+    // A/B: the r10 cheap gates (length pre-filter + thresholded 3-arg
+    // levenshtein, output-invariant — DedupSpec law) vs the ungated
+    // full-DP form they replaced. Interleaved reps so one contention
+    // window can't poison a side.
+    def ungated(): org.apache.spark.sql.DataFrame = {
+      val a = cust.select(substring(col("c_name"), 1, 16).as("blk"),
+        col("c_custkey").as("d1"), col("c_name").as("n1"))
+      val b = cust.select(substring(col("c_name"), 1, 16).as("blk"),
+        col("c_custkey").as("d2"), col("c_name").as("n2"))
+      graft.operators.Dedup.connectedComponents(a.join(b, Seq("blk"))
+        .filter(col("d1") < col("d2") &&
+          levenshtein(col("n1"), col("n2")) <= 1))
+    }
     for (rep <- 1 to 2) {
-      val t0 = System.nanoTime()
+      var t0 = System.nanoTime()
       val comps = graft.operators.Dedup.fuzzyRecordClusters(cust,
           col("c_custkey"), col("c_name"),
           substring(col("c_name"), 1, 16), maxDist = 1)
         .agg(count(lit(1)), countDistinct(col("component"))).collect()(0)
-      println(f"entity rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+      println(f"entity gated   rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  (${comps.getLong(0)} nodes, ${comps.getLong(1)} components)")
+      t0 = System.nanoTime()
+      val u = ungated()
+        .agg(count(lit(1)), countDistinct(col("component"))).collect()(0)
+      println(f"entity ungated rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${u.getLong(0)} nodes, ${u.getLong(1)} components)")
+    }
+    // variable-length names (the real-web regime the length pre-gate
+    // exists for: TPC-H c_name is fixed-width, so above it never
+    // fires): pad each name by custkey%8 chars — most within-block
+    // pairs now differ in length by >1 and skip the DP entirely
+    val vcust = cust.select(col("c_custkey"),
+        concat(col("c_name"),
+          substring(lit("xxxxxxxx"), lit(1), (col("c_custkey") % 8)
+            .cast("int"))).as("c_name"))
+      .localCheckpoint(true)
+    def vgated() = graft.operators.Dedup.fuzzyRecordClusters(vcust,
+      col("c_custkey"), col("c_name"),
+      substring(col("c_name"), 1, 16), maxDist = 1)
+    def vungated() = {
+      val a = vcust.select(substring(col("c_name"), 1, 16).as("blk"),
+        col("c_custkey").as("d1"), col("c_name").as("n1"))
+      val b = vcust.select(substring(col("c_name"), 1, 16).as("blk"),
+        col("c_custkey").as("d2"), col("c_name").as("n2"))
+      graft.operators.Dedup.connectedComponents(a.join(b, Seq("blk"))
+        .filter(col("d1") < col("d2") &&
+          levenshtein(col("n1"), col("n2")) <= 1))
+    }
+    for (rep <- 1 to 2) {
+      var t0 = System.nanoTime()
+      val g = vgated()
+        .agg(count(lit(1)), countDistinct(col("component"))).collect()(0)
+      println(f"varlen gated   rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${g.getLong(0)} nodes, ${g.getLong(1)} components)")
+      t0 = System.nanoTime()
+      val u = vungated()
+        .agg(count(lit(1)), countDistinct(col("component"))).collect()(0)
+      println(f"varlen ungated rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${u.getLong(0)} nodes, ${u.getLong(1)} components)")
     }
   }
 
