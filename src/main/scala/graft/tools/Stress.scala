@@ -50,6 +50,14 @@ object Stress {
       entity(spark, sfDir)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-unigram")) {
+      unigram(spark, sfDir)
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("-tokencjk")) {
+      tokenCjk(spark, sfDir)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-semtiers")) {
       semTiers(spark, sfDir)
       spark.stop(); return
@@ -616,6 +624,48 @@ object Stress {
         .agg(count(lit(1)), countDistinct(col("component"))).collect()(0)
       println(f"varlen ungated rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  (${u.getLong(0)} nodes, ${u.getLong(1)} components)")
+    }
+  }
+
+  /** Unigram-LM training wall at corpus scale: the claim under test is
+    * that the corpus enters ONCE (the word-frequency aggregation) and
+    * the EM loop is vocab-bounded — so 10x docs should cost roughly
+    * one extra word-count pass, not 10x the loop.
+    */
+  def unigram(spark: org.apache.spark.sql.SparkSession,
+              sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .localCheckpoint(true)
+    val nWords = graft.operators.Bpe.wordFreq(docs).count()
+    println(s"docs: ${docs.count()}  distinct words: $nWords")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val v = graft.operators.Unigram.train(docs, vocabSize = 60)
+        .agg(count(lit(1)), sum(col("cnt"))).collect()(0)
+      println(f"unigram rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${v.getLong(0)} tokens, mass ${v.getLong(1)})")
+    }
+  }
+
+  /** Script-aware tokenization + langid throughput at corpus scale:
+    * one regexp explode + one hash aggregation — the q_langid shape
+    * with the char-level CJK fallback on a mixed-script corpus.
+    */
+  def tokenCjk(spark: org.apache.spark.sql.SparkSession,
+               sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.operators.TextAnalysis
+      .syntheticMixedDocs(spark, sfDir).localCheckpoint(true)
+    println(s"mixed-script docs: ${docs.count()}")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val v = graft.operators.TextAnalysis.scriptTokenProfile(docs)
+        .agg(count(lit(1)), sum(col("n_tokens")), sum(col("n_han")),
+          sum(col("n_kana"))).collect()(0)
+      println(f"tokencjk rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${v.getLong(0)} docs, ${v.getLong(1)} tokens, " +
+        f"${v.getLong(2)} han, ${v.getLong(3)} kana)")
     }
   }
 
