@@ -65,8 +65,9 @@ object Bpe {
     * `split(text, " ")` mirrors the corpus' single-space convention
     * (TextAnalysis.tokens); empty tokens dropped.
     */
-  def wordFreq(docs: DataFrame): DataFrame =
-    docs.select(explode(split(col("text"), " ")).as("word"))
+  def wordFreq(docs: DataFrame, scriptAware: Boolean = false): DataFrame =
+    docs.select(explode(
+        TextAnalysis.tokens(col("text"), scriptAware)).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
@@ -96,10 +97,11 @@ object Bpe {
     * training minus the counting: one distinct-words pass, then k
     * narrow rewrites of the vocab-bounded table.
     */
-  def applyMerges(docs: DataFrame,
-                  merges: Seq[(String, String)]): DataFrame = {
+  def applyMerges(docs: DataFrame, merges: Seq[(String, String)],
+                  scriptAware: Boolean = false): DataFrame = {
     var vocab = docs
-      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(
+        TextAnalysis.tokens(col("text"), scriptAware)).as("word"))
       .filter(length(col("word")) > 0).distinct()
       .select(col("word"), split(col("word"), "").as("syms"))
       .localCheckpoint(true)
@@ -119,11 +121,12 @@ object Bpe {
     * Stops early if no adjacent pair remains (every word collapsed to
     * one symbol); the merge table then has fewer than `iters` rows.
     */
-  def trainMerges(docs: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+  def trainMerges(docs: DataFrame, iters: Int,
+                  scriptAware: Boolean = false): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     // initial symbols: one per character. Spark's split(s, "") yields
     // the character array with no trailing empty element.
-    var vocab = wordFreq(docs)
+    var vocab = wordFreq(docs, scriptAware)
       .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -165,8 +168,9 @@ object Bpe {
     * same two-exchange shape as any word-count. OOV words (never seen
     * in training) count their characters.
     */
-  def encode(docs: DataFrame, segmentation: DataFrame): DataFrame =
-    encodedWords(docs, segmentation, col("doc_id"), "doc_id")
+  def encode(docs: DataFrame, segmentation: DataFrame,
+             scriptAware: Boolean = false): DataFrame =
+    encodedWords(docs, segmentation, col("doc_id"), "doc_id", scriptAware)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_sub"), length(col("word"))))
@@ -179,11 +183,12 @@ object Bpe {
     * fall back to character counts via coalesce.
     */
   private def encodedWords(docs: DataFrame, segmentation: DataFrame,
-                           keyCol: Column, keyName: String): DataFrame = {
+                           keyCol: Column, keyName: String,
+                           scriptAware: Boolean = false): DataFrame = {
     val seg = segmentation
       .select(col("word"), size(col("syms")).as("n_sub"))
     docs.select(keyCol.as(keyName),
-        explode(split(col("text"), " ")).as("word"))
+        explode(TextAnalysis.tokens(col("text"), scriptAware)).as("word"))
       .filter(length(col("word")) > 0)
       .join(broadcast(seg), Seq("word"), "left")
   }
@@ -198,8 +203,9 @@ object Bpe {
     * aggregation whose output is |groups| rows.
     */
   def fertility(docs: DataFrame, segmentation: DataFrame,
-                groupCol: Column, keyName: String = "lang"): DataFrame =
-    encodedWords(docs, segmentation, groupCol, keyName)
+                groupCol: Column, keyName: String = "lang",
+                scriptAware: Boolean = false): DataFrame =
+    encodedWords(docs, segmentation, groupCol, keyName, scriptAware)
       .groupBy(col(keyName))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word")).cast("long")).as("n_chars"),

@@ -364,10 +364,11 @@ object TextAnalysis {
     * stopword hits together; `n_chars` rides along from the source row.
     * Same values as `qualityFeatures`.
     */
-  def qualityPosting(docs: DataFrame): DataFrame = {
+  def qualityPosting(docs: DataFrame,
+                     scriptAware: Boolean = false): DataFrame = {
     val tok = graft.engine.Spread(docs)
       .select(col("doc_id"), length(col("text")).as("n_chars_t"),
-        explode(tokens(col("text"))).as("w"))
+        explode(tokens(col("text"), scriptAware)).as("w"))
     val stop = Seq("a", "the", "of", "and", "to", "in")
     tok.groupBy(col("doc_id"))
       .agg(
@@ -587,8 +588,9 @@ object TextAnalysis {
     * join on the token key (Zipf-skewed — AQE skew-split applies) and
     * the LM table Zipf-truncates like any n-gram LM.
     */
-  def lmPerplexity(docs: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
+  def lmPerplexity(docs: DataFrame,
+                   scriptAware: Boolean = false): DataFrame = {
+    val ws = tokens(col("text"), scriptAware)
     val pairs = graft.engine.Spread(docs).select(col("doc_id"),
         explode(zip_with(
           slice(ws, lit(1), size(ws) - 1),
@@ -596,7 +598,8 @@ object TextAnalysis {
           (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       .repartition(col("a"), col("b"))
-    val uni = docs.select(explode(tokens(col("text"))).as("tokw"))
+    val uni = docs.select(
+      explode(tokens(col("text"), scriptAware)).as("tokw"))
       .groupBy(col("tokw")).agg(count(lit(1)).as("cu"))
       .localCheckpoint(true) // feeds the total + both unigram probes
     val tot = uni.agg(sum(col("cu")).as("t"))
@@ -684,9 +687,11 @@ object TextAnalysis {
     * streaming aggregation, no joins; at 100 TB this is the cheapest
     * quality column after plain length stats.
     */
-  def tokenEntropy(docs: DataFrame): DataFrame =
+  def tokenEntropy(docs: DataFrame,
+                   scriptAware: Boolean = false): DataFrame =
     graft.engine.Spread(docs)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"),
+        explode(tokens(col("text"), scriptAware)).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(

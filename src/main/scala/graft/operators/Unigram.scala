@@ -88,10 +88,11 @@ object Unigram {
     * the last estimation.
     */
   def train(docs: DataFrame, vocabSize: Int, seedMaxLen: Int = 4,
-            seedSize: Int = 150, emIters: Int = 2): DataFrame = {
+            seedSize: Int = 150, emIters: Int = 2,
+            scriptAware: Boolean = false): DataFrame = {
     require(vocabSize > 0 && seedSize >= vocabSize && emIters >= 0,
       s"need 0 < vocabSize <= seedSize, got $vocabSize/$seedSize")
-    val wf = Bpe.wordFreq(docs).localCheckpoint(true)
+    val wf = Bpe.wordFreq(docs, scriptAware).localCheckpoint(true)
     val chars = alphabet(wf)
     val seed0 = seedCounts(wf, seedMaxLen).localCheckpoint(true)
     // seed selection: top-seedSize substrings by mass, plus the
@@ -132,15 +133,17 @@ object Unigram {
     * broadcast word-join + one aggregation.
     */
   def fertility(docs: DataFrame, vocab: DataFrame, groupCol: Column,
-                keyName: String = "lang"): DataFrame = {
+                keyName: String = "lang",
+                scriptAware: Boolean = false): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"), scriptAware)
     val nsub = segmented(
-        docs.select(explode(split(col("text"), " ")).as("word"))
+        docs.select(explode(toks).as("word"))
           .filter(length(col("word")) > 0).distinct()
           .withColumn("freq", lit(1L)),
         vocab)
       .select(col("word"), size(col("segs")).as("n_sub"))
     docs.select(groupCol.as(keyName),
-        explode(split(col("text"), " ")).as("word"))
+        explode(toks).as("word"))
       .filter(length(col("word")) > 0)
       .join(broadcast(nsub), Seq("word"), "left")
       .groupBy(col(keyName))

@@ -281,6 +281,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3) == ((7L, 3L, 5L, 0L, "zh")))
   }
 
+  test("scriptAware threading is default-off everywhere: BPE / unigram / " +
+       "LM-perplexity / quality / entropy give byte-identical results " +
+       "with the flag on over the single-spaced ASCII corpus") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    assert(rows(Bpe.wordFreq(docs)) == rows(Bpe.wordFreq(docs,
+      scriptAware = true)))
+    assert(rows(Unigram.train(docs, vocabSize = 60)) ==
+      rows(Unigram.train(docs, vocabSize = 60, scriptAware = true)))
+    assert(rows(TextAnalysis.lmPerplexity(docs)) ==
+      rows(TextAnalysis.lmPerplexity(docs, scriptAware = true)))
+    assert(rows(TextAnalysis.qualityPosting(docs)) ==
+      rows(TextAnalysis.qualityPosting(docs, scriptAware = true)))
+    assert(rows(TextAnalysis.tokenEntropy(docs)) ==
+      rows(TextAnalysis.tokenEntropy(docs, scriptAware = true)))
+  }
+
+  test("scriptAware BPE on a mixed-script corpus: an unsegmented CJK run " +
+       "contributes per-char words (not one opaque blob-word)") {
+    val docs = Seq((1L, "中文中文 data data"), (2L, "中文 data")).toDF("doc_id", "text")
+    val naive = Bpe.wordFreq(docs).orderBy("word")
+      .as[(String, Long)].collect().toSeq
+    val aware = Bpe.wordFreq(docs, scriptAware = true).orderBy("word")
+      .as[(String, Long)].collect().toSeq
+    // naive: the whole run is one "word"
+    assert(naive.contains(("中文中文", 1L)))
+    // aware: each char is a word with its true frequency
+    assert(aware == Seq(("data", 3L), ("中", 3L), ("文", 3L)))
+  }
+
   test("syntheticMixedDocs is deterministic and class-shaped: cls-1 docs " +
        "have no spaces, cls-2 docs carry both scripts") {
     val d1 = TextAnalysis.syntheticMixedDocs(spark, sf())
