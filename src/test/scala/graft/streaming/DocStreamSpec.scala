@@ -200,6 +200,74 @@ class DocStreamSpec extends SparkSpec {
     assert(manifests.toSet == batchManifest)
   }
 
+  test("ingest resume: a restarted query with a durable stateDir sees " +
+       "the prior run's admissions — a day-1 duplicate arriving after " +
+       "restart is rejected exactly as it would be in-stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val corpus0 = docs.filter(col("doc_id") < 450)
+    val evalSet = docs.filter(col("doc_id") < 20)
+    def tuples(df: DataFrame): Seq[(Long, String, String, String, Long)] = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_ingest_resume").toString
+    def run(batch: DataFrame): Set[Long] = {
+      val mem = MemoryStream[(Long, String, String, String, Long)]
+      val stream = mem.toDF()
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ids = scala.collection.mutable.Set.empty[Long]
+      val q = DocStream.ingestPipeline(stream, corpus0, evalSet,
+          shards = 4, budget = 256L, minShared = 20,
+          stateDir = Some(state)) { packed =>
+        ids.synchronized {
+          ids ++= packed.select("doc_id").collect().map(_.getLong(0))
+        }
+      }
+      mem.addData(tuples(batch): _*)
+      q.processAllAvailable()
+      q.stop()
+      ids.toSet
+    }
+    // run 1: day 1 admits (450-475)
+    val day1 = docs.filter(col("doc_id") >= 450 && col("doc_id") < 475)
+    val ids1 = run(day1)
+    assert(ids1.nonEmpty)
+    // run 2 (RESTARTED query, same stateDir): replay day 1's rows with
+    // new ids — every one is a duplicate of a stored admission and must
+    // be rejected; genuinely-new docs still admit
+    val day2 = day1.withColumn("doc_id", col("doc_id") + 10000)
+      .unionByName(docs.filter(col("doc_id") >= 475 &&
+        col("doc_id") < 490))
+    val ids2 = run(day2)
+    assert(ids2.forall(_ < 10000), s"replayed duplicates admitted: " +
+      s"${ids2.filter(_ >= 10000)}")
+    assert(ids2.nonEmpty)
+    // and a fresh stateDir does NOT reject them (the resume really came
+    // from the store, not from the seed corpus)
+    val stateB = java.nio.file.Files
+      .createTempDirectory("graft_ingest_resume_b").toString
+    val mem3 = MemoryStream[(Long, String, String, String, Long)]
+    val stream3 = mem3.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ids3 = scala.collection.mutable.Set.empty[Long]
+    val q3 = DocStream.ingestPipeline(stream3, corpus0, evalSet,
+        shards = 4, budget = 256L, minShared = 20,
+        stateDir = Some(stateB)) { packed =>
+      ids3.synchronized {
+        ids3 ++= packed.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    mem3.addData(tuples(day1.withColumn("doc_id",
+      col("doc_id") + 10000)): _*)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(ids3.exists(_ >= 10000))
+  }
+
   test("incremental packing: shard offsets continue across micro-batches " +
        "(already-emitted bins never move)") {
     import spark.implicits._
