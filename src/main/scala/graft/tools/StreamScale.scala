@@ -161,12 +161,15 @@ object StreamScale {
       }
     }
     val perDay = math.max(1L, (n - cut) / days)
-    (0 until days).foreach { i =>
+    val embBatchSecs = (0 until days).map { i =>
       val lo = cut + i * perDay
       val hi = if (i == days - 1) n else math.min(n, lo + perDay)
-      mem.addData(all.filter(col("vec_id") >= lo && col("vec_id") < hi)
-        .as[(Long, Array[Float], Int)].collect().toSeq: _*)
+      val rows = all.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .as[(Long, Array[Float], Int)].collect().toSeq
+      val tb = System.nanoTime()
+      mem.addData(rows: _*)
       inc.query.processAllAvailable()
+      (System.nanoTime() - tb) / 1e9
     }
     inc.query.stop()
     val streamSec = (System.nanoTime() - t0) / 1e9
@@ -195,6 +198,7 @@ object StreamScale {
     println(s"""{"metric":"stream_embdedup","rows":${want.size},""" +
       s""""merged":$merged,"days":$days,"match":$ok,""" +
       s""""stream_sec":${f1(streamSec)},"batch_sec":${f1(batchSec)},""" +
+      s""""per_batch_sec":[${embBatchSecs.map(f1).mkString(",")}],""" +
       s""""sf":"$sfDir"}""")
     if (!ok) sys.exit(1)
   }
