@@ -59,20 +59,23 @@ object CurationPipeline {
                           stages: Seq[Stage], target: String)
 
   val KnownOps: Seq[String] = Seq("exact_dedup", "dedup", "quality_gate",
-    "blocklist", "quantile_filter", "sample", "pack")
+    "blocklist", "quantile_filter", "langid_filter", "decontaminate",
+    "sample", "pack")
 
   /** Read the source and fold the stages left-to-right. */
   def run(spark: SparkSession, cfg: Config): DataFrame = {
     val src = Readers.read(spark,
       JobSpec(source = cfg.source, target = cfg.target, format = cfg.format))
-    cfg.stages.foldLeft(src)(applyStage)
+    cfg.stages.foldLeft(src)((df, st) => applyStage(df, st, Some(spark)))
   }
 
   /** One stage — each arm is the same call the oracle-gated query for
     * that operator makes (stage semantics and scale shape documented at
-    * the operator).
+    * the operator). `spark` is needed only by stages that read a second
+    * input (decontaminate's eval set).
     */
-  def applyStage(df: DataFrame, st: Stage): DataFrame = st.op match {
+  def applyStage(df: DataFrame, st: Stage,
+                 spark: Option[SparkSession] = None): DataFrame = st.op match {
     case "exact_dedup" =>
       // keep the min-id copy per distinct key value (md5 map-side in
       // Dedup.exact; only (key, id) crosses the exchange)
@@ -110,6 +113,34 @@ object CurationPipeline {
         col(st.str("group", "lang")), col(st.need("score")),
         col(st.str("id", "doc_id")),
         num = st.int("num", 7), den = st.int("den", 10))
+    case "langid_filter" =>
+      // keep docs whose PREDICTED language is in the allow list (the
+      // heuristic langid screen a multilingual corpus runs up front);
+      // one posting pass + a narrow semi-join back
+      val keepLangs = st.params.get("keep") match {
+        case Some(l: java.util.List[_]) =>
+          import scala.jdk.CollectionConverters._
+          l.asScala.toSeq.map(_.toString)
+        case _ => throw new IllegalArgumentException(
+          "pipeline stage 'langid_filter' needs a 'keep' language list")
+      }
+      val id = st.str("id", "doc_id")
+      val keep = graft.operators.TextAnalysis.langIdPosting(df)
+        .filter(col("lang_pred").isin(keepLangs: _*))
+        .select(col("doc_id").as(id))
+      df.join(keep, Seq(id), "left_semi")
+    case "decontaminate" =>
+      // drop docs sharing >= min_shared shingles with the eval set —
+      // the pre-training split-leakage screen; eval side broadcasts,
+      // the corpus streams (Dedup.contamination's contract)
+      val sp = spark.getOrElse(df.sparkSession)
+      val evalSet = Readers.read(sp,
+        JobSpec(source = st.need("eval_source"), target = "eval"))
+      val id = st.str("id", "doc_id")
+      val flagged = graft.operators.Dedup.contamination(df, evalSet,
+          k = st.int("k", 3), minShared = st.long("min_shared", 2L))
+        .select(col("doc_id").as(id)).distinct()
+      df.join(flagged, Seq(id), "left_anti")
     case "sample" =>
       val rates = st.params.get("rates") match {
         case Some(m: java.util.Map[_, _]) =>

@@ -196,4 +196,41 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("known:"))
   }
+
+  test("pipeline stages: langid_filter and decontaminate match their " +
+       "operators called directly") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.CurationPipeline.{Stage, applyStage}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    // langid_filter: keep docs predicted en or de (inline corpus with
+    // unambiguous stopword signatures — the sf corpus predicts en
+    // everywhere, which would make the screen a no-op)
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "the cat of the hat and a bat"),
+      (2L, "el perro de la casa y que"),
+      (3L, "der hund und die katze das ist"),
+      (4L, "le chien et la maison de un")).toDF("doc_id", "text")
+    val langs = new java.util.ArrayList[String]()
+    langs.add("en"); langs.add("de")
+    val lf = applyStage(mixed, Stage("langid_filter", Map("keep" -> langs)))
+    assert(lf.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // decontaminate: a doc-slice eval set flags its own docs out
+    val evalDir = java.nio.file.Files
+      .createTempDirectory("graft_evalset").toString + "/eval.parquet"
+    docs.filter(col("doc_id") < 25).write.parquet(evalDir)
+    val dc = applyStage(docs, Stage("decontaminate",
+      Map("eval_source" -> evalDir, "min_shared" -> "20")),
+      Some(spark))
+    val wantDc = {
+      val flagged = graft.operators.Dedup.contamination(docs,
+          spark.read.parquet(evalDir), minShared = 20)
+        .select("doc_id").distinct()
+      docs.join(flagged, Seq("doc_id"), "left_anti")
+    }
+    assert(dc.select("doc_id").orderBy("doc_id").collect().toSeq ==
+      wantDc.select("doc_id").orderBy("doc_id").collect().toSeq)
+    assert(dc.count() > 0 && dc.count() < docs.count())
+  }
 }
