@@ -61,9 +61,13 @@ object EmbStream {
 
   /** `baseline` is the stored corpus' canonical table (vec_id, cent_id,
     * canonical) the sink's deltas apply on top of; `query` is the
-    * running stream.
+    * running stream. `compact` folds the accumulated merges into the
+    * canon store (rewrite base = resolved, clear the merge map — the
+    * LSM compaction step); call it only while the stream is quiescent
+    * (between micro-batches / after stop). Returns rows rewritten.
     */
-  final case class Incremental(baseline: DataFrame, query: StreamingQuery)
+  final case class Incremental(baseline: DataFrame, query: StreamingQuery,
+                               compact: () => Long = () => 0L)
 
   /** Continuous incremental semantic dedup (see object doc). `sink`
     * receives one delta frame per micro-batch: (vec_id, cent_id,
@@ -257,6 +261,37 @@ object EmbStream {
         sink(delta)
       }
       .start()
-    Incremental(baseline, query)
+
+    // LSM compaction: rewrite the canon store with every merge folded
+    // in (ONE pass over the store, amortizable every K batches), then
+    // clear the merge map — post-compact, base_canon IS current, so
+    // per-batch resolution joins see an empty map until the next merge.
+    // Quiescent-only by contract (no batch may be mid-flight).
+    def compact(): Long = {
+      import spark0.implicits._
+      if (merge.isEmpty) return 0L
+      val mergeDf = broadcast(merge.toSeq.toDF("base_canon", "cur"))
+      val resolved = canonAll
+        .join(mergeDf, Seq("base_canon"), "left")
+        .select(col("vec_id"), col("cent_id"),
+          coalesce(col("cur"), col("base_canon")).as("base_canon"))
+      val tmp = root.resolve("canon_compact_tmp")
+      resolved.select(canonSchema.fieldNames.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val n = spark0.read.schema(canonSchema).parquet(tmp.toString).count()
+      // swap: drop the old generations, move tmp in as the new base
+      def deleteRec(p: java.nio.file.Path): Unit = {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
+      subdirs(canonRoot).foreach(d => deleteRec(Paths.get(d)))
+      Files.move(tmp, canonRoot.resolve("b0_compacted_" +
+        System.nanoTime()))
+      merge.clear()
+      n
+    }
+    Incremental(baseline, query, () => compact())
   }
 }

@@ -107,6 +107,55 @@ class EmbStreamSpec extends SparkSpec {
         s"one, got $delta")
   }
 
+  test("compaction between batches is invisible to the law: " +
+       "baseline+deltas still equals batch over the union, and a " +
+       "post-compact batch resolves through the rewritten store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // bridge fixture: stored 0 at 0° and 1 at 36° are separate
+    // components; the batch-1 vector 2 at 18° bridges them, moving
+    // stored 1's canonical to 0 — the only event the merge map records
+    val corpus = vecsDf(Seq(
+      (0L, Array(1000f, 0f, 0f, 0f), 0),
+      (1L, Array(809f, 588f, 0f, 0f), 1)))
+    val b1 = Seq((2L, Array(951f, 309f, 0f, 0f), 2))
+    // batch 2, post-compact: 3 at 40° pairs with stored 1 (cos≈0.998);
+    // with the merge map cleared, its canonical 0 can only come from
+    // the REWRITTEN base_canon in the compacted store
+    val b2 = Seq((3L, Array(766f, 643f, 0f, 0f), 3))
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+    val deltas =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long)]]
+    val inc = EmbStream.semanticDedupIncremental(stream, corpus,
+        nlist = 1, iters = 2, tauNum = 9, tauDen = 10) { d =>
+      deltas.synchronized {
+        deltas += d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+    }
+    mem.addData(b1: _*)
+    inc.query.processAllAvailable()
+    // the bridge moved stored 1's canonical -> compaction rewrites the
+    // whole canon store (3 rows) with the merge folded in
+    assert(inc.compact() == 3L)
+    // second compact is a no-op (map cleared)
+    assert(inc.compact() == 0L)
+    mem.addData(b2: _*)
+    inc.query.processAllAvailable()
+    inc.query.stop()
+    val got = lastWriteWins(inc.baseline, deltas.toSeq)
+    val cents = graft.operators.Similarity.trainCentroids(corpus, 1, 2)
+    val want = graft.operators.Dedup.semanticDedupWith(
+        vecsDf(corpus.as[(Long, Array[Float], Int)].collect().toSeq
+          ++ b1 ++ b2), cents, tauNum = 9, tauDen = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    assert(want(3L)._2 == 0L, "post-compact arrival must resolve to " +
+      "the pre-compact merged canonical via the rewritten store")
+  }
+
   test("file-stream reader: incremental over day-split embeddings " +
        "shards equals batch over the union (real parquet path)") {
     val all = spark.read.parquet(sf() + "/embeddings.parquet")
