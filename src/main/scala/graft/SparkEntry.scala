@@ -1592,6 +1592,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal: REAL PNG decode — chunk walk with CRC-32
+    //      verification, hand-rolled zlib/DEFLATE inflate (fixed
+    //      Huffman + LZ77 match copy + Adler-32), and all five
+    //      scanline unfilters on a row-cycling filter schedule;
+    //      closed-form pixels so the oracle recomputes every decoded
+    //      sample (a wrong unfilter or inflate corrupts the sums) ----
+    "q_image_png" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.pngFeatures(Multimodal.syntheticPngMedia(s, dir))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // ---- multimodal: REAL Y4M video codec — container header walk,
     //      FRAME-marker frame offsets, keep every 2nd frame, exact
     //      per-plane (YUV 4:2:0) sums; closed-form payloads so the
@@ -5409,6 +5422,25 @@ object SparkEntry {
         |    p -> ((doc_id + p*7) * 2654435761) % 256)) AS INT) AS min_gray,
         |  CAST(list_max(list_transform(range(0, w*h),
         |    p -> ((doc_id + p*7) * 2654435761) % 256)) AS INT) AS max_gray
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // pixel p of image id = ((id + p*11) * 2654435761) % 256; the PNG
+    // filter/deflate round-trip is lossless, so decoded samples equal
+    // the closed form and the features are pure arithmetic
+    "q_image_png" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 13 AS INT) AS w,
+        |    CAST(5 + doc_id % 7 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    p -> ((doc_id + p*11) * 2654435761) % 256)) AS BIGINT)
+        |    AS sum_gray,
+        |  CAST(list_min(list_transform(range(0, w*h),
+        |    p -> ((doc_id + p*11) * 2654435761) % 256)) AS INT) AS min_gray,
+        |  CAST(list_max(list_transform(range(0, w*h),
+        |    p -> ((doc_id + p*11) * 2654435761) % 256)) AS INT) AS max_gray
         |FROM d ORDER BY media_id""".stripMargin,
 
     // pixel (p, c) of image id = ((id + p*3 + c) * 2654435761) % 256;

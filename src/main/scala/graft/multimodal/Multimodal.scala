@@ -713,6 +713,62 @@ object Multimodal {
       }
   }
 
+  /** Integer features of one decoded grayscale PNG: exact pixel sum
+    * and range. The row-cycling filter schedule of the synthetic
+    * encoder means a wrong Sub/Up/Average/Paeth unfilter (or a wrong
+    * inflate) corrupts the sums — the oracle gates the whole chain.
+    */
+  final case class PngFeatures(
+      media_id: Long, width: Int, height: Int,
+      sum_gray: Long, min_gray: Int, max_gray: Int)
+
+  /** REAL compressed-image decode #3: PNG — chunk walk + hand-rolled
+    * zlib/DEFLATE inflate + the five scanline unfilters
+    * ([[PngCodec.decode]]) -> exact integer features. Rejected blobs
+    * quarantine; same batched flatMap dataflow as [[jpegFeatures]].
+    */
+  def pngFeatures(images: Dataset[MediaRow]): Dataset[PngFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { iter =>
+      iter.flatMap { m =>
+        PngCodec.decode(bytesOf(m)).iterator.map { img =>
+          var s = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < img.pixels.length) {
+            val g = img.pixels(i)
+            s += g
+            if (g < mn) mn = g
+            if (g > mx) mx = g
+            i += 1
+          }
+          PngFeatures(m.media_id, img.width, img.height, s, mn, mx)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic PNG corpus: per document a
+    * (8 + id%13) x (5 + id%7) grayscale PNG whose pixel p is
+    * ((id + p*11) * 2654435761) % 256. h >= 5 guarantees every filter
+    * type (row y is filtered with y % 5) appears in every image, and
+    * the pseudo-random samples make the Paeth predictor branch all
+    * three ways.
+    */
+  def syntheticPngMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val w = (8 + id % 13).toInt
+          val h = (5 + id % 7).toInt
+          val pix = Array.tabulate(w * h)(p =>
+            (((id + p * 11L) * 2654435761L) % 256L).toInt)
+          MediaRow(id, "image", PngCodec.encodeGray(w, h, pix))
+        }
+      }
+  }
+
   /** REAL compressed-image decode: full baseline-sequential JPEG
     * (marker walk, Huffman entropy decode, dequantize, IDCT) -> exact
     * integer features over the luma plane. Blobs [[JpegCodec.decode]]
