@@ -987,6 +987,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- WordPiece tokenizer training: BPE's merge loop with the
+    //      LIKELIHOOD objective — the winner maximizes micro-nat
+    //      floor(1e6*(ln cnt_ab - ln cnt_a - ln cnt_b) + 0.5), ties
+    //      (score, left, right). Same scale shape as q_bpe: one corpus
+    //      word count, then vocab-bounded iterations (pair agg + unit
+    //      agg + two broadcast joins + 1-row collect each) ----
+    "q_wordpiece" -> ((s, dir) => {
+      graft.operators.WordPiece.trainMerges(
+          t(s, dir, "documents"), iters = 8)
+        ._1
+        .select(col("iter"), col("left").as("lhs"), col("right").as("rhs"),
+          col("merged"), col("cnt"), col("cnt_l"), col("cnt_r"),
+          col("score"))
+        .orderBy(col("iter"))
+    }),
+
+    // ---- WordPiece encoding: the REAL greedy longest-match-first
+    //      inference rule with ## continuation pieces and whole-word
+    //      [UNK] (graft.plans.WordPieceSegment), over a piece vocab
+    //      from the trained segmentation + full alphabet coverage;
+    //      vocab rides inside the expression, distinct words map once
+    //      and broadcast, the corpus streams one explode + one agg ----
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, seg) = graft.operators.WordPiece.trainMerges(docs, iters = 8)
+      graft.operators.WordPiece.encode(docs, seg)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact per-group quantile selection WITHOUT a per-group
     //      sort: keep the longest 60% of every source via distributed
     //      radix selection — ~8 linear scans of a slim checkpoint +
@@ -3619,6 +3648,128 @@ object SparkEntry {
        |) ORDER BY iter""".stripMargin
   }
 
+  /** One WordPiece merge iteration as CTEs: pair counts (the BPE
+    * shape), unit counts over ALL symbol occurrences (1-symbol words
+    * included — merge outputs keep their denominator mass), the winner
+    * by integer micro-nat likelihood score floor(1e6*(ln cnt_ab -
+    * ln cnt_a - ln cnt_b) + 0.5) with (score DESC, a, b) ties, and the
+    * SAME greedy rewrite fold as BPE.
+    */
+  private def wpIterSql(prev: String, n: Int): String =
+    s"""wp$n AS MATERIALIZED (
+       |  SELECT c[i.g] AS a, c[i.g + 1] AS b, sum(freq) AS cnt
+       |  FROM (SELECT freq, string_split(trim(seq, chr(31)), chr(31)) AS c
+       |        FROM $prev) x,
+       |    LATERAL (SELECT unnest(generate_series(1, len(c) - 1)) AS g) i
+       |  WHERE len(c) > 1
+       |  GROUP BY 1, 2),
+       |wu$n AS MATERIALIZED (
+       |  SELECT c[i.g] AS u, sum(freq) AS cnt
+       |  FROM (SELECT freq, string_split(trim(seq, chr(31)), chr(31)) AS c
+       |        FROM $prev) x,
+       |    LATERAL (SELECT unnest(generate_series(1, len(c))) AS g) i
+       |  GROUP BY 1),
+       |wt$n AS MATERIALIZED (
+       |  SELECT a, b, cnt, cnt_l, cnt_r,
+       |    CAST(floor(1000000.0 * (ln(CAST(cnt AS DOUBLE))
+       |      - ln(CAST(cnt_l AS DOUBLE)) - ln(CAST(cnt_r AS DOUBLE)))
+       |      + 0.5) AS BIGINT) AS score
+       |  FROM (SELECT p.a, p.b, p.cnt, ua.cnt AS cnt_l, ub.cnt AS cnt_r
+       |        FROM wp$n p JOIN wu$n ua ON p.a = ua.u
+       |          JOIN wu$n ub ON p.b = ub.u)
+       |  ORDER BY score DESC, a, b LIMIT 1),
+       |ws$n AS MATERIALIZED (SELECT word, freq,
+       |  $bpeFoldSql AS seq
+       |  FROM $prev LEFT JOIN wt$n ON TRUE)"""
+
+  private val wpIters = 8
+
+  /** The WordPiece training chain (WITH RECURSIVE so the encode oracle
+    * can append its greedy-walk CTE): word frequencies, char-level
+    * initial segmentation, `wpIters` unrolled likelihood iterations.
+    */
+  private lazy val wordpieceCtes: String = {
+    val iters = (1 to wpIters)
+      .map(n => wpIterSql(s"ws${n - 1}", n)).mkString(",\n")
+    s"""WITH RECURSIVE w AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |ws0 AS MATERIALIZED (SELECT word, freq,
+       |  chr(31) || array_to_string(string_split(word, ''), chr(31))
+       |    || chr(31) AS seq
+       |  FROM w),
+       |$iters"""
+  }
+
+  /** The learned WordPiece merge table (= q_wordpiece). */
+  private lazy val wordpieceSql: String = {
+    val union = (1 to wpIters).map(n =>
+      s"""  SELECT CAST($n AS INT) AS iter, a AS lhs, b AS rhs,
+         |    a || b AS merged, CAST(cnt AS BIGINT) AS cnt,
+         |    CAST(cnt_l AS BIGINT) AS cnt_l,
+         |    CAST(cnt_r AS BIGINT) AS cnt_r, score FROM wt$n"""
+    ).mkString("\n  UNION ALL\n")
+    s"""$wordpieceCtes
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY iter""".stripMargin
+  }
+
+  /** Greedy longest-match-first encode (= q_wordpiece_encode): piece
+    * vocab from the final segmentation (first symbol bare, later ones
+    * ##-prefixed) plus alphabet coverage in both forms; the greedy walk
+    * is materialized as the per-(word, position) LONGEST-match
+    * successor table, then a recursive walk from position 0 — a word
+    * whose walk dead-ends before its end is [UNK] (counts 1 token).
+    */
+  private lazy val wordpieceEncodeSql: String =
+    s"""$wordpieceCtes,
+       |pieces AS (
+       |  SELECT DISTINCT CASE WHEN i.g = 1 THEN c[i.g]
+       |    ELSE '##' || c[i.g] END AS piece
+       |  FROM (SELECT string_split(trim(seq, chr(31)), chr(31)) AS c
+       |        FROM ws$wpIters) x,
+       |    LATERAL (SELECT unnest(generate_series(1, len(c))) AS g) i),
+       |chars AS (
+       |  SELECT DISTINCT unnest(string_split(word, '')) AS ch FROM w),
+       |vocab AS (
+       |  SELECT DISTINCT raw, is_cont FROM (
+       |    SELECT CASE WHEN starts_with(piece, '##')
+       |        THEN substring(piece, 3) ELSE piece END AS raw,
+       |      starts_with(piece, '##') AS is_cont
+       |    FROM pieces
+       |    UNION ALL SELECT ch, false FROM chars
+       |    UNION ALL SELECT ch, true FROM chars)),
+       |wpos AS (SELECT word, unnest(range(0, len(word))) AS pos FROM w),
+       |succ AS MATERIALIZED (
+       |  SELECT word, pos, raw, pos + len(raw) AS next_pos FROM (
+       |    SELECT p.word, p.pos, v.raw,
+       |      row_number() OVER (PARTITION BY p.word, p.pos
+       |        ORDER BY len(v.raw) DESC) AS rn
+       |    FROM wpos p JOIN vocab v
+       |      ON substring(p.word, p.pos + 1, len(v.raw)) = v.raw
+       |     AND v.is_cont = (p.pos > 0)) WHERE rn = 1),
+       |walk(word, pos, ntok) AS (
+       |  SELECT word, 0, 0 FROM w
+       |  UNION ALL
+       |  SELECT wk.word, s.next_pos, wk.ntok + 1
+       |  FROM walk wk JOIN succ s USING (word, pos)),
+       |seg AS (
+       |  SELECT word, CASE WHEN max(pos) = len(word)
+       |    THEN arg_max(ntok, pos) END AS n_sub
+       |  FROM walk GROUP BY word),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |       FROM documents)
+       |SELECT dw.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(coalesce(seg.n_sub, 1)) AS BIGINT) AS n_wp_tokens,
+       |  CAST(sum(CASE WHEN seg.n_sub IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_unk
+       |FROM dw LEFT JOIN seg USING (word)
+       |WHERE word <> ''
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+
   /** Per-doc token counts under the learned segmentation
     * (= q_bpe_encode).
     */
@@ -4209,6 +4360,10 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeSql,
 
     "q_bpe_fertility" -> bpeFertilitySql,
+
+    "q_wordpiece" -> wordpieceSql,
+
+    "q_wordpiece_encode" -> wordpieceEncodeSql,
 
     // integer-rank keep rule: rn <= ceil(3n/5) written as
     // (rn-1)*5 < 3n so neither engine computes a float ceil

@@ -77,8 +77,9 @@ object Bpe {
     * a+b can never equal `a` (b is non-empty), so a freshly-merged
     * symbol cannot be consumed as the left half of the same pair.
     */
-  private def mergeFold(syms: org.apache.spark.sql.Column, a: String,
-                        b: String): org.apache.spark.sql.Column = {
+  private[operators] def mergeFold(syms: org.apache.spark.sql.Column,
+                                   a: String,
+                                   b: String): org.apache.spark.sql.Column = {
     val aL = lit(a); val bL = lit(b); val mL = lit(a + b)
     aggregate(
       slice(syms, lit(2), size(syms) - 1),
