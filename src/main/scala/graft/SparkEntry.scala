@@ -987,6 +987,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Z-order layout key: the codegen'd 2-D Morton code
+    //      (plans/InterleaveBits) behind Layout.zorderBy — range-
+    //      partitioning by this value co-locates rows close in BOTH
+    //      key dimensions so per-file min/max prunes either-column
+    //      predicates (the Delta/Iceberg OPTIMIZE ZORDER device);
+    //      oracle recomputes the interleave arithmetically ----
+    "q_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.engine.Layout.zValue(
+            col("l_orderkey"), col("l_partkey")).as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_partkey"))
+    }),
+
     // ---- WordPiece tokenizer training: BPE's merge loop with the
     //      LIKELIHOOD objective — the winner maximizes micro-nat
     //      floor(1e6*(ln cnt_ab - ln cnt_a - ln cnt_b) + 0.5), ties
@@ -4360,6 +4374,17 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeSql,
 
     "q_bpe_fertility" -> bpeFertilitySql,
+
+    // bit i of l_orderkey at position 2i, of l_partkey at 2i+1, low 21
+    // bits each ((1<<21)-1 = 2097151); the two addends never share bits
+    "q_zorder" ->
+      """SELECT l_orderkey, l_partkey,
+        |  CAST(list_sum(list_transform(range(0, 21), i ->
+        |    ((((l_orderkey & 2097151) >> i) & 1) << (2*i))
+        |    + ((((l_partkey & 2097151) >> i) & 1) << (2*i + 1))))
+        |    AS BIGINT) AS zval
+        |FROM lineitem
+        |ORDER BY zval, l_orderkey, l_partkey""".stripMargin,
 
     "q_wordpiece" -> wordpieceSql,
 

@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout clustering — the Z-ORDER write path.
+  *
+  * At 100 TB the dominant cost of most queries is the scan, and the
+  * scan is bounded by how well per-file min/max statistics prune. A
+  * single-column sort gives perfect pruning on that column and NONE on
+  * any other; interleaving the key bits of two columns (the Morton
+  * space-filling curve, [[graft.plans.InterleaveBits]]) gives
+  * near-sqrt pruning on EACH of them — the published layout device
+  * behind Delta/Iceberg `OPTIMIZE ZORDER BY`. This engine exposes it
+  * as an explicit clustering step for its parquet sinks.
+  *
+  * Scale shape: `zorderBy` is ONE range-partitioning exchange (range
+  * boundaries from Spark's reservoir sample pass) plus a per-partition
+  * sort — no global sort barrier, no driver state; exactly the cost of
+  * `ORDER BY` on a single derived column. The z-value is a codegen'd
+  * expression, so the clustering key never materializes outside the
+  * exchange.
+  *
+  * Reference behavior: GCS2Postgres loads tables as-is with no layout
+  * control (`/root/reference/src/db/db.go:149-236` streams rows in
+  * arrival order); this extends the engine's sink surface per SURVEY
+  * §2.2.
+  */
+object Layout {
+
+  /** The 2-D Morton code of two BIGINT columns (low `bits` bits each,
+    * first column at even bit positions).
+    */
+  def zValue(x: Column, y: Column, bits: Int = 21): Column =
+    graft.plans.InterleaveBits(x, y, bits)
+
+  /** Cluster `df` along the Morton curve of (x, y): range-partition on
+    * the z-value into `numFiles` output partitions and sort within
+    * each. Written files then carry tight min/max ranges on BOTH
+    * dimensions, so either-column predicates prune.
+    */
+  def zorderBy(df: DataFrame, x: Column, y: Column, numFiles: Int,
+               bits: Int = 21): DataFrame =
+    df.withColumn("__graft_z", zValue(x, y, bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+
+  /** Single-column clustering twin (the baseline a z-order A/B
+    * compares against): same exchange shape, sorted on one key.
+    */
+  def orderByKey(df: DataFrame, x: Column, numFiles: Int): DataFrame =
+    df.repartitionByRange(numFiles, x).sortWithinPartitions(x)
+
+  /** Files holding rows that match `pred` — the layout-quality
+    * measurement: with per-file min/max pruning this is the scan's
+    * file count, and for a clustered layout a selective predicate's
+    * matches concentrate in few files. Counts distinct
+    * `input_file_name()` AFTER the filter (a lower bound on files a
+    * stats-pruning reader must open; an exact count of files holding
+    * matches).
+    */
+  def filesTouched(spark: SparkSession, path: String, pred: Column): Long =
+    spark.read.parquet(path).filter(pred)
+      .select(input_file_name()).distinct().count()
+}
