@@ -1030,6 +1030,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- WordPiece fertility per language — the THIRD row of the
+    //      tokenizer-family comparison next to q_bpe_fertility and
+    //      q_unigram_fertility (same shape, same denominators) ----
+    "q_wordpiece_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, seg) = graft.operators.WordPiece.trainMerges(docs, iters = 8)
+      graft.operators.WordPiece.fertility(docs, seg, col("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- exact per-group quantile selection WITHOUT a per-group
     //      sort: keep the longest 60% of every source via distributed
     //      radix selection — ~8 linear scans of a slim checkpoint +
@@ -3730,14 +3740,15 @@ object SparkEntry {
        |) ORDER BY iter""".stripMargin
   }
 
-  /** Greedy longest-match-first encode (= q_wordpiece_encode): piece
-    * vocab from the final segmentation (first symbol bare, later ones
-    * ##-prefixed) plus alphabet coverage in both forms; the greedy walk
-    * is materialized as the per-(word, position) LONGEST-match
-    * successor table, then a recursive walk from position 0 — a word
-    * whose walk dead-ends before its end is [UNK] (counts 1 token).
+  /** The greedy-inference CTEs shared by q_wordpiece_encode and
+    * q_wordpiece_fertility: piece vocab from the final segmentation
+    * (first symbol bare, later ones ##-prefixed) plus alphabet coverage
+    * in both forms; the greedy walk is materialized as the per-(word,
+    * position) LONGEST-match successor table, then a recursive walk
+    * from position 0 — a word whose walk dead-ends before its end is
+    * [UNK] (counts 1 token, NULL n_sub in `seg`).
     */
-  private lazy val wordpieceEncodeSql: String =
+  private lazy val wordpieceSegCtes: String =
     s"""$wordpieceCtes,
        |pieces AS (
        |  SELECT DISTINCT CASE WHEN i.g = 1 THEN c[i.g]
@@ -3772,7 +3783,10 @@ object SparkEntry {
        |seg AS (
        |  SELECT word, CASE WHEN max(pos) = len(word)
        |    THEN arg_max(ntok, pos) END AS n_sub
-       |  FROM walk GROUP BY word),
+       |  FROM walk GROUP BY word)"""
+
+  private lazy val wordpieceEncodeSql: String =
+    s"""$wordpieceSegCtes,
        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |       FROM documents)
        |SELECT dw.doc_id,
@@ -3783,6 +3797,21 @@ object SparkEntry {
        |FROM dw LEFT JOIN seg USING (word)
        |WHERE word <> ''
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+
+  /** Per-language fertility under greedy WordPiece (= the q_bpe/
+    * q_unigram fertility shape with WordPiece token counts).
+    */
+  private lazy val wordpieceFertilitySql: String =
+    s"""$wordpieceSegCtes,
+       |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |       FROM documents)
+       |SELECT dw.lang,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(dw.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(coalesce(seg.n_sub, 1)) AS BIGINT) AS n_wp_tokens
+       |FROM dw LEFT JOIN seg USING (word)
+       |WHERE word <> ''
+       |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin
 
   /** Per-doc token counts under the learned segmentation
     * (= q_bpe_encode).
@@ -4389,6 +4418,8 @@ object SparkEntry {
     "q_wordpiece" -> wordpieceSql,
 
     "q_wordpiece_encode" -> wordpieceEncodeSql,
+
+    "q_wordpiece_fertility" -> wordpieceFertilitySql,
 
     // integer-rank keep rule: rn <= ceil(3n/5) written as
     // (rn-1)*5 < 3n so neither engine computes a float ceil

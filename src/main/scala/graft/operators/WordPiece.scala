@@ -133,6 +133,36 @@ object WordPiece {
       .distinct()
   }
 
+  /** Tokenizer fertility per group — the third row of the
+    * BPE/unigram/WordPiece comparison ([[Bpe.fertility]] /
+    * [[Unigram.fertility]], same output shape and denominators): total
+    * words, characters, and greedy WordPiece tokens (`[UNK]` = 1).
+    * Same scale shape as [[encode]] keyed on the group.
+    */
+  def fertility(docs: DataFrame, segmentation: DataFrame,
+                groupCol: org.apache.spark.sql.Column,
+                keyName: String = "lang",
+                scriptAware: Boolean = false): DataFrame = {
+    val pieces = pieceVocab(segmentation)
+      .orderBy(col("piece")).collect().map(_.getString(0)).toSeq
+    val words = docs
+      .select(explode(
+        TextAnalysis.tokens(col("text"), scriptAware)).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    val segArr = graft.plans.WordPieceSegment(col("word"), pieces)
+    val seg = words.select(col("word"),
+        when(segArr.isNotNull, size(segArr)).as("n_sub"))
+    docs.select(groupCol.as(keyName),
+        explode(TextAnalysis.tokens(col("text"), scriptAware)).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(seg), Seq("word"), "left")
+      .groupBy(col(keyName))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(coalesce(col("n_sub").cast("long"), lit(1L)))
+          .as("n_wp_tokens"))
+  }
+
   /** Encode: per-document word, piece, and `[UNK]` counts under greedy
     * longest-match-first inference. The piece vocabulary collects once
     * (vocab-bounded, shipped inside the [[graft.plans.WordPieceSegment]]
