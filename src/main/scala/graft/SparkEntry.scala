@@ -2299,6 +2299,16 @@ object SparkEntry {
       s.sql(tpch13Sql)
     }),
 
+    // ---- SQL API parity: WITH RECURSIVE (new in Spark 4) — a
+    //      hierarchy walk over the implicit binary tree on customer
+    //      keys (parent = floor(key/2)): per-depth census + key sum.
+    //      The SAME SQL text runs on both engines; recursion depth is
+    //      log2(|customer|) ≈ 11 at sf0.01 ----
+    "q_sql_recursive" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(recursiveSql)
+    }),
+
     // ---- SQL API parity: TPC-H Q15 shape (top supplier) — CTE used
     //      twice (revenue per supplier + its max); the equality gate is
     //      on the exact DECIMAL revenue, so the argmax is engine-stable
@@ -2913,6 +2923,26 @@ object SparkEntry {
     * branches holding an ORDER/LIMIT subquery, which silently
     * duplicated alphabet rows and inflated every cost total.
     */
+  /** Shared Spark/DuckDB SQL for q_sql_recursive: the recursive-CTE
+    * parity probe (Spark 4's WITH RECURSIVE). Parent of key k in the
+    * implicit binary tree is floor(k/2); the walk starts at the root
+    * and descends one level per iteration, so every customer appears
+    * exactly once at depth floor(log2(key)). floor(x/2) via double
+    * division is exact for keys < 2^52.
+    */
+  private val recursiveSql: String =
+    """WITH RECURSIVE tree(custkey, depth) AS (
+      |  SELECT CAST(c_custkey AS BIGINT), 0 FROM customer
+      |  WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT CAST(c.c_custkey AS BIGINT), t.depth + 1
+      |  FROM customer c JOIN tree t
+      |    ON CAST(floor(c.c_custkey / 2) AS BIGINT) = t.custkey
+      |  WHERE c.c_custkey > 1)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(custkey) AS BIGINT) AS key_sum
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
   private val unigramCte: String =
     """WITH RECURSIVE
       |wf AS (
@@ -4537,6 +4567,8 @@ object SparkEntry {
     "q_sql_tpch7" -> tpch7Sql,
     "q_sql_tpch8" -> tpch8Sql,
     "q_sql_tpch13" -> tpch13Sql,
+
+    "q_sql_recursive" -> recursiveSql,
     "q_sql_tpch15" -> tpch15Sql,
     "q_sql_tpch17" -> tpch17Sql,
     "q_sql_tpch19" -> tpch19Sql,
