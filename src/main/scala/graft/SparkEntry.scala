@@ -1288,6 +1288,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- north star: scalar-quantization (SQ8) top-k — per-dim 8-bit
+    //      codes against corpus (min, max), exact integer ADC scoring
+    //      scaled by 255; the 4x-memory compressed-corpus path that
+    //      keeps per-dim resolution (PQ's sibling) ----
+    "q_simsearch_sq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.sqTopK(
+          e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- north star: BM25 retrieval scoring (tf/df/idf machinery;
     //      fixed-order per-term pivot keeps float math engine-exact) ----
     "q_bm25" -> ((s, dir) => {
@@ -6263,6 +6274,41 @@ object SparkEntry {
          |  SELECT p.qid, a.cid, ${qdotSql("p.qv", "a.cv")} AS score
          |  FROM probes p JOIN asg a USING (cent_id) WHERE p.qid != a.cid)
          |QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // SQ8: per-dim (lo, hi) over the quantized corpus; code = (v-lo)*255
+    // // max(hi-lo, 1); dequantized-scaled dv = 255*lo + code*(hi-lo);
+    // ADC score = <q, dv> — all exact integer math
+    "q_simsearch_sq" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT d, min(qv[d + 1]) AS lo, max(qv[d + 1]) AS hi
+        |  FROM q, (SELECT CAST(unnest(range(0, 64)) AS INT) AS d)
+        |  GROUP BY d),
+        |stl AS (
+        |  SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his
+        |  FROM st),
+        |enc AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(range(0, 64), i ->
+        |      255 * los[i + 1]
+        |      + (((qv[i + 1] - los[i + 1]) * 255)
+        |         // greatest(his[i + 1] - los[i + 1], 1))
+        |        * (his[i + 1] - los[i + 1])) AS dq
+        |  FROM q, stl),
+        |sc AS (
+        |  SELECT qq.vec_id AS qid, e.cid,
+        |    CAST(list_sum(list_transform(range(0, 64),
+        |      i -> qq.qv[i + 1] * e.dq[i + 1])) AS BIGINT) AS score
+        |  FROM (SELECT vec_id, qv FROM q WHERE vec_id < 10) qq, enc e
+        |  WHERE qq.vec_id <> e.cid)
+        |SELECT qid, rnk, cid, score FROM (
+        |  SELECT qid, cid, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // PQ: codebook = sub-vectors of the 16 lowest-vec_id vectors; encode
     // by argmin L2 (= argmin |c|^2 - 2<v,c>, ties to lower code); ADC

