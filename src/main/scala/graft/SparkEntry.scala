@@ -1514,6 +1514,35 @@ object SparkEntry {
     }),
 
     // ---- north star: pattern redaction (PII-masking shape) ----
+    // ---- Unicode NFC normalization (UAX #15) — the canonicalization
+    //      a multilingual pipeline runs BEFORE text keying (the same
+    //      é arrives precomposed U+00E9 and decomposed e+U+0301; unkeyed
+    //      they defeat exact dedup / shingles / vocabularies). Fixture
+    //      appends a per-doc marker cycling decomposed/precomposed/
+    //      combining-ring/ASCII so all paths are exercised; DuckDB's
+    //      nfc_normalize implements the same mapping ----
+    "q_nfc" -> ((s, dir) => {
+      import graft.plans.NfcNormalize
+      val m = pmod(col("doc_id"), lit(4))
+      // escapes are load-bearing: 0 = DECOMPOSED e + U+0301 combining
+      // acute, 1 = precomposed U+00E9, 2 = decomposed A + U+030A
+      // combining ring, 3 = plain ASCII
+      val marker = when(m === 0, lit("caf\u0065\u0301"))
+        .when(m === 1, lit("caf\u00e9"))
+        .when(m === 2, lit("\u0041\u030A"))
+        .otherwise(lit("cafe"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), marker).as("t"))
+        .select(col("doc_id"),
+          length(col("t")).as("n_raw"),
+          length(NfcNormalize(col("t"))).as("n_nfc"),
+          when(col("t") === NfcNormalize(col("t")), 0)
+            .otherwise(1).as("changed"),
+          NfcNormalize(col("t")).as("nfc_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_redact" -> ((s, dir) => {
       import graft.operators.TextAnalysis
       t(s, dir, "documents")
@@ -6864,6 +6893,25 @@ object SparkEntry {
         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chr() composes the same four markers the Spark side builds from
+    // \u escapes; nfc_normalize is utf8proc's UAX #15, the JDK
+    // Normalizer's twin
+    "q_nfc" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' ' || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'caf' || chr(101) || chr(769)
+        |    WHEN 1 THEN 'caf' || chr(233)
+        |    WHEN 2 THEN chr(65) || chr(778)
+        |    ELSE 'cafe' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS INT) AS n_raw,
+        |  CAST(len(nfc_normalize(t)) AS INT) AS n_nfc,
+        |  CAST(CASE WHEN t = nfc_normalize(t) THEN 0 ELSE 1 END AS INT)
+        |    AS changed,
+        |  nfc_normalize(t) AS nfc_text
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_redact" ->
       """SELECT doc_id,
