@@ -58,9 +58,9 @@ object CurationPipeline {
   final case class Config(source: String, format: Option[SourceFormat],
                           stages: Seq[Stage], target: String)
 
-  val KnownOps: Seq[String] = Seq("exact_dedup", "dedup", "quality_gate",
-    "blocklist", "quantile_filter", "langid_filter", "decontaminate",
-    "sample", "pack")
+  val KnownOps: Seq[String] = Seq("nfc_normalize", "exact_dedup", "dedup",
+    "quality_gate", "blocklist", "quantile_filter", "langid_filter",
+    "decontaminate", "sample", "pack")
 
   /** Read the source and fold the stages left-to-right. */
   def run(spark: SparkSession, cfg: Config): DataFrame = {
@@ -76,6 +76,13 @@ object CurationPipeline {
     */
   def applyStage(df: DataFrame, st: Stage,
                  spark: Option[SparkSession] = None): DataFrame = st.op match {
+    case "nfc_normalize" =>
+      // canonicalize the text column in place (UAX #15 NFC) — run it
+      // FIRST so every downstream keying (dedup md5, shingles,
+      // blocklist, vocabularies) sees one spelling per visible string;
+      // a narrow codegen'd map, no exchange
+      val c = st.str("column", "text")
+      df.withColumn(c, graft.plans.NfcNormalize(col(c)))
     case "exact_dedup" =>
       // keep the min-id copy per distinct key value (md5 map-side in
       // Dedup.exact; only (key, id) crosses the exchange)

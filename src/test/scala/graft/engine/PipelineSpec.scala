@@ -233,4 +233,24 @@ class PipelineSpec extends SparkSpec {
       wantDc.select("doc_id").orderBy("doc_id").collect().toSeq)
     assert(dc.count() > 0 && dc.count() < docs.count())
   }
+
+  test("pipeline stage nfc_normalize: a decomposed and a precomposed " +
+       "spelling collapse to one doc under a following exact_dedup") {
+    import graft.engine.CurationPipeline.{Stage, applyStage}
+    import spark.implicits._
+    // doc 1 decomposed (e + U+0301), doc 2 precomposed (U+00E9)
+    val docs = Seq(
+      (1L, "resum\u0065\u0301 text"),
+      (2L, "resum\u00e9 text"),
+      (3L, "other text")).toDF("doc_id", "text")
+    // without normalization exact_dedup keeps all three
+    val rawDedup = applyStage(docs, Stage("exact_dedup", Map.empty))
+    assert(rawDedup.count() == 3L)
+    // with the nfc stage first, 1 and 2 key identically -> min-id wins
+    val piped = applyStage(
+      applyStage(docs, Stage("nfc_normalize", Map.empty)),
+      Stage("exact_dedup", Map.empty))
+    assert(piped.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
 }
