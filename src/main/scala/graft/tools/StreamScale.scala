@@ -22,9 +22,10 @@ object StreamScale {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: StreamScale <sfDir> [days] [corpusFrac] | " +
-        "StreamScale <sfDir> -emb [days]")
+        "StreamScale <sfDir> -emb [days] [compactEvery]")
     if (args.lift(1).contains("-emb")) {
-      embDedup(args(0), args.lift(2).map(_.toInt).getOrElse(4))
+      embDedup(args(0), args.lift(2).map(_.toInt).getOrElse(4),
+        args.lift(3).map(_.toInt).getOrElse(0))
       return
     }
     val sfDir = args(0)
@@ -134,7 +135,7 @@ object StreamScale {
     * (state growth across batches, re-closure over the accumulated dup
     * graph, delta detection against a corpus-sized canonical table).
     */
-  def embDedup(sfDir: String, days: Int): Unit = {
+  def embDedup(sfDir: String, days: Int, compactEvery: Int = 0): Unit = {
     val spark = graft.engine.GraftSession.build("graft-streamscale-emb",
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
@@ -161,6 +162,10 @@ object StreamScale {
       }
     }
     val perDay = math.max(1L, (n - cut) / days)
+    // (rewrittenRows, wallSec) per compaction, when compactEvery > 0 —
+    // the LSM step runs between micro-batches (quiescent by contract)
+    val compacts =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     val embBatchSecs = (0 until days).map { i =>
       val lo = cut + i * perDay
       val hi = if (i == days - 1) n else math.min(n, lo + perDay)
@@ -169,7 +174,14 @@ object StreamScale {
       val tb = System.nanoTime()
       mem.addData(rows: _*)
       inc.query.processAllAvailable()
-      (System.nanoTime() - tb) / 1e9
+      val sec = (System.nanoTime() - tb) / 1e9
+      if (compactEvery > 0 && (i + 1) % compactEvery == 0 &&
+          i != days - 1) {
+        val tc = System.nanoTime()
+        val nrw = inc.compact()
+        compacts += ((nrw, (System.nanoTime() - tc) / 1e9))
+      }
+      sec
     }
     inc.query.stop()
     val streamSec = (System.nanoTime() - t0) / 1e9
@@ -195,10 +207,15 @@ object StreamScale {
     val merged = want.count { case (v, (_, c)) => v != c }
     def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     spark.stop()
+    val compactJson =
+      if (compacts.isEmpty) ""
+      else s""""compactions":[${compacts.map { case (r, s) =>
+        s"""[$r,${f1(s)}]""" }.mkString(",")}],"""
     println(s"""{"metric":"stream_embdedup","rows":${want.size},""" +
       s""""merged":$merged,"days":$days,"match":$ok,""" +
       s""""stream_sec":${f1(streamSec)},"batch_sec":${f1(batchSec)},""" +
       s""""per_batch_sec":[${embBatchSecs.map(f1).mkString(",")}],""" +
+      compactJson +
       s""""sf":"$sfDir"}""")
     if (!ok) sys.exit(1)
   }
