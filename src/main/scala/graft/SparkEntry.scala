@@ -1698,6 +1698,33 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- perceptual image hash (dHash): 9x7 nearest-neighbor grid
+    //      gradient signs over DECODED PNG pixels — 56-bit hash whose
+    //      every bit the oracle recomputes from the closed-form
+    //      pixels (gates resize + decode + bit packing) ----
+    "q_image_dhash" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.pngDHashes(Multimodal.syntheticPngNearDupMedia(s, dir))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- image near-dup via Hamming-banded LSH over dHashes: four
+    //      14-bit bands, exact-band self-join, bit_count verify.
+    //      Pigeonhole gives PERFECT recall at dist <= 3, so the
+    //      banded plan must equal the oracle's brute-force all-pairs
+    //      — the recall argument itself is what's being gated. The
+    //      fixture plants brightness-shifted twins (dHash invariant:
+    //      gradient signs survive a global +17) ----
+    "q_image_neardup" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.nearDupImagePairs(
+          Multimodal.pngDHashes(
+            Multimodal.syntheticPngNearDupMedia(s, dir)).toDF(),
+          maxDist = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // ---- multimodal: REAL Y4M video codec — container header walk,
     //      FRAME-marker frame offsets, keep every 2nd frame, exact
     //      per-plane (YUV 4:2:0) sums; closed-form payloads so the
@@ -2963,6 +2990,35 @@ object SparkEntry {
     * branches holding an ORDER/LIMIT subquery, which silently
     * duplicated alphabet rows and inflated every cost total.
     */
+  /** dHash CTE shared by q_image_dhash / q_image_neardup: closed-form
+    * pixels of the planted-twin PNG corpus (twin = id-5's base image
+    * +17 brightness, exact under the 200-cap), 9x7 nearest-neighbor
+    * grid, 56 gradient-sign bits.
+    */
+  private val dhashCte: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 7 THEN doc_id - 5 ELSE doc_id END AS e,
+      |    CASE WHEN doc_id % 10 = 7 THEN 17 ELSE 0 END AS sh
+      |  FROM documents),
+      |dd AS (
+      |  SELECT doc_id, e, sh,
+      |    CAST(8 + e % 13 AS INT) AS w, CAST(5 + e % 7 AS INT) AS h
+      |  FROM d),
+      |hs AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(list_sum(list_transform(range(0, 56), i ->
+      |      CASE WHEN
+      |        (((e + (((i // 8) * h // 7) * w + ((i % 8) * w // 9)) * 11)
+      |          * 2654435761) % 200 + sh)
+      |        >
+      |        (((e + (((i // 8) * h // 7) * w
+      |             + (((i % 8) + 1) * w // 9)) * 11)
+      |          * 2654435761) % 200 + sh)
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS dhash
+      |  FROM dd)""".stripMargin
+
   /** Shared Spark/DuckDB SQL for q_sql_recursive: the recursive-CTE
     * parity probe (Spark 4's WITH RECURSIVE). Parent of key k in the
     * implicit binary tree is floor(k/2); the walk starts at the root
@@ -5725,6 +5781,25 @@ object SparkEntry {
         |  CAST(list_max(list_transform(range(0, w*h),
         |    p -> ((doc_id + p*11) * 2654435761) % 256)) AS INT) AS max_gray
         |FROM d ORDER BY media_id""".stripMargin,
+
+    // dHash oracle: effective id e (twins use id-5's pixels +17), grid
+    // sample (r, c) from source index ((r*h)//7)*w + (c*w)//9, bit i
+    // set when the gradient at (i//8, i%8) is positive
+    "q_image_dhash" ->
+      s"""$dhashCte
+         |SELECT media_id, dhash FROM hs ORDER BY media_id""".stripMargin,
+
+    // near-dup oracle is BRUTE-FORCE all-pairs — the Spark side runs
+    // the banded-LSH plan; equality proves the pigeonhole recall at
+    // Hamming distance <= 3
+    "q_image_neardup" ->
+      s"""$dhashCte
+         |SELECT a.media_id AS id1, b.media_id AS id2,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS dist
+         |FROM hs a, hs b
+         |WHERE a.media_id < b.media_id
+         |  AND bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
 
     // pixel (p, c) of image id = ((id + p*3 + c) * 2654435761) % 256;
     // luma = (299r + 587g + 114b) // 1000; nearest-neighbor source pixel

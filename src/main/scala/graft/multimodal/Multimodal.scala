@@ -769,6 +769,103 @@ object Multimodal {
       }
   }
 
+  /** Perceptual image hash row: the 56-bit dHash of one decoded image. */
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** 56-bit difference hash (dHash, the public perceptual-hash family:
+    * gradient signs over a fixed tiny grid): nearest-neighbor resample
+    * to a 9x7 grid, bit (r, c) = [px(r,c) > px(r,c+1)] — 8 comparisons
+    * x 7 rows, bit index r*8+c. Gradient signs are invariant to global
+    * brightness shifts (the property the near-dup spec pins) and to
+    * resolution (the grid is fixed). 56 bits keeps the hash strictly
+    * positive in a signed 64-bit lane — both engines' shift/mask
+    * arithmetic then agrees without overflow (BIGINT << 63 errors in
+    * the oracle engine).
+    */
+  def dHashBits(w: Int, h: Int, pix: Array[Int]): Long = {
+    var hash = 0L
+    var i = 0
+    while (i < 56) {
+      val r = i / 8; val c = i % 8
+      def at(cc: Int): Int = pix((r * h / 7) * w + (cc * w / 9))
+      if (at(c) > at(c + 1)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** dHash of every decodable PNG blob (grayscale direct; RGB via the
+    * integer luma (299r+587g+114b)/1000, the [[ppmFeatures]] rule).
+    * Rejected blobs quarantine; zero shuffles.
+    */
+  def pngDHashes(images: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { iter =>
+      iter.flatMap { m =>
+        PngCodec.decode(bytesOf(m)).iterator.map { img =>
+          val gray =
+            if (img.channels == 1) img.pixels
+            else Array.tabulate(img.width * img.height) { p =>
+              (299 * img.pixels(3 * p) + 587 * img.pixels(3 * p + 1)
+                + 114 * img.pixels(3 * p + 2)) / 1000
+            }
+          ImageHash(m.media_id, dHashBits(img.width, img.height, gray))
+        }
+      }
+    }
+  }
+
+  /** Image near-dup pairs by Hamming-banded LSH over dHashes: the
+    * 56-bit hash splits into four 14-bit bands; a pair within Hamming
+    * distance maxDist <= 3 differs in at most 3 bands (pigeonhole), so
+    * the exact-band-match self-join has PERFECT recall at that radius
+    * — the oracle brute-forces all pairs and the banded plan must
+    * equal it. Scale shape: one (band, key) exchange, in-bucket pair
+    * enumeration, codegen'd bit_count verification — never corpus².
+    */
+  def nearDupImagePairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"band recall is exact only for maxDist <= 3, got $maxDist")
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        // combined key: 14-bit band value * 4 + band index
+        (shiftright(col("dhash"), 14 * b).bitwiseAND(lit(16383L)) * 4
+          + b).cast("long")): _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.dhash").as("d1"), col("b.dhash").as("d2"))
+      .distinct()
+      .select(col("id1"), col("id2"),
+        bit_count(col("d1").bitwiseXOR(col("d2"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Deterministic PNG corpus with PLANTED near-duplicates: base
+    * images have pixels in [0, 200); every doc with id % 10 == 7 is
+    * instead the id-5 base image brightened by +17 (no clamp — the
+    * 200-cap keeps 217 < 256, so every gradient sign is preserved and
+    * the twin's dHash is EXACTLY its source's).
+    */
+  def syntheticPngNearDupMedia(spark: SparkSession,
+                               sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val e = if (id % 10 == 7) id - 5 else id
+          val shift = if (id % 10 == 7) 17 else 0
+          val w = (8 + e % 13).toInt
+          val h = (5 + e % 7).toInt
+          val pix = Array.tabulate(w * h)(p =>
+            ((((e + p * 11L) * 2654435761L) % 200L) + shift).toInt)
+          MediaRow(id, "image", PngCodec.encodeGray(w, h, pix))
+        }
+      }
+  }
+
   /** REAL compressed-image decode: full baseline-sequential JPEG
     * (marker walk, Huffman entropy decode, dequantize, IDCT) -> exact
     * integer features over the luma plane. Blobs [[JpegCodec.decode]]

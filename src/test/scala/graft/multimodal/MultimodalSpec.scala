@@ -525,4 +525,55 @@ class MultimodalSpec extends SparkSpec {
       assert(row.sum_b == (0 until w * h).map(p => v(p, 2)).sum)
     }
   }
+
+  test("dHash: brightness-shift invariance, resolution invariance, and " +
+       "sensitivity to real content change") {
+    val w = 16; val h = 12
+    val base = Array.tabulate(w * h)(p =>
+      (((7L + p * 11L) * 2654435761L) % 200L).toInt)
+    val bright = base.map(_ + 40) // still < 256, no clamp
+    val hBase = Multimodal.dHashBits(w, h, base)
+    assert(Multimodal.dHashBits(w, h, bright) == hBase,
+      "global brightness shift must not move any gradient sign")
+    // resolution invariance: 2x nearest-neighbor upscale samples the
+    // same source pixels on the 9x7 grid
+    val up = Array.tabulate(2 * w * 2 * h) { p =>
+      val y = p / (2 * w); val x = p % (2 * w)
+      base((y / 2) * w + (x / 2))
+    }
+    // upscaled grid sample (r*2h/7)/2 rows may differ by rounding; the
+    // hashes must still be NEAR (gradient grid is coarse): <= 8/56 bits
+    val dUp = java.lang.Long.bitCount(
+      Multimodal.dHashBits(2 * w, 2 * h, up) ^ hBase)
+    assert(dUp <= 8, s"2x upscale moved $dUp/56 bits")
+    // content sensitivity: an unrelated image is far (~28 bits)
+    val other = Array.tabulate(w * h)(p =>
+      (((1234L + p * 13L) * 2654435761L) % 200L).toInt)
+    val dOther = java.lang.Long.bitCount(
+      Multimodal.dHashBits(w, h, other) ^ hBase)
+    assert(dOther > 10, s"unrelated image only $dOther bits away")
+  }
+
+  test("nearDupImagePairs: planted twins found at distance 0 and the " +
+       "banded plan equals brute force at radius 3 (pigeonhole recall)") {
+    val media = Multimodal.syntheticPngNearDupMedia(spark, sf())
+    val hashes = Multimodal.pngDHashes(media).toDF()
+    val pairs = Multimodal.nearDupImagePairs(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every planted twin (id-5, id) for id % 10 == 7 at distance 0
+    val ids = media.select("media_id").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val planted = ids.filter(id => id % 10 == 7 && ids.contains(id - 5))
+      .map(id => (id - 5, id))
+    val zeroPairs = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(zeroPairs),
+      s"missing twins: ${planted -- zeroPairs}")
+    // brute-force equality (the recall law)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i1, d1) <- hs; (i2, d2) <- hs if i1 < i2
+      dist = java.lang.Long.bitCount(d1 ^ d2) if dist <= 3
+    } yield (i1, i2, dist)).toSet
+    assert(pairs.toSet == brute)
+  }
 }
