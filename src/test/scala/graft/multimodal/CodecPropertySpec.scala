@@ -106,4 +106,21 @@ class CodecPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("PNG fuzz: random byte blobs and arbitrary single-byte flips of " +
+       "a valid blob never throw (quarantine returns None or a decode)") {
+    // pure noise (signature almost never matches -> None, never throw)
+    check(Prop.forAll(Gen.choose(0, 256).flatMap(bytesOf)) { b =>
+      PngCodec.decode(b); true
+    })
+    // structured fuzz: flip one byte anywhere in a real PNG — CRC usually
+    // rejects; whatever happens, no exception escapes
+    val good = PngCodec.encodeGray(12, 9,
+      Array.tabulate(12 * 9)(p => (p * 53) % 256))
+    check(Prop.forAll(Gen.choose(0, good.length - 1),
+        Gen.choose(1, 255)) { (i, x) =>
+      val b = good.clone(); b(i) = (b(i) ^ x).toByte
+      PngCodec.decode(b); true
+    })
+  }
 }
