@@ -1698,6 +1698,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- audio fingerprint (the dHash twin for sound): 57 window
+    //      energies over DECODED WAV samples, 56 delta-sign bits —
+    //      volume-scaling invariant; every bit oracle-recomputed from
+    //      the closed-form waveform (gates decode + windowing) ----
+    "q_audio_fp" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.audioFingerprints(Multimodal.syntheticWavMedia(s, dir))
+        .toDF()
+        .withColumnRenamed("dhash", "fp")
+        .orderBy(col("media_id"))
+    }),
+
     // ---- perceptual image hash (dHash): 9x7 nearest-neighbor grid
     //      gradient signs over DECODED PNG pixels — 56-bit hash whose
     //      every bit the oracle recomputes from the closed-form
@@ -5781,6 +5793,28 @@ object SparkEntry {
         |  CAST(list_max(list_transform(range(0, w*h),
         |    p -> ((doc_id + p*11) * 2654435761) % 256)) AS INT) AS max_gray
         |FROM d ORDER BY media_id""".stripMargin,
+
+    // audio fingerprint oracle: sample i = ((id + i*2654435761) %
+    // 65536) - 32768, n = 160 + id%200; window energies as a 57-list,
+    // bit b = [e(b) > e(b+1)]
+    "q_audio_fp" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(160 + doc_id % 200 AS INT) AS n
+        |  FROM documents),
+        |en AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 57), k ->
+        |      coalesce(list_sum(list_transform(
+        |        range(k * n // 57, (k + 1) * n // 57),
+        |        i -> abs(((doc_id + i * 2654435761) % 65536) - 32768))),
+        |        0)) AS es
+        |  FROM d)
+        |SELECT doc_id AS media_id,
+        |  CAST(list_sum(list_transform(range(0, 56), b ->
+        |    CASE WHEN es[b + 1] > es[b + 2]
+        |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS fp
+        |FROM en ORDER BY media_id""".stripMargin,
 
     // dHash oracle: effective id e (twins use id-5's pixels +17), grid
     // sample (r, c) from source index ((r*h)//7)*w + (c*w)//9, bit i

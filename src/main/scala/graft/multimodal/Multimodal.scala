@@ -842,6 +842,47 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  /** 56-bit audio fingerprint — the dHash twin for sound: the decoded
+    * sample stream splits into 57 equal windows (integer boundaries
+    * k*n/57), window energy = sum of |sample|, bit k = [e(k) > e(k+1)].
+    * Energy-delta SIGNS are invariant to exact volume scaling (2x
+    * louder doubles every window energy — the spec-pinned law, the
+    * audio analog of dHash's brightness invariance) and robust to
+    * codec/bit-depth changes. Same Hamming-band near-dup machinery as
+    * [[nearDupImagePairs]] applies downstream (the op is generic over
+    * any (media_id, dhash) frame).
+    */
+  def audioFpBits(samples: Array[Int]): Long = {
+    val n = samples.length
+    val e = new Array[Long](57)
+    var k = 0
+    while (k < 57) {
+      var i = k * n / 57; val end = (k + 1) * n / 57
+      var s = 0L
+      while (i < end) { s += math.abs(samples(i).toLong); i += 1 }
+      e(k) = s; k += 1
+    }
+    var fp = 0L; var b = 0
+    while (b < 56) { if (e(b) > e(b + 1)) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  /** Fingerprint of every decodable PCM WAV blob (empty streams
+    * quarantine); zero shuffles.
+    */
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val b = bytesOf(m)
+        WavCodec.parse(b).iterator
+          .map(info => WavCodec.samples16(b, info))
+          .filter(_.nonEmpty)
+          .map(s => ImageHash(m.media_id, audioFpBits(s)))
+      }
+    }
+  }
+
   /** Deterministic PNG corpus with PLANTED near-duplicates: base
     * images have pixels in [0, 200); every doc with id % 10 == 7 is
     * instead the id-5 base image brightened by +17 (no clamp — the

@@ -576,4 +576,23 @@ class MultimodalSpec extends SparkSpec {
     } yield (i1, i2, dist)).toSet
     assert(pairs.toSet == brute)
   }
+
+  test("audio fingerprint: exact volume scaling is invariant, content " +
+       "change is not, and empty streams quarantine") {
+    val base = Array.tabulate(400)(i =>
+      ((((7L + i * 2654435761L) % 16000L) - 8000L)).toInt)
+    val fp = Multimodal.audioFpBits(base)
+    // 2x volume doubles every window energy exactly -> same signs
+    assert(Multimodal.audioFpBits(base.map(_ * 2)) == fp)
+    // different waveform is far
+    val other = Array.tabulate(400)(i =>
+      ((((991L + i * 1315423911L) % 16000L) - 8000L)).toInt)
+    assert(java.lang.Long.bitCount(
+      Multimodal.audioFpBits(other) ^ fp) > 10)
+    // an empty WAV never emits a row
+    import spark.implicits._
+    val empty = Seq(Multimodal.MediaRow(1L, "audio",
+      Multimodal.WavCodec.encode(Array.empty[Int], 16000))).toDS()
+    assert(Multimodal.audioFingerprints(empty).count() == 0L)
+  }
 }
