@@ -826,7 +826,11 @@ object Multimodal {
   def nearDupImagePairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3,
       s"band recall is exact only for maxDist <= 3, got $maxDist")
-    val banded = hashes.select(col("media_id"), col("dhash"),
+    // memo barrier: the self-join references the hash frame twice —
+    // without it both sides re-run the upstream media DECODE. The
+    // checkpointed frame is (id, hash), never the blobs.
+    val hashed = hashes.localCheckpoint(true)
+    val banded = hashed.select(col("media_id"), col("dhash"),
       explode(array((0 until 4).map(b =>
         // combined key: 14-bit band value * 4 + band index
         (shiftright(col("dhash"), 14 * b).bitwiseAND(lit(16383L)) * 4
