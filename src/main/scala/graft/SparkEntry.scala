@@ -1749,6 +1749,18 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // ---- per-frame video dHash (every 2nd frame's luma plane through
+    //      the 9x7 gradient grid) — the video member of the
+    //      fingerprint family; oracle recomputes every bit from the
+    //      closed-form frame bytes ----
+    "q_video_dhash" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.videoFrameDHashes(
+          Multimodal.syntheticY4mMedia(s, dir), everyN = 2)
+        .toDF()
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // ---- multimodal: REAL COMPRESSED video — MJPEG-in-AVI. RIFF
     //      container walk (LIST hdrl/strl headers, movi chunks, idx1,
     //      word alignment), every 2nd 00dc chunk decoded by the full
@@ -5815,6 +5827,31 @@ object SparkEntry {
         |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
         |    AS BIGINT) AS fp
         |FROM en ORDER BY media_id""".stripMargin,
+
+    // video dHash oracle: luma byte p of frame f =
+    // ((id + f*131 + p) * 2654435761) % 256; same 9x7 grid arithmetic
+    "q_video_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(8 + (doc_id % 5) * 2 AS INT) AS w,
+        |    CAST(6 + (doc_id % 4) * 2 AS INT) AS h,
+        |    CAST(3 + doc_id % 4 AS INT) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM d)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+        |  CAST(list_sum(list_transform(range(0, 56), i ->
+        |    CASE WHEN
+        |      (((doc_id + f * 131
+        |         + (((i // 8) * h // 7) * w + ((i % 8) * w // 9)))
+        |        * 2654435761) % 256)
+        |      >
+        |      (((doc_id + f * 131
+        |         + (((i // 8) * h // 7) * w + (((i % 8) + 1) * w // 9)))
+        |        * 2654435761) % 256)
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS dhash
+        |FROM fr WHERE f % 2 = 0
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     // dHash oracle: effective id e (twins use id-5's pixels +17), grid
     // sample (r, c) from source index ((r*h)//7)*w + (c*w)//9, bit i

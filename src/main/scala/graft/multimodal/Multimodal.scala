@@ -625,6 +625,37 @@ object Multimodal {
     }
   }
 
+  /** Per-frame perceptual hash row. */
+  final case class FrameHash(media_id: Long, frame_no: Int, dhash: Long)
+
+  /** Per-frame dHash over sampled Y4M frames' LUMA planes — the video
+    * member of the fingerprint family (text simhash / image dHash /
+    * audio energy-signs): keep every `everyN`-th frame, hash its Y
+    * plane with the [[dHashBits]] 9x7 gradient grid. Video near-dup
+    * then reduces to set overlap of frame hashes (or the banded
+    * Hamming op per frame row). Zero shuffles; same container walk as
+    * [[y4mFrameFeatures]].
+    */
+  def videoFrameDHashes(videos: Dataset[MediaRow],
+                        everyN: Int): Dataset[FrameHash] = {
+    import videos.sparkSession.implicits._
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    videos.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val bytes = bytesOf(m)
+        Y4mCodec.parse(bytes).iterator.flatMap { info =>
+          val np = info.width * info.height
+          Y4mCodec.frameOffsets(bytes, info).zipWithIndex
+            .collect { case (off, f) if f % everyN == 0 =>
+              val y = Array.tabulate(np)(j => bytes(off + j) & 0xff)
+              FrameHash(m.media_id, f,
+                dHashBits(info.width, info.height, y))
+            }.iterator
+        }
+      }
+    }
+  }
+
   /** Deterministic synthetic Y4M corpus: per document an even-dim C420
     * clip, w = 8 + (id%5)*2, h = 6 + (id%4)*2, 3 + id%4 frames, byte j
     * of frame f = ((id + f*131 + j) * 2654435761) mod 256 — closed
