@@ -71,6 +71,10 @@ object Stress {
       png(spark, sfDir)
       spark.stop(); return
     }
+    if (args.lift(1).contains("-dhash")) {
+      dhash(spark, sfDir)
+      spark.stop(); return
+    }
     if (args.lift(1).contains("-semtiers")) {
       semTiers(spark, sfDir)
       spark.stop(); return
@@ -744,6 +748,28 @@ object Stress {
         .toDF().agg(count(lit(1)), sum(col("sum_gray"))).collect()(0)
       println(f"png rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  (${sums.getLong(0)} images, graysum ${sums.getLong(1)})")
+    }
+  }
+
+  /** Image near-dup at corpus scale: decode + dHash + Hamming-banded
+    * self-join + bit_count verify over the planted-twin PNG corpus —
+    * one (band, key) exchange, never images². Reports pair counts
+    * (planted twins land at distance 0).
+    */
+  def dhash(spark: org.apache.spark.sql.SparkSession,
+            sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticPngNearDupMedia(spark, sfDir)
+    println(s"images: ${media.count()}")
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val pairs = Multimodal.nearDupImagePairs(
+          Multimodal.pngDHashes(media).toDF(), maxDist = 3)
+        .agg(count(lit(1)), sum(when(col("dist") === 0, 1L).otherwise(0L)))
+        .collect()(0)
+      println(f"dhash rep$rep  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${pairs.getLong(0)} pairs, ${pairs.getLong(1)} at dist 0)")
     }
   }
 
