@@ -2390,6 +2390,14 @@ object SparkEntry {
       s.sql(tpch13Sql)
     }),
 
+    // ---- SQL API parity: LATERAL correlated subquery (per-customer
+    //      order census) — decorrelated by Catalyst into an aggregate
+    //      + left outer join; identical SQL text on both engines ----
+    "q_sql_lateral" -> ((s, dir) => {
+      Readers.registerAll(s, dir)
+      s.sql(lateralSql)
+    }),
+
     // ---- SQL API parity: WITH RECURSIVE (new in Spark 4) — a
     //      hierarchy walk over the implicit binary tree on customer
     //      keys (parent = floor(key/2)): per-depth census + key sum.
@@ -3042,6 +3050,23 @@ object SparkEntry {
       |      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
       |      AS BIGINT) AS dhash
       |  FROM dd)""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for q_sql_lateral: a LATERAL correlated
+    * aggregate subquery (per-customer order census). Spark decorrelates
+    * it into agg + outer join; DuckDB executes it natively — results
+    * must agree exactly (decimal-exact sum cast to double at the end,
+    * the cross-engine numeric policy).
+    */
+  private val lateralSql: String =
+    """SELECT c.c_custkey, t.cnt, t.total
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT count(*) AS cnt,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS total
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+      |WHERE c.c_custkey <= 500
+      |ORDER BY c.c_custkey""".stripMargin
 
   /** Shared Spark/DuckDB SQL for q_sql_recursive: the recursive-CTE
     * parity probe (Spark 4's WITH RECURSIVE). Parent of key k in the
@@ -4687,6 +4712,8 @@ object SparkEntry {
     "q_sql_tpch7" -> tpch7Sql,
     "q_sql_tpch8" -> tpch8Sql,
     "q_sql_tpch13" -> tpch13Sql,
+
+    "q_sql_lateral" -> lateralSql,
 
     "q_sql_recursive" -> recursiveSql,
     "q_sql_tpch15" -> tpch15Sql,
