@@ -35,6 +35,17 @@ object Run {
     // a config can land a table and immediately curate it
     val pipelineFailed = config.pipeline.exists { p =>
       scala.util.Try {
+        if (p.stream) {
+          // stream: true — drain every file currently in the source
+          // (one-shot semantics for a CLI run; a service would leave
+          // the query running for continuous curation)
+          val q = graft.engine.CurationPipeline.runStream(spark, p)
+          q.processAllAvailable()
+          q.stop()
+          val rows = spark.read.parquet(p.target).count()
+          println(s"[graft] stream pipeline ${p.source} -> ${p.target}: " +
+            s"${p.stages.map(_.op).mkString(" -> ")}: $rows rows drained")
+        } else {
         val out = graft.engine.CurationPipeline.run(spark, p)
         if (config.sink.path.isDefined || config.sink.url.isDefined) {
           graft.engine.Sink.write(out, p.target, config.sink)
@@ -43,6 +54,7 @@ object Run {
         } else {
           println(s"[graft] pipeline ${p.source} -> ${p.target}: " +
             s"${p.stages.map(_.op).mkString(" -> ")}: ${out.count()} rows")
+        }
         }
       } match {
         case scala.util.Success(_) => false

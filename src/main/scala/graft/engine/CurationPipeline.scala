@@ -56,17 +56,58 @@ object CurationPipeline {
   }
 
   final case class Config(source: String, format: Option[SourceFormat],
-                          stages: Seq[Stage], target: String)
+                          stages: Seq[Stage], target: String,
+                          stream: Boolean = false)
 
   val KnownOps: Seq[String] = Seq("nfc_normalize", "exact_dedup", "dedup",
     "quality_gate", "blocklist", "quantile_filter", "langid_filter",
     "decontaminate", "sample", "pack")
+
+  /** Stages whose implementation is a narrow per-row map/filter —
+    * runnable UNCHANGED on a streaming DataFrame (`stream: true`).
+    * Corpus-wide stages (dedup, quantile_filter, sample, ...) are
+    * rejected on a stream with a pointer to the foreachBatch twins
+    * ([[graft.streaming.DocStream]]), which carry the incremental
+    * state those semantics need.
+    */
+  val StreamableOps: Set[String] =
+    Set("nfc_normalize", "quality_gate", "blocklist")
 
   /** Read the source and fold the stages left-to-right. */
   def run(spark: SparkSession, cfg: Config): DataFrame = {
     val src = Readers.read(spark,
       JobSpec(source = cfg.source, target = cfg.target, format = cfg.format))
     cfg.stages.foldLeft(src)((df, st) => applyStage(df, st, Some(spark)))
+  }
+
+  /** Streaming twin of [[run]]: a parquet FILE STREAM over the source
+    * directory (new files picked up per micro-batch), the narrow
+    * stages applied unchanged, appended to `targetPath` with a
+    * checkpoint beside it. Schema comes from one batch read of the
+    * existing files (a footer probe — streams can't infer). Returns
+    * the running query; callers drive it (`processAllAvailable` for a
+    * drain-what's-there one-shot, or leave it running for continuous
+    * curation).
+    */
+  def runStream(spark: SparkSession,
+                cfg: Config): org.apache.spark.sql.streaming.StreamingQuery = {
+    val bad = cfg.stages.map(_.op).filterNot(StreamableOps)
+    require(bad.isEmpty,
+      s"stages not streamable: ${bad.mkString(", ")} — streamable ops: " +
+        s"${StreamableOps.toSeq.sorted.mkString(", ")}; stateful " +
+        "curation streams through graft.streaming.DocStream's " +
+        "foreachBatch twins instead")
+    val schema = Readers.read(spark,
+      JobSpec(source = cfg.source, target = cfg.target,
+        format = cfg.format)).schema
+    val src = spark.readStream.schema(schema).parquet(cfg.source)
+    val out = cfg.stages.foldLeft(src)((df, st) => applyStage(df, st))
+    out.writeStream
+      .format("parquet")
+      .option("path", cfg.target)
+      .option("checkpointLocation", cfg.target + "_checkpoint")
+      .outputMode("append")
+      .start()
   }
 
   /** One stage — each arm is the same call the oracle-gated query for
@@ -110,11 +151,13 @@ object CurationPipeline {
         case _ => throw new IllegalArgumentException(
           "pipeline stage 'blocklist' needs a 'patterns' list")
       }
-      val id = st.str("id", "doc_id")
-      val keep = graft.operators.TextAnalysis
-        .blocklistScreen(df, pats, maxHits = st.long("max_hits", 0L))
-        .filter(col("keep") === 1).select(col("doc_id").as(id))
-      df.join(keep, Seq(id), "left_semi")
+      // inline narrow filter (the same codegen'd Aho–Corasick count
+      // blocklistScreen runs) — row-identical to the screen+semi-join
+      // form and, being a pure map, legal on a streaming DataFrame
+      df.withColumn("__graft_hits",
+          graft.plans.MultiPatternCount(col("text"), pats))
+        .filter(col("__graft_hits") <= st.long("max_hits", 0L))
+        .drop("__graft_hits")
     case "quantile_filter" =>
       graft.operators.Sampling.topFractionByGroup(df,
         col(st.str("group", "lang")), col(st.need("score")),

@@ -170,7 +170,8 @@ object EngineConfig {
             .map(f => SourceFormat.fromName(f.toString)),
           stages = stages,
           target = p.get("target").map(_.toString)
-            .getOrElse("pipeline_out"))
+            .getOrElse("pipeline_out"),
+          stream = p.get("stream").exists(_.toString.toBoolean))
       case other =>
         fail(s"'pipeline' must be a mapping, got " +
           other.getClass.getSimpleName)

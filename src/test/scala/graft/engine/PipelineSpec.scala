@@ -253,4 +253,46 @@ class PipelineSpec extends SparkSpec {
     assert(piped.select("doc_id").orderBy("doc_id")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
+
+  test("streaming YAML pipeline: narrow stages over a growing file " +
+       "stream equal the batch pipeline over the union; stateful " +
+       "stages reject with the DocStream pointer") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.CurationPipeline.{Config, Stage}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .localCheckpoint(true)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_streampipe_src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_streampipe").toString + "/out"
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(srcDir)
+    val pats = new java.util.ArrayList[String]()
+    pats.add("dup"); pats.add("slow")
+    val stages = Seq(
+      Stage("nfc_normalize", Map.empty),
+      Stage("quality_gate", Map("min_tokens" -> "20",
+        "max_tokens" -> "200")),
+      Stage("blocklist", Map("patterns" -> pats, "max_hits" -> "3")))
+    val cfg = Config(source = srcDir,
+      format = Some(graft.engine.SourceFormat.Parquet), stages = stages,
+      target = outDir, stream = true)
+    val q = graft.engine.CurationPipeline.runStream(spark, cfg)
+    q.processAllAvailable()
+    // second shard lands mid-stream
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = graft.engine.CurationPipeline
+      .run(spark, cfg.copy(source = srcDir, stream = false))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty && got.size < 500)
+    // stateful stages reject loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.CurationPipeline.runStream(spark,
+        cfg.copy(stages = Seq(Stage("dedup", Map.empty))))
+    }
+    assert(e.getMessage.contains("DocStream"))
+  }
 }
