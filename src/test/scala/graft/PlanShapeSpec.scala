@@ -367,4 +367,51 @@ class PlanShapeSpec extends SparkSpec {
     // pre-exchange-insertion, so count join nodes, not exchanges)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q_simsearch_sq: the corpus streams once past a broadcast query " +
+       "side, stats ride as literals (no stats join), and the top-k " +
+       "pre-prunes as WindowGroupLimit") {
+    val p = plan("q_simsearch_sq")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    // exactly one corpus-side parquet scan of embeddings beyond the
+    // broadcast query scan (the per-dim stats were collected at plan
+    // build and inlined — no third scan, no stats join)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_image_neardup: pairs come from ONE band-key hash exchange " +
+       "over the checkpointed (id, hash) frame — blobs never shuffle, " +
+       "decode runs once behind the checkpoint") {
+    val df = SparkEntry.queries("q_image_neardup")(spark, sf())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    val binLeak = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec
+          if e.output.exists(_.dataType == BinaryType) => e
+    }
+    assert(binLeak.isEmpty, s"payload bytes cross a shuffle:\n$binLeak")
+    val p = df.queryExecution.sparkPlan.toString
+    // the self-join sides read the checkpointed hash frame, not the
+    // media decode subtree (no MapPartitions / media scan in-plan)
+    assert(!p.contains("mapPartitions"), p)
+  }
+
+  test("Layout.zorderBy: exactly one exchange (the range partitioning " +
+       "on the z-value) plus the per-partition sort — no global sort") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val df = graft.engine.Layout.zorderBy(li, col("l_orderkey"),
+      col("l_partkey"), numFiles = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    // the z-sort is LOCAL (global=false): per-file ordering, no
+    // second whole-data sort barrier
+    assert(p.contains("], false, 0"), p)
+    assert(!p.contains("], true, 0"), p)
+  }
 }
