@@ -1299,6 +1299,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- Count-Min sketch word frequencies: the mergeable-by-addition
+    //      frequency sketch (heavy hitters at 100 TB) — every estimate
+    //      read back next to the true count; buckets from the
+    //      cross-engine stableHash60, so the oracle replays the sketch
+    //      arithmetic and the one-sided error law (est >= freq) is
+    //      hash-gated, not just asserted ----
+    "q_cms" -> ((s, dir) => {
+      graft.operators.TextAnalysis.cmsWordCounts(
+          t(s, dir, "documents"), depth = 4, width = 64)
+        .orderBy(col("word"))
+    }),
+
     // ---- north star: BM25 retrieval scoring (tf/df/idf machinery;
     //      fixed-order per-term pivot keeps float math engine-exact) ----
     "q_bm25" -> ((s, dir) => {
@@ -6558,6 +6570,26 @@ object SparkEntry {
     // BM25: ln idf + fixed-order per-term pivot (see TextAnalysis.bm25 —
     // literal constants and left-to-right sums keep IEEE results
     // engine-identical; the final floor-round is belt and braces)
+    // bucket(r) = stableHash60(word || '#' || r) % 64; bucket counts
+    // sum word frequencies; estimate = min over the 4 rows
+    "q_cms" ->
+      s"""WITH wf AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents)
+         |  WHERE word <> '' GROUP BY word),
+         |rws AS (
+         |  SELECT word, freq, r,
+         |    ${hashSql("word || '#' || r")} % 64 AS b
+         |  FROM wf, (SELECT unnest(range(0, 4)) AS r)),
+         |bk AS (
+         |  SELECT r, b, CAST(sum(freq) AS BIGINT) AS bucket_cnt
+         |  FROM rws GROUP BY r, b)
+         |SELECT word, CAST(max(freq) AS BIGINT) AS freq,
+         |  CAST(min(bucket_cnt) AS BIGINT) AS est
+         |FROM rws JOIN bk USING (r, b)
+         |GROUP BY word ORDER BY word""".stripMargin,
+
     "q_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,

@@ -764,4 +764,41 @@ object TextAnalysis {
         (sum(col("n_tokens")).cast("double") / count(lit(1)))
           .as("avg_tokens_per_doc"))
       .orderBy(col("lang"))
+
+  /** Count-Min sketch word-frequency estimation (Cormode & Muthukrishnan
+    * 2005) — the mergeable frequency-sketch sibling of the engine's
+    * HLL (approx distinct) and KLL-style (approx percentile) sketches.
+    * The depth x width counter table is mergeable BY ADDITION, which is
+    * what makes it the 100 TB heavy-hitter tool: each partition (or
+    * each streaming micro-batch) folds its own table and tables add.
+    *
+    * This surface builds the sketch and reads every estimate back next
+    * to the true count so the one-sided error law (est >= freq, with
+    * overestimates exactly the collided bucket mass) is
+    * oracle-checkable: buckets come from the cross-engine stableHash60
+    * of word#row, so the DuckDB twin replays the sketch arithmetic
+    * bucket for bucket.
+    *
+    * Scale shape: ONE corpus pass (the word-frequency aggregation,
+    * vocab-bounded output — [[Bpe.wordFreq]]); the sketch build and
+    * readback explode depth rows per DISTINCT WORD, never per token.
+    */
+  def cmsWordCounts(docs: DataFrame, depth: Int = 4, width: Int = 64,
+                    scriptAware: Boolean = false): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch dims $depth x $width")
+    val wf = Bpe.wordFreq(docs, scriptAware)
+    val rows = wf.select(col("word"), col("freq"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"),
+            pmod(stableHash60(concat(col("word"), lit("#" + r))),
+              lit(width.toLong)).as("b"))): _*)).as("rb"))
+      .select(col("word"), col("freq"), col("rb.r").as("r"),
+        col("rb.b").as("b"))
+      .localCheckpoint(true) // feeds both the bucket sums and the join
+    val buckets = rows.groupBy(col("r"), col("b"))
+      .agg(sum(col("freq")).as("bucket_cnt"))
+    rows.join(buckets, Seq("r", "b"))
+      .groupBy(col("word"))
+      .agg(max(col("freq")).as("freq"), min(col("bucket_cnt")).as("est"))
+  }
 }

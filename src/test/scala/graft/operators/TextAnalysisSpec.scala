@@ -330,4 +330,27 @@ class TextAnalysisSpec extends SparkSpec {
        col("n_tokens") === col("n_han") + col("n_kana"))).count()
     assert(bad2 == 0L)
   }
+
+  test("cmsWordCounts: one-sided error (est >= freq everywhere), exact " +
+       "at width 1 (every word collides into the total), and exact " +
+       "estimates for words with a private bucket") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a c d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cmsWordCounts(docs, depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    assert(out("a")._1 == 4L && out("b")._1 == 2L &&
+      out("c")._1 == 2L && out("d")._1 == 1L)
+    // the CM law: never underestimates
+    assert(out.values.forall { case (freq, est) => est >= freq })
+    // width 1: all words share the single bucket per row -> est = N
+    val w1 = TextAnalysis.cmsWordCounts(docs, depth = 2, width = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(w1.values.forall(_ == 9L))
+    // with 4 words in 64 buckets x 4 rows, collisions are overwhelmingly
+    // unlikely to hit the SAME word in all rows: estimates exact here
+    assert(out.values.forall { case (freq, est) => est == freq })
+  }
 }
