@@ -97,6 +97,12 @@ object CurationPipeline {
         s"${StreamableOps.toSeq.sorted.mkString(", ")}; stateful " +
         "curation streams through graft.streaming.DocStream's " +
         "foreachBatch twins instead")
+    // the file stream below is parquet — a csv/json source would pass
+    // the batch schema probe and then silently match zero files
+    val fmt = cfg.format.getOrElse(SourceFormat.Parquet)
+    require(fmt == SourceFormat.Parquet,
+      s"streaming pipelines read parquet sources; got '$fmt' — " +
+        "land the data as parquet first (an ELT job in the same config)")
     val schema = Readers.read(spark,
       JobSpec(source = cfg.source, target = cfg.target,
         format = cfg.format)).schema

@@ -60,8 +60,11 @@ object Layout {
           if (hi <= lo) lit(0L)
           else call_function("div", // integral divide: stays BIGINT
             (c.cast("long") - lit(lo)) * lit(grid), lit(hi - lo))
-        (scale(x, r.getLong(0), r.getLong(1)),
-         scale(y, r.getLong(2), r.getLong(3)))
+        // empty (or all-null-key) input: min/max are NULL — lay out
+        // the nothing-to-write frame without a z key rather than NPE
+        if (r.isNullAt(0) || r.isNullAt(2)) (lit(0L), lit(0L))
+        else (scale(x, r.getLong(0), r.getLong(1)),
+              scale(y, r.getLong(2), r.getLong(3)))
       }
     df.withColumn("__graft_z", zValue(nx, ny, bits))
       .repartitionByRange(numFiles, col("__graft_z"))

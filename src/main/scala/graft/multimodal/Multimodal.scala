@@ -892,7 +892,10 @@ object Multimodal {
     val e = new Array[Long](57)
     var k = 0
     while (k < 57) {
-      var i = k * n / 57; val end = (k + 1) * n / 57
+      // long arithmetic: k*n overflows Int past ~38M samples (a 13-min
+      // 48 kHz mono WAV), which would index negative and kill the task
+      var i = (k.toLong * n / 57).toInt
+      val end = ((k + 1).toLong * n / 57).toInt
       var s = 0L
       while (i < end) { s += math.abs(samples(i).toLong); i += 1 }
       e(k) = s; k += 1

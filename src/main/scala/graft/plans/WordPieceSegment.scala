@@ -34,26 +34,31 @@ case class WordPieceSegment(child: Expression, pieces: Seq[String])
     extends UnaryExpression {
 
   require(pieces.nonEmpty, "piece vocabulary must be non-empty")
-  require(pieces.forall(p => p.nonEmpty && p != "##"),
-    "pieces must be non-empty (and '##' alone is no piece)")
+  require(pieces.forall(_.nonEmpty), "pieces must be non-empty strings")
   require(pieces.distinct == pieces,
     s"duplicate pieces: ${pieces.diff(pieces.distinct).mkString(", ")}")
 
-  // split the vocabulary into word-initial and continuation lookups
+  // split the vocabulary into word-initial and continuation lookups.
+  // The literal piece "##" is a WORD-INITIAL piece (a corpus where
+  // '##' is a frequent standalone word trains it — e.g. markdown), not
+  // a continuation marker: the marker form is '##' + non-empty raw.
   @transient private lazy val initial: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](pieces.size * 2)
-    pieces.iterator.filterNot(_.startsWith("##")).foreach(s.add)
+    pieces.iterator
+      .filterNot(p => p.startsWith("##") && p.length > 2)
+      .foreach(s.add)
     s
   }
   @transient private lazy val cont: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](pieces.size * 2)
-    pieces.iterator.filter(_.startsWith("##"))
-      .map(_.substring(2)).filter(_.nonEmpty).foreach(s.add)
+    pieces.iterator.filter(p => p.startsWith("##") && p.length > 2)
+      .map(_.substring(2)).foreach(s.add)
     s
   }
   @transient private lazy val maxLen: Int =
     pieces.iterator.map(p =>
-      if (p.startsWith("##")) p.length - 2 else p.length).max
+      if (p.startsWith("##") && p.length > 2) p.length - 2
+      else p.length).max
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

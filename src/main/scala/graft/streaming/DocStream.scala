@@ -159,6 +159,28 @@ object DocStream {
     val admitRoot = stateDir.map(Paths.get(_)).getOrElse(
       Files.createTempDirectory("graft_ingest_admitted"))
     Files.createDirectories(admitRoot)
+    // the pack offsets are part of the durable state: without them a
+    // restart would re-emit already-used (shard, bin) cells, breaking
+    // the append-only manifest invariant. One tiny TSV, atomically
+    // swapped after each batch's sink (exactly-once manifests still
+    // need an idempotent sink — the standard foreachBatch contract).
+    val offsetsFile = admitRoot.resolve("offsets.tsv")
+    if (Files.exists(offsetsFile)) {
+      val src = scala.io.Source.fromFile(offsetsFile.toFile, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).foreach { l =>
+        val Array(s, o) = l.split("\t")
+        offsets(s.toLong) = o.toLong
+      } finally src.close()
+    }
+    def persistOffsets(): Unit = {
+      val tmp = admitRoot.resolve("offsets.tsv.tmp")
+      Files.write(tmp, offsets.toSeq.sortBy(_._1)
+        .map { case (s, o) => s"$s\t$o" }.mkString("\n")
+        .getBytes("UTF-8"))
+      Files.move(tmp, offsetsFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     // resume support: pre-existing subdirs (durable stateDir) are prior
     // admissions; a fresh temp dir starts empty
     def subdirs(): Seq[String] = {
@@ -209,6 +231,7 @@ object DocStream {
           .collect()
           .foreach(r => offsets(r.getLong(0)) = r.getLong(1))
         sink(packed)
+        persistOffsets()
       }
       .start()
   }

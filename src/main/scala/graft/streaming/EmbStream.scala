@@ -123,6 +123,16 @@ object EmbStream {
       Files.createTempDirectory("graft_embstream_state"))
     val assignedRoot = root.resolve("assigned")
     val canonRoot = root.resolve("canon")
+    // contract: stateDir is a FRESH directory per stream (it exists for
+    // inspection and disk-resident state, not restart-resume — the
+    // driver-held merge map cannot be reconstructed from the stores, so
+    // silently reusing a populated dir would duplicate every vector in
+    // the resolution joins and then crash on the first b1 write)
+    require(!Files.exists(assignedRoot) && !Files.exists(canonRoot),
+      s"stateDir $root already holds embedding-stream state — " +
+        "semanticDedupIncremental needs a fresh directory per stream " +
+        "(exact restart-resume is not supported: the merge map is " +
+        "driver-held; checkpoint the EMITTED deltas instead)")
     Files.createDirectories(assignedRoot)
     Files.createDirectories(canonRoot)
     def subdirs(r: java.nio.file.Path): Seq[String] = {
@@ -138,8 +148,6 @@ object EmbStream {
     assigned0.write.mode("overwrite")
       .parquet(assignedRoot.resolve("b0").toString)
     val assignedSchema = assigned0.schema
-    def assignedAll = spark0.read.schema(assignedSchema)
-      .parquet(subdirs(assignedRoot): _*)
     val edges0 = Dedup.embeddingPairs(
         spark0.read.schema(assignedSchema)
           .parquet(assignedRoot.resolve("b0").toString),
@@ -190,23 +198,21 @@ object EmbStream {
             .select(col("v1").as("d1"), col("v2").as("d2")))
         // 3. collapse endpoints to current canonicals: stored endpoints
         //    resolve base_canon through the merge map; in-batch
-        //    endpoints are their own rep
+        //    endpoints are their own rep. Only the d2 side can be
+        //    stored — both edge sources put the SHARD vector in
+        //    v1/d1 (embeddingPairs(newA) is in-batch on both sides;
+        //    embeddingPairsAcross(newA, priorA) exchanges the shard as
+        //    its `a`/v1 side) — so a d1-side canon join would scan the
+        //    corpus-sized store every batch only to produce NULLs.
         val resolveOld = merge.toMap
         val mergeDf = broadcast(resolveOld.toSeq.toDF("root", "cur"))
-        def repOf(end: String) = coalesce(
-          col("cur"), col("base_canon"), col(end))
         val repEdges = newEdges
-          .join(canonAll.select(col("vec_id").as("d1"),
-            col("base_canon")), Seq("d1"), "left")
-          .join(mergeDf.withColumnRenamed("root", "base_canon"),
-            Seq("base_canon"), "left")
-          .select(repOf("d1").as("r1"), col("d2"))
-          .drop("base_canon", "cur")
           .join(canonAll.select(col("vec_id").as("d2"),
             col("base_canon")), Seq("d2"), "left")
           .join(mergeDf.withColumnRenamed("root", "base_canon"),
             Seq("base_canon"), "left")
-          .select(col("r1").as("d1"), repOf("d2").as("d2"))
+          .select(col("d1"), coalesce(col("cur"), col("base_canon"),
+            col("d2")).as("d2"))
           .filter(col("d1") =!= col("d2"))
           .distinct()
           .localCheckpoint(true) // consumed by CC and two joins below

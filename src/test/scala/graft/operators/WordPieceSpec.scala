@@ -108,4 +108,22 @@ class WordPieceSpec extends SparkSpec {
     // word-initial piece
     assert(pieces.forall(p => !p.startsWith("##") || p.length > 2))
   }
+
+  test("the literal piece '##' is a word-initial piece, not a " +
+       "continuation marker (markdown-heavy corpora train it)") {
+    import org.apache.spark.sql.functions._
+    val words = Seq("##", "##x").toDF("word")
+    val seg = words.select(col("word"),
+        graft.plans.WordPieceSegment(col("word"),
+          Seq("##", "##x")).as("p"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[String](1)).map(_.toList)).toMap
+    // "##" segments as itself (initial); "##x" greedy-matches the
+    // longer initial piece... "##x" raw is the continuation form of
+    // "x", so as an INITIAL match only "##" applies, then the walk
+    // needs continuation "##x"... which IS in vocab as ##-prefixed raw
+    // "x": "##" + ##x -> ["##", "##x"]
+    assert(seg("##") == Some(List("##")))
+    assert(seg("##x") == Some(List("##", "##x")))
+  }
 }

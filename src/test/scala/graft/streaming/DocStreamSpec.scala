@@ -215,26 +215,32 @@ class DocStreamSpec extends SparkSpec {
       .as[(Long, String, String, String, Long)].collect().toSeq
     val state = java.nio.file.Files
       .createTempDirectory("graft_ingest_resume").toString
-    def run(batch: DataFrame): Set[Long] = {
+    def run(batch: DataFrame): (Set[Long], Seq[(Long, Long, Long)]) = {
       val mem = MemoryStream[(Long, String, String, String, Long)]
       val stream = mem.toDF()
         .toDF("doc_id", "text", "lang", "source", "n_chars")
       val ids = scala.collection.mutable.Set.empty[Long]
+      val cells =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       val q = DocStream.ingestPipeline(stream, corpus0, evalSet,
           shards = 4, budget = 256L, minShared = 20,
           stateDir = Some(state)) { packed =>
         ids.synchronized {
-          ids ++= packed.select("doc_id").collect().map(_.getLong(0))
+          val rows = packed.select("doc_id", "shard", "n_tok", "cum")
+            .collect()
+          ids ++= rows.map(_.getLong(0))
+          cells ++= rows.map(r =>
+            (r.getLong(1), r.getLong(3) - r.getLong(2), r.getLong(3)))
         }
       }
       mem.addData(tuples(batch): _*)
       q.processAllAvailable()
       q.stop()
-      ids.toSet
+      (ids.toSet, cells.toSeq)
     }
     // run 1: day 1 admits (450-475)
     val day1 = docs.filter(col("doc_id") >= 450 && col("doc_id") < 475)
-    val ids1 = run(day1)
+    val (ids1, cells1) = run(day1)
     assert(ids1.nonEmpty)
     // run 2 (RESTARTED query, same stateDir): replay day 1's rows with
     // new ids — every one is a duplicate of a stored admission and must
@@ -242,10 +248,18 @@ class DocStreamSpec extends SparkSpec {
     val day2 = day1.withColumn("doc_id", col("doc_id") + 10000)
       .unionByName(docs.filter(col("doc_id") >= 475 &&
         col("doc_id") < 490))
-    val ids2 = run(day2)
+    val (ids2, cells2) = run(day2)
     assert(ids2.forall(_ < 10000), s"replayed duplicates admitted: " +
       s"${ids2.filter(_ >= 10000)}")
     assert(ids2.nonEmpty)
+    // pack offsets also resumed: run 2 continues each shard's token
+    // stream where run 1 ended — a restart that reset offsets to 0
+    // would re-emit run-1's (shard, bin) token ranges
+    val hi1 = cells1.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    for ((shard, start, _) <- cells2 if hi1.contains(shard))
+      assert(start >= hi1(shard),
+        s"shard $shard restarted at token $start < run-1 high " +
+          s"${hi1(shard)} — offsets were not resumed")
     // and a fresh stateDir does NOT reject them (the resume really came
     // from the store, not from the seed corpus)
     val stateB = java.nio.file.Files
