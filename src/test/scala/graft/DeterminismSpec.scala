@@ -50,7 +50,13 @@ class DeterminismSpec extends SparkSpec {
     // depend on shuffle layout), bounded-heap quota winners, the
     // Aho–Corasick screen (narrow, but keep flag rides a threshold)
     "q_semantic_dedup", "q_semantic_dedup2", "q_source_quota",
-    "q_blocklist")
+    "q_blocklist",
+    // round-10 shapes: banded Hamming self-join pair sets + bit_count
+    // distances, SQ8 per-dim stats collected at plan build (two
+    // captures must agree), driver-loop tokenizer training (WordPiece
+    // winner ties), CMS bucket sums, z-values, the recursive walk
+    "q_image_neardup", "q_simsearch_sq", "q_wordpiece", "q_cms",
+    "q_zorder", "q_sql_recursive")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
