@@ -42,9 +42,19 @@ object Run {
           val q = graft.engine.CurationPipeline.runStream(spark, p)
           q.processAllAvailable()
           q.stop()
-          val rows = spark.read.parquet(p.target).count()
-          println(s"[graft] stream pipeline ${p.source} -> ${p.target}: " +
-            s"${p.stages.map(_.op).mkString(" -> ")}: $rows rows drained")
+          val drained = spark.read.parquet(p.target)
+          // route the drained frame through the configured sink like
+          // the batch branch — a jdbc/pgcopy sink must not silently
+          // degrade to the local parquet landing dir
+          if (config.sink.path.isDefined || config.sink.url.isDefined) {
+            graft.engine.Sink.write(drained, p.target, config.sink)
+            println(s"[graft] stream pipeline ${p.source} -> ${p.target}: " +
+              s"${p.stages.map(_.op).mkString(" -> ")} (drained, written)")
+          } else {
+            println(s"[graft] stream pipeline ${p.source} -> ${p.target}: " +
+              s"${p.stages.map(_.op).mkString(" -> ")}: " +
+              s"${drained.count()} rows drained")
+          }
         } else {
         val out = graft.engine.CurationPipeline.run(spark, p)
         if (config.sink.path.isDefined || config.sink.url.isDefined) {

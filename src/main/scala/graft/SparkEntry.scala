@@ -3947,9 +3947,12 @@ object SparkEntry {
        |  SELECT DISTINCT unnest(string_split(word, '')) AS ch FROM w),
        |vocab AS (
        |  SELECT DISTINCT raw, is_cont FROM (
-       |    SELECT CASE WHEN starts_with(piece, '##')
+       |    -- the literal piece '##' is WORD-INITIAL (WordPieceSegment's
+       |    -- length>2 rule): only '##'+non-empty raw is a continuation —
+       |    -- a bare-'##' continuation would have raw='' and loop forever
+       |    SELECT CASE WHEN starts_with(piece, '##') AND len(piece) > 2
        |        THEN substring(piece, 3) ELSE piece END AS raw,
-       |      starts_with(piece, '##') AS is_cont
+       |      starts_with(piece, '##') AND len(piece) > 2 AS is_cont
        |    FROM pieces
        |    UNION ALL SELECT ch, false FROM chars
        |    UNION ALL SELECT ch, true FROM chars)),

@@ -111,7 +111,12 @@ object CurationPipeline {
     out.writeStream
       .format("parquet")
       .option("path", cfg.target)
-      .option("checkpointLocation", cfg.target + "_checkpoint")
+      // the checkpoint lives INSIDE the target (hidden `_` name, so
+      // batch reads of the output ignore it): deleting the target
+      // deletes the offsets with it — a surviving sibling checkpoint
+      // would resume past already-seen source files and silently
+      // leave the recreated target incomplete
+      .option("checkpointLocation", cfg.target + "/_checkpoint")
       .outputMode("append")
       .start()
   }

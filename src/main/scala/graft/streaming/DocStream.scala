@@ -139,6 +139,21 @@ object DocStream {
     * `sink` call receives that day's manifest rows
     * (doc_id, shard, n_tok, cum, bin).
     *
+    * Crash discipline: a batch's admissions are staged in a `tmp_b*`
+    * directory and COMMITTED — together with the pack-offsets snapshot
+    * the batch produced — by ONE atomic directory rename into the `b*`
+    * namespace, and the rename happens only AFTER `sink` returned.
+    * A crash before the rename leaves the store exactly as it was
+    * (stale `tmp_b*` dirs are swept at startup), so the replayed batch
+    * re-admits and re-emits — the standard at-least-once/idempotent-
+    * sink foreachBatch contract — instead of finding its own docs
+    * already admitted and silently emitting nothing (the lost-manifest
+    * window of the earlier write-then-sink order). A crash after the
+    * rename replays to zero admissions AND resumes the committed
+    * offsets, so nothing is double-packed. Partial parquet writes can
+    * never surface: an uncommitted directory is by construction never
+    * in the `b*` namespace the corpus scan reads.
+    *
     * `stateDir` defaults to a fresh temp directory (the spec/benchmark
     * mode); production passes a durable path so a restarted query
     * resumes against the admissions already stored.
@@ -159,39 +174,26 @@ object DocStream {
     val admitRoot = stateDir.map(Paths.get(_)).getOrElse(
       Files.createTempDirectory("graft_ingest_admitted"))
     Files.createDirectories(admitRoot)
+    // sweep stage dirs a crashed batch left behind — they were never
+    // committed, so deleting them just re-opens the replay path
+    sweepStaged(admitRoot)
+    // resume support: pre-existing committed subdirs (durable stateDir)
+    // are prior admissions; a fresh temp dir starts empty
+    def subdirs(): Seq[String] = committedSubdirs(admitRoot)
     // the pack offsets are part of the durable state: without them a
     // restart would re-emit already-used (shard, bin) cells, breaking
-    // the append-only manifest invariant. One tiny TSV, atomically
-    // swapped after each batch's sink (exactly-once manifests still
-    // need an idempotent sink — the standard foreachBatch contract).
-    val offsetsFile = admitRoot.resolve("offsets.tsv")
-    if (Files.exists(offsetsFile)) {
-      val src = scala.io.Source.fromFile(offsetsFile.toFile, "UTF-8")
-      try src.getLines().filter(_.nonEmpty).foreach { l =>
-        val Array(s, o) = l.split("\t")
-        offsets(s.toLong) = o.toLong
-      } finally src.close()
+    // the append-only manifest invariant. Each committed batch dir
+    // carries the offsets snapshot it produced (so admissions + offsets
+    // commit in ONE rename); resume loads the newest snapshot. The
+    // root-level offsets.tsv is the pre-r11 layout, read as a fallback.
+    loadNewestOffsets(admitRoot, subdirs()).foreach { case (s, o) =>
+      offsets(s) = o
     }
-    def persistOffsets(): Unit = {
-      val tmp = admitRoot.resolve("offsets.tsv.tmp")
-      Files.write(tmp, offsets.toSeq.sortBy(_._1)
-        .map { case (s, o) => s"$s\t$o" }.mkString("\n")
-        .getBytes("UTF-8"))
-      Files.move(tmp, offsetsFile,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
-    // resume support: pre-existing subdirs (durable stateDir) are prior
-    // admissions; a fresh temp dir starts empty
-    def subdirs(): Seq[String] = {
-      val s = Files.list(admitRoot)
-      try s.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("b"))
-        .map(_.toString).toList.sorted
-      finally s.close()
-    }
-    var seq = subdirs().size
+    // next generation number: max committed suffix + 1 (count-based
+    // numbering would collide after a compaction folds generations)
+    var seq = subdirs()
+      .map(p => Paths.get(p).getFileName.toString.drop(1).toLong)
+      .maxOption.map(_ + 1L).getOrElse(0L)
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -201,11 +203,12 @@ object DocStream {
           else corpus.unionByName(
             spark.read.schema(batch.schema).parquet(prior: _*)
               .select(corpus.columns.map(col): _*))
-        val sub = admitRoot.resolve(s"b$seq")
+        // stage, don't commit: the tmp_ prefix keeps the dir out of the
+        // committed namespace until sink + offsets are durable
+        val sub = admitRoot.resolve(s"tmp_b$seq")
         graft.operators.Dedup
           .incrementalDedup(batch, corpusSide, k, minShared)
-          .write.parquet(sub.toString)
-        seq += 1
+          .write.mode("overwrite").parquet(sub.toString)
         // read the day's admissions BACK from the store: downstream
         // stages run off the one materialized copy (flat file-scan
         // lineage — the job the write ran is never recomputed)
@@ -231,10 +234,147 @@ object DocStream {
           .collect()
           .foreach(r => offsets(r.getLong(0)) = r.getLong(1))
         sink(packed)
-        persistOffsets()
+        // COMMIT POINT: snapshot the offsets into the staged dir, then
+        // one atomic rename moves admissions + offsets into the
+        // committed namespace together. Everything before this line
+        // replays on crash (idempotent-sink contract); after it, the
+        // replayed batch dedups to zero and resumes these offsets.
+        writeOffsets(sub, offsets)
+        Files.move(sub, admitRoot.resolve(s"b$seq"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        seq += 1
       }
       .start()
   }
+
+  /** Committed admission generations under an ingest `stateDir`:
+    * directories named `b<seq>` (staged `tmp_b*` dirs are invisible),
+    * NUMERICALLY ordered — lexicographic order breaks past b9 and the
+    * newest dir carries the authoritative offsets snapshot.
+    */
+  private def committedSubdirs(root: java.nio.file.Path): Seq[String] = {
+    val s = Files.list(root)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.matches("b\\d+"))
+      .map(_.toString).toList
+      .sortBy(p => Paths.get(p).getFileName.toString.drop(1).toLong)
+    finally s.close()
+  }
+
+  /** Delete staged (uncommitted) batch dirs left by a crash. */
+  private def sweepStaged(root: java.nio.file.Path): Unit = {
+    val s = Files.list(root)
+    val stale = try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("tmp_b"))
+      .toList
+    finally s.close()
+    stale.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  // the snapshot lives INSIDE the committed batch dir (so it rides the
+  // commit rename); the leading underscore keeps it invisible to the
+  // parquet scan over the generation dirs (Spark's hidden-file rule)
+  private def writeOffsets(dir: java.nio.file.Path,
+                           offsets: scala.collection.Map[Long, Long]): Unit =
+    Files.write(dir.resolve("_offsets.tsv"), offsets.toSeq.sortBy(_._1)
+      .map { case (s, o) => s"$s\t$o" }.mkString("\n").getBytes("UTF-8"))
+
+  private def readOffsets(f: java.nio.file.Path): Seq[(Long, Long)] = {
+    val src = scala.io.Source.fromFile(f.toFile, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val Array(s, o) = l.split("\t")
+      (s.toLong, o.toLong)
+    }.toList finally src.close()
+  }
+
+  /** Offsets resume: newest committed generation's snapshot wins; a
+    * pre-r11 root-level offsets.tsv (written per batch, not per commit)
+    * is honored when no generation carries one.
+    */
+  private def loadNewestOffsets(root: java.nio.file.Path,
+                                committed: Seq[String]): Seq[(Long, Long)] = {
+    val fromGen = committed.reverse.iterator
+      .map(d => Paths.get(d).resolve("_offsets.tsv"))
+      .find(Files.exists(_)).map(readOffsets)
+    fromGen.getOrElse {
+      val legacy = root.resolve("offsets.tsv")
+      if (Files.exists(legacy)) readOffsets(legacy) else Seq.empty
+    }
+  }
+
+  /** Fold every committed admission generation of an ingest `stateDir`
+    * into ONE — the doc-side LSM compaction (the embedding stream's
+    * `compact()` sibling): a year-long daily stream otherwise pays an
+    * ever-growing multi-path listing + small-file scan per batch.
+    * Quiescent-only by contract (no ingest query may be mid-batch on
+    * this stateDir). The compacted generation commits by the SAME
+    * atomic-rename device as a batch — it carries the newest offsets
+    * snapshot plus a `_replaces.tsv` marker naming the generations it
+    * supersedes; stale generations are deleted only after the commit,
+    * and a crash between commit and delete is healed on the next
+    * compaction/resume by finishing the recorded deletes (the marker is
+    * cleared once the replaced dirs are gone). The admissions SET —
+    * and therefore every future dedup decision and resumed offset — is
+    * invariant under compaction (DocStreamSpec law).
+    *
+    * `schema` guards the all-generations-empty edge (no footers to
+    * infer from); omit it when any admitted batch was non-empty.
+    * Returns rows rewritten (0 = nothing to fold).
+    */
+  def compactAdmissions(spark: SparkSession, stateDir: String,
+                        schema: Option[StructType] = None): Long = {
+    val root = Paths.get(stateDir)
+    require(Files.isDirectory(root), s"no ingest state at $stateDir")
+    sweepStaged(root)
+    finishCrashedCompaction(root)
+    val gens = committedSubdirs(root)
+    if (gens.size <= 1) return 0L
+    val offs = loadNewestOffsets(root, gens)
+    val nextSeq = gens
+      .map(p => Paths.get(p).getFileName.toString.drop(1).toLong).max + 1L
+    val staged = root.resolve(s"tmp_b$nextSeq")
+    val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+    reader.parquet(gens: _*).write.mode("overwrite")
+      .parquet(staged.toString)
+    val n = spark.read.parquet(staged.toString).count()
+    writeOffsets(staged, offs.toMap)
+    Files.write(staged.resolve("_replaces.tsv"),
+      gens.map(p => Paths.get(p).getFileName.toString).mkString("\n")
+        .getBytes("UTF-8"))
+    val committedDir = root.resolve(s"b$nextSeq")
+    Files.move(staged, committedDir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    gens.foreach(d => deleteRecursively(Paths.get(d)))
+    Files.deleteIfExists(committedDir.resolve("_replaces.tsv"))
+    Files.deleteIfExists(root.resolve("offsets.tsv")) // legacy snapshot
+    n
+  }
+
+  /** Finish a compaction that crashed between its commit rename and the
+    * deletion of the generations it replaced (their docs would appear
+    * twice in the corpus scan otherwise).
+    */
+  private def finishCrashedCompaction(root: java.nio.file.Path): Unit =
+    for (g <- committedSubdirs(root)) {
+      val marker = Paths.get(g).resolve("_replaces.tsv")
+      if (Files.exists(marker)) {
+        val src = scala.io.Source.fromFile(marker.toFile, "UTF-8")
+        val stale = try src.getLines().filter(_.nonEmpty).toList
+          finally src.close()
+        stale.map(root.resolve(_)).filter(Files.exists(_))
+          .foreach(deleteRecursively)
+        Files.deleteIfExists(marker)
+      }
+    }
 
   final case class PackState(cum: Long)
   final case class PackOut(doc_id: Long, shard: Long, n_tok: Long,

@@ -285,16 +285,23 @@ object EmbStream {
       resolved.select(canonSchema.fieldNames.map(col): _*)
         .write.mode("overwrite").parquet(tmp.toString)
       val n = spark0.read.schema(canonSchema).parquet(tmp.toString).count()
-      // swap: drop the old generations, move tmp in as the new base
+      // swap, constructive-first: move the compacted generation IN (tmp
+      // lives outside canonRoot, so it was invisible until this rename),
+      // THEN delete the old generations. A crash between the two leaves
+      // old + new coexisting (duplicate vec_ids — recoverable by
+      // deleting every dir but the newest), never an EMPTY canon store
+      // the merge map alone could not rebuild (the old destructive-first
+      // order's unrecoverable window).
       def deleteRec(p: java.nio.file.Path): Unit = {
         val s = Files.walk(p)
         try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .iterator().asScala.foreach(Files.deleteIfExists(_))
         finally s.close()
       }
-      subdirs(canonRoot).foreach(d => deleteRec(Paths.get(d)))
+      val old = subdirs(canonRoot)
       Files.move(tmp, canonRoot.resolve("b0_compacted_" +
         System.nanoTime()))
+      old.foreach(d => deleteRec(Paths.get(d)))
       merge.clear()
       n
     }
