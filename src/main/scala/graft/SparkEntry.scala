@@ -21,6 +21,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Readers.table(s, dir, name)
 
+  /** Session-lifetime cache of persisted ANN-index builds: the
+    * build-once/query-many contract means a repeated indexed query
+    * (bench reps, verify) pays the BUILD exactly once per
+    * (kind, corpus dir); the artifact lives in a temp dir. In
+    * production the build is its own job writing to the lakehouse —
+    * this cache is the single-JVM stand-in for that artifact store.
+    */
+  private val annIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annIndex(kind: String, dir: String)
+                      (build: String => Unit): String =
+    annIndexCache.computeIfAbsent(s"$kind:$dir", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_${kind}_idx").toString
+      build(p)
+      p
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full reference pipeline shape: scan → align/cast to a declared target
     * schema → deterministic result (SURVEY §7.1).
@@ -1296,6 +1314,37 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       graft.operators.Similarity.sqTopK(
           e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ---- persisted IVF index: build-once / query-many — the
+    //      production shape of the similarity surface (faiss train+add
+    //      vs search). The index (centroids + cell-PARTITIONED
+    //      assignments) is built once per session; the query LOADS it:
+    //      no quantizer training, no assignment pass in the query plan
+    //      (PlanShapeSpec-pinned), and cell probes prune the
+    //      partitioned scan. Results equal the inline path by
+    //      construction (shared search kernel) — shares
+    //      q_simsearch_ivf's oracle ----
+    "q_simsearch_ivf_idx" -> ((s, dir) => {
+      val path = annIndex("ivf", dir)(p =>
+        graft.operators.Similarity.buildIvfIndex(
+          t(s, dir, "embeddings"), p, nlist = 16))
+      graft.operators.Similarity.ivfTopKIndexed(
+          t(s, dir, "embeddings").filter(col("vec_id") < 10), path,
+          k = 5, nprobe = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ---- persisted PQ index: codebook + compressed code table written
+    //      once; the query scans ONLY the code table (corpus floats
+    //      never read at query time) — shares q_simsearch_pq's oracle ----
+    "q_simsearch_pq_idx" -> ((s, dir) => {
+      val path = annIndex("pq", dir)(p =>
+        graft.operators.Similarity.buildPqIndex(
+          t(s, dir, "embeddings"), p))
+      graft.operators.Similarity.pqTopKIndexed(
+          t(s, dir, "embeddings").filter(col("vec_id") < 10), path, k = 5)
         .orderBy(col("qid"), col("rnk"))
     }),
 
@@ -4307,7 +4356,12 @@ object SparkEntry {
     // the YAML-driven pipeline runs the exact operator composition of
     // q_corpus_pipeline (PipelineSpec pins config == code row-for-row),
     // so it is gated by the same oracle
-    "q_yaml_pipeline" -> oracleSqlLiteral("q_corpus_pipeline")
+    "q_yaml_pipeline" -> oracleSqlLiteral("q_corpus_pipeline"),
+    // the persisted-index paths load artifacts written by the SAME
+    // deterministic build rules the inline paths compute, through the
+    // same search kernels — gated by the inline oracles
+    "q_simsearch_ivf_idx" -> oracleSqlLiteral("q_simsearch_ivf"),
+    "q_simsearch_pq_idx" -> oracleSqlLiteral("q_simsearch_pq")
   )
 
   private def oracleSqlLiteral: Map[String, String] = Map(

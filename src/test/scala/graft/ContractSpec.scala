@@ -64,6 +64,45 @@ class ContractSpec extends AnyFunSuite {
     assert(ghosts.isEmpty, s"inventory rows with no query entry: $ghosts")
   }
 
+  /** Expand one inventory-row name cell into the queries it covers:
+    * "a / b / c" lists full names; "a / _x / _y" suffixes replace the
+    * first name's last `_segment`; "q_sql_tpch2/9/11/16" expands
+    * numeric suffixes onto the digit-stripped stem.
+    */
+  private def expandRow(cell: String): Seq[String] = {
+    val parts = cell.split(" / ").map(_.trim).toSeq
+    val first = parts.head
+    val firstExpanded =
+      if (first.contains("/")) {
+        val segs = first.split("/").toSeq
+        val stem = segs.head.reverse.dropWhile(_.isDigit).reverse
+        segs.head +: segs.tail.map(stem + _)
+      } else Seq(first)
+    firstExpanded ++ parts.tail.map { p =>
+      if (p.startsWith("_")) first.take(first.lastIndexOf('_')) + p
+      else p
+    }
+  }
+
+  test("SURVEY.md §2.3 inventory COVERS every query (compound rows " +
+       "expanded) — the count gate alone let q_audio_adpcm and " +
+       "q_video_mjpeg ship uninventoried in round 10") {
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val lines = try survey.getLines().toList finally survey.close()
+    val cells = lines.collect {
+      case l if l.startsWith("| q_") || l.startsWith("| q1") ||
+                l.startsWith("| ingest_") =>
+        l.drop(2).takeWhile(_ != '|').trim
+    }
+    val covered = cells.flatMap(expandRow).toSet
+    val missing = SparkEntry.queries.keySet -- covered
+    assert(missing.isEmpty,
+      s"queries with no SURVEY §2.3 inventory row: $missing")
+    val ghosts = covered -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty,
+      s"inventory rows naming nonexistent queries after expansion: $ghosts")
+  }
+
   test("rows-only allowlist stays minimal (everything in it exists)") {
     val stale = rowsOnly -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlisted names no longer exist: $stale")

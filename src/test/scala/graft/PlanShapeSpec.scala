@@ -399,6 +399,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("mapPartitions"), p)
   }
 
+  test("q_simsearch_ivf_idx: the indexed query plan contains NO " +
+       "quantizer training and NO assignment pass — only the index " +
+       "scans + broadcast probes, with dynamic partition pruning on " +
+       "the cell-partitioned assignment table") {
+    val df = SparkEntry.queries("q_simsearch_ivf_idx")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the assignment window column exists only in the BUILD job; a
+    // query plan carrying it would be re-assigning the corpus
+    assert(!p.contains("crank"), p)
+    // no aggregation at all before the final ranking: k-means (posexplode
+    // + groupBy) and assignment both live in the build job
+    assert(!p.contains("HashAggregate"), p)
+    // the probed-cells join: probes broadcast, assignment table streams
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the 100 TB property: cell probes prune the partitioned index scan
+    // at RUNTIME (nprobe/nlist of the files read, not all of them)
+    assert(p.contains("dynamicpruning"), p)
+    // every embeddings scan is the FILTERED query side (the DPP
+    // subquery legitimately repeats it) — never a full-corpus scan:
+    // the corpus is only ever read from the index artifacts
+    val embScans = p.linesIterator
+      .filter(_.contains("embeddings.parquet")).toList
+    assert(embScans.nonEmpty &&
+      embScans.forall(_.contains("LessThan(vec_id,10)")), embScans)
+  }
+
+  test("q_simsearch_pq_idx: the indexed ADC query never touches corpus " +
+       "floats — codebook and LUT broadcast, the code table is the " +
+       "only corpus-sized scan, and no encode aggregation precedes it") {
+    val df = SparkEntry.queries("q_simsearch_pq_idx")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the encode pass is min-of-struct over (cid, s) — its 'best'
+    // buffer appears only in the BUILD job
+    assert(!p.contains("min(struct(d2"), p)
+    val scans = p.linesIterator.filter(_.contains("Location")).toList
+    // query side reads embeddings once (the qid<10 filter); the corpus
+    // side reads ONLY the persisted code table
+    assert(scans.count(_.contains("embeddings.parquet")) == 1, scans)
+    assert(scans.exists(_.contains("codes")), scans)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("Layout.zorderBy: exactly one exchange (the range partitioning " +
        "on the z-value) plus the per-partition sort — no global sort") {
     import org.apache.spark.sql.functions._

@@ -31,6 +31,42 @@ class SimilaritySpec extends SparkSpec {
     assert(q.keySet == c.keySet)
   }
 
+  test("persisted IVF index: build-once artifacts + ivfTopKIndexed " +
+       "equal the inline ivfTopK row-for-row, and a trained-quantizer " +
+       "build round-trips through the artifact store") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_spec").toString
+    Similarity.buildIvfIndex(e, path, nlist = 16)
+    val idx = Similarity.ivfTopKIndexed(queries, path, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.ivfTopK(queries, e, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(idx.nonEmpty && idx == inline)
+    // trained centroids persist + reload to the same cells as inline
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_spec2").toString
+    Similarity.buildIvfIndex(e, path2, nlist = 8, trainIters = 2)
+    val trained = Similarity.trainCentroids(e, nlist = 8, iters = 2)
+    val idx2 = Similarity.ivfTopKIndexed(queries, path2, k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    val inline2 = Similarity.ivfTopK(queries, e, k = 5, nlist = 8,
+        nprobe = 3, centroids = Some(trained))
+      .collect().map(_.toSeq).toSet
+    assert(idx2.nonEmpty && idx2 == inline2)
+  }
+
+  test("persisted PQ index: codebook + code table reload to the exact " +
+       "inline pqTopK ranking") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqidx_spec").toString
+    Similarity.buildPqIndex(e, path)
+    val idx = Similarity.pqTopKIndexed(queries, path, k = 5)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.pqTopK(queries, e, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(idx.nonEmpty && idx == inline)
+  }
+
   test("IVF: at most k rows per query, never beats brute-force top score") {
     val bf = Similarity.bruteForceTopK(queries, e, k = 1)
       .select("qid", "score").as[(Long, Long)].collect().toMap
