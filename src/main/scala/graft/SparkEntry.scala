@@ -931,6 +931,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- compression-ratio quality signal (new r11): the classic
+    //      "too compressible = boilerplate" screen, measured as greedy
+    //      LZ77 match coverage under ONE exactly-specified rule
+    //      (longest [4,32]-codepoint back-reference, advance by match)
+    //      — a single narrow codegen'd projection, no shuffle; the
+    //      oracle replays every match as a recursive walk ----
+    "q_comp_ratio" -> ((s, dir) => {
+      graft.operators.TextAnalysis.compressionRatio(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-language compression gate (q_ppl_filter's shape with LZ
+    //      coverage as the score): keep the least-compressible 7/10 of
+    //      each language — radix group-quantile, corpus-linear ----
+    "q_comp_filter" -> ((s, dir) => {
+      graft.operators.TextAnalysis.compressionFilter(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- unigram-LM (SentencePiece-family) tokenizer TRAINING (new
     //      r10): over-complete substring seed -> 2 hard-EM (Viterbi)
     //      iterations -> prune to vocabSize + alphabet. Corpus touched
@@ -3962,6 +3981,40 @@ object SparkEntry {
        |$iters"""
   }
 
+  /** The greedy-LZ77 walk CTEs shared by q_comp_ratio and
+    * q_comp_filter: per doc, scan left to right; at codepoint position
+    * pos take the LONGEST L in [4, 32] whose window also occurs
+    * starting at or before pos (instr over the overlap-inclusive
+    * prefix — valid ⇔ first occurrence index <= pos, 1-based), advance
+    * by L (matched += L) or by 1. `cr` emits (doc_id, n_chars,
+    * matched, ratio_micro) with ratio_micro = 1e6*matched div n. The
+    * scalar subquery form is load-bearing: DuckDB rejects LATERAL
+    * table-function parameters inside a recursive CTE.
+    */
+  private lazy val lzWalkCtes: String = {
+    def lm(z: Int): String =
+      "coalesce((SELECT max(L) FROM range(4, 33) t(L) " +
+        "WHERE L <= d.n - w.pos " +
+        "AND instr(substr(d.text, 1, CAST(w.pos + L - 1 AS INT)), " +
+        "substr(d.text, CAST(w.pos + 1 AS INT), CAST(L AS INT))) " +
+        s"BETWEEN 1 AND w.pos), $z)"
+    s"""WITH RECURSIVE d AS MATERIALIZED (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |walk(doc_id, pos, matched) AS (
+       |  SELECT doc_id, 0, 0 FROM d
+       |  UNION ALL
+       |  SELECT w.doc_id, w.pos + ${lm(1)}, w.matched + ${lm(0)}
+       |  FROM walk w JOIN d ON d.doc_id = w.doc_id
+       |  WHERE w.pos < d.n),
+       |cr AS (
+       |  SELECT w.doc_id, d.n AS n_chars,
+       |    CAST(max(w.matched) AS BIGINT) AS matched,
+       |    CAST(CASE WHEN d.n = 0 THEN 0
+       |      ELSE (1000000 * max(w.matched)) // d.n END AS BIGINT)
+       |      AS ratio_micro
+       |  FROM walk w JOIN d USING (doc_id) GROUP BY w.doc_id, d.n)"""
+  }
+
   /** The learned WordPiece merge table (= q_wordpiece). */
   private lazy val wordpieceSql: String = {
     val union = (1 to wpIters).map(n =>
@@ -4599,6 +4652,22 @@ object SparkEntry {
 
     // ppl CTEs + the integer-rank keep rule of q_group_quantile:
     // keep the most-fluent 70% per language
+    "q_comp_ratio" ->
+      s"""$lzWalkCtes
+         |SELECT doc_id, n_chars, matched, ratio_micro FROM cr
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_comp_filter" ->
+      s"""$lzWalkCtes,
+         |x AS (SELECT cr.doc_id, d2.lang, cr.ratio_micro
+         |      FROM cr JOIN documents d2 USING (doc_id)),
+         |r AS (SELECT doc_id, lang, ratio_micro,
+         |  row_number() OVER (PARTITION BY lang
+         |                     ORDER BY ratio_micro, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM x)
+         |SELECT doc_id, lang, ratio_micro FROM r
+         |WHERE (rn - 1) * 10 < n * 7 ORDER BY doc_id""".stripMargin,
+
     "q_ppl_filter" ->
       s"""$lmPplCtes,
          |ppl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,

@@ -801,4 +801,46 @@ object TextAnalysis {
       .groupBy(col("word"))
       .agg(max(col("freq")).as("freq"), min(col("bucket_cnt")).as("est"))
   }
+
+  /** Compression-ratio quality signal — the classic "too compressible"
+    * boilerplate screen of the C4/Gopher/RefinedWeb pipeline family
+    * (template pages, repeated navigation chrome, and spam collapse
+    * under a dictionary compressor; prose doesn't). The signal is the
+    * deterministic greedy-LZ77 match coverage of
+    * [[graft.plans.LzMatchedChars]] (no library compressor — the rule
+    * is exactly specified, so the DuckDB oracle replays every match),
+    * quantized to ratio_micro = 1e6 * matched div n_chars.
+    *
+    * Scale shape: ONE narrow codegen'd projection — no shuffle, no
+    * joins; per-row work bounded by doc length (hash-chain parse).
+    * Returns (doc_id, n_chars, matched, ratio_micro).
+    */
+  def compressionRatio(docs: DataFrame, minLen: Int = 4,
+                       maxLen: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.plans.LzMatchedChars(col("text"), minLen, maxLen)
+          .as("matched"))
+      .withColumn("ratio_micro",
+        when(col("n_chars") === 0L, 0L)
+          .otherwise(call_function("div",
+            lit(1000000L) * col("matched"), col("n_chars"))))
+
+  /** Per-language compression-ratio gate (the q_ppl_filter shape with
+    * the LZ coverage as the score): keep the LEAST-compressible
+    * `num/den` of each language — high coverage = boilerplate out.
+    * Group-quantile selection via the radix path
+    * ([[Sampling.topFractionByGroup]]), corpus-linear.
+    */
+  def compressionFilter(docs: DataFrame, num: Int = 7, den: Int = 10,
+                        minLen: Int = 4, maxLen: Int = 32): DataFrame = {
+    val scored = compressionRatio(docs, minLen, maxLen)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("ratio_micro"))
+      // 20-byte rows feed both the threshold scan and the keep join
+      .localCheckpoint(true)
+    Sampling.topFractionByGroup(scored, col("lang"), col("ratio_micro"),
+      col("doc_id"), num = num, den = den,
+      windowMaxGroup = 0L) // pin radix: the regime the oracle gates
+  }
 }

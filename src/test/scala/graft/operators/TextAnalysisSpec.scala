@@ -353,4 +353,68 @@ class TextAnalysisSpec extends SparkSpec {
     // unlikely to hit the SAME word in all rows: estimates exact here
     assert(out.values.forall { case (freq, est) => est == freq })
   }
+
+  test("LZ match coverage: hash-chain kernel equals the brute-force " +
+       "rule (incl. overlap runs, surrogate pairs, empties)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the exact published rule, quadratic reference implementation:
+    // longest L in [minLen, cap] with an equal codepoint window
+    // starting at any i < p (overlap allowed)
+    def brute(s: String, minLen: Int = 4, maxLen: Int = 32): Long = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      var p = 0
+      var total = 0L
+      while (p < n) {
+        var best = 0
+        val cap = math.min(maxLen, n - p)
+        for (i <- 0 until p) {
+          var l = 0
+          while (l < cap && cps(i + l) == cps(p + l)) l += 1
+          if (l > best) best = l
+        }
+        if (best >= minLen) { total += best; p += best } else p += 1
+      }
+      total
+    }
+    val texts = Seq(
+      "", "abc", "abcd", "abcd abcd", "abcd abcd abcd",
+      "no repetition in this line at all",
+      "aaaaaaaaaaaaaaaa",                        // self-overlap run
+      "xyzw" * 20,                               // periodic
+      "subscribe now! subscribe now! click here! click here! end",
+      "wé世😀" * 6 + "tail",  // non-ASCII + astral
+      "ab" * 3,                                  // period-2 run, len 6
+      "the cat the dog the cat the dog")
+    for (t <- texts) {
+      val got = graft.plans.LzMatchedChars.matched(
+        UTF8String.fromString(t), 4, 32)
+      assert(got == brute(t), s"kernel=$got brute=${brute(t)} on '$t'")
+    }
+    // and with a different (minLen, maxLen) pair
+    for (t <- texts) {
+      val got = graft.plans.LzMatchedChars.matched(
+        UTF8String.fromString(t), 2, 5)
+      assert(got == brute(t, 2, 5), s"(2,5) mismatch on '$t'")
+    }
+  }
+
+  test("compression ratio: duplicated-paragraph boilerplate scores " +
+       "far more compressible than unique prose (the filter law)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique words only never repeating anything else today", "en"),
+      (2L, ("copy paste boilerplate block " * 8) + "end", "en"),
+      (3L, "short", "en")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.compressionRatio(docs)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(2L) > 700000L, s"boilerplate ratio ${r(2L)} not high")
+    assert(r(1L) < r(2L) / 2, s"prose ${r(1L)} vs boilerplate ${r(2L)}")
+    // ratio in [0, 1e6) always
+    assert(r.values.forall(v => v >= 0L && v < 1000000L))
+    // the per-language gate keeps the LEAST compressible fraction
+    val kept = TextAnalysis.compressionFilter(docs, num = 2, den = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L), kept)
+  }
 }
