@@ -2,15 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-inspection CLI: prints the formatted physical plan for the given
-  * queries (default: a pushdown/broadcast-sensitive subset) so plan
-  * regressions are visible. Usage:
-  *   graft.Explain [sfDir] [query ...]
+/** Plan-inspection CLI — the ONE entry point for plan-shape iteration
+  * (the former `graft.tools.Explain` extended-mode twin is folded in
+  * here behind a flag). Prints the physical plan for the given queries
+  * without executing them. Usage:
+  *   graft.Explain [-extended] [sfDir] [query ...]
+  * Default mode is `formatted` (the PLANS.md captures); `-extended`
+  * prints the parsed/analyzed/optimized/physical chain.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val extended = args.contains("-extended")
+    val rest = args.filterNot(_ == "-extended")
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
       else Seq("q_filter", "q1_agg", "q_join_star", "q_topk",
         "ingest_lineitem", "q_join_range", "q_event_sliding",
         "q_dedup_lsh", "q_topk_agg")
@@ -25,7 +30,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, dir)
+      if (extended)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExtendedMode))
+      else df.explain("formatted")
     }
     spark.stop()
   }

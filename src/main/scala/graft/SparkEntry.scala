@@ -1623,6 +1623,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- NFKC compatibility normalization (new r11): the KEYING fold
+    //      production dedup runs — fullwidth ＡＢＣ→ABC, ligature ﬁ→fi,
+    //      circled ①→1, superscript ²→2 — forms NFC deliberately keeps.
+    //      DuckDB has no nfkc, so the oracle composes the EXPECTED
+    //      normalized strings closed-form (the q_nfc chr() device; the
+    //      ASCII corpus text is NFKC-invariant, so expectations are
+    //      exact). only_k pins the compatibility fold specifically:
+    //      1 iff NFC and NFKC disagree on the marker ----
+    "q_nfkc" -> ((s, dir) => {
+      import graft.plans.{NfcNormalize, NfkcNormalize}
+      val m = pmod(col("doc_id"), lit(6))
+      // 0 = FULLWIDTH A/B/C, 1 = fi-ligature + 'le', 2 = circled one,
+      // 3 = superscript two, 4 = DECOMPOSED e + combining acute
+      // (canonical — both forms compose it), 5 = plain ASCII
+      // \u escapes are load-bearing (the q_nfc rule): source encoding
+      // must not decide which normalization form a fixture is in
+      val marker = when(m === 0, lit("\uFF21\uFF22\uFF23"))
+        .when(m === 1, lit("\uFB01le"))
+        .when(m === 2, lit("\u2460"))
+        .when(m === 3, lit("\u00B2"))
+        .when(m === 4, lit("caf\u0065\u0301"))
+        .otherwise(lit("cafe"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), marker).as("t"))
+        .select(col("doc_id"),
+          length(col("t")).as("n_raw"),
+          length(NfkcNormalize(col("t"))).as("n_nfkc"),
+          when(col("t") === NfkcNormalize(col("t")), 0)
+            .otherwise(1).as("changed"),
+          when(NfcNormalize(col("t")) === NfkcNormalize(col("t")), 0)
+            .otherwise(1).as("only_k"),
+          NfkcNormalize(col("t")).as("nfkc_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_redact" -> ((s, dir) => {
       import graft.operators.TextAnalysis
       t(s, dir, "documents")
@@ -7228,6 +7264,39 @@ object SparkEntry {
     // chr() composes the same four markers the Spark side builds from
     // \u escapes; nfc_normalize is utf8proc's UAX #15, the JDK
     // Normalizer's twin
+    // DuckDB ships nfc_normalize but no NFKC: the oracle instead
+    // composes the EXPECTED normalized string `e` closed-form per
+    // marker (sound because the corpus text is ASCII = NFKC-invariant,
+    // so nfkc(text || marker) = text || nfkc(marker)); only_k = 1 on
+    // exactly the compatibility-fold markers NFC preserves
+    "q_nfkc" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' ' || CASE CAST(doc_id % 6 AS INT)
+        |      WHEN 0 THEN chr(65313) || chr(65314) || chr(65315)
+        |      WHEN 1 THEN chr(64257) || 'le'
+        |      WHEN 2 THEN chr(9312)
+        |      WHEN 3 THEN chr(178)
+        |      WHEN 4 THEN 'caf' || chr(101) || chr(769)
+        |      ELSE 'cafe' END AS t,
+        |    text || ' ' || CASE CAST(doc_id % 6 AS INT)
+        |      WHEN 0 THEN 'ABC'
+        |      WHEN 1 THEN 'file'
+        |      WHEN 2 THEN '1'
+        |      WHEN 3 THEN '2'
+        |      WHEN 4 THEN 'caf' || chr(233)
+        |      ELSE 'cafe' END AS e,
+        |    CASE WHEN CAST(doc_id % 6 AS INT) IN (0, 1, 2, 3)
+        |      THEN 1 ELSE 0 END AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS INT) AS n_raw,
+        |  CAST(len(e) AS INT) AS n_nfkc,
+        |  CAST(CASE WHEN t = e THEN 0 ELSE 1 END AS INT) AS changed,
+        |  CAST(k AS INT) AS only_k,
+        |  e AS nfkc_text
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "q_nfc" ->
       """WITH d AS (
         |  SELECT doc_id, text || ' ' || CASE CAST(doc_id % 4 AS INT)

@@ -59,7 +59,8 @@ object CurationPipeline {
                           stages: Seq[Stage], target: String,
                           stream: Boolean = false)
 
-  val KnownOps: Seq[String] = Seq("nfc_normalize", "exact_dedup", "dedup",
+  val KnownOps: Seq[String] = Seq("nfc_normalize", "nfkc_normalize",
+    "exact_dedup", "dedup",
     "quality_gate", "blocklist", "quantile_filter", "langid_filter",
     "decontaminate", "sample", "pack")
 
@@ -71,7 +72,7 @@ object CurationPipeline {
     * state those semantics need.
     */
   val StreamableOps: Set[String] =
-    Set("nfc_normalize", "quality_gate", "blocklist")
+    Set("nfc_normalize", "nfkc_normalize", "quality_gate", "blocklist")
 
   /** Read the source and fold the stages left-to-right. */
   def run(spark: SparkSession, cfg: Config): DataFrame = {
@@ -135,6 +136,14 @@ object CurationPipeline {
       // a narrow codegen'd map, no exchange
       val c = st.str("column", "text")
       df.withColumn(c, graft.plans.NfcNormalize(col(c)))
+    case "nfkc_normalize" =>
+      // the KEYING normalization: additionally folds compatibility
+      // forms (fullwidth, ligatures, circled/superscript digits) that
+      // NFC preserves — run before dedup/shingling on real web text;
+      // lossy by design, so pipelines that must preserve display text
+      // fold into a separate key column
+      val c = st.str("column", "text")
+      df.withColumn(c, graft.plans.NfkcNormalize(col(c)))
     case "exact_dedup" =>
       // keep the min-id copy per distinct key value (md5 map-side in
       // Dedup.exact; only (key, id) crosses the exchange)

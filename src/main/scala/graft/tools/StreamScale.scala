@@ -28,6 +28,10 @@ object StreamScale {
         args.lift(3).map(_.toInt).getOrElse(0))
       return
     }
+    if (args.lift(1).contains("-compact")) {
+      compactDemo(args(0), args.lift(2).map(_.toInt).getOrElse(50))
+      return
+    }
     val sfDir = args(0)
     val days = if (args.length > 1) args(1).toInt else 4
     val corpusFrac = if (args.length > 2) args(2).toDouble else 0.6
@@ -125,6 +129,103 @@ object StreamScale {
       s""""per_batch_sec":[${batchSecs.map(f1).mkString(",")}],""" +
       s""""sf":"$sfDir"}""")
     if (!ok) sys.exit(1)
+  }
+
+  /** Scale cost of admission-store COMPACTION
+    * (`DocStream.compactAdmissions`): a long-running daily ingest
+    * accumulates one parquet generation per batch, so every later
+    * batch pays a growing multi-path listing + small-file scan.
+    * This runs `days` day-batches against a durable stateDir
+    * (measuring per-batch wall as generations accumulate), then
+    * stops the query, compacts, restarts, and feeds 3 more batches —
+    * the post-compact per-batch wall should fall back to the
+    * few-generation regime, and the admissions SET (every future
+    * dedup decision) must be invariant. Usage:
+    *   StreamScale <sfDir> -compact [days=50]
+    */
+  def compactDemo(sfDir: String, days: Int): Unit = {
+    val spark = graft.engine.GraftSession.build("graft-streamscale",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.engine.Readers.table(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val n = docs.count()
+    val cut = (n * 0.4).toLong
+    val corpus0 = docs.filter(col("doc_id") < cut).localCheckpoint(true)
+    val evalSet = docs.filter(col("doc_id") < math.max(20L, n / 25))
+      .localCheckpoint(true)
+    val slices = days + 3
+    val perDay = math.max(1L, (n - cut) / slices)
+    def day(i: Int): DataFrame = {
+      val lo = cut + i * perDay
+      val hi = if (i == slices - 1) n else cut + (i + 1) * perDay
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    }
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_streamscale_compact").toString
+    def runDays(ids: Range): Seq[Double] = {
+      val mem = MemoryStream[(Long, String, String, String, Long)]
+      val stream = mem.toDF()
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val q = graft.streaming.DocStream.ingestPipeline(stream, corpus0,
+          evalSet, shards = 8, budget = 4096L, minShared = 20,
+          stateDir = Some(state)) { packed => packed.count(); () }
+      val walls = ids.map { i =>
+        val rows = day(i)
+          .as[(Long, String, String, String, Long)].collect().toSeq
+        val tb = System.nanoTime()
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        (System.nanoTime() - tb) / 1e9
+      }
+      q.stop()
+      walls
+    }
+    def admissionsSet(): Set[Long] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(state))
+      val gens = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.matches("b\\d+"))
+          .map(_.toString).toList
+      } finally s.close()
+      if (gens.isEmpty) Set.empty
+      else spark.read
+        .schema(graft.streaming.DocStream.documentsSchema)
+        .parquet(gens: _*).select("doc_id").as[Long].collect().toSet
+    }
+    def genCount(): Int = admissionsGens()
+    def admissionsGens(): Int = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(state))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(p =>
+          java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.matches("b\\d+"))
+      } finally s.close()
+    }
+    val pre = runDays(0 until days)
+    val gensBefore = genCount()
+    val before = admissionsSet()
+    val t0 = System.nanoTime()
+    val folded = graft.streaming.DocStream.compactAdmissions(spark, state)
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val invariant = admissionsSet() == before
+    val post = runDays(days until slices)
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    spark.stop()
+    println(s"""{"metric":"ingest_compact","days":$days,""" +
+      s""""gens_before":$gensBefore,"gens_after_compact":1,""" +
+      s""""folded_rows":$folded,"admissions_invariant":$invariant,""" +
+      s""""compact_sec":${f2(compactSec)},""" +
+      s""""per_batch_first3":[${pre.take(3).map(f2).mkString(",")}],""" +
+      s""""per_batch_last3":[${pre.takeRight(3).map(f2).mkString(",")}],""" +
+      s""""per_batch_post_compact":[${post.map(f2).mkString(",")}],""" +
+      s""""sf":"$sfDir"}""")
+    if (!invariant) sys.exit(1)
   }
 
   /** Scale validation for `EmbStream.semanticDedupIncremental`: half the

@@ -282,6 +282,91 @@ class DocStreamSpec extends SparkSpec {
     assert(ids3.exists(_ >= 10000))
   }
 
+  test("admissions compaction: folding generations into one is a no-op " +
+       "on dedup decisions, resumed offsets, and the admissions set — " +
+       "and resume works post-compact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val corpus0 = docs.filter(col("doc_id") < 450)
+    val evalSet = docs.filter(col("doc_id") < 20)
+    def tuples(df: DataFrame): Seq[(Long, String, String, String, Long)] = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_ingest_compact").toString
+    def run(batches: Seq[DataFrame]): (Set[Long], Map[Long, Long]) = {
+      val mem = MemoryStream[(Long, String, String, String, Long)]
+      val stream = mem.toDF()
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ids = scala.collection.mutable.Set.empty[Long]
+      val hi = scala.collection.mutable.Map.empty[Long, Long]
+      val q = DocStream.ingestPipeline(stream, corpus0, evalSet,
+          shards = 4, budget = 256L, minShared = 20,
+          stateDir = Some(state)) { packed =>
+        ids.synchronized {
+          val rows = packed.select("doc_id", "shard", "cum").collect()
+          ids ++= rows.map(_.getLong(0))
+          rows.foreach { r =>
+            val s = r.getLong(1)
+            hi(s) = math.max(hi.getOrElse(s, 0L), r.getLong(2))
+          }
+        }
+      }
+      batches.foreach { b =>
+        mem.addData(tuples(b): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      (ids.toSet, hi.toMap)
+    }
+    def gens(): Seq[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(state))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.matches("b\\d+"))
+          .map(_.getFileName.toString).toList.sorted
+      } finally s.close()
+    }
+    def admissionsSet(): Set[Long] = {
+      val paths = gens().map(g => s"$state/$g")
+      spark.read.schema(DocStream.documentsSchema).parquet(paths: _*)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    // three day-batches build three generations
+    val (ids1, hi1) = run(Seq(
+      docs.filter(col("doc_id") >= 450 && col("doc_id") < 465),
+      docs.filter(col("doc_id") >= 465 && col("doc_id") < 480),
+      docs.filter(col("doc_id") >= 480 && col("doc_id") < 490)))
+    assert(gens().size == 3, gens())
+    val before = admissionsSet()
+    assert(before.nonEmpty)
+    // quiescent compaction: one generation, same admissions set
+    val folded = DocStream.compactAdmissions(spark, state)
+    assert(folded == before.size.toLong, s"$folded vs ${before.size}")
+    assert(gens().size == 1, gens())
+    assert(admissionsSet() == before)
+    // idempotent: nothing left to fold
+    assert(DocStream.compactAdmissions(spark, state) == 0L)
+    assert(admissionsSet() == before)
+    // resume post-compact: replayed duplicates (new ids) still rejected,
+    // genuinely-new docs admitted, offsets continue past run-1 highs
+    val replay = docs.filter(col("doc_id") >= 450 && col("doc_id") < 465)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val fresh = docs.filter(col("doc_id") >= 490 && col("doc_id") < 500)
+    val (ids2, hi2) = run(Seq(replay.unionByName(fresh)))
+    assert(ids2.forall(_ < 10000),
+      s"replayed duplicates admitted post-compact: ${ids2.filter(_ >= 10000)}")
+    assert(ids2.nonEmpty)
+    for ((shard, h) <- hi2 if hi1.contains(shard))
+      assert(h >= hi1(shard),
+        s"shard $shard offsets reset by compaction: $h < ${hi1(shard)}")
+  }
+
   test("incremental packing: shard offsets continue across micro-batches " +
        "(already-emitted bins never move)") {
     import spark.implicits._
