@@ -900,6 +900,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- table data profiling (new r11): per-column row/null/distinct
+    //      counts + portable min/max — the data-quality probe an ingest
+    //      runs before trusting a new drop (reference R6's sibling:
+    //      probe the DATA's shape, not the target's). ONE aggregation
+    //      pass (multi-distinct via a single Expand); HLL swap-in for
+    //      the 100 TB profile documented at the operator ----
+    "q_table_profile" -> ((s, dir) => {
+      graft.engine.DataProfile.profile(t(s, dir, "lineitem"))
+        .orderBy(col("column"))
+    }),
+
+    // ---- URL canonicalization (new r11): the web-ingest normalization
+    //      upstream of every URL-keyed operator — case/port/www folds,
+    //      fragment + tracking-param strip, bytewise param sort, all
+    //      from built-in string/array functions (no library parser);
+    //      synthetic URLs exercise every rule arm; the oracle replays
+    //      the identical rule chain ----
+    "q_urlnorm" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(8))
+      val id = col("doc_id").cast("string")
+      val url = when(m === 0, concat(lit("HTTP://WWW."),
+          upper(col("source")), lit(".COM:80/d/"), id,
+          lit("?utm_source=x&b=2&a=1#frag")))
+        .when(m === 1, concat(lit("https://"), col("source"),
+          lit(".com:443/")))
+        .when(m === 2, concat(lit("https://"), col("source"), lit(".com")))
+        .when(m === 3, concat(lit("http://"), col("source"),
+          lit(".com/p/"), id, lit("?fbclid=abc")))
+        .when(m === 4, concat(lit("http://"), col("source"),
+          lit(".com/p?z=9&y=8&y=7&gclid=1")))
+        .when(m === 5, concat(lit("relative/"), id, lit("?utm_x=1#sec")))
+        .when(m === 6, concat(lit("https://www.sub."), col("source"),
+          lit(".com/x/"), id))
+        .otherwise(concat(lit("http://"), col("source"),
+          lit(".com:8080/x")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.operators.Curation.canonicalUrl(col("url")).as("canon"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- training-mix source quotas (new r11): temperature-weighted
+    //      data mixing (w = √n, the IEEE-exactly-rounded weight; a
+    //      general pow(n, α) is not engine-portable) apportioned by
+    //      largest remainder so Σ quota == budget EXACTLY — one count
+    //      agg to |sources| rows, windows only over that table ----
+    "q_mix" -> ((s, dir) => {
+      graft.operators.Curation.sourceMixture(t(s, dir, "documents"),
+          budget = 10000L)
+        .orderBy(col("source"))
+    }),
+
     // ---- interpolated bigram-LM perplexity (the CCNet-style quality
     //      filter): per-bigram Jelinek-Mercer log-probs micro-nat
     //      quantized before the order-free integer fold ----
@@ -1538,6 +1591,19 @@ object SparkEntry {
           t(s, dir, "documents"), graft.plans.MultiPatternCount(
             col("text"), Seq("dup", "slow", "low", "scan batch")) > 2L)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- classifier RANKING EVALUATION (new r11): exact AUC (Mann–
+    //      Whitney, tie-averaged ranks via the integral 2·avg =
+    //      minrank+maxrank) + 0.5-threshold confusion counts in one
+    //      summary row — the go/no-go measurement before trusting a
+    //      quality-classifier gate; rank fold over the bounded
+    //      distinct-score table, confusion map-side ----
+    "q_clf_auc" -> ((s, dir) => {
+      graft.operators.Classifier.rankingEval(
+          t(s, dir, "documents"), graft.plans.MultiPatternCount(
+            col("text"), Seq("dup", "slow", "low", "scan batch")) > 2L)
+        .orderBy(col("n_pos"))
     }),
 
     // ---- blocklist screen (the C4 "badwords" filter): ONE
@@ -4412,6 +4478,80 @@ object SparkEntry {
        |FROM ps ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-column table profile over lineitem (= q_profile): one arm per
+    * column; min/max representation by type matches
+    * [[graft.engine.DataProfile.repr]] exactly.
+    */
+  private lazy val profileSql: String = {
+    def arm(name: String, dtype: String, mn: String, mx: String,
+            distinctOf: String): String =
+      s"""  SELECT '$name' AS "column", '$dtype' AS dtype,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(*) - count($name) AS BIGINT) AS n_nulls,
+         |    CAST(count(DISTINCT $distinctOf) AS BIGINT) AS n_distinct,
+         |    $mn AS min_repr, $mx AS max_repr
+         |  FROM lineitem"""
+    def intArm(n: String, dt: String) =
+      arm(n, dt, s"CAST(min($n) AS VARCHAR)", s"CAST(max($n) AS VARCHAR)", n)
+    def dblArm(n: String) =
+      arm(n, "double",
+        s"CAST(CAST(floor(min($n) * 1000000.0) AS BIGINT) AS VARCHAR)",
+        s"CAST(CAST(floor(max($n) * 1000000.0) AS BIGINT) AS VARCHAR)", n)
+    def strArm(n: String) = arm(n, "string", s"min($n)", s"max($n)", n)
+    def tsArm(n: String) =
+      arm(n, "timestamp",
+        s"strftime(min(CAST($n AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')",
+        s"strftime(max(CAST($n AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')",
+        s"CAST($n AS TIMESTAMP)")
+    val arms = Seq(
+      intArm("l_orderkey", "bigint"), intArm("l_partkey", "bigint"),
+      intArm("l_suppkey", "bigint"), intArm("l_linenumber", "int"),
+      dblArm("l_quantity"), dblArm("l_extendedprice"),
+      dblArm("l_discount"), dblArm("l_tax"),
+      strArm("l_returnflag"), strArm("l_linestatus"),
+      tsArm("l_shipdate"))
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      .stripMargin
+  }
+
+  /** Exact AUC + confusion over the trained classifier (= q_clf_auc):
+    * the score chain of classifierScoreSql joined back to the label,
+    * then tie-averaged Mann–Whitney ranks over distinct quantized
+    * scores — U2 = Σ_pos (minrank + maxrank), auc_micro =
+    * 1e6·(U2 − nPos(nPos+1)) div (2·nPos·nNeg), numerator provably
+    * non-negative so truncating and floor division agree.
+    */
+  private lazy val clfAucSql: String = {
+    val margin = "b + " + (0 until clsBuckets)
+      .map(j => f"v${j + 1} * f$j%02d").mkString(" + ")
+    s"""WITH $classifierTrainCtes,
+       |msel AS (SELECT f.doc_id, $margin AS m FROM feat f, w$clsIters),
+       |ps AS (SELECT doc_id,
+       |         0.5 + (0.5 * m) / (1.0 + abs(m)) AS p FROM msel),
+       |si AS (SELECT ps.doc_id,
+       |    CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS s,
+       |    CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep,
+       |    CAST(y AS INT) AS y
+       |  FROM ps JOIN lab USING (doc_id)),
+       |conf AS (SELECT
+       |    CAST(sum(keep * y) AS BIGINT) AS tp,
+       |    CAST(sum(keep * (1 - y)) AS BIGINT) AS fp,
+       |    CAST(sum((1 - keep) * y) AS BIGINT) AS fn,
+       |    CAST(sum((1 - keep) * (1 - y)) AS BIGINT) AS tn
+       |  FROM si),
+       |g AS (SELECT s, count(*) AS n, sum(y) AS np FROM si GROUP BY s),
+       |r AS (SELECT s, n, np, sum(n) OVER (ORDER BY s) AS cum FROM g),
+       |u AS (SELECT
+       |    CAST(sum(np * ((cum - n + 1) + cum)) AS BIGINT) AS u2,
+       |    CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(n - np) AS BIGINT) AS n_neg FROM r)
+       |SELECT n_pos, n_neg, tp, fp, fn, tn, u2,
+       |  CASE WHEN n_pos * n_neg = 0 THEN NULL
+       |    ELSE (1000000 * (u2 - n_pos * (n_pos + 1)))
+       |      // (2 * n_pos * n_neg) END AS auc_micro
+       |FROM u, conf ORDER BY n_pos""".stripMargin
+  }
+
   /** Full two-iteration k-means + final cell census (= q_kmeans). */
   private lazy val kmeansSql: String =
     s"""WITH q AS (
@@ -6528,6 +6668,87 @@ object SparkEntry {
          |WHERE rn <= 10
          |ORDER BY doc_id""".stripMargin,
 
+    // the same rule chain as Curation.canonicalUrl, step by step:
+    // fragment strip, scheme/authority split, case/port/www folds,
+    // tracking-param filter + bytewise whole-"k=v" sort
+    "q_urlnorm" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/d/'
+        |      || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://' || source || '.com:443/'
+        |    WHEN 2 THEN 'https://' || source || '.com'
+        |    WHEN 3 THEN 'http://' || source || '.com/p/'
+        |      || CAST(doc_id AS VARCHAR) || '?fbclid=abc'
+        |    WHEN 4 THEN 'http://' || source || '.com/p?z=9&y=8&y=7&gclid=1'
+        |    WHEN 5 THEN 'relative/' || CAST(doc_id AS VARCHAR)
+        |      || '?utm_x=1#sec'
+        |    WHEN 6 THEN 'https://www.sub.' || source || '.com/x/'
+        |      || CAST(doc_id AS VARCHAR)
+        |    ELSE 'http://' || source || '.com:8080/x' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nf FROM d),
+        |s2 AS (SELECT *, instr(nf, '://') AS sp,
+        |         lower(split_part(nf, '://', 1)) AS scheme,
+        |         substr(nf, instr(nf, '://') + 3) AS rest FROM s1),
+        |s3 AS (SELECT *, split_part(rest, '/', 1) AS auth,
+        |         substr(rest, len(split_part(rest, '/', 1)) + 1) AS pathq
+        |       FROM s2),
+        |s4 AS (SELECT *,
+        |  regexp_replace(CASE
+        |      WHEN scheme = 'http'
+        |        THEN regexp_replace(lower(auth), ':80$', '')
+        |      WHEN scheme = 'https'
+        |        THEN regexp_replace(lower(auth), ':443$', '')
+        |      ELSE lower(auth) END, '^www\.', '') AS host,
+        |  CASE WHEN len(split_part(pathq, '?', 1)) = 0 THEN '/'
+        |    ELSE split_part(pathq, '?', 1) END AS path,
+        |  CASE WHEN instr(pathq, '?') > 0
+        |    THEN substr(pathq, instr(pathq, '?') + 1)
+        |    ELSE '' END AS query0
+        |  FROM s3),
+        |s5 AS (SELECT *,
+        |  array_to_string(list_sort(list_filter(string_split(query0, '&'),
+        |    p -> len(p) > 0
+        |      AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+        |      AND split_part(p, '=', 1) NOT IN
+        |        ('fbclid', 'gclid', 'msclkid', 'ref', 'ref_src'))), '&')
+        |    AS q
+        |  FROM s4)
+        |SELECT doc_id, url,
+        |  CASE WHEN sp = 0 THEN nf
+        |    ELSE scheme || '://' || host || path ||
+        |      CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END END AS canon
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // per-column profile over lineitem: one UNION ALL arm per column
+    // with the type's portable min/max representation (fractionals as
+    // monotone floor(1e6·x), timestamps at second precision via the
+    // µs cast every ts oracle makes)
+    "q_table_profile" -> profileSql,
+
+    // √n is exactly rounded per IEEE-754 in both engines, so
+    // floor(1e6·√n) is deterministic; quota arithmetic is all BIGINT
+    "q_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(1000000.0 * sqrt(CAST(n_docs AS DOUBLE)))
+        |      AS BIGINT) AS w_micro FROM c),
+        |tot AS (SELECT sum(w_micro) AS wt FROM w),
+        |base AS (SELECT source, n_docs, w_micro,
+        |    (10000 * w_micro) // wt AS q0,
+        |    (10000 * w_micro) % wt AS rem
+        |  FROM w, tot),
+        |lo AS (SELECT sum(q0) AS s0 FROM base),
+        |rk AS (SELECT source, n_docs, w_micro, q0,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rn
+        |  FROM base)
+        |SELECT source, n_docs, w_micro,
+        |  CAST(q0 + CASE WHEN rn <= 10000 - s0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM rk, lo ORDER BY source""".stripMargin,
+
     "q_simsearch" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
          |           FROM embeddings WHERE vec_id < 10),
@@ -7252,6 +7473,7 @@ object SparkEntry {
     "q_classifier_train" -> classifierTrainSql,
 
     "q_classifier_score" -> classifierScoreSql,
+    "q_clf_auc" -> clfAucSql,
 
     "q_normalize" ->
       """SELECT doc_id,

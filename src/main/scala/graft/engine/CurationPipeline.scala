@@ -61,8 +61,8 @@ object CurationPipeline {
 
   val KnownOps: Seq[String] = Seq("nfc_normalize", "nfkc_normalize",
     "exact_dedup", "dedup",
-    "quality_gate", "blocklist", "quantile_filter", "langid_filter",
-    "decontaminate", "sample", "pack")
+    "quality_gate", "blocklist", "comp_ratio_gate", "quantile_filter",
+    "langid_filter", "decontaminate", "sample", "pack")
 
   /** Stages whose implementation is a narrow per-row map/filter —
     * runnable UNCHANGED on a streaming DataFrame (`stream: true`).
@@ -72,7 +72,8 @@ object CurationPipeline {
     * state those semantics need.
     */
   val StreamableOps: Set[String] =
-    Set("nfc_normalize", "nfkc_normalize", "quality_gate", "blocklist")
+    Set("nfc_normalize", "nfkc_normalize", "quality_gate", "blocklist",
+      "comp_ratio_gate")
 
   /** Read the source and fold the stages left-to-right. */
   def run(spark: SparkSession, cfg: Config): DataFrame = {
@@ -178,6 +179,17 @@ object CurationPipeline {
           graft.plans.MultiPatternCount(col("text"), pats))
         .filter(col("__graft_hits") <= st.long("max_hits", 0L))
         .drop("__graft_hits")
+    case "comp_ratio_gate" =>
+      // drop too-compressible boilerplate at an ABSOLUTE threshold —
+      // the narrow, streamable form of the per-language quantile gate
+      // (TextAnalysis.compressionFilter); one codegen'd projection
+      val c = st.str("column", "text")
+      val ratio = when(length(col(c)) === 0, lit(0L))
+        .otherwise(call_function("div",
+          lit(1000000L) * graft.plans.LzMatchedChars(col(c),
+            st.int("min_len", 4), st.int("max_len", 32)),
+          length(col(c)).cast("long")))
+      df.filter(ratio <= st.long("max_ratio_micro", 800000L))
     case "quantile_filter" =>
       graft.operators.Sampling.topFractionByGroup(df,
         col(st.str("group", "lang")), col(st.need("score")),

@@ -202,6 +202,61 @@ object Classifier {
     * to 1e-6 like [[TextAnalysis.qualityModelScore]]'s query surface,
     * keep thresholds the unrounded score at 0.5 (= margin sign).
     */
+  /** Ranking evaluation of the trained quality classifier — the
+    * measurement a production pipeline runs before trusting a
+    * classifier gate: exact AUC (Mann–Whitney with tie-averaged ranks)
+    * plus the 0.5-threshold confusion counts, in ONE summary row.
+    *
+    * Exact-integer throughout (the engine's numeric policy): scores
+    * quantize to s = floor(p·1e6 + 0.5); ties contribute their rank-
+    * group average via 2·avg = minrank + maxrank (always integral), so
+    * U2 = Σ_pos (minrank + maxrank) and
+    * auc_micro = 1e6·(U2 − nPos(nPos+1)) div (2·nPos·nNeg) — every
+    * term a BIGINT both engines reproduce bit-for-bit (AUC itself is
+    * rank statistics, so the quantization changes nothing unless two
+    * docs' probabilities differ by < 1e-6, in which case tying them is
+    * the defensible reading).
+    *
+    * Scale shape: scoring is the narrow trainAndScore projection; the
+    * rank fold runs over the DISTINCT-SCORE table (≤ 1e6+1 rows by
+    * construction — the one single-partition window is bounded, never
+    * corpus-sized); confusion counts are one map-side aggregation.
+    */
+  def rankingEval(docs: DataFrame, label: Column, buckets: Int = 16,
+                  iters: Int = 40, lr: Double = 1.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = featurize(docs, label, buckets).localCheckpoint(true)
+    val last = train(feat, iters, lr).last
+    val p = probability(featColsOf(feat), last.bias, last.weights)
+    val scored = feat.select(col("y").cast("int").as("y"),
+        floor(p * lit(Scale) + lit(0.5)).cast("long").as("s"),
+        when(p >= lit(0.5), 1).otherwise(0).as("keep"))
+      .localCheckpoint(true) // feeds the rank fold AND the confusion agg
+    val conf = scored.agg(
+      sum(col("keep") * col("y")).cast("long").as("tp"),
+      sum(col("keep") * (lit(1) - col("y"))).cast("long").as("fp"),
+      sum((lit(1) - col("keep")) * col("y")).cast("long").as("fn"),
+      sum((lit(1) - col("keep")) * (lit(1) - col("y"))).cast("long")
+        .as("tn"))
+    val byS = scored.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val ranked = byS.withColumn("cum",
+      sum(col("n")).over(Window.orderBy(col("s"))))
+    val u = ranked.agg(
+      sum(col("np") * ((col("cum") - col("n") + lit(1)) + col("cum")))
+        .cast("long").as("u2"),
+      sum(col("np")).cast("long").as("n_pos"),
+      sum(col("n") - col("np")).cast("long").as("n_neg"))
+    u.crossJoin(conf)
+      .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+        col("fn"), col("tn"), col("u2"),
+        when(col("n_pos") * col("n_neg") === 0L, lit(null).cast("long"))
+          .otherwise(call_function("div",
+            lit(1000000L) * (col("u2") -
+              col("n_pos") * (col("n_pos") + lit(1L))),
+            lit(2L) * col("n_pos") * col("n_neg"))).as("auc_micro"))
+  }
+
   def trainAndScore(docs: DataFrame, label: Column, buckets: Int = 16,
                     iters: Int = 40, lr: Double = 1.5): DataFrame = {
     // checkpoint the featurized frame so training AND scoring read the

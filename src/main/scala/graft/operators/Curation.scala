@@ -479,6 +479,95 @@ object Curation {
     * dead weight). One explode + one aggregation; rules the corpus
     * never trips are absent (attribution, not a rule inventory).
     */
+  /** URL canonicalization — the web-ingest normalization upstream of
+    * every URL-keyed operator (snapshot/recrawl dedup, domain screens,
+    * per-source quotas): the same page arrives as HTTP://WWW.Site.COM:80
+    * /x?utm_source=a&b=1#frag and http://site.com/x?b=1, and unkeyed
+    * they defeat (url, content) dedup. One exactly-specified rule both
+    * engines replay, composed ENTIRELY from built-in string/array
+    * functions (no UDF, no library URL parser — parser quirks are not
+    * oracle-portable):
+    *
+    *   1. drop the fragment (first '#' on);
+    *   2. no "://" → return as-is (relative refs pass through);
+    *   3. lowercase scheme and authority;
+    *   4. strip the scheme's default port (:80 http, :443 https) and a
+    *      leading "www.";
+    *   5. drop tracking params (utm_* keys, fbclid/gclid/msclkid/
+    *      ref/ref_src), sort survivors bytewise as whole "k=v" strings;
+    *   6. empty path → "/".
+    *
+    * Scale shape: a narrow per-row projection, no shuffle.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = noFrag.substr(instr(noFrag, "://") + lit(3),
+      length(noFrag))
+    val auth = substring_index(rest, "/", 1)
+    val pathq = rest.substr(length(auth) + lit(1), length(rest))
+    val host0 = lower(auth)
+    val host1 = when(scheme === "http",
+        regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val host = regexp_replace(host1, "^www\\.", "")
+    val path0 = substring_index(pathq, "?", 1)
+    val path = when(length(path0) === 0, lit("/")).otherwise(path0)
+    val query0 = when(instr(pathq, "?") > 0,
+        pathq.substr(instr(pathq, "?") + lit(1), length(pathq)))
+      .otherwise(lit(""))
+    val tracking = Seq("fbclid", "gclid", "msclkid", "ref", "ref_src")
+    val params = filter(split(query0, "&"), p => {
+      val key = substring_index(p, "=", 1)
+      length(p) > 0 && !key.startsWith("utm_") &&
+        !key.isin(tracking: _*)
+    })
+    val q = array_join(array_sort(params), "&")
+    when(instr(noFrag, "://") === 0, noFrag)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
+  /** Temperature-weighted training-mix quotas — the data-mixing step
+    * every multi-source/multilingual pretraining run makes (the
+    * "sampling with temperature" of the multilingual-LM literature):
+    * upweight small sources relative to their raw share so the mix
+    * isn't dominated by the largest crawl. Weight = √n_docs (α = 1/2);
+    * √ specifically because IEEE-754 requires sqrt exactly rounded —
+    * pow(n, α) is NOT, so a general α would not be engine-portable.
+    * Quantized w_micro = floor(1e6·√n); `budget` documents are
+    * apportioned by LARGEST REMAINDER (Hamilton): base quota =
+    * budget·w div W, the leftover goes to the largest budget·w mod W
+    * (ties to the lexicographically first source) — Σ quota == budget
+    * exactly, no float allocation.
+    *
+    * Scale shape: one map-side count aggregation to |sources| rows;
+    * the remainder rank is a window over that bounded table.
+    */
+  def sourceMixture(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val c = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        floor(lit(1000000.0) * sqrt(col("n_docs").cast("double")))
+          .cast("long").as("w_micro"))
+    val tot = c.agg(sum(col("w_micro")).as("wt"))
+    val base = c.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        call_function("div", lit(budget) * col("w_micro"), col("wt"))
+          .as("q0"),
+        (lit(budget) * col("w_micro") % col("wt")).as("rem"))
+    val s0 = base.agg(sum(col("q0")).as("s0"))
+    base.crossJoin(broadcast(s0))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        (col("q0") + when(col("rn") <= lit(budget) - col("s0"), 1L)
+          .otherwise(0L)).as("quota"))
+  }
+
   def auditSummary(audit: DataFrame): DataFrame =
     audit.select(col("n_fails"), explode(col("fails")).as("rule"))
       .groupBy(col("rule"))

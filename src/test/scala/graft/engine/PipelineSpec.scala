@@ -190,6 +190,15 @@ class PipelineSpec extends SparkSpec {
         size(split(col("text"), " ")).cast("long"), 4, 1024L)
       .orderBy("doc_id").collect().toSeq
     assert(pk.orderBy("doc_id").collect().toSeq == wantPk)
+    // comp_ratio_gate == the compressionRatio operator's threshold cut
+    val cg = applyStage(docs, Stage("comp_ratio_gate",
+      Map("max_ratio_micro" -> "600000")))
+    val wantCg = graft.operators.TextAnalysis.compressionRatio(docs)
+      .filter(col("ratio_micro") <= 600000L)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(cg.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq == wantCg)
+    assert(cg.count() > 0 && cg.count() < docs.count())
     // unknown op fails loud with the known-op list
     val e = intercept[IllegalArgumentException] {
       applyStage(docs, Stage("nope", Map.empty))
