@@ -12,13 +12,20 @@ import org.apache.spark.sql.types._
   * trusting a new drop (null explosions, cardinality collapse, domain
   * drift).
   *
-  * ONE pass over the table: all per-column aggregates run in a single
-  * aggregation (Spark plans the multi-column DISTINCTs via one Expand —
-  * |columns|-fold map-side fan-out, no extra scans), and the per-column
-  * result rows are exploded from that single row. `exact = false`
-  * swaps COUNT(DISTINCT) for the HLL sketch — the 100 TB default,
-  * where a ±2% cardinality is what you want from a profiler and the
-  * Expand blow-up is what you don't.
+  * Plan shape — one UNION branch per column, NOT one multi-distinct
+  * aggregation. The single-agg form is a trap this operator was
+  * MEASURED out of: Spark plans |columns| COUNT(DISTINCT)s via an
+  * Expand (|columns|-fold row fan-out) and, because min/max over
+  * string/timestamp buffers disqualify the hash aggregate, the whole
+  * expanded stream runs through a 12-key SortAggregate chain — 17.5 s
+  * at sf0.1 (60k rows). Per-column branches instead read ONE column
+  * each (columnar parquet: 11 single-column scans cost the same total
+  * bytes as one full scan), plan each single DISTINCT as a two-phase
+  * hash aggregate, and run the ungrouped min/max fold with no sort
+  * anywhere — 1.5 s at sf0.1, and at 100 TB each branch stays a
+  * column-pruned scan-rate pass. `exact = false` swaps COUNT(DISTINCT)
+  * for the HLL sketch, dropping the per-branch distinct shuffle — the
+  * 100 TB default, where ±2% cardinality is what a profiler wants.
   *
   * min/max representations are deliberately quantized to forms both
   * engines print identically (the oracle-portability policy):
@@ -42,27 +49,24 @@ object DataProfile {
   }
 
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
-    val cols = df.schema.fields.toSeq
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
+    val branches = df.schema.fields.toSeq.map { f =>
       val c = col(f.name)
-      Seq(
-        count(c).as(s"__nn_${f.name}"),
-        (if (exact) countDistinct(c)
-         else approx_count_distinct(c)).as(s"__nd_${f.name}"),
-        min(c).as(s"__mn_${f.name}"),
-        max(c).as(s"__mx_${f.name}"))
+      df.agg(
+          count(lit(1)).as("__n"),
+          count(c).as("__nn"),
+          (if (exact) countDistinct(c)
+           else approx_count_distinct(c)).as("__nd"),
+          min(c).as("__mn"),
+          max(c).as("__mx"))
+        .select(
+          lit(f.name).as("column"),
+          lit(f.dataType.simpleString).as("dtype"),
+          col("__n").as("n_rows"),
+          (col("__n") - col("__nn")).as("n_nulls"),
+          col("__nd").cast("long").as("n_distinct"),
+          repr(col("__mn"), f.dataType).as("min_repr"),
+          repr(col("__mx"), f.dataType).as("max_repr"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { f =>
-      struct(
-        lit(f.name).as("column"),
-        lit(f.dataType.simpleString).as("dtype"),
-        col("__n").as("n_rows"),
-        (col("__n") - col(s"__nn_${f.name}")).as("n_nulls"),
-        col(s"__nd_${f.name}").cast("long").as("n_distinct"),
-        repr(col(s"__mn_${f.name}"), f.dataType).as("min_repr"),
-        repr(col(s"__mx_${f.name}"), f.dataType).as("max_repr"))
-    }
-    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+    branches.reduce(_ unionAll _)
   }
 }
