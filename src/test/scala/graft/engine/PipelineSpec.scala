@@ -278,10 +278,11 @@ class PipelineSpec extends SparkSpec {
     val pats = new java.util.ArrayList[String]()
     pats.add("dup"); pats.add("slow")
     val stages = Seq(
-      Stage("nfc_normalize", Map.empty),
+      Stage("nfkc_normalize", Map.empty),
       Stage("quality_gate", Map("min_tokens" -> "20",
         "max_tokens" -> "200")),
-      Stage("blocklist", Map("patterns" -> pats, "max_hits" -> "3")))
+      Stage("blocklist", Map("patterns" -> pats, "max_hits" -> "3")),
+      Stage("comp_ratio_gate", Map("max_ratio_micro" -> "700000")))
     val cfg = Config(source = srcDir,
       format = Some(graft.engine.SourceFormat.Parquet), stages = stages,
       target = outDir, stream = true)
