@@ -1408,6 +1408,19 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- persisted SQ8 index (completing the indexed trio): per-dim
+    //      stats + 8-bit code table written once; the query dequantizes
+    //      the codes (identical arithmetic to the inline fold) against
+    //      the stats artifact — shares q_simsearch_sq's oracle ----
+    "q_simsearch_sq_idx" -> ((s, dir) => {
+      val path = annIndex("sq", dir)(p =>
+        graft.operators.Similarity.buildSqIndex(
+          t(s, dir, "embeddings"), p))
+      graft.operators.Similarity.sqTopKIndexed(
+          t(s, dir, "embeddings").filter(col("vec_id") < 10), path, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- persisted PQ index: codebook + compressed code table written
     //      once; the query scans ONLY the code table (corpus floats
     //      never read at query time) — shares q_simsearch_pq's oracle ----
@@ -4590,7 +4603,8 @@ object SparkEntry {
     // deterministic build rules the inline paths compute, through the
     // same search kernels — gated by the inline oracles
     "q_simsearch_ivf_idx" -> oracleSqlLiteral("q_simsearch_ivf"),
-    "q_simsearch_pq_idx" -> oracleSqlLiteral("q_simsearch_pq")
+    "q_simsearch_pq_idx" -> oracleSqlLiteral("q_simsearch_pq"),
+    "q_simsearch_sq_idx" -> oracleSqlLiteral("q_simsearch_sq")
   )
 
   private def oracleSqlLiteral: Map[String, String] = Map(

@@ -60,7 +60,7 @@ object CurationPipeline {
                           stream: Boolean = false)
 
   val KnownOps: Seq[String] = Seq("nfc_normalize", "nfkc_normalize",
-    "exact_dedup", "dedup",
+    "url_normalize", "exact_dedup", "dedup",
     "quality_gate", "blocklist", "comp_ratio_gate", "quantile_filter",
     "langid_filter", "decontaminate", "sample", "pack")
 
@@ -72,8 +72,8 @@ object CurationPipeline {
     * state those semantics need.
     */
   val StreamableOps: Set[String] =
-    Set("nfc_normalize", "nfkc_normalize", "quality_gate", "blocklist",
-      "comp_ratio_gate")
+    Set("nfc_normalize", "nfkc_normalize", "url_normalize",
+      "quality_gate", "blocklist", "comp_ratio_gate")
 
   /** Read the source and fold the stages left-to-right. */
   def run(spark: SparkSession, cfg: Config): DataFrame = {
@@ -145,6 +145,12 @@ object CurationPipeline {
       // fold into a separate key column
       val c = st.str("column", "text")
       df.withColumn(c, graft.plans.NfkcNormalize(col(c)))
+    case "url_normalize" =>
+      // canonicalize a URL column in place before any URL keying
+      // (snapshot dedup, domain screens) — Curation.canonicalUrl's
+      // rule chain; a narrow streamable map
+      val c = st.str("column", "url")
+      df.withColumn(c, graft.operators.Curation.canonicalUrl(col(c)))
     case "exact_dedup" =>
       // keep the min-id copy per distinct key value (md5 map-side in
       // Dedup.exact; only (key, id) crosses the exchange)

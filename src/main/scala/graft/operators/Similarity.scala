@@ -422,6 +422,72 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
   }
 
+  /** Build a persisted SQ8 index — per-dim (lo, hi) stats plus the
+    * 8-bit code table written once ([[buildIvfIndex]]'s sibling for
+    * the scalar-quantized path, completing the indexed trio):
+    *
+    *   - `indexPath/stats/` — (d, lo, hi), dim rows;
+    *   - `indexPath/codes/` — (cid, codes: array of 0..255), the
+    *     8x-compressed corpus — the ONLY thing a query job scans.
+    *
+    * Codes are computed against the stats ARTIFACT read back, so the
+    * stored index always matches what [[sqTopKIndexed]] will load.
+    */
+  def buildSqIndex(corpus: DataFrame, indexPath: String,
+                   dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    prepC(corpus)
+      .select(posexplode(col("cv")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+    val (loLit, ranLit) = sqStatsLiterals(spark.read
+      .parquet(s"$indexPath/stats"), dim)
+    val codes = transform(col("cv"), (v, i) => {
+      val lo = element_at(loLit, i + 1)
+      val ran = element_at(ranLit, i + 1)
+      call_function("div", (v - lo) * lit(255L), greatest(ran, lit(1L)))
+    })
+    prepC(corpus).select(col("cid"), codes.as("codes"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+  }
+
+  private def sqStatsLiterals(stats: DataFrame,
+                              dim: Int): (Column, Column) = {
+    val st = stats.orderBy(col("d")).collect()
+    require(st.length == dim, s"expected $dim dims, got ${st.length}")
+    val los = st.map(_.getLong(1)).toSeq
+    val rans = st.map(r => r.getLong(2) - r.getLong(1)).toSeq
+    (typedlit(los), typedlit(rans))
+  }
+
+  /** SQ8 top-k against a persisted index ([[buildSqIndex]]): loads the
+    * dim-row stats (plan literals) and the code table, dequantizes
+    * dv_d = 255·lo_d + code_d·range_d — the identical arithmetic the
+    * inline [[sqTopK]] folds into one expression — and ADC-scores a
+    * broadcast query set in one pass over the codes. Corpus floats are
+    * never read at query time; shares q_simsearch_sq's oracle.
+    */
+  def sqTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
+                    dim: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val (loLit, ranLit) = sqStatsLiterals(spark.read
+      .parquet(s"$indexPath/stats"), dim)
+    val dq = transform(col("codes"), (code, i) =>
+      lit(255L) * element_at(loLit, i + 1) +
+        code * element_at(ranLit, i + 1))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    spark.read.parquet(s"$indexPath/codes")
+      .withColumn("dq", dq)
+      .crossJoin(broadcast(prepQ(queries)))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", LongArrayDot(col("qv"), col("dq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
   /** k-NN graph construction: every corpus vector's top-k neighbors —
     * the precursor to semantic dedup and clustering. Candidates come
     * from an LSH bucket SELF-join (`Dedup.bandCandidatePairs`: one

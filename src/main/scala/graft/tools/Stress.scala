@@ -407,6 +407,17 @@ object Stress {
       timed(s"pq_indexed_$i") {
         Similarity.pqTopKIndexed(queries, pqPath, k = 5).count()
       }
+    for (i <- 1 to 3)
+      timed(s"sq_inline_$i") {
+        Similarity.sqTopK(queries, embs, k = 5).count()
+      }
+    val sqPath = java.nio.file.Files
+      .createTempDirectory("graft_stress_sqidx").toString
+    timed("sq_build") { Similarity.buildSqIndex(embs, sqPath); -1L }
+    for (i <- 1 to 3)
+      timed(s"sq_indexed_$i") {
+        Similarity.sqTopKIndexed(queries, sqPath, k = 5).count()
+      }
   }
 
   /** Wall-clock per TIER of the semantic-dedup pipeline, isolating

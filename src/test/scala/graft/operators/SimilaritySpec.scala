@@ -67,6 +67,18 @@ class SimilaritySpec extends SparkSpec {
     assert(idx.nonEmpty && idx == inline)
   }
 
+  test("persisted SQ8 index: stats + code table reload to the exact " +
+       "inline sqTopK ranking (same dequantization arithmetic)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sqidx_spec").toString
+    Similarity.buildSqIndex(e, path)
+    val idx = Similarity.sqTopKIndexed(queries, path, k = 5)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.sqTopK(queries, e, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(idx.nonEmpty && idx == inline)
+  }
+
   test("IVF: at most k rows per query, never beats brute-force top score") {
     val bf = Similarity.bruteForceTopK(queries, e, k = 1)
       .select("qid", "score").as[(Long, Long)].collect().toMap
