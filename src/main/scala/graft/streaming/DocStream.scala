@@ -176,24 +176,21 @@ object DocStream {
     Files.createDirectories(admitRoot)
     // sweep stage dirs a crashed batch left behind — they were never
     // committed, so deleting them just re-opens the replay path
-    sweepStaged(admitRoot)
+    GenStore.sweepStaged(admitRoot)
     // resume support: pre-existing committed subdirs (durable stateDir)
     // are prior admissions; a fresh temp dir starts empty
-    def subdirs(): Seq[String] = committedSubdirs(admitRoot)
+    def subdirs(): Seq[String] =
+      GenStore.committed(admitRoot).map(_.toString)
     // the pack offsets are part of the durable state: without them a
     // restart would re-emit already-used (shard, bin) cells, breaking
     // the append-only manifest invariant. Each committed batch dir
     // carries the offsets snapshot it produced (so admissions + offsets
     // commit in ONE rename); resume loads the newest snapshot. The
     // root-level offsets.tsv is the pre-r11 layout, read as a fallback.
-    loadNewestOffsets(admitRoot, subdirs()).foreach { case (s, o) =>
+    loadNewestOffsets(admitRoot).foreach { case (s, o) =>
       offsets(s) = o
     }
-    // next generation number: max committed suffix + 1 (count-based
-    // numbering would collide after a compaction folds generations)
-    var seq = subdirs()
-      .map(p => Paths.get(p).getFileName.toString.drop(1).toLong)
-      .maxOption.map(_ + 1L).getOrElse(0L)
+    var seq = GenStore.nextSeq(admitRoot)
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -205,7 +202,7 @@ object DocStream {
               .select(corpus.columns.map(col): _*))
         // stage, don't commit: the tmp_ prefix keeps the dir out of the
         // committed namespace until sink + offsets are durable
-        val sub = admitRoot.resolve(s"tmp_b$seq")
+        val sub = GenStore.stagedPath(admitRoot, seq)
         graft.operators.Dedup
           .incrementalDedup(batch, corpusSide, k, minShared)
           .write.mode("overwrite").parquet(sub.toString)
@@ -236,79 +233,29 @@ object DocStream {
         sink(packed)
         // COMMIT POINT: snapshot the offsets into the staged dir, then
         // one atomic rename moves admissions + offsets into the
-        // committed namespace together. Everything before this line
-        // replays on crash (idempotent-sink contract); after it, the
-        // replayed batch dedups to zero and resumes these offsets.
-        writeOffsets(sub, offsets)
-        Files.move(sub, admitRoot.resolve(s"b$seq"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // committed namespace together (GenStore's discipline).
+        // Everything before this line replays on crash (idempotent-sink
+        // contract); after it, the replayed batch dedups to zero and
+        // resumes these offsets.
+        GenStore.writePairs(sub.resolve("_offsets.tsv"), offsets)
+        GenStore.commit(admitRoot, sub, seq)
         seq += 1
       }
       .start()
-  }
-
-  /** Committed admission generations under an ingest `stateDir`:
-    * directories named `b<seq>` (staged `tmp_b*` dirs are invisible),
-    * NUMERICALLY ordered — lexicographic order breaks past b9 and the
-    * newest dir carries the authoritative offsets snapshot.
-    */
-  private def committedSubdirs(root: java.nio.file.Path): Seq[String] = {
-    val s = Files.list(root)
-    try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.matches("b\\d+"))
-      .map(_.toString).toList
-      .sortBy(p => Paths.get(p).getFileName.toString.drop(1).toLong)
-    finally s.close()
-  }
-
-  /** Delete staged (uncommitted) batch dirs left by a crash. */
-  private def sweepStaged(root: java.nio.file.Path): Unit = {
-    val s = Files.list(root)
-    val stale = try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("tmp_b"))
-      .toList
-    finally s.close()
-    stale.foreach(deleteRecursively)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
-    finally s.close()
-  }
-
-  // the snapshot lives INSIDE the committed batch dir (so it rides the
-  // commit rename); the leading underscore keeps it invisible to the
-  // parquet scan over the generation dirs (Spark's hidden-file rule)
-  private def writeOffsets(dir: java.nio.file.Path,
-                           offsets: scala.collection.Map[Long, Long]): Unit =
-    Files.write(dir.resolve("_offsets.tsv"), offsets.toSeq.sortBy(_._1)
-      .map { case (s, o) => s"$s\t$o" }.mkString("\n").getBytes("UTF-8"))
-
-  private def readOffsets(f: java.nio.file.Path): Seq[(Long, Long)] = {
-    val src = scala.io.Source.fromFile(f.toFile, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).map { l =>
-      val Array(s, o) = l.split("\t")
-      (s.toLong, o.toLong)
-    }.toList finally src.close()
   }
 
   /** Offsets resume: newest committed generation's snapshot wins; a
     * pre-r11 root-level offsets.tsv (written per batch, not per commit)
     * is honored when no generation carries one.
     */
-  private def loadNewestOffsets(root: java.nio.file.Path,
-                                committed: Seq[String]): Seq[(Long, Long)] = {
-    val fromGen = committed.reverse.iterator
-      .map(d => Paths.get(d).resolve("_offsets.tsv"))
-      .find(Files.exists(_)).map(readOffsets)
-    fromGen.getOrElse {
-      val legacy = root.resolve("offsets.tsv")
-      if (Files.exists(legacy)) readOffsets(legacy) else Seq.empty
-    }
+  private def loadNewestOffsets(
+      root: java.nio.file.Path): Seq[(Long, Long)] = {
+    GenStore.loadNewestPairs(GenStore.committed(root), "_offsets.tsv")
+      .getOrElse {
+        val legacy = root.resolve("offsets.tsv")
+        if (Files.exists(legacy)) GenStore.readPairs(legacy)
+        else Seq.empty
+      }
   }
 
   /** Fold every committed admission generation of an ingest `stateDir`
@@ -334,47 +281,25 @@ object DocStream {
                         schema: Option[StructType] = None): Long = {
     val root = Paths.get(stateDir)
     require(Files.isDirectory(root), s"no ingest state at $stateDir")
-    sweepStaged(root)
-    finishCrashedCompaction(root)
-    val gens = committedSubdirs(root)
+    GenStore.sweepStaged(root)
+    GenStore.healReplaces(root)
+    val gens = GenStore.committed(root)
     if (gens.size <= 1) return 0L
-    val offs = loadNewestOffsets(root, gens)
-    val nextSeq = gens
-      .map(p => Paths.get(p).getFileName.toString.drop(1).toLong).max + 1L
-    val staged = root.resolve(s"tmp_b$nextSeq")
+    val offs = loadNewestOffsets(root)
+    val nextSeq = GenStore.nextSeq(root)
+    val staged = GenStore.stagedPath(root, nextSeq)
     val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-    reader.parquet(gens: _*).write.mode("overwrite")
+    reader.parquet(gens.map(_.toString): _*).write.mode("overwrite")
       .parquet(staged.toString)
     val n = spark.read.parquet(staged.toString).count()
-    writeOffsets(staged, offs.toMap)
-    Files.write(staged.resolve("_replaces.tsv"),
-      gens.map(p => Paths.get(p).getFileName.toString).mkString("\n")
-        .getBytes("UTF-8"))
-    val committedDir = root.resolve(s"b$nextSeq")
-    Files.move(staged, committedDir,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    gens.foreach(d => deleteRecursively(Paths.get(d)))
+    GenStore.writePairs(staged.resolve("_offsets.tsv"), offs.toMap)
+    GenStore.writeReplaces(staged, gens)
+    val committedDir = GenStore.commit(root, staged, nextSeq)
+    gens.foreach(GenStore.deleteRecursively)
     Files.deleteIfExists(committedDir.resolve("_replaces.tsv"))
     Files.deleteIfExists(root.resolve("offsets.tsv")) // legacy snapshot
     n
   }
-
-  /** Finish a compaction that crashed between its commit rename and the
-    * deletion of the generations it replaced (their docs would appear
-    * twice in the corpus scan otherwise).
-    */
-  private def finishCrashedCompaction(root: java.nio.file.Path): Unit =
-    for (g <- committedSubdirs(root)) {
-      val marker = Paths.get(g).resolve("_replaces.tsv")
-      if (Files.exists(marker)) {
-        val src = scala.io.Source.fromFile(marker.toFile, "UTF-8")
-        val stale = try src.getLines().filter(_.nonEmpty).toList
-          finally src.close()
-        stale.map(root.resolve(_)).filter(Files.exists(_))
-          .foreach(deleteRecursively)
-        Files.deleteIfExists(marker)
-      }
-    }
 
   final case class PackState(cum: Long)
   final case class PackOut(doc_id: Long, shard: Long, n_tok: Long,

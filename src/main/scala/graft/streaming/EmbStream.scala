@@ -1,6 +1,6 @@
 package graft.streaming
 
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -39,8 +39,22 @@ import org.apache.spark.sql.types._
   * identical (same frozen centroids, same tie rule), and the final
   * canonical table EQUALS [[graft.operators.Dedup.semanticDedupWith]]
   * (union, same centroids) — spec-locked in `EmbStreamSpec`, measured
-  * at sf1 by `StreamScale -emb`. Callers must feed fresh vec_ids
-  * (re-sends would double rows, as in every append-only ingest).
+  * at sf1 by `StreamScale -emb`.
+  *
+  * Durability ([[GenStore]]'s discipline, new r11 — the prior form
+  * REQUIRED a fresh stateDir because the merge map lived only on the
+  * driver): each generation directory `b<seq>` carries that batch's
+  * `assigned/` + `canon/` parquet AND the full resolved merge-map
+  * snapshot `_merges.tsv`, staged under `tmp_b<seq>` and committed by
+  * ONE atomic rename after the sink returned. A restarted stream on a
+  * populated stateDir resumes exactly: centroids load from the oldest
+  * generation (never retrained — the frozen-quantizer contract), the
+  * merge map reloads from the newest snapshot, and an id-keyed
+  * idempotence guard (anti-join of each batch against the stored
+  * vec_ids) makes replay-after-commit — and caller re-sends — a no-op
+  * instead of a row-duplicating corruption. Crash before the commit
+  * rename replays the whole batch (at-least-once deltas, the standard
+  * idempotent-sink contract); partial writes can never surface.
   */
 object EmbStream {
 
@@ -59,11 +73,13 @@ object EmbStream {
       .parquet(StreamDirs.fileStreamDir(dir, "embeddings.parquet",
         "graft_embstream").toString)
 
-  /** `baseline` is the stored corpus' canonical table (vec_id, cent_id,
-    * canonical) the sink's deltas apply on top of; `query` is the
-    * running stream. `compact` folds the accumulated merges into the
-    * canon store (rewrite base = resolved, clear the merge map — the
-    * LSM compaction step); call it only while the stream is quiescent
+  /** `baseline` is the canonical table the sink's deltas apply on top
+    * of: the stored-corpus canon on a cold start, the WHOLE
+    * accumulated canon store (merges folded) on a resume — in both
+    * cases baseline + this run's deltas (last-write-wins) is the live
+    * table. `compact` folds the accumulated merges into the canon
+    * store (rewrite base = resolved, clear the merge map — the LSM
+    * compaction step); call it only while the stream is quiescent
     * (between micro-batches / after stop). Returns rows rewritten.
     */
   final case class Incremental(baseline: DataFrame, query: StreamingQuery,
@@ -75,15 +91,16 @@ object EmbStream {
     * canonical CHANGED; last-write-wins over baseline+deltas is the
     * live canonical table.
     *
-    * State discipline (the r9 compaction demerit, closed): per-batch
-    * cost is O(batch + affected), never O(corpus) — the earlier form
-    * localCheckpointed three corpus-sized frames and re-closed the
-    * FULL duplicate graph every batch.
+    * State discipline (the r9 compaction demerit, closed; durable
+    * commits + resume new r11): per-batch cost is O(batch + affected),
+    * never O(corpus) — plus ONE bloom-prefilterable anti-join of the
+    * (small) batch against the stored ids, the idempotence guard.
     *
     *   - Assignments and insert-time canonicals live in APPEND-ONLY
-    *     parquet stores ([[DocStream.ingestPipeline]]'s device): one
-    *     O(batch) write per batch, read back as a single flat
-    *     multi-path scan.
+    *     parquet generations, one `b<seq>` dir per batch holding
+    *     assigned/ + canon/ + the merge-map snapshot, committed
+    *     atomically after the sink ([[GenStore]]); reads are flat
+    *     multi-path scans.
     *   - Connected components close over the REP GRAPH only: each new
     *     edge's endpoints collapse to their current canonical (old
     *     components are already fully connected, and each canonical IS
@@ -91,104 +108,134 @@ object EmbStream {
     *     union-graph minimum — exactness is unchanged, EmbStreamSpec's
     *     batch-equality law still pins it). The full edge set is never
     *     stored at all.
-    *   - Cross-batch canonical state is a driver-held resolved merge
-    *     map (base canonical -> current canonical), bounded by the
-    *     number of component MERGES ever observed — dup-density, not
-    *     corpus size (the same small-state contract as Dedup's gated
-    *     driver union-find); entries stay chain-free by composing each
-    *     batch's merges into the values.
-    *   - The changed-canonical delta reads the base-canon store
-    *     FILTERED to the merged roots (a broadcast IN over a
-    *     merge-bounded set — partition-prunable), instead of
-    *     diffing two corpus-sized canonical tables.
+    *   - Cross-batch canonical state is a resolved merge map (base
+    *     canonical -> current canonical), bounded by the number of
+    *     component MERGES ever observed — dup density, not corpus
+    *     size; held on the driver and snapshotted into every committed
+    *     generation, so a restart reloads it exactly.
+    *   - The changed-canonical delta reads the canon store FILTERED to
+    *     the merged roots (a broadcast IN over a merge-bounded set —
+    *     partition-prunable), instead of diffing two corpus-sized
+    *     canonical tables.
     */
   def semanticDedupIncremental(embStream: DataFrame, corpus: DataFrame,
                                nlist: Int = 0, iters: Int = 2,
                                tauNum: Int = 4, tauDen: Int = 10,
                                stateDir: Option[String] = None)
                               (sink: DataFrame => Unit): Incremental = {
-    import java.nio.file.{Files, Paths}
     import graft.operators.{Dedup, Similarity}
-    // the count only feeds nlist auto-sizing — callers with an explicit
-    // nlist must not pay a full corpus scan at stream setup
-    val sizedNlist =
-      if (nlist > 0) nlist
-      else math.max(1L,
-        math.ceil(math.sqrt(corpus.count().toDouble)).toLong).toInt
-    val cents = Similarity.trainCentroids(corpus, sizedNlist, iters)
-      .localCheckpoint(true)
     val spark0 = corpus.sparkSession
 
     val root = stateDir.map(Paths.get(_)).getOrElse(
       Files.createTempDirectory("graft_embstream_state"))
-    val assignedRoot = root.resolve("assigned")
-    val canonRoot = root.resolve("canon")
-    // contract: stateDir is a FRESH directory per stream (it exists for
-    // inspection and disk-resident state, not restart-resume — the
-    // driver-held merge map cannot be reconstructed from the stores, so
-    // silently reusing a populated dir would duplicate every vector in
-    // the resolution joins and then crash on the first b1 write)
-    require(!Files.exists(assignedRoot) && !Files.exists(canonRoot),
-      s"stateDir $root already holds embedding-stream state — " +
-        "semanticDedupIncremental needs a fresh directory per stream " +
-        "(exact restart-resume is not supported: the merge map is " +
-        "driver-held; checkpoint the EMITTED deltas instead)")
-    Files.createDirectories(assignedRoot)
-    Files.createDirectories(canonRoot)
-    def subdirs(r: java.nio.file.Path): Seq[String] = {
-      val s = Files.list(r)
-      try s.iterator().asScala.filter(Files.isDirectory(_))
-        .map(_.toString).toList.sorted
-      finally s.close()
-    }
+    Files.createDirectories(root)
+    GenStore.sweepStaged(root)
+    GenStore.healReplaces(root)
+    val gens0 = GenStore.committed(root)
+    val resuming = gens0.nonEmpty
 
-    // ---- stored-corpus init: assignment + dup graph + canonicals,
-    //      written ONCE ----
-    val assigned0 = Dedup.assignToCentroids(corpus, cents)
-    assigned0.write.mode("overwrite")
-      .parquet(assignedRoot.resolve("b0").toString)
-    val assignedSchema = assigned0.schema
-    val edges0 = Dedup.embeddingPairs(
-        spark0.read.schema(assignedSchema)
-          .parquet(assignedRoot.resolve("b0").toString),
-        tauNum, tauDen, blockCol = "cent_id")
-      .select(col("v1").as("d1"), col("v2").as("d2"))
-    val canon0 = spark0.read.schema(assignedSchema)
-      .parquet(assignedRoot.resolve("b0").toString)
-      .select(col("vec_id"), col("cent_id"))
-      .join(Dedup.connectedComponents(edges0)
-        .withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cent_id"),
-        coalesce(col("component"), col("vec_id")).as("base_canon"))
-    canon0.write.mode("overwrite")
-      .parquet(canonRoot.resolve("b0").toString)
-    val canonSchema = canon0.schema
+    // frozen quantizer: trained once on the cold start and PERSISTED
+    // with generation b0; a resume loads the artifact instead of
+    // retraining (exact even if the caller's corpus snapshot drifted)
+    val cents =
+      if (resuming)
+        spark0.read.parquet(gens0.head.resolve("centroids").toString)
+          .localCheckpoint(true)
+      else {
+        val sizedNlist =
+          if (nlist > 0) nlist
+          else math.max(1L, math.ceil(
+            math.sqrt(corpus.count().toDouble)).toLong).toInt
+        Similarity.trainCentroids(corpus, sizedNlist, iters)
+          .localCheckpoint(true)
+      }
+
+    def assignedDirs(gens: Seq[Path]): Seq[String] =
+      gens.map(_.resolve("assigned").toString)
+    def canonDirs(gens: Seq[Path]): Seq[String] =
+      gens.map(_.resolve("canon").toString)
+
+    // ---- cold start: stored-corpus init (assignment + dup graph +
+    //      canonicals + centroid artifact), committed as b0 ----
+    if (!resuming) {
+      val staged = GenStore.stagedPath(root, 0L)
+      Files.createDirectories(staged)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(staged.resolve("centroids").toString)
+      Dedup.assignToCentroids(corpus, cents)
+        .write.mode("overwrite")
+        .parquet(staged.resolve("assigned").toString)
+      val a0 = spark0.read.parquet(staged.resolve("assigned").toString)
+      val edges0 = Dedup.embeddingPairs(a0, tauNum, tauDen,
+          blockCol = "cent_id")
+        .select(col("v1").as("d1"), col("v2").as("d2"))
+      a0.select(col("vec_id"), col("cent_id"))
+        .join(Dedup.connectedComponents(edges0)
+          .withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent_id"),
+          coalesce(col("component"), col("vec_id")).as("base_canon"))
+        .write.mode("overwrite")
+        .parquet(staged.resolve("canon").toString)
+      GenStore.writePairs(staged.resolve("_merges.tsv"), Map.empty)
+      GenStore.commit(root, staged, 0L)
+    }
+    val b0 = GenStore.committed(root).head
+    val assignedSchema =
+      spark0.read.parquet(b0.resolve("assigned").toString).schema
+    val canonSchema =
+      spark0.read.parquet(b0.resolve("canon").toString).schema
     def canonAll = spark0.read.schema(canonSchema)
-      .parquet(subdirs(canonRoot): _*)
-    val baseline = spark0.read.schema(canonSchema)
-      .parquet(canonRoot.resolve("b0").toString)
-      .withColumnRenamed("base_canon", "canonical")
-      .localCheckpoint(true)
+      .parquet(canonDirs(GenStore.committed(root)): _*)
 
     // resolved merge map: base canonical -> current canonical for every
-    // root a merge ever moved; values are always fully resolved
+    // root a merge ever moved; values are always fully resolved.
+    // Reloaded from the newest committed snapshot on resume.
     val merge = scala.collection.mutable.Map.empty[Long, Long]
-    var seq = 1
+    GenStore.loadNewestPairs(GenStore.committed(root), "_merges.tsv")
+      .foreach(_.foreach { case (k, v) => merge(k) = v })
+
+    // baseline: cold start = the stored-corpus canon (b0); resume = the
+    // WHOLE accumulated canon with merges folded, so a restarted
+    // caller needs no replay of earlier runs' deltas
+    val baseline = {
+      val raw =
+        if (!resuming)
+          spark0.read.schema(canonSchema)
+            .parquet(b0.resolve("canon").toString)
+        else {
+          import spark0.implicits._
+          val mergeDf = broadcast(merge.toSeq.toDF("base_canon", "cur"))
+          canonAll.join(mergeDf, Seq("base_canon"), "left")
+            .select(col("vec_id"), col("cent_id"),
+              coalesce(col("cur"), col("base_canon")).as("base_canon"))
+        }
+      raw.withColumnRenamed("base_canon", "canonical")
+        .localCheckpoint(true)
+    }
+
+    var seq = GenStore.nextSeq(root)
 
     val query = embStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        // 1. assign + append (read back: flat lineage, no recompute);
-        //    the prior-subdir list is captured BEFORE the write
-        val prior = subdirs(assignedRoot)
-        Dedup.assignToCentroids(
-            batch.select(col("vec_id"), col("embedding")), cents)
-          .write.parquet(assignedRoot.resolve(s"b$seq").toString)
+        val gens = GenStore.committed(root)
+        // 0. idempotence guard: a vec_id already in the store is a
+        //    replayed (post-commit) or re-sent row — drop it. Id-keyed
+        //    at-most-once admission; bloom-prefilterable at scale.
+        val fresh = batch.select(col("vec_id"), col("embedding"))
+          .join(canonAll.select(col("vec_id")), Seq("vec_id"),
+            "left_anti")
+        // 1. assign + stage (read back: flat lineage, no recompute)
+        val staged = GenStore.stagedPath(root, seq)
+        Files.createDirectories(staged)
+        Dedup.assignToCentroids(fresh, cents)
+          .write.mode("overwrite")
+          .parquet(staged.resolve("assigned").toString)
         val newA = spark.read.schema(assignedSchema)
-          .parquet(assignedRoot.resolve(s"b$seq").toString)
-        val priorA = spark.read.schema(assignedSchema).parquet(prior: _*)
-        seq += 1
+          .parquet(staged.resolve("assigned").toString)
+        val priorA = spark.read.schema(assignedSchema)
+          .parquet(assignedDirs(gens): _*)
         // 2. new edges: in-batch pairs + cross pairs vs the stored scan
         val newEdges = Dedup.embeddingPairs(newA, tauNum, tauDen,
             blockCol = "cent_id")
@@ -231,24 +278,25 @@ object EmbStream {
         val changedRoots: Map[Long, Long] =
           if (moved.isEmpty) Map.empty
           else {
-            for ((root, cur) <- resolveOld if moved.contains(cur))
-              merge(root) = moved(cur)
+            for ((root0, cur) <- resolveOld if moved.contains(cur))
+              merge(root0) = moved(cur)
             for ((r, m) <- moved) merge(r) = m
             resolveOld.collect {
-              case (root, cur) if moved.contains(cur) =>
-                root -> moved(cur)
+              case (root0, cur) if moved.contains(cur) =>
+                root0 -> moved(cur)
             } ++ moved
           }
         // 6. delta: every new vector (insert-time canonical from the
         //    rep CC), plus stored vectors whose root merged
-        val newCanon = newA.select(col("vec_id"), col("cent_id"))
+        newA.select(col("vec_id"), col("cent_id"))
           .join(ccRep.withColumnRenamed("node", "vec_id"),
             Seq("vec_id"), "left")
           .select(col("vec_id"), col("cent_id"),
             coalesce(col("component"), col("vec_id")).as("base_canon"))
-        newCanon.write.parquet(canonRoot.resolve(s"b${seq - 1}").toString)
+          .write.mode("overwrite")
+          .parquet(staged.resolve("canon").toString)
         val newDelta = spark.read.schema(canonSchema)
-          .parquet(canonRoot.resolve(s"b${seq - 1}").toString)
+          .parquet(staged.resolve("canon").toString)
           .withColumnRenamed("base_canon", "canonical")
         val delta =
           if (changedRoots.isEmpty) newDelta
@@ -265,43 +313,55 @@ object EmbStream {
             newDelta.unionByName(oldDelta)
           }
         sink(delta)
+        // COMMIT POINT: the merge-map snapshot rides the same rename as
+        // the batch's assigned/canon data — everything before this
+        // replays on crash, after it the replayed batch anti-joins to
+        // empty and the reloaded map is exact.
+        GenStore.writePairs(staged.resolve("_merges.tsv"), merge)
+        GenStore.commit(root, staged, seq)
+        seq += 1
       }
       .start()
 
-    // LSM compaction: rewrite the canon store with every merge folded
-    // in (ONE pass over the store, amortizable every K batches), then
-    // clear the merge map — post-compact, base_canon IS current, so
-    // per-batch resolution joins see an empty map until the next merge.
-    // Quiescent-only by contract (no batch may be mid-flight).
+    // LSM compaction: fold every merge into ONE generation holding the
+    // whole resolved canon + the whole assigned store + the centroid
+    // artifact, committed with a _replaces marker (healed on restart),
+    // then clear the merge map. Quiescent-only by contract (no batch
+    // may be mid-flight; a LIVE query also holds `seq`, so compaction
+    // runs between stops, exactly like DocStream.compactAdmissions).
     def compact(): Long = {
+      GenStore.healReplaces(root)
+      val gens = GenStore.committed(root)
+      if (merge.isEmpty && gens.size <= 1) return 0L
       import spark0.implicits._
-      if (merge.isEmpty) return 0L
       val mergeDf = broadcast(merge.toSeq.toDF("base_canon", "cur"))
-      val resolved = canonAll
+      // the SHARED counter, not a recomputed one: a live (quiescent)
+      // query also holds `seq`, and the compacted generation must take
+      // the next slot or the following batch's commit would collide
+      val nextSeq = seq
+      val staged = GenStore.stagedPath(root, nextSeq)
+      Files.createDirectories(staged)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(staged.resolve("centroids").toString)
+      spark0.read.schema(assignedSchema)
+        .parquet(assignedDirs(gens): _*)
+        .write.mode("overwrite")
+        .parquet(staged.resolve("assigned").toString)
+      canonAll
         .join(mergeDf, Seq("base_canon"), "left")
         .select(col("vec_id"), col("cent_id"),
           coalesce(col("cur"), col("base_canon")).as("base_canon"))
-      val tmp = root.resolve("canon_compact_tmp")
-      resolved.select(canonSchema.fieldNames.map(col): _*)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val n = spark0.read.schema(canonSchema).parquet(tmp.toString).count()
-      // swap, constructive-first: move the compacted generation IN (tmp
-      // lives outside canonRoot, so it was invisible until this rename),
-      // THEN delete the old generations. A crash between the two leaves
-      // old + new coexisting (duplicate vec_ids — recoverable by
-      // deleting every dir but the newest), never an EMPTY canon store
-      // the merge map alone could not rebuild (the old destructive-first
-      // order's unrecoverable window).
-      def deleteRec(p: java.nio.file.Path): Unit = {
-        val s = Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-        finally s.close()
-      }
-      val old = subdirs(canonRoot)
-      Files.move(tmp, canonRoot.resolve("b0_compacted_" +
-        System.nanoTime()))
-      old.foreach(d => deleteRec(Paths.get(d)))
+        .select(canonSchema.fieldNames.map(col): _*)
+        .write.mode("overwrite")
+        .parquet(staged.resolve("canon").toString)
+      val n = spark0.read.schema(canonSchema)
+        .parquet(staged.resolve("canon").toString).count()
+      GenStore.writePairs(staged.resolve("_merges.tsv"), Map.empty)
+      GenStore.writeReplaces(staged, gens)
+      val committedDir = GenStore.commit(root, staged, nextSeq)
+      seq += 1
+      gens.foreach(GenStore.deleteRecursively)
+      Files.deleteIfExists(committedDir.resolve("_replaces.tsv"))
       merge.clear()
       n
     }

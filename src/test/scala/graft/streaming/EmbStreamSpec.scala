@@ -156,6 +156,60 @@ class EmbStreamSpec extends SparkSpec {
       "the pre-compact merged canonical via the rewritten store")
   }
 
+  test("durable restart-resume: a SECOND stream on the same stateDir " +
+       "reloads centroids + merge map, drops re-sent vec_ids, and its " +
+       "baseline+deltas equal batch over the full union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = vecsDf(corpusRows)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_embstream_resume").toString
+    def run(batches: Seq[Seq[(Long, Array[Float], Int)]])
+        : (DataFrame, Seq[Seq[(Long, Long, Long)]]) = {
+      val mem = MemoryStream[(Long, Array[Float], Int)]
+      val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+      val deltas =
+        scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long)]]
+      val inc = EmbStream.semanticDedupIncremental(stream, corpus,
+          nlist = 3, iters = 2, tauNum = 9, tauDen = 10,
+          stateDir = Some(state)) { d =>
+        deltas.synchronized {
+          deltas += d.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        }
+      }
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        inc.query.processAllAvailable()
+      }
+      inc.query.stop()
+      (inc.baseline, deltas.toSeq)
+    }
+    // run 1: batch1 through a durable stateDir
+    val (_, d1) = run(Seq(batch1))
+    assert(d1.flatten.nonEmpty)
+    // run 2 (RESTARTED): batch2 plus a RE-SEND of a batch-1 row — the
+    // idempotence guard must drop it (id-keyed at-most-once admission)
+    val resend = Seq(batch1.head)
+    val (base2, d2) = run(Seq(resend ++ batch2))
+    val resent = d2.flatten.map(_._1).filter(_ == batch1.head._1)
+    assert(resent.isEmpty, s"re-sent vec_id admitted twice: $resent")
+    // run-2's baseline is the WHOLE accumulated canon (merges folded),
+    // so baseline + run-2 deltas alone equal batch over the union —
+    // no replay of run-1's deltas needed
+    val got = lastWriteWins(base2, d2)
+    val cents = graft.operators.Similarity.trainCentroids(corpus, 3, 2)
+    val want = graft.operators.Dedup.semanticDedupWith(
+        vecsDf(corpusRows ++ batch1 ++ batch2), cents,
+        tauNum = 9, tauDen = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    // the cross-epoch merges still land: batch-2's 8 joins run-1's 7,
+    // and 9 joins stored 2
+    assert(got(8L)._2 == 7L && got(9L)._2 == 2L)
+  }
+
   test("file-stream reader: incremental over day-split embeddings " +
        "shards equals batch over the union (real parquet path)") {
     val all = spark.read.parquet(sf() + "/embeddings.parquet")
