@@ -942,6 +942,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- composition (new r11): URL canonicalization FEEDING snapshot
+    //      dedup — each page is crawled under two spellings of the same
+    //      URL (tracking params + case/www noise vs clean) plus a
+    //      recrawl; unnormalized they defeat (url, content) keying, so
+    //      the canon step is what lets the version table collapse the
+    //      double-fetch to its min fetch_id ----
+    "q_snapshot_urlnorm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val u0 = concat(lit("HTTP://WWW."), col("source"),
+        lit(".COM/page/"), id, lit("?utm_source=feed&ref=rss"))
+      val u1 = concat(lit("http://"), col("source"), lit(".com/page/"), id)
+      val base = docs.select(col("doc_id"), col("text"),
+        u0.as("u0"), u1.as("u1"))
+      val crawl = base.select(col("u0").as("raw_url"), lit(0).as("snap"),
+          col("text"), (col("doc_id") * 4).as("fetch_id"))
+        .unionAll(base.select(col("u1").as("raw_url"), lit(0).as("snap"),
+          col("text"), (col("doc_id") * 4 + 1).as("fetch_id")))
+        .unionAll(base.select(col("u0").as("raw_url"), lit(1).as("snap"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"),
+          (col("doc_id") * 4 + 2).as("fetch_id")))
+      val canon = crawl.withColumn("url",
+        graft.operators.Curation.canonicalUrl(col("raw_url")))
+      graft.operators.Dedup.snapshotDedup(canon, col("url"), col("snap"),
+          col("text"), col("fetch_id"))
+        .orderBy(col("url"), col("keep_fetch"))
+    }),
+
     // ---- training-mix source quotas (new r11): temperature-weighted
     //      data mixing (w = √n, the IEEE-exactly-rounded weight; a
     //      general pow(n, α) is not engine-portable) apportioned by
@@ -4491,6 +4521,52 @@ object SparkEntry {
        |FROM ps ORDER BY doc_id""".stripMargin
   }
 
+  /** The URL-canonicalization rule chain
+    * ([[graft.operators.Curation.canonicalUrl]]) as oracle CTEs over an
+    * input CTE named `d` carrying a `url` column — extra columns (snap,
+    * text, fetch_id, ...) ride through the `SELECT *`s; the final stage
+    * `s6` adds `canon`. Shared by q_urlnorm and q_snapshot_urlnorm so
+    * the rule is written once.
+    */
+  private def urlCanonChainSql(dCte: String): String =
+    // the input CTE arrives already margin-stripped: concatenate, don't
+    // re-strip (a second stripMargin eats one pipe of every
+    // line-leading '||' string concatenation)
+    dCte + ",\n" +
+    """s1 AS (SELECT *, split_part(url, '#', 1) AS nf FROM d),
+       |s2 AS (SELECT *, instr(nf, '://') AS sp,
+       |         lower(split_part(nf, '://', 1)) AS scheme,
+       |         substr(nf, instr(nf, '://') + 3) AS rest FROM s1),
+       |s3 AS (SELECT *, split_part(rest, '/', 1) AS auth,
+       |         substr(rest, len(split_part(rest, '/', 1)) + 1) AS pathq
+       |       FROM s2),
+       |s4 AS (SELECT *,
+       |  regexp_replace(CASE
+       |      WHEN scheme = 'http'
+       |        THEN regexp_replace(lower(auth), ':80$', '')
+       |      WHEN scheme = 'https'
+       |        THEN regexp_replace(lower(auth), ':443$', '')
+       |      ELSE lower(auth) END, '^www\.', '') AS host,
+       |  CASE WHEN len(split_part(pathq, '?', 1)) = 0 THEN '/'
+       |    ELSE split_part(pathq, '?', 1) END AS path,
+       |  CASE WHEN instr(pathq, '?') > 0
+       |    THEN substr(pathq, instr(pathq, '?') + 1)
+       |    ELSE '' END AS query0
+       |  FROM s3),
+       |s5 AS (SELECT *,
+       |  array_to_string(list_sort(list_filter(string_split(query0, '&'),
+       |    p -> len(p) > 0
+       |      AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+       |      AND split_part(p, '=', 1) NOT IN
+       |        ('fbclid', 'gclid', 'msclkid', 'ref', 'ref_src'))), '&')
+       |    AS q
+       |  FROM s4),
+       |s6 AS (SELECT *,
+       |  CASE WHEN sp = 0 THEN nf
+       |    ELSE scheme || '://' || host || path ||
+       |      CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END END AS canon
+       |  FROM s5)""".stripMargin
+
   /** Per-column table profile over lineitem (= q_profile): one arm per
     * column; min/max representation by type matches
     * [[graft.engine.DataProfile.repr]] exactly.
@@ -6685,7 +6761,7 @@ object SparkEntry {
     // the same rule chain as Curation.canonicalUrl, step by step:
     // fragment strip, scheme/authority split, case/port/www folds,
     // tracking-param filter + bytewise whole-"k=v" sort
-    "q_urlnorm" ->
+    "q_urlnorm" -> (urlCanonChainSql(
       """WITH d AS (
         |  SELECT doc_id, CASE CAST(doc_id % 8 AS INT)
         |    WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/d/'
@@ -6700,40 +6776,38 @@ object SparkEntry {
         |    WHEN 6 THEN 'https://www.sub.' || source || '.com/x/'
         |      || CAST(doc_id AS VARCHAR)
         |    ELSE 'http://' || source || '.com:8080/x' END AS url
+        |  FROM documents)""".stripMargin) + """
+        |SELECT doc_id, url, canon
+        |FROM s6 ORDER BY doc_id""".stripMargin),
+
+    // composition: the SAME canonicalization chain feeding snapshot
+    // dedup — the production recrawl shape, where one page arrives
+    // under tracking-param/case/port spellings that would defeat
+    // (url, content) keying unnormalized
+    "q_snapshot_urlnorm" -> (urlCanonChainSql(
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    'HTTP://WWW.' || source || '.COM/page/'
+        |      || CAST(doc_id AS VARCHAR) || '?utm_source=feed&ref=rss'
+        |      AS u0,
+        |    'http://' || source || '.com/page/'
+        |      || CAST(doc_id AS VARCHAR) AS u1
         |  FROM documents),
-        |s1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nf FROM d),
-        |s2 AS (SELECT *, instr(nf, '://') AS sp,
-        |         lower(split_part(nf, '://', 1)) AS scheme,
-        |         substr(nf, instr(nf, '://') + 3) AS rest FROM s1),
-        |s3 AS (SELECT *, split_part(rest, '/', 1) AS auth,
-        |         substr(rest, len(split_part(rest, '/', 1)) + 1) AS pathq
-        |       FROM s2),
-        |s4 AS (SELECT *,
-        |  regexp_replace(CASE
-        |      WHEN scheme = 'http'
-        |        THEN regexp_replace(lower(auth), ':80$', '')
-        |      WHEN scheme = 'https'
-        |        THEN regexp_replace(lower(auth), ':443$', '')
-        |      ELSE lower(auth) END, '^www\.', '') AS host,
-        |  CASE WHEN len(split_part(pathq, '?', 1)) = 0 THEN '/'
-        |    ELSE split_part(pathq, '?', 1) END AS path,
-        |  CASE WHEN instr(pathq, '?') > 0
-        |    THEN substr(pathq, instr(pathq, '?') + 1)
-        |    ELSE '' END AS query0
-        |  FROM s3),
-        |s5 AS (SELECT *,
-        |  array_to_string(list_sort(list_filter(string_split(query0, '&'),
-        |    p -> len(p) > 0
-        |      AND NOT starts_with(split_part(p, '=', 1), 'utm_')
-        |      AND split_part(p, '=', 1) NOT IN
-        |        ('fbclid', 'gclid', 'msclkid', 'ref', 'ref_src'))), '&')
-        |    AS q
-        |  FROM s4)
-        |SELECT doc_id, url,
-        |  CASE WHEN sp = 0 THEN nf
-        |    ELSE scheme || '://' || host || path ||
-        |      CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END END AS canon
-        |FROM s5 ORDER BY doc_id""".stripMargin,
+        |d AS (
+        |  SELECT u0 AS url, 0 AS snap, text, doc_id * 4 AS fetch_id
+        |  FROM base
+        |  UNION ALL
+        |  SELECT u1 AS url, 0 AS snap, text, doc_id * 4 + 1 AS fetch_id
+        |  FROM base
+        |  UNION ALL
+        |  SELECT u0 AS url, 1 AS snap,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' updated'
+        |         ELSE text END AS text,
+        |    doc_id * 4 + 2 AS fetch_id FROM base)""".stripMargin) + """
+        |SELECT canon AS url, min(snap) AS first_snap,
+        |  min(fetch_id) AS keep_fetch, count(*) AS n_fetches
+        |FROM s6 GROUP BY canon, md5(text)
+        |ORDER BY url, keep_fetch""".stripMargin),
 
     // per-column profile over lineitem: one UNION ALL arm per column
     // with the type's portable min/max representation (fractionals as
