@@ -45,9 +45,14 @@ object Run {
           val drained = spark.read.parquet(p.target)
           // route the drained frame through the configured sink like
           // the batch branch — a jdbc/pgcopy sink must not silently
-          // degrade to the local parquet landing dir
+          // degrade to the local parquet landing dir. A stream's
+          // target is a real DIRECTORY (the parquet landing), so the
+          // sink-side table name is its basename — passing the path
+          // itself would become an invalid jdbc dbtable / a nested
+          // parquet path
           if (config.sink.path.isDefined || config.sink.url.isDefined) {
-            graft.engine.Sink.write(drained, p.target, config.sink)
+            val table = new java.io.File(p.target).getName
+            graft.engine.Sink.write(drained, table, config.sink)
             println(s"[graft] stream pipeline ${p.source} -> ${p.target}: " +
               s"${p.stages.map(_.op).mkString(" -> ")} (drained, written)")
           } else {

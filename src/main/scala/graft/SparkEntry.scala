@@ -30,6 +30,9 @@ object SparkEntry {
     */
   private val annIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // `kind` must carry every build PARAMETER (e.g. "ivf16") — a key of
+  // family+dir alone would silently reuse an index built with
+  // different nlist/subspaces/dim for a differently-tuned query
   private def annIndex(kind: String, dir: String)
                       (build: String => Unit): String =
     annIndexCache.computeIfAbsent(s"$kind:$dir", _ => {
@@ -903,9 +906,11 @@ object SparkEntry {
     // ---- table data profiling (new r11): per-column row/null/distinct
     //      counts + portable min/max — the data-quality probe an ingest
     //      runs before trusting a new drop (reference R6's sibling:
-    //      probe the DATA's shape, not the target's). ONE aggregation
-    //      pass (multi-distinct via a single Expand); HLL swap-in for
-    //      the 100 TB profile documented at the operator ----
+    //      probe the DATA's shape, not the target's). One UNION branch
+    //      per column (columnar scans: same total bytes as one full
+    //      pass, hash-agg distincts, sortless min/max — the measured
+    //      12x win over the single-Expand multi-distinct form); HLL
+    //      swap-in for the 100 TB profile documented at the operator ----
     "q_table_profile" -> ((s, dir) => {
       graft.engine.DataProfile.profile(t(s, dir, "lineitem"))
         .orderBy(col("column"))
@@ -1429,7 +1434,7 @@ object SparkEntry {
     //      construction (shared search kernel) — shares
     //      q_simsearch_ivf's oracle ----
     "q_simsearch_ivf_idx" -> ((s, dir) => {
-      val path = annIndex("ivf", dir)(p =>
+      val path = annIndex("ivf16", dir)(p =>
         graft.operators.Similarity.buildIvfIndex(
           t(s, dir, "embeddings"), p, nlist = 16))
       graft.operators.Similarity.ivfTopKIndexed(
@@ -1443,7 +1448,7 @@ object SparkEntry {
     //      the codes (identical arithmetic to the inline fold) against
     //      the stats artifact — shares q_simsearch_sq's oracle ----
     "q_simsearch_sq_idx" -> ((s, dir) => {
-      val path = annIndex("sq", dir)(p =>
+      val path = annIndex("sq64", dir)(p =>
         graft.operators.Similarity.buildSqIndex(
           t(s, dir, "embeddings"), p))
       graft.operators.Similarity.sqTopKIndexed(
@@ -1455,7 +1460,7 @@ object SparkEntry {
     //      once; the query scans ONLY the code table (corpus floats
     //      never read at query time) — shares q_simsearch_pq's oracle ----
     "q_simsearch_pq_idx" -> ((s, dir) => {
-      val path = annIndex("pq", dir)(p =>
+      val path = annIndex("pq8x64x16", dir)(p =>
         graft.operators.Similarity.buildPqIndex(
           t(s, dir, "embeddings"), p))
       graft.operators.Similarity.pqTopKIndexed(

@@ -105,6 +105,16 @@ object CurationPipeline {
     require(fmt == SourceFormat.Parquet,
       s"streaming pipelines read parquet sources; got '$fmt' — " +
         "land the data as parquet first (an ELT job in the same config)")
+    // pre-r11 deployments checkpointed at the SIBLING path
+    // `<target>_checkpoint`; silently starting fresh at the new
+    // inside-the-target location would re-ingest every already-seen
+    // source file and duplicate the target. Refuse until migrated.
+    val legacy = new java.io.File(cfg.target + "_checkpoint")
+    val current = new java.io.File(cfg.target, "_checkpoint")
+    require(!legacy.exists() || current.exists(),
+      s"legacy stream checkpoint found at ${legacy.getPath} — move it " +
+        s"to ${current.getPath} (it now lives INSIDE the target so " +
+        "both are deleted together) before restarting this pipeline")
     val schema = Readers.read(spark,
       JobSpec(source = cfg.source, target = cfg.target,
         format = cfg.format)).schema
@@ -188,14 +198,12 @@ object CurationPipeline {
     case "comp_ratio_gate" =>
       // drop too-compressible boilerplate at an ABSOLUTE threshold —
       // the narrow, streamable form of the per-language quantile gate
-      // (TextAnalysis.compressionFilter); one codegen'd projection
+      // (TextAnalysis.compressionFilter); one codegen'd projection,
+      // the ratio rule shared with the operator (ratioMicro)
       val c = st.str("column", "text")
-      val ratio = when(length(col(c)) === 0, lit(0L))
-        .otherwise(call_function("div",
-          lit(1000000L) * graft.plans.LzMatchedChars(col(c),
-            st.int("min_len", 4), st.int("max_len", 32)),
-          length(col(c)).cast("long")))
-      df.filter(ratio <= st.long("max_ratio_micro", 800000L))
+      df.filter(graft.operators.TextAnalysis.ratioMicro(col(c),
+        st.int("min_len", 4), st.int("max_len", 32)) <=
+        st.long("max_ratio_micro", 800000L))
     case "quantile_filter" =>
       graft.operators.Sampling.topFractionByGroup(df,
         col(st.str("group", "lang")), col(st.need("score")),

@@ -225,9 +225,7 @@ object Classifier {
   def rankingEval(docs: DataFrame, label: Column, buckets: Int = 16,
                   iters: Int = 40, lr: Double = 1.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val feat = featurize(docs, label, buckets).localCheckpoint(true)
-    val last = train(feat, iters, lr).last
-    val p = probability(featColsOf(feat), last.bias, last.weights)
+    val (feat, p) = trainedProbability(docs, label, buckets, iters, lr)
     val scored = feat.select(col("y").cast("int").as("y"),
         floor(p * lit(Scale) + lit(0.5)).cast("long").as("s"),
         when(p >= lit(0.5), 1).otherwise(0).as("keep"))
@@ -257,13 +255,24 @@ object Classifier {
             lit(2L) * col("n_pos") * col("n_neg"))).as("auc_micro"))
   }
 
-  def trainAndScore(docs: DataFrame, label: Column, buckets: Int = 16,
-                    iters: Int = 40, lr: Double = 1.5): DataFrame = {
-    // checkpoint the featurized frame so training AND scoring read the
-    // one materialization — the corpus is tokenized/shuffled exactly once
+  /** The shared train→score prologue of [[trainAndScore]] and
+    * [[rankingEval]] — one place, so the model q_clf_auc evaluates can
+    * never drift from the model q_classifier_score ships: checkpoint
+    * the featurized frame (training AND scoring read the one
+    * materialization — the corpus is tokenized/shuffled exactly once),
+    * train, and return the frame with its probability column.
+    */
+  private def trainedProbability(docs: DataFrame, label: Column,
+                                 buckets: Int, iters: Int,
+                                 lr: Double): (DataFrame, Column) = {
     val feat = featurize(docs, label, buckets).localCheckpoint(true)
     val last = train(feat, iters, lr).last
-    val p = probability(featColsOf(feat), last.bias, last.weights)
+    (feat, probability(featColsOf(feat), last.bias, last.weights))
+  }
+
+  def trainAndScore(docs: DataFrame, label: Column, buckets: Int = 16,
+                    iters: Int = 40, lr: Double = 1.5): DataFrame = {
+    val (feat, p) = trainedProbability(docs, label, buckets, iters, lr)
     feat.select(col("doc_id"),
       (floor(p * lit(Scale) + lit(0.5)) / lit(Scale)).as("q_score"),
       when(p >= lit(0.5), 1).otherwise(0).as("keep"))

@@ -815,6 +815,17 @@ object TextAnalysis {
     * joins; per-row work bounded by doc length (hash-chain parse).
     * Returns (doc_id, n_chars, matched, ratio_micro).
     */
+  /** The quantized LZ coverage ratio of ONE text column — the single
+    * definition [[compressionRatio]] and the `comp_ratio_gate` pipeline
+    * stage both apply (PipelineSpec pins them equal; a second inline
+    * copy of the rule could drift).
+    */
+  def ratioMicro(text: Column, minLen: Int = 4, maxLen: Int = 32): Column =
+    when(length(text) === 0, 0L)
+      .otherwise(call_function("div",
+        lit(1000000L) * graft.plans.LzMatchedChars(text, minLen, maxLen),
+        length(text).cast("long")))
+
   def compressionRatio(docs: DataFrame, minLen: Int = 4,
                        maxLen: Int = 32): DataFrame =
     docs.select(col("doc_id"),

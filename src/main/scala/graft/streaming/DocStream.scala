@@ -288,10 +288,13 @@ object DocStream {
     val offs = loadNewestOffsets(root)
     val nextSeq = GenStore.nextSeq(root)
     val staged = GenStore.stagedPath(root, nextSeq)
-    val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+    def reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
     reader.parquet(gens.map(_.toString): _*).write.mode("overwrite")
       .parquet(staged.toString)
-    val n = spark.read.parquet(staged.toString).count()
+    // read-back honors the caller's schema too: the all-empty-
+    // generations fold writes a part-file-less dir that schema
+    // inference cannot read — exactly the edge `schema` guards
+    val n = reader.parquet(staged.toString).count()
     GenStore.writePairs(staged.resolve("_offsets.tsv"), offs.toMap)
     GenStore.writeReplaces(staged, gens)
     val committedDir = GenStore.commit(root, staged, nextSeq)

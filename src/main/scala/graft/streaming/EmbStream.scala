@@ -275,17 +275,17 @@ object EmbStream {
         val moved = ccRep.join(oldReps, Seq("node"), "left_semi")
           .filter(col("node") =!= col("component"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // batch-LOCAL merge assignments — the driver map is mutated only
+        // at the commit point below: a sink failure before the commit
+        // must leave the in-memory map matching the committed snapshot,
+        // or a later quiescent compact() would persist merges whose
+        // canonical vec_ids exist only in the swept staged batch
         val changedRoots: Map[Long, Long] =
           if (moved.isEmpty) Map.empty
-          else {
-            for ((root0, cur) <- resolveOld if moved.contains(cur))
-              merge(root0) = moved(cur)
-            for ((r, m) <- moved) merge(r) = m
-            resolveOld.collect {
-              case (root0, cur) if moved.contains(cur) =>
-                root0 -> moved(cur)
-            } ++ moved
-          }
+          else resolveOld.collect {
+            case (root0, cur) if moved.contains(cur) =>
+              root0 -> moved(cur)
+          } ++ moved
         // 6. delta: every new vector (insert-time canonical from the
         //    rep CC), plus stored vectors whose root merged
         newA.select(col("vec_id"), col("cent_id"))
@@ -313,10 +313,12 @@ object EmbStream {
             newDelta.unionByName(oldDelta)
           }
         sink(delta)
-        // COMMIT POINT: the merge-map snapshot rides the same rename as
-        // the batch's assigned/canon data — everything before this
-        // replays on crash, after it the replayed batch anti-joins to
-        // empty and the reloaded map is exact.
+        // COMMIT POINT: fold this batch's merges into the driver map
+        // and snapshot it into the same rename as the batch's
+        // assigned/canon data — everything before this replays on
+        // crash (map untouched), after it the replayed batch
+        // anti-joins to empty and the reloaded map is exact.
+        for ((r, m) <- changedRoots) merge(r) = m
         GenStore.writePairs(staged.resolve("_merges.tsv"), merge)
         GenStore.commit(root, staged, seq)
         seq += 1

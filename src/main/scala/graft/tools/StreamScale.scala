@@ -183,32 +183,17 @@ object StreamScale {
       q.stop()
       walls
     }
+    def gens(): Seq[String] = graft.streaming.GenStore
+      .committed(java.nio.file.Paths.get(state)).map(_.toString)
     def admissionsSet(): Set[Long] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(state))
-      val gens = try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => java.nio.file.Files.isDirectory(p) &&
-            p.getFileName.toString.matches("b\\d+"))
-          .map(_.toString).toList
-      } finally s.close()
-      if (gens.isEmpty) Set.empty
+      val g = gens()
+      if (g.isEmpty) Set.empty
       else spark.read
         .schema(graft.streaming.DocStream.documentsSchema)
-        .parquet(gens: _*).select("doc_id").as[Long].collect().toSet
-    }
-    def genCount(): Int = admissionsGens()
-    def admissionsGens(): Int = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(state))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.count(p =>
-          java.nio.file.Files.isDirectory(p) &&
-            p.getFileName.toString.matches("b\\d+"))
-      } finally s.close()
+        .parquet(g: _*).select("doc_id").as[Long].collect().toSet
     }
     val pre = runDays(0 until days)
-    val gensBefore = genCount()
+    val gensBefore = gens().size
     val before = admissionsSet()
     val t0 = System.nanoTime()
     val folded = graft.streaming.DocStream.compactAdmissions(spark, state)

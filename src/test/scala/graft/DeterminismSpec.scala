@@ -56,7 +56,15 @@ class DeterminismSpec extends SparkSpec {
     // captures must agree), driver-loop tokenizer training (WordPiece
     // winner ties), CMS bucket sums, z-values, the recursive walk
     "q_image_neardup", "q_simsearch_sq", "q_wordpiece", "q_cms",
-    "q_zorder", "q_sql_recursive")
+    "q_zorder", "q_sql_recursive",
+    // round-11 shapes: persisted-index loads (stats/codes collected at
+    // plan build must agree across partitionings), the LZ walk + radix
+    // quantile gate, rank-statistic AUC, largest-remainder quotas,
+    // per-column union profiling, canon-chain string folds feeding a
+    // version aggregation
+    "q_simsearch_ivf_idx", "q_simsearch_pq_idx", "q_simsearch_sq_idx",
+    "q_comp_ratio", "q_comp_filter", "q_nfkc", "q_clf_auc", "q_mix",
+    "q_table_profile", "q_urlnorm", "q_snapshot_urlnorm")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
