@@ -114,6 +114,49 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("copy_line"))
     }),
 
+    // ---- Avro ingestion round trip through the in-repo DSv2 connector
+    //      (graft.sources.AvroSource — the classpath has no spark-avro
+    //      module, so the reference's Avro surface, README.md:11, is
+    //      served by our own sync-split + reader-schema-pruned source):
+    //      write a typed lineitem slice as deflate-coded container
+    //      files ONCE per sf dir, read it back, emit the rows. The
+    //      oracle recomputes the slice from parquet, so every type
+    //      conversion in BOTH directions (long/int/double/decimal/
+    //      string/null-union/timestamp/date/boolean/array/map/struct)
+    //      is hash-gated ----
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val path = annIndex("avro_rt", dir) { p =>
+        t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 50 === 0)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("decimal(12,2)").as("qty_dec"),
+            when(col("l_returnflag") === "A", lit(null).cast("string"))
+              .otherwise(col("l_returnflag")).as("rflag_n"),
+            col("l_shipdate"),
+            col("l_shipdate").cast("date").as("ship_day"),
+            (col("l_orderkey") % 2 === 0).as("even"),
+            col("l_extendedprice"),
+            array(col("l_linenumber").cast("long"), col("l_orderkey") % 10)
+              .as("arr"),
+            map(lit("ln"), col("l_linenumber").cast("long"),
+                lit("ok7"), col("l_orderkey") % 7).as("m"),
+            struct(col("l_suppkey").as("a"), col("l_linestatus").as("b"))
+              .as("st"))
+          .write.format("graft-avro").mode("overwrite").save(p)
+      }
+      s.read.format("graft-avro").load(path)
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty_dec"),
+          col("rflag_n"), col("l_shipdate"), col("ship_day"), col("even"),
+          col("l_extendedprice"),
+          array_join(transform(col("arr"), _.cast("string")), ",")
+            .as("arr_s"),
+          element_at(col("m"), "ln").as("m_ln"),
+          element_at(col("m"), "ok7").as("m_ok7"),
+          col("st.a").as("st_a"), col("st.b").as("st_b"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -4722,6 +4765,25 @@ object SparkEntry {
         |  AS copy_line
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |ORDER BY l_orderkey, l_linenumber, copy_line""".stripMargin,
+
+    // the oracle recomputes the avro-round-tripped slice straight from
+    // parquet — any lossy conversion in either direction hash-mismatches
+    "q_avro_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+        |  NULLIF(l_returnflag, 'A') AS rflag_n,
+        |  l_shipdate,
+        |  CAST(l_shipdate AS DATE) AS ship_day,
+        |  (l_orderkey % 2 = 0) AS even,
+        |  l_extendedprice,
+        |  CAST(l_linenumber AS VARCHAR) || ','
+        |    || CAST(l_orderkey % 10 AS VARCHAR) AS arr_s,
+        |  CAST(l_linenumber AS BIGINT) AS m_ln,
+        |  l_orderkey % 7 AS m_ok7,
+        |  l_suppkey AS st_a,
+        |  l_linestatus AS st_b
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_stringagg" ->
       """SELECT o_orderpriority,

@@ -16,7 +16,7 @@ object SourceFormat {
   case object Json    extends SourceFormat("json")
   case object Orc     extends SourceFormat("orc")
   case object Text    extends SourceFormat("text")
-  case object Avro    extends SourceFormat("avro")     // needs spark-avro jar
+  case object Avro    extends SourceFormat("avro")     // served by graft.sources.AvroSource
   case object Iceberg extends SourceFormat("iceberg")  // needs iceberg-runtime
   case object Jdbc    extends SourceFormat("jdbc")     // needs driver jar
   case object Bigquery extends SourceFormat("bigquery") // needs spark-bigquery

@@ -29,8 +29,11 @@ object Readers {
           .csv(job.source)
       case SourceFormat.Json    => reader.json(job.source)
       case SourceFormat.Text    => reader.text(job.source)
-      case SourceFormat.Avro | SourceFormat.Iceberg
-         | SourceFormat.Bigquery =>
+      case SourceFormat.Avro =>
+        // the in-repo DSv2 connector (sync-split ranges + reader-schema
+        // pruning) — no spark-avro module on this classpath
+        reader.format("graft-avro").load(job.source)
+      case SourceFormat.Iceberg | SourceFormat.Bigquery =>
         // Connector jars absent in this environment (offline coursier);
         // the call shape is the production wiring (for Bigquery, `load`
         // takes the project.dataset.table id the reference-config
