@@ -1915,6 +1915,22 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal: REAL LOSSLESS-COMPRESSED audio — FLAC (linear
+    //      prediction + Rice residual coding, CRC-8/16 framing; see
+    //      multimodal/FlacCodec). Constant/verbatim/fixed/LPC subframes,
+    //      both Rice methods incl. escape-raw partitions, and all three
+    //      stereo decorrelation modes are exercised by the fixture
+    //      corpus. Losslessness IS the oracle: the decoded samples must
+    //      equal the closed-form waveform that went in, so the oracle
+    //      recomputes every feature from the closed form — any decode
+    //      error corrupts the sums ----
+    "q_audio_flac" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.flacFeatures(Multimodal.syntheticFlacMedia(s, dir))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // ---- multimodal: REAL PPM image codec — parse -> integer features
     //      on the original AND on a real nearest-neighbor resize
     //      round-trip (decode -> resample -> re-encode -> re-decode);
@@ -6245,6 +6261,46 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev * pred < 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS zero_crossings
         |FROM sq GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // the FLAC oracle never touches bytes: FLAC is lossless, so the
+    // decoded samples must equal the closed-form waveform the fixture
+    // encoded — features recomputed straight from the closed form
+    "q_audio_flac" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(128 + doc_id % 161 AS BIGINT) AS n,
+        |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS nch
+        |  FROM documents),
+        |chs AS (
+        |  SELECT doc_id, n, nch, unnest(range(0, nch)) AS ch FROM d),
+        |sm AS (
+        |  SELECT doc_id, nch, ch,
+        |    list_transform(range(0, n), i ->
+        |      CASE WHEN i < 64
+        |        THEN CAST(((doc_id % 65536 + ch*7919) * 31) % 65536
+        |               - 32768 AS BIGINT)
+        |        WHEN doc_id % 2 = 0
+        |        THEN CAST((doc_id % 65536 + ch*7919 + i * 2654435761)
+        |               % 65536 - 32768 AS BIGINT)
+        |        ELSE CAST((doc_id % 65536 + ch*7919 + i * 37) % 8192
+        |               - 4096 AS BIGINT)
+        |      END) AS ss
+        |  FROM chs),
+        |per_ch AS (
+        |  SELECT doc_id, nch, ch, len(ss) AS ns,
+        |    list_sum(ss) AS sum_1,
+        |    list_sum(list_transform(ss, s -> s*s)) AS energy_1,
+        |    list_max(list_transform(ss, s -> abs(s))) AS peak_1,
+        |    len(list_filter(range(2, len(ss) + 1),
+        |      j -> ss[CAST(j - 1 AS INT)] * ss[CAST(j AS INT)] < 0))
+        |      AS zc_1
+        |  FROM sm)
+        |SELECT doc_id AS media_id, CAST(max(nch) AS INT) AS n_channels,
+        |  CAST(sum(ns) AS BIGINT) AS n_samples,
+        |  CAST(sum(sum_1) AS BIGINT) AS sum_s,
+        |  CAST(sum(energy_1) AS BIGINT) AS energy,
+        |  CAST(max(peak_1) AS INT) AS peak_abs,
+        |  CAST(sum(zc_1) AS BIGINT) AS zero_crossings
+        |FROM per_ch GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // flat 8x8 block b of JPEG id decodes to exactly
     // ((id + b*131) * 2654435761) % 256 (DC-only blocks are lossless);

@@ -1233,6 +1233,94 @@ object Multimodal {
       media_id: Long, n_samples: Long, sum_s: Long, energy: Long,
       peak_abs: Int, zero_crossings: Long)
 
+  final case class FlacFeatures(
+      media_id: Long, n_channels: Int, n_samples: Long, sum_s: Long,
+      energy: Long, peak_abs: Int, zero_crossings: Long)
+
+  /** REAL lossless-compressed audio decode: [[FlacCodec]] (linear
+    * prediction + Rice residuals, the format's full 16-bit subset) →
+    * exact integer features summed over every decoded channel.
+    * Losslessness is the oracle device: the decoded samples must equal
+    * the closed-form waveform that was encoded, so the oracle
+    * recomputes the features straight from the closed form — any
+    * decode error anywhere (bit reader, Rice, predictors, stereo
+    * decorrelation, CRC framing) corrupts the sums.
+    */
+  def flacFeatures(audio: Dataset[MediaRow]): Dataset[FlacFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val bytes = bytesOf(m)
+        FlacCodec.parse(bytes).iterator.flatMap { info =>
+          FlacCodec.decode(bytes, info).iterator.map { chans =>
+            var n = 0L; var sum = 0L; var energy = 0L; var peak = 0
+            var zc = 0L
+            var c = 0
+            while (c < chans.length) {
+              val s = chans(c)
+              var i = 0
+              while (i < s.length) {
+                val v = s(i)
+                n += 1; sum += v; energy += v.toLong * v
+                val a = if (v < 0) -v else v
+                if (a > peak) peak = a
+                if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+                i += 1
+              }
+              c += 1
+            }
+            FlacFeatures(m.media_id, chans.length, n, sum, energy, peak, zc)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic FLAC corpus. Per document: mono unless
+    * doc_id % 3 == 0 (then stereo with the decorrelation mode cycling
+    * left/side / mid/side / right/side by doc_id % 9), n = 128 +
+    * doc_id % 161 samples per channel (so 2-5 blocks of 64 incl. a
+    * partial tail). The waveform per channel (base = doc_id % 65536 +
+    * ch * 7919):
+    *   i < 64              -> constant (base*31 % 65536) - 32768
+    *   noise (doc_id even) -> ((base + i*2654435761) % 65536) - 32768
+    *   ramp  (doc_id odd)  -> ((base + i*37) % 8192) - 4096
+    * Constant first blocks hit CONSTANT subframes, noise docs force
+    * escape-raw/5-bit-Rice partitions, ramp docs give the tiny
+    * residuals real Rice coding compresses — every decoder path runs
+    * under the oracle. The blobs are REAL FLAC streams (CRC-8/CRC-16
+    * verified on decode).
+    */
+  def syntheticFlacMedia(spark: SparkSession,
+                         sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val n = (128 + id % 161).toInt
+          val nCh = if (id % 3 == 0) 2 else 1
+          def wave(ch: Int): Array[Int] = {
+            val base = (id % 65536) + ch * 7919L
+            Array.tabulate(n) { i =>
+              if (i < 64) (((base * 31) % 65536) - 32768).toInt
+              else if (id % 2 == 0)
+                (((base + i.toLong * 2654435761L) % 65536L) - 32768L).toInt
+              else (((base + i.toLong * 37L) % 8192L) - 4096L).toInt
+            }
+          }
+          val chans = Array.tabulate(nCh)(wave)
+          val mode =
+            if (nCh == 1) FlacCodec.Independent
+            else if (id % 9 == 0) FlacCodec.LeftSide
+            else if (id % 9 == 3) FlacCodec.MidSide
+            else FlacCodec.RightSide
+          MediaRow(id, "audio",
+            FlacCodec.encode(chans, 16000, blockSize = 64, stereo = mode))
+        }
+      }
+  }
+
   /** REAL compressed-audio decode: parse the fmt-0x11 WAV, run the IMA
     * state machine over every nibble, aggregate exact integer features
     * per clip. Malformed payloads drop (quarantine-by-omission); same
