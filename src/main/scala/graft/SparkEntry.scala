@@ -1523,6 +1523,18 @@ object SparkEntry {
         .orderBy(col("word"))
     }),
 
+    // ---- exact heavy hitters via two-pass Misra–Gries: pass 1 is a
+    //      bounded-memory per-partition MG(k) summary (nothing
+    //      corpus-sized shuffles — each partition emits <= k candidate
+    //      rows), pass 2 exact-counts only the broadcast candidate set.
+    //      The MG superset guarantee makes the output EXACT, so the
+    //      oracle is the plain freq*k > N computation ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      graft.operators.TextAnalysis.heavyHitters(
+          t(s, dir, "documents"), k = 50)
+        .orderBy(col("tok"))
+    }),
+
     // ---- north star: BM25 retrieval scoring (tf/df/idf machinery;
     //      fixed-order per-term pivot keeps float math engine-exact) ----
     "q_bm25" -> ((s, dir) => {
@@ -7183,6 +7195,17 @@ object SparkEntry {
          |  CAST(min(bucket_cnt) AS BIGINT) AS est
          |FROM rws JOIN bk USING (r, b)
          |GROUP BY word ORDER BY word""".stripMargin,
+
+    // MG output is exact (the sketch only bounds pass-1 memory), so the
+    // oracle is the plain strict-threshold frequency computation
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM tok),
+        |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+        |SELECT c.tok, c.cnt FROM c, n
+        |WHERE c.cnt * 50 > n.n_total
+        |ORDER BY c.tok""".stripMargin,
 
     "q_bm25" ->
       """WITH tok AS (

@@ -802,6 +802,57 @@ object TextAnalysis {
       .agg(max(col("freq")).as("freq"), min(col("bucket_cnt")).as("est"))
   }
 
+  /** Exact heavy hitters at bounded memory — the two-pass Misra–Gries
+    * device, the 100 TB shape for "which tokens dominate the corpus":
+    *
+    *  - **Pass 1** runs an MG(k) summary per partition over the raw
+    *    token stream (a narrow map — NOTHING corpus-sized shuffles;
+    *    each partition emits ≤ k candidate rows). The MG guarantee
+    *    composes across partitions: if a token's global freq > N/k,
+    *    then in at least one partition its local freq exceeds that
+    *    partition's N_p/k (else summing the ≤ bounds gives freq ≤
+    *    N/k), so it appears in that partition's summary — the candidate
+    *    union is a SUPERSET of the true heavy hitters regardless of
+    *    partitioning or order.
+    *  - **Pass 2** exact-counts ONLY the candidate set (broadcast
+    *    semi-join, one k·partitions-bounded aggregation) and keeps
+    *    freq·k > N strictly.
+    *
+    * Output is therefore EXACT and deterministic — the sketchiness of
+    * pass 1 affects cost, never the answer (the law HeavyHittersSpec
+    * pins under arbitrary repartitioning). Returns (tok, cnt), the
+    * tokens with cnt · k > total token count.
+    */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k=$k: need k >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(explode(tokens(col("text"))).as("tok"))
+    val candidates = tok.as[String].mapPartitions { iter =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      iter.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < k => counts.update(t, 1L)
+          case None =>
+            // decrement-all step; drop zeros (classic MG)
+            val dead = List.newBuilder[String]
+            counts.mapValuesInPlace((_, c) => c - 1)
+            counts.foreach { case (key, c) => if (c <= 0) dead += key }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("tok").distinct()
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * k > col("n_total"))
+      .select(col("tok"), col("cnt"))
+  }
+
   /** Compression-ratio quality signal — the classic "too compressible"
     * boilerplate screen of the C4/Gopher/RefinedWeb pipeline family
     * (template pages, repeated navigation chrome, and spam collapse
