@@ -1346,6 +1346,20 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- MMR diversified top-k (Carbonell & Goldstein re-ranker):
+    //      distributed top-pool candidates (one corpus pass past the
+    //      broadcast queries), then the greedy
+    //      λ·rel − (1−λ)·max-sim-to-selected walk per query group in
+    //      exact integer arithmetic — the oracle unrolls every greedy
+    //      step (the q_unigram_lm device), so the SELECTION ORDER is
+    //      hash-gated, not just the scores ----
+    "q_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.mmrTopK(
+          e.filter(col("vec_id") < 3), e, k = 4, pool = 12)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- north star: IVF top-k (coarse quantizer + nprobe cells) ----
     "q_simsearch_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -3828,6 +3842,68 @@ object SparkEntry {
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
        |    z -> CAST(floor(CAST(z[1] AS DOUBLE)*1000) AS BIGINT)
        |       * CAST(floor(CAST(z[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  /** The q_mmr oracle: the greedy MMR walk UNROLLED step by step (the
+    * q_unigram_lm EM device) — sel_i carries the picks so far, ms_{i+1}
+    * computes each remaining candidate's max similarity to them, and
+    * pick_{i+1} takes the argmax of lamNum·rel − (lamDen−lamNum)·ms
+    * with ties to the lower cid. All integer arithmetic on the
+    * quantized vectors, so the walk is engine-exact.
+    */
+  private def mmrSql(k: Int, pool: Int, lamNum: Long, lamDen: Long,
+                     nq: Int): String = {
+    def qdot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) AS BIGINT)"
+    val head =
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE)*1000) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE vec_id < $nq),
+         |c AS (
+         |  SELECT vec_id AS cid, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE)*1000) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |rel0 AS (
+         |  SELECT qid, cid, ${qdot("qv", "cv")} AS rel, cv
+         |  FROM q, c WHERE qid != cid),
+         |cand AS (
+         |  SELECT qid, cid, rel, cv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, cid) AS rn FROM rel0)
+         |  WHERE rn <= $pool),
+         |pick1 AS (
+         |  SELECT qid, cid, rel, cv, $lamNum*rel AS mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, cid) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT qid, 1 AS rnk, cid, rel, cv, mmr FROM pick1)"""
+        .stripMargin
+    val steps = (2 to k).map { i =>
+      val prev = s"sel${i - 1}"
+      s""",
+         |ms$i AS (
+         |  SELECT c.qid, c.cid, c.rel, c.cv,
+         |    max(${qdot("c.cv", "s.cv")}) AS ms
+         |  FROM cand c JOIN $prev s USING (qid)
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.qid = c.qid AND x.cid = c.cid)
+         |  GROUP BY c.qid, c.cid, c.rel, c.cv),
+         |pick$i AS (
+         |  SELECT qid, cid, rel, cv, mmr FROM (
+         |    SELECT qid, cid, rel, cv,
+         |      $lamNum*rel - ${lamDen - lamNum}*ms AS mmr,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY ($lamNum*rel - ${lamDen - lamNum}*ms) DESC, cid)
+         |        AS rn
+         |    FROM ms$i)
+         |  WHERE rn = 1),
+         |sel$i AS (SELECT * FROM $prev UNION ALL
+         |  SELECT qid, $i AS rnk, cid, rel, cv, mmr FROM pick$i)"""
+        .stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT qid, rnk, cid, rel, mmr FROM sel$k ORDER BY qid, rnk"
+  }
 
   /** The pinned-banding (bits=12, bands=4, k=3) k-NN graph as DuckDB
     * CTEs ending at `s` (qid, cid, score) — shared by q_knn_graph_fixed
@@ -6983,6 +7059,8 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk,
          |  cid, score
          |FROM s QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q_mmr" -> mmrSql(k = 4, pool = 12, lamNum = 7, lamDen = 10, nq = 3),
 
     // the pinned-banding k-NN graph: q_simsearch_lsh's CTEs with every
     // vector as a query (no vec_id < 10 gate), k = 3, bits fixed at 12

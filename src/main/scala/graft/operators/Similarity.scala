@@ -648,6 +648,81 @@ object Similarity {
     * achieved by the previous prefix; 0 for the seed). radius2 is
     * non-increasing in sel_order — the standard k-center certificate.
     */
+  /** Maximal Marginal Relevance diversified top-k — the standard
+    * retrieval re-ranker (Carbonell & Goldstein 1998): greedily pick
+    * the candidate maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+    * so results are relevant AND mutually diverse (duplicate-heavy
+    * corpora return k near-copies under plain top-k).
+    *
+    * Two-stage shape, which is also the production shape at 100 TB:
+    *  1. candidate pool — distributed top-`pool` by quantized dot
+    *     product (ONE corpus pass past the broadcast queries, same
+    *     plan as [[bruteForceTopK]]);
+    *  2. the greedy rerank runs per query over its ≤ pool candidates
+    *     inside `flatMapGroups` (pool²·k integer ops per query;
+    *     queries parallelize, the corpus is long gone).
+    *
+    * λ is the exact fraction lamNum/lamDen and every score is integer
+    * (mmr = lamNum·rel − (lamDen−lamNum)·maxSim; empty-selection
+    * maxSim = 0; ties to the lower cid), so the whole greedy walk is
+    * engine-portable and the oracle replays it step by step.
+    * Returns (qid, rnk, cid, rel, mmr).
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int, pool: Int,
+              lamNum: Long = 7, lamDen: Long = 10): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      s"lambda $lamNum/$lamDen not in [0,1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    val pooled = prepC(corpus).crossJoin(broadcast(prepQ(queries)))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", LongArrayDot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= pool)
+      .select(col("qid"), col("cid"), col("score"), col("cv"))
+      .as[(Long, Long, Long, Array[Long])]
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    pooled.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray
+        val picked = new Array[Boolean](cands.length)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        (1 to math.min(k, cands.length)).iterator.map { rnk =>
+          var bestIx = -1; var bestMmr = Long.MinValue; var bestCid = Long.MaxValue
+          var i = 0
+          while (i < cands.length) {
+            if (!picked(i)) {
+              val (_, cid, rel, cv) = cands(i)
+              var ms = 0L
+              var first = true
+              selected.foreach { sv =>
+                val d = dot(cv, sv)
+                if (first || d > ms) { ms = d; first = false }
+              }
+              if (selected.isEmpty) ms = 0L
+              val mmr = lamNum * rel - (lamDen - lamNum) * ms
+              if (mmr > bestMmr || (mmr == bestMmr && cid < bestCid)) {
+                bestIx = i; bestMmr = mmr; bestCid = cid
+              }
+            }
+            i += 1
+          }
+          picked(bestIx) = true
+          selected += cands(bestIx)._4
+          (qid, rnk, cands(bestIx)._2, cands(bestIx)._3, bestMmr)
+        }
+      }
+      .toDF("qid", "rnk", "cid", "rel", "mmr")
+  }
+
   def kCenterSelect(corpus: DataFrame, k: Int): DataFrame =
     kCenterSelectFull(corpus, k).drop("cv")
 

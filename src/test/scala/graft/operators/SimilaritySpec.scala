@@ -240,6 +240,56 @@ class SimilaritySpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("mmrTopK: rank 1 is the plain top-1; lambda=1 degenerates to " +
+       "bruteForceTopK; output is partition-invariant") {
+    val mmr = Similarity.mmrTopK(queries, e, k = 4, pool = 12)
+      .orderBy("qid", "rnk").collect()
+    val top1 = Similarity.bruteForceTopK(queries, e, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    mmr.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(top1(r.getAs[Long]("qid")) === r.getAs[Long]("cid"))
+    }
+    // lambda = 1: no diversity penalty — MMR order IS relevance order
+    val lam1 = Similarity.mmrTopK(queries, e, k = 4, pool = 12,
+        lamNum = 1, lamDen = 1)
+      .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, e, k = 4)
+      .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
+    assert(lam1 === brute)
+    // partition invariance of the greedy walk
+    val repart = Similarity.mmrTopK(queries, e.repartition(7), k = 4,
+        pool = 12).orderBy("qid", "rnk").collect()
+    assert(repart.map(_.toSeq).toSeq === mmr.map(_.toSeq).toSeq)
+  }
+
+  test("mmrTopK diversity law: on a planted two-cluster corpus, plain " +
+       "top-2 returns one cluster, MMR crosses clusters at rank 2") {
+    // query between two orthogonal clusters, tilted toward A: cluster A
+    // members are near-copies of each other (huge mutual dot), cluster B
+    // is orthogonal to A (tiny penalty) with real relevance via the tilt
+    val rows = Seq(
+      (100L, Array(1000f, 300f, 0f, 0f)),    // query
+      (1L, Array(1000f, 0f, 0f, 0f)),        // A
+      (2L, Array(999f, 5f, 0f, 0f)),         // A
+      (3L, Array(998f, 10f, 0f, 0f)),        // A
+      (4L, Array(0f, 1000f, 0f, 0f)),        // B
+      (5L, Array(5f, 999f, 0f, 0f)))         // B
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 100L)
+    val c = corpus.filter(col("vec_id") =!= 100L)
+    val brute = Similarity.bruteForceTopK(q, c, k = 2)
+      .orderBy("rnk").select("cid").as[Long].collect()
+    assert(brute.toSet === Set(3L, 2L), "plain top-2 stays in cluster A")
+    // lambda = 0.5: the second near-copy's ~rel-sized penalty drops it
+    // below cluster B's barely-penalized members
+    val mmr = Similarity.mmrTopK(q, c, k = 2, pool = 5,
+        lamNum = 1, lamDen = 2)
+      .orderBy("rnk").select("cid").as[Long].collect()
+    assert(mmr(0) === 3L)
+    assert(mmr(1) === 4L,
+      s"rank 2 should cross to cluster B, got ${mmr.toSeq}")
+  }
+
   test("kCenterCensus: members partition the corpus, and the realized " +
     "covering radius equals the (k+1)th selection's radius2") {
     import spark.implicits._
