@@ -828,9 +828,15 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val tok = docs.select(explode(tokens(col("text"))).as("tok"))
-    val candidates = tok.as[String].mapPartitions { iter =>
+    // pass 1 emits each partition's <= k MG candidates (tok, null) AND
+    // its token count (null, n) in the same scan, so the corpus is read
+    // exactly TWICE overall; the checkpointed summary is
+    // (k+1)·partitions rows — driver-negligible at any scale
+    val summary = tok.as[String].mapPartitions { iter =>
       val counts = new scala.collection.mutable.HashMap[String, Long]()
+      var n = 0L
       iter.foreach { t =>
+        n += 1
         counts.get(t) match {
           case Some(c) => counts.update(t, c + 1)
           case None if counts.size < k => counts.update(t, 1L)
@@ -842,9 +848,13 @@ object TextAnalysis {
             dead.result().foreach(counts.remove)
         }
       }
-      counts.keysIterator
-    }.toDF("tok").distinct()
-    val total = tok.agg(count(lit(1)).as("n_total"))
+      counts.keysIterator.map(t => (Option(t), 0L)) ++
+        Iterator((Option.empty[String], n))
+    }.toDF("tok", "n").localCheckpoint(true)
+    val candidates = summary.where(col("tok").isNotNull)
+      .select(col("tok")).distinct()
+    val total = summary.where(col("tok").isNull)
+      .agg(sum(col("n")).as("n_total"))
     tok.join(broadcast(candidates), Seq("tok"), "left_semi")
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("cnt"))

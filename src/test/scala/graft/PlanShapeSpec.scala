@@ -456,4 +456,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("], false, 0"), p)
     assert(!p.contains("], true, 0"), p)
   }
+
+  test("q_heavy_hitters: pass 2 scans the corpus ONCE with the MG " +
+       "candidate set entering as a broadcast semi-join; the pass-1 " +
+       "summary is checkpointed (never recomputed per consumer)") {
+    val p = plan("q_heavy_hitters")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined, p)
+    // one parquet corpus scan in the final job — candidates and the
+    // total both come from the checkpointed pass-1 summary RDD
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_mmr: the corpus streams ONCE past the broadcast query side, " +
+       "the pool pre-prunes as WindowGroupLimit, and only pooled rows " +
+       "(<= pool per query) reach the greedy MapGroups exchange") {
+    val p = plan("q_mmr")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p) // corpus + queries
+    assert("BroadcastNestedLoopJoin .*Cross".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("MapGroups"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_avro_roundtrip: the graft-avro batch scan prunes to exactly " +
+       "the selected columns (reader-schema projection, not post-scan)") {
+    val p = plan("q_avro_roundtrip")
+    val scan = p.linesIterator.find(_.contains("graft-avro")).get
+    // all 11 round-tripped columns are consumed here; the pruning
+    // contract itself is pinned per-column in AvroSourceSpec — this
+    // pin keeps the scan a BatchScan with an explicit ReadSchema
+    assert(p.contains("BatchScan graft-avro"), p)
+    assert(scan.contains("ReadSchema:"), scan)
+  }
 }
