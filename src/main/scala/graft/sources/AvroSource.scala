@@ -46,6 +46,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `.avro` container file per partition, task-id-suffixed names so
   * speculative attempts never collide, abort deletes the attempt's
   * file, `mode("overwrite")` truncates the directory driver-side first.
+  * As with every catalog-less DSv2 TableProvider, writers must pick
+  * `mode("append")` or `mode("overwrite")` explicitly — Spark maps the
+  * default ErrorIfExists onto catalogs, which this path-based source
+  * doesn't have.
   *
   * Types covered (both directions) are [[AvroConv]]'s scope:
   * primitives, `[null,T]` unions, records, arrays, string-keyed maps,

@@ -114,6 +114,30 @@ class PipelineSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("avro round-trips through the reader facade AND a full YAML job " +
+       "(format: avro -> graft-avro DSv2 -> align -> sink)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avrofmt").toString
+    val nation = spark.read.parquet(sf() + "/nation.parquet")
+    nation.write.format("graft-avro").mode("append").save(s"$tmp/nation_avro")
+    // facade path: SourceFormat.Avro routes to the in-repo connector
+    val fromAvro = Readers.read(spark,
+      JobSpec(source = s"$tmp/nation_avro", target = "n",
+        format = Some(SourceFormat.Avro)))
+    assert(fromAvro.count() == 25)
+    assert(fromAvro.schema == nation.schema)
+    // full pipeline: the reference config shape with an avro source
+    val res = Pipeline.run(spark, EngineConfig(
+      jobs = Seq(JobSpec(source = s"$tmp/nation_avro", target = "nation_out",
+        format = Some(SourceFormat.Avro),
+        targetSchemaDdl = Some("n_nationkey BIGINT, n_name STRING"))),
+      sink = SinkConfig(path = Some(s"$tmp/out"))))
+    assert(res.forall(_.error.isEmpty), res.mkString("; "))
+    val out = spark.read.parquet(s"$tmp/out/nation_out")
+    assert(out.count() == 25)
+    assert(out.schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("YAML curation pipeline == hand-composed q_corpus_pipeline " +
        "stages (config adds zero semantics: same operators, same rows)") {
     import org.apache.spark.sql.functions._
