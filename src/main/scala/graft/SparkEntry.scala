@@ -1360,6 +1360,19 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- JL sign random projection (Achlioptas ±1): 64 -> 16 dims as
+    //      16 codegen'd dots against hash-derived LITERAL sign rows —
+    //      the cheap first stage of project-then-rerank, 1/4 the bytes
+    //      for every downstream pass; the sign matrix regenerates from
+    //      stableHash60 on any engine, so the oracle rebuilds the SAME
+    //      matrix and replays the projection + ranking exactly ----
+    "q_randproj" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.rpTopK(
+          e.filter(col("vec_id") < 10), e, k = 5, outDim = 16)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- north star: IVF top-k (coarse quantizer + nprobe cells) ----
     "q_simsearch_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -7061,6 +7074,40 @@ object SparkEntry {
          |FROM s QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "q_mmr" -> mmrSql(k = 4, pool = 12, lamNum = 7, lamDen = 10, nq = 3),
+
+    // rebuilds the sign matrix from the same md5 rule, projects, ranks
+    "q_randproj" ->
+      s"""WITH sgn AS (
+         |  SELECT j, list(s ORDER BY d) AS sv FROM (
+         |    SELECT j, d,
+         |      CASE WHEN ${hashSql("'rp#'||j||'#'||d")} % 2 = 0
+         |        THEN 1 ELSE -1 END AS s
+         |    FROM (SELECT unnest(range(0, 16)) AS j),
+         |         (SELECT unnest(range(0, 64)) AS d))
+         |  GROUP BY j),
+         |qv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |pj AS (
+         |  SELECT vec_id, j,
+         |    CAST(list_sum(list_transform(list_zip(v, sv),
+         |      z -> z[1]*z[2])) AS BIGINT) AS p
+         |  FROM qv, sgn),
+         |pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM pj
+         |       GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, pv AS qpv FROM pv WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, pv AS cpv FROM pv),
+         |s2 AS (
+         |  SELECT qid, cid,
+         |    CAST(list_sum(list_transform(list_zip(qpv, cpv),
+         |      z -> z[1]*z[2])) AS BIGINT) AS score
+         |  FROM q, c WHERE qid != cid)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+         |    AS rnk,
+         |  cid, score
+         |FROM s2 QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // the pinned-banding k-NN graph: q_simsearch_lsh's CTEs with every
     // vector as a query (no vec_id < 10 gate), k = 3, bits fixed at 12

@@ -27,6 +27,19 @@ object StableHash {
   /** Production-path hash (codegen'd, no cross-engine guarantee). */
   def fastHash(c: Column): Column = xxhash64(c)
 
+  /** Driver-side twin of [[stableHash60]] — same md5 / first-15-hex /
+    * base-16 rule on the UTF-8 bytes, for deriving deterministic
+    * CONSTANTS (e.g. random-projection signs) that plans embed as
+    * literals and oracles replay with the hashSql fragment.
+    * StableHashSpec pins the column/local agreement.
+    */
+  def stableHash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Mersenne prime 2^31 - 1: modulus for minhash permutations.
     * (a * (h mod p) + b) mod p stays under 2^62 — no 64-bit overflow.
     */

@@ -648,6 +648,60 @@ object Similarity {
     * achieved by the previous prefix; 0 for the seed). radius2 is
     * non-increasing in sel_order — the standard k-center certificate.
     */
+  /** Deterministic ±1 sign matrix for [[randomProject]]: entry (j, d)
+    * comes from the cross-engine stableHash60 of "rp#j#d", so the
+    * oracle regenerates the SAME matrix from the hashSql fragment —
+    * no seed state, no RNG, identical on every run/engine.
+    */
+  def rpSigns(outDim: Int, inDim: Int): Array[Array[Long]] =
+    Array.tabulate(outDim)(j => Array.tabulate(inDim)(d =>
+      if (graft.functions.StableHash.stableHash60Local(s"rp#$j#$d") % 2 == 0)
+        1L
+      else -1L))
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2001:
+    * ±1 entries suffice): maps each quantized embedding to `outDim`
+    * exact-integer coordinates, one codegen'd [[LongArrayDot]] against
+    * a LITERAL sign row per output dim — a narrow per-row map, no
+    * shuffle, no stored projection matrix (it regenerates from the
+    * hash anywhere).
+    *
+    * The 100 TB story: at outDim = 16 every downstream ANN/dedup pass
+    * over the projected table reads and dots 1/4 of the bytes; linear
+    * maps preserve near-duplicate structure exactly (copies collide,
+    * scalings scale), which is what the dedup family needs from it.
+    * Returns (vec_id, pv: array<long>).
+    */
+  def randomProject(corpus: DataFrame, outDim: Int,
+                    inDim: Int = 64): DataFrame = {
+    require(outDim >= 1 && inDim >= 1)
+    val signs = rpSigns(outDim, inDim)
+    corpus.select(col("vec_id"),
+      array(signs.map(s =>
+        LongArrayDot(quantize(col("embedding")), lit(s))): _*).as("pv"))
+  }
+
+  /** Brute-force top-k in the PROJECTED space — the cheap first stage
+    * of a project-then-rerank pipeline (rerank survivors with full
+    * vectors as needed). Same plan shape as [[bruteForceTopK]]; ties
+    * break by corpus vec_id.
+    */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             outDim: Int, inDim: Int = 64): DataFrame = {
+    val q = randomProject(queries, outDim, inDim)
+      .select(col("vec_id").as("qid"), col("pv").as("qpv"))
+    val c = randomProject(corpus, outDim, inDim)
+      .select(col("vec_id").as("cid"), col("pv").as("cpv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", LongArrayDot(col("qpv"), col("cpv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
   /** Maximal Marginal Relevance diversified top-k — the standard
     * retrieval re-ranker (Carbonell & Goldstein 1998): greedily pick
     * the candidate maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s),

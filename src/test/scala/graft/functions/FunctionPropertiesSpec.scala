@@ -19,6 +19,16 @@ class FunctionPropertiesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("stableHash60Local equals the stableHash60 column for arbitrary " +
+       "strings (the driver-side constant derivation contract)") {
+    check(Prop.forAll(Gen.alphaNumStr, Gen.choose(0, 1000)) { (s, i) =>
+      val v = s"$s#$i"
+      val colHash = Seq(v).toDF("x")
+        .select(StableHash.stableHash60(col("x"))).head().getLong(0)
+      colHash == StableHash.stableHash60Local(v)
+    })
+  }
+
   test("qdot is symmetric and qnorm2 is non-negative") {
     check(Prop.forAll(vecGen, vecGen) { (a, b) =>
       val row = Seq((a, b)).toDF("a", "b")

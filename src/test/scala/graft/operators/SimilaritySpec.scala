@@ -290,6 +290,35 @@ class SimilaritySpec extends SparkSpec {
       s"rank 2 should cross to cluster B, got ${mmr.toSeq}")
   }
 
+  test("randomProject laws: linear (scalings scale, copies collide), " +
+       "deterministic across partitionings, and a planted near-copy is " +
+       "rank 1 in the projected space") {
+    // exact-at-3-decimals floats so quantize(2x) == 2*quantize(x)
+    val base = Array.tabulate(64)(i => ((i % 9) - 4) * 0.25f)
+    val rows = Seq(
+      (0L, base),
+      (1L, base.map(_ * 2)),                       // scaled copy
+      (2L, base.clone()),                          // exact copy
+      (3L, Array.tabulate(64)(i => ((i % 7) - 3) * 0.5f)),
+      (4L, Array.tabulate(64)(i => (((i * 3) % 11) - 5) * 0.25f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pv = Similarity.randomProject(df, outDim = 16)
+      .select("vec_id", "pv").as[(Long, Array[Long])].collect().toMap
+    assert(pv(1).toSeq === pv(0).map(_ * 2).toSeq, "linearity under x2")
+    assert(pv(2).toSeq === pv(0).toSeq, "copies collide")
+    val repart = Similarity.randomProject(df.repartition(3), 16)
+      .select("vec_id", "pv").as[(Long, Array[Long])].collect().toMap
+    assert(repart.view.mapValues(_.toSeq).toMap ===
+      pv.view.mapValues(_.toSeq).toMap)
+    // planted twins: under the dot metric the x2-scaled copy (2x the
+    // dot) outranks the exact copy — top-2 is exactly the twin pair,
+    // scaled first
+    val top = Similarity.rpTopK(df.filter(col("vec_id") === 0L), df,
+        k = 2, outDim = 16)
+      .orderBy("rnk").select("cid").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L))
+  }
+
   test("kCenterCensus: members partition the corpus, and the realized " +
     "covering radius equals the (k+1)th selection's radius2") {
     import spark.implicits._
