@@ -1039,6 +1039,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Kneser–Ney bigram cross-entropy: the production smoothing
+    //      (absolute discount + continuation-type backoff) completing
+    //      the LM family next to q_lm_ppl's Jelinek–Mercer; same
+    //      micro-nat quantization device, TRUE history counts, all
+    //      four count summaries oracle-replayed ----
+    "q_kn_ppl" -> ((s, dir) => {
+      graft.operators.TextAnalysis.knPerplexity(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-language perplexity-quantile filter (the CCNet keep
     //      rule): bigram-LM xent scores → keep the most-fluent 70% of
     //      each language EXACTLY via the radix group-quantile
@@ -5099,6 +5109,41 @@ object SparkEntry {
          |  floor((-CAST(sum(s) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5)
          |    / 1e6 AS xent
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the KN walk: every count summary (joint, true history, right/left
+    // continuation types, total types) recomputed from the same bigram
+    // stream; probability expression in the SAME operation order as the
+    // Catalyst one, quantized to micro-nats before the per-doc fold
+    "q_kn_ppl" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pr AS MATERIALIZED (
+        |  SELECT doc_id, ws[CAST(x.i AS INT)] AS a,
+        |    ws[CAST(x.i + 1 AS INT)] AS b
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) x),
+        |lm AS MATERIALIZED (
+        |  SELECT a, b, count(*) AS cab FROM pr GROUP BY a, b),
+        |hist AS (SELECT a, sum(cab) AS ca_dot, count(*) AS n1p_a
+        |         FROM lm GROUP BY a),
+        |cont AS (SELECT b, count(*) AS n1p_b FROM lm GROUP BY b),
+        |ty AS (SELECT count(*) AS n_types FROM lm),
+        |sc AS (
+        |  SELECT pr.doc_id,
+        |    CAST(floor(1e6 * ln(
+        |      (CAST(lm.cab AS DOUBLE) - 0.75) / CAST(h.ca_dot AS DOUBLE)
+        |      + 0.75 * CAST(h.n1p_a AS DOUBLE) / CAST(h.ca_dot AS DOUBLE)
+        |        * (CAST(cn.n1p_b AS DOUBLE) / CAST(ty.n_types AS DOUBLE))))
+        |      AS BIGINT) AS s
+        |  FROM pr
+        |    JOIN lm USING (a, b)
+        |    JOIN hist h ON h.a = pr.a
+        |    JOIN cont cn ON cn.b = pr.b
+        |    CROSS JOIN ty)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(s) AS BIGINT) AS s_micro,
+        |  floor((-CAST(sum(s) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5)
+        |    / 1e6 AS xent
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // ppl CTEs + the integer-rank keep rule of q_group_quantile:
     // keep the most-fluent 70% per language

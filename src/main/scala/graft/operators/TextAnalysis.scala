@@ -622,6 +622,67 @@ object TextAnalysis {
           col("n_bigrams")) * lit(1e6) + lit(0.5)) / lit(1e6))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy — the production
+    * n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1998 empirical
+    * study), completing the LM family next to [[lmPerplexity]]'s
+    * Jelinek–Mercer:
+    *
+    *   p_KN(b|a) = (c(ab) − D)/c(a·) + D·N1+(a·)/c(a·) · N1+(·b)/N1+(··)
+    *
+    * with D = 0.75, c(a·) the TRUE history count (Σ_b c(ab) — not the
+    * unigram simplification JM uses), N1+(a·)/N1+(·b) the distinct
+    * right/left continuation type counts, and N1+(··) the total bigram
+    * type count. The continuation distribution is KN's point: a word's
+    * backoff mass comes from how many contexts it FOLLOWS, not how
+    * often it occurs ("San Francisco" inflates c(Francisco) but not
+    * N1+(·Francisco)).
+    *
+    * Oracle discipline as [[lmPerplexity]]: p is ONE fixed-order IEEE
+    * expression over exact integer counts (scored bigrams are observed,
+    * so c(ab) ≥ 1 > D and p ∈ (0,1)), quantized to integer micro-nats
+    * before the order-free per-doc integer fold.
+    *
+    * Shape: the bigram stream repartitions ONCE on (a, b); the LM table
+    * is checkpointed and feeds all three summaries (history counts +
+    * right-types, left-types, total types) without rescanning the
+    * corpus; summaries return via broadcast. Same Zipf notes as JM.
+    */
+  def knPerplexity(docs: DataFrame,
+                   scriptAware: Boolean = false): DataFrame = {
+    val ws = tokens(col("text"), scriptAware)
+    val pairs = graft.engine.Spread(docs).select(col("doc_id"),
+        explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .repartition(col("a"), col("b"))
+    val lm = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true) // feeds all three LM summaries
+    val hist = lm.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca_dot"), count(lit(1)).as("n1p_a"))
+    val cont = lm.groupBy(col("b")).agg(count(lit(1)).as("n1p_b"))
+    val types = lm.agg(count(lit(1)).as("n_types"))
+    pairs
+      .join(lm, Seq("a", "b"))
+      .join(broadcast(hist), Seq("a"))
+      .join(broadcast(cont), Seq("b"))
+      .crossJoin(broadcast(types))
+      .withColumn("s", floor(lit(1e6) * log(
+        (col("cab").cast("double") - lit(0.75)) /
+          col("ca_dot").cast("double") +
+          lit(0.75) * col("n1p_a").cast("double") /
+            col("ca_dot").cast("double") *
+            (col("n1p_b").cast("double") / col("n_types").cast("double"))))
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("s_micro"))
+      .withColumn("xent",
+        floor((-col("s_micro").cast("double") / lit(1e6) /
+          col("n_bigrams")) * lit(1e6) + lit(0.5)) / lit(1e6))
+  }
+
   /** PMI collocations — pointwise mutual information over adjacent
     * word pairs, the classic multi-word-expression detector (Church &
     * Hanks, "Word Association Norms, Mutual Information, and

@@ -242,6 +242,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._4 == x1)
   }
 
+  test("knPerplexity: equals an independent hand-count recomputation on " +
+       "a planted corpus, and the KN distribution normalizes per history") {
+    import spark.implicits._
+    val texts = Map(0L -> "a b a c", 1L -> "b a b")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    // hand counts: pairs d0 = (a,b)(b,a)(a,c); d1 = (b,a)(a,b)
+    val lm = Map(("a", "b") -> 2L, ("b", "a") -> 2L, ("a", "c") -> 1L)
+    val caDot = Map("a" -> 3L, "b" -> 2L)   // true history counts
+    val n1pA = Map("a" -> 2L, "b" -> 1L)    // distinct right types
+    val n1pB = Map("b" -> 1L, "a" -> 1L, "c" -> 1L) // distinct left types
+    val nTypes = 3L
+    def pKn(a: String, b: String): Double =
+      (lm((a, b)) - 0.75) / caDot(a).toDouble +
+        0.75 * n1pA(a) / caDot(a).toDouble * (n1pB(b).toDouble / nTypes)
+    def sMicro(pairs: Seq[(String, String)]): Long =
+      pairs.map { case (a, b) =>
+        math.floor(1e6 * math.log(pKn(a, b))).toLong }.sum
+    val want = Map(
+      0L -> sMicro(Seq(("a", "b"), ("b", "a"), ("a", "c"))),
+      1L -> sMicro(Seq(("b", "a"), ("a", "b"))))
+    val got = TextAnalysis.knPerplexity(docs)
+      .select("doc_id", "s_micro").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // the KN property: p(.|a) is a distribution over the OBSERVED vocab
+    // (every token appears as a continuation here, so the interpolated
+    // mass closes exactly)
+    Seq("a", "b").foreach { a =>
+      val total = Seq("a", "b", "c")
+        .map(b => if (lm.contains((a, b))) pKn(a, b)
+                  else 0.75 * n1pA(a) / caDot(a).toDouble *
+                    (n1pB(b).toDouble / nTypes))
+        .sum
+      assert(math.abs(total - 1.0) < 1e-12, s"sum p(.|$a) = $total")
+    }
+  }
+
   test("script-aware tokens == space split on single-spaced ASCII (every " +
        "existing oracle stays byte-identical under the default)") {
     val docs = graft.engine.Readers.table(spark, sf(), "documents")
