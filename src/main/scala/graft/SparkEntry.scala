@@ -2989,6 +2989,19 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- CUSUM change-point detection (Page 1954) per event type:
+    //      the clamped recursion via its closed two-window form
+    //      (prefix sum minus running min), whole inequality scaled by
+    //      n so there is NO division — exact integer milli-units end
+    //      to end, one key exchange + in-partition sort; h chosen so
+    //      the testdata splits into alarming and quiet keys ----
+    "q_cusum" -> ((s, dir) => {
+      graft.operators.Curation.cusum(t(s, dir, "events"),
+          col("event_type"), col("ts"), col("event_id"), col("value"),
+          slackMilli = 0L, hMilli = 2000000L)
+        .orderBy(col("k"))
+    }),
+
     // ---- interval-overlap self-join: cross-user session overlaps via
     //      hour-bucket equi-join (each interval explodes to the buckets
     //      it spans; overlapping intervals always share the bucket that
@@ -5788,6 +5801,36 @@ object SparkEntry {
          |    ${hashSql("CAST(doc_id AS VARCHAR) || ':drift'")} % 2 AS h
          |  FROM documents)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the same two windows (prefix sum − running min) over the same
+    // integer deviations; alarm rule replayed with the n-scaled h
+    "q_cusum" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts AS o, event_id AS tie,
+        |    CAST(floor(value * 1000) AS BIGINT) AS x
+        |  FROM events),
+        |t AS (
+        |  SELECT *, sum(x) OVER (PARTITION BY k) AS s_tot,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM b),
+        |p AS (
+        |  SELECT *, sum(n*x - s_tot) OVER w AS pp,
+        |    row_number() OVER (PARTITION BY k ORDER BY o, tie) AS pos
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY k ORDER BY o, tie
+        |               ROWS UNBOUNDED PRECEDING)),
+        |s AS (
+        |  SELECT *, pp - least(0, min(pp) OVER
+        |    (PARTITION BY k ORDER BY o, tie ROWS UNBOUNDED PRECEDING))
+        |    AS ss
+        |  FROM p)
+        |SELECT k, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(ss) AS BIGINT) AS max_stat,
+        |  CAST(sum(CASE WHEN ss > n * 2000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_alarms,
+        |  CAST(min(CASE WHEN ss > n * 2000000 THEN pos END) AS INT)
+        |    AS first_alarm_pos
+        |FROM s GROUP BY k ORDER BY k""".stripMargin,
 
     "q_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -220,6 +220,57 @@ object Curation {
       .withColumn("skew", abs(col("n_a") - col("n_b")))
   }
 
+  /** One-sided CUSUM change-point detection (Page 1954) per key — the
+    * classic sequential drift alarm over a metric stream, complementing
+    * [[halfDrift]]'s batch A/B skew check.
+    *
+    * The textbook recursion s_i = max(0, s_{i-1} + (x_i − μ − slack))
+    * is not window-expressible directly, but its closed form is:
+    * s_i = p_i − min(0, min_{j≤i} p_j) with p the running prefix sum of
+    * the deviations — two standard windows. Everything stays EXACT
+    * integer: x is quantized to milli-units, and instead of dividing by
+    * n for the per-key mean the whole inequality is scaled by n:
+    * d_i = n·x_i − S − n·slack  (S = per-key sum), alarm when
+    * s_i > n·h. So the operator is engine-portable with no float
+    * anywhere, and the oracle replays the same two windows.
+    *
+    * Scale shape: one hash exchange on the key + in-partition sort
+    * (ts, tiebreak) — the sessionization layout; per-key state is the
+    * window frame, never driver-side. Returns per-key
+    * (key, n, max_stat, n_alarms, first_alarm_pos) with positions
+    * 1-based, NULL first_alarm_pos when no alarm fired.
+    */
+  def cusum(events: DataFrame, keyCol: Column, orderCol: Column,
+            tieCol: Column, valueCol: Column,
+            slackMilli: Long, hMilli: Long): DataFrame = {
+    val byKey = Window.partitionBy(col("k"))
+      .orderBy(col("o"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-key totals via the SAME partitioning as the scan windows —
+    // no join, no second corpus pass, one exchange for the whole op
+    val whole = Window.partitionBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events.select(keyCol.as("k"), orderCol.as("o"),
+        tieCol.as("tie"), floor(valueCol * 1000).cast("long").as("x"))
+      .withColumn("s_tot", sum(col("x")).over(whole))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("d",
+        col("n") * col("x") - col("s_tot") - col("n") * slackMilli)
+      .withColumn("p", sum(col("d")).over(byKey))
+      .withColumn("runmin", min(col("p")).over(byKey))
+      .withColumn("s", col("p") - least(lit(0L), col("runmin")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("o"), col("tie"))))
+      .groupBy(col("k"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("s")).as("max_stat"),
+        sum(when(col("s") > col("n") * hMilli, 1L).otherwise(0L))
+          .as("n_alarms"),
+        min(when(col("s") > col("n") * hMilli, col("pos")))
+          .as("first_alarm_pos"))
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed-unigram feature counts are,

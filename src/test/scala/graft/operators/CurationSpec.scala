@@ -291,4 +291,49 @@ class CurationSpec extends SparkSpec {
         Seq("doc_id" -> lit(true)))
     }
   }
+
+  test("cusum: the two-window closed form equals the direct clamped " +
+       "recursion on a planted level shift, alarms fire just after the " +
+       "shift, and a flat series never alarms") {
+    import spark.implicits._
+    // key "shift": 50 points at 10.0 then 50 at 20.0; key "flat": all 7.5
+    val rows =
+      (1 to 100).map(i =>
+        ("shift", i, i.toLong, if (i <= 50) 10.0 else 20.0)) ++
+      (1 to 60).map(i => ("flat", i, i.toLong, 7.5))
+    val df = rows.toDF("k", "o", "tie", "v")
+    val hMilli = 100000L // 100 value-units of n-scaled excursion
+    val out = Curation.cusum(df, col("k"), col("o"), col("tie"), col("v"),
+        slackMilli = 0L, hMilli = hMilli)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    // direct recursion, same integer milli arithmetic
+    def direct(xs: Seq[Long]): (Long, Long, Option[Int]) = {
+      val n = xs.length.toLong
+      val sTot = xs.sum
+      var s = 0L; var mx = 0L; var alarms = 0L
+      var first: Option[Int] = None
+      xs.zipWithIndex.foreach { case (x, i) =>
+        s = math.max(0L, s + (n * x - sTot))
+        mx = math.max(mx, s)
+        if (s > n * hMilli) {
+          alarms += 1
+          if (first.isEmpty) first = Some(i + 1)
+        }
+      }
+      (mx, alarms, first)
+    }
+    val (mxS, alS, fpS) = direct(
+      (1 to 100).map(i => if (i <= 50) 10000L else 20000L))
+    val shift = out("shift")
+    assert(shift.getAs[Long]("max_stat") === mxS)
+    assert(shift.getAs[Long]("n_alarms") === alS)
+    assert(Option(shift.getAs[Integer]("first_alarm_pos")).map(_.toInt)
+      === fpS)
+    // the shift alarms, and only after the change point
+    assert(alS > 0 && fpS.get > 50)
+    val flat = out("flat")
+    assert(flat.getAs[Long]("n_alarms") === 0L)
+    assert(flat.getAs[Long]("max_stat") === 0L)
+  }
 }
