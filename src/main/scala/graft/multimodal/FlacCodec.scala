@@ -168,7 +168,10 @@ object FlacCodec {
     info.map(_.copy(framesStart = off))
       .filter(i => i.sampleRate > 0 && i.channels >= 1 && i.channels <= 8 &&
         i.bps >= 4 && i.bps <= 32 &&
-        i.totalSamples <= (1L << 30)) // sample bomb guard
+        // declared-size bomb guard (the GifCodec absolute-cap device):
+        // 16M samples/channel = 64 MB of ints — far above any clip this
+        // pipeline decodes inline, far below an allocation DoS
+        i.totalSamples <= (1L << 24))
   }
 
   // ----------------------------------------------------------------

@@ -239,6 +239,13 @@ object Curation {
     * window frame, never driver-side. Returns per-key
     * (key, n, max_stat, n_alarms, first_alarm_pos) with positions
     * 1-based, NULL first_alarm_pos when no alarm fired.
+    *
+    * Numeric envelope (documented contract): the n-scaled prefix sums
+    * are bounded by n·Σ|x − μ| per key, so keys up to ~10^8 rows of
+    * ~10^6-milli values stay inside Long; beyond that, pre-aggregate
+    * the stream into coarser ticks (minute/hour means) before the
+    * alarm — which is also what makes a 100 TB metric stream a
+    * per-key-sortable series in the first place.
     */
   def cusum(events: DataFrame, keyCol: Column, orderCol: Column,
             tieCol: Column, valueCol: Column,

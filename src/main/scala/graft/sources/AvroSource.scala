@@ -187,11 +187,17 @@ private class AvroRangeReader(range: AvroRange, required: StructType)
   private val datumReader = new GenericDatumReader[GenericRecord]()
   private val fileReader = new DataFileReader[GenericRecord](
     new FsInput(new HPath(range.file), conf), datumReader)
-  private val writerSchema = fileReader.getSchema
+  // anything failing after the reader opened must not leak the stream
   private val projection =
-    AvroSource.projectSchema(writerSchema, required.fields.map(_.name).toSeq)
-  datumReader.setExpected(projection)
-  fileReader.sync(range.start)
+    try {
+      val p = AvroSource.projectSchema(fileReader.getSchema,
+        required.fields.map(_.name).toSeq)
+      datumReader.setExpected(p)
+      fileReader.sync(range.start)
+      p
+    } catch {
+      case t: Throwable => fileReader.close(); throw t
+    }
 
   private val fieldConvs = required.fields.zipWithIndex.map { case (f, i) =>
     (i, AvroConv.reader(projection.getFields.get(i).schema(), f.dataType))
