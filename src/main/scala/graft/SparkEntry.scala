@@ -1383,6 +1383,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- the two-stage cascade composed on q_randproj: projected
+    //      shortlist (pool=50) -> full-vector re-rank of ONLY the
+    //      shortlist; both stages exact integers, so the oracle
+    //      replays the cascade INCLUDING which candidates the
+    //      projection admits ----
+    "q_randproj_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.rpRerankTopK(
+          e.filter(col("vec_id") < 10), e, k = 5, pool = 50, outDim = 16)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- north star: IVF top-k (coarse quantizer + nprobe cells) ----
     "q_simsearch_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -7196,6 +7208,53 @@ object SparkEntry {
          |    AS rnk,
          |  cid, score
          |FROM s2 QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // the cascade: projected shortlist (prnk <= 50) then full-vector
+    // re-rank of shortlist members only — the same sign matrix and the
+    // same integer arithmetic end to end
+    "q_randproj_rerank" ->
+      s"""WITH sgn AS (
+         |  SELECT j, list(s ORDER BY d) AS sv FROM (
+         |    SELECT j, d,
+         |      CASE WHEN ${hashSql("'rp#'||j||'#'||d")} % 2 = 0
+         |        THEN 1 ELSE -1 END AS s
+         |    FROM (SELECT unnest(range(0, 16)) AS j),
+         |         (SELECT unnest(range(0, 64)) AS d))
+         |  GROUP BY j),
+         |qv0 AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |pj AS (
+         |  SELECT vec_id, j,
+         |    CAST(list_sum(list_transform(list_zip(v, sv),
+         |      z -> z[1]*z[2])) AS BIGINT) AS p
+         |  FROM qv0, sgn),
+         |pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM pj
+         |       GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, pv AS qpv FROM pv WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, pv AS cpv FROM pv),
+         |sl0 AS (
+         |  SELECT qid, cid,
+         |    CAST(list_sum(list_transform(list_zip(qpv, cpv),
+         |      z -> z[1]*z[2])) AS BIGINT) AS pscore
+         |  FROM q, c WHERE qid != cid),
+         |sl AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY pscore DESC, cid) AS prnk FROM sl0)
+         |  WHERE prnk <= 50),
+         |rr AS (
+         |  SELECT sl.qid, sl.cid,
+         |    CAST(list_sum(list_transform(list_zip(a.v, b.v),
+         |      z -> z[1]*z[2])) AS BIGINT) AS score
+         |  FROM sl JOIN qv0 a ON a.vec_id = sl.qid
+         |    JOIN qv0 b ON b.vec_id = sl.cid)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+         |    AS rnk,
+         |  cid, score
+         |FROM rr QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // the pinned-banding k-NN graph: q_simsearch_lsh's CTEs with every
     // vector as a query (no vec_id < 10 gate), k = 3, bits fixed at 12

@@ -37,6 +37,16 @@ object Sink {
             df.write.partitionBy(cfg.partitionBy: _*)
           else df.write
         writer.mode(cfg.mode).parquet(s"$root/$target")
+      case "avro" =>
+        // interchange landing in Avro container files via the in-repo
+        // DSv2 (sources/AvroSource): one deflate-coded file per
+        // partition, splittable on sync markers for whoever reads it
+        // next. DSv2 has no catalog here, so the mode must be
+        // append/overwrite — same rule as any path-based V2 sink.
+        val root = cfg.path.getOrElse(
+          throw new IllegalArgumentException("avro sink needs sink.path"))
+        val mode = if (cfg.mode == "append") "append" else "overwrite"
+        df.write.mode(mode).format("graft-avro").save(s"$root/$target")
       case "pgcopy" =>
         // The reference's landing step (db.go:175-180, pgx.CopyFrom)
         // re-expressed as payload files: one COPY TEXT file per upstream

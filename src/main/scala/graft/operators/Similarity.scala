@@ -702,6 +702,45 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score"))
   }
 
+  /** The production two-stage ANN shape composed from
+    * [[randomProject]]: rank in the CHEAP projected space (outDim ints
+    * per vector, 1/4 the bytes at 64→16), keep a `pool`-sized
+    * shortlist per query, then re-rank ONLY the shortlist with full
+    * quantized vectors. Both stages are deterministic integer
+    * arithmetic, so the whole cascade — including which candidates the
+    * projection admits — is oracle-replayable.
+    *
+    * Scale shape: stage 1 streams the corpus once past the broadcast
+    * projected queries; stage 2 streams it once more past the
+    * BROADCAST shortlist (nq·pool ids), so full vectors are only ever
+    * dotted for shortlist members. `pool` = corpus size degenerates to
+    * exact [[bruteForceTopK]] (SimilaritySpec law).
+    */
+  def rpRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   pool: Int, outDim: Int, inDim: Int = 64): DataFrame = {
+    require(pool >= k && k >= 1)
+    val q = randomProject(queries, outDim, inDim)
+      .select(col("vec_id").as("qid"), col("pv").as("qpv"))
+    val c = randomProject(corpus, outDim, inDim)
+      .select(col("vec_id").as("cid"), col("pv").as("cpv"))
+    val wPool = Window.partitionBy(col("qid"))
+      .orderBy(col("pscore").desc, col("cid"))
+    val shortlist = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("pscore", LongArrayDot(col("qpv"), col("cpv")))
+      .withColumn("prnk", row_number().over(wPool))
+      .filter(col("prnk") <= pool)
+      .select(col("qid"), col("cid"))
+    val wK = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    prepC(corpus).join(broadcast(shortlist), Seq("cid"))
+      .join(broadcast(prepQ(queries)), Seq("qid"))
+      .withColumn("score", LongArrayDot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"))
+  }
+
   /** Maximal Marginal Relevance diversified top-k — the standard
     * retrieval re-ranker (Carbonell & Goldstein 1998): greedily pick
     * the candidate maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s),

@@ -113,4 +113,24 @@ class SinkSpec extends SparkSpec {
       spark.read.format("pgcopy").option("path", dir).load()
     }
   }
+
+  test("avro sink: Sink.write lands container files the connector reads " +
+       "back row-identical; mode append adds, overwrite replaces") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sink_avro").toString
+    val nation = spark.read.parquet(sf() + "/nation.parquet")
+    Sink.write(nation, "nation", SinkConfig(format = "avro",
+      path = Some(root), mode = "overwrite"))
+    val back = spark.read.format("graft-avro").load(s"$root/nation")
+    assert(back.count() === 25)
+    assert(back.schema === nation.schema)
+    Sink.write(nation.limit(3), "nation", SinkConfig(format = "avro",
+      path = Some(root), mode = "append"))
+    assert(spark.read.format("graft-avro").load(s"$root/nation")
+      .count() === 28)
+    Sink.write(nation.limit(3), "nation", SinkConfig(format = "avro",
+      path = Some(root), mode = "overwrite"))
+    assert(spark.read.format("graft-avro").load(s"$root/nation")
+      .count() === 3)
+  }
 }

@@ -319,6 +319,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq === Seq(1L, 2L))
   }
 
+  test("rpRerankTopK: pool = corpus size degenerates to exact " +
+       "bruteForceTopK, and the pool=50 cascade keeps useful recall") {
+    val n = e.count().toInt
+    val full = Similarity.rpRerankTopK(queries, e, k = 5, pool = n,
+        outDim = 16)
+      .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("qid", "rnk", "cid").as[(Long, Int, Long)].collect().toSet
+    assert(full === brute, "full-pool cascade must equal brute force")
+    val cascade = Similarity.rpRerankTopK(queries, e, k = 5, pool = 50,
+        outDim = 16)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val bruteSet = brute.map(t => (t._1, t._3))
+    val recall = cascade.intersect(bruteSet).size.toDouble / bruteSet.size
+    // random unit vectors are the WORST case for a 16-dim projection
+    // (no cluster structure to preserve); still must beat chance by far
+    assert(recall >= 0.2, s"cascade recall@5 collapsed: $recall")
+  }
+
   test("kCenterCensus: members partition the corpus, and the realized " +
     "covering radius equals the (k+1)th selection's radius2") {
     import spark.implicits._
