@@ -886,41 +886,89 @@ object TextAnalysis {
     */
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k=$k: need k >= 2")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val tok = docs.select(explode(tokens(col("text"))).as("tok"))
-    // pass 1 emits each partition's <= k MG candidates (tok, null) AND
+    // pass 1 emits each partition's <= k MG candidates (tok, count) AND
     // its token count (null, n) in the same scan, so the corpus is read
     // exactly TWICE overall; the checkpointed summary is
     // (k+1)·partitions rows — driver-negligible at any scale
-    val summary = tok.as[String].mapPartitions { iter =>
-      val counts = new scala.collection.mutable.HashMap[String, Long]()
-      var n = 0L
-      iter.foreach { t =>
-        n += 1
-        counts.get(t) match {
-          case Some(c) => counts.update(t, c + 1)
-          case None if counts.size < k => counts.update(t, 1L)
-          case None =>
-            // decrement-all step; drop zeros (classic MG)
-            val dead = List.newBuilder[String]
-            counts.mapValuesInPlace((_, c) => c - 1)
-            counts.foreach { case (key, c) => if (c <= 0) dead += key }
-            dead.result().foreach(counts.remove)
-        }
-      }
-      counts.keysIterator.map(t => (Option(t), 0L)) ++
-        Iterator((Option.empty[String], n))
-    }.toDF("tok", "n").localCheckpoint(true)
+    val summary = mgSummary(docs, k).localCheckpoint(true)
     val candidates = summary.where(col("tok").isNotNull)
       .select(col("tok")).distinct()
     val total = summary.where(col("tok").isNull)
       .agg(sum(col("n")).as("n_total"))
-    tok.join(broadcast(candidates), Seq("tok"), "left_semi")
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(candidates), Seq("tok"), "left_semi")
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
       .where(col("cnt") * k > col("n_total"))
+      .select(col("tok"), col("cnt"))
+  }
+
+  /** Pass 1 of [[heavyHitters]] as a reusable frame: per input
+    * partition, ≤ k rows (candidate, MG count) plus ONE (null, n)
+    * token-count row — the mergeable-summary shape the streaming twin
+    * accumulates across batches.
+    */
+  def mgSummary(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .as[String].mapPartitions { iter =>
+        val counts = new scala.collection.mutable.HashMap[String, Long]()
+        var n = 0L
+        iter.foreach { t =>
+          n += 1
+          counts.get(t) match {
+            case Some(c) => counts.update(t, c + 1)
+            case None if counts.size < k => counts.update(t, 1L)
+            case None =>
+              // decrement-all step; drop zeros (classic MG)
+              val dead = List.newBuilder[String]
+              counts.mapValuesInPlace((_, c) => c - 1)
+              counts.foreach { case (key, c) => if (c <= 0) dead += key }
+              dead.result().foreach(counts.remove)
+          }
+        }
+        counts.iterator.map { case (t, c) => (Option(t), c) } ++
+          Iterator((Option.empty[String], n))
+      }.toDF("tok", "n")
+  }
+
+  /** Misra–Gries summary merge at capacity k (Agarwal et al.,
+    * "Mergeable Summaries"): pointwise count addition, then subtract
+    * the (k+1)-th largest count from everything and drop non-positives.
+    * Error bounds ADD across merges, so the merged summary keeps the
+    * global guarantee: any token with total freq > N/k survives every
+    * merge tree — order and shape immaterial.
+    */
+  def mgMerge(a: Map[String, Long], b: Map[String, Long],
+              k: Int): Map[String, Long] = {
+    val combined = (a.keySet ++ b.keySet).iterator
+      .map(t => t -> (a.getOrElse(t, 0L) + b.getOrElse(t, 0L))).toMap
+    if (combined.size <= k) combined
+    else {
+      val d = combined.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      combined.collect {
+        case (t, c) if c - d > 0 => t -> (c - d)
+      }
+    }
+  }
+
+  /** Pass 2 with an externally-accumulated candidate set and exact
+    * total (the streaming finalize): exact-count only `candidates`,
+    * keep freq·k > totalN. When `candidates` is a superset of the true
+    * heavy hitters — which the MG merge guarantee provides — the
+    * output EQUALS batch [[heavyHitters]] over the same corpus.
+    */
+  def heavyHittersExact(docs: DataFrame, candidates: Seq[String],
+                        totalN: Long, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(candidates.toDF("tok")), Seq("tok"), "left_semi")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * k > totalN)
       .select(col("tok"), col("cnt"))
   }
 

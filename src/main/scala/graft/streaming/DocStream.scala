@@ -366,6 +366,42 @@ object DocStream {
     * dedup twins). State is the stats table itself,
     * lineage-truncated per batch.
     */
+  /** Streaming heavy hitters — the incremental twin of
+    * `TextAnalysis.heavyHitters`. Each micro-batch's per-partition
+    * MG(k) summaries (a bounded (k+1)·partitions-row collect) fold
+    * into ONE driver-held k-bounded map via the mergeable-summaries
+    * rule (`TextAnalysis.mgMerge` — error bounds add, so the merged
+    * map keeps the global guarantee: any token with freq > N/k over
+    * EVERYTHING seen survives, whatever the batch boundaries). The
+    * exact token total accumulates alongside.
+    *
+    * After each batch, `sink` receives the current (candidate map,
+    * exact N). The candidates are a certified SUPERSET of the true
+    * heavy hitters so far; the exact answer at any point is one
+    * `TextAnalysis.heavyHittersExact` pass over the stored corpus with
+    * these candidates — the spec-locked law is that this finalize
+    * EQUALS batch heavyHitters over the union.
+    */
+  def heavyHittersIncremental(docsStream: DataFrame, k: Int,
+      state0: Option[(Map[String, Long], Long)] = None)
+      (sink: (Map[String, Long], Long) => Unit): StreamingQuery = {
+    var summary: Map[String, Long] = state0.map(_._1).getOrElse(Map.empty)
+    var total: Long = state0.map(_._2).getOrElse(0L)
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = graft.operators.TextAnalysis.mgSummary(batch, k)
+          .collect() // (k+1) rows per batch partition, bounded
+        val batchMaps = rows.filter(!_.isNullAt(0))
+          .groupBy(_.getString(0))
+          .view.mapValues(_.map(_.getLong(1)).sum).toMap
+        val batchN = rows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+        summary = graft.operators.TextAnalysis.mgMerge(summary, batchMaps, k)
+        total += batchN
+        sink(summary, total)
+      }
+      .start()
+  }
+
   def domainStatsIncremental(docsStream: DataFrame,
       minTtrMicro: Long = graft.operators.Curation.DefaultMinTtrMicro,
       minStopMicro: Long = graft.operators.Curation.DefaultMinStopMicro,

@@ -504,4 +504,46 @@ class DocStreamSpec extends SparkSpec {
       "fixture must exercise both screen outcomes")
     assert(last.toSeq == want.toSeq)
   }
+
+  test("streaming heavy hitters: merged MG candidates are a certified " +
+       "superset across batch boundaries, N is exact, and the finalize " +
+       "pass equals batch heavyHitters over the union") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    def day(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val k = 100
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val stream = mem.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    var state: (Map[String, Long], Long) = (Map.empty, 0L)
+    val q = DocStream.heavyHittersIncremental(stream, k) { (s, n) =>
+      state = (s, n)
+    }
+    Seq((0L, 160L), (160L, 320L), (320L, 500L)).foreach { case (lo, hi) =>
+      mem.addData(tuples(day(lo, hi)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val (cands, totalN) = state
+    assert(cands.size <= k, "driver state must stay k-bounded")
+    val exactN = docs
+      .select(explode(split(col("text"), " "))).count()
+    assert(totalN === exactN, "token total must be exact")
+    val want = TextAnalysis.heavyHitters(docs, k)
+      .as[(String, Long)].collect().toMap
+    assert(want.nonEmpty, "fixture must have hitters at this k")
+    assert(want.keySet.subsetOf(cands.keySet),
+      s"MG merge lost true hitters: ${want.keySet -- cands.keySet}")
+    val fin = TextAnalysis.heavyHittersExact(docs,
+        cands.keys.toSeq, totalN, k)
+      .as[(String, Long)].collect().toMap
+    assert(fin === want, "finalize must equal batch heavyHitters")
+  }
 }
