@@ -3014,6 +3014,17 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // ---- fixed-reference CUSUM (the streamable form — μ is a given
+    //      monitoring target, not the series mean): plain deviations,
+    //      unscaled threshold; EventStream.cusumAlarms is its stateful
+    //      streaming twin, spec-locked equal on in-order arrival ----
+    "q_cusum_fixed" -> ((s, dir) => {
+      graft.operators.Curation.cusumFixed(t(s, dir, "events"),
+          col("event_type"), col("ts"), col("event_id"), col("value"),
+          muMilli = 53000L, slackMilli = 3000L, hMilli = 300000L)
+        .orderBy(col("k"))
+    }),
+
     // ---- interval-overlap self-join: cross-user session overlaps via
     //      hour-bucket equi-join (each interval explodes to the buckets
     //      it spans; overlapping intervals always share the bucket that
@@ -5841,6 +5852,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN ss > n * 2000000 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_alarms,
         |  CAST(min(CASE WHEN ss > n * 2000000 THEN pos END) AS INT)
+        |    AS first_alarm_pos
+        |FROM s GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_cusum_fixed" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, ts AS o, event_id AS tie,
+        |    CAST(floor(value * 1000) AS BIGINT) - 53000 - 3000 AS d
+        |  FROM events),
+        |p AS (
+        |  SELECT *, sum(d) OVER w AS pp,
+        |    row_number() OVER (PARTITION BY k ORDER BY o, tie) AS pos
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY k ORDER BY o, tie
+        |               ROWS UNBOUNDED PRECEDING)),
+        |s AS (
+        |  SELECT *, pp - least(0, min(pp) OVER
+        |    (PARTITION BY k ORDER BY o, tie ROWS UNBOUNDED PRECEDING))
+        |    AS ss
+        |  FROM p)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(ss) AS BIGINT) AS max_stat,
+        |  CAST(sum(CASE WHEN ss > 300000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_alarms,
+        |  CAST(min(CASE WHEN ss > 300000 THEN pos END) AS INT)
         |    AS first_alarm_pos
         |FROM s GROUP BY k ORDER BY k""".stripMargin,
 

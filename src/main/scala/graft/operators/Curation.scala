@@ -220,6 +220,35 @@ object Curation {
       .withColumn("skew", abs(col("n_a") - col("n_b")))
   }
 
+  /** [[cusum]] with a FIXED reference level μ instead of the per-key
+    * mean — the form that streams (the self-referenced mean needs the
+    * whole series; a monitoring target doesn't). Deviations are plain
+    * d = x − μ − slack in milli-units (no n-scaling needed), the alarm
+    * threshold compares s > h directly, and the same closed two-window
+    * form applies. `EventStream.cusumAlarms` is the stateful streaming
+    * twin, spec-locked equal on in-order arrival.
+    */
+  def cusumFixed(events: DataFrame, keyCol: Column, orderCol: Column,
+                 tieCol: Column, valueCol: Column,
+                 muMilli: Long, slackMilli: Long, hMilli: Long): DataFrame = {
+    val byKey = Window.partitionBy(col("k"))
+      .orderBy(col("o"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(keyCol.as("k"), orderCol.as("o"), tieCol.as("tie"),
+        (floor(valueCol * 1000).cast("long") - muMilli - slackMilli).as("d"))
+      .withColumn("p", sum(col("d")).over(byKey))
+      .withColumn("runmin", min(col("p")).over(byKey))
+      .withColumn("s", col("p") - least(lit(0L), col("runmin")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("o"), col("tie"))))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("s")).as("max_stat"),
+        sum(when(col("s") > hMilli, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("s") > hMilli, col("pos"))).as("first_alarm_pos"))
+  }
+
   /** One-sided CUSUM change-point detection (Page 1954) per key — the
     * classic sequential drift alarm over a metric stream, complementing
     * [[halfDrift]]'s batch A/B skew check.

@@ -279,6 +279,47 @@ object EventStream {
       }
   }
 
+  final case class CusumState(s: Long, n: Long, maxStat: Long,
+                              nAlarms: Long, firstAlarm: Long)
+  final case class CusumOut(k: String, n: Long, max_stat: Long,
+                            n_alarms: Long, first_alarm_pos: Option[Long])
+
+  /** Stateful streaming CUSUM against a FIXED reference level — the
+    * twin of `Curation.cusumFixed` (the self-referenced-mean form can't
+    * stream: μ needs the whole series; a monitoring target doesn't).
+    * Per key the entire state is FIVE longs — the recursion value s,
+    * the position counter, and the alarm summary — because
+    * s = max(0, s + (x − μ − slack)) is Markov; rows are processed in
+    * (ts, event_id) order within each micro-batch, so with in-order
+    * batch arrival the emitted summary equals the batch operator
+    * exactly (the spec-locked law; same in-order contract as the dedup
+    * and audit twins). Emits the running per-key summary every batch
+    * it changes (Update mode).
+    */
+  def cusumAlarms(events: Dataset[Event], muMilli: Long, slackMilli: Long,
+                  hMilli: Long): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, -1L))
+          rows.toArray.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val d = math.floor(e.value * 1000).toLong - muMilli - slackMilli
+            val s = math.max(0L, st.s + d)
+            val n = st.n + 1
+            val alarmed = s > hMilli
+            st = CusumState(s, n,
+              math.max(st.maxStat, s),
+              st.nAlarms + (if (alarmed) 1L else 0L),
+              if (st.firstAlarm >= 0 || !alarmed) st.firstAlarm else n)
+          }
+          state.update(st)
+          Iterator.single(CusumOut(key, st.n, st.maxStat, st.nAlarms,
+            if (st.firstAlarm >= 0) Some(st.firstAlarm) else None))
+      }
+  }
+
   final case class RetState(firstDayUs: Long, mask: Long)
   final case class RetOut(cohort: java.sql.Timestamp, d_off: Long)
 

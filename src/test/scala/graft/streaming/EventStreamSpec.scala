@@ -267,6 +267,46 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("stateful streaming CUSUM (fixed reference) == batch cusumFixed, " +
+       "across multiple in-order micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet(sf() + "/events.parquet")
+    // fixed reference 53.0, slack 3.0, h = 300 units — the fixture
+    // splits into alarming keys and a quiet one (error: 0 alarms)
+    val (mu, slack, h) = (53000L, 3000L, 300000L)
+    val want = graft.operators.Curation.cusumFixed(events,
+        col("event_type"), col("ts"), col("event_id"), col("value"),
+        mu, slack, h)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(want.values.exists(_(2).asInstanceOf[Long] > 0L) &&
+      want.values.exists(_(2).asInstanceOf[Long] == 0L),
+      s"fixture must exercise both outcomes: $want")
+    // stream the same events in three event-time-ordered batches
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val sorted = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect().sortBy(t => (t._2.getTime, t._1))
+    val ds = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val q = EventStream.cusumAlarms(ds, mu, slack, h).toDF().writeStream
+      .outputMode(OutputMode.Update).format("memory")
+      .queryName("cusum_out").start()
+    sorted.grouped(math.max(1, sorted.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // last row per key is the final state
+    val got = spark.table("cusum_out").collect()
+      .zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1.toSeq.tail }
+    assert(got === want)
+  }
+
   test("stateful incremental funnel: final per-user stages match batch " +
        "q_funnel stage aggregates") {
     import spark.implicits._
