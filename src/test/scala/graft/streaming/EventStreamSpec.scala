@@ -253,6 +253,60 @@ class EventStreamSpec extends SparkSpec {
       .contains("10:00:00"), "recovered t1 lost across restart")
   }
 
+  test("CUSUM state survives a checkpoint restart: the recursion value " +
+       "carries so an excursion split across runs still alarms") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_cusum").toString
+    val ckpt = Files.createTempDirectory("graft_cusum_ckpt").toString
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def writeBatch(sub: String, rows: Seq[(Long, String, Double)]): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "t", "value")
+        .select(col("event_id"), to_timestamp(col("t")).as("ts"),
+          lit(1L).as("user_id"), lit("m").as("event_type"), col("value"))
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      Files.list(Paths.get(s"$dir/$sub")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, Paths.get(dir, s"$sub.parquet"))
+      }
+    }
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    def run(): Unit = {
+      import spark.implicits._
+      val events = spark.readStream.schema(sch).parquet(dir)
+        .as[EventStream.Event]
+      // mu=10, slack=0, h=5: each event at 13.0 adds +3000 milli
+      val q = EventStream.cusumAlarms(events, 10000L, 0L, 5000L).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows }; ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // run 1: s reaches 3000 — below h
+    writeBatch("b1", Seq((1L, "2024-01-01 10:00:00", 13.0)))
+    run()
+    assert(emitted.last.getAs[Long]("n_alarms") === 0L)
+    // run 2 (fresh query, same checkpoint): +3000 alarms ONLY if the
+    // recovered s still holds the first run's 3000
+    writeBatch("b2", Seq((2L, "2024-01-01 11:00:00", 13.0)))
+    run()
+    val last = emitted.last
+    assert(last.getAs[Long]("n_alarms") === 1L,
+      s"excursion split across restart lost: $last")
+    assert(last.getAs[Long]("max_stat") === 6000L)
+    assert(last.getAs[Long]("first_alarm_pos") === 2L)
+  }
+
   test("streaming anomaly detection == batch q_zscore on the same data") {
     val stats = graft.operators.Anomaly.groupStats(
       graft.engine.Readers.events(spark, sf()), "event_type", "value")
