@@ -1054,6 +1054,24 @@ object SparkEntry {
     //      each language EXACTLY via the radix group-quantile
     //      selection; docs with no bigrams are unscorable and excluded
     //      upstream of the rank, matching q_lm_ppl's domain ----
+    // ---- the Kneser–Ney twin of q_ppl_filter: same CCNet keep rule
+    //      (most-fluent 70% per language via the radix group-quantile),
+    //      scored by the production smoothing instead of JM ----
+    "q_kn_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.knPerplexity(docs)
+        .withColumn("xent_micro",
+          floor((-col("s_micro").cast("double") / lit(1e6) /
+            col("n_bigrams")) * lit(1e6) + lit(0.5)).cast("long"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("xent_micro"))
+        .localCheckpoint(true) // 20-byte rows feed thresholds AND keep
+      graft.operators.Sampling.topFractionByGroup(scored, col("lang"),
+          col("xent_micro"), col("doc_id"), num = 7, den = 10,
+          windowMaxGroup = 0L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_ppl_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val scored = graft.operators.TextAnalysis.lmPerplexity(docs)
@@ -4509,6 +4527,35 @@ object SparkEntry {
       |    JOIN uni ub ON ub.tokw = pr.b
       |    CROSS JOIN tot)""".stripMargin
 
+  /** Kneser–Ney bigram CTEs ending at `sc` (doc_id, s micro-nats) —
+    * shared by q_kn_ppl and q_kn_filter so both gate the SAME walk.
+    */
+  private val knPplCtes: String =
+    """WITH w AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pr AS MATERIALIZED (
+      |  SELECT doc_id, ws[CAST(x.i AS INT)] AS a,
+      |    ws[CAST(x.i + 1 AS INT)] AS b
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) x),
+      |lm AS MATERIALIZED (
+      |  SELECT a, b, count(*) AS cab FROM pr GROUP BY a, b),
+      |hist AS (SELECT a, sum(cab) AS ca_dot, count(*) AS n1p_a
+      |         FROM lm GROUP BY a),
+      |cont AS (SELECT b, count(*) AS n1p_b FROM lm GROUP BY b),
+      |ty AS (SELECT count(*) AS n_types FROM lm),
+      |sc AS (
+      |  SELECT pr.doc_id,
+      |    CAST(floor(1e6 * ln(
+      |      (CAST(lm.cab AS DOUBLE) - 0.75) / CAST(h.ca_dot AS DOUBLE)
+      |      + 0.75 * CAST(h.n1p_a AS DOUBLE) / CAST(h.ca_dot AS DOUBLE)
+      |        * (CAST(cn.n1p_b AS DOUBLE) / CAST(ty.n_types AS DOUBLE))))
+      |      AS BIGINT) AS s
+      |  FROM pr
+      |    JOIN lm USING (a, b)
+      |    JOIN hist h ON h.a = pr.a
+      |    JOIN cont cn ON cn.b = pr.b
+      |    CROSS JOIN ty)""".stripMargin
+
   /** Per-language fertility under the learned segmentation
     * (= q_bpe_fertility): the [[bpeEncodeSql]] aggregation keyed on
     * lang, plus the two ratio metrics.
@@ -5151,35 +5198,28 @@ object SparkEntry {
     // stream; probability expression in the SAME operation order as the
     // Catalyst one, quantized to micro-nats before the per-doc fold
     "q_kn_ppl" ->
-      """WITH w AS MATERIALIZED (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |pr AS MATERIALIZED (
-        |  SELECT doc_id, ws[CAST(x.i AS INT)] AS a,
-        |    ws[CAST(x.i + 1 AS INT)] AS b
-        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) x),
-        |lm AS MATERIALIZED (
-        |  SELECT a, b, count(*) AS cab FROM pr GROUP BY a, b),
-        |hist AS (SELECT a, sum(cab) AS ca_dot, count(*) AS n1p_a
-        |         FROM lm GROUP BY a),
-        |cont AS (SELECT b, count(*) AS n1p_b FROM lm GROUP BY b),
-        |ty AS (SELECT count(*) AS n_types FROM lm),
-        |sc AS (
-        |  SELECT pr.doc_id,
-        |    CAST(floor(1e6 * ln(
-        |      (CAST(lm.cab AS DOUBLE) - 0.75) / CAST(h.ca_dot AS DOUBLE)
-        |      + 0.75 * CAST(h.n1p_a AS DOUBLE) / CAST(h.ca_dot AS DOUBLE)
-        |        * (CAST(cn.n1p_b AS DOUBLE) / CAST(ty.n_types AS DOUBLE))))
-        |      AS BIGINT) AS s
-        |  FROM pr
-        |    JOIN lm USING (a, b)
-        |    JOIN hist h ON h.a = pr.a
-        |    JOIN cont cn ON cn.b = pr.b
-        |    CROSS JOIN ty)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(s) AS BIGINT) AS s_micro,
-        |  floor((-CAST(sum(s) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5)
-        |    / 1e6 AS xent
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$knPplCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(s) AS BIGINT) AS s_micro,
+         |  floor((-CAST(sum(s) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5)
+         |    / 1e6 AS xent
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // KN CTEs + the identical integer-rank keep rule as q_ppl_filter
+    "q_kn_filter" ->
+      s"""$knPplCtes,
+         |ppl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(s) AS BIGINT) AS s_micro FROM sc GROUP BY doc_id),
+         |x AS (SELECT p.doc_id, d.lang,
+         |  CAST(floor((-CAST(s_micro AS DOUBLE) / 1e6 / n_bigrams)
+         |    * 1e6 + 0.5) AS BIGINT) AS xent_micro
+         |  FROM ppl p JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id, lang, xent_micro,
+         |  row_number() OVER (PARTITION BY lang
+         |                     ORDER BY xent_micro, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM x)
+         |SELECT doc_id, lang, xent_micro FROM r
+         |WHERE (rn - 1) * 10 < n * 7 ORDER BY doc_id""".stripMargin,
 
     // ppl CTEs + the integer-rank keep rule of q_group_quantile:
     // keep the most-fluent 70% per language
