@@ -1294,8 +1294,14 @@ object Multimodal {
   def syntheticFlacMedia(spark: SparkSession,
                          sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // Spread: the doc-id projection is bytes-tiny, but every row fans
+    // into a CPU-heavy encode+decode — without the lift a single-file
+    // corpus caps the codec at scan parallelism (measured: sf1 slower
+    // than sf3 because sf3 happened to have more row groups)
+    graft.engine.Spread(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id")))
+      .as[Long]
       .mapPartitions { iter =>
         iter.map { id =>
           val n = (128 + id % 161).toInt
