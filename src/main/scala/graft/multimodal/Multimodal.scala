@@ -36,6 +36,21 @@ object Multimodal {
   private def bytesOf(m: MediaRow): Array[Byte] =
     if (m.payload == null) Array.emptyByteArray else m.payload
 
+  /** Doc-id fan-out base shared by every synthetic media fixture: the
+    * projection is bytes-tiny but each row becomes a CPU-heavy
+    * encode+decode, so [[graft.engine.Spread]] lifts it to cluster
+    * width — a single-file corpus otherwise caps every codec at
+    * scan-task byte sizing (measured 6.8x on FLAC at sf1: 7.3 → 1.1 s).
+    */
+  private def fixtureDocIds(spark: SparkSession,
+                            sfDir: String): Dataset[Long] = {
+    import spark.implicits._
+    graft.engine.Spread(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id")))
+      .as[Long]
+  }
+
   /** Extracted features: deterministic metadata a real decoder would
     * produce (dimensions, duration, channel stats, ...).
     */
@@ -333,8 +348,7 @@ object Multimodal {
     */
   def syntheticWavMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val n = (160 + id % 200).toInt
@@ -492,8 +506,7 @@ object Multimodal {
     */
   def syntheticPpmMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val w = (8 + id % 9).toInt
@@ -663,8 +676,7 @@ object Multimodal {
     */
   def syntheticY4mMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val w = (8 + (id % 5) * 2).toInt
@@ -731,8 +743,7 @@ object Multimodal {
     */
   def syntheticGifMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val w = (8 + id % 17).toInt
@@ -787,8 +798,7 @@ object Multimodal {
     */
   def syntheticPngMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val w = (8 + id % 13).toInt
@@ -930,8 +940,7 @@ object Multimodal {
   def syntheticPngNearDupMedia(spark: SparkSession,
                                sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val e = if (id % 10 == 7) id - 5 else id
@@ -981,8 +990,7 @@ object Multimodal {
     */
   def syntheticJpegMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val bw = (1 + id % 3).toInt
@@ -1294,14 +1302,7 @@ object Multimodal {
   def syntheticFlacMedia(spark: SparkSession,
                          sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    // Spread: the doc-id projection is bytes-tiny, but every row fans
-    // into a CPU-heavy encode+decode — without the lift a single-file
-    // corpus caps the codec at scan parallelism (measured: sf1 slower
-    // than sf3 because sf3 happened to have more row groups)
-    graft.engine.Spread(
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id")))
-      .as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val n = (128 + id % 161).toInt
@@ -1367,8 +1368,7 @@ object Multimodal {
   def syntheticAdpcmMedia(spark: SparkSession,
                           sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val nn = (120 + (id % 60) * 2).toInt
@@ -1632,8 +1632,7 @@ object Multimodal {
   def syntheticMjpegMedia(spark: SparkSession,
                           sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    fixtureDocIds(spark, sfDir)
       .mapPartitions { iter =>
         iter.map { id =>
           val bw = (1 + id % 3).toInt
