@@ -1612,6 +1612,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- diversified lexical retrieval: the MMR walk on BM25
+    //      relevance + shingle-overlap similarity (q_mmr's greedy
+    //      device on the lexical side) — plain BM25 returns near-copy
+    //      runs on duplicate-heavy corpora; the overlap penalty breaks
+    //      them. rel is the engine-exact quantized BM25 double,
+    //      overlap an integer set intersection, and the oracle unrolls
+    //      every greedy step ----
+    "q_bm25_mmr" -> ((s, dir) => {
+      graft.operators.TextAnalysis.bm25Diversified(
+          t(s, dir, "documents"),
+          Seq("data", "join", "hash", "scan", "batch"),
+          k = 4, pool = 12)
+        .orderBy(col("rnk"))
+    }),
+
     // ---- north star: incremental dedup (daily-ingest shape — admit
     //      only new-shard docs that duplicate nothing already ingested;
     //      new side broadcasts, corpus streams) ----
@@ -4526,6 +4541,83 @@ object SparkEntry {
       |    JOIN uni ua ON ua.tokw = pr.a
       |    JOIN uni ub ON ub.tokw = pr.b
       |    CROSS JOIN tot)""".stripMargin
+
+  /** The q_bm25_mmr oracle: BM25 rel (the q_bm25 chain, renamed CTEs)
+    * quantized to micro, top-`pool` candidates joined to their distinct
+    * shingle-hash sets, then the greedy MMR walk UNROLLED step by step
+    * with `len(list_intersect(...))` as the overlap — the q_mmr device
+    * on the lexical side.
+    */
+  private def bm25MmrSql(k: Int, pool: Int, lamNum: Long, lamDen: Long,
+                         scale: Long): String = {
+    val pen = lamDen - lamNum
+    val head =
+      s"""$shingleCte,
+         |btok AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS w FROM documents),
+         |btf AS (SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
+         |  FROM btok WHERE w IN ('data','join','hash','scan','batch')
+         |  GROUP BY doc_id, w),
+         |bdf AS (SELECT w, count(*) AS df FROM btf GROUP BY w),
+         |bst AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tok
+         |  FROM documents),
+         |bc AS (SELECT btf.doc_id, btf.w,
+         |    ln(1.0 + (bst.n_docs - bdf.df + 0.5) / (bdf.df + 0.5)) *
+         |      ((btf.tf * 2.2) / (btf.tf + 1.2 *
+         |        (0.25 + 0.75 * (CAST(btf.dl AS DOUBLE) /
+         |          (CAST(bst.total_tok AS DOUBLE) / bst.n_docs))))) AS c
+         |  FROM btf JOIN bdf USING (w) CROSS JOIN bst),
+         |bpiv AS (SELECT doc_id,
+         |    max(CASE WHEN w = 'data'  THEN c END) AS c_0,
+         |    max(CASE WHEN w = 'join'  THEN c END) AS c_1,
+         |    max(CASE WHEN w = 'hash'  THEN c END) AS c_2,
+         |    max(CASE WHEN w = 'scan'  THEN c END) AS c_3,
+         |    max(CASE WHEN w = 'batch' THEN c END) AS c_4
+         |  FROM bc GROUP BY doc_id),
+         |rel AS (SELECT doc_id,
+         |  CAST(floor((coalesce(c_0, 0.0) + coalesce(c_1, 0.0)
+         |    + coalesce(c_2, 0.0) + coalesce(c_3, 0.0)
+         |    + coalesce(c_4, 0.0)) * 1e6 + 0.5) AS BIGINT)
+         |    AS rel_micro FROM bpiv),
+         |cand AS (
+         |  SELECT r.doc_id, r.rel_micro, sh.sh FROM (
+         |    SELECT *, row_number() OVER (ORDER BY rel_micro DESC, doc_id)
+         |      AS prn FROM rel) r JOIN sh ON sh.doc_id = r.doc_id
+         |  WHERE prn <= $pool),
+         |pick1 AS (
+         |  SELECT doc_id, rel_micro, sh, $lamNum*rel_micro AS mmr FROM (
+         |    SELECT *, row_number() OVER (ORDER BY rel_micro DESC, doc_id)
+         |      AS rn FROM cand)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT 1 AS rnk, doc_id, rel_micro, sh, mmr FROM pick1)"""
+        .stripMargin
+    val steps = (2 to k).map { i =>
+      val prev = s"sel${i - 1}"
+      s""",
+         |ms$i AS (
+         |  SELECT c.doc_id, c.rel_micro, c.sh,
+         |    max(len(list_intersect(c.sh, s.sh))) AS ms
+         |  FROM cand c, $prev s
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.doc_id = c.doc_id)
+         |  GROUP BY c.doc_id, c.rel_micro, c.sh),
+         |pick$i AS (
+         |  SELECT doc_id, rel_micro, sh, mmr FROM (
+         |    SELECT doc_id, rel_micro, sh,
+         |      $lamNum*rel_micro - $pen*ms*$scale AS mmr,
+         |      row_number() OVER (ORDER BY
+         |        ($lamNum*rel_micro - $pen*ms*$scale) DESC, doc_id) AS rn
+         |    FROM ms$i)
+         |  WHERE rn = 1),
+         |sel$i AS (SELECT * FROM $prev UNION ALL
+         |  SELECT $i AS rnk, doc_id, rel_micro, sh, mmr FROM pick$i)"""
+        .stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT rnk, doc_id, rel_micro, mmr FROM sel$k ORDER BY rnk"
+  }
 
   /** Kneser–Ney bigram CTEs ending at `sc` (doc_id, s micro-nats) —
     * shared by q_kn_ppl and q_kn_filter so both gate the SAME walk.
@@ -7593,6 +7685,9 @@ object SparkEntry {
         |         coalesce(c_2, 0.0) + coalesce(c_3, 0.0) +
         |         coalesce(c_4, 0.0)) * 1e6 + 0.5) / 1e6 AS score
         |FROM piv ORDER BY doc_id""".stripMargin,
+
+    "q_bm25_mmr" ->
+      bm25MmrSql(k = 4, pool = 12, lamNum = 1, lamDen = 2, scale = 200000L),
 
     "q_dedup_incremental" ->
       s"""$shingleCte,

@@ -813,6 +813,86 @@ object TextAnalysis {
     byDoc.select(col("doc_id"), nHit.as("n_hit"), score.as("score"))
   }
 
+  /** Diversified lexical retrieval — the MMR walk of
+    * [[Similarity.mmrTopK]] instantiated on BM25 relevance and
+    * shingle-overlap similarity, so BOTH retrieval modalities (vector
+    * and lexical) have a diversity re-ranker. A duplicate-heavy corpus
+    * returns k near-copies of the best match under plain BM25; the
+    * penalty term λ·rel − (1−λ)·maxOverlap·scale pushes rank 2+ toward
+    * documents that share fewer 3-gram shingles with what's already
+    * selected.
+    *
+    * Determinism end to end: rel is the BM25 double quantized to
+    * micro (the fixed-order per-term pivot makes the double itself
+    * engine-exact), overlap is an integer sorted-set intersection of
+    * distinct shingle hashes, λ an exact fraction — the oracle unrolls
+    * every greedy step.
+    *
+    * Scale shape: the pool stage is [[bm25]] (its own shapes) + ONE
+    * distributed top-pool (TakeOrderedAndProject); shingle sets attach
+    * to the ≤ pool survivors via a broadcast join (arrays never ride a
+    * shuffle — the minhashCalibration rule); the greedy walk is
+    * pool²·k integer ops in one task. Returns
+    * (rnk, doc_id, rel_micro, mmr).
+    */
+  def bm25Diversified(docs: DataFrame, terms: Seq[String], k: Int,
+                      pool: Int, lamNum: Long = 1, lamDen: Long = 2,
+                      ovlScaleMicro: Long = 200000L): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      s"lambda $lamNum/$lamDen not in [0,1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pooled = bm25(docs, terms)
+      .withColumn("rel_micro",
+        floor(col("score") * 1e6 + lit(0.5)).cast("long"))
+      .orderBy(col("rel_micro").desc, col("doc_id"))
+      .limit(pool)
+    val withSh = docs
+      .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
+      .join(broadcast(pooled.select(col("doc_id"), col("rel_micro"))),
+        Seq("doc_id"))
+      .as[(Long, Array[Long], Long)]
+    def ovl(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var j = 0; var c = 0L
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c
+    }
+    withSh.groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val cands = it.toArray
+        val picked = new Array[Boolean](cands.length)
+        val selected =
+          scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        (1 to math.min(k, cands.length)).iterator.map { rnk =>
+          var bi = -1; var bm = Long.MinValue; var bid = Long.MaxValue
+          var i = 0
+          while (i < cands.length) {
+            if (!picked(i)) {
+              val (id, sh, rel) = cands(i)
+              var ms = 0L
+              selected.foreach { s =>
+                val o = ovl(sh, s); if (o > ms) ms = o
+              }
+              val mmr = lamNum * rel - (lamDen - lamNum) * ms * ovlScaleMicro
+              if (mmr > bm || (mmr == bm && id < bid)) {
+                bi = i; bm = mmr; bid = id
+              }
+            }
+            i += 1
+          }
+          picked(bi) = true
+          selected += cands(bi)._2
+          (rnk, cands(bi)._1, cands(bi)._3, bm)
+        }
+      }
+      .toDF("rnk", "doc_id", "rel_micro", "mmr")
+  }
+
   /** Per-language corpus statistics (one shuffle: the groupBy). */
   def languageStats(docs: DataFrame): DataFrame =
     graft.engine.Spread(docs)

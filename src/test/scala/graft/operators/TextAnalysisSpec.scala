@@ -278,6 +278,48 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bm25Diversified: lambda=1 is plain BM25 rank order; the overlap " +
+       "penalty breaks a planted near-copy run at rank 2; partition-" +
+       "invariant") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val terms = Seq("data", "join", "hash", "scan", "batch")
+    val lam1 = TextAnalysis.bm25Diversified(docs, terms, k = 4, pool = 12,
+        lamNum = 1, lamDen = 1)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    val brute = TextAnalysis.bm25(docs, terms)
+      .withColumn("rel_micro",
+        floor(col("score") * 1e6 + lit(0.5)).cast("long"))
+      .orderBy(col("rel_micro").desc, col("doc_id"))
+      .limit(4).select("doc_id").as[Long].collect().toSeq
+    assert(lam1 === brute, "lambda=1 must be pure relevance order")
+    val base = TextAnalysis.bm25Diversified(docs, terms, k = 4, pool = 12)
+      .orderBy("rnk").collect().map(_.toSeq).toSeq
+    val repart = TextAnalysis.bm25Diversified(docs.repartition(7), terms,
+        k = 4, pool = 12)
+      .orderBy("rnk").collect().map(_.toSeq).toSeq
+    assert(repart === base)
+    // planted: three exact copies of a term-stuffed doc + two distinct
+    // relevant docs — plain top-3 is the copy run, MMR crosses at rank 2
+    val stuffed = "data join hash scan batch data join hash scan batch"
+    val planted = Seq(
+      (1L, stuffed), (2L, stuffed), (3L, stuffed),
+      (4L, "data tables where join keys hash nicely for every scan"),
+      (5L, "batch pipelines scan data quickly and join without hash"))
+      .toDF("doc_id", "text")
+    val plain = TextAnalysis.bm25(planted, terms)
+      .withColumn("rel_micro",
+        floor(col("score") * 1e6 + lit(0.5)).cast("long"))
+      .orderBy(col("rel_micro").desc, col("doc_id"))
+      .limit(3).select("doc_id").as[Long].collect().toSeq
+    assert(plain === Seq(1L, 2L, 3L), s"planted top-3 should be the run: $plain")
+    val mmr = TextAnalysis.bm25Diversified(planted, terms, k = 3, pool = 5)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    assert(mmr.head === 1L)
+    assert(Set(4L, 5L).contains(mmr(1)),
+      s"rank 2 should escape the copy run: $mmr")
+  }
+
   test("script-aware tokens == space split on single-spaced ASCII (every " +
        "existing oracle stays byte-identical under the default)") {
     val docs = graft.engine.Readers.table(spark, sf(), "documents")
