@@ -3034,6 +3034,23 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- corpus snapshot diff (two crawl generations): planted adds
+    //      (id >= 400 only in new), removes (id < 50 only in old), and
+    //      content changes (every 97th doc mutated) — one full outer
+    //      join carrying only (id, md5), text never crosses ----
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") < 400)
+      val newSnap = docs.filter(col("doc_id") >= 50)
+        .withColumn("text",
+          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.Curation.corpusDiff(oldSnap, newSnap,
+          "doc_id", "text")
+        .where(col("status") =!= "unchanged")
+        .orderBy(col("id"))
+    }),
+
     // ---- CUSUM change-point detection (Page 1954) per event type:
     //      the clamped recursion via its closed two-window form
     //      (prefix sum minus running min), whole inequality scaled by
@@ -5956,6 +5973,23 @@ object SparkEntry {
          |    ${hashSql("CAST(doc_id AS VARCHAR) || ':drift'")} % 2 AS h
          |  FROM documents)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id AS id, md5(text) AS h_old
+        |           FROM documents WHERE doc_id < 400),
+        |n AS (SELECT doc_id AS id,
+        |    md5(CASE WHEN doc_id % 97 = 0 THEN text || ' v2'
+        |        ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id >= 50),
+        |d AS (
+        |  SELECT COALESCE(o.id, n.id) AS id,
+        |    CASE WHEN o.id IS NULL THEN 'added'
+        |         WHEN n.id IS NULL THEN 'removed'
+        |         WHEN h_old <> h_new THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.id = n.id)
+        |SELECT id, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY id""".stripMargin,
 
     // the same two windows (prefix sum − running min) over the same
     // integer deviations; alarm rule replayed with the n-scaled h

@@ -220,6 +220,29 @@ object Curation {
       .withColumn("skew", abs(col("n_a") - col("n_b")))
   }
 
+  /** Corpus snapshot diff — the ops view of two corpus generations
+    * (yesterday's crawl vs today's): per document id, `added` /
+    * `removed` / `changed` / `unchanged`, with content compared by
+    * md5 so the diff never carries text across the join. ONE full
+    * outer hash join on the id — the exchange moves (id, 32-byte
+    * hash) rows only; at 100 TB both sides bucket/cluster on the id
+    * and the join co-locates.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"),
+      md5(col(textCol)).as("h_old"))
+    val n = newSnap.select(col(idCol).as("id"),
+      md5(col(textCol)).as("h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged"))
+      .select(col("id"), col("status"))
+  }
+
   /** [[cusum]] with a FIXED reference level μ instead of the per-key
     * mean — the form that streams (the self-referenced mean needs the
     * whole series; a monitoring target doesn't). Deviations are plain
