@@ -1627,6 +1627,24 @@ object SparkEntry {
         .orderBy(col("rnk"))
     }),
 
+    // ---- PERSISTED near-dup index (the text-side build/query split,
+    //      mirroring the ANN indexed trio): the corpus is shingled,
+    //      signed, and banded ONCE into band-partitioned bucket +
+    //      shingle-set artifacts; the incremental batch probes the
+    //      stored buckets (broadcast band keys) and verifies against
+    //      the stored sets — corpus text never touched at query time.
+    //      Deterministic artifacts, so the oracle is the inline
+    //      minhash SQL restricted to cross-side pairs ----
+    "q_dedup_minhash_idx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = annIndex("mhidx32x16", dir)(p =>
+        graft.operators.Dedup.buildMinhashIndex(
+          docs.filter(col("doc_id") < 450), p))
+      graft.operators.Dedup.minhashNeardupIndexed(
+          docs.filter(col("doc_id") >= 450), path, tau = 0.3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- north star: incremental dedup (daily-ingest shape — admit
     //      only new-shard docs that duplicate nothing already ingested;
     //      new side broadcasts, corpus streams) ----
@@ -6992,6 +7010,35 @@ object SparkEntry {
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM bands a JOIN bands b
          |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT d1, d2,
+         |    len(list_intersect(s1.sh, s2.sh)) AS inter,
+         |    len(s1.sh) AS n1, len(s2.sh) AS n2
+         |  FROM cand JOIN shnz s1 ON d1 = s1.doc_id
+         |            JOIN shnz s2 ON d2 = s2.doc_id)
+         |SELECT d1, d2, inter * 1.0 / (n1 + n2 - inter) AS jaccard
+         |FROM ver WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.3
+         |ORDER BY d1, d2""".stripMargin,
+
+    // the indexed path is the same deterministic family — the oracle is
+    // the inline minhash SQL restricted to (corpus, new) cross pairs
+    "q_dedup_minhash_idx" ->
+      s"""$shingleCte,
+         |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |sig AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 32),
+         |    i -> list_min(list_transform(sh,
+         |      h -> ((2*i+1) * (h % 2147483647)
+         |            + (1000003*(i+1)) % 2147483647) % 2147483647))) AS sg
+         |  FROM shnz),
+         |bands AS (
+         |  SELECT doc_id,
+         |    b, ${hashSql("b::VARCHAR || ',' || sg[2*b+1]::VARCHAR || ',' || sg[2*b+2]::VARCHAR")} AS bk
+         |  FROM (SELECT doc_id, sg, unnest(range(0, 16)) AS b FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+         |  WHERE a.doc_id < 450 AND b.doc_id >= 450),
          |ver AS (
          |  SELECT d1, d2,
          |    len(list_intersect(s1.sh, s2.sh)) AS inter,

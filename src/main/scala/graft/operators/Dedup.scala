@@ -873,6 +873,108 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Build-once / query-many MinHash+LSH near-dup index — the TEXT-side
+    * twin of the persisted ANN indexes (Similarity.buildIvfIndex):
+    * shingling, signatures, and banding of the corpus happen ONCE at
+    * build time; incremental dedup jobs load the artifacts and never
+    * re-shingle the corpus. Writes under `indexPath`:
+    *
+    *   - `buckets/` — (bk, doc_id) parquet PARTITIONED BY band, so a
+    *     query's bucket probe prunes to the band directories it needs
+    *   - `meta/`    — (doc_id, n, sh): sorted distinct shingle sets for
+    *     exact-Jaccard verification of candidates
+    *   - `params/`  — one row (k, num_perms, bands); the query side
+    *     reads it so build and query can never disagree on the family
+    *
+    * Everything is deterministic (fixed permutation family, stable
+    * hashes), so the indexed query path is oracle-checkable against the
+    * same SQL as the inline operator.
+    */
+  def buildMinhashIndex(corpus: DataFrame, indexPath: String, k: Int = 3,
+                        numPerms: Int = 32, bands: Int = 16): Unit = {
+    require(numPerms % bands == 0 && numPerms >= bands,
+      s"bands ($bands) must divide numPerms ($numPerms)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = numPerms / bands
+    val posts = TextAnalysis.shinglePosts(corpus, k)
+      .repartition(col("doc_id"))
+    val p = MinhashPrime
+    val hm = col("h") % p
+    val aggs = (0 until numPerms).map { i =>
+      min((lit(permA(i)) * hm + lit(permB(i))) % p).as(s"sig_$i")
+    } ++ Seq(
+      count(lit(1)).as("n"),
+      sort_array(collect_list(col("h"))).as("sh"))
+    val sigs = posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // feeds buckets AND meta without re-shingling
+    val bandCols = (0 until bands).map { b =>
+      stableHash60(concat_ws(",",
+        lit(b.toString) +: (0 until rows).map(r =>
+          col(s"sig_${b * rows + r}").cast("string")): _*))
+    }
+    sigs.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexPath/buckets")
+    sigs.select(col("doc_id"), col("n"), col("sh"))
+      .write.mode("overwrite").parquet(s"$indexPath/meta")
+    Seq((k, numPerms, bands)).toDF("k", "num_perms", "bands")
+      .write.mode("overwrite").parquet(s"$indexPath/params")
+  }
+
+  /** Incremental near-dup against a PERSISTED index: the new batch is
+    * shingled and banded with the family recorded in the index params,
+    * candidates come from the stored bucket table (the new side's band
+    * keys broadcast into the bucket scan — with band-partitioned
+    * buckets, only matching band directories are read), and exact
+    * Jaccard verifies against the stored shingle sets. The corpus text
+    * is NEVER touched at query time. Returns (corpus_id, new_id,
+    * jaccard) with jaccard >= tau.
+    */
+  def minhashNeardupIndexed(newDocs: DataFrame, indexPath: String,
+                            tau: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    val prm = spark.read.parquet(s"$indexPath/params").head()
+    val (k, numPerms, bands) =
+      (prm.getAs[Int]("k"), prm.getAs[Int]("num_perms"),
+        prm.getAs[Int]("bands"))
+    val rows = numPerms / bands
+    val posts = TextAnalysis.shinglePosts(newDocs, k)
+      .repartition(col("doc_id"))
+    val p = MinhashPrime
+    val hm = col("h") % p
+    val aggs = (0 until numPerms).map { i =>
+      min((lit(permA(i)) * hm + lit(permB(i))) % p).as(s"sig_$i")
+    } ++ Seq(
+      count(lit(1)).as("n2"),
+      sort_array(collect_list(col("h"))).as("sh2"))
+    val sigs = posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val bandCols = (0 until bands).map { b =>
+      stableHash60(concat_ws(",",
+        lit(b.toString) +: (0 until rows).map(r =>
+          col(s"sig_${b * rows + r}").cast("string")): _*))
+    }
+    val bandedNew = sigs.select(col("doc_id").as("d2"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+    val buckets = spark.read.parquet(s"$indexPath/buckets")
+      .select(col("band"), col("bk"), col("doc_id").as("d1"))
+    val cands = buckets.join(broadcast(bandedNew), Seq("band", "bk"))
+      .select(col("d1"), col("d2")).dropDuplicates("d1", "d2")
+    val meta = spark.read.parquet(s"$indexPath/meta")
+      .select(col("doc_id").as("d1"), col("n").as("n1"),
+        col("sh").as("sh1"))
+    val newMeta = sigs.select(col("doc_id").as("d2"), col("n2"),
+      col("sh2"))
+    cands.join(meta, Seq("d1")).join(broadcast(newMeta), Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** MinHash estimator calibration — the companion evaluation to
     * [[minhashPairs]]: for every LSH candidate pair, the Broder
     * estimate (matching signature components / numPerms) side by side

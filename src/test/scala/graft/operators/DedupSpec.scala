@@ -584,4 +584,29 @@ class DedupSpec extends SparkSpec {
       ("b", 0, 10L, 2L), ("b", 1, 11L, 1L),
       ("c", 0, 20L, 2L)))
   }
+
+  test("persisted minhash index: the indexed query equals inline " +
+       "minhashPairs restricted to cross-side pairs, and the bucket " +
+       "artifact is band-partitioned on disk") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 450)
+    val fresh = docs.filter(col("doc_id") >= 450)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_spec").toString
+    Dedup.buildMinhashIndex(corpus, path)
+    val idx = Dedup.minhashNeardupIndexed(fresh, path, tau = 0.3)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val inline = Dedup.minhashPairs(docs, tau = 0.3)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+      .filter(t => t._1 < 450 && t._2 >= 450)
+    assert(idx.nonEmpty, "fixture must produce cross-side near-dups")
+    assert(idx === inline)
+    // band-partitioned layout: bucket probes prune to band directories
+    val bandDirs = new java.io.File(s"$path/buckets").listFiles()
+      .filter(_.getName.startsWith("band="))
+    assert(bandDirs.length === 16, s"got ${bandDirs.length} band dirs")
+  }
 }
