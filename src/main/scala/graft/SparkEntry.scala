@@ -739,6 +739,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- Spark 4 VARIANT: the engine-native semi-structured path
+    //      (parse once into the binary variant encoding, then typed
+    //      field access + schema/type introspection) next to q_json's
+    //      per-access string parse — at 100 TB the parse-once
+    //      difference is the whole cost of a JSON-heavy scan. Exercises
+    //      parse_json, variant_get (typed + cast), try_variant_get on a
+    //      missing path (NULL, not error), and schema_of_variant ----
+    "q_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'string')").as("m"),
+          expr("schema_of_variant(v)").as("sch"),
+          (expr("variant_get(v, '$.k', 'bigint')") % 7 === 0)
+            .as("k_div7"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- event-time tumbling window (batch; readStream-ready shape) ----
     "q_event_window" -> ((s, dir) => {
       t(s, dir, "events")
@@ -5991,6 +6011,17 @@ object SparkEntry {
          |    ${hashSql("CAST(doc_id AS VARCHAR) || ':drift'")} % 2 AS h
          |  FROM documents)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the variant walk replayed on the raw JSON: typed field access via
+    // json_extract, missing path -> NULL, and the closed-form
+    // schema_of_variant string for the fixture's uniform {"k": int}
+    "q_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(NULL AS VARCHAR) AS m,
+        |  'OBJECT<k: BIGINT>' AS sch,
+        |  (CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0) AS k_div7
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id AS id, md5(text) AS h_old
