@@ -979,6 +979,26 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    // ---- the profiler's 100 TB knob, oracle-gated: exact = false
+    //      swaps COUNT(DISTINCT) for the HLL sketch (no per-branch
+    //      distinct shuffle). The q_approx_distinct device makes the
+    //      sketch checkable: compute BOTH, return the exact profile
+    //      plus a bounded-error verdict the oracle asserts TRUE ----
+    "q_table_profile_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val approx = graft.engine.DataProfile.profile(li, exact = false)
+        .select(col("column"), col("n_distinct").as("nd_approx"))
+      graft.engine.DataProfile.profile(li)
+        .join(approx, Seq("column"))
+        .select(col("column"), col("dtype"), col("n_rows"),
+          col("n_nulls"), col("n_distinct"), col("min_repr"),
+          col("max_repr"),
+          (abs(col("nd_approx") - col("n_distinct")).cast("double") <=
+            col("n_distinct").cast("double") * 0.05 + lit(10.0))
+            .as("approx_within_5pct"))
+        .orderBy(col("column"))
+    }),
+
     // ---- URL canonicalization (new r11): the web-ingest normalization
     //      upstream of every URL-keyed operator — case/port/www folds,
     //      fragment + tracking-param strip, bytewise param sort, all
@@ -5008,6 +5028,16 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** q_table_profile_approx's oracle: the exact profile plus the
+    * literal-TRUE bound verdict — the engine must come back with every
+    * exact column identical AND the HLL estimate inside ±5% + 10.
+    * (DuckDB permits the inner ORDER BY; the outer one governs.)
+    */
+  private lazy val profileApproxSql: String =
+    s"""SELECT p.*, TRUE AS approx_within_5pct FROM (
+       |$profileSql
+       |) p ORDER BY "column"""".stripMargin
+
   /** Exact AUC + confusion over the trained classifier (= q_clf_auc):
     * the score chain of classifierScoreSql joined back to the label,
     * then tie-averaged Mann–Whitney ranks over distinct quantized
@@ -7417,6 +7447,7 @@ object SparkEntry {
     // monotone floor(1e6·x), timestamps at second precision via the
     // µs cast every ts oracle makes)
     "q_table_profile" -> profileSql,
+    "q_table_profile_approx" -> profileApproxSql,
 
     // √n is exactly rounded per IEEE-754 in both engines, so
     // floor(1e6·√n) is deterministic; quota arithmetic is all BIGINT
