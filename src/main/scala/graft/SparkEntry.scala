@@ -1428,6 +1428,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- hard-negative mining for contrastive training: per anchor,
+    //      the k most-similar vectors with a DIFFERENT label — near in
+    //      embedding space, semantically wrong; the one-pass broadcast
+    //      top-k plan with the label filter below the ranking heap ----
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.hardNegatives(
+          e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- JL sign random projection (Achlioptas ±1): 64 -> 16 dims as
     //      16 codegen'd dots against hash-derived LITERAL sign rows —
     //      the cheap first stage of project-then-rerank, 1/4 the bytes
@@ -7484,6 +7495,22 @@ object SparkEntry {
          |FROM s QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "q_mmr" -> mmrSql(k = 4, pool = 12, lamNum = 7, lamDen = 10, nq = 3),
+
+    // q_simsearch's chain with the label-disagreement filter
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS cv, label AS clab
+         |      FROM embeddings),
+         |s AS (
+         |  SELECT qid, cid, ${qdotSql("qv", "cv")} AS score,
+         |    clab AS neg_label
+         |  FROM q, c WHERE qid != cid AND clab != qlab)
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+         |    AS rnk,
+         |  cid, score, neg_label
+         |FROM s QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // rebuilds the sign matrix from the same md5 rule, projects, ranks
     "q_randproj" ->

@@ -648,6 +648,32 @@ object Similarity {
     * achieved by the previous prefix; 0 for the seed). radius2 is
     * non-increasing in sel_order — the standard k-center certificate.
     */
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor, the k most-SIMILAR corpus vectors with a DIFFERENT label
+    * (near the anchor in embedding space but semantically wrong — the
+    * negatives that actually move a contrastive loss; random negatives
+    * are trivially separable). Same one-pass broadcast plan as
+    * [[bruteForceTopK]] with the label disagreement folded into the
+    * pre-ranking filter, so rejected candidates never enter the top-k
+    * heap. Returns (qid, rnk, cid, score, neg_label).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      quantize(col("embedding")).as("qv"), col("label").as("qlab"))
+    val c = corpus.select(col("vec_id").as("cid"),
+      quantize(col("embedding")).as("cv"), col("label").as("clab"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid") && col("clab") =!= col("qlab"))
+      .withColumn("score", LongArrayDot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score"),
+        col("clab").as("neg_label"))
+  }
+
   /** Deterministic ±1 sign matrix for [[randomProject]]: entry (j, d)
     * comes from the cross-engine stableHash60 of "rp#j#d", so the
     * oracle regenerates the SAME matrix from the hashSql fragment —
