@@ -967,7 +967,11 @@ object Dedup {
         col("sh").as("sh1"))
     val newMeta = sigs.select(col("doc_id").as("d2"), col("n2"),
       col("sh2"))
-    cands.join(meta, Seq("d1")).join(broadcast(newMeta), Seq("d2"))
+    // candidate pairs BROADCAST into the meta scan — the corpus-sized
+    // shingle arrays must never ride a shuffle (the minhashCalibration
+    // rule); size-based planning would get this right only at small SF
+    meta.join(broadcast(cands), Seq("d1"))
+      .join(broadcast(newMeta), Seq("d2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")))

@@ -480,6 +480,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_dedup_minhash_idx: every join is broadcast (candidates and the " +
+       "new side broadcast; the stored corpus-side shingle arrays never " +
+       "ride a shuffle or sort-merge)") {
+    val p = plan("q_dedup_minhash_idx")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
   test("q_avro_roundtrip: the graft-avro batch scan prunes to exactly " +
        "the selected columns (reader-schema projection, not post-scan)") {
     val p = plan("q_avro_roundtrip")
