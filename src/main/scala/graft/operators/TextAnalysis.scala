@@ -848,10 +848,16 @@ object TextAnalysis {
         floor(col("score") * 1e6 + lit(0.5)).cast("long"))
       .orderBy(col("rel_micro").desc, col("doc_id"))
       .limit(pool)
-    val withSh = docs
-      .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
+    // join FIRST, shingle after: the broadcast semi-filter admits only
+    // the <= pool survivors, so the shingle hashing never runs over the
+    // whole corpus (written the other way round, the expensive arrays
+    // are computed for every doc and then discarded by the join)
+    val withSh = docs.select(col("doc_id"), col("text"))
       .join(broadcast(pooled.select(col("doc_id"), col("rel_micro"))),
         Seq("doc_id"))
+      .select(col("doc_id"),
+        array_sort(shingleHashes(col("text"))).as("sh"),
+        col("rel_micro"))
       .as[(Long, Array[Long], Long)]
     def ovl(a: Array[Long], b: Array[Long]): Long = {
       var i = 0; var j = 0; var c = 0L
