@@ -64,7 +64,15 @@ class DeterminismSpec extends SparkSpec {
     // version aggregation
     "q_simsearch_ivf_idx", "q_simsearch_pq_idx", "q_simsearch_sq_idx",
     "q_comp_ratio", "q_comp_filter", "q_nfkc", "q_clf_auc", "q_mix",
-    "q_table_profile", "q_urlnorm", "q_snapshot_urlnorm")
+    "q_table_profile", "q_urlnorm", "q_snapshot_urlnorm",
+    // round-11 late-wave shapes: MG summaries vary per partitioning but
+    // the OUTPUT must not; greedy MMR walks (both modalities) over
+    // pooled candidates; the two-window CUSUM; indexed minhash probe;
+    // KN micro-nat folds; codec fanout behind Spread; the cascade
+    "q_heavy_hitters", "q_mmr", "q_bm25_mmr", "q_cusum", "q_cusum_fixed",
+    "q_kn_ppl", "q_kn_filter", "q_randproj_rerank", "q_dedup_minhash_idx",
+    "q_audio_flac", "q_corpus_diff", "q_hard_negatives",
+    "q_avro_roundtrip")
 
   test("risky queries are partition-count invariant (4 vs 13 partitions)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
