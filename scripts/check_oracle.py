@@ -4,11 +4,16 @@
 Reads each Verify-dumped parquet under OUT_DIR, runs the matching oracle SQL
 from oracle_sql.json in DuckDB over the sf parquet tables, and compares:
 row count, column names (sorted), and per-cell values (columns sorted by
-name, rows in result order; floats compared to 1e-9 rel tol, everything
-else exact). Usage: check_oracle.py <sfDir> <outDir> [query ...]
+name, rows in result order). Floats compare EXACTLY by default — the
+driver's gate hashes cells exactly, so a tolerant local gate is strictly
+weaker and would let a tiny-float divergence pass locally and fail the
+round (the r11 lesson). Pass --tol for the old 1e-9 rel-tol behavior
+when triaging.  Usage: check_oracle.py [--tol] <sfDir> <outDir> [query ...]
 """
 import json, math, sys
 import duckdb
+
+EXACT = True
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -44,14 +49,20 @@ def eq(a, b):
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
+        if EXACT:
+            return af == bf
         return af == bf or abs(af - bf) <= 1e-9 * max(abs(af), abs(bf), 1.0)
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
     return a == b
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    global EXACT
+    argv = [a for a in sys.argv[1:] if a != "--tol"]
+    if "--tol" in sys.argv:
+        EXACT = False
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.engine.{JobSpec, Pipeline, Readers}
+import graft.engine.{JobSpec, Pipeline, Readers, SourceFormat}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,13 +33,22 @@ object SparkEntry {
   // `kind` must carry every build PARAMETER (e.g. "ivf16") — a key of
   // family+dir alone would silently reuse an index built with
   // different nlist/subspaces/dim for a differently-tuned query
+  //
+  // Crash safety (the GenStore device, streaming/GenStore.scala): the
+  // build runs in a `…_stage` directory and only an atomic rename
+  // publishes it under the name queries read. A build interrupted by
+  // the harness (kill, OOM) leaves only the never-referenced stage dir
+  // — a parseable-but-partial artifact can never be served.
   private def annIndex(kind: String, dir: String)
                       (build: String => Unit): String =
     annIndexCache.computeIfAbsent(s"$kind:$dir", _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory(s"graft_${kind}_idx").toString
-      build(p)
-      p
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft_${kind}_stage")
+      build(stage.toString)
+      val fin = stage.resolveSibling(s"${stage.getFileName}_idx")
+      java.nio.file.Files.move(stage, fin,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      fin.toString
     })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -145,9 +154,19 @@ object SparkEntry {
               .as("st"))
           .write.format("graft-avro").mode("overwrite").save(p)
       }
+      // dump casts (decimal->double, date->timestamp): the avro artifact
+      // itself stores DECIMAL(12,2) and DATE logical types — the lossless
+      // round trip through those codecs is still what's being hash-gated.
+      // pandas reads a parquet decimal as python Decimal objects and a
+      // parquet date as date objects, while the DuckDB oracle's .df()
+      // yields float64/datetime64 — cell-equal but dtype-hash-different
+      // under the driver's comparator (the r11 red-row mechanism, same
+      // lesson as ingest_lineitem in round 1)
       s.read.format("graft-avro").load(path)
-        .select(col("l_orderkey"), col("l_linenumber"), col("qty_dec"),
-          col("rflag_n"), col("l_shipdate"), col("ship_day"), col("even"),
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("qty_dec").cast("double").as("qty_dec"),
+          col("rflag_n"), col("l_shipdate"),
+          col("ship_day").cast("timestamp").as("ship_day"), col("even"),
           col("l_extendedprice"),
           array_join(transform(col("arr"), _.cast("string")), ",")
             .as("arr_s"),
@@ -155,6 +174,73 @@ object SparkEntry {
           element_at(col("m"), "ok7").as("m_ok7"),
           col("st.a").as("st_a"), col("st.b").as("st_b"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- CSV ingestion end-to-end through the facade (reference
+    //      db.go:27 extension-derived format; SURVEY §1.2 "schema
+    //      inference = inferSchema"): write a lineitem slice as
+    //      header'd CSV ONCE per sf dir (crash-safe annIndex staging),
+    //      read it back via the full Pipeline.ingest path (facade read
+    //      + inferSchema + target-schema align/cast), hash-gate against
+    //      the parquet recomputation. Text round trips for
+    //      long/int/double/string/timestamp plus CSV null encoding ----
+    "q_csv_ingest" -> ((s, dir) => {
+      val path = annIndex("csv_rt", dir) { p =>
+        t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 40 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"),
+            when(col("l_returnflag") === "A", lit(null).cast("string"))
+              .otherwise(col("l_returnflag")).as("rflag_n"),
+            col("l_shipdate"))
+          .coalesce(4)
+          .write.option("header", "true").mode("overwrite").csv(p)
+      }
+      Pipeline.ingest(s, JobSpec(
+          source = path, target = "lineitem_csv",
+          format = Some(SourceFormat.Csv),
+          targetSchemaDdl = Some(
+            "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, " +
+            "rflag_n STRING, l_shipdate TIMESTAMP")))
+        // (l_orderkey, l_linenumber) is not unique — total order over
+        // every column; Spark ASC is NULLS FIRST, oracle says so too
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("rflag_n"), col("l_shipdate"))
+    }),
+
+    // ---- JSON ingestion end-to-end through the facade: JSON-lines
+    //      fixture with nested struct + array + omitted-null fields,
+    //      read back through Readers.read (schema inference over
+    //      nesting), flattened and hash-gated like q_avro_roundtrip ----
+    "q_json_ingest" -> ((s, dir) => {
+      val path = annIndex("json_rt", dir) { p =>
+        t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 40 === 1)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"),
+            when(col("l_returnflag") === "A", lit(null).cast("string"))
+              .otherwise(col("l_returnflag")).as("rflag_n"),
+            col("l_shipdate"),
+            struct(col("l_suppkey").as("a"), col("l_linestatus").as("b"))
+              .as("st"),
+            array(col("l_linenumber").cast("long"), col("l_orderkey") % 10)
+              .as("arr"))
+          .coalesce(4)
+          .write.mode("overwrite").json(p)
+      }
+      Readers.read(s, JobSpec(source = path, target = "lineitem_json",
+          format = Some(SourceFormat.Json)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rflag_n"),
+          // JSON carries timestamps as ISO-8601 text; the cast back is
+          // exact under the UTC session tz
+          col("l_shipdate").cast("timestamp").as("l_shipdate"),
+          col("st.a").as("st_a"), col("st.b").as("st_b"),
+          array_join(transform(col("arr"), _.cast("string")), ",")
+            .as("arr_s"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("st_a"),
+          col("st_b"), col("arr_s"), col("l_extendedprice"),
+          col("rflag_n"), col("l_shipdate"))
     }),
 
     // ---- string aggregation (listagg shape, sorted for determinism) ----
@@ -1604,6 +1690,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- INCREMENTAL index maintenance: the corpus split into a build
+    //      shard and an append shard (build keeps vec_id < 16, so the
+    //      default lowest-vec_id centroids equal the full-corpus ones);
+    //      appendToIvfIndex assigns the new shard against the FROZEN
+    //      stored centroids and appends its cells — the query over the
+    //      maintained index equals the inline operator over the union,
+    //      so this shares q_simsearch_ivf's oracle verbatim ----
+    "q_simsearch_ivf_incr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = annIndex("ivf16incr", dir) { p =>
+        graft.operators.Similarity.buildIvfIndex(
+          e.filter(col("vec_id") < 16 || col("vec_id") % 2 === 0),
+          p, nlist = 16)
+        graft.operators.Similarity.appendToIvfIndex(
+          e.filter(col("vec_id") >= 16 && col("vec_id") % 2 === 1), p)
+      }
+      graft.operators.Similarity.ivfTopKIndexed(
+          e.filter(col("vec_id") < 10), path, k = 5, nprobe = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- persisted SQ8 index (completing the indexed trio): per-dim
     //      stats + 8-bit code table written once; the query dequantizes
     //      the codes (identical arithmetic to the inline fold) against
@@ -1691,6 +1798,25 @@ object SparkEntry {
       val path = annIndex("mhidx32x16", dir)(p =>
         graft.operators.Dedup.buildMinhashIndex(
           docs.filter(col("doc_id") < 450), p))
+      graft.operators.Dedup.minhashNeardupIndexed(
+          docs.filter(col("doc_id") >= 450), path, tau = 0.3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- INCREMENTAL minhash-index maintenance: the stored corpus
+    //      arrives as two shards — build on the first, appendToMinhash-
+    //      Index the second with the family frozen in params/.
+    //      Signatures are per-doc deterministic, so the maintained
+    //      index content equals build-at-once and this shares
+    //      q_dedup_minhash_idx's oracle verbatim ----
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = annIndex("mhidx32x16incr", dir) { p =>
+        graft.operators.Dedup.buildMinhashIndex(
+          docs.filter(col("doc_id") < 300), p)
+        graft.operators.Dedup.appendToMinhashIndex(
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), p)
+      }
       graft.operators.Dedup.minhashNeardupIndexed(
           docs.filter(col("doc_id") >= 450), path, tau = 0.3)
         .orderBy(col("d1"), col("d2"))
@@ -3324,7 +3450,12 @@ object SparkEntry {
             .as("d_off"))
         .filter(col("d_off") <= 7)
         .distinct()
-        .groupBy(col("cohort").cast("date").as("cohort"), col("d_off"))
+        // cohort stays TIMESTAMP (midnight) in the dump: a DATE column
+        // reads back as pandas date OBJECTS from Spark parquet but
+        // datetime64 from the DuckDB oracle — dtype-hash-divergent
+        // under the driver's comparator (the q_avro_roundtrip lesson);
+        // the date-grain semantics are already pinned by date_trunc
+        .groupBy(col("cohort"), col("d_off"))
         .agg(count(lit(1)).as("n_active"))
         .orderBy(col("cohort"), col("d_off"))
     }),
@@ -5125,6 +5256,10 @@ object SparkEntry {
     // deterministic build rules the inline paths compute, through the
     // same search kernels — gated by the inline oracles
     "q_simsearch_ivf_idx" -> oracleSqlLiteral("q_simsearch_ivf"),
+    // incremental maintenance: build(A)+append(B) ≡ build(A ∪ B), so
+    // the maintained-index queries share the built-at-once oracles
+    "q_simsearch_ivf_incr" -> oracleSqlLiteral("q_simsearch_ivf"),
+    "q_dedup_minhash_incr" -> oracleSqlLiteral("q_dedup_minhash_idx"),
     "q_simsearch_pq_idx" -> oracleSqlLiteral("q_simsearch_pq"),
     "q_simsearch_sq_idx" -> oracleSqlLiteral("q_simsearch_sq")
   )
@@ -5168,10 +5303,10 @@ object SparkEntry {
     // parquet — any lossy conversion in either direction hash-mismatches
     "q_avro_roundtrip" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+        |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
         |  NULLIF(l_returnflag, 'A') AS rflag_n,
         |  l_shipdate,
-        |  CAST(l_shipdate AS DATE) AS ship_day,
+        |  CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_day,
         |  (l_orderkey % 2 = 0) AS even,
         |  l_extendedprice,
         |  CAST(l_linenumber AS VARCHAR) || ','
@@ -5182,6 +5317,23 @@ object SparkEntry {
         |  l_linestatus AS st_b
         |FROM lineitem WHERE l_orderkey % 50 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_csv_ingest" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  NULLIF(l_returnflag, 'A') AS rflag_n, l_shipdate
+        |FROM lineitem WHERE l_orderkey % 40 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  rflag_n NULLS FIRST, l_shipdate""".stripMargin,
+
+    "q_json_ingest" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  NULLIF(l_returnflag, 'A') AS rflag_n, l_shipdate,
+        |  l_suppkey AS st_a, l_linestatus AS st_b,
+        |  CAST(l_linenumber AS VARCHAR) || ','
+        |    || CAST(l_orderkey % 10 AS VARCHAR) AS arr_s
+        |FROM lineitem WHERE l_orderkey % 40 = 1
+        |ORDER BY l_orderkey, l_linenumber, st_a, st_b, arr_s,
+        |  l_extendedprice, rflag_n NULLS FIRST, l_shipdate""".stripMargin,
 
     "q_stringagg" ->
       """SELECT o_orderpriority,
@@ -6018,7 +6170,7 @@ object SparkEntry {
         |      date_trunc('day', CAST(e.ts AS TIMESTAMP))) AS BIGINT)
         |      AS d_off
         |  FROM events e JOIN f ON e.user_id = f.user_id)
-        |SELECT CAST(cohort AS DATE) AS cohort, d_off,
+        |SELECT cohort, d_off,
         |  count(*) AS n_active
         |FROM a WHERE d_off <= 7
         |GROUP BY cohort, d_off

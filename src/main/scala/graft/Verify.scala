@@ -18,10 +18,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump-side physical-type normalization: top-level TIMESTAMP (ltz)
+    // columns go out as TIMESTAMP_NTZ. Under the UTC session tz the
+    // wall-clock values are identical, but Spark writes NTZ as naive
+    // int64 micros — byte-for-byte the physical form DuckDB's oracle
+    // produces — where ltz goes out as INT96 nanos (the one
+    // physical-type asymmetry left in the r11 q_avro_roundtrip
+    // investigation). A narrow projection on top of the query's own
+    // ORDER BY, so row order is untouched.
+    def ntzDump(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      import org.apache.spark.sql.functions.col
+      val cols = df.schema.fields.map { f =>
+        val c = col("`" + f.name.replace("`", "``") + "`")
+        if (f.dataType == TimestampType) c.cast(TimestampNTZType).as(f.name)
+        else c
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntzDump(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

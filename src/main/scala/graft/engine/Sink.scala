@@ -45,8 +45,13 @@ object Sink {
         // append/overwrite — same rule as any path-based V2 sink.
         val root = cfg.path.getOrElse(
           throw new IllegalArgumentException("avro sink needs sink.path"))
-        val mode = if (cfg.mode == "append") "append" else "overwrite"
-        df.write.mode(mode).format("graft-avro").save(s"$root/$target")
+        // DSv2 path sinks support only append/overwrite; anything else
+        // (error/errorifexists/ignore) must fail loudly here — silently
+        // coercing to overwrite would truncate data the job spec asked
+        // us to protect
+        require(cfg.mode == "append" || cfg.mode == "overwrite",
+          s"avro sink supports mode append/overwrite, got '${cfg.mode}'")
+        df.write.mode(cfg.mode).format("graft-avro").save(s"$root/$target")
       case "pgcopy" =>
         // The reference's landing step (db.go:175-180, pgx.CopyFrom)
         // re-expressed as payload files: one COPY TEXT file per upstream

@@ -421,6 +421,17 @@ object FlacCodec {
              bps: Int = 16): Array[Byte] = {
     require(channels.nonEmpty && channels.forall(_.length == channels(0).length))
     require(channels.length == 2 || stereo == Independent)
+    // Lossless contract: every sample must fit signed `bps` bits —
+    // VERBATIM subframes write samples at effBps width, and with
+    // bps <= 28 the FIXED order-2 residual bound (<= 4x the sample
+    // range, so <= 2^(bps+2) <= 2^30) always fits the escape path's
+    // 31-bit raw width. Without this gate, near-full-range Int samples
+    // produce residuals needing up to 33 bits, which writeResidual
+    // used to clamp silently -> lossy round trip.
+    require(bps >= 4 && bps <= 28, s"bps $bps outside supported 4..28")
+    val sLo = -(1 << (bps - 1)); val sHi = (1 << (bps - 1)) - 1
+    require(channels.forall(_.forall(s => s >= sLo && s <= sHi)),
+      s"samples exceed signed $bps-bit range; would round-trip lossy")
     val n = channels(0).length
     val os = new java.io.ByteArrayOutputStream()
     os.write(Array[Byte]('f', 'L', 'a', 'C'))
@@ -628,7 +639,11 @@ object FlacCodec {
           if (need > rawBits) rawBits = need
           i += 1
         }
-        rawBits = math.min(rawBits, 31)
+        // backstop for the encode() sample-range gate: the 5-bit escape
+        // width field caps raw residuals at 31 bits — fail loudly
+        // rather than truncate (a clamp here round-trips LOSSY)
+        require(rawBits <= 31,
+          s"residual needs $rawBits bits > 31-bit escape limit")
         w.put(escape, pBits)
         w.put(rawBits, 5)
         i = a

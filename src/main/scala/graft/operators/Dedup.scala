@@ -923,6 +923,48 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexPath/params")
   }
 
+  /** Incremental maintenance for a persisted minhash index: shingle +
+    * sign + band ONLY the new shard with the family frozen in
+    * `params/` (k, numPerms, bands — build and append can never
+    * disagree), and APPEND its bucket and meta rows beside the
+    * existing artifacts. Signatures are per-doc deterministic, so
+    * build(A) + append(B) produces byte-identical index CONTENT to
+    * build(A ∪ B) — [[minhashNeardupIndexed]] over the appended index
+    * is spec-locked equal to the index built at once (DedupSpec), and
+    * the band-partitioned layout only gains files per band directory.
+    * Cost is O(new shard); corpus text is never re-shingled.
+    */
+  def appendToMinhashIndex(newDocs: DataFrame, indexPath: String): Unit = {
+    val spark = newDocs.sparkSession
+    val prm = spark.read.parquet(s"$indexPath/params").head()
+    val (k, numPerms, bands) =
+      (prm.getAs[Int]("k"), prm.getAs[Int]("num_perms"),
+        prm.getAs[Int]("bands"))
+    val rows = numPerms / bands
+    val posts = TextAnalysis.shinglePosts(newDocs, k)
+      .repartition(col("doc_id"))
+    val p = MinhashPrime
+    val hm = col("h") % p
+    val aggs = (0 until numPerms).map { i =>
+      min((lit(permA(i)) * hm + lit(permB(i))) % p).as(s"sig_$i")
+    } ++ Seq(
+      count(lit(1)).as("n"),
+      sort_array(collect_list(col("h"))).as("sh"))
+    val sigs = posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // feeds buckets AND meta without re-shingling
+    val bandCols = (0 until bands).map { b =>
+      stableHash60(concat_ws(",",
+        lit(b.toString) +: (0 until rows).map(r =>
+          col(s"sig_${b * rows + r}").cast("string")): _*))
+    }
+    sigs.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$indexPath/buckets")
+    sigs.select(col("doc_id"), col("n"), col("sh"))
+      .write.mode("append").parquet(s"$indexPath/meta")
+  }
+
   /** Incremental near-dup against a PERSISTED index: the new batch is
     * shingled and banded with the family recorded in the index params,
     * candidates come from the stored bucket table (the new side's band

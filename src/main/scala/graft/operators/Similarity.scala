@@ -220,6 +220,30 @@ object Similarity {
       .parquet(s"$indexPath/assigned")
   }
 
+  /** Incremental maintenance for a persisted IVF index: production
+    * corpora APPEND — rebuilding the whole index per daily shard is the
+    * O(corpus) cost the build-once split exists to avoid. New vectors
+    * are assigned against the FROZEN stored centroids (the
+    * `semanticDedupWith` frozen-quantizer device applied to the index
+    * artifact) and their cells append to the partitioned assignment
+    * table — cost is O(new shard), the existing cell files are never
+    * rewritten, and cell directories only gain files (dynamic
+    * partition pruning in the query plan is unchanged).
+    *
+    * The law (SimilaritySpec): ivfTopKIndexed over build(A) +
+    * append(B) ≡ ivfTopK inline over A ∪ B with the same centroids —
+    * exact equality, because assignment is deterministic per vector
+    * given frozen centroids.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, indexPath: String): Unit = {
+    val spark = newVectors.sparkSession
+    val stored = spark.read.parquet(s"$indexPath/centroids")
+    assignToCells(newVectors, stored)
+      .repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$indexPath/assigned")
+  }
+
   /** IVF top-k against a PERSISTED index ([[buildIvfIndex]]): loads
     * the centroid artifact (broadcast-sized) and the cell-partitioned
     * assignment table, then runs the SAME search kernel as the inline

@@ -272,15 +272,24 @@ private class AvroWriterFactory(path: String, schema: StructType)
   * through the deflate codec (never buffers the partition). Task
   * retries are safe — names embed the task id and the commit
   * coordinator admits one attempt per partition.
+  *
+  * Crash safety: blocks stream to a staging name (`…avro.tmp`, which
+  * [[AvroSource.listAvroFiles]] never lists) and the file only takes
+  * its final `.avro` name via rename inside `commit()`. An executor
+  * that dies mid-write leaves an orphaned `.tmp` — invisible to
+  * readers, so a hard task failure can never surface duplicate rows
+  * (the old direct-to-final scheme left valid-parseable partials
+  * beside the retry's file).
   */
 private class AvroDataWriter(path: String, schema: StructType,
                              partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val fileName = f"part-$partitionId%05d-$taskId.avro"
+  private val tmpName = s"$fileName.tmp"
   private val avroSchema = AvroConv.toAvroRecord(schema, "graft_row")
   private val rowConv = AvroConv.writer(schema, avroSchema)
   private val fs = new HPath(path).getFileSystem(new Configuration())
-  private val out = fs.create(new HPath(s"$path/$fileName"), true)
+  private val out = fs.create(new HPath(s"$path/$tmpName"), true)
   private val writer =
     new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
   writer.setCodec(CodecFactory.deflateCodec(6))
@@ -292,11 +301,16 @@ private class AvroDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     close()
+    if (!fs.rename(new HPath(s"$path/$tmpName"), new HPath(s"$path/$fileName")))
+      throw new java.io.IOException(
+        s"graft-avro: commit rename failed for $path/$tmpName")
     AvroCommit(fileName)
   }
 
   override def abort(): Unit = {
     close()
+    fs.delete(new HPath(s"$path/$tmpName"), false)
+    // in case abort raced a completed commit()'s rename
     fs.delete(new HPath(s"$path/$fileName"), false)
   }
 

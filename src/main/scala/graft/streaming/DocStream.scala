@@ -381,12 +381,39 @@ object DocStream {
     * `TextAnalysis.heavyHittersExact` pass over the stored corpus with
     * these candidates — the spec-locked law is that this finalize
     * EQUALS batch heavyHitters over the union.
+    *
+    * DURABILITY: pass `stateDir` to snapshot the (merge map, exact N)
+    * per commit through [[GenStore]]'s discipline — the snapshot
+    * stages under `tmp_b<seq>` and becomes visible only via the atomic
+    * commit rename AFTER the sink returned, so a crash mid-batch
+    * leaves the last committed state intact and the replayed batch
+    * re-merges from it. A restarted call on the same `stateDir`
+    * RESUMES from the newest committed snapshot (the restart-resume
+    * law in DocStreamSpec); explicit `state0` is the in-memory escape
+    * hatch and yields to an on-disk snapshot when both exist.
     */
   def heavyHittersIncremental(docsStream: DataFrame, k: Int,
-      state0: Option[(Map[String, Long], Long)] = None)
+      state0: Option[(Map[String, Long], Long)] = None,
+      stateDir: Option[String] = None)
       (sink: (Map[String, Long], Long) => Unit): StreamingQuery = {
-    var summary: Map[String, Long] = state0.map(_._1).getOrElse(Map.empty)
-    var total: Long = state0.map(_._2).getOrElse(0L)
+    val root = stateDir.map(Paths.get(_))
+    root.foreach { r =>
+      Files.createDirectories(r)
+      GenStore.sweepStaged(r)
+    }
+    val resumed = root.flatMap { r =>
+      val gens = GenStore.committed(r)
+      GenStore.loadNewestTokenCounts(gens, "_mg.tsv").map { toks =>
+        val n = GenStore.loadNewestPairs(gens, "_mg_n.tsv")
+          .flatMap(_.headOption).map(_._2).getOrElse(0L)
+        (toks.toMap, n)
+      }
+    }
+    var summary: Map[String, Long] =
+      resumed.map(_._1).orElse(state0.map(_._1)).getOrElse(Map.empty)
+    var total: Long =
+      resumed.map(_._2).orElse(state0.map(_._2)).getOrElse(0L)
+    var seq = root.map(GenStore.nextSeq).getOrElse(0L)
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = graft.operators.TextAnalysis.mgSummary(batch, k)
@@ -398,6 +425,14 @@ object DocStream {
         summary = graft.operators.TextAnalysis.mgMerge(summary, batchMaps, k)
         total += batchN
         sink(summary, total)
+        root.foreach { r =>
+          val staged = GenStore.stagedPath(r, seq)
+          Files.createDirectories(staged)
+          GenStore.writeTokenCounts(staged.resolve("_mg.tsv"), summary)
+          GenStore.writePairs(staged.resolve("_mg_n.tsv"), Map(0L -> total))
+          GenStore.commit(r, staged, seq)
+          seq += 1
+        }
       }
       .start()
   }

@@ -119,5 +119,28 @@ object GenStore {
     committedGens.reverse.iterator.map(_.resolve(name))
       .find(Files.exists(_)).map(readPairs)
 
+  /** (token, count) snapshot IO for string-keyed merge maps (the
+    * streaming MG heavy-hitter summary). Tokens are URL-encoded so
+    * arbitrary characters (tabs, newlines — tokens are split on space
+    * only) survive the TSV framing byte-exactly.
+    */
+  def writeTokenCounts(file: Path,
+                       m: scala.collection.Map[String, Long]): Unit =
+    writeLines(file, m.toSeq.sortBy(_._1).map { case (t, c) =>
+      java.net.URLEncoder.encode(t, "UTF-8") + "\t" + c })
+
+  def readTokenCounts(file: Path): Seq[(String, Long)] =
+    readLines(file).map { l =>
+      val i = l.lastIndexOf('\t')
+      (java.net.URLDecoder.decode(l.substring(0, i), "UTF-8"),
+        l.substring(i + 1).toLong)
+    }
+
+  /** Newest committed generation carrying `name`, read as token counts. */
+  def loadNewestTokenCounts(committedGens: Seq[Path],
+                            name: String): Option[Seq[(String, Long)]] =
+    committedGens.reverse.iterator.map(_.resolve(name))
+      .find(Files.exists(_)).map(readTokenCounts)
+
   private[streaming] def asPath(s: String): Path = Paths.get(s)
 }

@@ -133,4 +133,41 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.format("graft-avro").load(s"$root/nation")
       .count() === 3)
   }
+
+  test("avro sink: unsupported modes fail loudly instead of silently " +
+       "truncating (error/errorifexists/ignore are not coerced)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sink_avro_mode").toString
+    val nation = spark.read.parquet(sf() + "/nation.parquet")
+    Sink.write(nation, "nation", SinkConfig(format = "avro",
+      path = Some(root), mode = "overwrite"))
+    for (m <- Seq("error", "errorifexists", "ignore")) {
+      val e = intercept[IllegalArgumentException] {
+        Sink.write(nation.limit(1), "nation", SinkConfig(format = "avro",
+          path = Some(root), mode = m))
+      }
+      assert(e.getMessage.contains(m))
+    }
+    // prior data untouched by the rejected writes
+    assert(spark.read.format("graft-avro").load(s"$root/nation")
+      .count() === 25)
+  }
+
+  test("avro writer crash-safety: an orphaned .avro.tmp staging file " +
+       "(simulated dead executor) is invisible to readers") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sink_avro_tmp").toString
+    val nation = spark.read.parquet(sf() + "/nation.parquet")
+    Sink.write(nation, "nation", SinkConfig(format = "avro",
+      path = Some(root), mode = "overwrite"))
+    val dir = new java.io.File(s"$root/nation")
+    // a real committed file, copied back under a staging name — valid
+    // Avro bytes all the way, exactly what a died-mid-write attempt
+    // that happened to flush whole blocks would leave behind
+    val committed = dir.listFiles().filter(_.getName.endsWith(".avro")).head
+    java.nio.file.Files.copy(committed.toPath,
+      new java.io.File(dir, "part-99999-123.avro.tmp").toPath)
+    assert(spark.read.format("graft-avro").load(s"$root/nation")
+      .count() === 25)
+  }
 }

@@ -53,6 +53,25 @@ class FlacCodecSpec extends AnyFunSuite {
     roundTrip(Array(l, r), Independent)
   }
 
+  test("encode rejects samples outside the declared bps range and " +
+       "unsupported bps — never a silent lossy round trip") {
+    // near-full-range Int samples used to clamp 33-bit residuals to 31
+    // in the Rice escape path and round-trip LOSSY; now they fail fast
+    intercept[IllegalArgumentException] {
+      encode(Array(Array(Int.MaxValue, Int.MinValue + 1, 0, 5)),
+        16000, 64, Independent)
+    }
+    intercept[IllegalArgumentException] {
+      encode(Array(Array(32768, 0, 0, 0)), 16000, 64, Independent) // bps=16
+    }
+    intercept[IllegalArgumentException] {
+      encode(Array(noise(1, 8)), 16000, 64, Independent, bps = 32)
+    }
+    // boundary values of the declared range are fine
+    roundTrip(Array(Array(-32768, 32767, -32768, 32767, 0, 1)),
+      Independent, blockSize = 6)
+  }
+
   test("mid/side parity trick is exact for odd sums and negatives") {
     val l = Array(-3, 3, -32768, 32767, 1, 0)
     val r = Array(0, 2, 32767, -32768, -1, -1)

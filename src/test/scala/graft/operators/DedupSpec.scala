@@ -609,4 +609,38 @@ class DedupSpec extends SparkSpec {
       .filter(_.getName.startsWith("band="))
     assert(bandDirs.length === 16, s"got ${bandDirs.length} band dirs")
   }
+
+  test("incremental minhash maintenance: build(A) + appendToMinhashIndex(B) " +
+       "answers indexed queries exactly as an index built on A ∪ B, with " +
+       "the frozen family and only-additive band directories") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+    val fresh = docs.filter(col("doc_id") >= 450)
+    val incrPath = java.nio.file.Files
+      .createTempDirectory("graft_mhincr_spec").toString
+    Dedup.buildMinhashIndex(a, incrPath)
+    Dedup.appendToMinhashIndex(b, incrPath)
+    val incr = Dedup.minhashNeardupIndexed(fresh, incrPath, tau = 0.3)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val oncePath = java.nio.file.Files
+      .createTempDirectory("graft_mhonce_spec").toString
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 450), oncePath)
+    val once = Dedup.minhashNeardupIndexed(fresh, oncePath, tau = 0.3)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(incr.nonEmpty && incr === once)
+    // append never rewrites: still exactly the 16 band directories, and
+    // meta now covers both shards
+    val bandDirs = new java.io.File(s"$incrPath/buckets").listFiles()
+      .filter(_.getName.startsWith("band="))
+    assert(bandDirs.length === 16)
+    val metaIds = spark.read.parquet(s"$incrPath/meta")
+      .select("doc_id").as[Long].collect().toSet
+    // empty-shingle docs (text shorter than k tokens) have no posting
+    // rows on either path; both shards must still be represented
+    assert(metaIds.exists(_ < 300) && metaIds.exists(id => id >= 300 && id < 450))
+  }
 }

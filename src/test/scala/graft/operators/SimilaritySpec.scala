@@ -55,6 +55,34 @@ class SimilaritySpec extends SparkSpec {
     assert(idx2.nonEmpty && idx2 == inline2)
   }
 
+  test("incremental IVF maintenance: build(A) + appendToIvfIndex(B) " +
+       "answers queries exactly as the inline operator over A ∪ B and " +
+       "as an index built on the union at once") {
+    // build shard keeps the 16 lowest vec_ids, so default centroids
+    // equal the full-corpus ones — any query difference would be a
+    // defect in the append path itself
+    val a = e.filter(col("vec_id") < 16 || col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") >= 16 && col("vec_id") % 2 === 1)
+    val incrPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfincr_spec").toString
+    Similarity.buildIvfIndex(a, incrPath, nlist = 16)
+    Similarity.appendToIvfIndex(b, incrPath)
+    val incr = Similarity.ivfTopKIndexed(queries, incrPath, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.ivfTopK(queries, e, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(incr.nonEmpty && incr == inline)
+    val oncePath = java.nio.file.Files
+      .createTempDirectory("graft_ivfonce_spec").toString
+    Similarity.buildIvfIndex(e, oncePath, nlist = 16)
+    val once = Similarity.ivfTopKIndexed(queries, oncePath, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(incr == once)
+    // the appended shard's vectors really landed in the cell map
+    val nAssigned = spark.read.parquet(s"$incrPath/assigned").count()
+    assert(nAssigned === e.count())
+  }
+
   test("persisted PQ index: codebook + code table reload to the exact " +
        "inline pqTopK ranking") {
     val path = java.nio.file.Files

@@ -546,4 +546,51 @@ class DocStreamSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(fin === want, "finalize must equal batch heavyHitters")
   }
+
+  test("durable heavy-hitters restart-resume: a SECOND stream on the " +
+       "same stateDir continues from the committed MG snapshot and ends " +
+       "in the same state as one uninterrupted stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    def tuples(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val k = 100
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_hh_resume").toString
+    // leg 1: two batches, then stop (the "crash")
+    val mem1 = MemoryStream[(Long, String)]
+    var state1: (Map[String, Long], Long) = (Map.empty, 0L)
+    val q1 = DocStream.heavyHittersIncremental(
+        mem1.toDF().toDF("doc_id", "text"), k,
+        stateDir = Some(stateDir)) { (s, n) => state1 = (s, n) }
+    Seq((0L, 160L), (160L, 320L)).foreach { case (lo, hi) =>
+      mem1.addData(tuples(lo, hi): _*); q1.processAllAvailable()
+    }
+    q1.stop()
+    // leg 2: a FRESH query resumes from the snapshot, sees batch 3 only
+    val mem2 = MemoryStream[(Long, String)]
+    var state2: (Map[String, Long], Long) = (Map.empty, 0L)
+    val q2 = DocStream.heavyHittersIncremental(
+        mem2.toDF().toDF("doc_id", "text"), k,
+        stateDir = Some(stateDir)) { (s, n) => state2 = (s, n) }
+    mem2.addData(tuples(320L, 500L): _*); q2.processAllAvailable()
+    q2.stop()
+    // uninterrupted control over the same batch boundaries
+    val mem3 = MemoryStream[(Long, String)]
+    var state3: (Map[String, Long], Long) = (Map.empty, 0L)
+    val q3 = DocStream.heavyHittersIncremental(
+        mem3.toDF().toDF("doc_id", "text"), k) { (s, n) => state3 = (s, n) }
+    Seq((0L, 160L), (160L, 320L), (320L, 500L)).foreach { case (lo, hi) =>
+      mem3.addData(tuples(lo, hi): _*); q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(state2._2 === state3._2, "resumed N must be exact")
+    assert(state2._1 === state3._1,
+      "resumed merge map must equal the uninterrupted stream's")
+    assert(state2._2 > state1._2, "leg 2 must extend leg 1")
+  }
 }
