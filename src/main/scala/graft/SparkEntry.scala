@@ -243,6 +243,47 @@ object SparkEntry {
           col("rflag_n"), col("l_shipdate"))
     }),
 
+    // ---- Iceberg table-format ingestion (reference README.md:11): a
+    //      lineitem slice composed as a REAL v1 Iceberg table ONCE per
+    //      sf dir (metadata JSON + Avro manifest list/manifests +
+    //      identity-partitioned parquet data files — all public spec,
+    //      graft.sources.Iceberg), read back through the facade's
+    //      metadata walk and hash-gated vs the parquet recomputation ----
+    "q_iceberg_scan" -> ((s, dir) => {
+      val path = annIndex("iceberg_rt", dir) { p =>
+        graft.sources.Iceberg.writeTable(
+          t(s, dir, "lineitem")
+            .where(col("l_orderkey") % 60 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_returnflag"), col("l_shipdate")),
+          p, "l_returnflag")
+      }
+      Readers.read(s, JobSpec(source = path, target = "lineitem_ice",
+          format = Some(SourceFormat.Iceberg)))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+    }),
+
+    // ---- Iceberg metadata-only partition pruning: the same table
+    //      probed for ONE identity-partition value — manifests prune
+    //      against the manifest list's binary bound summaries and
+    //      files against per-entry partition values BEFORE any data
+    //      file opens (IcebergSpec pins the strict-subset law); the
+    //      oracle recomputes the partition slice from parquet ----
+    "q_iceberg_prune" -> ((s, dir) => {
+      val path = annIndex("iceberg_rt", dir) { p =>
+        graft.sources.Iceberg.writeTable(
+          t(s, dir, "lineitem")
+            .where(col("l_orderkey") % 60 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_returnflag"), col("l_shipdate")),
+          p, "l_returnflag")
+      }
+      graft.sources.Iceberg.scan(s, path, partitionEq = Some("R"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5317,6 +5358,20 @@ object SparkEntry {
         |  l_linestatus AS st_b
         |FROM lineitem WHERE l_orderkey % 50 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_iceberg_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate
+        |FROM lineitem WHERE l_orderkey % 60 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate""".stripMargin,
+
+    "q_iceberg_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate
+        |FROM lineitem WHERE l_orderkey % 60 = 0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate""".stripMargin,
 
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

@@ -5,9 +5,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Source formats the engine recognizes. Mirrors the reference's
   * extension-derived `SourceFormat` (GCS2Postgres `src/db/db.go:27` — file
-  * extension, uppercased). Formats whose connector jars are absent in this
-  * environment (Avro, Iceberg, BigQuery, JDBC) stay first-class enum members
-  * so the prod wiring is one jar away; reads fail fast with a clear message.
+  * extension, uppercased). Avro and Iceberg are served by in-repo readers
+  * (sources/AvroSource, sources/Iceberg); BigQuery and JDBC — whose
+  * connector jars are absent in this environment — stay first-class enum
+  * members so the prod wiring is one jar away; reads fail fast with a
+  * clear message.
   */
 sealed abstract class SourceFormat(val sparkFormat: String)
 object SourceFormat {
@@ -17,7 +19,7 @@ object SourceFormat {
   case object Orc     extends SourceFormat("orc")
   case object Text    extends SourceFormat("text")
   case object Avro    extends SourceFormat("avro")     // served by graft.sources.AvroSource
-  case object Iceberg extends SourceFormat("iceberg")  // needs iceberg-runtime
+  case object Iceberg extends SourceFormat("iceberg")  // served by graft.sources.Iceberg (v1 spec reader)
   case object Jdbc    extends SourceFormat("jdbc")     // needs driver jar
   case object Bigquery extends SourceFormat("bigquery") // needs spark-bigquery
 

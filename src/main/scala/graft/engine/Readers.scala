@@ -33,11 +33,17 @@ object Readers {
         // the in-repo DSv2 connector (sync-split ranges + reader-schema
         // pruning) — no spark-avro module on this classpath
         reader.format("graft-avro").load(job.source)
-      case SourceFormat.Iceberg | SourceFormat.Bigquery =>
-        // Connector jars absent in this environment (offline coursier);
-        // the call shape is the production wiring (for Bigquery, `load`
-        // takes the project.dataset.table id the reference-config
-        // parser emits).
+      case SourceFormat.Iceberg =>
+        // the in-repo table-format reader (graft.sources.Iceberg):
+        // version-hint → metadata JSON → manifest list → manifests →
+        // pruned parquet data files, all public Iceberg v1 spec —
+        // no connector jar needed
+        graft.sources.Iceberg.scan(spark, job.source,
+          job.options.get("iceberg.partitionEq"))
+      case SourceFormat.Bigquery =>
+        // Connector jar absent in this environment (offline coursier);
+        // the call shape is the production wiring (`load` takes the
+        // project.dataset.table id the reference-config parser emits).
         reader.format(fmt.sparkFormat).load(job.source)
       case SourceFormat.Jdbc =>
         reader.format("jdbc").load()

@@ -1,0 +1,503 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** In-repo Apache Iceberg v1 TABLE-FORMAT reader (+ a closed-form
+  * composer for fixtures) — the last reference source format
+  * (GCS2Postgres `README.md:11` "Iceberg") previously served by a
+  * parquet-backed double. Everything here is the PUBLIC Iceberg table
+  * spec (https://iceberg.apache.org/spec/): JSON table metadata, Avro
+  * manifest lists and manifests, parquet data files. No connector jar
+  * — the repo's own Avro machinery ([[AvroConv]]'s core-library
+  * sibling usage) reads the metadata tree.
+  *
+  * Read path (the scale story):
+  *  - `metadata/version-hint.text` (or max `vN.metadata.json`) names
+  *    the current metadata — ONE tiny file read;
+  *  - the metadata JSON names the current snapshot and its MANIFEST
+  *    LIST — one small Avro file whose rows carry per-manifest
+  *    partition-bound summaries (`field_summary.lower_bound/
+  *    upper_bound`, the spec's single-value binary serialization);
+  *  - a partition predicate prunes MANIFESTS against those bounds
+  *    before any manifest is opened, then prunes FILES against each
+  *    entry's own partition value — at 100 TB a point query reads the
+  *    manifests of one partition, not the table's (this is the same
+  *    metadata-pruning story as the persisted IVF index's dynamic
+  *    partition pruning, done at the table-format layer);
+  *  - only the surviving parquet data files enter the Spark scan
+  *    (`spark.read.parquet(files…)` — self-describing, column-pruned,
+  *    filter-pushed like any parquet scan).
+  *
+  * Manifest reading happens at PLANNING time on the driver —
+  * deliberately: that is where Iceberg itself reads manifests, they
+  * are metadata (KBs–MBs each), and after manifest-list pruning the
+  * driver touches only the survivors. The DATA path is fully
+  * distributed.
+  *
+  * Scope (spec subset, honest about it): format-version 1, one
+  * identity partition field of type string or long, parquet data
+  * files, append snapshots, no delete files. Unknown/extra fields in
+  * the JSON are ignored; v2 tables fail loudly rather than half-read.
+  */
+object Iceberg {
+
+  private def om = new ObjectMapper()
+  private def hconf = new Configuration()
+
+  // ---------------------------------------------------------------
+  // spec Avro schemas (v1 subset; field-id props as the spec requires)
+  // ---------------------------------------------------------------
+
+  /** manifest_entry with an identity partition field of `ptype`
+    * ("string" | "long").
+    */
+  private[sources] def manifestEntrySchema(pname: String,
+                                           ptype: String): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |  {"name":"status","type":"int","field-id":0},
+         |  {"name":"snapshot_id","type":["null","long"],"default":null,
+         |   "field-id":1},
+         |  {"name":"data_file","field-id":2,"type":{
+         |    "type":"record","name":"r2","fields":[
+         |      {"name":"file_path","type":"string","field-id":100},
+         |      {"name":"file_format","type":"string","field-id":101},
+         |      {"name":"partition","field-id":102,"type":{
+         |        "type":"record","name":"r102","fields":[
+         |          {"name":"$pname","type":["null","$ptype"],
+         |           "default":null,"field-id":1000}]}},
+         |      {"name":"record_count","type":"long","field-id":103},
+         |      {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |  ]}}
+         |]}""".stripMargin)
+
+  /** manifest_file (one manifest-list row), with the partition
+    * field_summary array carrying the spec's binary bounds.
+    */
+  private[sources] val manifestFileSchema: Schema =
+    new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string","field-id":500},
+        |  {"name":"manifest_length","type":"long","field-id":501},
+        |  {"name":"partition_spec_id","type":"int","field-id":502},
+        |  {"name":"added_snapshot_id","type":["null","long"],
+        |   "default":null,"field-id":503},
+        |  {"name":"partitions","field-id":507,"default":null,
+        |   "type":["null",{"type":"array","items":{
+        |     "type":"record","name":"r508","fields":[
+        |       {"name":"contains_null","type":"boolean","field-id":509},
+        |       {"name":"lower_bound","type":["null","bytes"],
+        |        "default":null,"field-id":510},
+        |       {"name":"upper_bound","type":["null","bytes"],
+        |        "default":null,"field-id":511}
+        |  ]}}]}
+        |]}""".stripMargin)
+
+  // ---------------------------------------------------------------
+  // single-value binary serialization (spec appendix D)
+  // ---------------------------------------------------------------
+
+  private[sources] def boundBytes(v: Any): Array[Byte] = v match {
+    case s: String => s.getBytes(UTF_8)
+    case l: Long =>
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+    case other => throw new IllegalArgumentException(
+      s"unsupported partition bound type ${other.getClass.getSimpleName}")
+  }
+
+  private[sources] def boundValue(b: Array[Byte], ptype: String): Any =
+    ptype match {
+      case "string" => new String(b, UTF_8)
+      case "long" => java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition type $other")
+    }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case _ => throw new IllegalArgumentException(s"uncomparable: $a vs $b")
+  }
+
+  // ---------------------------------------------------------------
+  // reader
+  // ---------------------------------------------------------------
+
+  final case class TableMeta(
+      formatVersion: Int,
+      location: String,               // location recorded in metadata
+      root: String,                   // where the table actually sits
+      columns: Seq[String],           // schema field names, spec order
+      partName: String,               // identity partition column
+      partType: String,               // "string" | "long"
+      manifestList: String) {         // current snapshot's manifest list
+    /** Relocation support: the spec records absolute file URIs, so a
+      * table moved wholesale (the annIndex stage→publish rename, a
+      * bucket migration) carries stale prefixes — any recorded path
+      * under the metadata `location` is rebased onto the actual root.
+      */
+    def rebase(p: String): String = {
+      // compare scheme-free: composers record hadoop URIs ("file:/x"),
+      // the location/table root are often bare paths
+      def bare(s: String) =
+        if (s.startsWith("file:")) s.substring(5) else s
+      val (q, loc, r) = (bare(p), bare(location), bare(root))
+      if (loc.nonEmpty && loc != r && q.startsWith(loc))
+        r + q.substring(loc.length)
+      else p
+    }
+  }
+
+  final case class ManifestInfo(
+      path: String,
+      lower: Option[Any],
+      upper: Option[Any],
+      containsNull: Boolean)
+
+  /** Resolve and parse the CURRENT table metadata: version-hint.text
+    * when present (the spec's file-system-catalog convention), else
+    * the max-numbered `vN.metadata.json`.
+    */
+  def currentMetadata(tableDir: String): TableMeta = {
+    val metaDir = new HPath(s"$tableDir/metadata")
+    val fs = metaDir.getFileSystem(hconf)
+    val hint = new HPath(metaDir, "version-hint.text")
+    val version =
+      if (fs.exists(hint)) {
+        val in = fs.open(hint)
+        try new String(in.readAllBytes(), UTF_8).trim.toInt
+        finally in.close()
+      } else {
+        val vs = fs.listStatus(metaDir).map(_.getPath.getName)
+          .flatMap { n =>
+            val m = "v(\\d+)\\.metadata\\.json".r.findFirstMatchIn(n)
+            m.map(_.group(1).toInt)
+          }
+        require(vs.nonEmpty, s"no vN.metadata.json under $metaDir")
+        vs.max
+      }
+    val mf = new HPath(metaDir, s"v$version.metadata.json")
+    val in = fs.open(mf)
+    val root = try om.readTree(in.readAllBytes()) finally in.close()
+
+    val fv = root.path("format-version").asInt(-1)
+    require(fv == 1,
+      s"iceberg: format-version $fv not supported (v1 subset reader)")
+    val schema = root.path("schema")
+    val columns = schema.path("fields").elements().asScala
+      .map(_.path("name").asText()).toSeq
+    val types = schema.path("fields").elements().asScala
+      .map(f => f.path("id").asInt() ->
+        (f.path("name").asText(), f.path("type").asText())).toMap
+
+    val spec = root.path("partition-spec")
+    require(spec.isArray && spec.size() == 1,
+      "iceberg: exactly one partition field supported")
+    val pf = spec.get(0)
+    require(pf.path("transform").asText() == "identity",
+      s"iceberg: only identity transform supported, " +
+        s"got ${pf.path("transform").asText()}")
+    val (pname, ptypeRaw) = types(pf.path("source-id").asInt())
+    val ptype = ptypeRaw match {
+      case "string" => "string"
+      case "long" | "int" => "long"
+      case other => throw new IllegalArgumentException(
+        s"iceberg: unsupported partition column type $other")
+    }
+
+    val snapId = root.path("current-snapshot-id").asLong()
+    val snap = root.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong() == snapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg: current snapshot $snapId not in snapshots list"))
+    TableMeta(fv, root.path("location").asText(tableDir), tableDir,
+      columns, pname, ptype, snap.path("manifest-list").asText())
+  }
+
+  /** The manifest list: per-manifest paths + partition-bound
+    * summaries, read driver-side (one small Avro file).
+    */
+  def manifestList(meta: TableMeta): Seq[ManifestInfo] =
+    readAvro(meta.rebase(meta.manifestList)).map { r =>
+      val parts = Option(r.get("partitions"))
+        .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala)
+        .getOrElse(Seq.empty)
+      val summary = parts.headOption
+      def bound(name: String): Option[Any] = summary.flatMap(s =>
+        Option(s.get(name)).map(bb => boundValue(
+          bufBytes(bb.asInstanceOf[java.nio.ByteBuffer]), meta.partType)))
+      ManifestInfo(r.get("manifest_path").toString,
+        bound("lower_bound"), bound("upper_bound"),
+        summary.exists(_.get("contains_null")
+          .asInstanceOf[Boolean]))
+    }
+
+  /** Live (status != DELETED) data-file entries of one manifest:
+    * (file_path, partition value).
+    */
+  def manifestEntries(manifestPath: String,
+                      meta: TableMeta): Seq[(String, Option[Any])] =
+    readAvro(meta.rebase(manifestPath))
+      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(df.get("file_format").toString
+          .equalsIgnoreCase("PARQUET"),
+          s"iceberg: only parquet data files supported")
+        val pv = Option(df.get("partition")
+          .asInstanceOf[GenericRecord].get(meta.partName))
+          .map {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case other => other
+          }
+        (meta.rebase(df.get("file_path").toString), pv)
+      }
+
+  /** Data files surviving an optional identity-partition equality
+    * predicate, plus the pruning census for the plan-shape law:
+    * (files, manifestsRead, manifestsTotal).
+    */
+  def prunedDataFiles(tableDir: String,
+                      partitionEq: Option[String])
+      : (Seq[String], Int, Int) = {
+    val meta = currentMetadata(tableDir)
+    val mans = manifestList(meta)
+    val want = partitionEq.map(v =>
+      if (meta.partType == "long") v.toLong: Any else v: Any)
+    // manifest pruning: spec bounds are inclusive; a manifest whose
+    // [lower, upper] window excludes the wanted value is never opened
+    val survivors = want match {
+      case None => mans
+      case Some(v) => mans.filter { m =>
+        val loOk = m.lower.forall(cmp(_, v) <= 0)
+        val hiOk = m.upper.forall(cmp(v, _) <= 0)
+        (loOk && hiOk) || (m.lower.isEmpty && m.upper.isEmpty)
+      }
+    }
+    val files = survivors.flatMap(m => manifestEntries(m.path, meta))
+      .collect {
+        case (f, pv) if want.forall(v => pv.contains(v)) => f
+      }
+    (files, survivors.size, mans.size)
+  }
+
+  /** Scan the table's current snapshot as a DataFrame, optionally
+    * pruned to one identity-partition value (manifest-level AND
+    * file-level pruning from metadata alone — no data file of another
+    * partition is ever opened). Column order follows the table
+    * schema.
+    */
+  def scan(spark: SparkSession, tableDir: String,
+           partitionEq: Option[String] = None): DataFrame = {
+    val meta = currentMetadata(tableDir)
+    val (files, _, _) = prunedDataFiles(tableDir, partitionEq)
+    require(files.nonEmpty,
+      s"iceberg: no data files for $tableDir (partitionEq=$partitionEq)")
+    spark.read.parquet(files: _*)
+      .select(meta.columns.map(c => col(s"`$c`")): _*)
+  }
+
+  // ---------------------------------------------------------------
+  // closed-form composer (fixtures + the write side of the surface)
+  // ---------------------------------------------------------------
+
+  /** Compose a v1 Iceberg table from `df`, identity-partitioned on
+    * `partCol` (string or long): per-partition parquet data dirs, one
+    * manifest per partition (bounds = the partition value), a
+    * manifest list with field summaries, `v1.metadata.json`, and
+    * `version-hint.text`. Deterministic throughout (fixed timestamps,
+    * name-derived UUID) so fixture builds are hash-stable.
+    *
+    * The composer collects only the DISTINCT PARTITION VALUES to the
+    * driver — partition counts are bounded by design (this is the
+    * same contract as any partitionBy sink); row data never leaves
+    * the cluster.
+    */
+  def writeTable(df: DataFrame, tableDir: String, partCol: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val partField = df.schema(partCol)
+    val ptype = partField.dataType.typeName match {
+      case "string" => "string"
+      case "long" | "integer" => "long"
+      case other => throw new IllegalArgumentException(
+        s"iceberg composer: unsupported partition type $other")
+    }
+    val values = df.select(col(s"`$partCol`")).distinct()
+      .collect().map(_.get(0)).sortBy(_.toString)
+
+    // data files: one dir per partition value, column retained in the
+    // files (identity partitioning; readers may take it from either)
+    val entrySchema = manifestEntrySchema(partCol, ptype)
+    val dataFileSch = entrySchema.getField("data_file").schema()
+    val partSch = dataFileSch.getField("partition").schema()
+    val manifests = values.zipWithIndex.map { case (v, i) =>
+      val dataDir = s"$tableDir/data/$partCol=$v"
+      df.filter(col(s"`$partCol`") === v)
+        .write.mode("overwrite").parquet(dataDir)
+      val parts = fs.listStatus(new HPath(dataDir))
+        .filter(f => f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+      val entries = parts.map { f =>
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", 1L)
+        val d = new GenericData.Record(dataFileSch)
+        d.put("file_path", f.getPath.toString)
+        d.put("file_format", "PARQUET")
+        val p = new GenericData.Record(partSch)
+        p.put(partCol, v match {
+          case n: Int => n.toLong
+          case other => other
+        })
+        d.put("partition", p)
+        d.put("record_count", parquetRowCount(f.getPath))
+        d.put("file_size_in_bytes", f.getLen)
+        e.put("data_file", d)
+        e
+      }
+      val mPath = s"$tableDir/metadata/snap1-m$i.avro"
+      writeAvro(mPath, entrySchema, entries.toSeq,
+        Map("partition-spec-id" -> "0"))
+      val mLen = fs.getFileStatus(new HPath(mPath)).getLen
+      (mPath, mLen, v)
+    }
+
+    // manifest list with per-manifest partition bound summaries
+    val summarySch = manifestFileSchema.getField("partitions").schema()
+      .getTypes.get(1).getElementType
+    val listRecords = manifests.map { case (mPath, mLen, v) =>
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", mPath)
+      r.put("manifest_length", mLen)
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", 1L)
+      val s = new GenericData.Record(summarySch)
+      s.put("contains_null", false)
+      val bb = java.nio.ByteBuffer.wrap(boundBytes(v match {
+        case n: Int => n.toLong
+        case other => other
+      }))
+      s.put("lower_bound", bb.duplicate())
+      s.put("upper_bound", bb.duplicate())
+      r.put("partitions",
+        java.util.List.of[GenericRecord](s))
+      r
+    }
+    val listPath = s"$tableDir/metadata/snap-1-1.avro"
+    writeAvro(listPath, manifestFileSchema, listRecords.toSeq, Map.empty)
+
+    // table metadata JSON (v1) + version hint
+    val typeName: org.apache.spark.sql.types.DataType => String = {
+      case org.apache.spark.sql.types.LongType      => "long"
+      case org.apache.spark.sql.types.IntegerType   => "int"
+      case org.apache.spark.sql.types.DoubleType    => "double"
+      case org.apache.spark.sql.types.FloatType     => "float"
+      case org.apache.spark.sql.types.StringType    => "string"
+      case org.apache.spark.sql.types.BooleanType   => "boolean"
+      case org.apache.spark.sql.types.DateType      => "date"
+      case org.apache.spark.sql.types.TimestampType => "timestamptz"
+      case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+      case d: org.apache.spark.sql.types.DecimalType =>
+        s"decimal(${d.precision}, ${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"iceberg composer: unsupported column type $other")
+    }
+    val fieldsJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id": ${i + 1}, "name": "${f.name}", "required": false,
+         | "type": "${typeName(f.dataType)}"}""".stripMargin
+    }.mkString(",\n      ")
+    val srcId = df.schema.fieldIndex(partCol) + 1
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"graft-iceberg:$tableDir".getBytes(UTF_8))
+    val specJson =
+      s"""[{"name": "$partCol", "transform": "identity",
+         |  "source-id": $srcId, "field-id": 1000}]""".stripMargin
+    val metaJson =
+      s"""{
+         |  "format-version": 1,
+         |  "table-uuid": "$uuid",
+         |  "location": "$tableDir",
+         |  "last-updated-ms": 1700000000000,
+         |  "last-column-id": ${df.schema.fields.length},
+         |  "schema": {"type": "struct", "fields": [
+         |      $fieldsJson
+         |  ]},
+         |  "partition-spec": $specJson,
+         |  "partition-specs": [{"spec-id": 0, "fields": $specJson}],
+         |  "default-spec-id": 0,
+         |  "properties": {},
+         |  "current-snapshot-id": 1,
+         |  "snapshots": [{
+         |    "snapshot-id": 1,
+         |    "timestamp-ms": 1700000000000,
+         |    "summary": {"operation": "append"},
+         |    "manifest-list": "$listPath"
+         |  }]
+         |}""".stripMargin
+    writeText(s"$tableDir/metadata/v1.metadata.json", metaJson)
+    writeText(s"$tableDir/metadata/version-hint.text", "1")
+    // the fixture composer runs inside Spark jobs; keep spark referenced
+    // for future multi-snapshot appends without API change
+    locally(spark)
+  }
+
+  // ---------------------------------------------------------------
+  // small IO helpers
+  // ---------------------------------------------------------------
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](
+      new FsInput(new HPath(path), hconf),
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toList finally r.close()
+  }
+
+  private def writeAvro(path: String, schema: Schema,
+                        records: Seq[GenericRecord],
+                        meta: Map[String, String]): Unit = {
+    val fs = new HPath(path).getFileSystem(hconf)
+    val out = fs.create(new HPath(path), true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.setCodec(CodecFactory.deflateCodec(6))
+    w.create(schema, out)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  private def writeText(path: String, text: String): Unit = {
+    val fs = new HPath(path).getFileSystem(hconf)
+    val out = fs.create(new HPath(path), true)
+    try out.write(text.getBytes(UTF_8)) finally out.close()
+  }
+
+  private def bufBytes(bb: java.nio.ByteBuffer): Array[Byte] = {
+    val d = bb.duplicate()
+    val a = new Array[Byte](d.remaining())
+    d.get(a)
+    a
+  }
+
+  private def parquetRowCount(file: HPath): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, hconf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Iceberg v1 reader laws: round trip through a spec-composed table,
+  * metadata-only partition pruning (strict subset of manifests AND
+  * files), relocation rebasing, version resolution, and loud v2
+  * rejection.
+  */
+class IcebergSpec extends SparkSpec {
+
+  private def fixture(): (String, org.apache.spark.sql.DataFrame) = {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_spec").toString
+    Iceberg.writeTable(df, dir, "l_returnflag")
+    (dir, df)
+  }
+
+  test("round trip: a spec-composed v1 table scans back row-identical " +
+       "through the metadata walk (hint -> metadata -> manifest list -> " +
+       "manifests -> parquet)") {
+    val (dir, df) = fixture()
+    val back = Iceberg.scan(spark, dir)
+    assert(back.schema.fieldNames.toSeq === df.schema.fieldNames.toSeq)
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)
+  }
+
+  test("metadata-only partition pruning: an identity-partition equality " +
+       "probe opens a STRICT subset of manifests and files, and returns " +
+       "exactly the partition slice") {
+    val (dir, df) = fixture()
+    val (allFiles, allRead, allTotal) = Iceberg.prunedDataFiles(dir, None)
+    val (rFiles, rRead, rTotal) = Iceberg.prunedDataFiles(dir, Some("R"))
+    assert(allRead === allTotal, "no predicate -> every manifest read")
+    assert(rTotal === allTotal)
+    assert(rRead < allTotal,
+      s"pruning must skip manifests: read $rRead of $allTotal")
+    assert(rFiles.toSet.subsetOf(allFiles.toSet) &&
+      rFiles.size < allFiles.size)
+    val got = Iceberg.scan(spark, dir, Some("R"))
+      .collect().map(_.toSeq).toSet
+    val want = df.filter(col("l_returnflag") === "R")
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got === want)
+    // a value outside every bound window prunes ALL manifests
+    val (zFiles, zRead, _) = Iceberg.prunedDataFiles(dir, Some("Z"))
+    assert(zFiles.isEmpty && zRead === 0)
+  }
+
+  test("relocation: moving the whole table directory rebases the " +
+       "absolute URIs recorded in metadata (manifest list, manifests, " +
+       "data files)") {
+    val (dir, df) = fixture()
+    val moved = java.nio.file.Paths.get(dir + "_moved")
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir), moved)
+    val back = Iceberg.scan(spark, moved.toString)
+    assert(back.count() === df.count())
+  }
+
+  test("version resolution: version-hint.text wins; without it the max " +
+       "vN.metadata.json is current") {
+    val (dir, df) = fixture()
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"))
+    assert(Iceberg.scan(spark, dir).count() === df.count())
+  }
+
+  test("format-version 2 and non-identity transforms are rejected " +
+       "loudly, never half-read") {
+    val (dir, _) = fixture()
+    val metaPath = java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json")
+    // the composer wrote via Hadoop's checksummed local FS; rewriting
+    // with nio invalidates the .crc sidecar — drop it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/metadata/.v1.metadata.json.crc"))
+    val v1 = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    java.nio.file.Files.write(metaPath,
+      v1.replace("\"format-version\": 1", "\"format-version\": 2")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.currentMetadata(dir)
+    }
+    assert(e.getMessage.contains("format-version"))
+    java.nio.file.Files.write(metaPath,
+      v1.replace("\"transform\": \"identity\"", "\"transform\": \"bucket[4]\"")
+        .getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      Iceberg.currentMetadata(dir)
+    }
+    assert(e2.getMessage.contains("transform"))
+  }
+
+  test("facade routing: SourceFormat.Iceberg reads through the in-repo " +
+       "walker, with iceberg.partitionEq as the pruning option") {
+    import graft.engine.{JobSpec, Readers, SourceFormat}
+    val (dir, df) = fixture()
+    val full = Readers.read(spark, JobSpec(source = dir, target = "t",
+      format = Some(SourceFormat.Iceberg)))
+    assert(full.count() === df.count())
+    val pruned = Readers.read(spark, JobSpec(source = dir, target = "t",
+      format = Some(SourceFormat.Iceberg),
+      options = Map("iceberg.partitionEq" -> "A")))
+    assert(pruned.count() ===
+      df.filter(col("l_returnflag") === "A").count())
+  }
+}

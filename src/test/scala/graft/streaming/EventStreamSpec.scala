@@ -434,7 +434,11 @@ class EventStreamSpec extends SparkSpec {
       .collect()
       .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
       .toMap
+    // q_retention dumps cohort at TIMESTAMP (midnight) for driver-hash
+    // dtype stability; compare at day grain here
     val want = graft.SparkEntry.queries("q_retention")(spark, sf())
+      .withColumn("cohort", to_date(col("cohort")))
+      .select("cohort", "d_off", "n_active")
       .collect()
       .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
       .toMap
