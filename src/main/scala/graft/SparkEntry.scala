@@ -3311,6 +3311,19 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // ---- FINE-KEYED CUSUM (the scale form of the drift alarm): key =
+    //      user_id instead of the 5-value event_type, so parallelism is
+    //      the user population (150/1.5k/45k at sf0.01/0.1/3), not the
+    //      type count — the measured answer to the r11 "parallelism =
+    //      key count" caveat (PLANS.md r12 scale rows). Same operator,
+    //      same two-window closed form, per-key series ~n/users rows ----
+    "q_cusum_user" -> ((s, dir) => {
+      graft.operators.Curation.cusumFixed(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          muMilli = 50000L, slackMilli = 2000L, hMilli = 150000L)
+        .orderBy(col("k"))
+    }),
+
     // ---- interval-overlap self-join: cross-user session overlaps via
     //      hour-bucket equi-join (each interval explodes to the buckets
     //      it spans; overlapping intervals always share the bucket that
@@ -6339,6 +6352,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN ss > 300000 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_alarms,
         |  CAST(min(CASE WHEN ss > 300000 THEN pos END) AS INT)
+        |    AS first_alarm_pos
+        |FROM s GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_cusum_user" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, ts AS o, event_id AS tie,
+        |    CAST(floor(value * 1000) AS BIGINT) - 50000 - 2000 AS d
+        |  FROM events),
+        |p AS (
+        |  SELECT *, sum(d) OVER w AS pp,
+        |    row_number() OVER (PARTITION BY k ORDER BY o, tie) AS pos
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY k ORDER BY o, tie
+        |               ROWS UNBOUNDED PRECEDING)),
+        |s AS (
+        |  SELECT *, pp - least(0, min(pp) OVER
+        |    (PARTITION BY k ORDER BY o, tie ROWS UNBOUNDED PRECEDING))
+        |    AS ss
+        |  FROM p)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(ss) AS BIGINT) AS max_stat,
+        |  CAST(sum(CASE WHEN ss > 150000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_alarms,
+        |  CAST(min(CASE WHEN ss > 150000 THEN pos END) AS INT)
         |    AS first_alarm_pos
         |FROM s GROUP BY k ORDER BY k""".stripMargin,
 
