@@ -1752,6 +1752,45 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ---- INCREMENTAL PQ index maintenance: build keeps the 16
+    //      lowest vec_ids (the default codebook source), so the frozen
+    //      codebook equals the full-corpus one and appendToPqIndex's
+    //      codes are content-identical to build-at-once — shares
+    //      q_simsearch_pq's oracle verbatim ----
+    "q_simsearch_pq_incr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = annIndex("pq8incr", dir) { p =>
+        graft.operators.Similarity.buildPqIndex(
+          e.filter(col("vec_id") < 16 || col("vec_id") % 2 === 0), p)
+        graft.operators.Similarity.appendToPqIndex(
+          e.filter(col("vec_id") >= 16 && col("vec_id") % 2 === 1), p)
+      }
+      graft.operators.Similarity.pqTopKIndexed(
+          e.filter(col("vec_id") < 10), path, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // ---- INCREMENTAL SQ8 index maintenance: the build shard keeps
+    //      the per-dim extrema (sqExtremalIds — one dim-row agg at
+    //      build time), so the FROZEN (lo, hi) stats equal the union's
+    //      and appendToSqIndex's codes are content-identical to
+    //      build-at-once — shares q_simsearch_sq's oracle verbatim ----
+    "q_simsearch_sq_incr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = annIndex("sq64incr", dir) { p =>
+        val ext = graft.operators.Similarity.sqExtremalIds(e)
+        graft.operators.Similarity.buildSqIndex(
+          e.filter(col("vec_id").isin(ext: _*) ||
+            col("vec_id") % 2 === 0), p)
+        graft.operators.Similarity.appendToSqIndex(
+          e.filter(!col("vec_id").isin(ext: _*) &&
+            col("vec_id") % 2 === 1), p)
+      }
+      graft.operators.Similarity.sqTopKIndexed(
+          e.filter(col("vec_id") < 10), path, k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // ---- persisted SQ8 index (completing the indexed trio): per-dim
     //      stats + 8-bit code table written once; the query dequantizes
     //      the codes (identical arithmetic to the inline fold) against
@@ -5313,6 +5352,8 @@ object SparkEntry {
     // incremental maintenance: build(A)+append(B) ≡ build(A ∪ B), so
     // the maintained-index queries share the built-at-once oracles
     "q_simsearch_ivf_incr" -> oracleSqlLiteral("q_simsearch_ivf"),
+    "q_simsearch_pq_incr" -> oracleSqlLiteral("q_simsearch_pq"),
+    "q_simsearch_sq_incr" -> oracleSqlLiteral("q_simsearch_sq"),
     "q_dedup_minhash_incr" -> oracleSqlLiteral("q_dedup_minhash_idx"),
     "q_simsearch_pq_idx" -> oracleSqlLiteral("q_simsearch_pq"),
     "q_simsearch_sq_idx" -> oracleSqlLiteral("q_simsearch_sq")

@@ -385,6 +385,24 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexPath/codes")
   }
 
+  /** Incremental maintenance for a persisted PQ index
+    * ([[appendToIvfIndex]]'s sibling): new vectors are encoded against
+    * the FROZEN stored codebook and their codes append to the code
+    * table — O(new shard), the existing ~8x-compressed codes are never
+    * rewritten. Encoding is deterministic per vector given the
+    * codebook, so build(A) + append(B) produces code-table content
+    * identical to build(A ∪ B) whenever the codebook agrees (default
+    * codebook = the nCodes lowest-vec_id vectors: keep those in the
+    * build shard) — SimilaritySpec law.
+    */
+  def appendToPqIndex(newVectors: DataFrame, indexPath: String,
+                      subspaces: Int = 8, dim: Int = 64): Unit = {
+    val spark = newVectors.sparkSession
+    val stored = spark.read.parquet(s"$indexPath/codebook")
+    pqEncode(newVectors, stored, subspaces, dim)
+      .write.mode("append").parquet(s"$indexPath/codes")
+  }
+
   /** PQ top-k against a persisted index ([[buildPqIndex]]): loads the
     * codebook (broadcast) and code table, runs the SAME ADC kernel as
     * the inline path — no encoding, no corpus floats at query time;
@@ -484,6 +502,47 @@ object Similarity {
     val rans = st.map(r => r.getLong(2) - r.getLong(1)).toSeq
     (typedlit(los), typedlit(rans))
   }
+
+  /** Incremental maintenance for a persisted SQ8 index: new vectors
+    * are coded against the FROZEN per-dim (lo, hi) stats artifact and
+    * appended to the code table. The frozen-quantizer contract: codes
+    * (and therefore ADC scores) follow the BUILD corpus's ranges —
+    * identical to build-at-once exactly when the build shard attains
+    * every dimension's extrema ([[sqExtremalIds]] makes that split
+    * constructible; SimilaritySpec law), and otherwise still exact
+    * integer arithmetic against the stored stats (codes are not
+    * clamped, so out-of-range appends degrade resolution, never
+    * correctness of the dequantize identity).
+    */
+  def appendToSqIndex(newVectors: DataFrame, indexPath: String,
+                      dim: Int = 64): Unit = {
+    val spark = newVectors.sparkSession
+    val (loLit, ranLit) = sqStatsLiterals(spark.read
+      .parquet(s"$indexPath/stats"), dim)
+    val codes = transform(col("cv"), (v, i) => {
+      val lo = element_at(loLit, i + 1)
+      val ran = element_at(ranLit, i + 1)
+      call_function("div", (v - lo) * lit(255L), greatest(ran, lit(1L)))
+    })
+    prepC(newVectors).select(col("cid"), codes.as("codes"))
+      .write.mode("append").parquet(s"$indexPath/codes")
+  }
+
+  /** vec_ids attaining each dimension's min/max quantized value — the
+    * (≤ 2·dim)-row shard that must stay in the BUILD half for a later
+    * [[appendToSqIndex]] to be content-identical to build-at-once
+    * (frozen stats = union stats). One dim-row aggregation, run once
+    * per index build job.
+    */
+  def sqExtremalIds(corpus: DataFrame): Seq[Long] =
+    prepC(corpus)
+      .select(col("cid"), posexplode(col("cv")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(struct(col("v"), col("cid"))).as("lo"),
+        max(struct(col("v"), col("cid"))).as("hi"))
+      .select(col("lo.cid").as("a"), col("hi.cid").as("b"))
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .distinct.sorted.toSeq
 
   /** SQ8 top-k against a persisted index ([[buildSqIndex]]): loads the
     * dim-row stats (plan literals) and the code table, dequantizes

@@ -95,6 +95,44 @@ class SimilaritySpec extends SparkSpec {
     assert(idx.nonEmpty && idx == inline)
   }
 
+  test("incremental PQ maintenance: build(A) + appendToPqIndex(B) with " +
+       "the codebook-source rows in A answers exactly as build-at-once " +
+       "and as inline pqTopK over the union") {
+    val a = e.filter(col("vec_id") < 16 || col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") >= 16 && col("vec_id") % 2 === 1)
+    val incrPath = java.nio.file.Files
+      .createTempDirectory("graft_pqincr_spec").toString
+    Similarity.buildPqIndex(a, incrPath)
+    Similarity.appendToPqIndex(b, incrPath)
+    val incr = Similarity.pqTopKIndexed(queries, incrPath, k = 5)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.pqTopK(queries, e, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(incr.nonEmpty && incr == inline)
+  }
+
+  test("incremental SQ8 maintenance: keeping the per-dim extrema " +
+       "(sqExtremalIds) in the build shard makes frozen stats equal " +
+       "union stats — append answers exactly as inline sqTopK; and the " +
+       "extremal shard really is load-bearing") {
+    val ext = Similarity.sqExtremalIds(e)
+    assert(ext.nonEmpty && ext.size <= 128)
+    val a = e.filter(col("vec_id").isin(ext: _*) || col("vec_id") % 2 === 0)
+    val b = e.filter(!col("vec_id").isin(ext: _*) && col("vec_id") % 2 === 1)
+    val incrPath = java.nio.file.Files
+      .createTempDirectory("graft_sqincr_spec").toString
+    Similarity.buildSqIndex(a, incrPath)
+    Similarity.appendToSqIndex(b, incrPath)
+    val incr = Similarity.sqTopKIndexed(queries, incrPath, k = 5)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.sqTopK(queries, e, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(incr.nonEmpty && incr == inline)
+    // every appended vector's codes landed beside the build shard's
+    val nCodes = spark.read.parquet(s"$incrPath/codes").count()
+    assert(nCodes === e.count())
+  }
+
   test("persisted SQ8 index: stats + code table reload to the exact " +
        "inline sqTopK ranking (same dequantization arithmetic)") {
     val path = java.nio.file.Files
