@@ -284,6 +284,50 @@ object SparkEntry {
           col("l_returnflag"), col("l_shipdate"))
     }),
 
+    // ---- Iceberg SNAPSHOT APPEND: build snapshot 1 from half the
+    //      slice, appendToTable the other half as snapshot 2 (new
+    //      manifests beside the old, prior manifests REUSED in the new
+    //      manifest list — the spec's append pattern); the current-
+    //      snapshot scan equals the union, sharing q_iceberg_scan's
+    //      oracle verbatim ----
+    "q_iceberg_append" -> ((s, dir) => {
+      val path = annIndex("iceberg_app", dir) { p =>
+        val slice = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+        graft.sources.Iceberg.writeTable(
+          slice.where(col("l_orderkey") % 120 === 0), p, "l_returnflag")
+        graft.sources.Iceberg.appendToTable(
+          slice.where(col("l_orderkey") % 60 === 0 &&
+            col("l_orderkey") % 120 =!= 0), p)
+      }
+      Readers.read(s, JobSpec(source = path, target = "lineitem_ice2",
+          format = Some(SourceFormat.Iceberg)))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+    }),
+
+    // ---- Iceberg TIME TRAVEL: the same two-snapshot table read as-of
+    //      snapshot 1 — every snapshot's manifest list stays
+    //      addressable in the metadata, so reading the pre-append
+    //      table is picking its snapshot id, no data movement; the
+    //      oracle recomputes the build shard alone ----
+    "q_iceberg_timetravel" -> ((s, dir) => {
+      val path = annIndex("iceberg_app", dir) { p =>
+        val slice = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+        graft.sources.Iceberg.writeTable(
+          slice.where(col("l_orderkey") % 120 === 0), p, "l_returnflag")
+        graft.sources.Iceberg.appendToTable(
+          slice.where(col("l_orderkey") % 60 === 0 &&
+            col("l_orderkey") % 120 =!= 0), p)
+      }
+      graft.sources.Iceberg.scan(s, path, asOf = Some(1L))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5351,6 +5395,7 @@ object SparkEntry {
     "q_simsearch_ivf_idx" -> oracleSqlLiteral("q_simsearch_ivf"),
     // incremental maintenance: build(A)+append(B) ≡ build(A ∪ B), so
     // the maintained-index queries share the built-at-once oracles
+    "q_iceberg_append" -> oracleSqlLiteral("q_iceberg_scan"),
     "q_simsearch_ivf_incr" -> oracleSqlLiteral("q_simsearch_ivf"),
     "q_simsearch_pq_incr" -> oracleSqlLiteral("q_simsearch_pq"),
     "q_simsearch_sq_incr" -> oracleSqlLiteral("q_simsearch_sq"),
@@ -5424,6 +5469,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  l_shipdate
         |FROM lineitem WHERE l_orderkey % 60 = 0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate""".stripMargin,
+
+    "q_iceberg_timetravel" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate
+        |FROM lineitem WHERE l_orderkey % 120 = 0
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  l_shipdate""".stripMargin,
 

@@ -139,12 +139,15 @@ object Iceberg {
 
   final case class TableMeta(
       formatVersion: Int,
+      version: Int,                   // metadata file number (vN)
       location: String,               // location recorded in metadata
       root: String,                   // where the table actually sits
       columns: Seq[String],           // schema field names, spec order
       partName: String,               // identity partition column
       partType: String,               // "string" | "long"
-      manifestList: String) {         // current snapshot's manifest list
+      currentSnapshotId: Long,
+      snapshots: Seq[(Long, String)], // (snapshot-id, manifest-list)
+      manifestList: String) {         // SELECTED snapshot's manifest list
     /** Relocation support: the spec records absolute file URIs, so a
       * table moved wholesale (the annIndex stage→publish rename, a
       * bucket migration) carries stale prefixes — any recorded path
@@ -170,9 +173,13 @@ object Iceberg {
 
   /** Resolve and parse the CURRENT table metadata: version-hint.text
     * when present (the spec's file-system-catalog convention), else
-    * the max-numbered `vN.metadata.json`.
+    * the max-numbered `vN.metadata.json`. Pass `asOf` to select a
+    * historical snapshot (TIME TRAVEL — every snapshot's manifest list
+    * stays addressable in the metadata, so reading yesterday's table
+    * is picking yesterday's snapshot id, no data movement).
     */
-  def currentMetadata(tableDir: String): TableMeta = {
+  def currentMetadata(tableDir: String,
+                      asOf: Option[Long] = None): TableMeta = {
     val metaDir = new HPath(s"$tableDir/metadata")
     val fs = metaDir.getFileSystem(hconf)
     val hint = new HPath(metaDir, "version-hint.text")
@@ -219,13 +226,17 @@ object Iceberg {
         s"iceberg: unsupported partition column type $other")
     }
 
-    val snapId = root.path("current-snapshot-id").asLong()
-    val snap = root.path("snapshots").elements().asScala
-      .find(_.path("snapshot-id").asLong() == snapId)
+    val currentId = root.path("current-snapshot-id").asLong()
+    val snaps = root.path("snapshots").elements().asScala.map(s =>
+      (s.path("snapshot-id").asLong(),
+        s.path("manifest-list").asText())).toSeq
+    val snapId = asOf.getOrElse(currentId)
+    val list = snaps.collectFirst { case (id, l) if id == snapId => l }
       .getOrElse(throw new IllegalArgumentException(
-        s"iceberg: current snapshot $snapId not in snapshots list"))
-    TableMeta(fv, root.path("location").asText(tableDir), tableDir,
-      columns, pname, ptype, snap.path("manifest-list").asText())
+        s"iceberg: snapshot $snapId not in snapshots list " +
+          s"(have: ${snaps.map(_._1).mkString(", ")})"))
+    TableMeta(fv, version, root.path("location").asText(tableDir),
+      tableDir, columns, pname, ptype, currentId, snaps, list)
   }
 
   /** The manifest list: per-manifest paths + partition-bound
@@ -272,9 +283,10 @@ object Iceberg {
     * (files, manifestsRead, manifestsTotal).
     */
   def prunedDataFiles(tableDir: String,
-                      partitionEq: Option[String])
+                      partitionEq: Option[String],
+                      asOf: Option[Long] = None)
       : (Seq[String], Int, Int) = {
-    val meta = currentMetadata(tableDir)
+    val meta = currentMetadata(tableDir, asOf)
     val mans = manifestList(meta)
     val want = partitionEq.map(v =>
       if (meta.partType == "long") v.toLong: Any else v: Any)
@@ -302,9 +314,10 @@ object Iceberg {
     * schema.
     */
   def scan(spark: SparkSession, tableDir: String,
-           partitionEq: Option[String] = None): DataFrame = {
-    val meta = currentMetadata(tableDir)
-    val (files, _, _) = prunedDataFiles(tableDir, partitionEq)
+           partitionEq: Option[String] = None,
+           asOf: Option[Long] = None): DataFrame = {
+    val meta = currentMetadata(tableDir, asOf)
+    val (files, _, _) = prunedDataFiles(tableDir, partitionEq, asOf)
     require(files.nonEmpty,
       s"iceberg: no data files for $tableDir (partitionEq=$partitionEq)")
     spark.read.parquet(files: _*)
@@ -329,78 +342,16 @@ object Iceberg {
     */
   def writeTable(df: DataFrame, tableDir: String, partCol: String): Unit = {
     val spark = df.sparkSession
-    val fs = new HPath(tableDir).getFileSystem(hconf)
-    val partField = df.schema(partCol)
-    val ptype = partField.dataType.typeName match {
+    val ptype = df.schema(partCol).dataType.typeName match {
       case "string" => "string"
       case "long" | "integer" => "long"
       case other => throw new IllegalArgumentException(
         s"iceberg composer: unsupported partition type $other")
     }
-    val values = df.select(col(s"`$partCol`")).distinct()
-      .collect().map(_.get(0)).sortBy(_.toString)
-
-    // data files: one dir per partition value, column retained in the
-    // files (identity partitioning; readers may take it from either)
-    val entrySchema = manifestEntrySchema(partCol, ptype)
-    val dataFileSch = entrySchema.getField("data_file").schema()
-    val partSch = dataFileSch.getField("partition").schema()
-    val manifests = values.zipWithIndex.map { case (v, i) =>
-      val dataDir = s"$tableDir/data/$partCol=$v"
-      df.filter(col(s"`$partCol`") === v)
-        .write.mode("overwrite").parquet(dataDir)
-      val parts = fs.listStatus(new HPath(dataDir))
-        .filter(f => f.getPath.getName.endsWith(".parquet") &&
-          !f.getPath.getName.startsWith("_"))
-        .sortBy(_.getPath.getName)
-      val entries = parts.map { f =>
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", 1) // ADDED
-        e.put("snapshot_id", 1L)
-        val d = new GenericData.Record(dataFileSch)
-        d.put("file_path", f.getPath.toString)
-        d.put("file_format", "PARQUET")
-        val p = new GenericData.Record(partSch)
-        p.put(partCol, v match {
-          case n: Int => n.toLong
-          case other => other
-        })
-        d.put("partition", p)
-        d.put("record_count", parquetRowCount(f.getPath))
-        d.put("file_size_in_bytes", f.getLen)
-        e.put("data_file", d)
-        e
-      }
-      val mPath = s"$tableDir/metadata/snap1-m$i.avro"
-      writeAvro(mPath, entrySchema, entries.toSeq,
-        Map("partition-spec-id" -> "0"))
-      val mLen = fs.getFileStatus(new HPath(mPath)).getLen
-      (mPath, mLen, v)
-    }
-
-    // manifest list with per-manifest partition bound summaries
-    val summarySch = manifestFileSchema.getField("partitions").schema()
-      .getTypes.get(1).getElementType
-    val listRecords = manifests.map { case (mPath, mLen, v) =>
-      val r = new GenericData.Record(manifestFileSchema)
-      r.put("manifest_path", mPath)
-      r.put("manifest_length", mLen)
-      r.put("partition_spec_id", 0)
-      r.put("added_snapshot_id", 1L)
-      val s = new GenericData.Record(summarySch)
-      s.put("contains_null", false)
-      val bb = java.nio.ByteBuffer.wrap(boundBytes(v match {
-        case n: Int => n.toLong
-        case other => other
-      }))
-      s.put("lower_bound", bb.duplicate())
-      s.put("upper_bound", bb.duplicate())
-      r.put("partitions",
-        java.util.List.of[GenericRecord](s))
-      r
-    }
+    val listRecords = composeSnapshotManifests(df, tableDir, partCol,
+      ptype, snapId = 1L, dataRoot = s"$tableDir/data")
     val listPath = s"$tableDir/metadata/snap-1-1.avro"
-    writeAvro(listPath, manifestFileSchema, listRecords.toSeq, Map.empty)
+    writeAvro(listPath, manifestFileSchema, listRecords, Map.empty)
 
     // table metadata JSON (v1) + version hint
     val typeName: org.apache.spark.sql.types.DataType => String = {
@@ -455,6 +406,136 @@ object Iceberg {
     // the fixture composer runs inside Spark jobs; keep spark referenced
     // for future multi-snapshot appends without API change
     locally(spark)
+  }
+
+  /** Append a new SNAPSHOT to an existing table (the third persisted-
+    * artifact append of the round, beside the index trio): the new
+    * shard's data files land under `data/snap<id>/`, its manifests are
+    * written fresh, and the new manifest list carries the PRIOR
+    * snapshot's manifest entries (rebased if the table moved) plus the
+    * new ones — the spec's append pattern: existing manifests are
+    * REUSED, never rewritten. Metadata goes out as v(N+1) with both
+    * snapshots addressable, so `scan(asOf = oldId)` time-travels to
+    * the pre-append table for free.
+    */
+  def appendToTable(df: DataFrame, tableDir: String): Unit = {
+    val meta = currentMetadata(tableDir)
+    require(df.schema.fieldNames.toSeq == meta.columns,
+      s"iceberg append: columns ${df.schema.fieldNames.toSeq} != " +
+        s"table schema ${meta.columns}")
+    val newId = meta.snapshots.map(_._1).max + 1
+    val newRecords = composeSnapshotManifests(df, tableDir,
+      meta.partName, meta.partType, snapId = newId,
+      dataRoot = s"$tableDir/data/snap$newId")
+    // prior snapshot's manifests ride into the new list unchanged
+    // (paths rebased in case the table was relocated since the build)
+    val oldRecords = readAvro(meta.rebase(meta.manifestList)).map { r =>
+      val c = new GenericData.Record(manifestFileSchema)
+      c.put("manifest_path", meta.rebase(r.get("manifest_path").toString))
+      c.put("manifest_length", r.get("manifest_length"))
+      c.put("partition_spec_id", r.get("partition_spec_id"))
+      c.put("added_snapshot_id", r.get("added_snapshot_id"))
+      c.put("partitions", r.get("partitions"))
+      c
+    }
+    val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
+    writeAvro(listPath, manifestFileSchema, oldRecords ++ newRecords,
+      Map.empty)
+
+    // v(N+1) metadata: prior JSON with the snapshot appended — Jackson
+    // round-trips unknown fields untouched
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val oldMetaPath =
+      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json")
+    val in = fs.open(oldMetaPath)
+    val root = try om.readTree(in.readAllBytes())
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    root.put("current-snapshot-id", newId)
+    // `location` deliberately stays what the BUILD recorded: rebase
+    // keys off it to heal the build's absolute paths after a
+    // relocation, and the append's own paths (current-root prefix)
+    // never match it. (One relocation covered; relocate-append-
+    // relocate chains would need manifest rewrites — out of scope.)
+    val snapNode = root.withArray[com.fasterxml.jackson.databind.node
+      .ArrayNode]("snapshots").addObject()
+    snapNode.put("snapshot-id", newId)
+    snapNode.put("timestamp-ms", 1700000000000L + newId)
+    snapNode.putObject("summary").put("operation", "append")
+    snapNode.put("manifest-list", listPath)
+    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeText(s"$tableDir/metadata/version-hint.text",
+      (meta.version + 1).toString)
+  }
+
+  /** Write one snapshot's data dirs + per-partition manifests; returns
+    * the manifest-list rows (with single-value binary bound
+    * summaries). Shared by [[writeTable]] (snapshot 1, `data/`) and
+    * [[appendToTable]] (snapshot N, `data/snapN/`).
+    */
+  private def composeSnapshotManifests(df: DataFrame, tableDir: String,
+                                       partCol: String, ptype: String,
+                                       snapId: Long, dataRoot: String)
+      : Seq[GenericRecord] = {
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val values = df.select(col(s"`$partCol`")).distinct()
+      .collect().map(_.get(0)).sortBy(_.toString)
+    // data files: one dir per partition value, column retained in the
+    // files (identity partitioning; readers may take it from either)
+    val entrySchema = manifestEntrySchema(partCol, ptype)
+    val dataFileSch = entrySchema.getField("data_file").schema()
+    val partSch = dataFileSch.getField("partition").schema()
+    def asPartVal(v: Any): Any = v match {
+      case n: Int => n.toLong
+      case other => other
+    }
+    val manifests = values.zipWithIndex.map { case (v, i) =>
+      val dataDir = s"$dataRoot/$partCol=$v"
+      df.filter(col(s"`$partCol`") === v)
+        .write.mode("overwrite").parquet(dataDir)
+      val parts = fs.listStatus(new HPath(dataDir))
+        .filter(f => f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+      val entries = parts.map { f =>
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapId)
+        val d = new GenericData.Record(dataFileSch)
+        d.put("file_path", f.getPath.toString)
+        d.put("file_format", "PARQUET")
+        val p = new GenericData.Record(partSch)
+        p.put(partCol, asPartVal(v))
+        d.put("partition", p)
+        d.put("record_count", parquetRowCount(f.getPath))
+        d.put("file_size_in_bytes", f.getLen)
+        e.put("data_file", d)
+        e
+      }
+      val mPath = s"$tableDir/metadata/snap$snapId-m$i.avro"
+      writeAvro(mPath, entrySchema, entries.toSeq,
+        Map("partition-spec-id" -> "0"))
+      val mLen = fs.getFileStatus(new HPath(mPath)).getLen
+      (mPath, mLen, v)
+    }
+    // manifest-list rows with per-manifest partition bound summaries
+    val summarySch = manifestFileSchema.getField("partitions").schema()
+      .getTypes.get(1).getElementType
+    manifests.map { case (mPath, mLen, v) =>
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", mPath)
+      r.put("manifest_length", mLen)
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", snapId)
+      val s = new GenericData.Record(summarySch)
+      s.put("contains_null", false)
+      val bb = java.nio.ByteBuffer.wrap(boundBytes(asPartVal(v)))
+      s.put("lower_bound", bb.duplicate())
+      s.put("upper_bound", bb.duplicate())
+      r.put("partitions", java.util.List.of[GenericRecord](s))
+      r
+    }.toSeq
   }
 
   // ---------------------------------------------------------------

@@ -95,6 +95,47 @@ class IcebergSpec extends SparkSpec {
     assert(e2.getMessage.contains("transform"))
   }
 
+  test("snapshot append + time travel: appendToTable reuses the prior " +
+       "manifests in the new list, the current scan sees the union, " +
+       "asOf=1 sees exactly the pre-append table, and pruning still " +
+       "skips manifests across both snapshots") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+    val a = df.where(col("l_orderkey") % 40 === 0)
+    val b = df.where(col("l_orderkey") % 20 === 0 &&
+      col("l_orderkey") % 40 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_app_spec").toString
+    Iceberg.writeTable(a, dir, "l_returnflag")
+    val m1 = Iceberg.manifestList(Iceberg.currentMetadata(dir))
+      .map(_.path).toSet
+    Iceberg.appendToTable(b, dir)
+    val meta2 = Iceberg.currentMetadata(dir)
+    assert(meta2.version === 2 && meta2.currentSnapshotId === 2L)
+    assert(meta2.snapshots.map(_._1).toSet === Set(1L, 2L))
+    // the prior snapshot's manifests ride into the new list VERBATIM
+    val m2 = Iceberg.manifestList(meta2).map(_.path).toSet
+    assert(m1.subsetOf(m2) && m2.size > m1.size)
+    // current scan = union; asOf(1) = pre-append table exactly
+    val union = df.where(col("l_orderkey") % 20 === 0)
+      .collect().map(_.toSeq).toSet
+    assert(Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet === union)
+    assert(Iceberg.scan(spark, dir, asOf = Some(1L))
+      .collect().map(_.toSeq).toSet === a.collect().map(_.toSeq).toSet)
+    // pruning spans both snapshots' manifests
+    val (files, read, total) = Iceberg.prunedDataFiles(dir, Some("R"))
+    assert(read < total && files.nonEmpty)
+    val got = Iceberg.scan(spark, dir, Some("R"))
+      .collect().map(_.toSeq).toSet
+    assert(got === df.where(col("l_orderkey") % 20 === 0 &&
+      col("l_returnflag") === "R").collect().map(_.toSeq).toSet)
+    // relocation after build+append still reads (one-move contract)
+    val moved = java.nio.file.Paths.get(dir + "_moved")
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir), moved)
+    assert(Iceberg.scan(spark, moved.toString).count() === union.size)
+  }
+
   test("facade routing: SourceFormat.Iceberg reads through the in-repo " +
        "walker, with iceberg.partitionEq as the pruning option") {
     import graft.engine.{JobSpec, Readers, SourceFormat}
