@@ -474,11 +474,15 @@ object Iceberg {
     * summaries). Shared by [[writeTable]] (snapshot 1, `data/`) and
     * [[appendToTable]] (snapshot N, `data/snapN/`).
     */
-  private def composeSnapshotManifests(df: DataFrame, tableDir: String,
+  private def composeSnapshotManifests(df0: DataFrame, tableDir: String,
                                        partCol: String, ptype: String,
                                        snapId: Long, dataRoot: String)
       : Seq[GenericRecord] = {
     val fs = new HPath(tableDir).getFileSystem(hconf)
+    // materialize the input once: the per-partition write loop below
+    // filters this frame |values| times — without the barrier each
+    // filter would recompute the upstream plan per partition value
+    val df = df0.localCheckpoint(true)
     val values = df.select(col(s"`$partCol`")).distinct()
       .collect().map(_.get(0)).sortBy(_.toString)
     // data files: one dir per partition value, column retained in the

@@ -369,4 +369,36 @@ object EmbStream {
     }
     Incremental(baseline, query, () => compact())
   }
+
+  /** Continuous IVF-index maintenance — the streaming twin of
+    * [[graft.operators.Similarity.appendToIvfIndex]]: each arriving
+    * micro-batch of vectors is assigned against the index's FROZEN
+    * stored centroids and appended to the cell-partitioned assignment
+    * table. Per-batch cost is O(batch); the index never rebuilds.
+    *
+    * Idempotence is ID-KEYED (the semanticDedupIncremental device): a
+    * vec_id already present in the assignment table is a replayed or
+    * re-sent row and is dropped by one anti-join before the append —
+    * so a post-commit batch replay changes nothing (EmbStreamSpec
+    * law). Each append itself is one Spark batch job under the
+    * file-commit protocol, so a crash mid-append surfaces no partial
+    * files. At 100 TB the anti-join probe is bloom-prefilterable
+    * (engine.BloomPrune) exactly like the text-dedup corpus index.
+    *
+    * The law: after any sequence of batches, `ivfTopKIndexed` over the
+    * maintained index equals the inline operator over
+    * build-corpus ∪ streamed-vectors.
+    */
+  def ivfAppendIncremental(vecStream: DataFrame,
+                           indexPath: String): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val seen = spark.read.parquet(s"$indexPath/assigned")
+          .select(col("cid").as("vec_id"))
+        val fresh = batch.select(col("vec_id"), col("embedding"))
+          .join(seen, Seq("vec_id"), "left_anti")
+        graft.operators.Similarity.appendToIvfIndex(fresh, indexPath)
+      }
+      .start()
 }

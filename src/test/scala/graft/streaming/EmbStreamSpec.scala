@@ -50,6 +50,38 @@ class EmbStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF index maintenance: batches append against frozen " +
+       "centroids, a replayed batch is a no-op (id-keyed idempotence), " +
+       "and the maintained index answers exactly as inline over the union") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    val build = e.filter(col("vec_id") < 16 || col("vec_id") % 2 === 0)
+    def shard(m: Long) = e
+      .filter(col("vec_id") >= 16 && col("vec_id") % 4 === m)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfstream_spec").toString
+    Similarity.buildIvfIndex(build, path, nlist = 16)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = EmbStream.ivfAppendIncremental(
+      mem.toDF().toDF("vec_id", "embedding"), path)
+    for (b <- Seq(shard(1), shard(3), shard(1) /* replay */ )) {
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val idx = Similarity.ivfTopKIndexed(queries, path, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.ivfTopK(queries, e, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(idx.nonEmpty && idx === inline)
+    // the replay really was dropped: one assignment row per vector
+    assert(spark.read.parquet(s"$path/assigned").count() === e.count())
+  }
+
   // two orthogonal direction groups + singles, as in DedupSpec
   private val corpusRows = Seq(
     (0L, Array(1000f, 0f, 0f, 0f), 0),
