@@ -243,6 +243,33 @@ object SparkEntry {
           col("rflag_n"), col("l_shipdate"))
     }),
 
+    // ---- ORC ingestion end-to-end: the remaining self-describing
+    //      columnar format in the facade (SourceFormat.Orc), written
+    //      once per sf dir and read back through Pipeline.ingest with
+    //      a target-schema align — closes the facade's format matrix
+    //      (parquet/csv/json/orc/avro/iceberg all hash-gated) ----
+    "q_orc_ingest" -> ((s, dir) => {
+      val path = annIndex("orc_rt", dir) { p =>
+        t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 40 === 2)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"),
+            when(col("l_returnflag") === "A", lit(null).cast("string"))
+              .otherwise(col("l_returnflag")).as("rflag_n"),
+            col("l_shipdate"))
+          .coalesce(4)
+          .write.mode("overwrite").orc(p)
+      }
+      Pipeline.ingest(s, JobSpec(
+          source = path, target = "lineitem_orc",
+          format = Some(SourceFormat.Orc),
+          targetSchemaDdl = Some(
+            "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, " +
+            "rflag_n STRING, l_shipdate TIMESTAMP")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("rflag_n"), col("l_shipdate"))
+    }),
+
     // ---- Iceberg table-format ingestion (reference README.md:11): a
     //      lineitem slice composed as a REAL v1 Iceberg table ONCE per
     //      sf dir (metadata JSON + Avro manifest list/manifests +
@@ -5457,6 +5484,13 @@ object SparkEntry {
         |  l_linestatus AS st_b
         |FROM lineitem WHERE l_orderkey % 50 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_orc_ingest" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  NULLIF(l_returnflag, 'A') AS rflag_n, l_shipdate
+        |FROM lineitem WHERE l_orderkey % 40 = 2
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  rflag_n NULLS FIRST, l_shipdate""".stripMargin,
 
     "q_iceberg_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
