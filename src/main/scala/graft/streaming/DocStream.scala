@@ -431,6 +431,12 @@ object DocStream {
           GenStore.writeTokenCounts(staged.resolve("_mg.tsv"), summary)
           GenStore.writePairs(staged.resolve("_mg_n.tsv"), Map(0L -> total))
           GenStore.commit(r, staged, seq)
+          // each snapshot is SELF-CONTAINED (full map + total, not a
+          // delta), so prior generations are pure growth — prune them
+          // after the commit. A crash between commit and prune leaves
+          // harmless extras (resume reads the newest).
+          GenStore.committed(r).filter(GenStore.seqOf(_) < seq)
+            .foreach(GenStore.deleteRecursively)
           seq += 1
         }
       }
