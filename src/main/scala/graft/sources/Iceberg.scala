@@ -469,6 +469,60 @@ object Iceberg {
       (meta.version + 1).toString)
   }
 
+  /** Expire every snapshot except the current one — the spec's
+    * `expire_snapshots` maintenance op, time travel's pair: history
+    * metadata is dropped and any manifest list / manifest / data file
+    * reachable ONLY from expired snapshots is deleted. With the
+    * append-only composer every prior manifest is reused by the
+    * current snapshot, so in practice this deletes the old manifest
+    * LISTS and the time-travel entries; the reachability walk is still
+    * done properly so an overwrite-capable future composer inherits
+    * correct orphan deletion. Metadata goes out as v(N+1) with a
+    * single-snapshot history.
+    */
+  def expireSnapshots(tableDir: String): Unit = {
+    val meta = currentMetadata(tableDir)
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val keepManifests = readAvro(meta.rebase(meta.manifestList))
+      .map(r => meta.rebase(r.get("manifest_path").toString)).toSet
+    val keepFiles = keepManifests.flatMap(mp =>
+      manifestEntries(mp, meta).map(_._1))
+    for ((id, list) <- meta.snapshots if id != meta.currentSnapshotId) {
+      val lp = meta.rebase(list)
+      if (fs.exists(new HPath(lp))) {
+        val mans = readAvro(lp)
+          .map(r => meta.rebase(r.get("manifest_path").toString))
+        for (mp <- mans if !keepManifests.contains(mp)
+             if fs.exists(new HPath(mp))) {
+          for ((f, _) <- manifestEntries(mp, meta)
+               if !keepFiles.contains(f))
+            fs.delete(new HPath(f), false)
+          fs.delete(new HPath(mp), false)
+        }
+        fs.delete(new HPath(lp), false)
+      }
+    }
+    // v(N+1): same metadata, history cut to the current snapshot
+    val oldMetaPath =
+      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json")
+    val in = fs.open(oldMetaPath)
+    val root = try om.readTree(in.readAllBytes())
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    val snapsNode = root.withArray[com.fasterxml.jackson.databind.node
+      .ArrayNode]("snapshots")
+    val keep = (0 until snapsNode.size()).map(snapsNode.get)
+      .find(_.path("snapshot-id").asLong() == meta.currentSnapshotId)
+      .getOrElse(throw new IllegalStateException(
+        "current snapshot vanished from metadata"))
+    snapsNode.removeAll()
+    snapsNode.add(keep)
+    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeText(s"$tableDir/metadata/version-hint.text",
+      (meta.version + 1).toString)
+  }
+
   /** Write one snapshot's data dirs + per-partition manifests; returns
     * the manifest-list rows (with single-value binary bound
     * summaries). Shared by [[writeTable]] (snapshot 1, `data/`) and

@@ -136,6 +136,48 @@ class IcebergSpec extends SparkSpec {
     assert(Iceberg.scan(spark, moved.toString).count() === union.size)
   }
 
+  test("expireSnapshots cuts history to the current snapshot: the " +
+       "current scan is unchanged, the expired snapshot's manifest list " +
+       "is deleted, and time travel to it fails loudly") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    val a = df.where(col("l_orderkey") % 40 === 0)
+    val b = df.where(col("l_orderkey") % 20 === 0 &&
+      col("l_orderkey") % 40 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_exp_spec").toString
+    Iceberg.writeTable(a, dir, "l_returnflag")
+    Iceberg.appendToTable(b, dir)
+    val oldList = Iceberg.currentMetadata(dir, asOf = Some(1L)).manifestList
+    val before = Iceberg.scan(spark, dir).count()
+    Iceberg.expireSnapshots(dir)
+    val meta = Iceberg.currentMetadata(dir)
+    assert(meta.version === 3 && meta.snapshots.map(_._1) === Seq(2L))
+    assert(Iceberg.scan(spark, dir).count() === before)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(oldList)))
+    intercept[IllegalArgumentException] {
+      Iceberg.scan(spark, dir, asOf = Some(1L))
+    }
+  }
+
+  test("long-typed identity partition: composer bounds + reader pruning " +
+       "work on a numeric partition column") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_linenumber") % 4).as("bucket"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_long_spec").toString
+    Iceberg.writeTable(df, dir, "bucket")
+    val back = Iceberg.scan(spark, dir)
+    assert(back.collect().map(_.toSeq).toSet ===
+      df.collect().map(_.toSeq).toSet)
+    val (files, read, total) = Iceberg.prunedDataFiles(dir, Some("0"))
+    assert(read < total && files.nonEmpty)
+    assert(Iceberg.scan(spark, dir, Some("0")).collect().map(_.toSeq).toSet
+      === df.where(col("bucket") === 0).collect().map(_.toSeq).toSet)
+  }
+
   test("facade routing: SourceFormat.Iceberg reads through the in-repo " +
        "walker, with iceberg.partitionEq as the pruning option") {
     import graft.engine.{JobSpec, Readers, SourceFormat}
