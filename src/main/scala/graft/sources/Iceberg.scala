@@ -318,10 +318,50 @@ object Iceberg {
            asOf: Option[Long] = None): DataFrame = {
     val meta = currentMetadata(tableDir, asOf)
     val (files, _, _) = prunedDataFiles(tableDir, partitionEq, asOf)
-    require(files.nonEmpty,
-      s"iceberg: no data files for $tableDir (partitionEq=$partitionEq)")
-    spark.read.parquet(files: _*)
-      .select(meta.columns.map(c => col(s"`$c`")): _*)
+    if (files.isEmpty)
+      // a fully-pruned probe (or an empty table) is an EMPTY RESULT,
+      // not an error — schema comes from the table metadata, exactly
+      // what a catalog-backed reader would plan
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        sparkSchema(tableDir, meta))
+    else
+      spark.read.parquet(files: _*)
+        .select(meta.columns.map(c => col(s"`$c`")): _*)
+  }
+
+  /** Spark schema from the table metadata's Iceberg types (the
+    * composer's type map inverted) — used when no data file survives
+    * pruning and the scan must still carry the table's shape.
+    */
+  private def sparkSchema(tableDir: String, meta: TableMeta)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val metaDir = new HPath(s"$tableDir/metadata")
+    val fs = metaDir.getFileSystem(hconf)
+    val in = fs.open(new HPath(metaDir, s"v${meta.version}.metadata.json"))
+    val root = try om.readTree(in.readAllBytes()) finally in.close()
+    def toSpark(t: String): DataType = t match {
+      case "long"        => LongType
+      case "int"         => IntegerType
+      case "double"      => DoubleType
+      case "float"       => FloatType
+      case "string"      => StringType
+      case "boolean"     => BooleanType
+      case "date"        => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp"   => TimestampNTZType
+      case d if d.startsWith("decimal(") =>
+        val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, s)
+      case other => throw new IllegalArgumentException(
+        s"iceberg: unsupported column type $other")
+    }
+    StructType(root.path("schema").path("fields").elements().asScala.map {
+      f => StructField(f.path("name").asText(),
+        toSpark(f.path("type").asText()), nullable = true)
+    }.toSeq)
   }
 
   // ---------------------------------------------------------------

@@ -47,9 +47,14 @@ class IcebergSpec extends SparkSpec {
     val want = df.filter(col("l_returnflag") === "R")
       .collect().map(_.toSeq).toSet
     assert(got.nonEmpty && got === want)
-    // a value outside every bound window prunes ALL manifests
+    // a value outside every bound window prunes ALL manifests — and a
+    // fully-pruned SCAN is an empty frame with the table schema, not
+    // an error
     val (zFiles, zRead, _) = Iceberg.prunedDataFiles(dir, Some("Z"))
     assert(zFiles.isEmpty && zRead === 0)
+    val empty = Iceberg.scan(spark, dir, Some("Z"))
+    assert(empty.count() === 0L)
+    assert(empty.schema.fieldNames.toSeq === df.schema.fieldNames.toSeq)
   }
 
   test("relocation: moving the whole table directory rebases the " +
