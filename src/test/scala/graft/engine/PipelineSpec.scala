@@ -138,6 +138,48 @@ class PipelineSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("one YAML config drives the WHOLE format matrix: csv + json + " +
+       "orc + iceberg jobs align to the declared schema and land in the " +
+       "parquet sink (the reference's multi-file config shape)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmtmtx").toString
+    val nation = spark.read.parquet(sf() + "/nation.parquet")
+    nation.write.option("header", "true").csv(s"$tmp/nation_csv")
+    nation.write.json(s"$tmp/nation_json")
+    nation.write.orc(s"$tmp/nation_orc")
+    graft.sources.Iceberg.writeTable(nation, s"$tmp/nation_ice",
+      "n_regionkey")
+    val yaml =
+      s"""jobs:
+         |  - source: $tmp/nation_csv
+         |    target: n_csv
+         |    format: csv
+         |    target_schema: "n_nationkey BIGINT, n_name STRING"
+         |  - source: $tmp/nation_json
+         |    target: n_json
+         |    format: json
+         |    target_schema: "n_nationkey BIGINT, n_name STRING"
+         |  - source: $tmp/nation_orc
+         |    target: n_orc
+         |    format: orc
+         |    target_schema: "n_nationkey BIGINT, n_name STRING"
+         |  - source: $tmp/nation_ice
+         |    target: n_ice
+         |    format: iceberg
+         |    target_schema: "n_nationkey BIGINT, n_name STRING"
+         |sink:
+         |  path: $tmp/out
+         |""".stripMargin
+    val res = Pipeline.run(spark, EngineConfig.fromAnyYaml(yaml))
+    assert(res.forall(_.error.isEmpty), res.mkString("; "))
+    for (t <- Seq("n_csv", "n_json", "n_orc", "n_ice")) {
+      val out = spark.read.parquet(s"$tmp/out/$t")
+      assert(out.count() === 25, s"$t row count")
+      assert(out.columns.toSeq === Seq("n_nationkey", "n_name"), t)
+      assert(out.schema("n_nationkey").dataType ==
+        org.apache.spark.sql.types.LongType, s"$t align cast")
+    }
+  }
+
   test("YAML curation pipeline == hand-composed q_corpus_pipeline " +
        "stages (config adds zero semantics: same operators, same rows)") {
     import org.apache.spark.sql.functions._
