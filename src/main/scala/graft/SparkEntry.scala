@@ -2266,6 +2266,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- PII redaction with VALIDATION: only 13-19-digit runs that
+    //      PASS the Luhn checksum are masked (q_redact's blanket digit
+    //      masking nukes order ids and timestamps too). The fixture
+    //      derives one card-like number per doc from doc_id — even
+    //      doc_ids get the CORRECT check digit, odd ones a broken one —
+    //      so the operator's codegen'd Luhn fold is hash-gated against
+    //      the oracle's arithmetic replay for every document ----
+    "q_redact_luhn" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val base = lpad(((col("doc_id") * 2654435761L) % 100000000000000L)
+        .cast("string"), 14, "0")
+      // check digit for a base of 14 digits: base digit j (from the
+      // right) sits at full-number right-position j+1, so j ODD doubles
+      val sumBase = aggregate(sequence(lit(1), lit(14)), lit(0),
+        (acc, j) => {
+          val d = ascii(call_function("substring", base, lit(15) - j,
+            lit(1))) - lit(48)
+          acc + when(j % 2 === 1,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        })
+      val check = (lit(10) - sumBase % 10) % 10
+      val digit = when(col("doc_id") % 2 === 0, check)
+        .otherwise((check + 5) % 10)
+      val cand = concat(base, digit.cast("string"))
+      val text2 = concat(lit("card "), cand, lit(" id 1234 end"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.luhnValid(cand).as("is_valid"),
+          TextAnalysis.luhnRedact(text2).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- k-anonymity audit (training-data governance): equivalence
+    //      classes over declared quasi-identifiers, flagging every
+    //      class smaller than k — one hash aggregation at any scale ----
+    "q_kanon" -> ((s, dir) => {
+      graft.operators.Curation.kAnonymityAudit(t(s, dir, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment")), k = 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
     // ---- north star: token counting (whitespace + BPE-ish regex) ----
     "q_tokencount" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -8760,6 +8801,40 @@ object SparkEntry {
         |    regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
         |      '[a-f]{8,}', '<ID>', 'g')) AS INT) AS delta
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle replays the check-digit arithmetic and composes the
+    // expected redaction closed-form (each doc has exactly one
+    // candidate by construction)
+    "q_redact_luhn" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    lpad(CAST((doc_id * 2654435761) % 100000000000000 AS VARCHAR),
+        |      14, '0') AS base
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, base,
+        |    list_sum(list_transform(range(1, 15), j ->
+        |      CASE WHEN j % 2 = 1 THEN
+        |        CASE WHEN 2 * (ascii(substring(base, 15 - j, 1)) - 48) > 9
+        |          THEN 2 * (ascii(substring(base, 15 - j, 1)) - 48) - 9
+        |          ELSE 2 * (ascii(substring(base, 15 - j, 1)) - 48) END
+        |      ELSE ascii(substring(base, 15 - j, 1)) - 48 END)) AS sm
+        |  FROM b),
+        |t AS (
+        |  SELECT doc_id, base || CAST(
+        |    CASE WHEN doc_id % 2 = 0 THEN (10 - sm % 10) % 10
+        |         ELSE ((10 - sm % 10) % 10 + 5) % 10 END AS VARCHAR) AS cand
+        |  FROM s)
+        |SELECT doc_id, doc_id % 2 = 0 AS is_valid,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'card <CARD> id 1234 end'
+        |       ELSE 'card ' || cand || ' id 1234 end' END AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS anonymous
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q_tokencount" ->
       """SELECT doc_id,

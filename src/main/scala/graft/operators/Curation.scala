@@ -220,6 +220,24 @@ object Curation {
       .withColumn("skew", abs(col("n_a") - col("n_b")))
   }
 
+  /** k-anonymity audit — the training-data governance check before a
+    * corpus with user-adjacent columns ships: group by the declared
+    * QUASI-IDENTIFIER columns and flag every equivalence class smaller
+    * than k (its members are re-identifiable by those attributes
+    * alone). ONE hash aggregation — the class census moves (quasi…,
+    * count) rows only, so the audit costs a groupBy at any corpus
+    * size; the violating classes are typically the tiny tail, and the
+    * downstream fix (suppress or generalize them) is a broadcast
+    * semi-join against this output.
+    */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[Column],
+                      k: Int): DataFrame = {
+    require(quasi.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", col("n") >= k)
+  }
+
   /** Corpus snapshot diff — the ops view of two corpus generations
     * (yesterday's crawl vs today's): per document id, `added` /
     * `removed` / `changed` / `unchanged`, with content compared by

@@ -187,6 +187,45 @@ object TextAnalysis {
       regexp_replace(text, "[0-9]+", "<NUM>"),
       "[a-f]{8,}", "<ID>")
 
+  /** Luhn checksum validity of a digit string — entirely codegen'd
+    * higher-order functions (sequence/aggregate over per-char ascii),
+    * no UDF. Digits are weighted from the RIGHT: the check digit (i=1)
+    * unweighted, every second digit doubled with the classic
+    * subtract-9 fold. Lengths outside 13..19 (the payment-card PAN
+    * envelope) are invalid outright; the length gate also makes the
+    * garbage fold on a non-candidate harmless (false, never an error).
+    */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val sum = aggregate(
+      sequence(lit(1), greatest(n, lit(1))),
+      lit(0),
+      (acc, i) => {
+        val d = ascii(call_function("substring",
+          digits, n - i + 1, lit(1))) - lit(48)
+        val dd = when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+    n.between(13, 19) && (sum % 10 === 0)
+  }
+
+  /** PII redaction with VALIDATION — the false-positive-aware sibling
+    * of [[redact]]'s blanket digit masking: only 13-19-digit runs that
+    * PASS the Luhn checksum are masked as `<CARD>`; order ids, epoch
+    * timestamps, and hashes that merely look card-shaped survive. One
+    * narrow codegen'd projection (regexp extract → filter by
+    * [[luhnValid]] → fold of replaces over the ≤ handful of valid
+    * candidates per document) — zero shuffles at any corpus size.
+    */
+  def luhnRedact(text: Column): Column = {
+    val valids = filter(
+      regexp_extract_all(text, lit("[0-9]{13,19}"), lit(0)),
+      c => luhnValid(c))
+    aggregate(valids, text,
+      (acc, c) => call_function("replace", acc, c, lit("<CARD>")))
+  }
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-space symbols — the standard pre-tokenizer shape. Regex is
     * POSIX-simple so Java and other engines agree.

@@ -16,6 +16,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) == Seq.empty)
   }
 
+  test("luhnValid: the published card test vectors and the length gate") {
+    val cases = Seq(
+      ("4111111111111111", true),   // the canonical Visa test PAN
+      ("4111111111111112", false),  // one digit off
+      ("5500005555555559", true),   // Mastercard test PAN
+      ("378282246310005", true),    // 15-digit Amex test PAN
+      ("79927398713", false),       // Luhn-valid but only 11 digits
+      ("00000000000000000000", false), // 20 digits: past the PAN envelope
+      ("1234567890123", false),
+      ("", false))
+    val out = cases.map(_._1).toDF("d")
+      .select(col("d"), TextAnalysis.luhnValid(col("d")).as("v"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (d, want) =>
+      assert(out(d) === want, s"luhnValid('$d')")
+    }
+  }
+
+  test("luhnRedact masks only VALID card-shaped runs; invalid runs, " +
+       "short digit runs, and surrounding text survive") {
+    val text = "pay 4111111111111111 not 4111111111111112 ref 1234 " +
+      "amex 378282246310005 end"
+    val out = Seq(text).toDF("text")
+      .select(TextAnalysis.luhnRedact(col("text")).as("r"))
+      .as[String].head()
+    assert(out === "pay <CARD> not 4111111111111112 ref 1234 " +
+      "amex <CARD> end")
+  }
+
   test("stableHash60 matches the cross-engine definition") {
     // md5('hello') = 5d41402abc4b2a76... -> 0x5d41402abc4b2a7 = 419982666956583591
     val h = Seq("hello").toDF("s")
