@@ -2307,6 +2307,26 @@ object SparkEntry {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // ---- k-anonymity ENFORCEMENT: suppress every row whose quasi-
+    //      identifier class is < k (census broadcast back as a
+    //      semi-join; output k-anonymous by construction — the
+    //      CurationSpec law re-audits it) ----
+    "q_kanonymize" -> ((s, dir) => {
+      graft.operators.Curation.kAnonymize(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 5)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- l-diversity audit (k-anonymity's companion: a large class
+    //      whose members share ONE sensitive value still exposes them
+    //      all): per-class count + distinct sensitive values ----
+    "q_ldiversity" -> ((s, dir) => {
+      graft.operators.Curation.lDiversityAudit(t(s, dir, "customer"),
+          Seq(col("c_mktsegment")), col("c_nationkey"), l = 10)
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- north star: token counting (whitespace + BPE-ish regex) ----
     "q_tokencount" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -8835,6 +8855,22 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS anonymous
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_kanonymize" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment
+        |FROM customer
+        |WHERE (c_nationkey, c_mktsegment) IN (
+        |  SELECT (c_nationkey, c_mktsegment)
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment
+        |  HAVING count(*) >= 5)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_ldiversity" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT c_nationkey) >= 10 AS diverse
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_tokencount" ->
       """SELECT doc_id,

@@ -238,6 +238,37 @@ object Curation {
       .withColumn("anonymous", col("n") >= k)
   }
 
+  /** Suppression enforcement for [[kAnonymityAudit]]: drop every row
+    * whose quasi-identifier class is smaller than k — the output is
+    * k-anonymous BY CONSTRUCTION (suppressing whole classes cannot
+    * shrink a surviving class, so one pass reaches the fixpoint; the
+    * CurationSpec law re-audits the output). Plan: the class census
+    * (tiny) broadcast back as a semi-join on the quasi columns — the
+    * corpus streams once, nothing corpus-sized shuffles.
+    */
+  def kAnonymize(df: DataFrame, quasiNames: Seq[String],
+                 k: Int): DataFrame = {
+    val keep = kAnonymityAudit(df, quasiNames.map(col), k)
+      .filter(col("anonymous")).select(quasiNames.map(col): _*)
+    df.join(broadcast(keep), quasiNames, "left_semi")
+  }
+
+  /** l-diversity audit — k-anonymity's companion (a class can be large
+    * yet expose everyone in it when they all share the SENSITIVE
+    * value): per quasi-identifier class, the count and the number of
+    * DISTINCT sensitive values, flagging classes with fewer than l.
+    * One two-phase hash aggregation (distinct via the standard
+    * expand), still (quasi…, counts)-sized traffic only.
+    */
+  def lDiversityAudit(df: DataFrame, quasi: Seq[Column],
+                      sensitive: Column, l: Int): DataFrame = {
+    require(quasi.nonEmpty && l >= 1, "need quasi columns and l >= 1")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
   /** Corpus snapshot diff — the ops view of two corpus generations
     * (yesterday's crawl vs today's): per document id, `added` /
     * `removed` / `changed` / `unchanged`, with content compared by

@@ -336,4 +336,37 @@ class CurationSpec extends SparkSpec {
     assert(flat.getAs[Long]("n_alarms") === 0L)
     assert(flat.getAs[Long]("max_stat") === 0L)
   }
+
+  test("k-anonymity: kAnonymize output is k-anonymous BY RE-AUDIT " +
+       "(one suppression pass reaches the fixpoint), drops exactly the " +
+       "violating classes, and lDiversityAudit flags the planted " +
+       "single-sensitive class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3 classes: big (20 rows), borderline (5), tiny (2); sensitive
+    // value constant inside class C — diverse in A only
+    val rows =
+      (1 to 20).map(i => (i.toLong, "A", "x", i % 7)) ++
+      (21 to 25).map(i => (i.toLong, "B", "y", i % 2)) ++
+      (26 to 27).map(i => (i.toLong, "C", "z", 1))
+    val df = rows.toDF("id", "q1", "q2", "sens")
+    val audit = Curation.kAnonymityAudit(df,
+        Seq(col("q1"), col("q2")), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(audit === Set(("A", 20L, true), ("B", 5L, true),
+      ("C", 2L, false)))
+    val anon = Curation.kAnonymize(df, Seq("q1", "q2"), k = 5)
+    assert(anon.count() === 25)
+    assert(anon.filter(col("q1") === "C").count() === 0)
+    // fixpoint: re-auditing the suppressed output finds NO violations
+    val re = Curation.kAnonymityAudit(anon, Seq(col("q1"), col("q2")), 5)
+    assert(re.filter(!col("anonymous")).count() === 0)
+    val ldiv = Curation.lDiversityAudit(df, Seq(col("q1")),
+        col("sens"), l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(ldiv === Set(("A", 7L, true), ("B", 2L, false),
+      ("C", 1L, false)))
+  }
 }
