@@ -2290,11 +2290,18 @@ object SparkEntry {
       val digit = when(col("doc_id") % 2 === 0, check)
         .otherwise((check + 5) % 10)
       val cand = concat(base, digit.cast("string"))
-      val text2 = concat(lit("card "), cand, lit(" id 1234 end"))
+      // the candidate tree is itself a fold: bind it ONCE per row (the
+      // luhnValid device) and derive both outputs from the binding —
+      // letting each output re-interpret the fixture tree measured 6x
+      // slower under the CodegenFallback HOF evaluator
+      val bound = element_at(transform(array(cand), d =>
+        struct(TextAnalysis.luhnValid(d).as("v"),
+          TextAnalysis.luhnRedact(
+            concat(lit("card "), d, lit(" id 1234 end"))).as("r"))), 1)
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.luhnValid(cand).as("is_valid"),
-          TextAnalysis.luhnRedact(text2).as("redacted"))
+        .select(col("doc_id"), bound.as("b"))
+        .select(col("doc_id"), col("b.v").as("is_valid"),
+          col("b.r").as("redacted"))
         .orderBy(col("doc_id"))
     }),
 

@@ -196,18 +196,29 @@ object TextAnalysis {
     * garbage fold on a non-candidate harmless (false, never an error).
     */
   def luhnValid(digits: Column): Column = {
-    val n = length(digits)
-    val sum = aggregate(
-      sequence(lit(1), greatest(n, lit(1))),
-      lit(0),
-      (acc, i) => {
-        val d = ascii(call_function("substring",
-          digits, n - i + 1, lit(1))) - lit(48)
-        val dd = when(i % 2 === 0,
-          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
-        acc + dd
-      })
-    n.between(13, 19) && (sum % 10 === 0)
+    def body(ds: Column): Column = {
+      val n = length(ds)
+      val sum = aggregate(
+        sequence(lit(1), greatest(n, lit(1))),
+        lit(0),
+        (acc, i) => {
+          val d = ascii(call_function("substring",
+            ds, n - i + 1, lit(1))) - lit(48)
+          val dd = when(i % 2 === 0,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+          acc + dd
+        })
+      n.between(13, 19) && (sum % 10 === 0)
+    }
+    // Spark's higher-order functions are CodegenFallback: every fold
+    // step re-INTERPRETS the captured argument tree. If `digits` is
+    // itself a deep expression (q_redact_luhn's fixture candidate is
+    // another fold), the 15 steps × 5 digit references multiply the
+    // whole upstream tree — measured 35x on that query. Binding the
+    // argument to a lambda variable via a 1-element transform
+    // evaluates it ONCE per row; inside, every reference is a cheap
+    // variable read.
+    element_at(transform(array(digits), d => body(d)), 1)
   }
 
   /** PII redaction with VALIDATION — the false-positive-aware sibling
