@@ -1136,6 +1136,12 @@ object Dedup {
         array((0 until 64).map(j =>
           shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1): _*),
         _ + _))
+    // NOTE (r12): binding `votes` once via the q_redact_luhn transform
+    // device was tried and measured NO faster here — the interpreted
+    // projection evaluates this projection's subexpressions once per
+    // row already (the luhn blowup came from references INSIDE a HOF
+    // lambda body, which this fold doesn't have); q_dedup_simhash's
+    // cost is its banding join, not this expression
     val bitCols = (0 until 64).map { j =>
       when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
     }
