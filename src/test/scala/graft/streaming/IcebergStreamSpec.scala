@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Iceberg
+
+/** Streaming Iceberg ingestion law: snapshot-per-batch appends with
+  * id-keyed replay idempotence; the current scan equals the distinct
+  * union of everything sent, and each batch boundary stays
+  * time-travelable.
+  */
+class IcebergStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("snapshot-per-batch ingestion: union scan, per-batch time travel, " +
+       "replayed batch appends nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def shard(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .as[(Long, String, Long)].collect().toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_icestream_spec").toString + "/tbl"
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = IcebergStream.appendIncremental(
+      mem.toDF().toDF("doc_id", "lang", "n_chars"), dir,
+      partCol = "lang", idCol = "doc_id")
+    for (b <- Seq(shard(0, 100), shard(100, 300),
+                  shard(0, 100) /* replay */, shard(300, 450))) {
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val meta = Iceberg.currentMetadata(dir)
+    // replay appended NO snapshot: 1 build + 2 effective appends
+    assert(meta.snapshots.map(_._1).sorted === Seq(1L, 2L, 3L))
+    val got = Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet
+    val want = docs.filter(col("doc_id") < 450)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    // every batch boundary stays addressable
+    assert(Iceberg.scan(spark, dir, asOf = Some(1L)).count() ===
+      docs.filter(col("doc_id") < 100).count())
+    assert(Iceberg.scan(spark, dir, asOf = Some(2L)).count() ===
+      docs.filter(col("doc_id") < 300).count())
+  }
+}
