@@ -355,6 +355,28 @@ object SparkEntry {
           col("l_returnflag"), col("l_shipdate"))
     }),
 
+    // ---- Iceberg COLUMN-STATS file skipping: the table composed with
+    //      sort clustering (repartitionByRange on l_orderkey), so each
+    //      data file's footer-derived [lower, upper] bounds — written
+    //      into the manifests' spec stats maps — cover disjoint key
+    //      windows; a range predicate opens only overlapping files
+    //      (strict-subset law in IcebergSpec) and the row filter makes
+    //      the result exact ----
+    "q_iceberg_stats_prune" -> ((s, dir) => {
+      val path = annIndex("iceberg_sorted", dir) { p =>
+        graft.sources.Iceberg.writeTable(
+          t(s, dir, "lineitem")
+            .where(col("l_orderkey") % 60 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_returnflag"), col("l_shipdate")),
+          p, "l_returnflag", sortBy = Some("l_orderkey"))
+      }
+      graft.sources.Iceberg.scan(s, path,
+          colRange = Some(("l_orderkey", 1000L, 15000L)))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5578,6 +5600,14 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  l_shipdate
         |FROM lineitem WHERE l_orderkey % 120 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate""".stripMargin,
+
+    "q_iceberg_stats_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate
+        |FROM lineitem
+        |WHERE l_orderkey % 60 = 0 AND l_orderkey BETWEEN 1000 AND 15000
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  l_shipdate""".stripMargin,
 

@@ -79,7 +79,17 @@ object Iceberg {
          |          {"name":"$pname","type":["null","$ptype"],
          |           "default":null,"field-id":1000}]}},
          |      {"name":"record_count","type":"long","field-id":103},
-         |      {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |      {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |      {"name":"lower_bounds","field-id":125,"default":null,
+         |       "type":["null",{"type":"array","items":{
+         |         "type":"record","name":"k126_v127","fields":[
+         |           {"name":"key","type":"int","field-id":126},
+         |           {"name":"value","type":"bytes","field-id":127}]}}]},
+         |      {"name":"upper_bounds","field-id":128,"default":null,
+         |       "type":["null",{"type":"array","items":{
+         |         "type":"record","name":"k129_v130","fields":[
+         |           {"name":"key","type":"int","field-id":129},
+         |           {"name":"value","type":"bytes","field-id":130}]}}]}
          |  ]}}
          |]}""".stripMargin)
 
@@ -143,6 +153,7 @@ object Iceberg {
       location: String,               // location recorded in metadata
       root: String,                   // where the table actually sits
       columns: Seq[String],           // schema field names, spec order
+      fieldIds: Map[String, Int],     // column name -> spec field id
       partName: String,               // identity partition column
       partType: String,               // "string" | "long"
       currentSnapshotId: Long,
@@ -235,8 +246,10 @@ object Iceberg {
       .getOrElse(throw new IllegalArgumentException(
         s"iceberg: snapshot $snapId not in snapshots list " +
           s"(have: ${snaps.map(_._1).mkString(", ")})"))
+    val fieldIds = schema.path("fields").elements().asScala
+      .map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
     TableMeta(fv, version, root.path("location").asText(tableDir),
-      tableDir, columns, pname, ptype, currentId, snaps, list)
+      tableDir, columns, fieldIds, pname, ptype, currentId, snaps, list)
   }
 
   /** The manifest list: per-manifest paths + partition-bound
@@ -257,11 +270,17 @@ object Iceberg {
           .asInstanceOf[Boolean]))
     }
 
-  /** Live (status != DELETED) data-file entries of one manifest:
-    * (file_path, partition value).
+  final case class FileEntry(
+      path: String,
+      partition: Option[Any],
+      longBounds: Map[Int, (Long, Long)]) // field id -> (lower, upper)
+
+  /** Live (status != DELETED) data-file entries of one manifest, with
+    * the per-file column bound maps (spec fields 125/128) decoded for
+    * long columns — the file-skipping statistics.
     */
   def manifestEntries(manifestPath: String,
-                      meta: TableMeta): Seq[(String, Option[Any])] =
+                      meta: TableMeta): Seq[FileEntry] =
     readAvro(meta.rebase(manifestPath))
       .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
       .map { e =>
@@ -275,7 +294,21 @@ object Iceberg {
             case u: org.apache.avro.util.Utf8 => u.toString
             case other => other
           }
-        (meta.rebase(df.get("file_path").toString), pv)
+        def kv(name: String): Map[Int, Long] =
+          (df.getSchema.getField(name), df.get(name)) match {
+            case (f, l) if f != null && l != null =>
+              l.asInstanceOf[java.util.List[GenericRecord]].asScala.map {
+                r => r.get("key").asInstanceOf[Int] ->
+                  boundValue(bufBytes(r.get("value")
+                    .asInstanceOf[java.nio.ByteBuffer]), "long")
+                    .asInstanceOf[Long]
+              }.toMap
+            case _ => Map.empty
+          }
+        val lo = kv("lower_bounds"); val hi = kv("upper_bounds")
+        val bounds = lo.keySet.intersect(hi.keySet)
+          .map(k => k -> (lo(k), hi(k))).toMap
+        FileEntry(meta.rebase(df.get("file_path").toString), pv, bounds)
       }
 
   /** Data files surviving an optional identity-partition equality
@@ -284,7 +317,8 @@ object Iceberg {
     */
   def prunedDataFiles(tableDir: String,
                       partitionEq: Option[String],
-                      asOf: Option[Long] = None)
+                      asOf: Option[Long] = None,
+                      colRange: Option[(String, Long, Long)] = None)
       : (Seq[String], Int, Int) = {
     val meta = currentMetadata(tableDir, asOf)
     val mans = manifestList(meta)
@@ -300,9 +334,21 @@ object Iceberg {
         (loOk && hiOk) || (m.lower.isEmpty && m.upper.isEmpty)
       }
     }
+    // file-level: partition equality, then COLUMN-STATS skipping — a
+    // file whose recorded [lower, upper] window for the predicate
+    // column misses the wanted range is never opened (files without
+    // stats for the column are conservatively kept)
+    val rangeId = colRange.map { case (name, _, _) =>
+      meta.fieldIds.getOrElse(name, throw new IllegalArgumentException(
+        s"iceberg: no column '$name' in table schema"))
+    }
     val files = survivors.flatMap(m => manifestEntries(m.path, meta))
       .collect {
-        case (f, pv) if want.forall(v => pv.contains(v)) => f
+        case e if want.forall(v => e.partition.contains(v)) &&
+          colRange.forall { case (_, lo, hi) =>
+            e.longBounds.get(rangeId.get)
+              .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+          } => e.path
       }
     (files, survivors.size, mans.size)
   }
@@ -315,9 +361,11 @@ object Iceberg {
     */
   def scan(spark: SparkSession, tableDir: String,
            partitionEq: Option[String] = None,
-           asOf: Option[Long] = None): DataFrame = {
+           asOf: Option[Long] = None,
+           colRange: Option[(String, Long, Long)] = None): DataFrame = {
     val meta = currentMetadata(tableDir, asOf)
-    val (files, _, _) = prunedDataFiles(tableDir, partitionEq, asOf)
+    val (files, _, _) =
+      prunedDataFiles(tableDir, partitionEq, asOf, colRange)
     if (files.isEmpty)
       // a fully-pruned probe (or an empty table) is an EMPTY RESULT,
       // not an error — schema comes from the table metadata, exactly
@@ -325,9 +373,15 @@ object Iceberg {
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         sparkSchema(tableDir, meta))
-    else
-      spark.read.parquet(files: _*)
+    else {
+      val base = spark.read.parquet(files: _*)
         .select(meta.columns.map(c => col(s"`$c`")): _*)
+      // the stats prune skips FILES; the row-level filter (also pushed
+      // into the surviving parquet scans) makes the result exact
+      colRange.map { case (name, lo, hi) =>
+        base.filter(col(s"`$name`").between(lo, hi))
+      }.getOrElse(base)
+    }
   }
 
   /** Spark schema from the table metadata's Iceberg types (the
@@ -380,7 +434,8 @@ object Iceberg {
     * same contract as any partitionBy sink); row data never leaves
     * the cluster.
     */
-  def writeTable(df: DataFrame, tableDir: String, partCol: String): Unit = {
+  def writeTable(df: DataFrame, tableDir: String, partCol: String,
+                 sortBy: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val ptype = df.schema(partCol).dataType.typeName match {
       case "string" => "string"
@@ -389,7 +444,7 @@ object Iceberg {
         s"iceberg composer: unsupported partition type $other")
     }
     val listRecords = composeSnapshotManifests(df, tableDir, partCol,
-      ptype, snapId = 1L, dataRoot = s"$tableDir/data")
+      ptype, snapId = 1L, dataRoot = s"$tableDir/data", sortBy = sortBy)
     val listPath = s"$tableDir/metadata/snap-1-1.avro"
     writeAvro(listPath, manifestFileSchema, listRecords, Map.empty)
 
@@ -458,7 +513,8 @@ object Iceberg {
     * snapshots addressable, so `scan(asOf = oldId)` time-travels to
     * the pre-append table for free.
     */
-  def appendToTable(df: DataFrame, tableDir: String): Unit = {
+  def appendToTable(df: DataFrame, tableDir: String,
+                    sortBy: Option[String] = None): Unit = {
     val meta = currentMetadata(tableDir)
     require(df.schema.fieldNames.toSeq == meta.columns,
       s"iceberg append: columns ${df.schema.fieldNames.toSeq} != " +
@@ -466,7 +522,7 @@ object Iceberg {
     val newId = meta.snapshots.map(_._1).max + 1
     val newRecords = composeSnapshotManifests(df, tableDir,
       meta.partName, meta.partType, snapId = newId,
-      dataRoot = s"$tableDir/data/snap$newId")
+      dataRoot = s"$tableDir/data/snap$newId", sortBy = sortBy)
     // prior snapshot's manifests ride into the new list unchanged
     // (paths rebased in case the table was relocated since the build)
     val oldRecords = readAvro(meta.rebase(meta.manifestList)).map { r =>
@@ -526,7 +582,7 @@ object Iceberg {
     val keepManifests = readAvro(meta.rebase(meta.manifestList))
       .map(r => meta.rebase(r.get("manifest_path").toString)).toSet
     val keepFiles = keepManifests.flatMap(mp =>
-      manifestEntries(mp, meta).map(_._1))
+      manifestEntries(mp, meta).map(_.path))
     for ((id, list) <- meta.snapshots if id != meta.currentSnapshotId) {
       val lp = meta.rebase(list)
       if (fs.exists(new HPath(lp))) {
@@ -534,9 +590,9 @@ object Iceberg {
           .map(r => meta.rebase(r.get("manifest_path").toString))
         for (mp <- mans if !keepManifests.contains(mp)
              if fs.exists(new HPath(mp))) {
-          for ((f, _) <- manifestEntries(mp, meta)
-               if !keepFiles.contains(f))
-            fs.delete(new HPath(f), false)
+          for (fe <- manifestEntries(mp, meta)
+               if !keepFiles.contains(fe.path))
+            fs.delete(new HPath(fe.path), false)
           fs.delete(new HPath(mp), false)
         }
         fs.delete(new HPath(lp), false)
@@ -570,7 +626,8 @@ object Iceberg {
     */
   private def composeSnapshotManifests(df0: DataFrame, tableDir: String,
                                        partCol: String, ptype: String,
-                                       snapId: Long, dataRoot: String)
+                                       snapId: Long, dataRoot: String,
+                                       sortBy: Option[String] = None)
       : Seq[GenericRecord] = {
     val fs = new HPath(tableDir).getFileSystem(hconf)
     // materialize the input once: the per-partition write loop below
@@ -588,10 +645,24 @@ object Iceberg {
       case n: Int => n.toLong
       case other => other
     }
+    // (column name -> spec field id) for the stats maps — ids follow
+    // the metadata schema's id = position + 1 rule
+    val fieldIds = df.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val loSch = dataFileSch.getField("lower_bounds").schema()
+      .getTypes.get(1).getElementType
+    val hiSch = dataFileSch.getField("upper_bounds").schema()
+      .getTypes.get(1).getElementType
     val manifests = values.zipWithIndex.map { case (v, i) =>
       val dataDir = s"$dataRoot/$partCol=$v"
-      df.filter(col(s"`$partCol`") === v)
-        .write.mode("overwrite").parquet(dataDir)
+      val shard0 = df.filter(col(s"`$partCol`") === v)
+      // sort clustering (the spec's sort-order story): range-cluster
+      // the shard on `sortBy` so each data file covers a DISJOINT
+      // value window — that's what makes the per-file bound stats
+      // written below actually skip files for range predicates
+      val shard = sortBy.map(c =>
+        shard0.repartitionByRange(4, col(s"`$c`"))).getOrElse(shard0)
+      shard.write.mode("overwrite").parquet(dataDir)
       val parts = fs.listStatus(new HPath(dataDir))
         .filter(f => f.getPath.getName.endsWith(".parquet") &&
           !f.getPath.getName.startsWith("_"))
@@ -608,6 +679,25 @@ object Iceberg {
         d.put("partition", p)
         d.put("record_count", parquetRowCount(f.getPath))
         d.put("file_size_in_bytes", f.getLen)
+        // per-file column bounds from the parquet FOOTER (free — the
+        // row-group stats are already there), long columns only
+        val stats = footerLongStats(f.getPath)
+        if (stats.nonEmpty) {
+          def kvList(sch: Schema, pick: ((Long, Long)) => Long) = {
+            val l = new java.util.ArrayList[GenericRecord]()
+            stats.toSeq.sortBy(t => fieldIds(t._1)).foreach {
+              case (name, mm) =>
+                val r = new GenericData.Record(sch)
+                r.put("key", fieldIds(name))
+                r.put("value",
+                  java.nio.ByteBuffer.wrap(boundBytes(pick(mm))))
+                l.add(r)
+            }
+            l
+          }
+          d.put("lower_bounds", kvList(loSch, _._1))
+          d.put("upper_bounds", kvList(hiSch, _._2))
+        }
         e.put("data_file", d)
         e
       }
@@ -678,5 +768,34 @@ object Iceberg {
       .fromPath(file, hconf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try reader.getRecordCount finally reader.close()
+  }
+
+  /** Per-file (min, max) for top-level INT64 columns, folded across
+    * row groups from the parquet footer statistics — no data read.
+    */
+  private def footerLongStats(file: HPath): Map[String, (Long, Long)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, hconf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      for (block <- reader.getFooter.getBlocks.asScala;
+           c <- block.getColumns.asScala) {
+        val st = c.getStatistics
+        if (c.getPath.size() == 1 &&
+          c.getPrimitiveType.getPrimitiveTypeName ==
+            PrimitiveTypeName.INT64 &&
+          st != null && !st.isEmpty && st.hasNonNullValue) {
+          val name = c.getPath.toDotString
+          val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+          val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+          val cur = acc.get(name)
+          acc(name) = (cur.fold(mn)(t => math.min(t._1, mn)),
+            cur.fold(mx)(t => math.max(t._2, mx)))
+        }
+      }
+      acc.toMap
+    } finally reader.close()
   }
 }

@@ -141,6 +141,47 @@ class IcebergSpec extends SparkSpec {
     assert(Iceberg.scan(spark, moved.toString).count() === union.size)
   }
 
+  test("column-stats file skipping: a sort-clustered table prunes data " +
+       "files whose [lower, upper] window misses a range predicate, " +
+       "results stay exact, and an unclustered table degrades to " +
+       "no-skip (conservative) with the same exact results") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    val keys = df.select(col("l_orderkey")).as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    val (lo, hi) = (keys(keys.length / 8), keys(keys.length / 4))
+    val want = df.filter(col("l_orderkey").between(lo, hi))
+      .collect().map(_.toSeq).toSet
+    // sorted build: files carry disjoint key windows -> real skipping
+    val sDir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_stats_spec").toString
+    Iceberg.writeTable(df, sDir, "l_returnflag",
+      sortBy = Some("l_orderkey"))
+    val (all, _, _) = Iceberg.prunedDataFiles(sDir, None)
+    val (hit, _, _) = Iceberg.prunedDataFiles(sDir, None,
+      colRange = Some(("l_orderkey", lo, hi)))
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"stats must skip files: ${hit.size} of ${all.size}")
+    val got = Iceberg.scan(spark, sDir,
+        colRange = Some(("l_orderkey", lo, hi)))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    // unknown predicate column fails loudly
+    intercept[IllegalArgumentException] {
+      Iceberg.prunedDataFiles(sDir, None,
+        colRange = Some(("nope", 0L, 1L)))
+    }
+    // unsorted build: overlapping windows keep every file, result exact
+    val uDir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_nostat_spec").toString
+    Iceberg.writeTable(df, uDir, "l_returnflag")
+    val gotU = Iceberg.scan(spark, uDir,
+        colRange = Some(("l_orderkey", lo, hi)))
+      .collect().map(_.toSeq).toSet
+    assert(gotU === want)
+  }
+
   test("expireSnapshots cuts history to the current snapshot: the " +
        "current scan is unchanged, the expired snapshot's manifest list " +
        "is deleted, and time travel to it fails loudly") {
