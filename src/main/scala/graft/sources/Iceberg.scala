@@ -418,6 +418,33 @@ object Iceberg {
     }.toSeq)
   }
 
+  /** Incremental (CDC-style) read: the rows ADDED between two
+    * snapshots — the data files reachable from `toSnap` but not from
+    * `fromSnap`. With append-only snapshots that is exactly the
+    * appended rows, resolved from METADATA alone (two manifest-list
+    * walks, no table scan), so a downstream consumer processes each
+    * new snapshot at O(delta) — the read-side pairing of
+    * [[graft.streaming.IcebergStream.appendIncremental]]'s
+    * snapshot-per-batch sink.
+    */
+  def incrementalScan(spark: SparkSession, tableDir: String,
+                      fromSnap: Long, toSnap: Long): DataFrame = {
+    require(fromSnap < toSnap,
+      s"incrementalScan needs fromSnap < toSnap, got $fromSnap..$toSnap")
+    val meta = currentMetadata(tableDir, Some(toSnap))
+    val fromFiles =
+      prunedDataFiles(tableDir, None, Some(fromSnap))._1.toSet
+    val newFiles = prunedDataFiles(tableDir, None, Some(toSnap))._1
+      .filterNot(fromFiles)
+    if (newFiles.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        sparkSchema(tableDir, meta))
+    else
+      spark.read.parquet(newFiles: _*)
+        .select(meta.columns.map(c => col(s"`$c`")): _*)
+  }
+
   // ---------------------------------------------------------------
   // closed-form composer (fixtures + the write side of the surface)
   // ---------------------------------------------------------------

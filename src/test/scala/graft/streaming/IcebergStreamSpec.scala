@@ -44,5 +44,20 @@ class IcebergStreamSpec extends SparkSpec {
       docs.filter(col("doc_id") < 100).count())
     assert(Iceberg.scan(spark, dir, asOf = Some(2L)).count() ===
       docs.filter(col("doc_id") < 300).count())
+    // CDC pairing: the incremental read of each snapshot step is
+    // exactly that batch's effective rows, from metadata alone
+    val inc12 = Iceberg.incrementalScan(spark, dir, 1L, 2L)
+      .collect().map(_.toSeq).toSet
+    assert(inc12 === docs
+      .filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      .collect().map(_.toSeq).toSet)
+    val inc23 = Iceberg.incrementalScan(spark, dir, 2L, 3L)
+      .collect().map(_.toSeq).toSet
+    assert(inc23 === docs
+      .filter(col("doc_id") >= 300 && col("doc_id") < 450)
+      .collect().map(_.toSeq).toSet)
+    // full-range incremental == everything after the build snapshot
+    assert(Iceberg.incrementalScan(spark, dir, 1L, 3L).count() ===
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 450).count())
   }
 }
