@@ -60,11 +60,15 @@ object Iceberg {
   // spec Avro schemas (v1 subset; field-id props as the spec requires)
   // ---------------------------------------------------------------
 
-  /** manifest_entry with an identity partition field of `ptype`
-    * ("string" | "long").
+  /** manifest_entry with identity partition fields of the given
+    * (name, type) pairs — types "string" | "long".
     */
-  private[sources] def manifestEntrySchema(pname: String,
-                                           ptype: String): Schema =
+  private[sources] def manifestEntrySchema(
+      partFields: Seq[(String, String)]): Schema = {
+    val pf = partFields.zipWithIndex.map { case ((n, t), i) =>
+      s"""{"name":"$n","type":["null","$t"],
+         |           "default":null,"field-id":${1000 + i}}""".stripMargin
+    }.mkString(",\n          ")
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |  {"name":"status","type":"int","field-id":0},
@@ -76,8 +80,7 @@ object Iceberg {
          |      {"name":"file_format","type":"string","field-id":101},
          |      {"name":"partition","field-id":102,"type":{
          |        "type":"record","name":"r102","fields":[
-         |          {"name":"$pname","type":["null","$ptype"],
-         |           "default":null,"field-id":1000}]}},
+         |          $pf]}},
          |      {"name":"record_count","type":"long","field-id":103},
          |      {"name":"file_size_in_bytes","type":"long","field-id":104},
          |      {"name":"lower_bounds","field-id":125,"default":null,
@@ -92,6 +95,7 @@ object Iceberg {
          |           {"name":"value","type":"bytes","field-id":130}]}}]}
          |  ]}}
          |]}""".stripMargin)
+  }
 
   /** manifest_file (one manifest-list row), with the partition
     * field_summary array carrying the spec's binary bounds.
@@ -154,8 +158,7 @@ object Iceberg {
       root: String,                   // where the table actually sits
       columns: Seq[String],           // schema field names, spec order
       fieldIds: Map[String, Int],     // column name -> spec field id
-      partName: String,               // identity partition column
-      partType: String,               // "string" | "long"
+      partFields: Seq[(String, String)], // identity partition (name, type)
       currentSnapshotId: Long,
       snapshots: Seq[(Long, String)], // (snapshot-id, manifest-list)
       manifestList: String) {         // SELECTED snapshot's manifest list
@@ -176,11 +179,15 @@ object Iceberg {
     }
   }
 
+  /** One field_summary: inclusive [lower, upper] for a partition
+    * field (None = no bound recorded — conservatively unprunable).
+    */
+  final case class FieldBounds(lower: Option[Any], upper: Option[Any],
+                               containsNull: Boolean)
+
   final case class ManifestInfo(
       path: String,
-      lower: Option[Any],
-      upper: Option[Any],
-      containsNull: Boolean)
+      bounds: Seq[FieldBounds]) // per partition field, spec order
 
   /** Resolve and parse the CURRENT table metadata: version-hint.text
     * when present (the spec's file-system-catalog convention), else
@@ -223,19 +230,21 @@ object Iceberg {
         (f.path("name").asText(), f.path("type").asText())).toMap
 
     val spec = root.path("partition-spec")
-    require(spec.isArray && spec.size() == 1,
-      "iceberg: exactly one partition field supported")
-    val pf = spec.get(0)
-    require(pf.path("transform").asText() == "identity",
-      s"iceberg: only identity transform supported, " +
-        s"got ${pf.path("transform").asText()}")
-    val (pname, ptypeRaw) = types(pf.path("source-id").asInt())
-    val ptype = ptypeRaw match {
-      case "string" => "string"
-      case "long" | "int" => "long"
-      case other => throw new IllegalArgumentException(
-        s"iceberg: unsupported partition column type $other")
-    }
+    require(spec.isArray && spec.size() >= 1,
+      "iceberg: need at least one partition field")
+    val partFields = spec.elements().asScala.map { pf =>
+      require(pf.path("transform").asText() == "identity",
+        s"iceberg: only identity transform supported, " +
+          s"got ${pf.path("transform").asText()}")
+      val (pname, ptypeRaw) = types(pf.path("source-id").asInt())
+      val ptype = ptypeRaw match {
+        case "string" => "string"
+        case "long" | "int" => "long"
+        case other => throw new IllegalArgumentException(
+          s"iceberg: unsupported partition column type $other")
+      }
+      (pname, ptype)
+    }.toSeq
 
     val currentId = root.path("current-snapshot-id").asLong()
     val snaps = root.path("snapshots").elements().asScala.map(s =>
@@ -249,7 +258,7 @@ object Iceberg {
     val fieldIds = schema.path("fields").elements().asScala
       .map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
     TableMeta(fv, version, root.path("location").asText(tableDir),
-      tableDir, columns, fieldIds, pname, ptype, currentId, snaps, list)
+      tableDir, columns, fieldIds, partFields, currentId, snaps, list)
   }
 
   /** The manifest list: per-manifest paths + partition-bound
@@ -258,21 +267,24 @@ object Iceberg {
   def manifestList(meta: TableMeta): Seq[ManifestInfo] =
     readAvro(meta.rebase(meta.manifestList)).map { r =>
       val parts = Option(r.get("partitions"))
-        .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala)
+        .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq)
         .getOrElse(Seq.empty)
-      val summary = parts.headOption
-      def bound(name: String): Option[Any] = summary.flatMap(s =>
-        Option(s.get(name)).map(bb => boundValue(
-          bufBytes(bb.asInstanceOf[java.nio.ByteBuffer]), meta.partType)))
-      ManifestInfo(r.get("manifest_path").toString,
-        bound("lower_bound"), bound("upper_bound"),
-        summary.exists(_.get("contains_null")
-          .asInstanceOf[Boolean]))
+      // one field_summary per partition field, spec order; a list
+      // shorter than the spec leaves the tail unprunable
+      val bounds = meta.partFields.zipWithIndex.map { case ((_, t), i) =>
+        val summary = parts.lift(i)
+        def bound(name: String): Option[Any] = summary.flatMap(s =>
+          Option(s.get(name)).map(bb => boundValue(
+            bufBytes(bb.asInstanceOf[java.nio.ByteBuffer]), t)))
+        FieldBounds(bound("lower_bound"), bound("upper_bound"),
+          summary.exists(_.get("contains_null").asInstanceOf[Boolean]))
+      }
+      ManifestInfo(r.get("manifest_path").toString, bounds)
     }
 
   final case class FileEntry(
       path: String,
-      partition: Option[Any],
+      partition: Map[String, Any],        // partition field -> value
       longBounds: Map[Int, (Long, Long)]) // field id -> (lower, upper)
 
   /** Live (status != DELETED) data-file entries of one manifest, with
@@ -288,12 +300,13 @@ object Iceberg {
         require(df.get("file_format").toString
           .equalsIgnoreCase("PARQUET"),
           s"iceberg: only parquet data files supported")
-        val pv = Option(df.get("partition")
-          .asInstanceOf[GenericRecord].get(meta.partName))
-          .map {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case other => other
+        val pRec = df.get("partition").asInstanceOf[GenericRecord]
+        val pv = meta.partFields.flatMap { case (n, _) =>
+          Option(pRec.get(n)).map {
+            case u: org.apache.avro.util.Utf8 => n -> (u.toString: Any)
+            case other => n -> other
           }
+        }.toMap
         def kv(name: String): Map[Int, Long] =
           (df.getSchema.getField(name), df.get(name)) match {
             case (f, l) if f != null && l != null =>
@@ -318,33 +331,47 @@ object Iceberg {
   def prunedDataFiles(tableDir: String,
                       partitionEq: Option[String],
                       asOf: Option[Long] = None,
-                      colRange: Option[(String, Long, Long)] = None)
+                      colRange: Option[(String, Long, Long)] = None,
+                      partitionEqs: Map[String, String] = Map.empty)
       : (Seq[String], Int, Int) = {
     val meta = currentMetadata(tableDir, asOf)
     val mans = manifestList(meta)
-    val want = partitionEq.map(v =>
-      if (meta.partType == "long") v.toLong: Any else v: Any)
-    // manifest pruning: spec bounds are inclusive; a manifest whose
-    // [lower, upper] window excludes the wanted value is never opened
-    val survivors = want match {
-      case None => mans
-      case Some(v) => mans.filter { m =>
-        val loOk = m.lower.forall(cmp(_, v) <= 0)
-        val hiOk = m.upper.forall(cmp(v, _) <= 0)
-        (loOk && hiOk) || (m.lower.isEmpty && m.upper.isEmpty)
-      }
+    val fieldIdx = meta.partFields.map(_._1).zipWithIndex.toMap
+    // `partitionEq` is single-value sugar for the FIRST partition
+    // field; `partitionEqs` is the general multi-field predicate
+    val wants0 = partitionEqs ++
+      partitionEq.map(v => meta.partFields.head._1 -> v).toMap
+    val wants: Map[String, Any] = wants0.map { case (n, v) =>
+      val t = meta.partFields.collectFirst { case (pn, pt) if pn == n => pt }
+        .getOrElse(throw new IllegalArgumentException(
+          s"iceberg: '$n' is not a partition field of " +
+            s"${meta.partFields.map(_._1).mkString(", ")}"))
+      n -> (if (t == "long") v.toLong: Any else v: Any)
     }
-    // file-level: partition equality, then COLUMN-STATS skipping — a
-    // file whose recorded [lower, upper] window for the predicate
-    // column misses the wanted range is never opened (files without
-    // stats for the column are conservatively kept)
+    // manifest pruning: spec bounds are inclusive; a manifest whose
+    // [lower, upper] window excludes a wanted value on ANY predicated
+    // field is never opened (missing bounds keep it, conservatively)
+    val survivors =
+      if (wants.isEmpty) mans
+      else mans.filter { m =>
+        wants.forall { case (n, v) =>
+          val b = m.bounds(fieldIdx(n))
+          b.lower.forall(cmp(_, v) <= 0) && b.upper.forall(cmp(v, _) <= 0)
+        }
+      }
+    // file-level: partition equality on every predicated field, then
+    // COLUMN-STATS skipping — a file whose recorded [lower, upper]
+    // window for the predicate column misses the wanted range is never
+    // opened (files without stats are conservatively kept)
     val rangeId = colRange.map { case (name, _, _) =>
       meta.fieldIds.getOrElse(name, throw new IllegalArgumentException(
         s"iceberg: no column '$name' in table schema"))
     }
     val files = survivors.flatMap(m => manifestEntries(m.path, meta))
       .collect {
-        case e if want.forall(v => e.partition.contains(v)) &&
+        case e if wants.forall { case (n, v) =>
+            e.partition.get(n).contains(v)
+          } &&
           colRange.forall { case (_, lo, hi) =>
             e.longBounds.get(rangeId.get)
               .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
@@ -362,10 +389,11 @@ object Iceberg {
   def scan(spark: SparkSession, tableDir: String,
            partitionEq: Option[String] = None,
            asOf: Option[Long] = None,
-           colRange: Option[(String, Long, Long)] = None): DataFrame = {
+           colRange: Option[(String, Long, Long)] = None,
+           partitionEqs: Map[String, String] = Map.empty): DataFrame = {
     val meta = currentMetadata(tableDir, asOf)
     val (files, _, _) =
-      prunedDataFiles(tableDir, partitionEq, asOf, colRange)
+      prunedDataFiles(tableDir, partitionEq, asOf, colRange, partitionEqs)
     if (files.isEmpty)
       // a fully-pruned probe (or an empty table) is an EMPTY RESULT,
       // not an error — schema comes from the table metadata, exactly
@@ -462,16 +490,25 @@ object Iceberg {
     * the cluster.
     */
   def writeTable(df: DataFrame, tableDir: String, partCol: String,
-                 sortBy: Option[String] = None): Unit = {
+                 sortBy: Option[String] = None): Unit =
+    writeTablePartitioned(df, tableDir, Seq(partCol), sortBy)
+
+  /** The general composer: N identity partition fields. */
+  def writeTablePartitioned(df: DataFrame, tableDir: String,
+                            partCols: Seq[String],
+                            sortBy: Option[String] = None): Unit = {
+    require(partCols.nonEmpty, "iceberg composer: need >= 1 partition col")
     val spark = df.sparkSession
-    val ptype = df.schema(partCol).dataType.typeName match {
-      case "string" => "string"
-      case "long" | "integer" => "long"
-      case other => throw new IllegalArgumentException(
-        s"iceberg composer: unsupported partition type $other")
+    val partFields = partCols.map { c =>
+      c -> (df.schema(c).dataType.typeName match {
+        case "string" => "string"
+        case "long" | "integer" => "long"
+        case other => throw new IllegalArgumentException(
+          s"iceberg composer: unsupported partition type $other")
+      })
     }
-    val listRecords = composeSnapshotManifests(df, tableDir, partCol,
-      ptype, snapId = 1L, dataRoot = s"$tableDir/data", sortBy = sortBy)
+    val listRecords = composeSnapshotManifests(df, tableDir, partFields,
+      snapId = 1L, dataRoot = s"$tableDir/data", sortBy = sortBy)
     val listPath = s"$tableDir/metadata/snap-1-1.avro"
     writeAvro(listPath, manifestFileSchema, listRecords, Map.empty)
 
@@ -495,12 +532,13 @@ object Iceberg {
       s"""{"id": ${i + 1}, "name": "${f.name}", "required": false,
          | "type": "${typeName(f.dataType)}"}""".stripMargin
     }.mkString(",\n      ")
-    val srcId = df.schema.fieldIndex(partCol) + 1
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft-iceberg:$tableDir".getBytes(UTF_8))
-    val specJson =
-      s"""[{"name": "$partCol", "transform": "identity",
-         |  "source-id": $srcId, "field-id": 1000}]""".stripMargin
+    val specJson = partCols.zipWithIndex.map { case (c, i) =>
+      s"""{"name": "$c", "transform": "identity",
+         |  "source-id": ${df.schema.fieldIndex(c) + 1},
+         |  "field-id": ${1000 + i}}""".stripMargin
+    }.mkString("[", ",\n ", "]")
     val metaJson =
       s"""{
          |  "format-version": 1,
@@ -548,7 +586,7 @@ object Iceberg {
         s"table schema ${meta.columns}")
     val newId = meta.snapshots.map(_._1).max + 1
     val newRecords = composeSnapshotManifests(df, tableDir,
-      meta.partName, meta.partType, snapId = newId,
+      meta.partFields, snapId = newId,
       dataRoot = s"$tableDir/data/snap$newId", sortBy = sortBy)
     // prior snapshot's manifests ride into the new list unchanged
     // (paths rebased in case the table was relocated since the build)
@@ -652,7 +690,7 @@ object Iceberg {
     * [[appendToTable]] (snapshot N, `data/snapN/`).
     */
   private def composeSnapshotManifests(df0: DataFrame, tableDir: String,
-                                       partCol: String, ptype: String,
+                                       partFields: Seq[(String, String)],
                                        snapId: Long, dataRoot: String,
                                        sortBy: Option[String] = None)
       : Seq[GenericRecord] = {
@@ -661,11 +699,14 @@ object Iceberg {
     // filters this frame |values| times — without the barrier each
     // filter would recompute the upstream plan per partition value
     val df = df0.localCheckpoint(true)
-    val values = df.select(col(s"`$partCol`")).distinct()
-      .collect().map(_.get(0)).sortBy(_.toString)
-    // data files: one dir per partition value, column retained in the
-    // files (identity partitioning; readers may take it from either)
-    val entrySchema = manifestEntrySchema(partCol, ptype)
+    val partNames = partFields.map(_._1)
+    val values = df
+      .select(partNames.map(c => col(s"`$c`")): _*).distinct()
+      .collect().map(r => partNames.indices.map(r.get))
+      .sortBy(_.map(String.valueOf).mkString("/"))
+    // data files: one dir per partition TUPLE, columns retained in the
+    // files (identity partitioning; readers may take them from either)
+    val entrySchema = manifestEntrySchema(partFields)
     val dataFileSch = entrySchema.getField("data_file").schema()
     val partSch = dataFileSch.getField("partition").schema()
     def asPartVal(v: Any): Any = v match {
@@ -680,9 +721,12 @@ object Iceberg {
       .getTypes.get(1).getElementType
     val hiSch = dataFileSch.getField("upper_bounds").schema()
       .getTypes.get(1).getElementType
-    val manifests = values.zipWithIndex.map { case (v, i) =>
-      val dataDir = s"$dataRoot/$partCol=$v"
-      val shard0 = df.filter(col(s"`$partCol`") === v)
+    val manifests = values.zipWithIndex.map { case (vs, i) =>
+      val dataDir = dataRoot + partNames.zip(vs)
+        .map { case (n, v) => s"/$n=$v" }.mkString
+      val shard0 = partNames.zip(vs)
+        .map { case (n, v) => col(s"`$n`") === v }
+        .foldLeft(df)((d, p) => d.filter(p))
       // sort clustering (the spec's sort-order story): range-cluster
       // the shard on `sortBy` so each data file covers a DISJOINT
       // value window — that's what makes the per-file bound stats
@@ -702,7 +746,9 @@ object Iceberg {
         d.put("file_path", f.getPath.toString)
         d.put("file_format", "PARQUET")
         val p = new GenericData.Record(partSch)
-        p.put(partCol, asPartVal(v))
+        partNames.zip(vs).foreach { case (n, v) =>
+          p.put(n, asPartVal(v))
+        }
         d.put("partition", p)
         d.put("record_count", parquetRowCount(f.getPath))
         d.put("file_size_in_bytes", f.getLen)
@@ -732,23 +778,28 @@ object Iceberg {
       writeAvro(mPath, entrySchema, entries.toSeq,
         Map("partition-spec-id" -> "0"))
       val mLen = fs.getFileStatus(new HPath(mPath)).getLen
-      (mPath, mLen, v)
+      (mPath, mLen, vs)
     }
-    // manifest-list rows with per-manifest partition bound summaries
+    // manifest-list rows: one field_summary per partition field (spec
+    // order), bounds = the single partition tuple this manifest covers
     val summarySch = manifestFileSchema.getField("partitions").schema()
       .getTypes.get(1).getElementType
-    manifests.map { case (mPath, mLen, v) =>
+    manifests.map { case (mPath, mLen, vs) =>
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", mPath)
       r.put("manifest_length", mLen)
       r.put("partition_spec_id", 0)
       r.put("added_snapshot_id", snapId)
-      val s = new GenericData.Record(summarySch)
-      s.put("contains_null", false)
-      val bb = java.nio.ByteBuffer.wrap(boundBytes(asPartVal(v)))
-      s.put("lower_bound", bb.duplicate())
-      s.put("upper_bound", bb.duplicate())
-      r.put("partitions", java.util.List.of[GenericRecord](s))
+      val summaries = new java.util.ArrayList[GenericRecord]()
+      vs.foreach { v =>
+        val s = new GenericData.Record(summarySch)
+        s.put("contains_null", false)
+        val bb = java.nio.ByteBuffer.wrap(boundBytes(asPartVal(v)))
+        s.put("lower_bound", bb.duplicate())
+        s.put("upper_bound", bb.duplicate())
+        summaries.add(s)
+      }
+      r.put("partitions", summaries)
       r
     }.toSeq
   }
@@ -809,7 +860,9 @@ object Iceberg {
       val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
       for (block <- reader.getFooter.getBlocks.asScala;
            c <- block.getColumns.asScala) {
-        val st = c.getStatistics
+        // ascribe away parquet's existential Statistics[T <: Comparable[T]]
+        val st: org.apache.parquet.column.statistics.Statistics[_] =
+          c.getStatistics
         if (c.getPath.size() == 1 &&
           c.getPrimitiveType.getPrimitiveTypeName ==
             PrimitiveTypeName.INT64 &&

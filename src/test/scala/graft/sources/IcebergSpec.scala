@@ -224,6 +224,46 @@ class IcebergSpec extends SparkSpec {
       === df.where(col("bucket") === 0).collect().map(_.toSeq).toSet)
   }
 
+  test("multi-field identity partitions: a two-column spec composes, " +
+       "round-trips, appends, and prunes on either field or both " +
+       "(conjunctive bounds)") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        (col("l_linenumber") % 3).cast("long").as("bucket"))
+    val a = df.where(col("l_orderkey") % 20 === 0)
+    val b = df.where(col("l_orderkey") % 20 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_multi_spec").toString
+    Iceberg.writeTablePartitioned(a, dir, Seq("l_returnflag", "bucket"))
+    Iceberg.appendToTable(b, dir)
+    val meta = Iceberg.currentMetadata(dir)
+    assert(meta.partFields === Seq(("l_returnflag", "string"),
+      ("bucket", "long")))
+    assert(Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet ===
+      df.collect().map(_.toSeq).toSet)
+    val (fAll, _, total) = Iceberg.prunedDataFiles(dir, None)
+    val (f1, r1, _) = Iceberg.prunedDataFiles(dir, Some("R"))
+    val (f2, r2, _) = Iceberg.prunedDataFiles(dir, None,
+      partitionEqs = Map("bucket" -> "1"))
+    val (f3, r3, _) = Iceberg.prunedDataFiles(dir, None,
+      partitionEqs = Map("l_returnflag" -> "R", "bucket" -> "1"))
+    assert(r1 < total && r2 < total, "each single-field probe prunes")
+    assert(r3 <= math.min(r1, r2), "conjunction prunes at least as hard")
+    assert(f3.toSet === f1.toSet.intersect(f2.toSet))
+    val got = Iceberg.scan(spark, dir,
+        partitionEqs = Map("l_returnflag" -> "R", "bucket" -> "1"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got === df
+      .where(col("l_returnflag") === "R" && col("bucket") === 1)
+      .collect().map(_.toSeq).toSet)
+    // a non-partition column in the predicate map fails loudly
+    intercept[IllegalArgumentException] {
+      Iceberg.prunedDataFiles(dir, None,
+        partitionEqs = Map("l_orderkey" -> "1"))
+    }
+  }
+
   test("facade routing: SourceFormat.Iceberg reads through the in-repo " +
        "walker, with iceberg.partitionEq as the pruning option") {
     import graft.engine.{JobSpec, Readers, SourceFormat}
