@@ -377,6 +377,27 @@ object SparkEntry {
           col("l_returnflag"), col("l_shipdate"))
     }),
 
+    // ---- Iceberg MULTI-FIELD partition pruning: a table identity-
+    //      partitioned on TWO columns, probed with a conjunctive
+    //      equality map — manifests prune on both fields' bound
+    //      windows, files on both partition values (f_both = f_1 ∩ f_2
+    //      law in IcebergSpec); oracle recomputes the double slice ----
+    "q_iceberg_multi" -> ((s, dir) => {
+      val path = annIndex("iceberg_multi", dir) { p =>
+        graft.sources.Iceberg.writeTablePartitioned(
+          t(s, dir, "lineitem")
+            .where(col("l_orderkey") % 30 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_returnflag"),
+              (col("l_linenumber") % 3).cast("long").as("bucket")),
+          p, Seq("l_returnflag", "bucket"))
+      }
+      graft.sources.Iceberg.scan(s, path,
+          partitionEqs = Map("l_returnflag" -> "R", "bucket" -> "1"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("bucket"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5610,6 +5631,15 @@ object SparkEntry {
         |WHERE l_orderkey % 60 = 0 AND l_orderkey BETWEEN 1000 AND 15000
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  l_shipdate""".stripMargin,
+
+    "q_iceberg_multi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  CAST(l_linenumber % 3 AS BIGINT) AS bucket
+        |FROM lineitem
+        |WHERE l_orderkey % 30 = 0 AND l_returnflag = 'R'
+        |  AND l_linenumber % 3 = 1
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  bucket""".stripMargin,
 
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
