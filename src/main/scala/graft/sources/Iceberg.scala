@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.avro.Schema
 import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -46,10 +46,11 @@ import org.apache.spark.sql.functions.col
   * driver touches only the survivors. The DATA path is fully
   * distributed.
   *
-  * Scope (spec subset, honest about it): format-version 1, one
-  * identity partition field of type string or long, parquet data
-  * files, append snapshots, no delete files. Unknown/extra fields in
-  * the JSON are ignored; v2 tables fail loudly rather than half-read.
+  * Scope (spec subset, honest about it): format-version 1, N IDENTITY
+  * partition fields of type string or long (conjunctive pruning),
+  * parquet data files, append snapshots, no delete files. Unknown/
+  * extra fields in the JSON are ignored; v2 tables and non-identity
+  * transforms fail loudly rather than half-read.
   */
 object Iceberg {
 
@@ -381,10 +382,10 @@ object Iceberg {
   }
 
   /** Scan the table's current snapshot as a DataFrame, optionally
-    * pruned to one identity-partition value (manifest-level AND
+    * pruned by identity-partition equalities (manifest-level AND
     * file-level pruning from metadata alone — no data file of another
-    * partition is ever opened). Column order follows the table
-    * schema.
+    * partition is ever opened) and/or a long-column range against the
+    * per-file stats. Column order follows the table schema.
     */
   def scan(spark: SparkSession, tableDir: String,
            partitionEq: Option[String] = None,
