@@ -250,7 +250,15 @@ object Curation {
                  k: Int): DataFrame = {
     val keep = kAnonymityAudit(df, quasiNames.map(col), k)
       .filter(col("anonymous")).select(quasiNames.map(col): _*)
-    df.join(broadcast(keep), quasiNames, "left_semi")
+    // NULL-SAFE equality (<=>): the audit's groupBy treats NULL as its
+    // own equivalence class, so enforcement must keep a NULL-bearing
+    // class the audit passed — a plain equality join would silently
+    // suppress every row with a NULL quasi value
+    val left = df.alias("__ka_l")
+    val right = broadcast(keep.alias("__ka_r"))
+    val cond = quasiNames.map(n =>
+      col(s"__ka_l.`$n`") <=> col(s"__ka_r.`$n`")).reduce(_ && _)
+    left.join(right, cond, "left_semi")
   }
 
   /** l-diversity audit — k-anonymity's companion (a class can be large

@@ -230,11 +230,21 @@ object TextAnalysis {
     * candidates per document) — zero shuffles at any corpus size.
     */
   def luhnRedact(text: Column): Column = {
+    // extract MAXIMAL digit runs, not a 13-19 window: a 20+-digit run
+    // (order id, numeric hash) must never have a Luhn-valid 19-digit
+    // PREFIX masked inside it — luhnValid's own 13..19 length gate
+    // then rejects the whole run, which is the digit-boundary
+    // semantics (?<![0-9])…(?![0-9]) would give without lookarounds
     val valids = filter(
-      regexp_extract_all(text, lit("[0-9]{13,19}"), lit(0)),
+      regexp_extract_all(text, lit("[0-9]+"), lit(0)),
       c => luhnValid(c))
+    // the replace is digit-boundary-anchored too: a bare substring
+    // replace would mask a valid candidate's occurrence INSIDE a
+    // longer digit run elsewhere in the document (candidates are
+    // all-digit, so no regex quoting is needed)
     aggregate(valids, text,
-      (acc, c) => call_function("replace", acc, c, lit("<CARD>")))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("(?<![0-9])"), c, lit("(?![0-9])")), lit("<CARD>")))
   }
 
   /** BPE-ish token count: runs of letters, runs of digits, or single

@@ -11,17 +11,17 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace, substring, when}
 
-/** In-repo Apache Iceberg v1 TABLE-FORMAT reader (+ a closed-form
-  * composer for fixtures) — the last reference source format
-  * (GCS2Postgres `README.md:11` "Iceberg") previously served by a
-  * parquet-backed double. Everything here is the PUBLIC Iceberg table
-  * spec (https://iceberg.apache.org/spec/): JSON table metadata, Avro
-  * manifest lists and manifests, parquet data files. No connector jar
-  * — the repo's own Avro machinery ([[AvroConv]]'s core-library
-  * sibling usage) reads the metadata tree.
+/** In-repo Apache Iceberg TABLE-FORMAT reader/writer — the last
+  * reference source format (GCS2Postgres `README.md:11` "Iceberg")
+  * previously served by a parquet-backed double. Everything here is
+  * the PUBLIC Iceberg table spec (https://iceberg.apache.org/spec/):
+  * JSON table metadata, Avro manifest lists and manifests, parquet
+  * data files, v2 position-delete files. No connector jar — the
+  * repo's own Avro machinery ([[AvroConv]]'s core-library sibling
+  * usage) reads the metadata tree.
   *
   * Read path (the scale story):
   *  - `metadata/version-hint.text` (or max `vN.metadata.json`) names
@@ -38,7 +38,20 @@ import org.apache.spark.sql.functions.col
   *    partition pruning, done at the table-format layer);
   *  - only the surviving parquet data files enter the Spark scan
   *    (`spark.read.parquet(files…)` — self-describing, column-pruned,
-  *    filter-pushed like any parquet scan).
+  *    filter-pushed like any parquet scan); with v2 position deletes
+  *    present, the scan is MERGE-ON-READ: one distributed anti-join
+  *    of (file, row position) against the delete files — deletes are
+  *    never applied on the driver.
+  *
+  * Write path (the scale story, fixed this round): composing a
+  * snapshot is ONE `partitionBy` Spark write job regardless of how
+  * many partition tuples the data carries, followed by ONE
+  * distributed job that reads every data file's parquet FOOTER on the
+  * executors (row counts + per-column bounds). The driver touches
+  * only metadata: a directory listing of the committed write and the
+  * manifest/manifest-list composition (KBs per partition tuple). At
+  * date×tenant scale — thousands of tuples — the job count stays
+  * O(1), never O(|tuples|).
   *
   * Manifest reading happens at PLANNING time on the driver —
   * deliberately: that is where Iceberg itself reads manifests, they
@@ -46,11 +59,21 @@ import org.apache.spark.sql.functions.col
   * driver touches only the survivors. The DATA path is fully
   * distributed.
   *
-  * Scope (spec subset, honest about it): format-version 1, N IDENTITY
-  * partition fields of type string or long (conjunctive pruning),
-  * parquet data files, append snapshots, no delete files. Unknown/
-  * extra fields in the JSON are ignored; v2 tables and non-identity
-  * transforms fail loudly rather than half-read.
+  * Column resolution is by FIELD ID, not name (the spec's rename
+  * story): the composer records a `schema.name-mapping.default`
+  * property (field id → the column name physically written into the
+  * data files) and [[renameColumn]] is a metadata-only commit — scans
+  * select the mapped physical column and alias it to the current
+  * display name, so files written before a rename keep reading.
+  *
+  * Scope (spec subset, honest about it): format-versions 1 and 2
+  * with N IDENTITY partition fields of type string or long
+  * (conjunctive pruning), parquet data files, append + position-
+  * delete snapshots, merge-on-read. Equality deletes and non-identity
+  * transforms fail loudly rather than half-read; sequence-number
+  * inheritance is unnecessary for position deletes (a delete names
+  * exact (file, pos) targets, so later-appended files are untouched
+  * by construction).
   */
 object Iceberg {
 
@@ -58,11 +81,13 @@ object Iceberg {
   private def hconf = new Configuration()
 
   // ---------------------------------------------------------------
-  // spec Avro schemas (v1 subset; field-id props as the spec requires)
+  // spec Avro schemas (field-id props as the spec requires)
   // ---------------------------------------------------------------
 
   /** manifest_entry with identity partition fields of the given
-    * (name, type) pairs — types "string" | "long".
+    * (name, type) pairs — types "string" | "long". `content`
+    * (field-id 134) distinguishes data files (0) from position-delete
+    * files (1); absent in pre-v2 manifests and read as 0.
     */
   private[sources] def manifestEntrySchema(
       partFields: Seq[(String, String)]): Schema = {
@@ -77,6 +102,7 @@ object Iceberg {
          |   "field-id":1},
          |  {"name":"data_file","field-id":2,"type":{
          |    "type":"record","name":"r2","fields":[
+         |      {"name":"content","type":"int","default":0,"field-id":134},
          |      {"name":"file_path","type":"string","field-id":100},
          |      {"name":"file_format","type":"string","field-id":101},
          |      {"name":"partition","field-id":102,"type":{
@@ -99,7 +125,9 @@ object Iceberg {
   }
 
   /** manifest_file (one manifest-list row), with the partition
-    * field_summary array carrying the spec's binary bounds.
+    * field_summary array carrying the spec's binary bounds and the v2
+    * `content` discriminator (field-id 517: 0 = data manifests,
+    * 1 = delete manifests; absent in v1 lists and read as 0).
     */
   private[sources] val manifestFileSchema: Schema =
     new Schema.Parser().parse(
@@ -107,6 +135,7 @@ object Iceberg {
         |  {"name":"manifest_path","type":"string","field-id":500},
         |  {"name":"manifest_length","type":"long","field-id":501},
         |  {"name":"partition_spec_id","type":"int","field-id":502},
+        |  {"name":"content","type":"int","default":0,"field-id":517},
         |  {"name":"added_snapshot_id","type":["null","long"],
         |   "default":null,"field-id":503},
         |  {"name":"partitions","field-id":507,"default":null,
@@ -158,7 +187,9 @@ object Iceberg {
       location: String,               // location recorded in metadata
       root: String,                   // where the table actually sits
       columns: Seq[String],           // schema field names, spec order
+      colTypes: Map[String, String],  // column name -> iceberg type
       fieldIds: Map[String, Int],     // column name -> spec field id
+      nameMapping: Map[Int, String],  // field id -> DATA-FILE column name
       partFields: Seq[(String, String)], // identity partition (name, type)
       currentSnapshotId: Long,
       snapshots: Seq[(Long, String)], // (snapshot-id, manifest-list)
@@ -171,13 +202,37 @@ object Iceberg {
     def rebase(p: String): String = {
       // compare scheme-free: composers record hadoop URIs ("file:/x"),
       // the location/table root are often bare paths
-      def bare(s: String) =
-        if (s.startsWith("file:")) s.substring(5) else s
-      val (q, loc, r) = (bare(p), bare(location), bare(root))
+      val (q, loc, r) = (barePath(p), barePath(location), barePath(root))
       if (loc.nonEmpty && loc != r && q.startsWith(loc))
         r + q.substring(loc.length)
       else p
     }
+    /** The column name physically written into data files for display
+      * column `c` — the `schema.name-mapping.default` resolution (a
+      * renamed column keeps its file name; appends rename back to it
+      * so every data file of the table agrees).
+      */
+    def fileColumn(c: String): String =
+      fieldIds.get(c).flatMap(nameMapping.get).getOrElse(c)
+  }
+
+  private def barePath(s: String): String =
+    if (s.startsWith("file:")) s.substring(5).replaceFirst("^/+", "/")
+    else s
+
+  /** True when `tableDir` holds a readable Iceberg table: a
+    * version-hint or at least one vN.metadata.json under metadata/ —
+    * probed through the Hadoop FileSystem (works on any scheme), and
+    * NOT satisfied by a bare metadata/ directory left by a crashed
+    * first build.
+    */
+  def tableExists(tableDir: String): Boolean = {
+    val metaDir = new HPath(s"$tableDir/metadata")
+    val fs = metaDir.getFileSystem(hconf)
+    fs.exists(metaDir) && (
+      fs.exists(new HPath(metaDir, "version-hint.text")) ||
+      fs.listStatus(metaDir).exists(st =>
+        st.getPath.getName.matches("v\\d+\\.metadata\\.json")))
   }
 
   /** One field_summary: inclusive [lower, upper] for a partition
@@ -188,49 +243,78 @@ object Iceberg {
 
   final case class ManifestInfo(
       path: String,
+      content: Int,             // 0 = data manifest, 1 = delete manifest
       bounds: Seq[FieldBounds]) // per partition field, spec order
 
   /** Resolve and parse the CURRENT table metadata: version-hint.text
     * when present (the spec's file-system-catalog convention), else
-    * the max-numbered `vN.metadata.json`. Pass `asOf` to select a
-    * historical snapshot (TIME TRAVEL — every snapshot's manifest list
-    * stays addressable in the metadata, so reading yesterday's table
-    * is picking yesterday's snapshot id, no data movement).
+    * the max-numbered `vN.metadata.json`; an unparsable hint (crash
+    * mid-write before this round's atomic rename) also falls back to
+    * the max-vN scan instead of bricking the table. Pass `asOf` to
+    * select a historical snapshot (TIME TRAVEL — every snapshot's
+    * manifest list stays addressable in the metadata, so reading
+    * yesterday's table is picking yesterday's snapshot id, no data
+    * movement).
     */
   def currentMetadata(tableDir: String,
                       asOf: Option[Long] = None): TableMeta = {
     val metaDir = new HPath(s"$tableDir/metadata")
     val fs = metaDir.getFileSystem(hconf)
     val hint = new HPath(metaDir, "version-hint.text")
+    def maxVersion: Int = {
+      val vs = fs.listStatus(metaDir).map(_.getPath.getName)
+        .flatMap { n =>
+          val m = "v(\\d+)\\.metadata\\.json".r.findFirstMatchIn(n)
+          m.map(_.group(1).toInt)
+        }
+      require(vs.nonEmpty, s"no vN.metadata.json under $metaDir")
+      vs.max
+    }
     val version =
       if (fs.exists(hint)) {
         val in = fs.open(hint)
-        try new String(in.readAllBytes(), UTF_8).trim.toInt
+        val txt = try new String(in.readAllBytes(), UTF_8).trim
         finally in.close()
-      } else {
-        val vs = fs.listStatus(metaDir).map(_.getPath.getName)
-          .flatMap { n =>
-            val m = "v(\\d+)\\.metadata\\.json".r.findFirstMatchIn(n)
-            m.map(_.group(1).toInt)
-          }
-        require(vs.nonEmpty, s"no vN.metadata.json under $metaDir")
-        vs.max
-      }
+        // empty/garbled hint (pre-atomic-write crash) -> max-vN scan
+        txt.toIntOption.getOrElse(maxVersion)
+      } else maxVersion
     val mf = new HPath(metaDir, s"v$version.metadata.json")
     val in = fs.open(mf)
     val root = try om.readTree(in.readAllBytes()) finally in.close()
 
     val fv = root.path("format-version").asInt(-1)
-    require(fv == 1,
-      s"iceberg: format-version $fv not supported (v1 subset reader)")
-    val schema = root.path("schema")
+    require(fv == 1 || fv == 2,
+      s"iceberg: format-version $fv not supported (v1/v2 subset reader)")
+    // v1 writes a top-level `schema`; v2 writers publish `schemas` +
+    // `current-schema-id` — accept either
+    val schema =
+      if (root.has("schema")) root.path("schema")
+      else {
+        val sid = root.path("current-schema-id").asInt()
+        root.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt() == sid)
+          .getOrElse(throw new IllegalArgumentException(
+            s"iceberg: current-schema-id $sid not in schemas"))
+      }
     val columns = schema.path("fields").elements().asScala
       .map(_.path("name").asText()).toSeq
+    val colTypes = schema.path("fields").elements().asScala
+      .map(f => f.path("name").asText() -> f.path("type").asText()).toMap
     val types = schema.path("fields").elements().asScala
       .map(f => f.path("id").asInt() ->
         (f.path("name").asText(), f.path("type").asText())).toMap
 
-    val spec = root.path("partition-spec")
+    // v1 `partition-spec` or v2 `partition-specs` + `default-spec-id`
+    val spec =
+      if (root.has("partition-spec")) root.path("partition-spec")
+      else {
+        val did = root.path("default-spec-id").asInt()
+        root.path("partition-specs").elements().asScala
+          .find(_.path("spec-id").asInt() == did)
+          .map(_.path("fields"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"iceberg: default-spec-id $did not in partition-specs"))
+      }
     require(spec.isArray && spec.size() >= 1,
       "iceberg: need at least one partition field")
     val partFields = spec.elements().asScala.map { pf =>
@@ -258,8 +342,18 @@ object Iceberg {
           s"(have: ${snaps.map(_._1).mkString(", ")})"))
     val fieldIds = schema.path("fields").elements().asScala
       .map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
+    // spec name-mapping property: field id -> the name written into
+    // data files (rename survival); absent -> identity resolution
+    val nmNode = root.path("properties").path("schema.name-mapping.default")
+    val nameMapping: Map[Int, String] =
+      if (nmNode.isTextual)
+        om.readTree(nmNode.asText()).elements().asScala.map(e =>
+          e.path("field-id").asInt() ->
+            e.path("names").elements().asScala.next().asText()).toMap
+      else Map.empty
     TableMeta(fv, version, root.path("location").asText(tableDir),
-      tableDir, columns, fieldIds, partFields, currentId, snaps, list)
+      tableDir, columns, colTypes, fieldIds, nameMapping, partFields,
+      currentId, snaps, list)
   }
 
   /** The manifest list: per-manifest paths + partition-bound
@@ -280,17 +374,24 @@ object Iceberg {
         FieldBounds(bound("lower_bound"), bound("upper_bound"),
           summary.exists(_.get("contains_null").asInstanceOf[Boolean]))
       }
-      ManifestInfo(r.get("manifest_path").toString, bounds)
+      val content = Option(r.get("content"))
+        .map(_.asInstanceOf[Int]).getOrElse(0)
+      ManifestInfo(r.get("manifest_path").toString, content, bounds)
     }
 
   final case class FileEntry(
       path: String,
+      content: Int,                       // 0 = data, 1 = position deletes
       partition: Map[String, Any],        // partition field -> value
       longBounds: Map[Int, (Long, Long)]) // field id -> (lower, upper)
 
-  /** Live (status != DELETED) data-file entries of one manifest, with
-    * the per-file column bound maps (spec fields 125/128) decoded for
-    * long columns — the file-skipping statistics.
+  /** Live (status != DELETED) file entries of one manifest, with the
+    * per-file column bound maps (spec fields 125/128) decoded for
+    * long columns — the file-skipping statistics. Bounds whose binary
+    * value is not exactly 8 bytes are SKIPPED, not misdecoded: spec-
+    * compliant manifests record bounds for every column type, and a
+    * 4-byte int bound must neither crash the scan nor decode into a
+    * garbage long that silently skips live files.
     */
   def manifestEntries(manifestPath: String,
                       meta: TableMeta): Seq[FileEntry] =
@@ -303,7 +404,8 @@ object Iceberg {
           s"iceberg: only parquet data files supported")
         val pRec = df.get("partition").asInstanceOf[GenericRecord]
         val pv = meta.partFields.flatMap { case (n, _) =>
-          Option(pRec.get(n)).map {
+          Option(pRec.getSchema.getField(n)).flatMap(_ =>
+            Option(pRec.get(n))).map {
             case u: org.apache.avro.util.Utf8 => n -> (u.toString: Any)
             case other => n -> other
           }
@@ -311,23 +413,31 @@ object Iceberg {
         def kv(name: String): Map[Int, Long] =
           (df.getSchema.getField(name), df.get(name)) match {
             case (f, l) if f != null && l != null =>
-              l.asInstanceOf[java.util.List[GenericRecord]].asScala.map {
-                r => r.get("key").asInstanceOf[Int] ->
-                  boundValue(bufBytes(r.get("value")
-                    .asInstanceOf[java.nio.ByteBuffer]), "long")
-                    .asInstanceOf[Long]
-              }.toMap
+              l.asInstanceOf[java.util.List[GenericRecord]].asScala
+                .flatMap { r =>
+                  val raw = bufBytes(r.get("value")
+                    .asInstanceOf[java.nio.ByteBuffer])
+                  if (raw.length == 8)
+                    Some(r.get("key").asInstanceOf[Int] ->
+                      boundValue(raw, "long").asInstanceOf[Long])
+                  else None // non-long bound: skip, never misdecode
+                }.toMap
             case _ => Map.empty
           }
         val lo = kv("lower_bounds"); val hi = kv("upper_bounds")
         val bounds = lo.keySet.intersect(hi.keySet)
           .map(k => k -> (lo(k), hi(k))).toMap
-        FileEntry(meta.rebase(df.get("file_path").toString), pv, bounds)
+        val content = Option(df.getSchema.getField("content"))
+          .flatMap(_ => Option(df.get("content")))
+          .map(_.asInstanceOf[Int]).getOrElse(0)
+        FileEntry(meta.rebase(df.get("file_path").toString), content,
+          pv, bounds)
       }
 
   /** Data files surviving an optional identity-partition equality
     * predicate, plus the pruning census for the plan-shape law:
-    * (files, manifestsRead, manifestsTotal).
+    * (files, manifestsRead, manifestsTotal). Position-delete files
+    * are NOT in this list — [[currentDeleteFiles]] serves those.
     */
   def prunedDataFiles(tableDir: String,
                       partitionEq: Option[String],
@@ -336,7 +446,32 @@ object Iceberg {
                       partitionEqs: Map[String, String] = Map.empty)
       : (Seq[String], Int, Int) = {
     val meta = currentMetadata(tableDir, asOf)
+    val (data, _, read, total) =
+      plannedFiles(meta, partitionEq, colRange, partitionEqs)
+    (data, read, total)
+  }
+
+  /** The position-delete files reachable from the selected snapshot
+    * (empty for append-only tables).
+    */
+  def currentDeleteFiles(tableDir: String,
+                         asOf: Option[Long] = None): Seq[String] = {
+    val meta = currentMetadata(tableDir, asOf)
+    plannedFiles(meta, None, None, Map.empty)._2
+  }
+
+  /** Shared planner: (dataFiles, deleteFiles, manifestsRead,
+    * manifestsTotal). Partition/stats pruning applies to DATA files;
+    * delete manifests are always read (they are few and tiny, and a
+    * position delete may target any surviving file).
+    */
+  private def plannedFiles(meta: TableMeta,
+                           partitionEq: Option[String],
+                           colRange: Option[(String, Long, Long)],
+                           partitionEqs: Map[String, String])
+      : (Seq[String], Seq[String], Int, Int) = {
     val mans = manifestList(meta)
+    val (delMans, dataMans) = mans.partition(_.content == 1)
     val fieldIdx = meta.partFields.map(_._1).zipWithIndex.toMap
     // `partitionEq` is single-value sugar for the FIRST partition
     // field; `partitionEqs` is the general multi-field predicate
@@ -353,8 +488,8 @@ object Iceberg {
     // [lower, upper] window excludes a wanted value on ANY predicated
     // field is never opened (missing bounds keep it, conservatively)
     val survivors =
-      if (wants.isEmpty) mans
-      else mans.filter { m =>
+      if (wants.isEmpty) dataMans
+      else dataMans.filter { m =>
         wants.forall { case (n, v) =>
           val b = m.bounds(fieldIdx(n))
           b.lower.forall(cmp(_, v) <= 0) && b.upper.forall(cmp(v, _) <= 0)
@@ -363,14 +498,21 @@ object Iceberg {
     // file-level: partition equality on every predicated field, then
     // COLUMN-STATS skipping — a file whose recorded [lower, upper]
     // window for the predicate column misses the wanted range is never
-    // opened (files without stats are conservatively kept)
+    // opened (files without stats are conservatively kept). The range
+    // column must be an integer type: string/double bounds share the
+    // manifest stats maps but must never be compared as longs.
     val rangeId = colRange.map { case (name, _, _) =>
-      meta.fieldIds.getOrElse(name, throw new IllegalArgumentException(
-        s"iceberg: no column '$name' in table schema"))
+      val t = meta.colTypes.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"iceberg: no column '$name' in table schema"))
+      require(t == "long" || t == "int",
+        s"iceberg: colRange needs a long/int column, '$name' is $t")
+      meta.fieldIds(name)
     }
     val files = survivors.flatMap(m => manifestEntries(m.path, meta))
       .collect {
-        case e if wants.forall { case (n, v) =>
+        case e if e.content == 0 &&
+          wants.forall { case (n, v) =>
             e.partition.get(n).contains(v)
           } &&
           colRange.forall { case (_, lo, hi) =>
@@ -378,14 +520,20 @@ object Iceberg {
               .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
           } => e.path
       }
-    (files, survivors.size, mans.size)
+    val deleteFiles = delMans
+      .flatMap(m => manifestEntries(m.path, meta))
+      .filter(_.content == 1).map(_.path)
+    (files, deleteFiles, survivors.size, mans.size)
   }
 
-  /** Scan the table's current snapshot as a DataFrame, optionally
+  /** Scan the table's selected snapshot as a DataFrame, optionally
     * pruned by identity-partition equalities (manifest-level AND
     * file-level pruning from metadata alone — no data file of another
     * partition is ever opened) and/or a long-column range against the
-    * per-file stats. Column order follows the table schema.
+    * per-file stats. Columns resolve by FIELD ID through the name
+    * mapping (renames are transparent) and follow the table schema's
+    * order; v2 position deletes apply as a distributed merge-on-read
+    * anti-join on (file path, row position).
     */
   def scan(spark: SparkSession, tableDir: String,
            partitionEq: Option[String] = None,
@@ -393,18 +541,19 @@ object Iceberg {
            colRange: Option[(String, Long, Long)] = None,
            partitionEqs: Map[String, String] = Map.empty): DataFrame = {
     val meta = currentMetadata(tableDir, asOf)
-    val (files, _, _) =
-      prunedDataFiles(tableDir, partitionEq, asOf, colRange, partitionEqs)
+    val (files, deleteFiles, _, _) =
+      plannedFiles(meta, partitionEq, colRange, partitionEqs)
     if (files.isEmpty)
       // a fully-pruned probe (or an empty table) is an EMPTY RESULT,
       // not an error — schema comes from the table metadata, exactly
       // what a catalog-backed reader would plan
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        sparkSchema(tableDir, meta))
+        sparkSchema(meta))
     else {
-      val base = spark.read.parquet(files: _*)
-        .select(meta.columns.map(c => col(s"`$c`")): _*)
+      val base = withDeletesApplied(
+        spark.read.parquet(files: _*), deleteFiles, meta, spark)
+        .select(displayColumns(meta): _*)
       // the stats prune skips FILES; the row-level filter (also pushed
       // into the surviving parquet scans) makes the result exact
       colRange.map { case (name, lo, hi) =>
@@ -413,17 +562,58 @@ object Iceberg {
     }
   }
 
-  /** Spark schema from the table metadata's Iceberg types (the
-    * composer's type map inverted) — used when no data file survives
-    * pruning and the scan must still carry the table's shape.
+  /** Field-id column resolution: each display column selected from
+    * its name-mapped physical column in the data files.
     */
-  private def sparkSchema(tableDir: String, meta: TableMeta)
+  private def displayColumns(meta: TableMeta): Seq[Column] =
+    meta.columns.map(c => col(s"`${meta.fileColumn(c)}`").as(c))
+
+  /** Merge-on-read: anti-join the raw file scan against the position-
+    * delete files on (normalized file path, row position) — fully
+    * distributed, driver never touches a delete row. `_metadata.
+    * row_index` is Spark's per-file row position (stable under
+    * pushdown/page skipping — it exists for exactly this use), and
+    * recorded delete paths rebase in-plan when the table relocated.
+    */
+  private def withDeletesApplied(raw: DataFrame, deleteFiles: Seq[String],
+                                 meta: TableMeta,
+                                 spark: SparkSession): DataFrame = {
+    if (deleteFiles.isEmpty) raw
+    else {
+      val tagged = raw
+        .withColumn("__gfp", normPath(col("_metadata.file_path")))
+        .withColumn("__gpos", col("_metadata.row_index"))
+      val dels = spark.read.parquet(deleteFiles: _*)
+        .select(rebasePath(normPath(col("file_path")), meta).as("__gfp"),
+          col("pos").as("__gpos"))
+      tagged.join(dels, Seq("__gfp", "__gpos"), "left_anti")
+    }
+  }
+
+  /** Scheme-free path form shared by both sides of the delete join
+    * ("file:///x", "file:/x", "/x" all compare equal).
+    */
+  private def normPath(p: Column): Column =
+    regexp_replace(p, "^file:/+", "/")
+
+  /** In-plan relocation rebase of a recorded (normalized) path — the
+    * columnar twin of [[TableMeta.rebase]], codegen'd string ops.
+    */
+  private def rebasePath(p: Column, meta: TableMeta): Column = {
+    val loc = barePath(meta.location); val r = barePath(meta.root)
+    if (loc.isEmpty || loc == r) p
+    else when(p.startsWith(loc),
+      concat(lit(r), substring(p, loc.length + 1, Int.MaxValue)))
+      .otherwise(p)
+  }
+
+  /** Spark schema from the table metadata's Iceberg types — used when
+    * no data file survives pruning and the scan must still carry the
+    * table's shape.
+    */
+  private def sparkSchema(meta: TableMeta)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val metaDir = new HPath(s"$tableDir/metadata")
-    val fs = metaDir.getFileSystem(hconf)
-    val in = fs.open(new HPath(metaDir, s"v${meta.version}.metadata.json"))
-    val root = try om.readTree(in.readAllBytes()) finally in.close()
     def toSpark(t: String): DataType = t match {
       case "long"        => LongType
       case "int"         => IntegerType
@@ -441,10 +631,8 @@ object Iceberg {
       case other => throw new IllegalArgumentException(
         s"iceberg: unsupported column type $other")
     }
-    StructType(root.path("schema").path("fields").elements().asScala.map {
-      f => StructField(f.path("name").asText(),
-        toSpark(f.path("type").asText()), nullable = true)
-    }.toSeq)
+    StructType(meta.columns.map(c =>
+      StructField(c, toSpark(meta.colTypes(c)), nullable = true)))
   }
 
   /** Incremental (CDC-style) read: the rows ADDED between two
@@ -454,7 +642,9 @@ object Iceberg {
     * walks, no table scan), so a downstream consumer processes each
     * new snapshot at O(delta) — the read-side pairing of
     * [[graft.streaming.IcebergStream.appendIncremental]]'s
-    * snapshot-per-batch sink.
+    * snapshot-per-batch sink. Position deletes recorded by `toSnap`
+    * apply to the diff (a delete targeting an old file is a
+    * retroactive removal, out of an append-only consumer's scope).
     */
   def incrementalScan(spark: SparkSession, tableDir: String,
                       fromSnap: Long, toSnap: Long): DataFrame = {
@@ -463,43 +653,50 @@ object Iceberg {
     val meta = currentMetadata(tableDir, Some(toSnap))
     val fromFiles =
       prunedDataFiles(tableDir, None, Some(fromSnap))._1.toSet
-    val newFiles = prunedDataFiles(tableDir, None, Some(toSnap))._1
-      .filterNot(fromFiles)
+    val (toFiles, deleteFiles, _, _) =
+      plannedFiles(meta, None, None, Map.empty)
+    val newFiles = toFiles.filterNot(fromFiles)
     if (newFiles.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        sparkSchema(tableDir, meta))
+        sparkSchema(meta))
     else
-      spark.read.parquet(newFiles: _*)
-        .select(meta.columns.map(c => col(s"`$c`")): _*)
+      withDeletesApplied(spark.read.parquet(newFiles: _*),
+        deleteFiles, meta, spark)
+        .select(displayColumns(meta): _*)
   }
 
   // ---------------------------------------------------------------
-  // closed-form composer (fixtures + the write side of the surface)
+  // composer (the write side of the surface)
   // ---------------------------------------------------------------
 
-  /** Compose a v1 Iceberg table from `df`, identity-partitioned on
-    * `partCol` (string or long): per-partition parquet data dirs, one
-    * manifest per partition (bounds = the partition value), a
+  /** Compose an Iceberg table from `df`, identity-partitioned on
+    * `partCol` (string or long): partition-tuple parquet data dirs,
+    * one manifest per tuple (bounds = the partition value), a
     * manifest list with field summaries, `v1.metadata.json`, and
-    * `version-hint.text`. Deterministic throughout (fixed timestamps,
-    * name-derived UUID) so fixture builds are hash-stable.
+    * `version-hint.text`. Deterministic metadata throughout (fixed
+    * timestamps, name-derived UUID) so fixture builds are hash-stable.
     *
-    * The composer collects only the DISTINCT PARTITION VALUES to the
-    * driver — partition counts are bounded by design (this is the
-    * same contract as any partitionBy sink); row data never leaves
-    * the cluster.
+    * Scale contract: ONE Spark write job + ONE distributed footer-
+    * stats job regardless of the number of partition tuples; the
+    * driver handles metadata only (directory listing + manifest
+    * composition). See [[composeSnapshotManifests]].
     */
   def writeTable(df: DataFrame, tableDir: String, partCol: String,
                  sortBy: Option[String] = None): Unit =
     writeTablePartitioned(df, tableDir, Seq(partCol), sortBy)
 
-  /** The general composer: N identity partition fields. */
+  /** The general composer: N identity partition fields. `fieldIdOf`
+    * assigns spec field ids (default: position + 1) — non-contiguous
+    * ids exercise the id-based resolution path the way externally-
+    * written tables do.
+    */
   def writeTablePartitioned(df: DataFrame, tableDir: String,
                             partCols: Seq[String],
-                            sortBy: Option[String] = None): Unit = {
+                            sortBy: Option[String] = None,
+                            fieldIdOf: Map[String, Int] = Map.empty)
+      : Unit = {
     require(partCols.nonEmpty, "iceberg composer: need >= 1 partition col")
-    val spark = df.sparkSession
     val partFields = partCols.map { c =>
       c -> (df.schema(c).dataType.typeName match {
         case "string" => "string"
@@ -508,8 +705,14 @@ object Iceberg {
           s"iceberg composer: unsupported partition type $other")
       })
     }
+    val ids: Map[String, Int] = df.schema.fieldNames.zipWithIndex.map {
+      case (n, i) => n -> fieldIdOf.getOrElse(n, i + 1)
+    }.toMap
+    require(ids.values.toSet.size == ids.size,
+      s"iceberg composer: duplicate field ids in $ids")
     val listRecords = composeSnapshotManifests(df, tableDir, partFields,
-      snapId = 1L, dataRoot = s"$tableDir/data", sortBy = sortBy)
+      snapId = 1L, dataRoot = s"$tableDir/data", sortBy = sortBy,
+      fileFieldIds = ids)
     val listPath = s"$tableDir/metadata/snap-1-1.avro"
     writeAvro(listPath, manifestFileSchema, listRecords, Map.empty)
 
@@ -529,31 +732,39 @@ object Iceberg {
       case other => throw new IllegalArgumentException(
         s"iceberg composer: unsupported column type $other")
     }
-    val fieldsJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id": ${i + 1}, "name": "${f.name}", "required": false,
+    val fieldsJson = df.schema.fields.map { f =>
+      s"""{"id": ${ids(f.name)}, "name": "${f.name}", "required": false,
          | "type": "${typeName(f.dataType)}"}""".stripMargin
     }.mkString(",\n      ")
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft-iceberg:$tableDir".getBytes(UTF_8))
     val specJson = partCols.zipWithIndex.map { case (c, i) =>
       s"""{"name": "$c", "transform": "identity",
-         |  "source-id": ${df.schema.fieldIndex(c) + 1},
+         |  "source-id": ${ids(c)},
          |  "field-id": ${1000 + i}}""".stripMargin
     }.mkString("[", ",\n ", "]")
+    // spec name-mapping: field id -> the name written into data files
+    // (this build's names; renameColumn keeps it frozen so files keep
+    // resolving after metadata-only renames)
+    val nameMappingJson = df.schema.fieldNames.map(n =>
+      s"""{"field-id":${ids(n)},"names":["$n"]}""").mkString("[", ",", "]")
     val metaJson =
       s"""{
          |  "format-version": 1,
          |  "table-uuid": "$uuid",
          |  "location": "$tableDir",
          |  "last-updated-ms": 1700000000000,
-         |  "last-column-id": ${df.schema.fields.length},
+         |  "last-column-id": ${ids.values.max},
          |  "schema": {"type": "struct", "fields": [
          |      $fieldsJson
          |  ]},
          |  "partition-spec": $specJson,
          |  "partition-specs": [{"spec-id": 0, "fields": $specJson}],
          |  "default-spec-id": 0,
-         |  "properties": {},
+         |  "properties": {
+         |    "schema.name-mapping.default":
+         |      "${nameMappingJson.replace("\"", "\\\"")}"
+         |  },
          |  "current-snapshot-id": 1,
          |  "snapshots": [{
          |    "snapshot-id": 1,
@@ -564,20 +775,19 @@ object Iceberg {
          |}""".stripMargin
     writeText(s"$tableDir/metadata/v1.metadata.json", metaJson)
     writeText(s"$tableDir/metadata/version-hint.text", "1")
-    // the fixture composer runs inside Spark jobs; keep spark referenced
-    // for future multi-snapshot appends without API change
-    locally(spark)
   }
 
-  /** Append a new SNAPSHOT to an existing table (the third persisted-
-    * artifact append of the round, beside the index trio): the new
-    * shard's data files land under `data/snap<id>/`, its manifests are
-    * written fresh, and the new manifest list carries the PRIOR
-    * snapshot's manifest entries (rebased if the table moved) plus the
-    * new ones — the spec's append pattern: existing manifests are
-    * REUSED, never rewritten. Metadata goes out as v(N+1) with both
-    * snapshots addressable, so `scan(asOf = oldId)` time-travels to
-    * the pre-append table for free.
+  /** Append a new SNAPSHOT to an existing table: the new shard's data
+    * files land under `data/snap<id>/`, its manifests are written
+    * fresh, and the new manifest list carries the PRIOR snapshot's
+    * manifest entries (rebased if the table moved) plus the new
+    * ones — the spec's append pattern: existing manifests are REUSED,
+    * never rewritten. Metadata goes out as v(N+1) with both snapshots
+    * addressable, so `scan(asOf = oldId)` time-travels to the
+    * pre-append table for free. Incoming columns arrive under the
+    * CURRENT display names and are renamed back to their name-mapped
+    * file names before writing, so every data file of the table
+    * agrees regardless of rename history.
     */
   def appendToTable(df: DataFrame, tableDir: String,
                     sortBy: Option[String] = None): Unit = {
@@ -586,9 +796,16 @@ object Iceberg {
       s"iceberg append: columns ${df.schema.fieldNames.toSeq} != " +
         s"table schema ${meta.columns}")
     val newId = meta.snapshots.map(_._1).max + 1
-    val newRecords = composeSnapshotManifests(df, tableDir,
-      meta.partFields, snapId = newId,
-      dataRoot = s"$tableDir/data/snap$newId", sortBy = sortBy)
+    val fileDf = df.select(meta.columns.map(c =>
+      col(s"`$c`").as(meta.fileColumn(c))): _*)
+    val fileIds = meta.fieldIds.map { case (disp, id) =>
+      meta.fileColumn(disp) -> id
+    }
+    val filePartFields = meta.partFields // partition renames forbidden
+    val newRecords = composeSnapshotManifests(fileDf, tableDir,
+      filePartFields, snapId = newId,
+      dataRoot = s"$tableDir/data/snap$newId", sortBy = sortBy,
+      fileFieldIds = fileIds)
     // prior snapshot's manifests ride into the new list unchanged
     // (paths rebased in case the table was relocated since the build)
     val oldRecords = readAvro(meta.rebase(meta.manifestList)).map { r =>
@@ -596,6 +813,7 @@ object Iceberg {
       c.put("manifest_path", meta.rebase(r.get("manifest_path").toString))
       c.put("manifest_length", r.get("manifest_length"))
       c.put("partition_spec_id", r.get("partition_spec_id"))
+      c.put("content", Option(r.get("content")).getOrElse(0: Any))
       c.put("added_snapshot_id", r.get("added_snapshot_id"))
       c.put("partitions", r.get("partitions"))
       c
@@ -603,9 +821,151 @@ object Iceberg {
     val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
     writeAvro(listPath, manifestFileSchema, oldRecords ++ newRecords,
       Map.empty)
+    commitSnapshot(tableDir, meta, newId, listPath, "append")
+  }
 
-    // v(N+1) metadata: prior JSON with the snapshot appended — Jackson
-    // round-trips unknown fields untouched
+  /** v2 ROW-LEVEL DELETE (position deletes + merge-on-read): find
+    * every current row matching `predicate`, record its (file path,
+    * row position) in spec position-delete parquet files, and commit
+    * them as a new DELETE snapshot — no data file is rewritten (the
+    * merge-on-read contract; a compaction rewrite is a separate
+    * maintenance op). The table's format-version advances to 2 on the
+    * first delete, the Iceberg-sanctioned v1→v2 upgrade.
+    *
+    * Scale: the row hunt is one distributed scan (predicate pushed
+    * into parquet) emitting only (path, pos) pairs; delete files are
+    * sorted by (path, pos) as the spec requires. Later-appended data
+    * files are untouched by construction — a position delete names
+    * exact targets — which is why this subset needs no sequence-
+    * number machinery. Time travel to any pre-delete snapshot sees
+    * the undeleted table (its manifest list has no delete manifests).
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  predicate: Column): Unit = {
+    val meta = currentMetadata(tableDir)
+    val (dataFiles, oldDeletes, _, _) =
+      plannedFiles(meta, None, None, Map.empty)
+    if (dataFiles.isEmpty) return
+    val newId = meta.snapshots.map(_._1).max + 1
+    val raw = spark.read.parquet(dataFiles: _*)
+    val tagged = raw
+      .withColumn("__gfp", normPath(col("_metadata.file_path")))
+      .withColumn("__gpos", col("_metadata.row_index"))
+      .select(displayColumns(meta) :+ col("__gfp") :+ col("__gpos"): _*)
+    var hits = tagged.filter(predicate)
+      .select(col("__gfp").as("file_path"), col("__gpos").as("pos"))
+    if (oldDeletes.nonEmpty) {
+      // idempotence: rows already deleted are not re-recorded
+      val prior = spark.read.parquet(oldDeletes: _*)
+        .select(rebasePath(normPath(col("file_path")), meta)
+          .as("file_path"), col("pos"))
+      hits = hits.join(prior, Seq("file_path", "pos"), "left_anti")
+    }
+    if (hits.isEmpty) return // nothing new to delete -> no snapshot
+    val delDir = s"$tableDir/data/deletes-snap$newId"
+    // spec ordering: position-delete rows sorted by (file_path, pos);
+    // no-arg repartitionByRange lets AQE size the output files
+    hits.repartitionByRange(col("file_path"), col("pos"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .write.mode("overwrite").parquet(delDir)
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val delFiles = fs.listStatus(new HPath(delDir))
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+    val counts = distributedFooterInfo(spark,
+      delFiles.map(_.getPath.toString).toSeq)
+    // one delete manifest (content=1); partition values null — the
+    // deletes may span every partition
+    val entrySchema = manifestEntrySchema(meta.partFields)
+    val dataFileSch = entrySchema.getField("data_file").schema()
+    val partSch = dataFileSch.getField("partition").schema()
+    val entries = delFiles.map { f =>
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", newId)
+      val d = new GenericData.Record(dataFileSch)
+      d.put("content", 1) // POSITION_DELETES
+      d.put("file_path", f.getPath.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(partSch))
+      d.put("record_count", counts(f.getPath.toString)._1)
+      d.put("file_size_in_bytes", f.getLen)
+      e.put("data_file", d)
+      e
+    }
+    val mPath = s"$tableDir/metadata/snap$newId-del0.avro"
+    writeAvro(mPath, entrySchema, entries.toSeq,
+      Map("partition-spec-id" -> "0", "content" -> "deletes"))
+    val mLen = fs.getFileStatus(new HPath(mPath)).getLen
+    val delRow = new GenericData.Record(manifestFileSchema)
+    delRow.put("manifest_path", mPath)
+    delRow.put("manifest_length", mLen)
+    delRow.put("partition_spec_id", 0)
+    delRow.put("content", 1)
+    delRow.put("added_snapshot_id", newId)
+    delRow.put("partitions", null)
+    // prior manifests (data AND older delete manifests) ride along
+    val oldRecords = readAvro(meta.rebase(meta.manifestList)).map { r =>
+      val c = new GenericData.Record(manifestFileSchema)
+      c.put("manifest_path", meta.rebase(r.get("manifest_path").toString))
+      c.put("manifest_length", r.get("manifest_length"))
+      c.put("partition_spec_id", r.get("partition_spec_id"))
+      c.put("content", Option(r.get("content")).getOrElse(0: Any))
+      c.put("added_snapshot_id", r.get("added_snapshot_id"))
+      c.put("partitions", r.get("partitions"))
+      c
+    }
+    val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
+    writeAvro(listPath, manifestFileSchema, oldRecords :+ delRow,
+      Map.empty)
+    commitSnapshot(tableDir, meta, newId, listPath, "delete",
+      formatVersion = Some(2))
+  }
+
+  /** Metadata-only COLUMN RENAME (the field-id resolution story): the
+    * schema field keeps its id and gets a new display name; no data
+    * file, manifest, or name mapping changes — scans resolve the
+    * column through the frozen name mapping, and appends rename back
+    * to the file name. Partition source columns stay renameable-not:
+    * manifest partition records are keyed by name in this subset.
+    */
+  def renameColumn(tableDir: String, from: String, to: String): Unit = {
+    val meta = currentMetadata(tableDir)
+    require(meta.columns.contains(from),
+      s"iceberg rename: no column '$from' in ${meta.columns}")
+    require(!meta.columns.contains(to),
+      s"iceberg rename: column '$to' already exists")
+    require(!meta.partFields.exists(_._1 == from),
+      s"iceberg rename: '$from' is a partition source column " +
+        "(not renameable in this subset)")
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val in = fs.open(
+      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
+    val root = try om.readTree(in.readAllBytes())
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    val fields = root.withObject("/schema")
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+    (0 until fields.size()).map(fields.get).foreach {
+      case f: com.fasterxml.jackson.databind.node.ObjectNode
+        if f.path("name").asText() == from => f.put("name", to)
+      case _ =>
+    }
+    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeText(s"$tableDir/metadata/version-hint.text",
+      (meta.version + 1).toString)
+  }
+
+  /** Shared commit: v(N+1) metadata with the new snapshot appended —
+    * Jackson round-trips unknown fields untouched — then the
+    * version-hint flip (the atomic visibility point).
+    */
+  private def commitSnapshot(tableDir: String, meta: TableMeta,
+                             newId: Long, listPath: String,
+                             operation: String,
+                             formatVersion: Option[Int] = None): Unit = {
     val fs = new HPath(tableDir).getFileSystem(hconf)
     val oldMetaPath =
       new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json")
@@ -614,16 +974,17 @@ object Iceberg {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     finally in.close()
     root.put("current-snapshot-id", newId)
+    formatVersion.foreach(v => root.put("format-version", v))
     // `location` deliberately stays what the BUILD recorded: rebase
     // keys off it to heal the build's absolute paths after a
-    // relocation, and the append's own paths (current-root prefix)
+    // relocation, and the commit's own paths (current-root prefix)
     // never match it. (One relocation covered; relocate-append-
     // relocate chains would need manifest rewrites — out of scope.)
     val snapNode = root.withArray[com.fasterxml.jackson.databind.node
       .ArrayNode]("snapshots").addObject()
     snapNode.put("snapshot-id", newId)
     snapNode.put("timestamp-ms", 1700000000000L + newId)
-    snapNode.putObject("summary").put("operation", "append")
+    snapNode.putObject("summary").put("operation", operation)
     snapNode.put("manifest-list", listPath)
     writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
       om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
@@ -633,14 +994,14 @@ object Iceberg {
 
   /** Expire every snapshot except the current one — the spec's
     * `expire_snapshots` maintenance op, time travel's pair: history
-    * metadata is dropped and any manifest list / manifest / data file
-    * reachable ONLY from expired snapshots is deleted. With the
-    * append-only composer every prior manifest is reused by the
-    * current snapshot, so in practice this deletes the old manifest
-    * LISTS and the time-travel entries; the reachability walk is still
-    * done properly so an overwrite-capable future composer inherits
-    * correct orphan deletion. Metadata goes out as v(N+1) with a
-    * single-snapshot history.
+    * metadata is dropped and any manifest list / manifest / data or
+    * delete file reachable ONLY from expired snapshots is deleted.
+    * With the append-only composer every prior manifest is reused by
+    * the current snapshot, so in practice this deletes the old
+    * manifest LISTS and the time-travel entries; the reachability
+    * walk is still done properly so overwrite/compaction composers
+    * inherit correct orphan deletion. Metadata goes out as v(N+1)
+    * with a single-snapshot history.
     */
   def expireSnapshots(tableDir: String): Unit = {
     val meta = currentMetadata(tableDir)
@@ -685,84 +1046,120 @@ object Iceberg {
       (meta.version + 1).toString)
   }
 
-  /** Write one snapshot's data dirs + per-partition manifests; returns
-    * the manifest-list rows (with single-value binary bound
+  /** Write one snapshot's data files + per-partition-tuple manifests;
+    * returns the manifest-list rows (with single-value binary bound
     * summaries). Shared by [[writeTable]] (snapshot 1, `data/`) and
     * [[appendToTable]] (snapshot N, `data/snapN/`).
+    *
+    * Scale design (replaces the round-12 per-tuple job loop):
+    *  1. ONE `partitionBy` Spark write job lays out every partition
+    *     tuple's directory at once. The partition columns are
+    *     DUPLICATED under `__gp_*` names for the layout, because
+    *     Spark's partitionBy strips its layout columns from the data
+    *     files while Iceberg data files RETAIN theirs — the originals
+    *     stay in the files, the `__gp_*` twins become the dirs.
+    *     With `sortBy`, one range shuffle on (partition…, sortBy)
+    *     clusters each tuple's files over DISJOINT value windows —
+    *     what makes the per-file bound stats below actually skip
+    *     files for range predicates.
+    *  2. ONE distributed job opens every written file's parquet
+    *     FOOTER on the executors (row count + per-column INT64
+    *     min/max); only the tiny (path, count, bounds) records return
+    *     to the driver.
+    *  3. The driver walks the committed directory tree (a metadata
+    *     listing) and composes one Avro manifest per tuple.
+    * Job count is O(1) in the number of partition tuples —
+    * IcebergComposerSpec pins this with a job-group census at 100+
+    * tuples.
     */
   private def composeSnapshotManifests(df0: DataFrame, tableDir: String,
                                        partFields: Seq[(String, String)],
                                        snapId: Long, dataRoot: String,
-                                       sortBy: Option[String] = None)
+                                       sortBy: Option[String],
+                                       fileFieldIds: Map[String, Int])
       : Seq[GenericRecord] = {
+    val spark = df0.sparkSession
     val fs = new HPath(tableDir).getFileSystem(hconf)
-    // materialize the input once: the per-partition write loop below
-    // filters this frame |values| times — without the barrier each
-    // filter would recompute the upstream plan per partition value
-    val df = df0.localCheckpoint(true)
     val partNames = partFields.map(_._1)
-    val values = df
-      .select(partNames.map(c => col(s"`$c`")): _*).distinct()
-      .collect().map(r => partNames.indices.map(r.get))
-      .sortBy(_.map(String.valueOf).mkString("/"))
-    // data files: one dir per partition TUPLE, columns retained in the
-    // files (identity partitioning; readers may take them from either)
+    val dupNames = partNames.map(n => s"__gp_$n")
+    val withDup = partNames.zip(dupNames).foldLeft(df0) {
+      case (d, (n, g)) => d.withColumn(g, col(s"`$n`"))
+    }
+    val clustered = sortBy match {
+      case Some(c) =>
+        // EXPLICIT partition count: a no-arg range repartition lets
+        // AQE coalesce small inputs to one file per tuple, which
+        // erases the disjoint-window layout the stats skipping needs
+        val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        withDup.repartitionByRange(n,
+          (dupNames.map(nm => col(s"`$nm`")) :+ col(s"`$c`")): _*)
+      case None => withDup
+    }
+    clustered.write.mode("overwrite")
+      .partitionBy(dupNames: _*).parquet(dataRoot)
+
+    // committed layout walk (driver-side METADATA listing only)
+    def leaves(dir: HPath, depth: Int, acc: Seq[Any])
+        : Seq[(Seq[Any], HPath)] =
+      if (depth == partNames.length) Seq((acc, dir))
+      else fs.listStatus(dir).filter(_.isDirectory).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        require(nm.startsWith(dupNames(depth) + "="),
+          s"iceberg composer: unexpected dir $nm under $dir")
+        val raw = unescapePathName(
+          nm.substring(dupNames(depth).length + 1))
+        require(raw != "__HIVE_DEFAULT_PARTITION__",
+          s"iceberg composer: NULL value in partition column " +
+            s"${partNames(depth)} (identity partitions must be non-null)")
+        val v: Any =
+          if (partFields(depth)._2 == "long") raw.toLong else raw
+        leaves(st.getPath, depth + 1, acc :+ v)
+      }
+    val tuples = leaves(new HPath(dataRoot), 0, Seq.empty)
+      .sortBy(_._1.map(String.valueOf).mkString("/"))
+    val tupleFiles = tuples.map { case (vs, dir) =>
+      val parts = fs.listStatus(dir)
+        .filter(f => f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+      (vs, parts.toSeq)
+    }
+
+    // ONE distributed footer job: (path -> (rowCount, long bounds))
+    val stats = distributedFooterInfo(spark,
+      tupleFiles.flatMap(_._2.map(_.getPath.toString)))
+
     val entrySchema = manifestEntrySchema(partFields)
     val dataFileSch = entrySchema.getField("data_file").schema()
     val partSch = dataFileSch.getField("partition").schema()
-    def asPartVal(v: Any): Any = v match {
-      case n: Int => n.toLong
-      case other => other
-    }
-    // (column name -> spec field id) for the stats maps — ids follow
-    // the metadata schema's id = position + 1 rule
-    val fieldIds = df.schema.fieldNames.zipWithIndex
-      .map { case (n, i) => n -> (i + 1) }.toMap
     val loSch = dataFileSch.getField("lower_bounds").schema()
       .getTypes.get(1).getElementType
     val hiSch = dataFileSch.getField("upper_bounds").schema()
       .getTypes.get(1).getElementType
-    val manifests = values.zipWithIndex.map { case (vs, i) =>
-      val dataDir = dataRoot + partNames.zip(vs)
-        .map { case (n, v) => s"/$n=$v" }.mkString
-      val shard0 = partNames.zip(vs)
-        .map { case (n, v) => col(s"`$n`") === v }
-        .foldLeft(df)((d, p) => d.filter(p))
-      // sort clustering (the spec's sort-order story): range-cluster
-      // the shard on `sortBy` so each data file covers a DISJOINT
-      // value window — that's what makes the per-file bound stats
-      // written below actually skip files for range predicates
-      val shard = sortBy.map(c =>
-        shard0.repartitionByRange(4, col(s"`$c`"))).getOrElse(shard0)
-      shard.write.mode("overwrite").parquet(dataDir)
-      val parts = fs.listStatus(new HPath(dataDir))
-        .filter(f => f.getPath.getName.endsWith(".parquet") &&
-          !f.getPath.getName.startsWith("_"))
-        .sortBy(_.getPath.getName)
+    val manifests = tupleFiles.zipWithIndex.map { case ((vs, parts), i) =>
       val entries = parts.map { f =>
+        val (rowCount, colStats) = stats(f.getPath.toString)
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapId)
         val d = new GenericData.Record(dataFileSch)
+        d.put("content", 0) // DATA
         d.put("file_path", f.getPath.toString)
         d.put("file_format", "PARQUET")
         val p = new GenericData.Record(partSch)
-        partNames.zip(vs).foreach { case (n, v) =>
-          p.put(n, asPartVal(v))
-        }
+        partNames.zip(vs).foreach { case (n, v) => p.put(n, v) }
         d.put("partition", p)
-        d.put("record_count", parquetRowCount(f.getPath))
+        d.put("record_count", rowCount)
         d.put("file_size_in_bytes", f.getLen)
         // per-file column bounds from the parquet FOOTER (free — the
         // row-group stats are already there), long columns only
-        val stats = footerLongStats(f.getPath)
-        if (stats.nonEmpty) {
+        if (colStats.nonEmpty) {
           def kvList(sch: Schema, pick: ((Long, Long)) => Long) = {
             val l = new java.util.ArrayList[GenericRecord]()
-            stats.toSeq.sortBy(t => fieldIds(t._1)).foreach {
+            colStats.toSeq.sortBy(t => fileFieldIds(t._1)).foreach {
               case (name, mm) =>
                 val r = new GenericData.Record(sch)
-                r.put("key", fieldIds(name))
+                r.put("key", fileFieldIds(name))
                 r.put("value",
                   java.nio.ByteBuffer.wrap(boundBytes(pick(mm))))
                 l.add(r)
@@ -776,7 +1173,7 @@ object Iceberg {
         e
       }
       val mPath = s"$tableDir/metadata/snap$snapId-m$i.avro"
-      writeAvro(mPath, entrySchema, entries.toSeq,
+      writeAvro(mPath, entrySchema, entries,
         Map("partition-spec-id" -> "0"))
       val mLen = fs.getFileStatus(new HPath(mPath)).getLen
       (mPath, mLen, vs)
@@ -790,12 +1187,13 @@ object Iceberg {
       r.put("manifest_path", mPath)
       r.put("manifest_length", mLen)
       r.put("partition_spec_id", 0)
+      r.put("content", 0)
       r.put("added_snapshot_id", snapId)
       val summaries = new java.util.ArrayList[GenericRecord]()
       vs.foreach { v =>
         val s = new GenericData.Record(summarySch)
         s.put("contains_null", false)
-        val bb = java.nio.ByteBuffer.wrap(boundBytes(asPartVal(v)))
+        val bb = java.nio.ByteBuffer.wrap(boundBytes(v))
         s.put("lower_bound", bb.duplicate())
         s.put("upper_bound", bb.duplicate())
         summaries.add(s)
@@ -829,10 +1227,21 @@ object Iceberg {
     try records.foreach(w.append) finally w.close()
   }
 
+  /** Atomic text write: temp file + rename, so a crash mid-write can
+    * never leave a torn version-hint.text (the visibility pointer) —
+    * real HadoopTableOperations does the same. A reader racing the
+    * swap window (hint deleted, rename pending) falls back to the
+    * max-vN scan in [[currentMetadata]].
+    */
   private def writeText(path: String, text: String): Unit = {
-    val fs = new HPath(path).getFileSystem(hconf)
-    val out = fs.create(new HPath(path), true)
+    val target = new HPath(path)
+    val fs = target.getFileSystem(hconf)
+    val tmp = new HPath(path + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(text.getBytes(UTF_8)) finally out.close()
+    fs.delete(target, false) // rename refuses to clobber on most FSs
+    require(fs.rename(tmp, target),
+      s"iceberg: atomic rename $tmp -> $target failed")
   }
 
   private def bufBytes(bb: java.nio.ByteBuffer): Array[Byte] = {
@@ -842,20 +1251,53 @@ object Iceberg {
     a
   }
 
-  private def parquetRowCount(file: HPath): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(file, hconf)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try reader.getRecordCount finally reader.close()
+  /** Hive-style %XX unescaping of partitionBy directory names (Spark
+    * escapes `=`, `/`, `%` … when laying out partition dirs).
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
-  /** Per-file (min, max) for top-level INT64 columns, folded across
-    * row groups from the parquet footer statistics — no data read.
+  /** ONE Spark job reading every file's parquet footer on the
+    * executors: path -> (row count, per-column INT64 [min, max]).
+    * Only these tiny stats records return to the driver — at
+    * thousands of files this replaces the round-12 driver-side
+    * footer walk.
     */
-  private def footerLongStats(file: HPath): Map[String, (Long, Long)] = {
+  private def distributedFooterInfo(spark: SparkSession,
+                                    paths: Seq[String])
+      : Map[String, (Long, Map[String, (Long, Long)])] = {
+    if (paths.isEmpty) Map.empty
+    else {
+      val slices = math.min(paths.size,
+        spark.sparkContext.defaultParallelism).max(1)
+      spark.sparkContext.parallelize(paths, slices)
+        .map(p => p -> footerInfo(p))
+        .collect().toMap
+    }
+  }
+
+  /** Row count + per-file (min, max) for top-level INT64 columns,
+    * folded across row groups from the parquet footer statistics —
+    * no data pages read. Runs inside executor tasks.
+    */
+  private def footerInfo(path: String)
+      : (Long, Map[String, (Long, Long)]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(file, hconf)
+      .fromPath(new HPath(path), new Configuration())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
@@ -876,7 +1318,7 @@ object Iceberg {
             cur.fold(mx)(t => math.max(t._2, mx)))
         }
       }
-      acc.toMap
+      (reader.getRecordCount, acc.toMap)
     } finally reader.close()
   }
 }

@@ -36,7 +36,11 @@ object IcebergStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val cols = batch.columns.toSeq
-        val tableExists = new java.io.File(s"$tableDir/metadata").exists()
+        // Hadoop-FS probe for a READABLE table (version hint or a
+        // vN.metadata.json) — a bare metadata/ dir left by a crash
+        // inside the first batch's writeTable must take the build
+        // branch again, not fail forever in currentMetadata
+        val tableExists = Iceberg.tableExists(tableDir)
         val fresh =
           if (!tableExists) batch
           else {

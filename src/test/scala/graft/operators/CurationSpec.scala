@@ -369,4 +369,23 @@ class CurationSpec extends SparkSpec {
     assert(ldiv === Set(("A", 7L, true), ("B", 2L, false),
       ("C", 1L, false)))
   }
+
+  test("kAnonymize agrees with the audit on NULL-bearing classes: a " +
+       "NULL quasi class of size >= k is KEPT (null-safe join), one " +
+       "below k is suppressed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows =
+      (1 to 8).map(i => (i.toLong, Option.empty[String], "x")) ++ // NULL class, n=8
+      (9 to 10).map(i => (i.toLong, Option.empty[String], "y")) ++ // NULL class, n=2
+      (11 to 20).map(i => (i.toLong, Some("A"), "x"))
+    val df = rows.toDF("id", "q1", "q2")
+    val audit = Curation.kAnonymityAudit(df,
+        Seq(col("q1"), col("q2")), k = 5)
+    assert(audit.filter(col("q1").isNull && col("anonymous")).count() === 1)
+    val anon = Curation.kAnonymize(df, Seq("q1", "q2"), k = 5)
+    assert(anon.count() === 18, "the n=8 NULL class must survive")
+    assert(anon.filter(col("q1").isNull).count() === 8)
+    assert(anon.filter(col("q2") === "y").count() === 0)
+  }
 }

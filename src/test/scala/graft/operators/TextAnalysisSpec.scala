@@ -45,6 +45,18 @@ class TextAnalysisSpec extends SparkSpec {
       "amex <CARD> end")
   }
 
+  test("luhnRedact digit-boundary: a 20+-digit run with a Luhn-valid " +
+       "19-digit PREFIX is never partially masked (maximal-run " +
+       "extraction, the false-positive class the validator exists for)") {
+    // "4111111111111111110" is Luhn-valid (19 digits); the 20-digit
+    // run embedding it must survive untouched
+    val text = "order 41111111111111111105 ok 4111111111111111110 end"
+    val out = Seq(text).toDF("text")
+      .select(TextAnalysis.luhnRedact(col("text")).as("r"))
+      .as[String].head()
+    assert(out === "order 41111111111111111105 ok <CARD> end")
+  }
+
   test("stableHash60 matches the cross-engine definition") {
     // md5('hello') = 5d41402abc4b2a76... -> 0x5d41402abc4b2a7 = 419982666956583591
     val h = Seq("hello").toDF("s")

@@ -1,0 +1,240 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-13 Iceberg laws: the one-job composer's scale contract and
+  * manifest invariants, v2 position deletes (merge-on-read), field-id
+  * column resolution through the name mapping, and crash-safety of
+  * the version-hint pointer.
+  */
+class IcebergComposerSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ice_$tag").toString
+
+  // -----------------------------------------------------------------
+  // composer scale contract
+  // -----------------------------------------------------------------
+
+  /** Spark jobs launched while `body` runs, via the public job-group
+    * census (statusTracker) — no listener-bus races.
+    */
+  private def jobsDuring(group: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(group, group, false)
+    try body finally spark.sparkContext.clearJobGroup()
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("O(1) write jobs: composing a table with 100+ partition tuples " +
+       "launches exactly as many Spark jobs as composing one with 3 — " +
+       "never one job per tuple (the round-12 composer's defect)") {
+    val base = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val many = base.withColumn("k", (col("l_orderkey") % 101).cast("long"))
+    val few = base.withColumn("k", (col("l_orderkey") % 3).cast("long"))
+    val manyDir = tmp("jobs_many"); val fewDir = tmp("jobs_few")
+    val jMany = jobsDuring("ice-census-many") {
+      Iceberg.writeTable(many, manyDir, "k")
+    }
+    val jFew = jobsDuring("ice-census-few") {
+      Iceberg.writeTable(few, fewDir, "k")
+    }
+    val meta = Iceberg.currentMetadata(manyDir)
+    val tuples = Iceberg.manifestList(meta).size
+    assert(tuples >= 100, s"fixture must span 100+ tuples, got $tuples")
+    assert(jMany === jFew,
+      s"job count must not scale with tuples: $jMany vs $jFew")
+    assert(jMany <= 4, s"compose must be O(1) jobs, got $jMany")
+    // and the wide table still round-trips
+    assert(Iceberg.scan(spark, manyDir).count() === many.count())
+  }
+
+  test("manifest invariants: per-file record_count sums to the input, " +
+       "per-file bounds equal the files' true min/max, one manifest " +
+       "per partition tuple with summaries = the tuple value") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    val dir = tmp("invariants")
+    Iceberg.writeTable(df, dir, "l_returnflag", sortBy = Some("l_orderkey"))
+    val meta = Iceberg.currentMetadata(dir)
+    val mans = Iceberg.manifestList(meta)
+    val tuples = df.select(col("l_returnflag")).distinct().count()
+    assert(mans.size === tuples, "one manifest per partition tuple")
+    val entries = mans.flatMap(m => Iceberg.manifestEntries(m.path, meta))
+    // record_count conservation
+    val total = entries.map { e =>
+      spark.read.parquet(e.path).count()
+    }.sum
+    assert(total === df.count())
+    // recorded bounds == true per-file min/max for the long columns
+    val okId = meta.fieldIds("l_orderkey")
+    entries.foreach { e =>
+      val Array(lo, hi) = spark.read.parquet(e.path)
+        .agg(min("l_orderkey"), max("l_orderkey")).collect()
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(e.longBounds(okId) === (lo, hi),
+        s"bounds drift for ${e.path}")
+    }
+    // manifest-list summaries carry exactly the tuple's value window
+    mans.foreach { m =>
+      val b = m.bounds.head
+      assert(b.lower === b.upper && b.lower.isDefined,
+        "single-tuple manifest must have point bounds")
+    }
+    // sort clustering: within a tuple, file windows are DISJOINT
+    val byTuple = entries.groupBy(_.partition("l_returnflag"))
+    byTuple.values.foreach { es =>
+      val ws = es.map(_.longBounds(okId)).sortBy(_._1)
+      ws.sliding(2).foreach {
+        case Seq((_, aHi), (bLo, _)) => assert(aHi < bLo,
+          "sort-clustered windows must not overlap")
+        case _ =>
+      }
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // v2 position deletes / merge-on-read
+  // -----------------------------------------------------------------
+
+  test("position deletes: deleteWhere commits a v2 delete snapshot; the " +
+       "scan merges-on-read to exactly the anti-joined recomputation; " +
+       "time travel to the pre-delete snapshot is untouched; a replayed " +
+       "delete appends NO snapshot") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    val dir = tmp("delete")
+    Iceberg.writeTable(df, dir, "l_returnflag")
+    Iceberg.deleteWhere(spark, dir, col("l_quantity") > 25.0)
+    val meta = Iceberg.currentMetadata(dir)
+    assert(meta.formatVersion === 2, "first delete upgrades v1 -> v2")
+    assert(meta.snapshots.map(_._1) === Seq(1L, 2L))
+    val want = df.filter(!(col("l_quantity") > 25.0))
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && want.size < df.count())
+    assert(Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet === want)
+    // partition pruning composes with merge-on-read
+    assert(Iceberg.scan(spark, dir, Some("R")).collect().map(_.toSeq).toSet
+      === df.filter(!(col("l_quantity") > 25.0) &&
+        col("l_returnflag") === "R").collect().map(_.toSeq).toSet)
+    // pre-delete snapshot reads the full table
+    assert(Iceberg.scan(spark, dir, asOf = Some(1L)).count() === df.count())
+    // replayed delete: zero new rows to record -> no snapshot commits
+    Iceberg.deleteWhere(spark, dir, col("l_quantity") > 25.0)
+    assert(Iceberg.currentMetadata(dir).snapshots.map(_._1) ===
+      Seq(1L, 2L))
+    // a delete never targets later-appended files: append after delete,
+    // the new rows all survive
+    val extra = df.limit(50)
+    Iceberg.appendToTable(extra, dir)
+    val after = Iceberg.scan(spark, dir).count()
+    assert(after === want.size + extra.count())
+    // incremental read of the append sees exactly the appended rows
+    val inc = Iceberg.incrementalScan(spark, dir, 2L, 3L).count()
+    assert(inc === extra.count())
+  }
+
+  test("second delete stacks on the first (both delete manifests apply) " +
+       "and expireSnapshots keeps the delete files of the live snapshot") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 40 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    val dir = tmp("delete2")
+    Iceberg.writeTable(df, dir, "l_returnflag")
+    Iceberg.deleteWhere(spark, dir, col("l_quantity") > 40.0)
+    Iceberg.deleteWhere(spark, dir, col("l_quantity") < 10.0)
+    val want = df.filter(col("l_quantity").between(10.0, 40.0))
+      .collect().map(_.toSeq).toSet
+    assert(Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet === want)
+    assert(Iceberg.currentDeleteFiles(dir).nonEmpty)
+    Iceberg.expireSnapshots(dir)
+    assert(Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet === want,
+      "expiry must not orphan live delete files")
+  }
+
+  // -----------------------------------------------------------------
+  // field-id resolution / renames
+  // -----------------------------------------------------------------
+
+  test("field-id resolution: non-contiguous ids compose and read; a " +
+       "metadata-only rename keeps old data files readable through the " +
+       "name mapping; appends AFTER the rename write name-mapped files " +
+       "so the whole table stays consistent") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    val dir = tmp("fieldid")
+    Iceberg.writeTablePartitioned(df, dir, Seq("l_returnflag"),
+      fieldIdOf = Map("l_orderkey" -> 11, "l_linenumber" -> 22,
+        "l_quantity" -> 33, "l_returnflag" -> 44))
+    val meta0 = Iceberg.currentMetadata(dir)
+    assert(meta0.fieldIds("l_quantity") === 33)
+    // bounds in the manifests are keyed by the CUSTOM ids
+    val e0 = Iceberg.manifestList(meta0)
+      .flatMap(m => Iceberg.manifestEntries(m.path, meta0)).head
+    assert(e0.longBounds.keySet.subsetOf(Set(11, 22)),
+      s"stats must key by custom field ids, got ${e0.longBounds.keySet}")
+    // stats pruning works through custom ids
+    assert(Iceberg.scan(spark, dir,
+      colRange = Some(("l_orderkey", 0L, Long.MaxValue))).count()
+      === df.count())
+
+    Iceberg.renameColumn(dir, "l_quantity", "qty")
+    val meta1 = Iceberg.currentMetadata(dir)
+    assert(meta1.columns.contains("qty") &&
+      !meta1.columns.contains("l_quantity"))
+    assert(meta1.fieldIds("qty") === 33, "rename keeps the field id")
+    assert(meta1.fileColumn("qty") === "l_quantity",
+      "name mapping resolves the renamed display name to the file name")
+    val renamed = df.withColumnRenamed("l_quantity", "qty")
+    assert(Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet ===
+      renamed.collect().map(_.toSeq).toSet)
+
+    // append under the NEW display names; files are written name-mapped
+    val extra = renamed.limit(40)
+    Iceberg.appendToTable(extra, dir)
+    assert(Iceberg.scan(spark, dir).count() === df.count() + 40)
+    // renaming a partition source or to a taken name fails loudly
+    intercept[IllegalArgumentException] {
+      Iceberg.renameColumn(dir, "l_returnflag", "rf")
+    }
+    intercept[IllegalArgumentException] {
+      Iceberg.renameColumn(dir, "qty", "l_orderkey")
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // crash safety of the visibility pointer
+  // -----------------------------------------------------------------
+
+  test("torn version-hint falls back to the max-vN metadata scan " +
+       "instead of bricking the table; tableExists probes a READABLE " +
+       "table, not a bare metadata dir") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 40 === 0)
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val dir = tmp("hint")
+    assert(!Iceberg.tableExists(dir))
+    // a crash that left only an empty metadata/ dir is NOT a table
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/metadata"))
+    assert(!Iceberg.tableExists(dir))
+    Iceberg.writeTable(df, dir, "l_returnflag")
+    assert(Iceberg.tableExists(dir))
+    // torn hint (crash mid-write in a pre-atomic world): empty file
+    val hint = java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      s"$dir/metadata/.version-hint.text.crc"))
+    java.nio.file.Files.write(hint, Array.emptyByteArray)
+    assert(Iceberg.scan(spark, dir).count() === df.count())
+    // garbled hint too
+    java.nio.file.Files.write(hint, "not-a-number".getBytes("UTF-8"))
+    assert(Iceberg.currentMetadata(dir).version === 1)
+  }
+}

@@ -75,7 +75,7 @@ class IcebergSpec extends SparkSpec {
     assert(Iceberg.scan(spark, dir).count() === df.count())
   }
 
-  test("format-version 2 and non-identity transforms are rejected " +
+  test("format-version 3 and non-identity transforms are rejected " +
        "loudly, never half-read") {
     val (dir, _) = fixture()
     val metaPath = java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json")
@@ -85,7 +85,7 @@ class IcebergSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/metadata/.v1.metadata.json.crc"))
     val v1 = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
     java.nio.file.Files.write(metaPath,
-      v1.replace("\"format-version\": 1", "\"format-version\": 2")
+      v1.replace("\"format-version\": 1", "\"format-version\": 3")
         .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       Iceberg.currentMetadata(dir)
