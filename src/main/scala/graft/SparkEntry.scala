@@ -398,6 +398,55 @@ object SparkEntry {
           col("l_returnflag"), col("bucket"))
     }),
 
+    // ---- Iceberg FIELD-ID column resolution (interop: tables whose
+    //      ids are not position+1 and whose columns were renamed): the
+    //      table composes with NON-CONTIGUOUS field ids, l_quantity is
+    //      renamed to qty METADATA-ONLY (same id, no file rewritten),
+    //      and a post-rename append writes name-mapped files — the
+    //      scan resolves every column by id through the spec's
+    //      schema.name-mapping.default and returns the union under the
+    //      current display names ----
+    "q_iceberg_fieldid" -> ((s, dir) => {
+      val path = annIndex("iceberg_fieldid", dir) { p =>
+        val slice = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"))
+        graft.sources.Iceberg.writeTablePartitioned(
+          slice.where(col("l_orderkey") % 60 === 0), p,
+          Seq("l_returnflag"),
+          fieldIdOf = Map("l_orderkey" -> 10, "l_linenumber" -> 27,
+            "l_quantity" -> 31, "l_returnflag" -> 44))
+        graft.sources.Iceberg.renameColumn(p, "l_quantity", "qty")
+        graft.sources.Iceberg.appendToTable(
+          slice.where(col("l_orderkey") % 30 === 0 &&
+              col("l_orderkey") % 60 =!= 0)
+            .withColumnRenamed("l_quantity", "qty"), p)
+      }
+      graft.sources.Iceberg.scan(s, path)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"),
+          col("l_returnflag"))
+    }),
+
+    // ---- Iceberg v2 ROW-LEVEL DELETE (position deletes, merge-on-
+    //      read): deleteWhere records (file, pos) targets in spec
+    //      delete files and commits a DELETE snapshot — no data file
+    //      rewritten; the scan anti-joins on _metadata.row_index, all
+    //      distributed. The oracle recomputes the anti-joined table ----
+    "q_iceberg_delete" -> ((s, dir) => {
+      val path = annIndex("iceberg_del", dir) { p =>
+        graft.sources.Iceberg.writeTable(
+          t(s, dir, "lineitem")
+            .where(col("l_orderkey") % 60 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_returnflag"), col("l_shipdate")),
+          p, "l_returnflag")
+        graft.sources.Iceberg.deleteWhere(s, p, col("l_quantity") > 25.0)
+      }
+      graft.sources.Iceberg.scan(s, path)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2368,6 +2417,27 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- k-anonymity by GENERALIZATION (global recoding): coarsen
+    //      the quasi-identifiers up a ladder (exact nation -> 5-wide
+    //      nation bucket -> '*') to the FIRST level whose smallest
+    //      class reaches k — every row survives, unlike q_kanonymize's
+    //      suppression. Level selection = one (classes)-row census per
+    //      level; the oracle replays the ladder walk in SQL ----
+    "q_kgeneralize" -> ((s, dir) => {
+      val ladder = Seq(
+        Seq("nat_g" -> col("c_nationkey").cast("string"),
+            "seg_g" -> col("c_mktsegment")),
+        Seq("nat_g" -> (floor(col("c_nationkey") / 5) * 5)
+              .cast("long").cast("string"),
+            "seg_g" -> col("c_mktsegment")),
+        Seq("nat_g" -> lit("*"), "seg_g" -> col("c_mktsegment")),
+        Seq("nat_g" -> lit("*"), "seg_g" -> lit("*")))
+      graft.operators.Curation.kGeneralize(
+          t(s, dir, "customer"), ladder, k = 10)
+        .select(col("c_custkey"), col("nat_g"), col("seg_g"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- l-diversity audit (k-anonymity's companion: a large class
     //      whose members share ONE sensitive value still exposes them
     //      all): per-class count + distinct sensitive values ----
@@ -3656,6 +3726,49 @@ object SparkEntry {
         .select(col("qid"), col("cid"))
       val approx = graft.operators.Similarity.ivfTopK(
           qs, e, k = 5, nlist = 16, nprobe = 4)
+        .select(col("qid"), col("cid"))
+      val hits = exact.intersect(approx)
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0)
+            .as("recall"))
+        .orderBy(col("qid"))
+    }),
+
+    // ---- ANN quality evaluation for the COMPRESSED indexes: recall@5
+    //      of PQ (codes + ADC lookup) against the brute-force ground
+    //      truth — the acceptance gate that decides whether a lossy
+    //      code budget is shippable; exact integer hit counts, same
+    //      device as q_simsearch_recall ----
+    "q_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Similarity.bruteForceTopK(qs, e, k = 5)
+        .select(col("qid"), col("cid"))
+      val approx = graft.operators.Similarity.pqTopK(qs, e, k = 5)
+        .select(col("qid"), col("cid"))
+      val hits = exact.intersect(approx)
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0)
+            .as("recall"))
+        .orderBy(col("qid"))
+    }),
+
+    // ---- recall@5 of SQ8 (per-dim 8-bit scalar quantization) vs the
+    //      brute-force truth — PQ's sibling gate ----
+    "q_sq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Similarity.bruteForceTopK(qs, e, k = 5)
+        .select(col("qid"), col("cid"))
+      val approx = graft.operators.Similarity.sqTopK(qs, e, k = 5)
         .select(col("qid"), col("cid"))
       val hits = exact.intersect(approx)
         .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
@@ -5641,6 +5754,22 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  bucket""".stripMargin,
 
+    // the %60=0 build shard plus the %30=0-but-not-%60=0 post-rename
+    // append = the %30=0 slice, with l_quantity under its renamed
+    // display name
+    "q_iceberg_fieldid" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 30 = 0
+        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
+
+    "q_iceberg_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate
+        |FROM lineitem
+        |WHERE l_orderkey % 60 = 0 AND NOT (l_quantity > 25.0)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_shipdate""".stripMargin,
+
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  NULLIF(l_returnflag, 'A') AS rflag_n, l_shipdate
@@ -6397,6 +6526,123 @@ object SparkEntry {
          |          FROM probes p JOIN asg a USING (cent_id)
          |          WHERE p.qid != a.cid))
          |  WHERE rnk <= 5),
+         |h AS (
+         |  SELECT qid, count(*) AS n_hits FROM (
+         |    SELECT qid, cid FROM ex INTERSECT SELECT qid, cid FROM ap)
+         |  GROUP BY qid)
+         |SELECT bq.qid AS qid,
+         |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM bq LEFT JOIN h ON bq.qid = h.qid
+         |ORDER BY qid""".stripMargin,
+
+    // recall@5 of PQ vs brute force: exact branch = q_simsearch's
+    // proven pipeline, approx branch = q_simsearch_pq's (renamed into
+    // an `ap` CTE), hits via INTERSECT, zero-hit queries kept
+    "q_pq_recall" ->
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS bqv
+         |            FROM embeddings WHERE vec_id < 10),
+         |bc AS (SELECT vec_id AS bcid, embedding AS bcv FROM embeddings),
+         |bs AS (
+         |  SELECT qid, bcid AS cid, ${qdotSql("bqv", "bcv")} AS score
+         |  FROM bq, bc WHERE qid != bcid),
+         |ex AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+         |    FROM bs) WHERE rnk <= 5),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sub AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+         |base AS (SELECT vec_id AS code_id, qv FROM q
+         |         ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT code_id, s.s AS s,
+         |    qv[(s.s*8+1):(s.s*8+8)] AS cent
+         |  FROM base, sub s),
+         |cs AS (
+         |  SELECT vec_id AS cid, s.s AS s,
+         |    qv[(s.s*8+1):(s.s*8+8)] AS sv
+         |  FROM q, sub s),
+         |enc AS (
+         |  SELECT cid, s, code_id FROM (
+         |    SELECT cs.cid, cs.s, cb.code_id, row_number() OVER (
+         |      PARTITION BY cs.cid, cs.s
+         |      ORDER BY ${ldotSql("cent", "cent")}
+         |               - 2 * ${ldotSql("sv", "cent")} ASC, cb.code_id) AS r
+         |    FROM cs JOIN cb USING (s))
+         |  WHERE r = 1),
+         |lutq AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT qid, cb.s, cb.code_id,
+         |    ${ldotSql("lutq.qv[(cb.s*8+1):(cb.s*8+8)]", "cb.cent")} AS p
+         |  FROM lutq, cb),
+         |sc AS (
+         |  SELECT l.qid, e.cid, CAST(sum(l.p) AS BIGINT) AS score
+         |  FROM enc e JOIN lut l ON e.s = l.s AND e.code_id = l.code_id
+         |  WHERE l.qid != e.cid
+         |  GROUP BY l.qid, e.cid),
+         |ap AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+         |    FROM sc) WHERE rnk <= 5),
+         |h AS (
+         |  SELECT qid, count(*) AS n_hits FROM (
+         |    SELECT qid, cid FROM ex INTERSECT SELECT qid, cid FROM ap)
+         |  GROUP BY qid)
+         |SELECT bq.qid AS qid,
+         |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM bq LEFT JOIN h ON bq.qid = h.qid
+         |ORDER BY qid""".stripMargin,
+
+    // recall@5 of SQ8 vs brute force — q_simsearch_sq's pipeline as
+    // the `ap` branch
+    "q_sq_recall" ->
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS bqv
+         |            FROM embeddings WHERE vec_id < 10),
+         |bc AS (SELECT vec_id AS bcid, embedding AS bcv FROM embeddings),
+         |bs AS (
+         |  SELECT qid, bcid AS cid, ${qdotSql("bqv", "bcv")} AS score
+         |  FROM bq, bc WHERE qid != bcid),
+         |ex AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+         |    FROM bs) WHERE rnk <= 5),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |st AS (
+         |  SELECT d, min(qv[d + 1]) AS lo, max(qv[d + 1]) AS hi
+         |  FROM q, (SELECT CAST(unnest(range(0, 64)) AS INT) AS d)
+         |  GROUP BY d),
+         |stl AS (
+         |  SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his
+         |  FROM st),
+         |enc AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(range(0, 64), i ->
+         |      255 * los[i + 1]
+         |      + (((qv[i + 1] - los[i + 1]) * 255)
+         |         // greatest(his[i + 1] - los[i + 1], 1))
+         |        * (his[i + 1] - los[i + 1])) AS dq
+         |  FROM q, stl),
+         |sc AS (
+         |  SELECT qq.vec_id AS qid, e.cid,
+         |    CAST(list_sum(list_transform(range(0, 64),
+         |      i -> qq.qv[i + 1] * e.dq[i + 1])) AS BIGINT) AS score
+         |  FROM (SELECT vec_id, qv FROM q WHERE vec_id < 10) qq, enc e
+         |  WHERE qq.vec_id <> e.cid),
+         |ap AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+         |    FROM sc) WHERE rnk <= 5),
          |h AS (
          |  SELECT qid, count(*) AS n_hits FROM (
          |    SELECT qid, cid FROM ex INTERSECT SELECT qid, cid FROM ap)
@@ -8931,6 +9177,33 @@ object SparkEntry {
         |  FROM customer GROUP BY c_nationkey, c_mktsegment
         |  HAVING count(*) >= 5)
         |ORDER BY c_custkey""".stripMargin,
+
+    // the oracle replays the ladder walk: per-level min class census,
+    // first level >= k wins, rows projected at that level
+    "q_kgeneralize" ->
+      """WITH
+        |c0 AS (SELECT min(cnt) AS m FROM (
+        |  SELECT count(*) AS cnt FROM customer
+        |  GROUP BY CAST(c_nationkey AS VARCHAR), c_mktsegment)),
+        |c1 AS (SELECT min(cnt) AS m FROM (
+        |  SELECT count(*) AS cnt FROM customer
+        |  GROUP BY CAST(CAST(floor(c_nationkey / 5) * 5 AS BIGINT)
+        |    AS VARCHAR), c_mktsegment)),
+        |c2 AS (SELECT min(cnt) AS m FROM (
+        |  SELECT count(*) AS cnt FROM customer GROUP BY c_mktsegment)),
+        |lvl AS (SELECT CASE WHEN (SELECT m FROM c0) >= 10 THEN 0
+        |                    WHEN (SELECT m FROM c1) >= 10 THEN 1
+        |                    WHEN (SELECT m FROM c2) >= 10 THEN 2
+        |                    ELSE 3 END AS l)
+        |SELECT c_custkey,
+        |  CASE (SELECT l FROM lvl)
+        |    WHEN 0 THEN CAST(c_nationkey AS VARCHAR)
+        |    WHEN 1 THEN CAST(CAST(floor(c_nationkey / 5) * 5 AS BIGINT)
+        |      AS VARCHAR)
+        |    ELSE '*' END AS nat_g,
+        |  CASE WHEN (SELECT l FROM lvl) <= 2 THEN c_mktsegment
+        |       ELSE '*' END AS seg_g
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_ldiversity" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,

@@ -261,6 +261,43 @@ object Curation {
     left.join(right, cond, "left_semi")
   }
 
+  /** GENERALIZATION-based k-anonymity enforcement (global recoding) —
+    * [[kAnonymize]]'s row-preserving sibling: instead of suppressing
+    * violating rows, coarsen the quasi-identifiers up a LADDER of
+    * generalization levels (bucket ages, truncate zip codes, finally
+    * `'*'`) until EVERY equivalence class reaches k. All rows survive,
+    * at the cost of quasi precision — the trade real governance
+    * pipelines usually prefer.
+    *
+    * Each ladder level is the named generalized quasi columns it
+    * emits (every level must emit the same names). Level selection is
+    * one tiny aggregate per candidate level — the class census moves
+    * (classes, count) rows only and stops at the FIRST level whose
+    * smallest class is >= k — so the driver loop is bounded by the
+    * ladder length (a handful), never the corpus. The output is the
+    * input with the chosen level's columns applied; by construction
+    * it re-audits k-anonymous (the CurationSpec law) and its row
+    * count >= suppression's.
+    */
+  def kGeneralize(df: DataFrame, ladder: Seq[Seq[(String, Column)]],
+                  k: Int): DataFrame = {
+    require(ladder.nonEmpty && k >= 1, "need a ladder and k >= 1")
+    val names = ladder.head.map(_._1)
+    require(ladder.forall(_.map(_._1) == names),
+      s"every ladder level must emit the same columns $names")
+    val chosen = ladder.iterator.map { level =>
+      val minClass = df
+        .groupBy(level.map { case (n, c) => c.as(n) }: _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(min(col("n"))).collect().head.getLong(0)
+      (level, minClass)
+    }.collectFirst { case (level, mc) if mc >= k => level }
+    val level = chosen.getOrElse(throw new IllegalArgumentException(
+      s"kGeneralize: no ladder level reaches k=$k " +
+        "(append a constant top level, or the corpus has < k rows)"))
+    df.withColumns(level.map { case (n, c) => n -> c }.toMap)
+  }
+
   /** l-diversity audit — k-anonymity's companion (a class can be large
     * yet expose everyone in it when they all share the SENSITIVE
     * value): per quasi-identifier class, the count and the number of

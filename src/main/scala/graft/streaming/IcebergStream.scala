@@ -54,4 +54,57 @@ object IcebergStream {
         else if (!out.isEmpty) Iceberg.appendToTable(out, tableDir)
       }
       .start()
+
+  /** READ-side CDC twin of the snapshot-per-batch sink: process every
+    * row committed since the durable cursor, exactly the shape of a
+    * foreachBatch consumer polling a lakehouse table. One poll =
+    *
+    *   - resolve the current snapshot (one metadata read);
+    *   - no cursor yet → BOOTSTRAP: the full current scan;
+    *   - cursor behind → [[Iceberg.incrementalScan]](cursor, current):
+    *     the added data files only, resolved from METADATA alone (two
+    *     manifest-list walks), so each poll costs O(delta) reads at
+    *     any table size;
+    *   - cursor current → NO-OP, `process` is not invoked.
+    *
+    * The cursor advances with an atomic temp+rename AFTER `process`
+    * returns — a crash mid-process replays the same delta next poll
+    * (at-least-once, the foreachBatch contract; pair with id-keyed
+    * sinks for effective exactly-once). Returns the snapshot id the
+    * cursor rests on after the poll.
+    *
+    * The stream==batch law (IcebergStreamSpec): over ANY poll/commit
+    * interleaving, the union of everything processed equals the final
+    * full scan. Snapshots must not be expired past an idle consumer's
+    * cursor — the incremental read of an expired boundary fails
+    * loudly, never returns a silently-wrong delta.
+    */
+  def pollOnce(spark: org.apache.spark.sql.SparkSession,
+               tableDir: String, cursorFile: String)
+              (process: DataFrame => Unit): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val meta = Iceberg.currentMetadata(tableDir)
+    val current = meta.currentSnapshotId
+    val cursor = Paths.get(cursorFile)
+    val last: Option[Long] =
+      if (Files.exists(cursor))
+        Some(new String(Files.readAllBytes(cursor), "UTF-8").trim.toLong)
+      else None
+    require(last.forall(_ <= current),
+      s"iceberg poll: cursor ${last.get} is ahead of snapshot $current")
+    if (!last.contains(current)) {
+      val delta = last match {
+        case None    => Iceberg.scan(spark, tableDir)
+        case Some(f) => Iceberg.incrementalScan(spark, tableDir, f, current)
+      }
+      process(delta)
+      // commit the cursor only after the processor returned
+      val tmp = Paths.get(cursorFile + ".tmp")
+      Files.createDirectories(cursor.toAbsolutePath.getParent)
+      Files.write(tmp, current.toString.getBytes("UTF-8"))
+      Files.move(tmp, cursor, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    current
+  }
 }

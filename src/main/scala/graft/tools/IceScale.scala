@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Iceberg composer scale harness (PLANS.md evidence): composes the
+  * same frame as a 3-tuple and a 101-tuple identity-partitioned
+  * table, reporting SPARK JOB COUNT and wall seconds for each — the
+  * round-13 law is jobs(101 tuples) == jobs(3 tuples) (one partitionBy
+  * write + one distributed footer-stats job), where the round-12
+  * composer ran one write job per tuple plus a driver footer walk.
+  * Also times appendToTable and deleteWhere on the wide table.
+  *
+  * Usage: scripts/run.sh graft.tools.IceScale /root/testdata/sf0.01
+  */
+object IceScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+
+    def run(tag: String, mod: Int, sortBy: Option[String]): String = {
+      val df = li.withColumn("k", (col("l_orderkey") % mod).cast("long"))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_icescale_$tag").toString + "/tbl"
+      val group = s"icescale-$tag"
+      spark.sparkContext.setJobGroup(group, group, false)
+      val t0 = System.nanoTime()
+      graft.sources.Iceberg.writeTable(df, dir, "k", sortBy = sortBy)
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      val jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(group).length
+      val meta = graft.sources.Iceberg.currentMetadata(dir)
+      val tuples = graft.sources.Iceberg.manifestList(meta).size
+      println(f"$tag%-14s tuples=$tuples%4d jobs=$jobs%2d wall=$secs%6.2fs")
+      dir
+    }
+
+    run("tuples3", 3, None)
+    val wide = run("tuples101", 101, None)
+    run("tuples101sort", 101, Some("l_orderkey"))
+
+    // append + v2 delete on the 101-tuple table
+    def timed(tag: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"$tag%-14s wall=${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
+    timed("append") {
+      graft.sources.Iceberg.appendToTable(
+        li.withColumn("k", (col("l_orderkey") % 101).cast("long"))
+          .where(col("l_linenumber") === 1), wide)
+    }
+    timed("deleteWhere") {
+      graft.sources.Iceberg.deleteWhere(spark, wide,
+        col("l_quantity") > 45.0)
+    }
+    timed("scanAfterDel") {
+      println("rows=" + graft.sources.Iceberg.scan(spark, wide).count())
+    }
+    spark.stop()
+  }
+}

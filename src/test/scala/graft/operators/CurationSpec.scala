@@ -370,6 +370,45 @@ class CurationSpec extends SparkSpec {
       ("C", 1L, false)))
   }
 
+  test("kGeneralize: picks the FIRST ladder level whose smallest class " +
+       "reaches k, keeps EVERY row (count >= suppression's), re-audits " +
+       "k-anonymous, and fails loudly when no level reaches k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    // ages spread so exact age classes are tiny but decade buckets
+    // all reach k=5
+    val rows = (1 to 40).map(i => (i.toLong, 20 + i % 8, "x")) ++
+      (41 to 44).map(i => (i.toLong, 90 + i, "y")) // 4 singleton ages
+    val df = rows.toDF("id", "age", "grp")
+    val ladder = Seq(
+      Seq("age_g" -> col("age").cast("string")),
+      Seq("age_g" -> (floor(col("age") / 10) * 10)
+        .cast("long").cast("string")),
+      Seq("age_g" -> lit("*")))
+    val gen = Curation.kGeneralize(df, ladder, k = 5)
+    assert(gen.count() === df.count(), "generalization keeps every row")
+    // exact ages can't reach k=5 (the 131..134 singletons) and decades
+    // can't either (they bucket to one decade class of 4) -> level 2
+    val re = Curation.kAnonymityAudit(gen, Seq(col("age_g")), 5)
+    assert(re.filter(!col("anonymous")).count() === 0,
+      "output must re-audit k-anonymous")
+    // suppression on the same data drops the tail; generalization wins
+    // on retained rows
+    val sup = Curation.kAnonymize(
+      df.select(col("id"), col("age").cast("string").as("age_g")),
+      Seq("age_g"), k = 5)
+    assert(gen.count() >= sup.count())
+    // a ladder whose top level still can't reach k fails loudly
+    intercept[IllegalArgumentException] {
+      Curation.kGeneralize(df.limit(3), ladder.take(1), k = 5)
+    }
+    // and a level that DOES reach k is chosen over coarser ones: with
+    // k=2 the decade level suffices, so values keep decade precision
+    val gen2 = Curation.kGeneralize(df, ladder, k = 2)
+    assert(gen2.select(col("age_g")).distinct().count() > 1,
+      "must not over-generalize past the first passing level")
+  }
+
   test("kAnonymize agrees with the audit on NULL-bearing classes: a " +
        "NULL quasi class of size >= k is KEPT (null-safe join), one " +
        "below k is suppressed") {

@@ -60,4 +60,60 @@ class IcebergStreamSpec extends SparkSpec {
     assert(Iceberg.incrementalScan(spark, dir, 1L, 3L).count() ===
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 450).count())
   }
+
+  test("read-side CDC twin (pollOnce): over ANY poll/commit " +
+       "interleaving the union of processed rows equals the final full " +
+       "scan; a crash before the cursor advance replays the delta; an " +
+       "idle poll never invokes the processor") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def shard(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_icepoll_spec").toString
+    val dir = s"$base/tbl"; val cursor = s"$base/cursor"
+    Iceberg.writeTable(shard(0, 100), dir, "lang")
+
+    var seen = Set.empty[Seq[Any]]
+    var calls = 0
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      calls += 1; seen ++= df.collect().map(_.toSeq)
+    }
+    // bootstrap poll reads the full current snapshot
+    assert(IcebergStream.pollOnce(spark, dir, cursor)(consume) === 1L)
+    assert(calls === 1 &&
+      seen === shard(0, 100).collect().map(_.toSeq).toSet)
+    // idle poll: no new snapshot -> processor NOT invoked
+    assert(IcebergStream.pollOnce(spark, dir, cursor)(consume) === 1L)
+    assert(calls === 1)
+    // two commits before the next poll fold into ONE delta read
+    Iceberg.appendToTable(shard(100, 200), dir)
+    Iceberg.appendToTable(shard(200, 300), dir)
+    assert(IcebergStream.pollOnce(spark, dir, cursor)(consume) === 3L)
+    assert(calls === 2)
+    // crash INSIDE the processor: cursor does not advance, the same
+    // delta replays on the next poll (at-least-once)
+    Iceberg.appendToTable(shard(300, 350), dir)
+    intercept[RuntimeException] {
+      IcebergStream.pollOnce(spark, dir, cursor) { _ =>
+        throw new RuntimeException("sink crashed")
+      }
+    }
+    val replayed = scala.collection.mutable.Set.empty[Seq[Any]]
+    IcebergStream.pollOnce(spark, dir, cursor) { df =>
+      replayed ++= df.collect().map(_.toSeq); seen ++= replayed
+    }
+    assert(replayed.toSet ===
+      shard(300, 350).collect().map(_.toSeq).toSet)
+    // stream == batch: union of everything processed == full scan
+    assert(seen === Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet)
+    // a NEW consumer instance resumes from the durable cursor, not
+    // from scratch
+    Iceberg.appendToTable(shard(350, 400), dir)
+    var resumed = Set.empty[Seq[Any]]
+    IcebergStream.pollOnce(spark, dir, cursor) { df =>
+      resumed = df.collect().map(_.toSeq).toSet
+    }
+    assert(resumed === shard(350, 400).collect().map(_.toSeq).toSet)
+  }
 }
