@@ -447,6 +447,51 @@ object SparkEntry {
           col("l_returnflag"), col("l_shipdate"))
     }),
 
+    // ---- Iceberg COMPACTION (rewrite_data_files): the same
+    //      build+delete as q_iceberg_delete, then compactTable rewrites
+    //      the table content — accumulated position deletes APPLIED
+    //      into fresh merged files, committed as a REPLACE snapshot
+    //      (priors stay travelable; expiry GCs them). Scan result is
+    //      invariant, so the oracle is q_iceberg_delete's — which is
+    //      the point: maintenance ops never change answers ----
+    "q_iceberg_compact" -> ((s, dir) => {
+      val path = annIndex("iceberg_cmp", dir) { p =>
+        graft.sources.Iceberg.writeTable(
+          t(s, dir, "lineitem")
+            .where(col("l_orderkey") % 60 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_returnflag"), col("l_shipdate")),
+          p, "l_returnflag", sortBy = Some("l_orderkey"))
+        graft.sources.Iceberg.deleteWhere(s, p, col("l_quantity") > 25.0)
+        graft.sources.Iceberg.compactTable(s, p)
+      }
+      graft.sources.Iceberg.scan(s, path)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+    }),
+
+    // ---- Iceberg ADD COLUMN (metadata-only schema evolution): the
+    //      new field gets the next field id and NO physical presence in
+    //      existing files — the scan reads with the table schema
+    //      supplied, so pre-evolution files surface NULLs while the
+    //      post-evolution append carries values ----
+    "q_iceberg_addcol" -> ((s, dir) => {
+      val path = annIndex("iceberg_addcol", dir) { p =>
+        val slice = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"))
+        graft.sources.Iceberg.writeTable(
+          slice.where(col("l_orderkey") % 60 === 0), p, "l_returnflag")
+        graft.sources.Iceberg.addColumn(p, "note", "string")
+        graft.sources.Iceberg.appendToTable(
+          slice.where(col("l_orderkey") % 60 === 30)
+            .withColumn("note", lit("batch2")), p)
+      }
+      graft.sources.Iceberg.scan(s, path)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("note"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5647,6 +5692,8 @@ object SparkEntry {
     // incremental maintenance: build(A)+append(B) ≡ build(A ∪ B), so
     // the maintained-index queries share the built-at-once oracles
     "q_iceberg_append" -> oracleSqlLiteral("q_iceberg_scan"),
+    // compaction never changes answers: same oracle as the delete
+    "q_iceberg_compact" -> oracleSqlLiteral("q_iceberg_delete"),
     "q_simsearch_ivf_incr" -> oracleSqlLiteral("q_simsearch_ivf"),
     "q_simsearch_pq_incr" -> oracleSqlLiteral("q_simsearch_pq"),
     "q_simsearch_sq_incr" -> oracleSqlLiteral("q_simsearch_sq"),
@@ -5769,6 +5816,14 @@ object SparkEntry {
         |WHERE l_orderkey % 60 = 0 AND NOT (l_quantity > 25.0)
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  l_shipdate""".stripMargin,
+
+    "q_iceberg_addcol" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CASE WHEN l_orderkey % 60 = 30 THEN 'batch2' END AS note
+        |FROM lineitem
+        |WHERE l_orderkey % 60 = 0 OR l_orderkey % 60 = 30
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag,
+        |  note NULLS FIRST""".stripMargin,
 
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

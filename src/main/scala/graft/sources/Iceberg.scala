@@ -193,6 +193,7 @@ object Iceberg {
       partFields: Seq[(String, String)], // identity partition (name, type)
       currentSnapshotId: Long,
       snapshots: Seq[(Long, String)], // (snapshot-id, manifest-list)
+      snapshotOps: Map[Long, String], // snapshot-id -> summary.operation
       manifestList: String) {         // SELECTED snapshot's manifest list
     /** Relocation support: the spec records absolute file URIs, so a
       * table moved wholesale (the annIndex stage→publish rename, a
@@ -335,6 +336,9 @@ object Iceberg {
     val snaps = root.path("snapshots").elements().asScala.map(s =>
       (s.path("snapshot-id").asLong(),
         s.path("manifest-list").asText())).toSeq
+    val snapOps = root.path("snapshots").elements().asScala.map(s =>
+      s.path("snapshot-id").asLong() ->
+        s.path("summary").path("operation").asText("append")).toMap
     val snapId = asOf.getOrElse(currentId)
     val list = snaps.collectFirst { case (id, l) if id == snapId => l }
       .getOrElse(throw new IllegalArgumentException(
@@ -353,7 +357,7 @@ object Iceberg {
       else Map.empty
     TableMeta(fv, version, root.path("location").asText(tableDir),
       tableDir, columns, colTypes, fieldIds, nameMapping, partFields,
-      currentId, snaps, list)
+      currentId, snaps, snapOps, list)
   }
 
   /** The manifest list: per-manifest paths + partition-bound
@@ -552,7 +556,8 @@ object Iceberg {
         sparkSchema(meta))
     else {
       val base = withDeletesApplied(
-        spark.read.parquet(files: _*), deleteFiles, meta, spark)
+        spark.read.schema(fileSchema(meta)).parquet(files: _*),
+        deleteFiles, meta, spark)
         .select(displayColumns(meta): _*)
       // the stats prune skips FILES; the row-level filter (also pushed
       // into the surviving parquet scans) makes the result exact
@@ -607,14 +612,9 @@ object Iceberg {
       .otherwise(p)
   }
 
-  /** Spark schema from the table metadata's Iceberg types — used when
-    * no data file survives pruning and the scan must still carry the
-    * table's shape.
-    */
-  private def sparkSchema(meta: TableMeta)
-      : org.apache.spark.sql.types.StructType = {
+  private def toSparkType(t: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
-    def toSpark(t: String): DataType = t match {
+    t match {
       case "long"        => LongType
       case "int"         => IntegerType
       case "double"      => DoubleType
@@ -631,9 +631,29 @@ object Iceberg {
       case other => throw new IllegalArgumentException(
         s"iceberg: unsupported column type $other")
     }
-    StructType(meta.columns.map(c =>
-      StructField(c, toSpark(meta.colTypes(c)), nullable = true)))
   }
+
+  /** Spark schema from the table metadata's Iceberg types (display
+    * names) — used when no data file survives pruning and the scan
+    * must still carry the table's shape.
+    */
+  private def sparkSchema(meta: TableMeta)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(meta.columns.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        toSparkType(meta.colTypes(c)), nullable = true)))
+
+  /** The schema data files are READ with: name-mapped physical column
+    * names, metadata types. Passing this explicitly (instead of
+    * inferring from a sample file) is what makes ADD-COLUMN evolution
+    * work — files written before the column was added simply surface
+    * NULLs, Spark's missing-column contract under a supplied schema.
+    */
+  private def fileSchema(meta: TableMeta)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(meta.columns.map(c =>
+      org.apache.spark.sql.types.StructField(meta.fileColumn(c),
+        toSparkType(meta.colTypes(c)), nullable = true)))
 
   /** Incremental (CDC-style) read: the rows ADDED between two
     * snapshots — the data files reachable from `toSnap` but not from
@@ -651,6 +671,16 @@ object Iceberg {
     require(fromSnap < toSnap,
       s"incrementalScan needs fromSnap < toSnap, got $fromSnap..$toSnap")
     val meta = currentMetadata(tableDir, Some(toSnap))
+    // a REPLACE (compaction) snapshot rewrites existing rows into new
+    // files — a file-level diff across it would re-emit the whole
+    // table as "added". Refuse loudly; the consumer re-bootstraps.
+    val crossed = meta.snapshots.map(_._1)
+      .filter(id => id > fromSnap && id <= toSnap)
+      .filter(id => meta.snapshotOps.getOrElse(id, "append") == "replace")
+    require(crossed.isEmpty,
+      s"iceberg: incremental read $fromSnap..$toSnap crosses replace " +
+        s"(compaction) snapshot(s) ${crossed.mkString(", ")} — " +
+        "re-bootstrap the consumer from a full scan")
     val fromFiles =
       prunedDataFiles(tableDir, None, Some(fromSnap))._1.toSet
     val (toFiles, deleteFiles, _, _) =
@@ -661,7 +691,8 @@ object Iceberg {
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         sparkSchema(meta))
     else
-      withDeletesApplied(spark.read.parquet(newFiles: _*),
+      withDeletesApplied(
+        spark.read.schema(fileSchema(meta)).parquet(newFiles: _*),
         deleteFiles, meta, spark)
         .select(displayColumns(meta): _*)
   }
@@ -847,7 +878,7 @@ object Iceberg {
       plannedFiles(meta, None, None, Map.empty)
     if (dataFiles.isEmpty) return
     val newId = meta.snapshots.map(_._1).max + 1
-    val raw = spark.read.parquet(dataFiles: _*)
+    val raw = spark.read.schema(fileSchema(meta)).parquet(dataFiles: _*)
     val tagged = raw
       .withColumn("__gfp", normPath(col("_metadata.file_path")))
       .withColumn("__gpos", col("_metadata.row_index"))
@@ -951,6 +982,88 @@ object Iceberg {
       case f: com.fasterxml.jackson.databind.node.ObjectNode
         if f.path("name").asText() == from => f.put("name", to)
       case _ =>
+    }
+    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeText(s"$tableDir/metadata/version-hint.text",
+      (meta.version + 1).toString)
+  }
+
+  /** COMPACTION (the spec's rewrite_data_files maintenance op and
+    * merge-on-read's pair): rewrite the table's current content —
+    * small files merged, accumulated position deletes APPLIED — into
+    * fresh data files, committed as a REPLACE snapshot whose manifest
+    * list carries ONLY the new manifests. Prior snapshots stay
+    * time-travelable untouched; [[expireSnapshots]] afterwards GCs the
+    * superseded data and delete files. One distributed merge scan +
+    * the composer's one-write-job/one-stats-job pipeline — no driver
+    * data path. Incremental readers must not diff ACROSS a replace
+    * snapshot (the rewritten files would re-emit as adds);
+    * [[incrementalScan]] refuses loudly.
+    */
+  def compactTable(spark: SparkSession, tableDir: String,
+                   sortBy: Option[String] = None): Unit = {
+    val meta = currentMetadata(tableDir)
+    val (dataFiles, deleteFiles, _, _) =
+      plannedFiles(meta, None, None, Map.empty)
+    if (dataFiles.isEmpty) return
+    val newId = meta.snapshots.map(_._1).max + 1
+    val merged = withDeletesApplied(
+      spark.read.schema(fileSchema(meta)).parquet(dataFiles: _*),
+      deleteFiles, meta, spark)
+      .select(meta.columns.map(c =>
+        col(s"`${meta.fileColumn(c)}`")): _*)
+    val fileIds = meta.fieldIds.map { case (disp, id) =>
+      meta.fileColumn(disp) -> id
+    }
+    val recs = composeSnapshotManifests(merged, tableDir,
+      meta.partFields, snapId = newId,
+      dataRoot = s"$tableDir/data/compact$newId", sortBy = sortBy,
+      fileFieldIds = fileIds)
+    val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
+    // a REPLACE list: only the rewritten manifests — priors are
+    // reachable through the older snapshots, never through this one
+    writeAvro(listPath, manifestFileSchema, recs, Map.empty)
+    commitSnapshot(tableDir, meta, newId, listPath, "replace")
+  }
+
+  /** Metadata-only ADD COLUMN (schema evolution): the new field gets
+    * the next field id, a name-mapping entry, and NO physical
+    * presence in existing files — scans read with the table schema
+    * supplied explicitly, so pre-evolution files surface NULLs for
+    * the column (Spark's missing-column contract). Appends after the
+    * add must carry the column.
+    */
+  def addColumn(tableDir: String, name: String,
+                icebergType: String): Unit = {
+    val meta = currentMetadata(tableDir)
+    require(!meta.columns.contains(name),
+      s"iceberg addColumn: column '$name' already exists")
+    toSparkType(icebergType) // validate the type early, loudly
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val in = fs.open(
+      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
+    val root = try om.readTree(in.readAllBytes())
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    val newId = root.path("last-column-id").asInt() + 1
+    val f = root.withObject("/schema")
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+      .addObject()
+    f.put("id", newId); f.put("name", name)
+    f.put("required", false); f.put("type", icebergType)
+    root.put("last-column-id", newId)
+    // extend the name mapping (when present) so a later rename of the
+    // new column resolves like any other
+    val props = root.withObject("/properties")
+    val nm = props.path("schema.name-mapping.default")
+    if (nm.isTextual) {
+      val arr = om.readTree(nm.asText())
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val e = arr.addObject()
+      e.put("field-id", newId)
+      e.putArray("names").add(name)
+      props.put("schema.name-mapping.default", om.writeValueAsString(arr))
     }
     writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
       om.writerWithDefaultPrettyPrinter().writeValueAsString(root))

@@ -157,6 +157,87 @@ class IcebergComposerSpec extends SparkSpec {
       "expiry must not orphan live delete files")
   }
 
+  test("compaction (rewrite_data_files): applies accumulated position " +
+       "deletes into fresh files as a REPLACE snapshot — scan identical, " +
+       "delete files gone, file count reduced; prior snapshots stay " +
+       "travelable; incremental reads REFUSE to cross the replace " +
+       "boundary; expiry then GCs the superseded files") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    val dir = tmp("compact")
+    // sortBy forces multiple files per tuple -> compaction has
+    // something to merge
+    Iceberg.writeTable(df, dir, "l_returnflag", sortBy = Some("l_orderkey"))
+    Iceberg.deleteWhere(spark, dir, col("l_quantity") > 30.0)
+    val before = Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet
+    val (filesBefore, _, _) = Iceberg.prunedDataFiles(dir, None)
+    Iceberg.compactTable(spark, dir)
+    val meta = Iceberg.currentMetadata(dir)
+    assert(meta.snapshotOps(meta.currentSnapshotId) === "replace")
+    assert(Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet === before)
+    assert(Iceberg.currentDeleteFiles(dir).isEmpty,
+      "compaction applies deletes INTO the data files")
+    val (filesAfter, _, _) = Iceberg.prunedDataFiles(dir, None)
+    assert(filesAfter.size < filesBefore.size,
+      s"compaction must merge files: ${filesBefore.size} -> ${filesAfter.size}")
+    // pre-compaction snapshots still travelable (incl. merge-on-read)
+    assert(Iceberg.scan(spark, dir, asOf = Some(2L))
+      .collect().map(_.toSeq).toSet === before)
+    assert(Iceberg.scan(spark, dir, asOf = Some(1L)).count() === df.count())
+    // incremental reads refuse to diff across the replace
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.incrementalScan(spark, dir, 1L, 3L)
+    }
+    assert(e.getMessage.contains("replace"))
+    // but appends AFTER the compaction incremental-read fine
+    Iceberg.appendToTable(df.limit(30), dir)
+    assert(Iceberg.incrementalScan(spark, dir, 3L, 4L).count() === 30)
+    // expiry GCs the superseded data + delete files; scan unchanged
+    Iceberg.expireSnapshots(dir)
+    assert(Iceberg.scan(spark, dir).count() === before.size + 30)
+    assert(filesBefore.exists(p =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(
+        p.stripPrefix("file:")))), "expired pre-compaction files deleted")
+  }
+
+  test("addColumn schema evolution: metadata-only; pre-evolution files " +
+       "surface NULLs, post-evolution appends carry values, and the " +
+       "added column renames like any other (id-based)") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 40 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    val dir = tmp("addcol")
+    Iceberg.writeTable(df, dir, "l_returnflag")
+    Iceberg.addColumn(dir, "note", "string")
+    val meta = Iceberg.currentMetadata(dir)
+    assert(meta.columns === Seq("l_orderkey", "l_linenumber",
+      "l_returnflag", "note"))
+    assert(meta.fieldIds("note") === 4)
+    // old files: NULL for the new column, everything else intact
+    val s1 = Iceberg.scan(spark, dir)
+    assert(s1.filter(col("note").isNotNull).count() === 0)
+    assert(s1.count() === df.count())
+    // append WITH the column; old rows stay NULL, new carry values
+    Iceberg.appendToTable(df.limit(25).withColumn("note", lit("new")), dir)
+    val s2 = Iceberg.scan(spark, dir)
+    assert(s2.filter(col("note") === "new").count() === 25)
+    assert(s2.filter(col("note").isNull).count() === df.count())
+    // the added column participates in id-based renames
+    Iceberg.renameColumn(dir, "note", "comment")
+    val s3 = Iceberg.scan(spark, dir)
+    assert(s3.columns.contains("comment"))
+    assert(s3.filter(col("comment") === "new").count() === 25)
+    // duplicate add fails loudly; unknown type fails loudly
+    intercept[IllegalArgumentException] {
+      Iceberg.addColumn(dir, "comment", "string")
+    }
+    intercept[IllegalArgumentException] {
+      Iceberg.addColumn(dir, "x", "uuid17")
+    }
+  }
+
   // -----------------------------------------------------------------
   // field-id resolution / renames
   // -----------------------------------------------------------------
