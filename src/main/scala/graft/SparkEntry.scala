@@ -492,6 +492,32 @@ object SparkEntry {
           col("l_returnflag"), col("note"))
     }),
 
+    // ---- Iceberg UPSERT (MERGE INTO at the table-format layer): one
+    //      snapshot equality-deletes the incoming keys AND appends the
+    //      incoming rows; the v2 sequence rule does the merge — the
+    //      delete applies to strictly-older files while the upsert's
+    //      own rows (same sequence) survive it. Updated versions of
+    //      the %120 slice replace their originals, the %60=30 slice
+    //      inserts, everything else persists; the oracle recomputes
+    //      latest-wins closed-form ----
+    "q_iceberg_upsert" -> ((s, dir) => {
+      val path = annIndex("iceberg_ups", dir) { p =>
+        val slice = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"))
+        graft.sources.Iceberg.writeTable(
+          slice.where(col("l_orderkey") % 60 === 0), p, "l_returnflag")
+        graft.sources.Iceberg.upsertTable(
+          slice.where(col("l_orderkey") % 120 === 0)
+            .withColumn("l_quantity", col("l_quantity") + 100.0)
+            .unionByName(slice.where(col("l_orderkey") % 60 === 30)),
+          p, keyCols = Seq("l_orderkey", "l_linenumber"))
+      }
+      graft.sources.Iceberg.scan(s, path)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5824,6 +5850,18 @@ object SparkEntry {
         |WHERE l_orderkey % 60 = 0 OR l_orderkey % 60 = 30
         |ORDER BY l_orderkey, l_linenumber, l_returnflag,
         |  note NULLS FIRST""".stripMargin,
+
+    // latest-wins closed-form: %120 keys carry the upserted quantity,
+    // the %60=30 slice inserts, the rest of the build persists
+    "q_iceberg_upsert" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey % 120 = 0 THEN l_quantity + 100.0
+        |       ELSE l_quantity END AS l_quantity,
+        |  l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey % 60 = 0 OR l_orderkey % 60 = 30
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  l_returnflag""".stripMargin,
 
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

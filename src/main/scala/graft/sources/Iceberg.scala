@@ -103,6 +103,8 @@ object Iceberg {
          |  {"name":"data_file","field-id":2,"type":{
          |    "type":"record","name":"r2","fields":[
          |      {"name":"content","type":"int","default":0,"field-id":134},
+         |      {"name":"equality_ids","default":null,"field-id":135,
+         |       "type":["null",{"type":"array","items":"int"}]},
          |      {"name":"file_path","type":"string","field-id":100},
          |      {"name":"file_format","type":"string","field-id":101},
          |      {"name":"partition","field-id":102,"type":{
@@ -385,7 +387,9 @@ object Iceberg {
 
   final case class FileEntry(
       path: String,
-      content: Int,                       // 0 = data, 1 = position deletes
+      content: Int,                 // 0 = data, 1 = pos del, 2 = eq del
+      seq: Long,                    // data sequence = adding snapshot id
+      eqIds: Seq[Int],              // equality-delete key field ids
       partition: Map[String, Any],        // partition field -> value
       longBounds: Map[Int, (Long, Long)]) // field id -> (lower, upper)
 
@@ -434,8 +438,19 @@ object Iceberg {
         val content = Option(df.getSchema.getField("content"))
           .flatMap(_ => Option(df.get("content")))
           .map(_.asInstanceOf[Int]).getOrElse(0)
+        // data sequence number: the snapshot that ADDED the file (the
+        // v2 inheritance story collapsed — our snapshot ids are the
+        // monotone commit order, so seq(entry) = its snapshot_id).
+        // Reused manifests keep their original entries' snapshot_id,
+        // so appended files never inherit a newer sequence.
+        val seq = Option(e.get("snapshot_id"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val eqIds = Option(df.getSchema.getField("equality_ids"))
+          .flatMap(_ => Option(df.get("equality_ids")))
+          .map(_.asInstanceOf[java.util.List[Int]].asScala.toSeq)
+          .getOrElse(Seq.empty)
         FileEntry(meta.rebase(df.get("file_path").toString), content,
-          pv, bounds)
+          seq, eqIds, pv, bounds)
       }
 
   /** Data files surviving an optional identity-partition equality
@@ -450,30 +465,40 @@ object Iceberg {
                       partitionEqs: Map[String, String] = Map.empty)
       : (Seq[String], Int, Int) = {
     val meta = currentMetadata(tableDir, asOf)
-    val (data, _, read, total) =
-      plannedFiles(meta, partitionEq, colRange, partitionEqs)
-    (data, read, total)
+    val p = plannedFiles(meta, partitionEq, colRange, partitionEqs)
+    (p.dataFiles.map(_._1), p.manifestsRead, p.manifestsTotal)
   }
 
-  /** The position-delete files reachable from the selected snapshot
-    * (empty for append-only tables).
+  /** The delete files (position + equality) reachable from the
+    * selected snapshot (empty for append-only tables).
     */
   def currentDeleteFiles(tableDir: String,
                          asOf: Option[Long] = None): Seq[String] = {
     val meta = currentMetadata(tableDir, asOf)
-    plannedFiles(meta, None, None, Map.empty)._2
+    val p = plannedFiles(meta, None, None, Map.empty)
+    p.posDeletes ++ p.eqDeletes.map(_._1)
   }
 
-  /** Shared planner: (dataFiles, deleteFiles, manifestsRead,
-    * manifestsTotal). Partition/stats pruning applies to DATA files;
+  /** One planned snapshot read: surviving data files with their data
+    * SEQUENCE (= adding snapshot id), plus the delete files that may
+    * apply to them.
+    */
+  private final case class PlannedScan(
+      dataFiles: Seq[(String, Long)],           // (path, seq)
+      posDeletes: Seq[String],
+      eqDeletes: Seq[(String, Long, Seq[Int])], // (path, seq, key ids)
+      manifestsRead: Int,
+      manifestsTotal: Int)
+
+  /** Shared planner. Partition/stats pruning applies to DATA files;
     * delete manifests are always read (they are few and tiny, and a
-    * position delete may target any surviving file).
+    * delete may target any surviving file).
     */
   private def plannedFiles(meta: TableMeta,
                            partitionEq: Option[String],
                            colRange: Option[(String, Long, Long)],
                            partitionEqs: Map[String, String])
-      : (Seq[String], Seq[String], Int, Int) = {
+      : PlannedScan = {
     val mans = manifestList(meta)
     val (delMans, dataMans) = mans.partition(_.content == 1)
     val fieldIdx = meta.partFields.map(_._1).zipWithIndex.toMap
@@ -522,12 +547,13 @@ object Iceberg {
           colRange.forall { case (_, lo, hi) =>
             e.longBounds.get(rangeId.get)
               .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
-          } => e.path
+          } => (e.path, e.seq)
       }
-    val deleteFiles = delMans
-      .flatMap(m => manifestEntries(m.path, meta))
-      .filter(_.content == 1).map(_.path)
-    (files, deleteFiles, survivors.size, mans.size)
+    val delEntries = delMans.flatMap(m => manifestEntries(m.path, meta))
+    val posDeletes = delEntries.filter(_.content == 1).map(_.path)
+    val eqDeletes = delEntries.filter(_.content == 2)
+      .map(e => (e.path, e.seq, e.eqIds))
+    PlannedScan(files, posDeletes, eqDeletes, survivors.size, mans.size)
   }
 
   /** Scan the table's selected snapshot as a DataFrame, optionally
@@ -545,9 +571,8 @@ object Iceberg {
            colRange: Option[(String, Long, Long)] = None,
            partitionEqs: Map[String, String] = Map.empty): DataFrame = {
     val meta = currentMetadata(tableDir, asOf)
-    val (files, deleteFiles, _, _) =
-      plannedFiles(meta, partitionEq, colRange, partitionEqs)
-    if (files.isEmpty)
+    val planned = plannedFiles(meta, partitionEq, colRange, partitionEqs)
+    if (planned.dataFiles.isEmpty)
       // a fully-pruned probe (or an empty table) is an EMPTY RESULT,
       // not an error — schema comes from the table metadata, exactly
       // what a catalog-backed reader would plan
@@ -555,9 +580,10 @@ object Iceberg {
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         sparkSchema(meta))
     else {
-      val base = withDeletesApplied(
-        spark.read.schema(fileSchema(meta)).parquet(files: _*),
-        deleteFiles, meta, spark)
+      val base = applyDeletes(
+        spark.read.schema(fileSchema(meta))
+          .parquet(planned.dataFiles.map(_._1): _*),
+        planned, meta, spark)
         .select(displayColumns(meta): _*)
       // the stats prune skips FILES; the row-level filter (also pushed
       // into the surviving parquet scans) makes the result exact
@@ -573,26 +599,76 @@ object Iceberg {
   private def displayColumns(meta: TableMeta): Seq[Column] =
     meta.columns.map(c => col(s"`${meta.fileColumn(c)}`").as(c))
 
-  /** Merge-on-read: anti-join the raw file scan against the position-
-    * delete files on (normalized file path, row position) — fully
-    * distributed, driver never touches a delete row. `_metadata.
-    * row_index` is Spark's per-file row position (stable under
-    * pushdown/page skipping — it exists for exactly this use), and
-    * recorded delete paths rebase in-plan when the table relocated.
+  /** Merge-on-read, fully distributed (the driver never touches a
+    * delete row):
+    *
+    *  - POSITION deletes anti-join on (normalized file path,
+    *    `_metadata.row_index`) — Spark's per-file row position, stable
+    *    under pushdown/page skipping (it exists for exactly this use);
+    *    recorded paths rebase in-plan when the table relocated.
+    *  - EQUALITY deletes anti-join on the null-safe key columns with
+    *    the spec's SEQUENCE rule: a delete applies only to data files
+    *    whose sequence (= adding snapshot id, attached via a
+    *    broadcast |files|-row map) is STRICTLY LESS than the
+    *    delete's — an upsert's own rows survive its delete and
+    *    post-delete appends are untouched. Delete files are grouped
+    *    by (sequence, key set), one anti-join per group (groups are
+    *    bounded by delete snapshots; compaction folds them away).
     */
-  private def withDeletesApplied(raw: DataFrame, deleteFiles: Seq[String],
-                                 meta: TableMeta,
-                                 spark: SparkSession): DataFrame = {
-    if (deleteFiles.isEmpty) raw
-    else {
-      val tagged = raw
-        .withColumn("__gfp", normPath(col("_metadata.file_path")))
-        .withColumn("__gpos", col("_metadata.row_index"))
-      val dels = spark.read.parquet(deleteFiles: _*)
+  private def applyDeletes(raw: DataFrame, planned: PlannedScan,
+                           meta: TableMeta,
+                           spark: SparkSession): DataFrame = {
+    if (planned.posDeletes.isEmpty && planned.eqDeletes.isEmpty) return raw
+    var tagged = raw
+      .withColumn("__gfp", normPath(col("_metadata.file_path")))
+    if (planned.posDeletes.nonEmpty) {
+      val dels = spark.read.parquet(planned.posDeletes: _*)
         .select(rebasePath(normPath(col("file_path")), meta).as("__gfp"),
           col("pos").as("__gpos"))
-      tagged.join(dels, Seq("__gfp", "__gpos"), "left_anti")
+      tagged = tagged
+        .withColumn("__gpos", col("_metadata.row_index"))
+        .join(dels, Seq("__gfp", "__gpos"), "left_anti")
+        .drop("__gpos")
     }
+    if (planned.eqDeletes.nonEmpty) {
+      import org.apache.spark.sql.functions.broadcast
+      // file -> sequence: |files| rows, broadcast onto the scan
+      val seqRows = planned.dataFiles.map { case (p, s) =>
+        org.apache.spark.sql.Row(barePath(p), s)
+      }
+      val seqDf = broadcast(spark.createDataFrame(
+        seqRows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__gfp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__gseq",
+            org.apache.spark.sql.types.LongType)))))
+      tagged = tagged.join(seqDf, Seq("__gfp"), "left")
+      for (((seq, ids), group) <-
+             planned.eqDeletes.groupBy(t => (t._2, t._3)).toSeq
+               .sortBy(_._1._1)) {
+        val keyCols = ids.map { id =>
+          val disp = meta.fieldIds.collectFirst {
+            case (n, i) if i == id => n
+          }.getOrElse(throw new IllegalArgumentException(
+            s"iceberg: equality-delete field id $id not in schema"))
+          (meta.fileColumn(disp), toSparkType(meta.colTypes(disp)))
+        }
+        val keySchema = org.apache.spark.sql.types.StructType(
+          keyCols.map { case (n, t) =>
+            org.apache.spark.sql.types.StructField(n, t, nullable = true)
+          })
+        val keys = spark.read.schema(keySchema)
+          .parquet(group.map(_._1): _*)
+        val left = tagged
+        val cond = keyCols.map(_._1)
+          .map(n => left(s"`$n`") <=> keys(s"`$n`"))
+          .reduce(_ && _) && (lit(seq) > left("__gseq"))
+        tagged = left.join(keys, cond, "left_anti")
+      }
+      tagged = tagged.drop("__gseq")
+    }
+    tagged.drop("__gfp")
   }
 
   /** Scheme-free path form shared by both sides of the delete join
@@ -683,17 +759,17 @@ object Iceberg {
         "re-bootstrap the consumer from a full scan")
     val fromFiles =
       prunedDataFiles(tableDir, None, Some(fromSnap))._1.toSet
-    val (toFiles, deleteFiles, _, _) =
-      plannedFiles(meta, None, None, Map.empty)
-    val newFiles = toFiles.filterNot(fromFiles)
+    val planned = plannedFiles(meta, None, None, Map.empty)
+    val newFiles = planned.dataFiles.filterNot(f => fromFiles(f._1))
     if (newFiles.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         sparkSchema(meta))
     else
-      withDeletesApplied(
-        spark.read.schema(fileSchema(meta)).parquet(newFiles: _*),
-        deleteFiles, meta, spark)
+      applyDeletes(
+        spark.read.schema(fileSchema(meta))
+          .parquet(newFiles.map(_._1): _*),
+        planned.copy(dataFiles = newFiles), meta, spark)
         .select(displayColumns(meta): _*)
   }
 
@@ -839,7 +915,19 @@ object Iceberg {
       fileFieldIds = fileIds)
     // prior snapshot's manifests ride into the new list unchanged
     // (paths rebased in case the table was relocated since the build)
-    val oldRecords = readAvro(meta.rebase(meta.manifestList)).map { r =>
+    val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
+    writeAvro(listPath, manifestFileSchema,
+      copyListRows(meta) ++ newRecords, Map.empty)
+    commitSnapshot(tableDir, meta, newId, listPath, "append")
+  }
+
+  /** The current manifest list's rows, re-materialized for reuse in a
+    * successor snapshot's list (paths rebased in case the table was
+    * relocated since they were recorded) — the spec's append pattern:
+    * existing manifests ride along, never rewritten.
+    */
+  private def copyListRows(meta: TableMeta): Seq[GenericRecord] =
+    readAvro(meta.rebase(meta.manifestList)).map { r =>
       val c = new GenericData.Record(manifestFileSchema)
       c.put("manifest_path", meta.rebase(r.get("manifest_path").toString))
       c.put("manifest_length", r.get("manifest_length"))
@@ -849,11 +937,6 @@ object Iceberg {
       c.put("partitions", r.get("partitions"))
       c
     }
-    val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
-    writeAvro(listPath, manifestFileSchema, oldRecords ++ newRecords,
-      Map.empty)
-    commitSnapshot(tableDir, meta, newId, listPath, "append")
-  }
 
   /** v2 ROW-LEVEL DELETE (position deletes + merge-on-read): find
     * every current row matching `predicate`, record its (file path,
@@ -874,20 +957,20 @@ object Iceberg {
   def deleteWhere(spark: SparkSession, tableDir: String,
                   predicate: Column): Unit = {
     val meta = currentMetadata(tableDir)
-    val (dataFiles, oldDeletes, _, _) =
-      plannedFiles(meta, None, None, Map.empty)
-    if (dataFiles.isEmpty) return
+    val planned = plannedFiles(meta, None, None, Map.empty)
+    if (planned.dataFiles.isEmpty) return
     val newId = meta.snapshots.map(_._1).max + 1
-    val raw = spark.read.schema(fileSchema(meta)).parquet(dataFiles: _*)
+    val raw = spark.read.schema(fileSchema(meta))
+      .parquet(planned.dataFiles.map(_._1): _*)
     val tagged = raw
       .withColumn("__gfp", normPath(col("_metadata.file_path")))
       .withColumn("__gpos", col("_metadata.row_index"))
       .select(displayColumns(meta) :+ col("__gfp") :+ col("__gpos"): _*)
     var hits = tagged.filter(predicate)
       .select(col("__gfp").as("file_path"), col("__gpos").as("pos"))
-    if (oldDeletes.nonEmpty) {
+    if (planned.posDeletes.nonEmpty) {
       // idempotence: rows already deleted are not re-recorded
-      val prior = spark.read.parquet(oldDeletes: _*)
+      val prior = spark.read.parquet(planned.posDeletes: _*)
         .select(rebasePath(normPath(col("file_path")), meta)
           .as("file_path"), col("pos"))
       hits = hits.join(prior, Seq("file_path", "pos"), "left_anti")
@@ -937,21 +1020,132 @@ object Iceberg {
     delRow.put("added_snapshot_id", newId)
     delRow.put("partitions", null)
     // prior manifests (data AND older delete manifests) ride along
-    val oldRecords = readAvro(meta.rebase(meta.manifestList)).map { r =>
-      val c = new GenericData.Record(manifestFileSchema)
-      c.put("manifest_path", meta.rebase(r.get("manifest_path").toString))
-      c.put("manifest_length", r.get("manifest_length"))
-      c.put("partition_spec_id", r.get("partition_spec_id"))
-      c.put("content", Option(r.get("content")).getOrElse(0: Any))
-      c.put("added_snapshot_id", r.get("added_snapshot_id"))
-      c.put("partitions", r.get("partitions"))
-      c
-    }
     val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
-    writeAvro(listPath, manifestFileSchema, oldRecords :+ delRow,
+    writeAvro(listPath, manifestFileSchema, copyListRows(meta) :+ delRow,
       Map.empty)
     commitSnapshot(tableDir, meta, newId, listPath, "delete",
       formatVersion = Some(2))
+  }
+
+  /** v2 EQUALITY DELETE: remove every row whose key columns match a
+    * row of `keys` — the keyed (CDC) deletion flavor. The keys land in
+    * spec equality-delete files (columns = the key columns,
+    * `equality_ids` = their field ids) committed as a DELETE snapshot;
+    * the scan applies them with the SEQUENCE rule (strictly-older data
+    * files only), so rows appended after the delete with the same keys
+    * survive — position deletes name exact (file, pos) targets,
+    * equality deletes name VALUES as of a point in table history.
+    * NULL key values match NULL (the spec's null-equals-null rule; the
+    * scan joins null-safely). Keyed deletion is semantically
+    * idempotent; each non-empty call commits one snapshot.
+    */
+  def deleteEquals(spark: SparkSession, tableDir: String,
+                   keys: DataFrame): Unit = {
+    val meta = currentMetadata(tableDir)
+    if (keys.isEmpty) return
+    val newId = meta.snapshots.map(_._1).max + 1
+    val delRow = writeEqualityDeletes(spark, tableDir, meta, newId, keys)
+    val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
+    writeAvro(listPath, manifestFileSchema, copyListRows(meta) :+ delRow,
+      Map.empty)
+    commitSnapshot(tableDir, meta, newId, listPath, "delete",
+      formatVersion = Some(2))
+  }
+
+  /** UPSERT (MERGE INTO) at the table-format layer: ONE snapshot that
+    * both equality-deletes `df`'s keys and appends `df`'s rows. The
+    * sequence rule does the merge: the delete (sequence = this
+    * snapshot) applies to strictly-older data files, while the
+    * appended files carry the same sequence and survive their own
+    * delete — new versions of existing keys replace the old rows, new
+    * keys insert, untouched keys persist. No data file is rewritten
+    * (the merge-on-read CDC path; [[compactTable]] later folds the
+    * deletes away). Commits with operation "overwrite", the spec's
+    * row-level-change label.
+    */
+  def upsertTable(df: DataFrame, tableDir: String, keyCols: Seq[String],
+                  sortBy: Option[String] = None): Unit = {
+    val meta = currentMetadata(tableDir)
+    require(df.schema.fieldNames.toSeq == meta.columns,
+      s"iceberg upsert: columns ${df.schema.fieldNames.toSeq} != " +
+        s"table schema ${meta.columns}")
+    require(keyCols.nonEmpty && keyCols.forall(meta.columns.contains),
+      s"iceberg upsert: key columns $keyCols must be table columns")
+    if (df.isEmpty) return
+    val newId = meta.snapshots.map(_._1).max + 1
+    val fileDf = df.select(meta.columns.map(c =>
+      col(s"`$c`").as(meta.fileColumn(c))): _*)
+    val fileIds = meta.fieldIds.map { case (disp, id) =>
+      meta.fileColumn(disp) -> id
+    }
+    val newRecords = composeSnapshotManifests(fileDf, tableDir,
+      meta.partFields, snapId = newId,
+      dataRoot = s"$tableDir/data/snap$newId", sortBy = sortBy,
+      fileFieldIds = fileIds)
+    val delRow = writeEqualityDeletes(spark = df.sparkSession,
+      tableDir, meta, newId, df.select(keyCols.map(c => col(s"`$c`")): _*))
+    val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
+    writeAvro(listPath, manifestFileSchema,
+      (copyListRows(meta) :+ delRow) ++ newRecords, Map.empty)
+    commitSnapshot(tableDir, meta, newId, listPath, "overwrite",
+      formatVersion = Some(2))
+  }
+
+  /** Write one equality-delete commit's key files + manifest; returns
+    * the manifest-list row (content = 1, deletes).
+    */
+  private def writeEqualityDeletes(spark: SparkSession, tableDir: String,
+                                   meta: TableMeta, newId: Long,
+                                   keys: DataFrame): GenericRecord = {
+    val keyCols = keys.schema.fieldNames.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(meta.columns.contains),
+      s"iceberg equality delete: key columns $keyCols must be table " +
+        s"columns ${meta.columns}")
+    val eqIds = keyCols.map(meta.fieldIds)
+    val eqDir = s"$tableDir/data/eqdel-snap$newId"
+    keys.select(keyCols.map(c =>
+        col(s"`$c`").as(meta.fileColumn(c))): _*)
+      .dropDuplicates()
+      .write.mode("overwrite").parquet(eqDir)
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val eqFiles = fs.listStatus(new HPath(eqDir))
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+    val counts = distributedFooterInfo(spark,
+      eqFiles.map(_.getPath.toString).toSeq)
+    val entrySchema = manifestEntrySchema(meta.partFields)
+    val dataFileSch = entrySchema.getField("data_file").schema()
+    val partSch = dataFileSch.getField("partition").schema()
+    val entries = eqFiles.map { f =>
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", newId)
+      val d = new GenericData.Record(dataFileSch)
+      d.put("content", 2) // EQUALITY_DELETES
+      val ids = new java.util.ArrayList[Integer]()
+      eqIds.foreach(i => ids.add(i))
+      d.put("equality_ids", ids)
+      d.put("file_path", f.getPath.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(partSch))
+      d.put("record_count", counts(f.getPath.toString)._1)
+      d.put("file_size_in_bytes", f.getLen)
+      e.put("data_file", d)
+      e
+    }
+    val mPath = s"$tableDir/metadata/snap$newId-eqdel0.avro"
+    writeAvro(mPath, entrySchema, entries.toSeq,
+      Map("partition-spec-id" -> "0", "content" -> "deletes"))
+    val mLen = fs.getFileStatus(new HPath(mPath)).getLen
+    val row = new GenericData.Record(manifestFileSchema)
+    row.put("manifest_path", mPath)
+    row.put("manifest_length", mLen)
+    row.put("partition_spec_id", 0)
+    row.put("content", 1)
+    row.put("added_snapshot_id", newId)
+    row.put("partitions", null)
+    row
   }
 
   /** Metadata-only COLUMN RENAME (the field-id resolution story): the
@@ -1004,13 +1198,16 @@ object Iceberg {
   def compactTable(spark: SparkSession, tableDir: String,
                    sortBy: Option[String] = None): Unit = {
     val meta = currentMetadata(tableDir)
-    val (dataFiles, deleteFiles, _, _) =
-      plannedFiles(meta, None, None, Map.empty)
-    if (dataFiles.isEmpty) return
+    val planned = plannedFiles(meta, None, None, Map.empty)
+    if (planned.dataFiles.isEmpty) return
     val newId = meta.snapshots.map(_._1).max + 1
-    val merged = withDeletesApplied(
-      spark.read.schema(fileSchema(meta)).parquet(dataFiles: _*),
-      deleteFiles, meta, spark)
+    // ALL deletes — position and equality — fold into the rewrite:
+    // the REPLACE list drops the delete manifests, so a survivor of
+    // either kind must already be physically gone
+    val merged = applyDeletes(
+      spark.read.schema(fileSchema(meta))
+        .parquet(planned.dataFiles.map(_._1): _*),
+      planned, meta, spark)
       .select(meta.columns.map(c =>
         col(s"`${meta.fileColumn(c)}`")): _*)
     val fileIds = meta.fieldIds.map { case (disp, id) =>

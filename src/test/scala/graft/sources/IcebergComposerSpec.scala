@@ -157,6 +157,86 @@ class IcebergComposerSpec extends SparkSpec {
       "expiry must not orphan live delete files")
   }
 
+  test("equality deletes: keys match by VALUE with the sequence rule — " +
+       "strictly-older data files only, so rows appended after the " +
+       "delete with the same keys survive; NULL keys match null-safely; " +
+       "compaction folds the deletes away") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", "one"), (2L, "A", "two"), (3L, "B", "three"),
+      (4L, "B", "four"), (5L, "A", null.asInstanceOf[String]))
+      .toDF("id", "part", "payload")
+    val dir = tmp("eqdel")
+    Iceberg.writeTable(df, dir, "part")
+    // delete ids 2 and 4 by key, plus the NULL-payload row by
+    // (id, payload) — null matches null
+    Iceberg.deleteEquals(spark, dir, Seq(2L, 4L).toDF("id"))
+    Iceberg.deleteEquals(spark, dir,
+      Seq((5L, null.asInstanceOf[String])).toDF("id", "payload"))
+    val got1 = Iceberg.scan(spark, dir).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got1 === Set(1L, 3L))
+    // sequence rule: re-appending id=2 AFTER the delete survives it
+    Iceberg.appendToTable(Seq((2L, "A", "two-v2")).toDF(
+      "id", "part", "payload"), dir)
+    val got2 = Iceberg.scan(spark, dir)
+      .select(col("id"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 === Set((1L, "one"), (3L, "three"), (2L, "two-v2")))
+    // time travel to the pre-delete snapshot sees all five rows
+    assert(Iceberg.scan(spark, dir, asOf = Some(1L)).count() === 5)
+    // compaction folds the equality deletes into the files
+    Iceberg.compactTable(spark, dir)
+    assert(Iceberg.currentDeleteFiles(dir).isEmpty)
+    assert(Iceberg.scan(spark, dir)
+      .select(col("id"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet === got2)
+  }
+
+  test("upsertTable is MERGE INTO at the table-format layer: one " +
+       "snapshot whose equality delete applies to older files while its " +
+       "own appended rows survive (latest wins); repeated upserts stack") {
+    import spark.implicits._
+    val base = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L))
+      .toDF("id", "part", "v")
+    val dir = tmp("upsert")
+    Iceberg.writeTable(base, dir, "part")
+    // update id=2, insert id=4
+    Iceberg.upsertTable(Seq((2L, "A", 21L), (4L, "B", 40L))
+      .toDF("id", "part", "v"), dir, keyCols = Seq("id"))
+    def state() = Iceberg.scan(spark, dir)
+      .select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state() === Set((1L, 10L), (2L, 21L), (3L, 30L), (4L, 40L)))
+    val meta = Iceberg.currentMetadata(dir)
+    assert(meta.snapshotOps(meta.currentSnapshotId) === "overwrite")
+    // second upsert touches the first upsert's rows (sequence chains)
+    Iceberg.upsertTable(Seq((4L, "B", 41L), (5L, "A", 50L))
+      .toDF("id", "part", "v"), dir, keyCols = Seq("id"))
+    assert(state() === Set((1L, 10L), (2L, 21L), (3L, 30L),
+      (4L, 41L), (5L, 50L)))
+    // time travel: each upsert boundary is addressable
+    assert(Iceberg.scan(spark, dir, asOf = Some(1L))
+      .select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // compaction preserves the merged state and drops the delete tier
+    Iceberg.compactTable(spark, dir)
+    assert(state() === Set((1L, 10L), (2L, 21L), (3L, 30L),
+      (4L, 41L), (5L, 50L)))
+    assert(Iceberg.currentDeleteFiles(dir).isEmpty)
+    // upserting AFTER a compaction still merges (fresh sequence base)
+    Iceberg.upsertTable(Seq((1L, "A", 11L)).toDF("id", "part", "v"),
+      dir, keyCols = Seq("id"))
+    assert(state() === Set((1L, 11L), (2L, 21L), (3L, 30L),
+      (4L, 41L), (5L, 50L)))
+    // key columns must exist; mismatched schema fails loudly
+    intercept[IllegalArgumentException] {
+      Iceberg.upsertTable(Seq((9L, "A", 90L)).toDF("id", "part", "v"),
+        dir, keyCols = Seq("nope"))
+    }
+  }
+
   test("compaction (rewrite_data_files): applies accumulated position " +
        "deletes into fresh files as a REPLACE snapshot — scan identical, " +
        "delete files gone, file count reduced; prior snapshots stay " +
