@@ -55,6 +55,45 @@ object IcebergStream {
       }
       .start()
 
+  /** UPDATE-capable streaming sink: each micro-batch UPSERTS into the
+    * table ([[Iceberg.upsertTable]] — one snapshot whose equality
+    * delete retires older versions of the batch's keys while the
+    * batch's own rows land as appended files; nothing rewritten).
+    * Within a batch, `orderCol` arbitrates duplicates of a key
+    * (latest wins, ties to the larger row for determinism) — the
+    * standard CDC change-feed shape where a key may change twice
+    * between triggers.
+    *
+    * Replay idempotence here is SEMANTIC: re-upserting the same rows
+    * commits a snapshot but cannot change table state (the replay's
+    * delete retires the first attempt's identical rows). The law in
+    * IcebergStreamSpec: after any batches + replays, the scan equals
+    * latest-wins over everything sent.
+    */
+  def upsertIncremental(stream: DataFrame, tableDir: String,
+                        partCol: String, keyCols: Seq[String],
+                        orderCol: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.row_number
+        val cols = batch.columns.toSeq
+        val tieBreak = cols
+          .filterNot(c => keyCols.contains(c) || c == orderCol)
+          .sorted.map(c => col(s"`$c`").desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(Window
+            .partitionBy(keyCols.map(c => col(s"`$c`")): _*)
+            .orderBy(col(s"`$orderCol`").desc +: tieBreak: _*)))
+          .filter(col("__rn") === 1)
+          .select(cols.map(c => col(s"`$c`")): _*)
+        if (!Iceberg.tableExists(tableDir))
+          Iceberg.writeTable(latest, tableDir, partCol)
+        else if (!latest.isEmpty)
+          Iceberg.upsertTable(latest, tableDir, keyCols)
+      }
+      .start()
+
   /** READ-side CDC twin of the snapshot-per-batch sink: process every
     * row committed since the durable cursor, exactly the shape of a
     * foreachBatch consumer polling a lakehouse table. One poll =

@@ -498,4 +498,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BatchScan graft-avro"), p)
     assert(scan.contains("ReadSchema:"), scan)
   }
+
+  /** AQE finalizes join strategies at runtime — execute, then read the
+    * final plan (the pre-execution AdaptiveSparkPlan string hides the
+    * materialized strategy).
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_iceberg_delete: merge-on-read executes as a BROADCAST " +
+       "anti-join on (file, position) — the tiny delete side builds, " +
+       "the data scan stays columnar; no sort-merge, no cartesian") {
+    val p = finalPlan("q_iceberg_delete")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_iceberg_upsert: the equality-delete merge executes as " +
+       "anti-join work only — broadcast sequence map + hash anti-joins, " +
+       "never a sort-merge or nested loop over the corpus") {
+    val p = finalPlan("q_iceberg_upsert")
+    assert("LeftAnti".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }

@@ -61,6 +61,44 @@ class IcebergStreamSpec extends SparkSpec {
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 450).count())
   }
 
+  test("upsert twin (upsertIncremental): after any batches + replays " +
+       "the scan equals LATEST-WINS over everything sent — updates " +
+       "replace, inserts land, in-batch duplicate keys resolve by the " +
+       "order column, replays cannot change state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceups_spec").toString + "/tbl"
+    val q = IcebergStream.upsertIncremental(
+      mem.toDF().toDF("id", "part", "v", "ts"), dir,
+      partCol = "part", keyCols = Seq("id"), orderCol = "ts")
+    val b1 = Seq((1L, "A", 10L, 1L), (2L, "A", 20L, 1L), (3L, "B", 30L, 1L))
+    // b2 updates id=2 TWICE in one batch (ts arbitrates), inserts id=4
+    val b2 = Seq((2L, "A", 21L, 2L), (2L, "A", 22L, 3L), (4L, "B", 40L, 2L))
+    for (b <- Seq(b1, b2, b2 /* replay */)) {
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = Iceberg.scan(spark, dir)
+      .select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 22L), (3L, 30L), (4L, 40L)))
+    // the replay committed a snapshot but could not change state; the
+    // pre-replay boundary is still time-travelable to the same content
+    val meta = Iceberg.currentMetadata(dir)
+    val prev = meta.snapshots.map(_._1).sorted.dropRight(1).last
+    assert(Iceberg.scan(spark, dir, asOf = Some(prev))
+      .select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === got)
+    // and compaction folds the upsert history into plain data files
+    Iceberg.compactTable(spark, dir)
+    assert(Iceberg.scan(spark, dir)
+      .select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === got)
+    assert(Iceberg.currentDeleteFiles(dir).isEmpty)
+  }
+
   test("read-side CDC twin (pollOnce): over ANY poll/commit " +
        "interleaving the union of processed rows equals the final full " +
        "scan; a crash before the cursor advance replays the delta; an " +
