@@ -2518,6 +2518,17 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- t-closeness audit (the governance trio's third member): a
+    //      class can be large (k-anon) and diverse (l-div) yet leak by
+    //      SKEW — total-variation distance of each class's sensitive
+    //      distribution from the global one, all-integer mass terms
+    //      with one final double division (engine-exact) ----
+    "q_tcloseness" -> ((s, dir) => {
+      graft.operators.Curation.tClosenessAudit(t(s, dir, "customer"),
+          Seq("c_mktsegment"), col("c_nationkey"), t = 0.1)
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- north star: token counting (whitespace + BPE-ish regex) ----
     "q_tokencount" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
@@ -9297,6 +9308,23 @@ object SparkEntry {
         |  CASE WHEN (SELECT l FROM lvl) <= 2 THEN c_mktsegment
         |       ELSE '*' END AS seg_g
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // total variation replayed with the same integer cross-multiplied
+    // mass terms and one double division
+    "q_tcloseness" ->
+      """WITH cnt AS (
+        |  SELECT c_mktsegment AS q, c_nationkey AS s, count(*) AS c
+        |  FROM customer GROUP BY 1, 2),
+        |cls AS (SELECT q, sum(c) AS nc FROM cnt GROUP BY q),
+        |gl AS (SELECT s, sum(c) AS g FROM cnt GROUP BY s),
+        |tot AS (SELECT sum(c) AS n FROM cnt)
+        |SELECT q AS c_mktsegment, CAST(max(nc) AS BIGINT) AS n,
+        |  CAST(sum(abs(c*n - g*nc)) + (max(n) - sum(g)) * max(nc)
+        |    AS DOUBLE) / (2.0 * max(nc) * max(n)) AS tv,
+        |  (CAST(sum(abs(c*n - g*nc)) + (max(n) - sum(g)) * max(nc)
+        |    AS DOUBLE) / (2.0 * max(nc) * max(n))) <= 0.1 AS close
+        |FROM cnt JOIN cls USING (q) JOIN gl USING (s) CROSS JOIN tot
+        |GROUP BY q ORDER BY c_mktsegment""".stripMargin,
 
     "q_ldiversity" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,

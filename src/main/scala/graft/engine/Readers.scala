@@ -36,10 +36,27 @@ object Readers {
       case SourceFormat.Iceberg =>
         // the in-repo table-format reader (graft.sources.Iceberg):
         // version-hint → metadata JSON → manifest list → manifests →
-        // pruned parquet data files, all public Iceberg v1 spec —
-        // no connector jar needed
+        // pruned parquet data files (merge-on-read when delete files
+        // exist), all public Iceberg spec — no connector jar needed.
+        // The full pruning surface rides the option map so YAML
+        // pipelines drive it: `iceberg.partitionEq` (first-field
+        // sugar), `iceberg.partitionEqs` ("k=v,k=v" conjunction),
+        // `iceberg.asOf` (snapshot id — time travel),
+        // `iceberg.colRange` ("col:lo:hi" long-column stats skip).
+        val eqs = job.options.get("iceberg.partitionEqs")
+          .map(_.split(",").map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k.trim -> v.trim
+          }.toMap).getOrElse(Map.empty[String, String])
+        val range = job.options.get("iceberg.colRange").map { s =>
+          val Array(c, lo, hi) = s.split(":")
+          (c.trim, lo.trim.toLong, hi.trim.toLong)
+        }
         graft.sources.Iceberg.scan(spark, job.source,
-          job.options.get("iceberg.partitionEq"))
+          partitionEq = job.options.get("iceberg.partitionEq"),
+          asOf = job.options.get("iceberg.asOf").map(_.trim.toLong),
+          colRange = range,
+          partitionEqs = eqs)
       case SourceFormat.Bigquery =>
         // Connector jar absent in this environment (offline coursier);
         // the call shape is the production wiring (`load` takes the

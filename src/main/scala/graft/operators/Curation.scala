@@ -314,6 +314,49 @@ object Curation {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /** t-closeness audit — the third member of the governance trio
+    * (k-anonymity bounds class SIZE, l-diversity bounds distinct
+    * sensitive values, t-closeness bounds the class's sensitive-value
+    * DISTRIBUTION's distance from the global one — a class can be
+    * large and diverse yet still leak by skew). Distance is total
+    * variation over the categorical sensitive attribute (the standard
+    * categorical instantiation of the paper's EMD):
+    *
+    *   tv(class) = ½ Σ_v |p_class(v) − p_global(v)|
+    *
+    * computed ENGINE-EXACTLY: all mass terms stay integers
+    * (|cnt·N − g·n_class| cross-multiplied, absent-value mass
+    * (N − Σ_present g)·n_class), with ONE double division at the end —
+    * the q_stats decimal-sum discipline applied to a distance metric.
+    * Plan: one (quasi…, sensitive) hash aggregation, then
+    * (classes×values)-row re-aggregations — the corpus is touched
+    * once, everything downstream is census-sized.
+    */
+  def tClosenessAudit(df: DataFrame, quasiNames: Seq[String],
+                      sensitive: Column, t: Double): DataFrame = {
+    require(quasiNames.nonEmpty && t >= 0.0, "need quasi columns, t >= 0")
+    val q = quasiNames.map(n => col(s"`$n`"))
+    val cnt = df
+      .groupBy((q :+ sensitive.as("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cls = cnt.groupBy(q: _*).agg(sum(col("__c")).as("__nc"))
+    val glob = cnt.groupBy(col("__s")).agg(sum(col("__c")).as("__g"))
+    val total = cnt.agg(sum(col("__c")).as("__n"))
+    cnt
+      .join(broadcast(glob), Seq("__s"))
+      .join(broadcast(cls), quasiNames)
+      .crossJoin(broadcast(total))
+      .groupBy(q: _*)
+      .agg(
+        max(col("__nc")).as("n"),
+        // Σ_present |cnt·N − g·n_c|  +  (N − Σ_present g)·n_c, all longs
+        ((sum(abs(col("__c") * col("__n") - col("__g") * col("__nc"))) +
+          (max(col("__n")) - sum(col("__g"))) * max(col("__nc")))
+          .cast("double") /
+          (lit(2.0) * max(col("__nc")) * max(col("__n")))).as("tv"))
+      .withColumn("close", col("tv") <= t)
+  }
+
   /** Corpus snapshot diff — the ops view of two corpus generations
     * (yesterday's crawl vs today's): per document id, `added` /
     * `removed` / `changed` / `unchanged`, with content compared by

@@ -370,6 +370,41 @@ class CurationSpec extends SparkSpec {
       ("C", 1L, false)))
   }
 
+  test("tClosenessAudit: a class mirroring the global sensitive " +
+       "distribution scores tv=0; a single-value class scores " +
+       "1 - p_global(v); tv is symmetric-bounded in [0,1]") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // global: 24 rows, sensitive values x:12, y:12 (p = 1/2 each).
+    // class M mirrors it exactly (6/6); class S is all-x (8 rows);
+    // class T is 3:1 (3 x, 1 y)
+    val rows =
+      (1 to 6).map(i => (i.toLong, "M", "x")) ++
+      (7 to 12).map(i => (i.toLong, "M", "y")) ++
+      (13 to 20).map(i => (i.toLong, "S", "x")) ++
+      (21 to 23).map(i => (i.toLong, "T", "x")) ++
+      Seq((24L, "T", "y"))
+    // global: x = 17/24, y = 7/24
+    val df = rows.toDF("id", "grp", "sens")
+    val out = Curation.tClosenessAudit(df, Seq("grp"), col("sens"),
+        t = 0.25)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    def tvOf(nx: Long, ny: Long): Double = {
+      val (nc, n) = (nx + ny, 24L)
+      (math.abs(nx * n - 17L * nc) + math.abs(ny * n - 7L * nc))
+        .toDouble / (2.0 * nc * n)
+    }
+    assert(out("M") === ((12L, tvOf(6, 6), tvOf(6, 6) <= 0.25)))
+    assert(out("S") === ((8L, tvOf(8, 0), tvOf(8, 0) <= 0.25)))
+    assert(out("T") === ((4L, tvOf(3, 1), tvOf(3, 1) <= 0.25)))
+    // the all-x class's distance is exactly the global mass it misses
+    assert(math.abs(out("S")._2 - 7.0 / 24.0) < 1e-15)
+    out.values.foreach { case (_, tv, _) =>
+      assert(tv >= 0.0 && tv <= 1.0)
+    }
+  }
+
   test("kGeneralize: picks the FIRST ladder level whose smallest class " +
        "reaches k, keeps EVERY row (count >= suppression's), re-audits " +
        "k-anonymous, and fails loudly when no level reaches k") {

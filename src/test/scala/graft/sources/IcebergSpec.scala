@@ -276,5 +276,23 @@ class IcebergSpec extends SparkSpec {
       options = Map("iceberg.partitionEq" -> "A")))
     assert(pruned.count() ===
       df.filter(col("l_returnflag") === "A").count())
+    // the full pruning surface rides the option map (YAML-drivable):
+    // conjunctive multi-field equality, time travel, long-column range
+    val eqs = Readers.read(spark, JobSpec(source = dir, target = "t",
+      format = Some(SourceFormat.Iceberg),
+      options = Map("iceberg.partitionEqs" -> "l_returnflag=R")))
+    assert(eqs.count() === df.filter(col("l_returnflag") === "R").count())
+    val asOf = Readers.read(spark, JobSpec(source = dir, target = "t",
+      format = Some(SourceFormat.Iceberg),
+      options = Map("iceberg.asOf" -> "1")))
+    assert(asOf.count() === df.count())
+    val keys = df.select(col("l_orderkey"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    val (lo, hi) = (keys.head, keys(keys.length / 2))
+    val ranged = Readers.read(spark, JobSpec(source = dir, target = "t",
+      format = Some(SourceFormat.Iceberg),
+      options = Map("iceberg.colRange" -> s"l_orderkey:$lo:$hi")))
+    assert(ranged.count() ===
+      df.filter(col("l_orderkey").between(lo, hi)).count())
   }
 }
