@@ -1281,18 +1281,19 @@ object SparkEntry {
     "q_semantic_dedup2" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       // the oracle twin trains on the FULL corpus, so the Spark side's
-      // hash-sampled training must degenerate to it: guard the
-      // full-sample invariant (n <= sampleFactor*nlist) so raising the
-      // gate SF fails loud here instead of as a confusing hash mismatch
+      // hash-sampled training must degenerate to it: derive the
+      // sample cap from the corpus count so sampleFactor·nlist >= n
+      // BY CONSTRUCTION at any SF (when the sample covers the corpus,
+      // the salted-hash top-m selection is the identity — same rows,
+      // any order), instead of the r12 fixed-cap guard that failed
+      // loud at sf1. The production sampled regime stays covered by
+      // q_semantic_dedup's auto-router.
       val n = embs.count()
-      require(n <= 1000L * 8,
-        s"q_semantic_dedup2 oracle needs a full-corpus training sample " +
-          s"(n=$n > sampleFactor*nlist=8000) — raise sampleFactor in " +
-          "BOTH the query and the DuckDB twin")
+      val sf0 = math.max(1000L, (n + 7) / 8).toInt
       graft.operators.Dedup.semanticDedupTwoLevel(
           embs, nlist = 8, iters = 2,
           tauNum = 4, tauDen = 10, kCoarse = 2, nprobe = 1,
-          sampleFactor = 1000, n = n)
+          sampleFactor = sf0, n = n)
         .orderBy(col("vec_id"))
     }),
 
