@@ -518,6 +518,36 @@ object SparkEntry {
           col("l_returnflag"))
     }),
 
+    // ---- Iceberg LIFECYCLE CAPSTONE: every table-format operation
+    //      composed on ONE table — build, snapshot append, keyed
+    //      UPSERT (equality delete + append in one snapshot, sequence
+    //      rule merging), predicate DELETE (position deletes over the
+    //      merged view), then COMPACTION folding the whole delete tier
+    //      into clean files. Each stage is individually oracle-gated
+    //      elsewhere; this row proves the COMPOSITION — five snapshots
+    //      of mixed kinds reading back as one closed-form answer ----
+    "q_lakehouse_pipeline" -> ((s, dir) => {
+      val path = annIndex("iceberg_e2e", dir) { p =>
+        val slice = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"))
+        graft.sources.Iceberg.writeTable(
+          slice.where(col("l_orderkey") % 60 === 0), p, "l_returnflag")
+        graft.sources.Iceberg.appendToTable(
+          slice.where(col("l_orderkey") % 60 === 30), p)
+        graft.sources.Iceberg.upsertTable(
+          slice.where(col("l_orderkey") % 120 === 0)
+            .withColumn("l_quantity", col("l_quantity") + 100.0),
+          p, keyCols = Seq("l_orderkey", "l_linenumber"))
+        graft.sources.Iceberg.deleteWhere(s, p,
+          col("l_quantity") <= 5.0)
+        graft.sources.Iceberg.compactTable(s, p)
+      }
+      graft.sources.Iceberg.scan(s, path)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5862,6 +5892,22 @@ object SparkEntry {
         |WHERE l_orderkey % 60 = 0 OR l_orderkey % 60 = 30
         |ORDER BY l_orderkey, l_linenumber, l_returnflag,
         |  note NULLS FIRST""".stripMargin,
+
+    // build ∪ append, upserted quantities on %120 keys, then the
+    // predicate delete — the whole five-snapshot history in one
+    // closed form
+    "q_lakehouse_pipeline" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 120 = 0 THEN l_quantity + 100.0
+        |         ELSE l_quantity END AS l_quantity,
+        |    l_returnflag
+        |  FROM lineitem
+        |  WHERE l_orderkey % 60 = 0 OR l_orderkey % 60 = 30)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM s WHERE NOT (l_quantity <= 5.0)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  l_returnflag""".stripMargin,
 
     // latest-wins closed-form: %120 keys carry the upserted quantity,
     // the %60=30 slice inserts, the rest of the build persists
