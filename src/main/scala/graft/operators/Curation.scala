@@ -342,9 +342,19 @@ object Curation {
     val cls = cnt.groupBy(q: _*).agg(sum(col("__c")).as("__nc"))
     val glob = cnt.groupBy(col("__s")).agg(sum(col("__c")).as("__g"))
     val total = cnt.agg(sum(col("__c")).as("__n"))
+    // NULL-SAFE class attach (<=>): the census groupBy treats NULL as
+    // its own equivalence class, so the audit must score it too — a
+    // plain equality join would silently drop NULL-bearing classes
+    // from the report (the kAnonymize discipline applied to the audit)
+    val clsR = quasiNames.zipWithIndex.foldLeft(cls) {
+      case (d, (n, i)) => d.withColumnRenamed(n, s"__q$i")
+    }
     cnt
       .join(broadcast(glob), Seq("__s"))
-      .join(broadcast(cls), quasiNames)
+      .join(broadcast(clsR), quasiNames.zipWithIndex
+        .map { case (n, i) => col(s"`$n`") <=> col(s"__q$i") }
+        .reduce(_ && _))
+      .drop(quasiNames.indices.map(i => s"__q$i"): _*)
       .crossJoin(broadcast(total))
       .groupBy(q: _*)
       .agg(

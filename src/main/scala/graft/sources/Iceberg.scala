@@ -66,14 +66,21 @@ import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace, substri
   * select the mapped physical column and alias it to the current
   * display name, so files written before a rename keep reading.
   *
-  * Scope (spec subset, honest about it): format-versions 1 and 2
-  * with N IDENTITY partition fields of type string or long
-  * (conjunctive pruning), parquet data files, append + position-
-  * delete snapshots, merge-on-read. Equality deletes and non-identity
-  * transforms fail loudly rather than half-read; sequence-number
-  * inheritance is unnecessary for position deletes (a delete names
-  * exact (file, pos) targets, so later-appended files are untouched
-  * by construction).
+  * Scope (spec subset, honest about it): format-versions 1 and 2,
+  * N partition fields of the spec transforms (identity on string/long
+  * plus bucket[N] / truncate[W] / year / month / day / hour —
+  * conjunctive pruning through the transform), parquet data files,
+  * append + position-delete + EQUALITY-delete snapshots (merge-on-read
+  * for both), upsert, compaction, schema evolution (rename, add, drop,
+  * type promotion). Equality deletes apply with the spec's sequence
+  * rule: explicit v2 `sequence_number` fields (entry-level, or
+  * inherited from the manifest-list row) are honored when present;
+  * tables without them fall back to snapshot-id-as-sequence, which is
+  * guarded by a strictly-monotone-history check so a foreign v2 table
+  * with random snapshot ids fails loudly instead of merging deletes in
+  * the wrong order. Position deletes need no sequence machinery (a
+  * delete names exact (file, pos) targets, so later-appended files are
+  * untouched by construction).
   */
 object Iceberg {
 
@@ -247,6 +254,7 @@ object Iceberg {
   final case class ManifestInfo(
       path: String,
       content: Int,             // 0 = data manifest, 1 = delete manifest
+      seq: Option[Long],        // v2 list-row sequence_number (if any)
       bounds: Seq[FieldBounds]) // per partition field, spec order
 
   /** Resolve and parse the CURRENT table metadata: version-hint.text
@@ -382,13 +390,23 @@ object Iceberg {
       }
       val content = Option(r.get("content"))
         .map(_.asInstanceOf[Int]).getOrElse(0)
-      ManifestInfo(r.get("manifest_path").toString, content, bounds)
+      // v2 manifest lists carry the manifest's data sequence number
+      // (field-id 515) — entries with a null sequence_number INHERIT
+      // it (the spec's inheritance rule); absent in v1 lists and in
+      // this repo's own composer output
+      val seq = Option(r.getSchema.getField("sequence_number"))
+        .flatMap(_ => Option(r.get("sequence_number")))
+        .map(_.asInstanceOf[Long])
+      ManifestInfo(r.get("manifest_path").toString, content, seq, bounds)
     }
 
   final case class FileEntry(
       path: String,
       content: Int,                 // 0 = data, 1 = pos del, 2 = eq del
-      seq: Long,                    // data sequence = adding snapshot id
+      seq: Long,                    // data sequence number
+      seqExplicit: Boolean,         // true: from a v2 sequence_number
+                                    // field (entry or inherited); false:
+                                    // snapshot-id fallback (self tables)
       eqIds: Seq[Int],              // equality-delete key field ids
       partition: Map[String, Any],        // partition field -> value
       longBounds: Map[Int, (Long, Long)]) // field id -> (lower, upper)
@@ -402,7 +420,8 @@ object Iceberg {
     * garbage long that silently skips live files.
     */
   def manifestEntries(manifestPath: String,
-                      meta: TableMeta): Seq[FileEntry] =
+                      meta: TableMeta,
+                      inheritSeq: Option[Long] = None): Seq[FileEntry] =
     readAvro(meta.rebase(manifestPath))
       .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
       .map { e =>
@@ -438,19 +457,27 @@ object Iceberg {
         val content = Option(df.getSchema.getField("content"))
           .flatMap(_ => Option(df.get("content")))
           .map(_.asInstanceOf[Int]).getOrElse(0)
-        // data sequence number: the snapshot that ADDED the file (the
-        // v2 inheritance story collapsed — our snapshot ids are the
-        // monotone commit order, so seq(entry) = its snapshot_id).
-        // Reused manifests keep their original entries' snapshot_id,
-        // so appended files never inherit a newer sequence.
-        val seq = Option(e.get("snapshot_id"))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        // data sequence number: reused manifests keep their original
+        // entries' sequence, so appended files never inherit a newer
+        // one.
+        // v2 priority: the entry's own `sequence_number` field when
+        // present and non-null; else the manifest-list row's sequence
+        // (the spec's INHERITANCE rule); else the snapshot-id fallback
+        // below (valid only for monotone self-composed histories —
+        // plannedFiles guards that before trusting it for eq deletes)
+        val explicitSeq = Option(e.getSchema.getField("sequence_number"))
+          .flatMap(_ => Option(e.get("sequence_number")))
+          .map(_.asInstanceOf[Long])
+          .orElse(inheritSeq)
+        val seq = explicitSeq
+          .orElse(Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]))
+          .getOrElse(0L)
         val eqIds = Option(df.getSchema.getField("equality_ids"))
           .flatMap(_ => Option(df.get("equality_ids")))
           .map(_.asInstanceOf[java.util.List[Int]].asScala.toSeq)
           .getOrElse(Seq.empty)
         FileEntry(meta.rebase(df.get("file_path").toString), content,
-          seq, eqIds, pv, bounds)
+          seq, explicitSeq.isDefined, eqIds, pv, bounds)
       }
 
   /** Data files surviving an optional identity-partition equality
@@ -538,22 +565,41 @@ object Iceberg {
         s"iceberg: colRange needs a long/int column, '$name' is $t")
       meta.fieldIds(name)
     }
-    val files = survivors.flatMap(m => manifestEntries(m.path, meta))
-      .collect {
-        case e if e.content == 0 &&
-          wants.forall { case (n, v) =>
-            e.partition.get(n).contains(v)
-          } &&
-          colRange.forall { case (_, lo, hi) =>
-            e.longBounds.get(rangeId.get)
-              .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
-          } => (e.path, e.seq)
-      }
-    val delEntries = delMans.flatMap(m => manifestEntries(m.path, meta))
+    val dataEntries = survivors.flatMap(m =>
+      manifestEntries(m.path, meta, m.seq))
+    val kept = dataEntries.filter { e =>
+      e.content == 0 &&
+        wants.forall { case (n, v) =>
+          e.partition.get(n).contains(v)
+        } &&
+        colRange.forall { case (_, lo, hi) =>
+          e.longBounds.get(rangeId.get)
+            .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+        }
+    }
+    val delEntries = delMans.flatMap(m =>
+      manifestEntries(m.path, meta, m.seq))
     val posDeletes = delEntries.filter(_.content == 1).map(_.path)
     val eqDeletes = delEntries.filter(_.content == 2)
       .map(e => (e.path, e.seq, e.eqIds))
-    PlannedScan(files, posDeletes, eqDeletes, survivors.size, mans.size)
+    // the snapshot-id-as-sequence fallback is only sound when snapshot
+    // ids ARE the commit order (self-composed tables: 1, 2, 3 …).
+    // Foreign v2 writers use random ids and record real sequence
+    // numbers — if equality deletes are present, any entry resolved
+    // through the fallback demands a strictly-monotone history, or the
+    // deletes could merge in the wrong order: fail loudly, never
+    // return silently wrong rows.
+    if (eqDeletes.nonEmpty &&
+      (kept ++ delEntries).exists(!_.seqExplicit)) {
+      val ids = meta.snapshots.map(_._1)
+      require(ids.zip(ids.drop(1)).forall { case (a, b) => a < b },
+        "iceberg: equality deletes present but manifest entries carry " +
+          "no sequence_number and the snapshot history is not strictly " +
+          "increasing — the snapshot-id-as-sequence fallback would " +
+          "apply deletes in the wrong order on this (foreign) table")
+    }
+    PlannedScan(kept.map(e => (e.path, e.seq)), posDeletes, eqDeletes,
+      survivors.size, mans.size)
   }
 
   /** Scan the table's selected snapshot as a DataFrame, optionally
@@ -617,18 +663,18 @@ object Iceberg {
     */
   private def applyDeletes(raw: DataFrame, planned: PlannedScan,
                            meta: TableMeta,
-                           spark: SparkSession): DataFrame = {
-    if (planned.posDeletes.isEmpty && planned.eqDeletes.isEmpty) return raw
+                           spark: SparkSession,
+                           keepTags: Boolean = false): DataFrame = {
+    if (!keepTags && planned.posDeletes.isEmpty &&
+      planned.eqDeletes.isEmpty) return raw
     var tagged = raw
       .withColumn("__gfp", normPath(col("_metadata.file_path")))
+      .withColumn("__gpos", col("_metadata.row_index"))
     if (planned.posDeletes.nonEmpty) {
       val dels = spark.read.parquet(planned.posDeletes: _*)
         .select(rebasePath(normPath(col("file_path")), meta).as("__gfp"),
           col("pos").as("__gpos"))
-      tagged = tagged
-        .withColumn("__gpos", col("_metadata.row_index"))
-        .join(dels, Seq("__gfp", "__gpos"), "left_anti")
-        .drop("__gpos")
+      tagged = tagged.join(dels, Seq("__gfp", "__gpos"), "left_anti")
     }
     if (planned.eqDeletes.nonEmpty) {
       import org.apache.spark.sql.functions.broadcast
@@ -668,7 +714,9 @@ object Iceberg {
       }
       tagged = tagged.drop("__gseq")
     }
-    tagged.drop("__gfp")
+    // keepTags: deleteWhere's row hunt needs the (file, pos) identity
+    // of each SURVIVING row — same merge, tags retained
+    if (keepTags) tagged else tagged.drop("__gpos").drop("__gfp")
   }
 
   /** Scheme-free path form shared by both sides of the delete join
@@ -962,19 +1010,19 @@ object Iceberg {
     val newId = meta.snapshots.map(_._1).max + 1
     val raw = spark.read.schema(fileSchema(meta))
       .parquet(planned.dataFiles.map(_._1): _*)
-    val tagged = raw
-      .withColumn("__gfp", normPath(col("_metadata.file_path")))
-      .withColumn("__gpos", col("_metadata.row_index"))
+    // the hunt runs over the LIVE view — applyDeletes drops rows
+    // already retired by prior position AND equality deletes, so a
+    // deleteWhere after an upsert never re-records positions for rows
+    // the equality tier already removed (idempotence across both
+    // delete kinds, one shared merge)
+    val live = applyDeletes(raw, planned, meta, spark, keepTags = true)
       .select(displayColumns(meta) :+ col("__gfp") :+ col("__gpos"): _*)
-    var hits = tagged.filter(predicate)
+    // localCheckpoint: materialize the distributed hunt ONCE — the
+    // emptiness probe and the delete-file write share the result
+    // instead of recomputing the scan
+    val hits = live.filter(predicate)
       .select(col("__gfp").as("file_path"), col("__gpos").as("pos"))
-    if (planned.posDeletes.nonEmpty) {
-      // idempotence: rows already deleted are not re-recorded
-      val prior = spark.read.parquet(planned.posDeletes: _*)
-        .select(rebasePath(normPath(col("file_path")), meta)
-          .as("file_path"), col("pos"))
-      hits = hits.join(prior, Seq("file_path", "pos"), "left_anti")
-    }
+      .localCheckpoint()
     if (hits.isEmpty) return // nothing new to delete -> no snapshot
     val delDir = s"$tableDir/data/deletes-snap$newId"
     // spec ordering: position-delete rows sorted by (file_path, pos);
@@ -1148,6 +1196,36 @@ object Iceberg {
     row
   }
 
+  /** The CURRENT schema's `fields` array of a metadata document, for
+    * in-place edits — v1 keeps a top-level `schema`, v2 writers
+    * publish `schemas` + `current-schema-id`. Editing through
+    * `withObject("/schema")` on a v2 layout would CREATE an empty
+    * top-level schema node that the next read prefers (metadata
+    * corruption: the table reads back column-less) — this helper edits
+    * the node the reader will actually resolve, and fails loudly on a
+    * layout with neither.
+    */
+  private def schemaFieldsNode(
+      root: com.fasterxml.jackson.databind.node.ObjectNode)
+      : com.fasterxml.jackson.databind.node.ArrayNode = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val schema: ObjectNode =
+      if (root.has("schema"))
+        root.path("schema").asInstanceOf[ObjectNode]
+      else {
+        require(root.has("schemas") && root.has("current-schema-id"),
+          "iceberg: metadata has neither schema nor " +
+            "schemas/current-schema-id — cannot evolve")
+        val sid = root.path("current-schema-id").asInt()
+        root.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt() == sid)
+          .getOrElse(throw new IllegalArgumentException(
+            s"iceberg: current-schema-id $sid not in schemas"))
+          .asInstanceOf[ObjectNode]
+      }
+    schema.withArray[ArrayNode]("fields")
+  }
+
   /** Metadata-only COLUMN RENAME (the field-id resolution story): the
     * schema field keeps its id and gets a new display name; no data
     * file, manifest, or name mapping changes — scans resolve the
@@ -1170,8 +1248,7 @@ object Iceberg {
     val root = try om.readTree(in.readAllBytes())
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     finally in.close()
-    val fields = root.withObject("/schema")
-      .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+    val fields = schemaFieldsNode(root)
     (0 until fields.size()).map(fields.get).foreach {
       case f: com.fasterxml.jackson.databind.node.ObjectNode
         if f.path("name").asText() == from => f.put("name", to)
@@ -1244,9 +1321,7 @@ object Iceberg {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     finally in.close()
     val newId = root.path("last-column-id").asInt() + 1
-    val f = root.withObject("/schema")
-      .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
-      .addObject()
+    val f = schemaFieldsNode(root).addObject()
     f.put("id", newId); f.put("name", name)
     f.put("required", false); f.put("type", icebergType)
     root.put("last-column-id", newId)
