@@ -548,6 +548,37 @@ object SparkEntry {
           col("l_returnflag"))
     }),
 
+    // ---- Iceberg TYPE PROMOTION (metadata-only schema evolution):
+    //      the table builds with INT32/FLOAT columns, promoteColumn
+    //      widens them to long/double (int->long, float->double — the
+    //      spec's sanctioned promotions), and a post-promotion append
+    //      writes the wide types natively. Pre-promotion parquet files
+    //      read back AS the widened type through the reader's widening
+    //      conversion — no file rewritten; the oracle replays the
+    //      widening closed-form ----
+    "q_iceberg_promote" -> ((s, dir) => {
+      val path = annIndex("iceberg_promo", dir) { p =>
+        val slice = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_linenumber").cast("int").as("l_linenumber"),
+            col("l_quantity").cast("float").as("l_quantity"),
+            col("l_returnflag"))
+        graft.sources.Iceberg.writeTable(
+          slice.where(col("l_orderkey") % 60 === 0), p, "l_returnflag")
+        graft.sources.Iceberg.promoteColumn(p, "l_linenumber", "long")
+        graft.sources.Iceberg.promoteColumn(p, "l_quantity", "double")
+        graft.sources.Iceberg.appendToTable(
+          slice.where(col("l_orderkey") % 60 === 30)
+            .select(col("l_orderkey"),
+              col("l_linenumber").cast("long").as("l_linenumber"),
+              col("l_quantity").cast("double").as("l_quantity"),
+              col("l_returnflag")), p)
+      }
+      graft.sources.Iceberg.scan(s, path)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5915,6 +5946,19 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_orderkey % 120 = 0 THEN l_quantity + 100.0
         |       ELSE l_quantity END AS l_quantity,
+        |  l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey % 60 = 0 OR l_orderkey % 60 = 30
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  l_returnflag""".stripMargin,
+
+    // both shards pass through float before the double widening (the
+    // build shard physically, the appended shard by the same casts),
+    // so the oracle replays double(float(x)) — IEEE conversions are
+    // engine-identical
+    "q_iceberg_promote" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS l_quantity,
         |  l_returnflag
         |FROM lineitem
         |WHERE l_orderkey % 60 = 0 OR l_orderkey % 60 = 30

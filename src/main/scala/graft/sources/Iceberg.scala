@@ -1326,16 +1326,97 @@ object Iceberg {
     f.put("required", false); f.put("type", icebergType)
     root.put("last-column-id", newId)
     // extend the name mapping (when present) so a later rename of the
-    // new column resolves like any other
+    // new column resolves like any other. If the display name already
+    // has a mapping entry — a DROPPED column's tombstone — old data
+    // files physically carry that name, so the new field id maps to a
+    // FRESH physical name: pre-add files surface NULL (the spec's
+    // id-reuse prohibition — a re-added column never resurrects
+    // dropped data), and appends write under the fresh name.
     val props = root.withObject("/properties")
     val nm = props.path("schema.name-mapping.default")
     if (nm.isTextual) {
       val arr = om.readTree(nm.asText())
         .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val taken = arr.elements().asScala.exists(e =>
+        e.path("names").elements().asScala
+          .exists(_.asText() == name))
+      val physical = if (taken) s"${name}_$newId" else name
       val e = arr.addObject()
       e.put("field-id", newId)
-      e.putArray("names").add(name)
+      e.putArray("names").add(physical)
       props.put("schema.name-mapping.default", om.writeValueAsString(arr))
+    }
+    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeText(s"$tableDir/metadata/version-hint.text",
+      (meta.version + 1).toString)
+  }
+
+  /** Metadata-only DROP COLUMN: the field leaves the schema (scans
+    * stop selecting it — data files keep the physical bytes, which is
+    * the spec's contract: drop is a metadata op, compaction eventually
+    * rewrites). The name-mapping entry stays behind as a TOMBSTONE:
+    * its field id can never resolve again (the id left the schema),
+    * but its presence tells [[addColumn]] that the display name has a
+    * physical history — a RE-ADDED column of the same name gets a
+    * FRESH field id mapped to a fresh physical name, so old files
+    * surface NULL for it (the spec's id-reuse prohibition: a new
+    * column must never resurrect dropped data).
+    */
+  def dropColumn(tableDir: String, name: String): Unit = {
+    val meta = currentMetadata(tableDir)
+    require(meta.columns.contains(name),
+      s"iceberg drop: no column '$name' in ${meta.columns}")
+    require(!meta.partFields.exists(_._1 == name),
+      s"iceberg drop: '$name' is a partition source column")
+    require(meta.columns.size > 1,
+      "iceberg drop: cannot drop the last column")
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val in = fs.open(
+      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
+    val root = try om.readTree(in.readAllBytes())
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    val fields = schemaFieldsNode(root)
+    val keep = (0 until fields.size()).map(fields.get)
+      .filterNot(_.path("name").asText() == name)
+    fields.removeAll()
+    keep.foreach(fields.add)
+    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeText(s"$tableDir/metadata/version-hint.text",
+      (meta.version + 1).toString)
+  }
+
+  /** Metadata-only TYPE PROMOTION (schema evolution): widen a column
+    * per the spec's sanctioned promotions — int→long, float→double —
+    * by editing the field's type; no file is touched. Scans read with
+    * the table schema supplied explicitly, so pre-promotion parquet
+    * files (INT32/FLOAT pages) surface as the widened type through the
+    * reader's widening conversion, and post-promotion appends write
+    * the wide type natively.
+    */
+  def promoteColumn(tableDir: String, name: String,
+                    newType: String): Unit = {
+    val meta = currentMetadata(tableDir)
+    val cur = meta.colTypes.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"iceberg promote: no column '$name' in ${meta.columns}"))
+    val legal = Set(("int", "long"), ("float", "double"))
+    require(legal((cur, newType)),
+      s"iceberg promote: $cur -> $newType is not a spec promotion " +
+        "(int->long, float->double)")
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val in = fs.open(
+      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
+    val root = try om.readTree(in.readAllBytes())
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    val fields = schemaFieldsNode(root)
+    (0 until fields.size()).map(fields.get).foreach {
+      case f: com.fasterxml.jackson.databind.node.ObjectNode
+        if f.path("name").asText() == name => f.put("type", newType)
+      case _ =>
     }
     writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
       om.writerWithDefaultPrettyPrinter().writeValueAsString(root))

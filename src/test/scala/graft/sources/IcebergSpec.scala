@@ -295,4 +295,82 @@ class IcebergSpec extends SparkSpec {
     assert(ranged.count() ===
       df.filter(col("l_orderkey").between(lo, hi)).count())
   }
+
+  test("DROP COLUMN is metadata-only and a re-added column of the same " +
+       "name gets a FRESH field id that never resurrects dropped data " +
+       "(the spec's id-reuse prohibition)") {
+    val (dir, df) = fixture()
+    val oldId = Iceberg.currentMetadata(dir).fieldIds("l_quantity")
+    Iceberg.dropColumn(dir, "l_quantity")
+    val dropped = Iceberg.scan(spark, dir)
+    assert(!dropped.schema.fieldNames.contains("l_quantity"))
+    assert(dropped.count() === df.count(), "drop never loses rows")
+    // re-add under the same display name: fresh id, all-NULL in every
+    // pre-add file even though those files physically carry the bytes
+    Iceberg.addColumn(dir, "l_quantity", "double")
+    val meta2 = Iceberg.currentMetadata(dir)
+    assert(meta2.fieldIds("l_quantity") > oldId, "fresh field id")
+    assert(meta2.fileColumn("l_quantity") !== "l_quantity",
+      "fresh physical name — old files must not resolve")
+    val readd = Iceberg.scan(spark, dir)
+    assert(readd.filter(col("l_quantity").isNotNull).count() === 0L,
+      "re-added column reads NULL, never the dropped data")
+    // appends after the re-add carry values; old rows stay NULL
+    Iceberg.appendToTable( // re-added column sits at the schema's end
+      df.limit(5).drop("l_quantity").withColumn("l_quantity", lit(999.5)),
+      dir)
+    val after = Iceberg.scan(spark, dir)
+    assert(after.filter(col("l_quantity") === 999.5).count() === 5L)
+    assert(after.filter(col("l_quantity").isNull).count() === df.count())
+    // dropping a partition source column or the last column is refused
+    intercept[IllegalArgumentException] {
+      Iceberg.dropColumn(dir, "l_returnflag")
+    }
+  }
+
+  test("TYPE PROMOTION (int->long, float->double) is metadata-only: " +
+       "pre-promotion files read back as the widened type, appends " +
+       "write it natively, and a narrowing 'promotion' is refused") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("int").as("l_linenumber"),
+        col("l_quantity").cast("float").as("l_quantity"),
+        col("l_returnflag"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_promote").toString
+    Iceberg.writeTable(df, dir, "l_returnflag")
+    val before = Iceberg.scan(spark, dir)
+    assert(before.schema("l_linenumber").dataType === IntegerType)
+    assert(before.schema("l_quantity").dataType === FloatType)
+    Iceberg.promoteColumn(dir, "l_linenumber", "long")
+    Iceberg.promoteColumn(dir, "l_quantity", "double")
+    val wide = Iceberg.scan(spark, dir)
+    assert(wide.schema("l_linenumber").dataType === LongType)
+    assert(wide.schema("l_quantity").dataType === DoubleType)
+    // values are the exact widened originals (int->long is lossless,
+    // float->double widens the same IEEE value)
+    val want = df
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        col("l_quantity").cast("double"), col("l_returnflag"))
+      .collect().map(_.toSeq).toSet
+    assert(wide.collect().map(_.toSeq).toSet === want)
+    // post-promotion appends write the wide type; the union scans
+    Iceberg.appendToTable(
+      df.limit(3)
+        .select(col("l_orderkey") + 1000000L,
+          col("l_linenumber").cast("long"),
+          col("l_quantity").cast("double"), col("l_returnflag"))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+      dir)
+    assert(Iceberg.scan(spark, dir).count() === df.count() + 3)
+    // narrowing and sideways moves are refused loudly
+    intercept[IllegalArgumentException] {
+      Iceberg.promoteColumn(dir, "l_orderkey", "int")
+    }
+    intercept[IllegalArgumentException] {
+      Iceberg.promoteColumn(dir, "l_returnflag", "long")
+    }
+  }
 }
