@@ -579,6 +579,56 @@ object SparkEntry {
           col("l_quantity"), col("l_returnflag"))
     }),
 
+    // ---- Iceberg BUCKET[16] partition transform: the table lays out
+    //      by the spec's murmur3 bucket of the order key (write-side
+    //      codegen'd expression, vector-pinned), and a key probe maps
+    //      through the SAME hash driver-side to prune manifests and
+    //      files to one bucket before any data file opens; the scan's
+    //      row filter narrows the bucket to the key (transforms are
+    //      coarser than identity). Oracle recomputes the key slice ----
+    "q_iceberg_bucket" -> ((s, dir) => {
+      val path = annIndex("iceberg_bucket", dir) { p =>
+        graft.sources.Iceberg.writeTableTransformed(
+          t(s, dir, "lineitem")
+            .where(col("l_orderkey") % 20 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_returnflag")),
+          p, Seq(("l_orderkey", "bucket[16]")))
+      }
+      // 1-row min census picks a key present at every SF — the same
+      // closed form the oracle derives
+      val key = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 20 === 0)
+        .agg(min(col("l_orderkey"))).collect().head.getLong(0)
+      graft.sources.Iceberg.scan(s, path,
+          partitionEqs = Map("l_orderkey" -> key.toString))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+    }),
+
+    // ---- Iceberg DAY partition transform: orders lay out by
+    //      day(o_orderdate) (ordinal arithmetic in the one write job),
+    //      and a SOURCE RANGE probe prunes through the order-
+    //      preserving transform — [lo, hi] maps to [day(lo), day(hi)]
+    //      against the manifest-list bound summaries, so a two-week
+    //      window opens two weeks of manifests, not ninety days'.
+    //      The scan's row filter makes the window exact ----
+    "q_iceberg_days" -> ((s, dir) => {
+      val path = annIndex("iceberg_days", dir) { p =>
+        graft.sources.Iceberg.writeTableTransformed(
+          t(s, dir, "orders")
+            .where(col("o_orderdate") <
+              lit("1995-04-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("o_orderdate")),
+          p, Seq(("o_orderdate", "day")))
+      }
+      graft.sources.Iceberg.scan(s, path,
+          sourceRange = Some(("o_orderdate", "1995-02-01", "1995-02-14")))
+        .orderBy(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -5964,6 +6014,25 @@ object SparkEntry {
         |WHERE l_orderkey % 60 = 0 OR l_orderkey % 60 = 30
         |ORDER BY l_orderkey, l_linenumber, l_quantity,
         |  l_returnflag""".stripMargin,
+
+    "q_iceberg_bucket" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey % 20 = 0
+        |  AND l_orderkey = (SELECT min(l_orderkey) FROM lineitem
+        |                    WHERE l_orderkey % 20 = 0)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  l_returnflag""".stripMargin,
+
+    // the build slice (< 1995-04-01) strictly contains the probed
+    // window, so the oracle is the window alone
+    "q_iceberg_days" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1995-02-01'
+        |  AND TIMESTAMP '1995-02-14'
+        |ORDER BY o_orderkey, o_custkey, o_totalprice,
+        |  o_orderdate""".stripMargin,
 
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

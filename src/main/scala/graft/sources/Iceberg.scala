@@ -97,9 +97,9 @@ object Iceberg {
     * files (1); absent in pre-v2 manifests and read as 0.
     */
   private[sources] def manifestEntrySchema(
-      partFields: Seq[(String, String)]): Schema = {
-    val pf = partFields.zipWithIndex.map { case ((n, t), i) =>
-      s"""{"name":"$n","type":["null","$t"],
+      partFields: Seq[PartField]): Schema = {
+    val pf = partFields.zipWithIndex.map { case (f, i) =>
+      s"""{"name":"${f.name}","type":["null","${f.resType}"],
          |           "default":null,"field-id":${1000 + i}}""".stripMargin
     }.mkString(",\n          ")
     new Schema.Parser().parse(
@@ -167,6 +167,9 @@ object Iceberg {
     case l: Long =>
       java.nio.ByteBuffer.allocate(8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+    case i: Int =>
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
     case other => throw new IllegalArgumentException(
       s"unsupported partition bound type ${other.getClass.getSimpleName}")
   }
@@ -176,6 +179,8 @@ object Iceberg {
       case "string" => new String(b, UTF_8)
       case "long" => java.nio.ByteBuffer.wrap(b)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      case "int" => java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
       case other => throw new IllegalArgumentException(
         s"unsupported partition type $other")
     }
@@ -183,7 +188,154 @@ object Iceberg {
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) => x.compareTo(y)
     case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
     case _ => throw new IllegalArgumentException(s"uncomparable: $a vs $b")
+  }
+
+  // ---------------------------------------------------------------
+  // partition transforms (spec Partitioning section)
+  // ---------------------------------------------------------------
+
+  /** One partition-spec field: `name` is the manifest/record field
+    * name (identity fields keep the source column's name, derived
+    * fields get `src_transform` names), `sourceCol` the source column,
+    * `transform` the spec transform string, `srcType`/`resType` the
+    * Iceberg source and RESULT types ("int" for bucket and the time
+    * transforms, the source type for identity/truncate).
+    */
+  final case class PartField(name: String, sourceCol: String,
+                             transform: String, srcType: String,
+                             resType: String) {
+    def isIdentity: Boolean = transform == "identity"
+    /** Every supported transform except bucket is order-preserving
+      * (v1 <= v2 implies t(v1) <= t(v2)), so source RANGES prune
+      * through it; bucket scatters and only point probes prune.
+      */
+    def orderPreserving: Boolean = !transform.startsWith("bucket[")
+  }
+
+  object PartField {
+    private val BucketRe = """bucket\[(\d+)\]""".r
+    private val TruncRe = """truncate\[(\d+)\]""".r
+
+    /** Validate and resolve a spec transform against its source type;
+      * unsupported transforms fail loudly (never half-read).
+      */
+    def of(name: String, sourceCol: String, transform: String,
+           srcTypeRaw: String): PartField = {
+      val temporal = Set("date", "timestamp", "timestamptz")
+      val resType = transform match {
+        case "identity" => srcTypeRaw match {
+          case "string" => "string"
+          case "long" | "int" => "long"
+          case other => throw new IllegalArgumentException(
+            s"iceberg: unsupported identity partition type $other")
+        }
+        case BucketRe(n) =>
+          require(n.toInt >= 1, s"iceberg: bucket[$n] needs N >= 1")
+          require(srcTypeRaw == "string" || srcTypeRaw == "long" ||
+            srcTypeRaw == "int" || temporal(srcTypeRaw),
+            s"iceberg: bucket over $srcTypeRaw not supported")
+          "int"
+        case TruncRe(w) =>
+          require(w.toInt >= 1, s"iceberg: truncate[$w] needs W >= 1")
+          srcTypeRaw match {
+            case "string" => "string"
+            case "long" | "int" => "long"
+            case other => throw new IllegalArgumentException(
+              s"iceberg: truncate over $other not supported")
+          }
+        case "year" | "month" | "day" =>
+          require(temporal(srcTypeRaw),
+            s"iceberg: $transform needs a date/timestamp source, " +
+              s"got $srcTypeRaw")
+          "int"
+        case "hour" =>
+          require(srcTypeRaw == "timestamp" || srcTypeRaw == "timestamptz",
+            s"iceberg: hour needs a timestamp source, got $srcTypeRaw")
+          "int"
+        case other => throw new IllegalArgumentException(
+          s"iceberg: unsupported partition transform $other")
+      }
+      PartField(name, sourceCol, transform, srcTypeRaw, resType)
+    }
+  }
+
+  /** The transform as a CODEGEN'D column over the source — the write
+    * side (one value per row inside whole-stage codegen: the layout
+    * column of the composer's single partitionBy job). Bucket uses the
+    * spec-exact murmur3 expression ([[graft.plans.IcebergBucket]],
+    * vector-pinned); the time transforms are ordinal arithmetic on the
+    * session-UTC clock (this engine runs UTC end to end).
+    */
+  private[sources] def transformColumn(f: PartField, c: Column): Column = {
+    import org.apache.spark.sql.functions.{datediff, floor, month, to_date, unix_micros, year}
+    f.transform match {
+      case "identity" => c
+      case t if t.startsWith("bucket[") =>
+        val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+        f.srcType match {
+          // NTZ micros == TZ micros under the UTC session clock; the
+          // cast makes unix_micros accept both timestamp flavors
+          case "timestamp" | "timestamptz" =>
+            graft.plans.IcebergBucket(unix_micros(c.cast("timestamp")), n)
+          case _ => graft.plans.IcebergBucket(c, n)
+        }
+      case t if t.startsWith("truncate[") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toLong
+        if (f.resType == "string") substring(c, 1, w.toInt)
+        else (c.cast("long") - ((c.cast("long") % w + w) % w))
+      case "year" => (year(c) - 1970).cast("int")
+      case "month" =>
+        ((year(c) - 1970) * 12 + month(c) - 1).cast("int")
+      case "day" =>
+        datediff(to_date(c), to_date(lit("1970-01-01"))).cast("int")
+      case "hour" =>
+        floor(unix_micros(c.cast("timestamp")) / 3600000000L).cast("int")
+    }
+  }
+
+  /** The transform applied to ONE probe value (string form, as the
+    * pruning options carry it) — the READ side's driver-twin of
+    * [[transformColumn]]: both must agree bit-for-bit, which the
+    * shared [[graft.plans.IcebergBucketHash]] and the UTC ordinal
+    * arithmetic guarantee (IcebergTransformSpec pins write==probe
+    * equality per transform). Temporal probe values parse as
+    * `yyyy-MM-dd[ HH:mm:ss]`.
+    */
+  private[sources] def transformValue(f: PartField, s: String): Any = {
+    import graft.plans.IcebergBucketHash
+    def epochDay: Long =
+      java.time.LocalDate.parse(s.take(10)).toEpochDay
+    def micros: Long = {
+      val norm = if (s.length == 10) s + " 00:00:00" else s
+      java.time.LocalDateTime
+        .parse(norm.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+        .getEpochSecond * 1000000L
+    }
+    f.transform match {
+      case "identity" => if (f.resType == "long") s.toLong else s
+      case t if t.startsWith("bucket[") =>
+        val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+        f.srcType match {
+          case "string" => IcebergBucketHash.bucketBytes(s.getBytes(UTF_8), n)
+          case "long" | "int" => IcebergBucketHash.bucketLong(s.toLong, n)
+          case "date" => IcebergBucketHash.bucketLong(epochDay, n)
+          case _ => IcebergBucketHash.bucketLong(micros, n)
+        }
+      case t if t.startsWith("truncate[") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        if (f.resType == "string") s.take(w)
+        else { val v = s.toLong; v - ((v % w + w) % w) }
+      case "year" =>
+        java.time.LocalDate.parse(s.take(10)).getYear - 1970
+      case "month" =>
+        val d = java.time.LocalDate.parse(s.take(10))
+        (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      case "day" => epochDay.toInt
+      case "hour" => (micros / 3600000000L).toInt
+    }
   }
 
   // ---------------------------------------------------------------
@@ -199,7 +351,7 @@ object Iceberg {
       colTypes: Map[String, String],  // column name -> iceberg type
       fieldIds: Map[String, Int],     // column name -> spec field id
       nameMapping: Map[Int, String],  // field id -> DATA-FILE column name
-      partFields: Seq[(String, String)], // identity partition (name, type)
+      partFields: Seq[PartField],     // partition spec, spec order
       currentSnapshotId: Long,
       snapshots: Seq[(Long, String)], // (snapshot-id, manifest-list)
       snapshotOps: Map[Long, String], // snapshot-id -> summary.operation
@@ -329,17 +481,9 @@ object Iceberg {
     require(spec.isArray && spec.size() >= 1,
       "iceberg: need at least one partition field")
     val partFields = spec.elements().asScala.map { pf =>
-      require(pf.path("transform").asText() == "identity",
-        s"iceberg: only identity transform supported, " +
-          s"got ${pf.path("transform").asText()}")
-      val (pname, ptypeRaw) = types(pf.path("source-id").asInt())
-      val ptype = ptypeRaw match {
-        case "string" => "string"
-        case "long" | "int" => "long"
-        case other => throw new IllegalArgumentException(
-          s"iceberg: unsupported partition column type $other")
-      }
-      (pname, ptype)
+      val (srcName, srcTypeRaw) = types(pf.path("source-id").asInt())
+      PartField.of(pf.path("name").asText(srcName), srcName,
+        pf.path("transform").asText(), srcTypeRaw)
     }.toSeq
 
     val currentId = root.path("current-snapshot-id").asLong()
@@ -380,11 +524,11 @@ object Iceberg {
         .getOrElse(Seq.empty)
       // one field_summary per partition field, spec order; a list
       // shorter than the spec leaves the tail unprunable
-      val bounds = meta.partFields.zipWithIndex.map { case ((_, t), i) =>
+      val bounds = meta.partFields.zipWithIndex.map { case (f, i) =>
         val summary = parts.lift(i)
         def bound(name: String): Option[Any] = summary.flatMap(s =>
           Option(s.get(name)).map(bb => boundValue(
-            bufBytes(bb.asInstanceOf[java.nio.ByteBuffer]), t)))
+            bufBytes(bb.asInstanceOf[java.nio.ByteBuffer]), f.resType)))
         FieldBounds(bound("lower_bound"), bound("upper_bound"),
           summary.exists(_.get("contains_null").asInstanceOf[Boolean]))
       }
@@ -430,7 +574,8 @@ object Iceberg {
           .equalsIgnoreCase("PARQUET"),
           s"iceberg: only parquet data files supported")
         val pRec = df.get("partition").asInstanceOf[GenericRecord]
-        val pv = meta.partFields.flatMap { case (n, _) =>
+        val pv = meta.partFields.flatMap { f =>
+          val n = f.name
           Option(pRec.getSchema.getField(n)).flatMap(_ =>
             Option(pRec.get(n))).map {
             case u: org.apache.avro.util.Utf8 => n -> (u.toString: Any)
@@ -489,10 +634,12 @@ object Iceberg {
                       partitionEq: Option[String],
                       asOf: Option[Long] = None,
                       colRange: Option[(String, Long, Long)] = None,
-                      partitionEqs: Map[String, String] = Map.empty)
+                      partitionEqs: Map[String, String] = Map.empty,
+                      sourceRange: Option[(String, String, String)] = None)
       : (Seq[String], Int, Int) = {
     val meta = currentMetadata(tableDir, asOf)
-    val p = plannedFiles(meta, partitionEq, colRange, partitionEqs)
+    val p = plannedFiles(meta, partitionEq, colRange, partitionEqs,
+      sourceRange)
     (p.dataFiles.map(_._1), p.manifestsRead, p.manifestsTotal)
   }
 
@@ -524,31 +671,57 @@ object Iceberg {
   private def plannedFiles(meta: TableMeta,
                            partitionEq: Option[String],
                            colRange: Option[(String, Long, Long)],
-                           partitionEqs: Map[String, String])
+                           partitionEqs: Map[String, String],
+                           sourceRange: Option[(String, String, String)] =
+                             None)
       : PlannedScan = {
     val mans = manifestList(meta)
     val (delMans, dataMans) = mans.partition(_.content == 1)
-    val fieldIdx = meta.partFields.map(_._1).zipWithIndex.toMap
     // `partitionEq` is single-value sugar for the FIRST partition
-    // field; `partitionEqs` is the general multi-field predicate
+    // field's SOURCE column; `partitionEqs` is the general multi-field
+    // predicate, keyed by SOURCE column. A probe value maps through
+    // each matching field's TRANSFORM before comparing to partition
+    // values — `o_orderdate = X` prunes a day(o_orderdate) table, a
+    // key probe prunes a bucket[N] table (equality is transform-safe
+    // for every spec transform: v1 = v2 implies t(v1) = t(v2))
     val wants0 = partitionEqs ++
-      partitionEq.map(v => meta.partFields.head._1 -> v).toMap
-    val wants: Map[String, Any] = wants0.map { case (n, v) =>
-      val t = meta.partFields.collectFirst { case (pn, pt) if pn == n => pt }
-        .getOrElse(throw new IllegalArgumentException(
-          s"iceberg: '$n' is not a partition field of " +
-            s"${meta.partFields.map(_._1).mkString(", ")}"))
-      n -> (if (t == "long") v.toLong: Any else v: Any)
+      partitionEq.map(v => meta.partFields.head.sourceCol -> v).toMap
+    val wantEq: Seq[(Int, Any)] = wants0.toSeq.flatMap { case (src, v) =>
+      val fs = meta.partFields.zipWithIndex.filter(_._1.sourceCol == src)
+      require(fs.nonEmpty,
+        s"iceberg: '$src' is not a partition source column of " +
+          s"${meta.partFields.map(_.sourceCol).mkString(", ")}")
+      fs.map { case (f, i) => i -> transformValue(f, v) }
+    }
+    // a source RANGE prunes through order-preserving transforms only
+    // (identity, truncate, year/month/day/hour — bucket scatters):
+    // [lo, hi] on the source maps to [t(lo), t(hi)] on the partition
+    val wantRange: Seq[(Int, Any, Any)] = sourceRange.toSeq.flatMap {
+      case (src, lo, hi) =>
+        val fs = meta.partFields.zipWithIndex.filter { case (f, _) =>
+          f.sourceCol == src && f.orderPreserving
+        }
+        require(fs.nonEmpty,
+          s"iceberg: '$src' is not an order-preserving partition " +
+            s"source of ${meta.partFields.map(_.sourceCol).mkString(", ")}")
+        fs.map { case (f, i) =>
+          (i, transformValue(f, lo), transformValue(f, hi))
+        }
     }
     // manifest pruning: spec bounds are inclusive; a manifest whose
-    // [lower, upper] window excludes a wanted value on ANY predicated
-    // field is never opened (missing bounds keep it, conservatively)
+    // [lower, upper] window excludes a wanted value (or misses the
+    // wanted window) on ANY predicated field is never opened (missing
+    // bounds keep it, conservatively)
     val survivors =
-      if (wants.isEmpty) dataMans
+      if (wantEq.isEmpty && wantRange.isEmpty) dataMans
       else dataMans.filter { m =>
-        wants.forall { case (n, v) =>
-          val b = m.bounds(fieldIdx(n))
+        wantEq.forall { case (i, v) =>
+          val b = m.bounds(i)
           b.lower.forall(cmp(_, v) <= 0) && b.upper.forall(cmp(v, _) <= 0)
+        } &&
+        wantRange.forall { case (i, lo, hi) =>
+          val b = m.bounds(i)
+          b.lower.forall(cmp(_, hi) <= 0) && b.upper.forall(cmp(lo, _) <= 0)
         }
       }
     // file-level: partition equality on every predicated field, then
@@ -569,8 +742,12 @@ object Iceberg {
       manifestEntries(m.path, meta, m.seq))
     val kept = dataEntries.filter { e =>
       e.content == 0 &&
-        wants.forall { case (n, v) =>
-          e.partition.get(n).contains(v)
+        wantEq.forall { case (i, v) =>
+          e.partition.get(meta.partFields(i).name).contains(v)
+        } &&
+        wantRange.forall { case (i, lo, hi) =>
+          e.partition.get(meta.partFields(i).name)
+            .exists(p => cmp(lo, p) <= 0 && cmp(p, hi) <= 0)
         } &&
         colRange.forall { case (_, lo, hi) =>
           e.longBounds.get(rangeId.get)
@@ -615,9 +792,12 @@ object Iceberg {
            partitionEq: Option[String] = None,
            asOf: Option[Long] = None,
            colRange: Option[(String, Long, Long)] = None,
-           partitionEqs: Map[String, String] = Map.empty): DataFrame = {
+           partitionEqs: Map[String, String] = Map.empty,
+           sourceRange: Option[(String, String, String)] = None)
+      : DataFrame = {
     val meta = currentMetadata(tableDir, asOf)
-    val planned = plannedFiles(meta, partitionEq, colRange, partitionEqs)
+    val planned = plannedFiles(meta, partitionEq, colRange, partitionEqs,
+      sourceRange)
     if (planned.dataFiles.isEmpty)
       // a fully-pruned probe (or an empty table) is an EMPTY RESULT,
       // not an error — schema comes from the table metadata, exactly
@@ -631,11 +811,34 @@ object Iceberg {
           .parquet(planned.dataFiles.map(_._1): _*),
         planned, meta, spark)
         .select(displayColumns(meta): _*)
-      // the stats prune skips FILES; the row-level filter (also pushed
-      // into the surviving parquet scans) makes the result exact
+      // the metadata prune skips MANIFESTS and FILES; row-level
+      // filters (pushed into the surviving parquet scans) make the
+      // result exact where partitions are COARSER than the predicate:
+      //  - colRange's stats skip,
+      //  - an equality probe through a non-identity transform (the
+      //    probe keeps the whole bucket/day file; only rows matching
+      //    the source value belong in the result),
+      //  - a sourceRange window (same coarseness argument).
+      // Identity equality probes stay filter-free: partition value ==
+      // source value, so every surviving row already matches.
+      val eqFiltered = (partitionEqs ++ partitionEq.map(v =>
+        meta.partFields.head.sourceCol -> v).toMap).foldLeft(base) {
+        case (d, (src, v)) =>
+          val coarse = meta.partFields
+            .filter(_.sourceCol == src).forall(!_.isIdentity)
+          if (!coarse) d
+          else d.filter(col(s"`$src`") ===
+            lit(v).cast(toSparkType(meta.colTypes(src))))
+      }
+      val ranged = sourceRange.foldLeft(eqFiltered) {
+        case (d, (src, lo, hi)) =>
+          val dt = toSparkType(meta.colTypes(src))
+          d.filter(col(s"`$src`")
+            .between(lit(lo).cast(dt), lit(hi).cast(dt)))
+      }
       colRange.map { case (name, lo, hi) =>
-        base.filter(col(s"`$name`").between(lo, hi))
-      }.getOrElse(base)
+        ranged.filter(col(s"`$name`").between(lo, hi))
+      }.getOrElse(ranged)
     }
   }
 
@@ -734,6 +937,24 @@ object Iceberg {
     else when(p.startsWith(loc),
       concat(lit(r), substring(p, loc.length + 1, Int.MaxValue)))
       .otherwise(p)
+  }
+
+  /** Spark type -> Iceberg type string (composer direction). */
+  private def icebergTypeName(
+      dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.LongType      => "long"
+    case org.apache.spark.sql.types.IntegerType   => "int"
+    case org.apache.spark.sql.types.DoubleType    => "double"
+    case org.apache.spark.sql.types.FloatType     => "float"
+    case org.apache.spark.sql.types.StringType    => "string"
+    case org.apache.spark.sql.types.BooleanType   => "boolean"
+    case org.apache.spark.sql.types.DateType      => "date"
+    case org.apache.spark.sql.types.TimestampType => "timestamptz"
+    case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+    case d: org.apache.spark.sql.types.DecimalType =>
+      s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"iceberg composer: unsupported column type $other")
   }
 
   private def toSparkType(t: String): org.apache.spark.sql.types.DataType = {
@@ -841,24 +1062,40 @@ object Iceberg {
                  sortBy: Option[String] = None): Unit =
     writeTablePartitioned(df, tableDir, Seq(partCol), sortBy)
 
-  /** The general composer: N identity partition fields. `fieldIdOf`
-    * assigns spec field ids (default: position + 1) — non-contiguous
-    * ids exercise the id-based resolution path the way externally-
-    * written tables do.
+  /** The general identity composer: N identity partition fields.
+    * `fieldIdOf` assigns spec field ids (default: position + 1) —
+    * non-contiguous ids exercise the id-based resolution path the way
+    * externally-written tables do.
     */
   def writeTablePartitioned(df: DataFrame, tableDir: String,
                             partCols: Seq[String],
                             sortBy: Option[String] = None,
                             fieldIdOf: Map[String, Int] = Map.empty)
+      : Unit =
+    writeTableTransformed(df, tableDir, partCols.map(c => (c, "identity")),
+      sortBy, fieldIdOf)
+
+  /** The fully general composer: each spec entry is (source column,
+    * spec transform string) — `identity`, `bucket[N]`, `truncate[W]`,
+    * `year`, `month`, `day`, `hour`. Derived partition fields follow
+    * the spec's naming convention (`src_bucket`, `src_day`, …); the
+    * layout column is the transform computed INSIDE the one
+    * `partitionBy` write job (codegen'd — bucket is the vector-pinned
+    * murmur3 expression), so the O(1)-jobs composer contract holds for
+    * every transform.
+    */
+  def writeTableTransformed(df: DataFrame, tableDir: String,
+                            specs: Seq[(String, String)],
+                            sortBy: Option[String] = None,
+                            fieldIdOf: Map[String, Int] = Map.empty)
       : Unit = {
-    require(partCols.nonEmpty, "iceberg composer: need >= 1 partition col")
-    val partFields = partCols.map { c =>
-      c -> (df.schema(c).dataType.typeName match {
-        case "string" => "string"
-        case "long" | "integer" => "long"
-        case other => throw new IllegalArgumentException(
-          s"iceberg composer: unsupported partition type $other")
-      })
+    require(specs.nonEmpty, "iceberg composer: need >= 1 partition field")
+    val partFields = specs.map { case (src, tr) =>
+      val srcType = icebergTypeName(df.schema(src).dataType)
+      val name =
+        if (tr == "identity") src
+        else s"${src}_${tr.takeWhile(_ != '[')}"
+      PartField.of(name, src, tr, srcType)
     }
     val ids: Map[String, Int] = df.schema.fieldNames.zipWithIndex.map {
       case (n, i) => n -> fieldIdOf.getOrElse(n, i + 1)
@@ -872,30 +1109,15 @@ object Iceberg {
     writeAvro(listPath, manifestFileSchema, listRecords, Map.empty)
 
     // table metadata JSON (v1) + version hint
-    val typeName: org.apache.spark.sql.types.DataType => String = {
-      case org.apache.spark.sql.types.LongType      => "long"
-      case org.apache.spark.sql.types.IntegerType   => "int"
-      case org.apache.spark.sql.types.DoubleType    => "double"
-      case org.apache.spark.sql.types.FloatType     => "float"
-      case org.apache.spark.sql.types.StringType    => "string"
-      case org.apache.spark.sql.types.BooleanType   => "boolean"
-      case org.apache.spark.sql.types.DateType      => "date"
-      case org.apache.spark.sql.types.TimestampType => "timestamptz"
-      case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
-      case d: org.apache.spark.sql.types.DecimalType =>
-        s"decimal(${d.precision}, ${d.scale})"
-      case other => throw new IllegalArgumentException(
-        s"iceberg composer: unsupported column type $other")
-    }
     val fieldsJson = df.schema.fields.map { f =>
       s"""{"id": ${ids(f.name)}, "name": "${f.name}", "required": false,
-         | "type": "${typeName(f.dataType)}"}""".stripMargin
+         | "type": "${icebergTypeName(f.dataType)}"}""".stripMargin
     }.mkString(",\n      ")
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft-iceberg:$tableDir".getBytes(UTF_8))
-    val specJson = partCols.zipWithIndex.map { case (c, i) =>
-      s"""{"name": "$c", "transform": "identity",
-         |  "source-id": ${ids(c)},
+    val specJson = partFields.zipWithIndex.map { case (f, i) =>
+      s"""{"name": "${f.name}", "transform": "${f.transform}",
+         |  "source-id": ${ids(f.sourceCol)},
          |  "field-id": ${1000 + i}}""".stripMargin
     }.mkString("[", ",\n ", "]")
     // spec name-mapping: field id -> the name written into data files
@@ -1239,7 +1461,7 @@ object Iceberg {
       s"iceberg rename: no column '$from' in ${meta.columns}")
     require(!meta.columns.contains(to),
       s"iceberg rename: column '$to' already exists")
-    require(!meta.partFields.exists(_._1 == from),
+    require(!meta.partFields.exists(_.sourceCol == from),
       s"iceberg rename: '$from' is a partition source column " +
         "(not renameable in this subset)")
     val fs = new HPath(tableDir).getFileSystem(hconf)
@@ -1367,7 +1589,7 @@ object Iceberg {
     val meta = currentMetadata(tableDir)
     require(meta.columns.contains(name),
       s"iceberg drop: no column '$name' in ${meta.columns}")
-    require(!meta.partFields.exists(_._1 == name),
+    require(!meta.partFields.exists(_.sourceCol == name),
       s"iceberg drop: '$name' is a partition source column")
     require(meta.columns.size > 1,
       "iceberg drop: cannot drop the last column")
@@ -1539,17 +1761,20 @@ object Iceberg {
     * tuples.
     */
   private def composeSnapshotManifests(df0: DataFrame, tableDir: String,
-                                       partFields: Seq[(String, String)],
+                                       partFields: Seq[PartField],
                                        snapId: Long, dataRoot: String,
                                        sortBy: Option[String],
                                        fileFieldIds: Map[String, Int])
       : Seq[GenericRecord] = {
     val spark = df0.sparkSession
     val fs = new HPath(tableDir).getFileSystem(hconf)
-    val partNames = partFields.map(_._1)
+    val partNames = partFields.map(_.name)
     val dupNames = partNames.map(n => s"__gp_$n")
-    val withDup = partNames.zip(dupNames).foldLeft(df0) {
-      case (d, (n, g)) => d.withColumn(g, col(s"`$n`"))
+    // the layout column is the TRANSFORM of the source (identity
+    // duplicates it) — computed codegen'd inside the one write job
+    val withDup = partFields.zip(dupNames).foldLeft(df0) {
+      case (d, (f, g)) =>
+        d.withColumn(g, transformColumn(f, col(s"`${f.sourceCol}`")))
     }
     val clustered = sortBy match {
       case Some(c) =>
@@ -1575,10 +1800,13 @@ object Iceberg {
         val raw = unescapePathName(
           nm.substring(dupNames(depth).length + 1))
         require(raw != "__HIVE_DEFAULT_PARTITION__",
-          s"iceberg composer: NULL value in partition column " +
-            s"${partNames(depth)} (identity partitions must be non-null)")
-        val v: Any =
-          if (partFields(depth)._2 == "long") raw.toLong else raw
+          s"iceberg composer: NULL value in partition field " +
+            s"${partNames(depth)} (partition sources must be non-null)")
+        val v: Any = partFields(depth).resType match {
+          case "long" => raw.toLong
+          case "int"  => raw.toInt
+          case _      => raw
+        }
         leaves(st.getPath, depth + 1, acc :+ v)
       }
     val tuples = leaves(new HPath(dataRoot), 0, Seq.empty)

@@ -75,7 +75,7 @@ class IcebergSpec extends SparkSpec {
     assert(Iceberg.scan(spark, dir).count() === df.count())
   }
 
-  test("format-version 3 and non-identity transforms are rejected " +
+  test("format-version 3 and unsupported transforms are rejected " +
        "loudly, never half-read") {
     val (dir, _) = fixture()
     val metaPath = java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json")
@@ -92,7 +92,7 @@ class IcebergSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("format-version"))
     java.nio.file.Files.write(metaPath,
-      v1.replace("\"transform\": \"identity\"", "\"transform\": \"bucket[4]\"")
+      v1.replace("\"transform\": \"identity\"", "\"transform\": \"void\"")
         .getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException] {
       Iceberg.currentMetadata(dir)
@@ -238,8 +238,9 @@ class IcebergSpec extends SparkSpec {
     Iceberg.writeTablePartitioned(a, dir, Seq("l_returnflag", "bucket"))
     Iceberg.appendToTable(b, dir)
     val meta = Iceberg.currentMetadata(dir)
-    assert(meta.partFields === Seq(("l_returnflag", "string"),
-      ("bucket", "long")))
+    assert(meta.partFields.map(f => (f.name, f.resType)) ===
+      Seq(("l_returnflag", "string"), ("bucket", "long")))
+    assert(meta.partFields.forall(_.isIdentity))
     assert(Iceberg.scan(spark, dir).collect().map(_.toSeq).toSet ===
       df.collect().map(_.toSeq).toSet)
     val (fAll, _, total) = Iceberg.prunedDataFiles(dir, None)
