@@ -1574,6 +1574,32 @@ object Iceberg {
       (meta.version + 1).toString)
   }
 
+  /** Auto-compaction threshold — the bounded-merge-depth policy for
+    * CDC-shaped workloads: every upsert/delete commit adds one
+    * anti-join tier to the merge-on-read scan until [[compactTable]]
+    * folds them, so a long-running feed compacts every N row-level
+    * commits. This helper counts the row-level (overwrite/delete)
+    * snapshots since the last replace and compacts when the debt
+    * reaches `every`; returns whether it compacted. The streaming
+    * upsert sink calls it per batch — O(1) metadata reads when below
+    * threshold. NOTE: a replace snapshot breaks incremental diffs
+    * across it ([[incrementalScan]] refuses loudly) — pollOnce
+    * consumers of a compacting table must poll between compactions or
+    * re-bootstrap, exactly the documented maintenance trade.
+    */
+  def compactIfStacked(spark: SparkSession, tableDir: String,
+                       every: Int): Boolean = {
+    require(every >= 1, s"compactIfStacked: every must be >= 1, got $every")
+    val meta = currentMetadata(tableDir)
+    val ops = meta.snapshots.map { case (id, _) =>
+      meta.snapshotOps.getOrElse(id, "append")
+    }
+    val debt = ops.reverse.takeWhile(_ != "replace")
+      .count(op => op == "overwrite" || op == "delete")
+    if (debt >= every) { compactTable(spark, tableDir); true }
+    else false
+  }
+
   /** Metadata-only DROP COLUMN: the field leaves the schema (scans
     * stop selecting it — data files keep the physical bytes, which is
     * the spec's contract: drop is a metadata op, compaction eventually

@@ -69,10 +69,21 @@ object IcebergStream {
     * delete retires the first attempt's identical rows). The law in
     * IcebergStreamSpec: after any batches + replays, the scan equals
     * latest-wins over everything sent.
+    *
+    * `compactEvery` bounds the MERGE-ON-READ DEPTH of a long-running
+    * feed: each upsert commit adds one anti-join tier to the scan
+    * until compaction folds them, so with the knob set the sink calls
+    * [[Iceberg.compactIfStacked]] after each batch — at most N
+    * row-level commits ever stack (the IcebergStreamSpec law:
+    * mid-stream compaction changes no answer). 0 = never (callers run
+    * their own maintenance); compaction breaks incremental diffs
+    * across it, so pair a compacting writer with re-bootstrappable
+    * consumers.
     */
   def upsertIncremental(stream: DataFrame, tableDir: String,
                         partCol: String, keyCols: Seq[String],
-                        orderCol: String): StreamingQuery =
+                        orderCol: String,
+                        compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
@@ -89,8 +100,14 @@ object IcebergStream {
           .select(cols.map(c => col(s"`$c`")): _*)
         if (!Iceberg.tableExists(tableDir))
           Iceberg.writeTable(latest, tableDir, partCol)
-        else if (!latest.isEmpty)
+        else if (!latest.isEmpty) {
           Iceberg.upsertTable(latest, tableDir, keyCols)
+          if (compactEvery > 0) {
+            Iceberg.compactIfStacked(batch.sparkSession, tableDir,
+              compactEvery)
+            ()
+          }
+        }
       }
       .start()
 

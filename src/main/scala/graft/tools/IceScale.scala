@@ -68,6 +68,47 @@ object IceScale {
     timed("scanAfterDel") {
       println("rows=" + graft.sources.Iceberg.scan(spark, wide).count())
     }
+
+    // ---- stacked-upsert merge-on-read depth (the CDC-feed shape):
+    //      one anti-join tier per equality-delete commit until
+    //      compaction folds them. Measures scan wall + executed-plan
+    //      anti-join count at 1/10/25/50 stacked upserts, then after
+    //      one compactTable — the evidence behind the compactEvery
+    //      knob's default guidance. ----
+    {
+      val base = li.where(col("l_orderkey") % 4 === 0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_icescale_ups").toString + "/tbl"
+      graft.sources.Iceberg.writeTable(base, dir, "l_returnflag")
+      def measure(tag: String): Unit = {
+        val t0 = System.nanoTime()
+        val scan = graft.sources.Iceberg.scan(spark, dir)
+        val rows = scan.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // AQE: read the final plan AFTER execution
+        val plan = scan.queryExecution.executedPlan.toString
+        val tiers = "LeftAnti".r.findAllIn(plan).length
+        println(f"$tag%-14s rows=$rows%8d antiJoins=$tiers%3d " +
+          f"scanWall=$wall%6.2fs")
+      }
+      var done = 0
+      for (k <- Seq(1, 10, 25, 50)) {
+        while (done < k) {
+          // rotating key slices: each commit retires a different sliver
+          val batch = base
+            .where(col("l_orderkey") % 200 === (done % 50) * 4)
+            .withColumn("l_quantity", col("l_quantity") + done + 1.0)
+          graft.sources.Iceberg.upsertTable(batch, dir,
+            Seq("l_orderkey", "l_linenumber"))
+          done += 1
+        }
+        measure(s"upserts$k")
+      }
+      timed("compact") {
+        graft.sources.Iceberg.compactTable(spark, dir)
+      }
+      measure("postCompact")
+    }
     spark.stop()
   }
 }

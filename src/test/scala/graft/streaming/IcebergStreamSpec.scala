@@ -99,6 +99,51 @@ class IcebergStreamSpec extends SparkSpec {
     assert(Iceberg.currentDeleteFiles(dir).isEmpty)
   }
 
+  test("bounded merge depth (compactEvery): mid-stream auto-compaction " +
+       "changes NO answer — the scan still equals latest-wins, history " +
+       "shows replace snapshots, and the row-level commit debt stays " +
+       "under the threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceups_compact").toString + "/tbl"
+    val q = IcebergStream.upsertIncremental(
+      mem.toDF().toDF("id", "part", "v", "ts"), dir,
+      partCol = "part", keyCols = Seq("id"), orderCol = "ts",
+      compactEvery = 2)
+    // 7 batches: build + 6 upserts -> with compactEvery=2 the sink
+    // must compact (at least) every second row-level commit
+    for (i <- 1 to 7) {
+      mem.addData((1L, "A", 10L * i, i.toLong),
+        (i.toLong + 10, "B", i.toLong, i.toLong))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = Iceberg.scan(spark, dir)
+      .select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 70L)) ++
+      (1 to 7).map(i => (i.toLong + 10, i.toLong)).toSet
+    assert(got === want, "latest-wins unaffected by mid-stream compaction")
+    val meta = Iceberg.currentMetadata(dir)
+    val ops = meta.snapshots.map { case (id, _) =>
+      meta.snapshotOps.getOrElse(id, "append")
+    }
+    assert(ops.contains("replace"),
+      s"expected replace snapshots in the history, got $ops")
+    val debt = ops.reverse.takeWhile(_ != "replace")
+      .count(op => op == "overwrite" || op == "delete")
+    assert(debt < 2, s"commit debt $debt must stay under the threshold")
+    // the merged scan carries at most the debt's anti-join tiers
+    val scan = Iceberg.scan(spark, dir)
+    scan.count()
+    val tiers = "LeftAnti".r
+      .findAllIn(scan.queryExecution.executedPlan.toString).length
+    assert(tiers <= 2 * debt + 1,
+      s"anti-join tiers $tiers exceed the bounded debt $debt")
+  }
+
   test("read-side CDC twin (pollOnce): over ANY poll/commit " +
        "interleaving the union of processed rows equals the final full " +
        "scan; a crash before the cursor advance replays the delta; an " +
