@@ -1706,25 +1706,41 @@ object Iceberg {
       (meta.version + 1).toString)
   }
 
-  /** Expire every snapshot except the current one — the spec's
-    * `expire_snapshots` maintenance op, time travel's pair: history
-    * metadata is dropped and any manifest list / manifest / data or
-    * delete file reachable ONLY from expired snapshots is deleted.
-    * With the append-only composer every prior manifest is reused by
-    * the current snapshot, so in practice this deletes the old
-    * manifest LISTS and the time-travel entries; the reachability
-    * walk is still done properly so overwrite/compaction composers
-    * inherit correct orphan deletion. Metadata goes out as v(N+1)
-    * with a single-snapshot history.
+  /** Expire old snapshots — the spec's `expire_snapshots` maintenance
+    * op, time travel's pair: history metadata is dropped and any
+    * manifest list / manifest / data or delete file reachable ONLY
+    * from expired snapshots is deleted. `retainLast` keeps the N
+    * most recent snapshots (the current one always survives) — the
+    * STREAMING-SINK retention knob: a snapshot-per-minute feed grows
+    * 10k metadata entries a week unless the sink trims behind itself,
+    * and a retained window lets lagging pollOnce consumers (cursor
+    * within the last N) keep reading incremental deltas while anything
+    * older fails loudly (never a silently wrong delta). With the
+    * append-only composer every prior manifest is reused by the
+    * current snapshot, so in practice this deletes old manifest LISTS
+    * and time-travel entries; the reachability walk is still done
+    * properly so overwrite/compaction composers inherit correct orphan
+    * deletion. Metadata goes out as v(N+1) with the trimmed history.
     */
-  def expireSnapshots(tableDir: String): Unit = {
+  def expireSnapshots(tableDir: String, retainLast: Int = 1): Unit = {
+    require(retainLast >= 1,
+      s"expireSnapshots: retainLast must be >= 1, got $retainLast")
     val meta = currentMetadata(tableDir)
     val fs = new HPath(tableDir).getFileSystem(hconf)
-    val keepManifests = readAvro(meta.rebase(meta.manifestList))
-      .map(r => meta.rebase(r.get("manifest_path").toString)).toSet
+    val keepIds = meta.snapshots.map(_._1).sorted
+      .takeRight(retainLast).toSet + meta.currentSnapshotId
+    if (keepIds.size == meta.snapshots.size) return // nothing to expire
+    // everything reachable from ANY kept snapshot survives
+    val keepManifests = meta.snapshots
+      .filter { case (id, _) => keepIds(id) }
+      .map { case (_, l) => meta.rebase(l) }
+      .filter(lp => fs.exists(new HPath(lp)))
+      .flatMap(lp => readAvro(lp)
+        .map(r => meta.rebase(r.get("manifest_path").toString)))
+      .toSet
     val keepFiles = keepManifests.flatMap(mp =>
       manifestEntries(mp, meta).map(_.path))
-    for ((id, list) <- meta.snapshots if id != meta.currentSnapshotId) {
+    for ((id, list) <- meta.snapshots if !keepIds(id)) {
       val lp = meta.rebase(list)
       if (fs.exists(new HPath(lp))) {
         val mans = readAvro(lp)
@@ -1739,7 +1755,7 @@ object Iceberg {
         fs.delete(new HPath(lp), false)
       }
     }
-    // v(N+1): same metadata, history cut to the current snapshot
+    // v(N+1): same metadata, history cut to the retained window
     val oldMetaPath =
       new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json")
     val in = fs.open(oldMetaPath)
@@ -1748,12 +1764,13 @@ object Iceberg {
     finally in.close()
     val snapsNode = root.withArray[com.fasterxml.jackson.databind.node
       .ArrayNode]("snapshots")
-    val keep = (0 until snapsNode.size()).map(snapsNode.get)
-      .find(_.path("snapshot-id").asLong() == meta.currentSnapshotId)
-      .getOrElse(throw new IllegalStateException(
-        "current snapshot vanished from metadata"))
+    val kept = (0 until snapsNode.size()).map(snapsNode.get)
+      .filter(n => keepIds(n.path("snapshot-id").asLong()))
+    require(kept.exists(
+      _.path("snapshot-id").asLong() == meta.currentSnapshotId),
+      "current snapshot vanished from metadata")
     snapsNode.removeAll()
-    snapsNode.add(keep)
+    kept.foreach(snapsNode.add)
     writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
       om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     writeText(s"$tableDir/metadata/version-hint.text",

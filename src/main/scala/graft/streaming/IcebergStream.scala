@@ -30,8 +30,17 @@ import graft.sources.Iceberg
   */
 object IcebergStream {
 
+  /** `retainLast` (0 = keep all) trims snapshot history behind the
+    * sink: after each committed batch, [[Iceberg.expireSnapshots]]
+    * keeps the last N snapshots — at a batch per minute a week of
+    * history is 10k metadata entries unless the sink GCs behind
+    * itself. Lagging pollOnce consumers keep working while their
+    * cursor stays inside the retained window; older cursors fail
+    * loudly (the IcebergStreamSpec retention law).
+    */
   def appendIncremental(stream: DataFrame, tableDir: String,
-                        partCol: String, idCol: String): StreamingQuery =
+                        partCol: String, idCol: String,
+                        retainLast: Int = 0): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -51,7 +60,11 @@ object IcebergStream {
         // column order survives the anti-join reorder
         val out = fresh.select(cols.map(c => col(s"`$c`")): _*)
         if (!tableExists) Iceberg.writeTable(out, tableDir, partCol)
-        else if (!out.isEmpty) Iceberg.appendToTable(out, tableDir)
+        else if (!out.isEmpty) {
+          Iceberg.appendToTable(out, tableDir)
+          if (retainLast > 0)
+            Iceberg.expireSnapshots(tableDir, retainLast)
+        }
       }
       .start()
 
@@ -83,7 +96,8 @@ object IcebergStream {
   def upsertIncremental(stream: DataFrame, tableDir: String,
                         partCol: String, keyCols: Seq[String],
                         orderCol: String,
-                        compactEvery: Int = 0): StreamingQuery =
+                        compactEvery: Int = 0,
+                        retainLast: Int = 0): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
@@ -107,6 +121,8 @@ object IcebergStream {
               compactEvery)
             ()
           }
+          if (retainLast > 0)
+            Iceberg.expireSnapshots(tableDir, retainLast)
         }
       }
       .start()

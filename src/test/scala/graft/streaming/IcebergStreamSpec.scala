@@ -144,6 +144,53 @@ class IcebergStreamSpec extends SparkSpec {
       s"anti-join tiers $tiers exceed the bounded debt $debt")
   }
 
+  test("snapshot retention (retainLast): expiry during a stream " +
+       "changes neither the scan nor pollOnce deltas ahead of a " +
+       "cursor inside the retained window; a cursor expired past " +
+       "fails loudly, never a silently wrong delta") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_iceretain_spec").toString
+    val dir = s"$base/tbl"; val cursor = s"$base/cursor"
+    val q = IcebergStream.appendIncremental(
+      mem.toDF().toDF("id", "part", "v"), dir,
+      partCol = "part", idCol = "id", retainLast = 3)
+    def batch(lo: Long): Seq[(Long, String, Long)] =
+      (lo until lo + 5).map(i => (i, if (i % 2 == 0) "A" else "B", i * 10))
+    // two batches, then a poll pins the cursor at the current snapshot
+    mem.addData(batch(0): _*); q.processAllAvailable()
+    mem.addData(batch(10): _*); q.processAllAvailable()
+    var seen = Set.empty[Long]
+    IcebergStream.pollOnce(spark, dir, cursor) { df =>
+      seen ++= df.select(col("id")).collect().map(_.getLong(0))
+    }
+    assert(seen === (batch(0) ++ batch(10)).map(_._1).toSet)
+    // two MORE batches: retention (retainLast=3) expires the first
+    // snapshot, but the cursor's snapshot stays inside the window
+    mem.addData(batch(20): _*); q.processAllAvailable()
+    mem.addData(batch(30): _*); q.processAllAvailable()
+    q.stop()
+    val meta = Iceberg.currentMetadata(dir)
+    assert(meta.snapshots.size === 3,
+      s"retention must trim history to 3, got ${meta.snapshots.size}")
+    // the full scan is unaffected by expiry
+    assert(Iceberg.scan(spark, dir).count() === 20L)
+    // the poll ahead of the in-window cursor yields exactly the delta
+    var delta = Set.empty[Long]
+    IcebergStream.pollOnce(spark, dir, cursor) { df =>
+      delta ++= df.select(col("id")).collect().map(_.getLong(0))
+    }
+    assert(delta === (batch(20) ++ batch(30)).map(_._1).toSet)
+    // a cursor expired PAST the window fails loudly on the next poll
+    java.nio.file.Files.write(java.nio.file.Paths.get(cursor),
+      "1".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      IcebergStream.pollOnce(spark, dir, cursor)(_ => ())
+    }
+  }
+
   test("read-side CDC twin (pollOnce): over ANY poll/commit " +
        "interleaving the union of processed rows equals the final full " +
        "scan; a crash before the cursor advance replays the delta; an " +
