@@ -3975,6 +3975,28 @@ object SparkEntry {
         .orderBy(col("qid"))
     }),
 
+    // ---- recall@5 of the LSH-bucketed path vs the brute-force truth —
+    //      the last index family without an acceptance gate (IVF/PQ/SQ8
+    //      got theirs in r11/r13): exact integer INTERSECT hit counts
+    //      decide whether the banding admits enough true neighbors ----
+    "q_lsh_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Similarity.bruteForceTopK(qs, e, k = 5)
+        .select(col("qid"), col("cid"))
+      val approx = graft.operators.Similarity.lshTopK(qs, e, k = 5)
+        .select(col("qid"), col("cid"))
+      val hits = exact.intersect(approx)
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0)
+            .as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // ---- north star: content-defined chunking dedup (FastCDC family) —
     //      boundaries from the positional rolling hash (insertion-stable,
     //      unlike fixed-width q_dedup_chunks); shared blocks collapse to
@@ -6902,6 +6924,62 @@ object SparkEntry {
          |      i -> qq.qv[i + 1] * e.dq[i + 1])) AS BIGINT) AS score
          |  FROM (SELECT vec_id, qv FROM q WHERE vec_id < 10) qq, enc e
          |  WHERE qq.vec_id <> e.cid),
+         |ap AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+         |    FROM sc) WHERE rnk <= 5),
+         |h AS (
+         |  SELECT qid, count(*) AS n_hits FROM (
+         |    SELECT qid, cid FROM ex INTERSECT SELECT qid, cid FROM ap)
+         |  GROUP BY qid)
+         |SELECT bq.qid AS qid,
+         |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM bq LEFT JOIN h ON bq.qid = h.qid
+         |ORDER BY qid""".stripMargin,
+
+    // recall@5 of the LSH-bucketed path vs brute force —
+    // q_simsearch_lsh's proven CTEs as the `ap` branch, the pq/sq
+    // INTERSECT device for the hit counts
+    "q_lsh_recall" ->
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS bqv
+         |            FROM embeddings WHERE vec_id < 10),
+         |bc AS (SELECT vec_id AS bcid, embedding AS bcv FROM embeddings),
+         |bs AS (
+         |  SELECT qid, bcid AS cid, ${qdotSql("bqv", "bcv")} AS score
+         |  FROM bq, bc WHERE qid != bcid),
+         |ex AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+         |    FROM bs) WHERE rnk <= 5),
+         |hp AS (
+         |  SELECT j, list_transform(range(0, 64),
+         |    d -> (1103515245 * (j*64 + d) + 12345) % 2001 - 1000) AS h
+         |  FROM (SELECT unnest(range(0, 12)) AS j)),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT q.vec_id, hp.j,
+         |    CASE WHEN list_sum(list_transform(list_zip(q.qv, hp.h),
+         |      z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM q, hp),
+         |bandkeys AS (
+         |  SELECT vec_id, j // 3 AS band, sum(bit * (1 << (j % 3))) AS bk
+         |  FROM b GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS cid
+         |  FROM bandkeys x JOIN bandkeys y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |  WHERE x.vec_id < 10 AND x.vec_id != y.vec_id),
+         |sc AS (
+         |  SELECT c.qid, c.cid,
+         |    ${qdotSql("a.embedding", "b.embedding")} AS score
+         |  FROM cand c JOIN embeddings a ON c.qid = a.vec_id
+         |              JOIN embeddings b ON c.cid = b.vec_id),
          |ap AS (
          |  SELECT qid, cid FROM (
          |    SELECT qid, cid, row_number() OVER (

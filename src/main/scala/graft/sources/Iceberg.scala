@@ -1944,14 +1944,14 @@ object Iceberg {
   // small IO helpers
   // ---------------------------------------------------------------
 
-  private def readAvro(path: String): Seq[GenericRecord] = {
+  private[sources] def readAvro(path: String): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](
       new FsInput(new HPath(path), hconf),
       new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.toList finally r.close()
   }
 
-  private def writeAvro(path: String, schema: Schema,
+  private[sources] def writeAvro(path: String, schema: Schema,
                         records: Seq[GenericRecord],
                         meta: Map[String, String]): Unit = {
     val fs = new HPath(path).getFileSystem(hconf)
