@@ -42,7 +42,10 @@ object Readers {
         // pipelines drive it: `iceberg.partitionEq` (first-field
         // sugar), `iceberg.partitionEqs` ("k=v,k=v" conjunction),
         // `iceberg.asOf` (snapshot id — time travel),
-        // `iceberg.colRange` ("col:lo:hi" long-column stats skip).
+        // `iceberg.colRange` ("col:lo:hi" long-column stats skip),
+        // `iceberg.sourceRange` ("col:lo:hi" source-value window
+        // pruned through order-preserving partition transforms —
+        // day/month/year/truncate tables).
         val eqs = job.options.get("iceberg.partitionEqs")
           .map(_.split(",").map { kv =>
             val Array(k, v) = kv.split("=", 2)
@@ -52,11 +55,16 @@ object Readers {
           val Array(c, lo, hi) = s.split(":")
           (c.trim, lo.trim.toLong, hi.trim.toLong)
         }
+        val srcRange = job.options.get("iceberg.sourceRange").map { s =>
+          val Array(c, lo, hi) = s.split(":")
+          (c.trim, lo.trim, hi.trim)
+        }
         graft.sources.Iceberg.scan(spark, job.source,
           partitionEq = job.options.get("iceberg.partitionEq"),
           asOf = job.options.get("iceberg.asOf").map(_.trim.toLong),
           colRange = range,
-          partitionEqs = eqs)
+          partitionEqs = eqs,
+          sourceRange = srcRange)
       case SourceFormat.Bigquery =>
         // Connector jar absent in this environment (offline coursier);
         // the call shape is the production wiring (`load` takes the

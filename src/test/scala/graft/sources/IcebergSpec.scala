@@ -295,6 +295,11 @@ class IcebergSpec extends SparkSpec {
       options = Map("iceberg.colRange" -> s"l_orderkey:$lo:$hi")))
     assert(ranged.count() ===
       df.filter(col("l_orderkey").between(lo, hi)).count())
+    val srcRanged = Readers.read(spark, JobSpec(source = dir, target = "t",
+      format = Some(SourceFormat.Iceberg),
+      options = Map("iceberg.sourceRange" -> "l_returnflag:A:N")))
+    assert(srcRanged.count() ===
+      df.filter(col("l_returnflag").between("A", "N")).count())
   }
 
   test("DROP COLUMN is metadata-only and a re-added column of the same " +
