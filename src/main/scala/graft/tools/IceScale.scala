@@ -69,6 +69,38 @@ object IceScale {
       println("rows=" + graft.sources.Iceberg.scan(spark, wide).count())
     }
 
+    // ---- realistic day-partition cardinality: day(o_orderdate) over
+    //      the FULL orders table (~2400 daily tuples over the TPC-H
+    //      date range) — the shape a real lakehouse table has. Checks
+    //      the one-write-job law at 20x the 101-tuple census and
+    //      measures the driver-side manifest-composition tail. ----
+    {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_icescale_days").toString + "/tbl"
+      val group = "icescale-days"
+      spark.sparkContext.setJobGroup(group, group, false)
+      val t0 = System.nanoTime()
+      graft.sources.Iceberg.writeTableTransformed(orders, dir,
+        Seq(("o_orderdate", "day")))
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      val jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(group).length
+      val meta = graft.sources.Iceberg.currentMetadata(dir)
+      val tuples = graft.sources.Iceberg.manifestList(meta).size
+      println(f"daysFull       tuples=$tuples%4d jobs=$jobs%2d " +
+        f"wall=$secs%6.2fs")
+      val t1 = System.nanoTime()
+      val (_, read, total) = graft.sources.Iceberg.prunedDataFiles(dir,
+        None, sourceRange = Some(("o_orderdate",
+          "1996-02-01", "1996-02-14")))
+      println(f"daysFullProbe  read=$read%4d of $total%4d " +
+        f"wall=${(System.nanoTime() - t1) / 1e9}%6.2fs")
+    }
+
     // ---- stacked-upsert merge-on-read depth (the CDC-feed shape):
     //      one anti-join tier per equality-delete commit until
     //      compaction folds them. Measures scan wall + executed-plan

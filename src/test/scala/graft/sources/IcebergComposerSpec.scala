@@ -95,6 +95,57 @@ class IcebergComposerSpec extends SparkSpec {
     }
   }
 
+  test("manifest grouping above the 128-manifest cap: a 301-tuple " +
+       "table composes <= 128 manifests with DISJOINT value-ordered " +
+       "windows covering their tuples; a point probe opens ONE " +
+       "manifest and the scan stays exact") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("k", (col("l_orderkey") % 301).cast("long"))
+    val dir = tmp("grouping")
+    Iceberg.writeTable(df, dir, "k")
+    val meta = Iceberg.currentMetadata(dir)
+    val mans = Iceberg.manifestList(meta)
+    val tuples = df.select(col("k")).distinct().count()
+    assert(tuples > 128, s"fixture must exceed the cap, got $tuples")
+    assert(mans.size <= 128 && mans.size > 1,
+      s"grouping must cap manifests at 128, got ${mans.size}")
+    // windows are value-ordered and DISJOINT, and each manifest's
+    // entries fall inside its window
+    val windows = mans.map(m => (m.bounds.head.lower.get.asInstanceOf[Long],
+      m.bounds.head.upper.get.asInstanceOf[Long]))
+    windows.sliding(2).foreach {
+      case Seq((_, aHi), (bLo, _)) =>
+        assert(aHi < bLo, "group windows must be disjoint and ordered")
+      case _ =>
+    }
+    mans.foreach { m =>
+      val (lo, hi) = (m.bounds.head.lower.get.asInstanceOf[Long],
+        m.bounds.head.upper.get.asInstanceOf[Long])
+      Iceberg.manifestEntries(m.path, meta).foreach { e =>
+        val v = e.partition("k").asInstanceOf[Long]
+        assert(v >= lo && v <= hi, s"entry $v outside window [$lo,$hi]")
+      }
+    }
+    // a point probe (an existing median tuple value) opens exactly
+    // the one group containing it
+    val ks = df.select(col("k")).distinct().orderBy(col("k"))
+      .collect().map(_.getLong(0))
+    val probeK = ks(ks.length / 2)
+    val (files, read, total) =
+      Iceberg.prunedDataFiles(dir, Some(probeK.toString))
+    assert(total === mans.size && read === 1,
+      s"point probe must open 1 of $total manifests, read $read")
+    assert(files.nonEmpty)
+    val got = Iceberg.scan(spark, dir, Some(probeK.toString))
+      .collect().map(_.toSeq).toSet
+    val want = df.filter(col("k") === probeK).collect().map(_.toSeq).toSet
+    assert(got === want && got.nonEmpty)
+    // the full round trip is unaffected by grouping
+    assert(Iceberg.scan(spark, dir).count() === df.count())
+  }
+
   // -----------------------------------------------------------------
   // v2 position deletes / merge-on-read
   // -----------------------------------------------------------------
