@@ -629,6 +629,26 @@ object SparkEntry {
           col("o_totalprice"), col("o_orderdate"))
     }),
 
+    // ---- Iceberg TRUNCATE[W] partition transform: the table lays out
+    //      by 4000-wide key windows (truncate is ORDER-PRESERVING, so
+    //      both point probes and source ranges prune through it); a
+    //      key range spanning two windows opens two manifests' worth
+    //      of files and the row filter makes the window exact ----
+    "q_iceberg_truncate" -> ((s, dir) => {
+      val path = annIndex("iceberg_trunc", dir) { p =>
+        graft.sources.Iceberg.writeTableTransformed(
+          t(s, dir, "lineitem")
+            .where(col("l_orderkey") % 20 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_returnflag")),
+          p, Seq(("l_orderkey", "truncate[4000]")))
+      }
+      graft.sources.Iceberg.scan(s, path,
+          sourceRange = Some(("l_orderkey", "2000", "9999")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -6055,6 +6075,13 @@ object SparkEntry {
         |  AND TIMESTAMP '1995-02-14'
         |ORDER BY o_orderkey, o_custkey, o_totalprice,
         |  o_orderdate""".stripMargin,
+
+    "q_iceberg_truncate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey % 20 = 0 AND l_orderkey BETWEEN 2000 AND 9999
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  l_returnflag""".stripMargin,
 
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

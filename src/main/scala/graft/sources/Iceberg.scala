@@ -355,6 +355,7 @@ object Iceberg {
       currentSnapshotId: Long,
       snapshots: Seq[(Long, String)], // (snapshot-id, manifest-list)
       snapshotOps: Map[Long, String], // snapshot-id -> summary.operation
+      refs: Map[String, Long],        // ref name -> snapshot id (v2 tags)
       manifestList: String) {         // SELECTED snapshot's manifest list
     /** Relocation support: the spec records absolute file URIs, so a
       * table moved wholesale (the annIndex stage→publish rename, a
@@ -509,9 +510,46 @@ object Iceberg {
           e.path("field-id").asInt() ->
             e.path("names").elements().asScala.next().asText()).toMap
       else Map.empty
+    // v2 refs: named snapshot pointers (tags/branches); readable on
+    // foreign tables, writable here as TAGS via tagSnapshot
+    val refs: Map[String, Long] =
+      if (root.has("refs"))
+        root.path("refs").properties().asScala.map { e =>
+          e.getKey -> e.getValue.path("snapshot-id").asLong()
+        }.toMap
+      else Map.empty
     TableMeta(fv, version, root.path("location").asText(tableDir),
       tableDir, columns, colTypes, fieldIds, nameMapping, partFields,
-      currentId, snaps, snapOps, list)
+      currentId, snaps, snapOps, refs, list)
+  }
+
+  /** TAG a snapshot (v2 refs): a metadata-only named pointer —
+    * `scan(asOf = Some(meta.refs(name)))` time-travels by name, and
+    * [[expireSnapshots]] RETAINS tagged snapshots regardless of the
+    * retain-last window (the spec's refs-pin-expiry rule) — how a
+    * training-data pipeline pins "the exact table state run X trained
+    * on" while routine retention trims everything else.
+    */
+  def tagSnapshot(tableDir: String, name: String,
+                  snapshotId: Option[Long] = None): Unit = {
+    val meta = currentMetadata(tableDir)
+    val id = snapshotId.getOrElse(meta.currentSnapshotId)
+    require(meta.snapshots.exists(_._1 == id),
+      s"iceberg tag: snapshot $id not in " +
+        s"${meta.snapshots.map(_._1).mkString(", ")}")
+    val fs = new HPath(tableDir).getFileSystem(hconf)
+    val in = fs.open(
+      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
+    val root = try om.readTree(in.readAllBytes())
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    val ref = root.withObject("/refs").putObject(name)
+    ref.put("snapshot-id", id)
+    ref.put("type", "tag")
+    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    writeText(s"$tableDir/metadata/version-hint.text",
+      (meta.version + 1).toString)
   }
 
   /** The manifest list: per-manifest paths + partition-bound
@@ -1637,10 +1675,11 @@ object Iceberg {
   }
 
   /** Metadata-only TYPE PROMOTION (schema evolution): widen a column
-    * per the spec's sanctioned promotions — int→long, float→double —
-    * by editing the field's type; no file is touched. Scans read with
-    * the table schema supplied explicitly, so pre-promotion parquet
-    * files (INT32/FLOAT pages) surface as the widened type through the
+    * per the spec's sanctioned promotions — int→long, float→double,
+    * decimal(P,S)→decimal(P',S) with P' > P — by editing the field's
+    * type; no file is touched. Scans read with the table schema
+    * supplied explicitly, so pre-promotion parquet pages (INT32 /
+    * FLOAT / narrow decimal) surface as the widened type through the
     * reader's widening conversion, and post-promotion appends write
     * the wide type natively.
     */
@@ -1650,10 +1689,16 @@ object Iceberg {
     val cur = meta.colTypes.getOrElse(name,
       throw new IllegalArgumentException(
         s"iceberg promote: no column '$name' in ${meta.columns}"))
-    val legal = Set(("int", "long"), ("float", "double"))
-    require(legal((cur, newType)),
+    val DecRe = """decimal\((\d+),\s*(\d+)\)""".r
+    val legal = (cur, newType) match {
+      case ("int", "long") | ("float", "double") => true
+      case (DecRe(p1, s1), DecRe(p2, s2)) =>
+        s1 == s2 && p2.toInt > p1.toInt // precision widens, scale fixed
+      case _ => false
+    }
+    require(legal,
       s"iceberg promote: $cur -> $newType is not a spec promotion " +
-        "(int->long, float->double)")
+        "(int->long, float->double, decimal precision widening)")
     val fs = new HPath(tableDir).getFileSystem(hconf)
     val in = fs.open(
       new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
@@ -1727,8 +1772,11 @@ object Iceberg {
       s"expireSnapshots: retainLast must be >= 1, got $retainLast")
     val meta = currentMetadata(tableDir)
     val fs = new HPath(tableDir).getFileSystem(hconf)
+    // refs PIN snapshots from expiry (the spec rule): a tagged
+    // training-run state survives any retain-last window
     val keepIds = meta.snapshots.map(_._1).sorted
-      .takeRight(retainLast).toSet + meta.currentSnapshotId
+      .takeRight(retainLast).toSet + meta.currentSnapshotId ++
+      meta.refs.values
     if (keepIds.size == meta.snapshots.size) return // nothing to expire
     // everything reachable from ANY kept snapshot survives
     val keepManifests = meta.snapshots

@@ -302,6 +302,43 @@ class IcebergSpec extends SparkSpec {
       df.filter(col("l_returnflag").between("A", "N")).count())
   }
 
+  test("snapshot TAGS (v2 refs): tagSnapshot pins a named table state " +
+       "that survives retention — expiry keeps the tagged snapshot " +
+       "while untagged history inside the trim window is dropped") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    val a = df.where(col("l_orderkey") % 40 === 0)
+    val b = df.where(col("l_orderkey") % 40 === 20)
+    val c = df.where(col("l_orderkey") % 40 === 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_tags").toString
+    Iceberg.writeTable(a, dir, "l_returnflag")
+    Iceberg.tagSnapshot(dir, "train-run-1") // pins snapshot 1
+    Iceberg.appendToTable(b, dir)           // snapshot 2 (untagged)
+    Iceberg.appendToTable(c, dir)           // snapshot 3 (current)
+    Iceberg.expireSnapshots(dir, retainLast = 1)
+    val meta = Iceberg.currentMetadata(dir)
+    assert(meta.refs === Map("train-run-1" -> 1L))
+    assert(meta.snapshots.map(_._1).sorted === Seq(1L, 3L),
+      "tagged snapshot 1 survives, untagged snapshot 2 expires")
+    // time travel BY NAME reproduces the pinned training state exactly
+    val pinned = Iceberg.scan(spark, dir,
+        asOf = Some(meta.refs("train-run-1")))
+      .collect().map(_.toSeq).toSet
+    assert(pinned === a.collect().map(_.toSeq).toSet)
+    // the current scan sees everything; the expired boundary is gone
+    assert(Iceberg.scan(spark, dir).count() ===
+      a.count() + b.count() + c.count())
+    intercept[IllegalArgumentException] {
+      Iceberg.scan(spark, dir, asOf = Some(2L)).collect()
+    }
+    // tagging an unknown snapshot is refused
+    intercept[IllegalArgumentException] {
+      Iceberg.tagSnapshot(dir, "nope", Some(99L))
+    }
+  }
+
   test("DROP COLUMN is metadata-only and a re-added column of the same " +
        "name gets a FRESH field id that never resurrects dropped data " +
        "(the spec's id-reuse prohibition)") {
@@ -337,12 +374,13 @@ class IcebergSpec extends SparkSpec {
   test("TYPE PROMOTION (int->long, float->double) is metadata-only: " +
        "pre-promotion files read back as the widened type, appends " +
        "write it natively, and a narrowing 'promotion' is refused") {
-    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType}
     val df = spark.read.parquet(sf() + "/lineitem.parquet")
       .where(col("l_orderkey") % 20 === 0)
       .select(col("l_orderkey"),
         col("l_linenumber").cast("int").as("l_linenumber"),
         col("l_quantity").cast("float").as("l_quantity"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("l_price"),
         col("l_returnflag"))
     val dir = java.nio.file.Files
       .createTempDirectory("graft_iceberg_promote").toString
@@ -350,25 +388,31 @@ class IcebergSpec extends SparkSpec {
     val before = Iceberg.scan(spark, dir)
     assert(before.schema("l_linenumber").dataType === IntegerType)
     assert(before.schema("l_quantity").dataType === FloatType)
+    assert(before.schema("l_price").dataType === DecimalType(12, 2))
     Iceberg.promoteColumn(dir, "l_linenumber", "long")
     Iceberg.promoteColumn(dir, "l_quantity", "double")
+    Iceberg.promoteColumn(dir, "l_price", "decimal(18, 2)")
     val wide = Iceberg.scan(spark, dir)
     assert(wide.schema("l_linenumber").dataType === LongType)
     assert(wide.schema("l_quantity").dataType === DoubleType)
+    assert(wide.schema("l_price").dataType === DecimalType(18, 2))
     // values are the exact widened originals (int->long is lossless,
-    // float->double widens the same IEEE value)
+    // float->double widens the same IEEE value, decimal keeps scale)
     val want = df
       .select(col("l_orderkey"), col("l_linenumber").cast("long"),
-        col("l_quantity").cast("double"), col("l_returnflag"))
+        col("l_quantity").cast("double"),
+        col("l_price").cast(DecimalType(18, 2)), col("l_returnflag"))
       .collect().map(_.toSeq).toSet
     assert(wide.collect().map(_.toSeq).toSet === want)
-    // post-promotion appends write the wide type; the union scans
+    // post-promotion appends write the wide types; the union scans
     Iceberg.appendToTable(
       df.limit(3)
         .select(col("l_orderkey") + 1000000L,
           col("l_linenumber").cast("long"),
-          col("l_quantity").cast("double"), col("l_returnflag"))
-        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+          col("l_quantity").cast("double"),
+          col("l_price").cast(DecimalType(18, 2)), col("l_returnflag"))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_price",
+          "l_returnflag"),
       dir)
     assert(Iceberg.scan(spark, dir).count() === df.count() + 3)
     // narrowing and sideways moves are refused loudly
@@ -377,6 +421,9 @@ class IcebergSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Iceberg.promoteColumn(dir, "l_returnflag", "long")
+    }
+    intercept[IllegalArgumentException] { // scale change is NOT legal
+      Iceberg.promoteColumn(dir, "l_price", "decimal(20, 4)")
     }
   }
 }
