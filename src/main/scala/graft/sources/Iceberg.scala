@@ -537,19 +537,11 @@ object Iceberg {
     require(meta.snapshots.exists(_._1 == id),
       s"iceberg tag: snapshot $id not in " +
         s"${meta.snapshots.map(_._1).mkString(", ")}")
-    val fs = new HPath(tableDir).getFileSystem(hconf)
-    val in = fs.open(
-      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
-    val root = try om.readTree(in.readAllBytes())
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    finally in.close()
-    val ref = root.withObject("/refs").putObject(name)
-    ref.put("snapshot-id", id)
-    ref.put("type", "tag")
-    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
-      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    writeText(s"$tableDir/metadata/version-hint.text",
-      (meta.version + 1).toString)
+    bumpMetadata(tableDir, meta) { root =>
+      val ref = root.withObject("/refs").putObject(name)
+      ref.put("snapshot-id", id)
+      ref.put("type", "tag")
+    }
   }
 
   /** The manifest list: per-manifest paths + partition-bound
@@ -1140,11 +1132,11 @@ object Iceberg {
     }.toMap
     require(ids.values.toSet.size == ids.size,
       s"iceberg composer: duplicate field ids in $ids")
-    val listRecords = composeSnapshotManifests(df, tableDir, partFields,
+    val composed = composeSnapshotManifests(df, tableDir, partFields,
       snapId = 1L, dataRoot = s"$tableDir/data", sortBy = sortBy,
       fileFieldIds = ids)
     val listPath = s"$tableDir/metadata/snap-1-1.avro"
-    writeAvro(listPath, manifestFileSchema, listRecords, Map.empty)
+    writeAvro(listPath, manifestFileSchema, composed.listRows, Map.empty)
 
     // table metadata JSON (v1) + version hint
     val fieldsJson = df.schema.fields.map { f =>
@@ -1184,7 +1176,9 @@ object Iceberg {
          |  "snapshots": [{
          |    "snapshot-id": 1,
          |    "timestamp-ms": 1700000000000,
-         |    "summary": {"operation": "append"},
+         |    "summary": {"operation": "append",
+         |      "added-data-files": "${composed.addedFiles}",
+         |      "added-records": "${composed.addedRecords}"},
          |    "manifest-list": "$listPath"
          |  }]
          |}""".stripMargin
@@ -1217,7 +1211,7 @@ object Iceberg {
       meta.fileColumn(disp) -> id
     }
     val filePartFields = meta.partFields // partition renames forbidden
-    val newRecords = composeSnapshotManifests(fileDf, tableDir,
+    val composed = composeSnapshotManifests(fileDf, tableDir,
       filePartFields, snapId = newId,
       dataRoot = s"$tableDir/data/snap$newId", sortBy = sortBy,
       fileFieldIds = fileIds)
@@ -1225,8 +1219,9 @@ object Iceberg {
     // (paths rebased in case the table was relocated since the build)
     val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
     writeAvro(listPath, manifestFileSchema,
-      copyListRows(meta) ++ newRecords, Map.empty)
-    commitSnapshot(tableDir, meta, newId, listPath, "append")
+      copyListRows(meta) ++ composed.listRows, Map.empty)
+    commitSnapshot(tableDir, meta, newId, listPath, "append",
+      summaryCounts = composed.counts)
   }
 
   /** The current manifest list's rows, re-materialized for reuse in a
@@ -1386,7 +1381,7 @@ object Iceberg {
     val fileIds = meta.fieldIds.map { case (disp, id) =>
       meta.fileColumn(disp) -> id
     }
-    val newRecords = composeSnapshotManifests(fileDf, tableDir,
+    val composed = composeSnapshotManifests(fileDf, tableDir,
       meta.partFields, snapId = newId,
       dataRoot = s"$tableDir/data/snap$newId", sortBy = sortBy,
       fileFieldIds = fileIds)
@@ -1394,9 +1389,9 @@ object Iceberg {
       tableDir, meta, newId, df.select(keyCols.map(c => col(s"`$c`")): _*))
     val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
     writeAvro(listPath, manifestFileSchema,
-      (copyListRows(meta) :+ delRow) ++ newRecords, Map.empty)
+      (copyListRows(meta) :+ delRow) ++ composed.listRows, Map.empty)
     commitSnapshot(tableDir, meta, newId, listPath, "overwrite",
-      formatVersion = Some(2))
+      formatVersion = Some(2), summaryCounts = composed.counts)
   }
 
   /** Write one equality-delete commit's key files + manifest; returns
@@ -1502,22 +1497,14 @@ object Iceberg {
     require(!meta.partFields.exists(_.sourceCol == from),
       s"iceberg rename: '$from' is a partition source column " +
         "(not renameable in this subset)")
-    val fs = new HPath(tableDir).getFileSystem(hconf)
-    val in = fs.open(
-      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
-    val root = try om.readTree(in.readAllBytes())
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    finally in.close()
-    val fields = schemaFieldsNode(root)
-    (0 until fields.size()).map(fields.get).foreach {
-      case f: com.fasterxml.jackson.databind.node.ObjectNode
-        if f.path("name").asText() == from => f.put("name", to)
-      case _ =>
+    bumpMetadata(tableDir, meta) { root =>
+      val fields = schemaFieldsNode(root)
+      (0 until fields.size()).map(fields.get).foreach {
+        case f: com.fasterxml.jackson.databind.node.ObjectNode
+          if f.path("name").asText() == from => f.put("name", to)
+        case _ =>
+      }
     }
-    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
-      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    writeText(s"$tableDir/metadata/version-hint.text",
-      (meta.version + 1).toString)
   }
 
   /** COMPACTION (the spec's rewrite_data_files maintenance op and
@@ -1550,15 +1537,16 @@ object Iceberg {
     val fileIds = meta.fieldIds.map { case (disp, id) =>
       meta.fileColumn(disp) -> id
     }
-    val recs = composeSnapshotManifests(merged, tableDir,
+    val composed = composeSnapshotManifests(merged, tableDir,
       meta.partFields, snapId = newId,
       dataRoot = s"$tableDir/data/compact$newId", sortBy = sortBy,
       fileFieldIds = fileIds)
     val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
     // a REPLACE list: only the rewritten manifests — priors are
     // reachable through the older snapshots, never through this one
-    writeAvro(listPath, manifestFileSchema, recs, Map.empty)
-    commitSnapshot(tableDir, meta, newId, listPath, "replace")
+    writeAvro(listPath, manifestFileSchema, composed.listRows, Map.empty)
+    commitSnapshot(tableDir, meta, newId, listPath, "replace",
+      summaryCounts = composed.counts)
   }
 
   /** Metadata-only ADD COLUMN (schema evolution): the new field gets
@@ -1574,42 +1562,34 @@ object Iceberg {
     require(!meta.columns.contains(name),
       s"iceberg addColumn: column '$name' already exists")
     toSparkType(icebergType) // validate the type early, loudly
-    val fs = new HPath(tableDir).getFileSystem(hconf)
-    val in = fs.open(
-      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
-    val root = try om.readTree(in.readAllBytes())
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    finally in.close()
-    val newId = root.path("last-column-id").asInt() + 1
-    val f = schemaFieldsNode(root).addObject()
-    f.put("id", newId); f.put("name", name)
-    f.put("required", false); f.put("type", icebergType)
-    root.put("last-column-id", newId)
-    // extend the name mapping (when present) so a later rename of the
-    // new column resolves like any other. If the display name already
-    // has a mapping entry — a DROPPED column's tombstone — old data
-    // files physically carry that name, so the new field id maps to a
-    // FRESH physical name: pre-add files surface NULL (the spec's
-    // id-reuse prohibition — a re-added column never resurrects
-    // dropped data), and appends write under the fresh name.
-    val props = root.withObject("/properties")
-    val nm = props.path("schema.name-mapping.default")
-    if (nm.isTextual) {
-      val arr = om.readTree(nm.asText())
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-      val taken = arr.elements().asScala.exists(e =>
-        e.path("names").elements().asScala
-          .exists(_.asText() == name))
-      val physical = if (taken) s"${name}_$newId" else name
-      val e = arr.addObject()
-      e.put("field-id", newId)
-      e.putArray("names").add(physical)
-      props.put("schema.name-mapping.default", om.writeValueAsString(arr))
+    bumpMetadata(tableDir, meta) { root =>
+      val newId = root.path("last-column-id").asInt() + 1
+      val f = schemaFieldsNode(root).addObject()
+      f.put("id", newId); f.put("name", name)
+      f.put("required", false); f.put("type", icebergType)
+      root.put("last-column-id", newId)
+      // extend the name mapping (when present) so a later rename of the
+      // new column resolves like any other. If the display name already
+      // has a mapping entry — a DROPPED column's tombstone — old data
+      // files physically carry that name, so the new field id maps to a
+      // FRESH physical name: pre-add files surface NULL (the spec's
+      // id-reuse prohibition — a re-added column never resurrects
+      // dropped data), and appends write under the fresh name.
+      val props = root.withObject("/properties")
+      val nm = props.path("schema.name-mapping.default")
+      if (nm.isTextual) {
+        val arr = om.readTree(nm.asText())
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        val taken = arr.elements().asScala.exists(e =>
+          e.path("names").elements().asScala
+            .exists(_.asText() == name))
+        val physical = if (taken) s"${name}_$newId" else name
+        val e = arr.addObject()
+        e.put("field-id", newId)
+        e.putArray("names").add(physical)
+        props.put("schema.name-mapping.default", om.writeValueAsString(arr))
+      }
     }
-    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
-      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    writeText(s"$tableDir/metadata/version-hint.text",
-      (meta.version + 1).toString)
   }
 
   /** Auto-compaction threshold — the bounded-merge-depth policy for
@@ -1657,21 +1637,13 @@ object Iceberg {
       s"iceberg drop: '$name' is a partition source column")
     require(meta.columns.size > 1,
       "iceberg drop: cannot drop the last column")
-    val fs = new HPath(tableDir).getFileSystem(hconf)
-    val in = fs.open(
-      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
-    val root = try om.readTree(in.readAllBytes())
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    finally in.close()
-    val fields = schemaFieldsNode(root)
-    val keep = (0 until fields.size()).map(fields.get)
-      .filterNot(_.path("name").asText() == name)
-    fields.removeAll()
-    keep.foreach(fields.add)
-    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
-      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    writeText(s"$tableDir/metadata/version-hint.text",
-      (meta.version + 1).toString)
+    bumpMetadata(tableDir, meta) { root =>
+      val fields = schemaFieldsNode(root)
+      val keep = (0 until fields.size()).map(fields.get)
+        .filterNot(_.path("name").asText() == name)
+      fields.removeAll()
+      keep.foreach(fields.add)
+    }
   }
 
   /** Metadata-only TYPE PROMOTION (schema evolution): widen a column
@@ -1699,18 +1671,38 @@ object Iceberg {
     require(legal,
       s"iceberg promote: $cur -> $newType is not a spec promotion " +
         "(int->long, float->double, decimal precision widening)")
+    bumpMetadata(tableDir, meta) { root =>
+      val fields = schemaFieldsNode(root)
+      (0 until fields.size()).map(fields.get).foreach {
+        case f: com.fasterxml.jackson.databind.node.ObjectNode
+          if f.path("name").asText() == name => f.put("type", newType)
+        case _ =>
+      }
+    }
+  }
+
+  /** The shared read-mutate-commit device behind every metadata-only
+    * operation: read the CURRENT vN document, apply `mutate`, record
+    * the spec's `metadata-log` entry (each new metadata file names its
+    * predecessor — foreign tooling walks table history through it),
+    * refresh `last-updated-ms` deterministically, and publish v(N+1)
+    * with the atomic version-hint flip.
+    */
+  private def bumpMetadata(tableDir: String, meta: TableMeta)
+      (mutate: com.fasterxml.jackson.databind.node.ObjectNode => Unit)
+      : Unit = {
     val fs = new HPath(tableDir).getFileSystem(hconf)
-    val in = fs.open(
-      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json"))
+    val oldPath = s"$tableDir/metadata/v${meta.version}.metadata.json"
+    val in = fs.open(new HPath(oldPath))
     val root = try om.readTree(in.readAllBytes())
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     finally in.close()
-    val fields = schemaFieldsNode(root)
-    (0 until fields.size()).map(fields.get).foreach {
-      case f: com.fasterxml.jackson.databind.node.ObjectNode
-        if f.path("name").asText() == name => f.put("type", newType)
-      case _ =>
-    }
+    mutate(root)
+    val logE = root.withArray[com.fasterxml.jackson.databind.node
+      .ArrayNode]("metadata-log").addObject()
+    logE.put("timestamp-ms", 1700000000000L + meta.version)
+    logE.put("metadata-file", oldPath)
+    root.put("last-updated-ms", 1700000000000L + meta.version + 1)
     writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
       om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     writeText(s"$tableDir/metadata/version-hint.text",
@@ -1719,37 +1711,36 @@ object Iceberg {
 
   /** Shared commit: v(N+1) metadata with the new snapshot appended —
     * Jackson round-trips unknown fields untouched — then the
-    * version-hint flip (the atomic visibility point).
+    * version-hint flip (the atomic visibility point). `summaryCounts`
+    * lands in the snapshot summary as the spec's string-valued
+    * bookkeeping (added-data-files, added-records, …) for foreign
+    * tooling.
     */
   private def commitSnapshot(tableDir: String, meta: TableMeta,
                              newId: Long, listPath: String,
                              operation: String,
-                             formatVersion: Option[Int] = None): Unit = {
-    val fs = new HPath(tableDir).getFileSystem(hconf)
-    val oldMetaPath =
-      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json")
-    val in = fs.open(oldMetaPath)
-    val root = try om.readTree(in.readAllBytes())
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    finally in.close()
-    root.put("current-snapshot-id", newId)
-    formatVersion.foreach(v => root.put("format-version", v))
-    // `location` deliberately stays what the BUILD recorded: rebase
-    // keys off it to heal the build's absolute paths after a
-    // relocation, and the commit's own paths (current-root prefix)
-    // never match it. (One relocation covered; relocate-append-
-    // relocate chains would need manifest rewrites — out of scope.)
-    val snapNode = root.withArray[com.fasterxml.jackson.databind.node
-      .ArrayNode]("snapshots").addObject()
-    snapNode.put("snapshot-id", newId)
-    snapNode.put("timestamp-ms", 1700000000000L + newId)
-    snapNode.putObject("summary").put("operation", operation)
-    snapNode.put("manifest-list", listPath)
-    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
-      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    writeText(s"$tableDir/metadata/version-hint.text",
-      (meta.version + 1).toString)
-  }
+                             formatVersion: Option[Int] = None,
+                             summaryCounts: Map[String, Long] = Map.empty)
+      : Unit =
+    bumpMetadata(tableDir, meta) { root =>
+      root.put("current-snapshot-id", newId)
+      formatVersion.foreach(v => root.put("format-version", v))
+      // `location` deliberately stays what the BUILD recorded: rebase
+      // keys off it to heal the build's absolute paths after a
+      // relocation, and the commit's own paths (current-root prefix)
+      // never match it. (One relocation covered; relocate-append-
+      // relocate chains would need manifest rewrites — out of scope.)
+      val snapNode = root.withArray[com.fasterxml.jackson.databind.node
+        .ArrayNode]("snapshots").addObject()
+      snapNode.put("snapshot-id", newId)
+      snapNode.put("timestamp-ms", 1700000000000L + newId)
+      val summary = snapNode.putObject("summary")
+      summary.put("operation", operation)
+      summaryCounts.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        summary.put(k, v.toString)
+      }
+      snapNode.put("manifest-list", listPath)
+    }
 
   /** Expire old snapshots — the spec's `expire_snapshots` maintenance
     * op, time travel's pair: history metadata is dropped and any
@@ -1804,25 +1795,17 @@ object Iceberg {
       }
     }
     // v(N+1): same metadata, history cut to the retained window
-    val oldMetaPath =
-      new HPath(s"$tableDir/metadata/v${meta.version}.metadata.json")
-    val in = fs.open(oldMetaPath)
-    val root = try om.readTree(in.readAllBytes())
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    finally in.close()
-    val snapsNode = root.withArray[com.fasterxml.jackson.databind.node
-      .ArrayNode]("snapshots")
-    val kept = (0 until snapsNode.size()).map(snapsNode.get)
-      .filter(n => keepIds(n.path("snapshot-id").asLong()))
-    require(kept.exists(
-      _.path("snapshot-id").asLong() == meta.currentSnapshotId),
-      "current snapshot vanished from metadata")
-    snapsNode.removeAll()
-    kept.foreach(snapsNode.add)
-    writeText(s"$tableDir/metadata/v${meta.version + 1}.metadata.json",
-      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    writeText(s"$tableDir/metadata/version-hint.text",
-      (meta.version + 1).toString)
+    bumpMetadata(tableDir, meta) { root =>
+      val snapsNode = root.withArray[com.fasterxml.jackson.databind.node
+        .ArrayNode]("snapshots")
+      val kept = (0 until snapsNode.size()).map(snapsNode.get)
+        .filter(n => keepIds(n.path("snapshot-id").asLong()))
+      require(kept.exists(
+        _.path("snapshot-id").asLong() == meta.currentSnapshotId),
+        "current snapshot vanished from metadata")
+      snapsNode.removeAll()
+      kept.foreach(snapsNode.add)
+    }
   }
 
   /** Write one snapshot's data files + per-partition-tuple manifests;
@@ -1851,12 +1834,23 @@ object Iceberg {
     * IcebergComposerSpec pins this with a job-group census at 100+
     * tuples.
     */
+  /** One composed snapshot: the manifest-list rows plus the file/row
+    * bookkeeping the snapshot summary records (spec counts).
+    */
+  private final case class ComposedSnapshot(
+      listRows: Seq[GenericRecord],
+      addedFiles: Long,
+      addedRecords: Long) {
+    def counts: Map[String, Long] = Map(
+      "added-data-files" -> addedFiles, "added-records" -> addedRecords)
+  }
+
   private def composeSnapshotManifests(df0: DataFrame, tableDir: String,
                                        partFields: Seq[PartField],
                                        snapId: Long, dataRoot: String,
                                        sortBy: Option[String],
                                        fileFieldIds: Map[String, Int])
-      : Seq[GenericRecord] = {
+      : ComposedSnapshot = {
     val spark = df0.sparkSession
     val fs = new HPath(tableDir).getFileSystem(hconf)
     val partNames = partFields.map(_.name)
@@ -1990,7 +1984,7 @@ object Iceberg {
     // tuples (a point when the group holds one tuple)
     val summarySch = manifestFileSchema.getField("partitions").schema()
       .getTypes.get(1).getElementType
-    manifests.map { case (mPath, mLen, tupleVals) =>
+    val listRows = manifests.map { case (mPath, mLen, tupleVals) =>
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", mPath)
       r.put("manifest_length", mLen)
@@ -2011,6 +2005,9 @@ object Iceberg {
       r.put("partitions", summaries)
       r
     }.toSeq
+    ComposedSnapshot(listRows,
+      addedFiles = tupleFiles.map(_._2.size.toLong).sum,
+      addedRecords = stats.values.map(_._1).sum)
   }
 
   // ---------------------------------------------------------------

@@ -426,4 +426,55 @@ class IcebergSpec extends SparkSpec {
       Iceberg.promoteColumn(dir, "l_price", "decimal(20, 4)")
     }
   }
+
+  test("metadata history: every bump appends a metadata-log entry " +
+       "naming its predecessor file (the spec's table-history chain " +
+       "foreign tooling walks), last-updated-ms advances " +
+       "deterministically, and snapshot summaries carry the spec's " +
+       "added-data-files / added-records counts matching the write") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (dir, df) = fixture()
+    def metaRoot(v: Int) = om.readTree(
+      new java.io.File(s"$dir/metadata/v$v.metadata.json"))
+    // v1 (build): summary counts match the composed write exactly
+    val v1 = metaRoot(1)
+    val s1 = v1.path("snapshots").get(0).path("summary")
+    assert(s1.path("added-records").asText().toLong === df.count())
+    val (allFiles, _, _) = Iceberg.prunedDataFiles(dir, None)
+    assert(s1.path("added-data-files").asText().toLong ===
+      allFiles.size.toLong)
+    // v2 (append): the log's single entry names v1; the new
+    // snapshot's counts are the APPENDED shard's, not the table's
+    val extra = spark.read.parquet(sf() + "/lineitem.parquet")
+      .where(col("l_orderkey") % 20 === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+    Iceberg.appendToTable(extra, dir)
+    val v2 = metaRoot(2)
+    val log2 = v2.path("metadata-log")
+    assert(log2.size() === 1)
+    assert(log2.get(0).path("metadata-file").asText()
+      .endsWith("v1.metadata.json"))
+    val snaps2 = v2.path("snapshots")
+    val s2 = snaps2.get(snaps2.size() - 1).path("summary")
+    assert(s2.path("operation").asText() === "append")
+    assert(s2.path("added-records").asText().toLong === extra.count())
+    val (files2, _, _) = Iceberg.prunedDataFiles(dir, None)
+    assert(s2.path("added-data-files").asText().toLong ===
+      (files2.size - allFiles.size).toLong)
+    // v3 (metadata-only rename): the log CHAINS — v3 appends v2
+    // after v1's entry — and last-updated-ms advances monotonically
+    Iceberg.renameColumn(dir, "l_quantity", "qty")
+    val v3 = metaRoot(3)
+    val log3 = v3.path("metadata-log")
+    assert(log3.size() === 2)
+    assert(log3.get(1).path("metadata-file").asText()
+      .endsWith("v2.metadata.json"))
+    assert(v3.path("last-updated-ms").asLong() >
+      v2.path("last-updated-ms").asLong())
+    // the chain is pure bookkeeping: the table still scans exactly
+    val back = Iceberg.scan(spark, dir)
+    assert(back.count() === df.count() + extra.count())
+    assert(back.schema.fieldNames.contains("qty"))
+  }
 }
