@@ -649,6 +649,33 @@ object SparkEntry {
           col("l_quantity"), col("l_returnflag"))
     }),
 
+    // ---- Iceberg PARTITION SPEC EVOLUTION: the table starts
+    //      identity(o_orderstatus), re-partitions to day(o_orderdate)
+    //      METADATA-ONLY (no file rewritten), and appends land under
+    //      the new layout. A day-window probe prunes the NEW spec's
+    //      manifests against their day bounds while the OLD spec's
+    //      ride through a residual row filter — per-manifest
+    //      partition_spec_id resolution, the real lakehouse
+    //      re-partitioning story ----
+    "q_iceberg_evolve" -> ((s, dir) => {
+      val path = annIndex("iceberg_evolve", dir) { p =>
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"))
+        graft.sources.Iceberg.writeTable(
+          ord.where(col("o_orderkey") % 4 === 0), p, "o_orderstatus")
+        graft.sources.Iceberg.evolvePartitionSpec(
+          p, Seq(("o_orderdate", "day")))
+        graft.sources.Iceberg.appendToTable(
+          ord.where(col("o_orderkey") % 4 === 1), p)
+      }
+      graft.sources.Iceberg.scan(s, path,
+          sourceRange = Some(("o_orderdate", "1995-02-01", "1995-02-14")))
+        .orderBy(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -6082,6 +6109,18 @@ object SparkEntry {
         |WHERE l_orderkey % 20 = 0 AND l_orderkey BETWEEN 2000 AND 9999
         |ORDER BY l_orderkey, l_linenumber, l_quantity,
         |  l_returnflag""".stripMargin,
+
+    // both build slices survive evolution untouched; the probe window
+    // selects from each (old spec row-filtered, new spec pruned)
+    "q_iceberg_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1)
+        |  AND o_orderdate BETWEEN TIMESTAMP '1995-02-01'
+        |    AND TIMESTAMP '1995-02-14'
+        |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate""".stripMargin,
 
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

@@ -351,7 +351,10 @@ object Iceberg {
       colTypes: Map[String, String],  // column name -> iceberg type
       fieldIds: Map[String, Int],     // column name -> spec field id
       nameMapping: Map[Int, String],  // field id -> DATA-FILE column name
-      partFields: Seq[PartField],     // partition spec, spec order
+      partFields: Seq[PartField],     // DEFAULT partition spec, order
+      specs: Map[Int, Seq[PartField]], // EVERY spec by id (evolution:
+                                      // old manifests keep old specs)
+      defaultSpecId: Int,
       currentSnapshotId: Long,
       snapshots: Seq[(Long, String)], // (snapshot-id, manifest-list)
       snapshotOps: Map[Long, String], // snapshot-id -> summary.operation
@@ -377,6 +380,14 @@ object Iceberg {
       */
     def fileColumn(c: String): String =
       fieldIds.get(c).flatMap(nameMapping.get).getOrElse(c)
+    /** The partition fields a given manifest's tuples were written
+      * under — spec EVOLUTION means manifests of different vintages
+      * decode by different specs (the list row's partition_spec_id).
+      * Unknown ids (foreign lists predating their metadata) fall back
+      * to the default spec, matching the pre-evolution behavior.
+      */
+    def specFields(specId: Int): Seq[PartField] =
+      specs.getOrElse(specId, partFields)
   }
 
   private def barePath(s: String): String =
@@ -408,7 +419,8 @@ object Iceberg {
       path: String,
       content: Int,             // 0 = data manifest, 1 = delete manifest
       seq: Option[Long],        // v2 list-row sequence_number (if any)
-      bounds: Seq[FieldBounds]) // per partition field, spec order
+      specId: Int,              // the spec this manifest's tuples use
+      bounds: Seq[FieldBounds]) // per partition field, THAT spec's order
 
   /** Resolve and parse the CURRENT table metadata: version-hint.text
     * when present (the spec's file-system-catalog convention), else
@@ -468,24 +480,39 @@ object Iceberg {
       .map(f => f.path("id").asInt() ->
         (f.path("name").asText(), f.path("type").asText())).toMap
 
-    // v1 `partition-spec` or v2 `partition-specs` + `default-spec-id`
-    val spec =
-      if (root.has("partition-spec")) root.path("partition-spec")
-      else {
-        val did = root.path("default-spec-id").asInt()
-        root.path("partition-specs").elements().asScala
-          .find(_.path("spec-id").asInt() == did)
-          .map(_.path("fields"))
-          .getOrElse(throw new IllegalArgumentException(
-            s"iceberg: default-spec-id $did not in partition-specs"))
-      }
-    require(spec.isArray && spec.size() >= 1,
-      "iceberg: need at least one partition field")
-    val partFields = spec.elements().asScala.map { pf =>
-      val (srcName, srcTypeRaw) = types(pf.path("source-id").asInt())
-      PartField.of(pf.path("name").asText(srcName), srcName,
-        pf.path("transform").asText(), srcTypeRaw)
-    }.toSeq
+    // EVERY partition spec, keyed by id — spec EVOLUTION keeps old
+    // manifests decodable under the spec they were written with.
+    // v2 (and this repo's v1) publish `partition-specs` +
+    // `default-spec-id`; bare-v1 foreign tables may carry only the
+    // deprecated top-level `partition-spec` (spec 0).
+    def parseSpecFields(fieldsNode: com.fasterxml.jackson.databind
+        .JsonNode): Seq[PartField] = {
+      require(fieldsNode.isArray && fieldsNode.size() >= 1,
+        "iceberg: need at least one partition field per spec")
+      fieldsNode.elements().asScala.map { pf =>
+        val sid = pf.path("source-id").asInt()
+        require(types.contains(sid),
+          s"iceberg: partition source field id $sid is not in the " +
+            "current schema (a dropped partition source cannot be " +
+            "decoded — refusing to misread old manifests)")
+        val (srcName, srcTypeRaw) = types(sid)
+        PartField.of(pf.path("name").asText(srcName), srcName,
+          pf.path("transform").asText(), srcTypeRaw)
+      }.toSeq
+    }
+    val (allSpecs, defaultSpecId) =
+      if (root.has("partition-specs")) {
+        val m = root.path("partition-specs").elements().asScala.map {
+          sp => sp.path("spec-id").asInt() ->
+            parseSpecFields(sp.path("fields"))
+        }.toMap
+        val did = root.path("default-spec-id").asInt(0)
+        require(m.contains(did),
+          s"iceberg: default-spec-id $did not in partition-specs " +
+            s"(have: ${m.keys.toSeq.sorted.mkString(", ")})")
+        (m, did)
+      } else (Map(0 -> parseSpecFields(root.path("partition-spec"))), 0)
+    val partFields = allSpecs(defaultSpecId)
 
     val currentId = root.path("current-snapshot-id").asLong()
     val snaps = root.path("snapshots").elements().asScala.map(s =>
@@ -520,7 +547,7 @@ object Iceberg {
       else Map.empty
     TableMeta(fv, version, root.path("location").asText(tableDir),
       tableDir, columns, colTypes, fieldIds, nameMapping, partFields,
-      currentId, snaps, snapOps, refs, list)
+      allSpecs, defaultSpecId, currentId, snaps, snapOps, refs, list)
   }
 
   /** TAG a snapshot (v2 refs): a metadata-only named pointer —
@@ -552,9 +579,14 @@ object Iceberg {
       val parts = Option(r.get("partitions"))
         .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq)
         .getOrElse(Seq.empty)
-      // one field_summary per partition field, spec order; a list
-      // shorter than the spec leaves the tail unprunable
-      val bounds = meta.partFields.zipWithIndex.map { case (f, i) =>
+      val specId = Option(r.get("partition_spec_id"))
+        .map(_.asInstanceOf[Int]).getOrElse(meta.defaultSpecId)
+      // one field_summary per partition field in THE MANIFEST'S OWN
+      // spec's order (evolution: old manifests decode under old
+      // specs); a list shorter than the spec leaves the tail
+      // unprunable
+      val bounds = meta.specFields(specId).zipWithIndex.map {
+        case (f, i) =>
         val summary = parts.lift(i)
         def bound(name: String): Option[Any] = summary.flatMap(s =>
           Option(s.get(name)).map(bb => boundValue(
@@ -571,7 +603,8 @@ object Iceberg {
       val seq = Option(r.getSchema.getField("sequence_number"))
         .flatMap(_ => Option(r.get("sequence_number")))
         .map(_.asInstanceOf[Long])
-      ManifestInfo(r.get("manifest_path").toString, content, seq, bounds)
+      ManifestInfo(r.get("manifest_path").toString, content, seq,
+        specId, bounds)
     }
 
   final case class FileEntry(
@@ -595,7 +628,8 @@ object Iceberg {
     */
   def manifestEntries(manifestPath: String,
                       meta: TableMeta,
-                      inheritSeq: Option[Long] = None): Seq[FileEntry] =
+                      inheritSeq: Option[Long] = None,
+                      specId: Option[Int] = None): Seq[FileEntry] =
     readAvro(meta.rebase(manifestPath))
       .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
       .map { e =>
@@ -604,7 +638,11 @@ object Iceberg {
           .equalsIgnoreCase("PARQUET"),
           s"iceberg: only parquet data files supported")
         val pRec = df.get("partition").asInstanceOf[GenericRecord]
-        val pv = meta.partFields.flatMap { f =>
+        // partition values decode under the MANIFEST'S spec (the
+        // list row's partition_spec_id) — evolution keeps old layouts
+        // readable
+        val pv = meta.specFields(specId.getOrElse(meta.defaultSpecId))
+          .flatMap { f =>
           val n = f.name
           Option(pRec.getSchema.getField(n)).flatMap(_ =>
             Option(pRec.get(n))).map {
@@ -716,42 +754,64 @@ object Iceberg {
     // for every spec transform: v1 = v2 implies t(v1) = t(v2))
     val wants0 = partitionEqs ++
       partitionEq.map(v => meta.partFields.head.sourceCol -> v).toMap
-    val wantEq: Seq[(Int, Any)] = wants0.toSeq.flatMap { case (src, v) =>
-      val fs = meta.partFields.zipWithIndex.filter(_._1.sourceCol == src)
-      require(fs.nonEmpty,
-        s"iceberg: '$src' is not a partition source column of " +
-          s"${meta.partFields.map(_.sourceCol).mkString(", ")}")
-      fs.map { case (f, i) => i -> transformValue(f, v) }
+    // a probed source must be a partition source SOMEWHERE in the
+    // table's spec history (else it's a typo, not a coarse probe);
+    // manifests whose OWN spec lacks the field are simply kept
+    // unpruned and the scan's residual row filter makes them exact
+    wants0.keys.foreach { src =>
+      require(meta.specs.values.exists(_.exists(_.sourceCol == src)),
+        s"iceberg: '$src' is not a partition source column of any " +
+          s"spec (have: ${meta.specs.values.flatten
+            .map(_.sourceCol).toSeq.distinct.mkString(", ")})")
     }
     // a source RANGE prunes through order-preserving transforms only
     // (identity, truncate, year/month/day/hour — bucket scatters):
     // [lo, hi] on the source maps to [t(lo), t(hi)] on the partition
-    val wantRange: Seq[(Int, Any, Any)] = sourceRange.toSeq.flatMap {
-      case (src, lo, hi) =>
-        val fs = meta.partFields.zipWithIndex.filter { case (f, _) =>
-          f.sourceCol == src && f.orderPreserving
-        }
-        require(fs.nonEmpty,
-          s"iceberg: '$src' is not an order-preserving partition " +
-            s"source of ${meta.partFields.map(_.sourceCol).mkString(", ")}")
-        fs.map { case (f, i) =>
-          (i, transformValue(f, lo), transformValue(f, hi))
-        }
+    sourceRange.foreach { case (src, _, _) =>
+      require(meta.specs.values.exists(_.exists(f =>
+        f.sourceCol == src && f.orderPreserving)),
+        s"iceberg: '$src' is not an order-preserving partition " +
+          s"source of any spec (have: ${meta.specs.values.flatten
+            .map(_.sourceCol).toSeq.distinct.mkString(", ")})")
     }
+    // probes are SPEC-RELATIVE: each manifest prunes under the spec
+    // its tuples were written with (partition evolution), so the
+    // probe value maps through THAT spec's transforms
+    val probeMemo = scala.collection.mutable.Map
+      .empty[Int, (Seq[(Int, Any)], Seq[(Int, Any, Any)])]
+    def probeFor(specId: Int) = probeMemo.getOrElseUpdate(specId, {
+      val fields = meta.specFields(specId)
+      val eq = wants0.toSeq.flatMap { case (src, v) =>
+        fields.zipWithIndex.filter(_._1.sourceCol == src)
+          .map { case (f, i) => i -> transformValue(f, v) }
+      }
+      val rg = sourceRange.toSeq.flatMap { case (src, lo, hi) =>
+        fields.zipWithIndex
+          .filter { case (f, _) => f.sourceCol == src && f.orderPreserving }
+          .map { case (f, i) =>
+            (i, transformValue(f, lo), transformValue(f, hi))
+          }
+      }
+      (eq, rg)
+    })
     // manifest pruning: spec bounds are inclusive; a manifest whose
     // [lower, upper] window excludes a wanted value (or misses the
     // wanted window) on ANY predicated field is never opened (missing
-    // bounds keep it, conservatively)
+    // bounds — or a spec without the probed field — keep it,
+    // conservatively)
     val survivors =
-      if (wantEq.isEmpty && wantRange.isEmpty) dataMans
+      if (wants0.isEmpty && sourceRange.isEmpty) dataMans
       else dataMans.filter { m =>
-        wantEq.forall { case (i, v) =>
-          val b = m.bounds(i)
-          b.lower.forall(cmp(_, v) <= 0) && b.upper.forall(cmp(v, _) <= 0)
+        val (eq, rg) = probeFor(m.specId)
+        eq.forall { case (i, v) =>
+          m.bounds.lift(i).forall(b =>
+            b.lower.forall(cmp(_, v) <= 0) &&
+            b.upper.forall(cmp(v, _) <= 0))
         } &&
-        wantRange.forall { case (i, lo, hi) =>
-          val b = m.bounds(i)
-          b.lower.forall(cmp(_, hi) <= 0) && b.upper.forall(cmp(lo, _) <= 0)
+        rg.forall { case (i, lo, hi) =>
+          m.bounds.lift(i).forall(b =>
+            b.lower.forall(cmp(_, hi) <= 0) &&
+            b.upper.forall(cmp(lo, _) <= 0))
         }
       }
     // file-level: partition equality on every predicated field, then
@@ -768,24 +828,29 @@ object Iceberg {
         s"iceberg: colRange needs a long/int column, '$name' is $t")
       meta.fieldIds(name)
     }
-    val dataEntries = survivors.flatMap(m =>
-      manifestEntries(m.path, meta, m.seq))
-    val kept = dataEntries.filter { e =>
-      e.content == 0 &&
-        wantEq.forall { case (i, v) =>
-          e.partition.get(meta.partFields(i).name).contains(v)
-        } &&
-        wantRange.forall { case (i, lo, hi) =>
-          e.partition.get(meta.partFields(i).name)
-            .exists(p => cmp(lo, p) <= 0 && cmp(p, hi) <= 0)
-        } &&
-        colRange.forall { case (_, lo, hi) =>
-          e.longBounds.get(rangeId.get)
-            .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
-        }
+    val kept = survivors.flatMap { m =>
+      val fields = meta.specFields(m.specId)
+      val (eq, rg) = probeFor(m.specId)
+      manifestEntries(m.path, meta, m.seq, Some(m.specId)).filter { e =>
+        e.content == 0 &&
+          // a recorded partition value prunes exactly; a field the
+          // entry does not carry keeps the file (conservative — the
+          // scan's row filter recovers exactness)
+          eq.forall { case (i, v) =>
+            e.partition.get(fields(i).name).forall(_ == v)
+          } &&
+          rg.forall { case (i, lo, hi) =>
+            e.partition.get(fields(i).name)
+              .forall(p => cmp(lo, p) <= 0 && cmp(p, hi) <= 0)
+          } &&
+          colRange.forall { case (_, lo, hi) =>
+            e.longBounds.get(rangeId.get)
+              .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+          }
+      }
     }
     val delEntries = delMans.flatMap(m =>
-      manifestEntries(m.path, meta, m.seq))
+      manifestEntries(m.path, meta, m.seq, Some(m.specId)))
     val posDeletes = delEntries.filter(_.content == 1).map(_.path)
     val eqDeletes = delEntries.filter(_.content == 2)
       .map(e => (e.path, e.seq, e.eqIds))
@@ -854,9 +919,14 @@ object Iceberg {
       val eqFiltered = (partitionEqs ++ partitionEq.map(v =>
         meta.partFields.head.sourceCol -> v).toMap).foldLeft(base) {
         case (d, (src, v)) =>
-          val coarse = meta.partFields
-            .filter(_.sourceCol == src).forall(!_.isIdentity)
-          if (!coarse) d
+          // filter-free only when EVERY spec in the table's history
+          // identity-partitions on the probe column (then partition
+          // value == source value for every surviving file); any
+          // spec that transforms it — or lacks it (pre/post-evolution
+          // manifests) — needs the row filter for exactness
+          val filterFree = meta.specs.values.forall(_.exists(f =>
+            f.sourceCol == src && f.isIdentity))
+          if (filterFree) d
           else d.filter(col(s"`$src`") ===
             lit(v).cast(toSparkType(meta.colTypes(src))))
       }
@@ -1214,7 +1284,7 @@ object Iceberg {
     val composed = composeSnapshotManifests(fileDf, tableDir,
       filePartFields, snapId = newId,
       dataRoot = s"$tableDir/data/snap$newId", sortBy = sortBy,
-      fileFieldIds = fileIds)
+      fileFieldIds = fileIds, specId = meta.defaultSpecId)
     // prior snapshot's manifests ride into the new list unchanged
     // (paths rebased in case the table was relocated since the build)
     val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
@@ -1384,7 +1454,7 @@ object Iceberg {
     val composed = composeSnapshotManifests(fileDf, tableDir,
       meta.partFields, snapId = newId,
       dataRoot = s"$tableDir/data/snap$newId", sortBy = sortBy,
-      fileFieldIds = fileIds)
+      fileFieldIds = fileIds, specId = meta.defaultSpecId)
     val delRow = writeEqualityDeletes(spark = df.sparkSession,
       tableDir, meta, newId, df.select(keyCols.map(c => col(s"`$c`")): _*))
     val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
@@ -1494,9 +1564,9 @@ object Iceberg {
       s"iceberg rename: no column '$from' in ${meta.columns}")
     require(!meta.columns.contains(to),
       s"iceberg rename: column '$to' already exists")
-    require(!meta.partFields.exists(_.sourceCol == from),
-      s"iceberg rename: '$from' is a partition source column " +
-        "(not renameable in this subset)")
+    require(!meta.specs.values.exists(_.exists(_.sourceCol == from)),
+      s"iceberg rename: '$from' is a partition source column of a " +
+        "spec (not renameable in this subset)")
     bumpMetadata(tableDir, meta) { root =>
       val fields = schemaFieldsNode(root)
       (0 until fields.size()).map(fields.get).foreach {
@@ -1540,7 +1610,7 @@ object Iceberg {
     val composed = composeSnapshotManifests(merged, tableDir,
       meta.partFields, snapId = newId,
       dataRoot = s"$tableDir/data/compact$newId", sortBy = sortBy,
-      fileFieldIds = fileIds)
+      fileFieldIds = fileIds, specId = meta.defaultSpecId)
     val listPath = s"$tableDir/metadata/snap-$newId-1.avro"
     // a REPLACE list: only the rewritten manifests — priors are
     // reachable through the older snapshots, never through this one
@@ -1633,8 +1703,9 @@ object Iceberg {
     val meta = currentMetadata(tableDir)
     require(meta.columns.contains(name),
       s"iceberg drop: no column '$name' in ${meta.columns}")
-    require(!meta.partFields.exists(_.sourceCol == name),
-      s"iceberg drop: '$name' is a partition source column")
+    require(!meta.specs.values.exists(_.exists(_.sourceCol == name)),
+      s"iceberg drop: '$name' is a partition source column of a spec " +
+        "(old manifests would become undecodable)")
     require(meta.columns.size > 1,
       "iceberg drop: cannot drop the last column")
     bumpMetadata(tableDir, meta) { root =>
@@ -1678,6 +1749,64 @@ object Iceberg {
           if f.path("name").asText() == name => f.put("type", newType)
         case _ =>
       }
+    }
+  }
+
+  /** PARTITION SPEC EVOLUTION (metadata-only): register a NEW
+    * partition spec — `specs` entries are (source column, spec
+    * transform string), same surface as [[writeTableTransformed]] —
+    * and make it the table default. NO file is rewritten: manifests
+    * already committed keep their `partition_spec_id` and decode,
+    * prune, and scan under the spec they were written with, while
+    * appends/upserts from now on lay out (and prune) under the new
+    * one. A probe on a column only SOME specs partition by prunes
+    * those specs' manifests and row-filters the rest — exact either
+    * way. [[compactTable]] afterwards is the spec's layout-migration
+    * idiom: the rewrite composes every row under the new default.
+    * Partition field ids stay unique ACROSS specs (the spec's rule:
+    * a field id is never reused), and the deprecated v1 top-level
+    * `partition-spec` is dropped so the specs list governs.
+    */
+  def evolvePartitionSpec(tableDir: String,
+                          specs: Seq[(String, String)]): Unit = {
+    val meta = currentMetadata(tableDir)
+    require(specs.nonEmpty, "iceberg evolve: need >= 1 partition field")
+    val newFields = specs.map { case (src, tr) =>
+      require(meta.columns.contains(src),
+        s"iceberg evolve: no column '$src' in ${meta.columns}")
+      require(meta.fileColumn(src) == src,
+        s"iceberg evolve: '$src' was renamed (files carry " +
+          s"'${meta.fileColumn(src)}') — a renamed column cannot " +
+          "become a partition source in this subset")
+      val name =
+        if (tr == "identity") src
+        else s"${src}_${tr.takeWhile(_ != '[')}"
+      PartField.of(name, src, tr, meta.colTypes(src)) // validates
+    }
+    require(newFields.map(_.name).toSet.size == newFields.size,
+      s"iceberg evolve: duplicate partition field names in $specs")
+    val newSpecId = meta.specs.keys.max + 1
+    bumpMetadata(tableDir, meta) { root =>
+      val specsNode = root.withArray[com.fasterxml.jackson.databind
+        .node.ArrayNode]("partition-specs")
+      // partition field ids are unique across ALL specs, ever
+      var nextFieldId = ((for {
+        sp <- specsNode.elements().asScala
+        f <- sp.path("fields").elements().asScala
+      } yield f.path("field-id").asInt()) ++ Iterator(999)).max + 1
+      val sp = specsNode.addObject()
+      sp.put("spec-id", newSpecId)
+      val fArr = sp.putArray("fields")
+      newFields.foreach { f =>
+        val o = fArr.addObject()
+        o.put("name", f.name)
+        o.put("transform", f.transform)
+        o.put("source-id", meta.fieldIds(f.sourceCol))
+        o.put("field-id", nextFieldId)
+        nextFieldId += 1
+      }
+      root.put("default-spec-id", newSpecId)
+      root.remove("partition-spec") // deprecated single-spec field
     }
   }
 
@@ -1849,7 +1978,8 @@ object Iceberg {
                                        partFields: Seq[PartField],
                                        snapId: Long, dataRoot: String,
                                        sortBy: Option[String],
-                                       fileFieldIds: Map[String, Int])
+                                       fileFieldIds: Map[String, Int],
+                                       specId: Int = 0)
       : ComposedSnapshot = {
     val spark = df0.sparkSession
     val fs = new HPath(tableDir).getFileSystem(hconf)
@@ -1975,7 +2105,7 @@ object Iceberg {
       } }
       val mPath = s"$tableDir/metadata/snap$snapId-m$i.avro"
       writeAvro(mPath, entrySchema, entries,
-        Map("partition-spec-id" -> "0"))
+        Map("partition-spec-id" -> specId.toString))
       val mLen = fs.getFileStatus(new HPath(mPath)).getLen
       (mPath, mLen, grp.map(_._1))
     }
@@ -1988,7 +2118,7 @@ object Iceberg {
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", mPath)
       r.put("manifest_length", mLen)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", specId)
       r.put("content", 0)
       r.put("added_snapshot_id", snapId)
       val summaries = new java.util.ArrayList[GenericRecord]()
