@@ -676,6 +676,34 @@ object SparkEntry {
           col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
     }),
 
+    // ---- Iceberg BRANCH refs, write-audit-publish: two ingest
+    //      shards stage on a branch (main readers see NONE of them),
+    //      the branch head is the audit scan, and fastForward
+    //      publishes the audited state in one atomic metadata flip —
+    //      the spec's staging pattern for production ingest ----
+    "q_iceberg_branch" -> ((s, dir) => {
+      val path = annIndex("iceberg_branch", dir) { p =>
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"))
+        graft.sources.Iceberg.writeTable(
+          li.where(col("l_orderkey") % 12 === 0), p, "l_returnflag")
+        graft.sources.Iceberg.createBranch(p, "staging")
+        graft.sources.Iceberg.appendToTable(
+          li.where(col("l_orderkey") % 12 === 1), p,
+          branch = Some("staging"))
+        graft.sources.Iceberg.appendToTable(
+          li.where(col("l_orderkey") % 12 === 2), p,
+          branch = Some("staging"))
+        // audit passes -> publish; main now serves all three shards
+        graft.sources.Iceberg.fastForward(p, "staging")
+      }
+      graft.sources.Iceberg.scan(s, path,
+          partitionEqs = Map("l_returnflag" -> "A"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -6121,6 +6149,15 @@ object SparkEntry {
         |    AND TIMESTAMP '1995-02-14'
         |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate""".stripMargin,
+
+    // post-publish main == base shard + both branch-staged shards;
+    // the probe slices one identity partition
+    "q_iceberg_branch" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey % 12 IN (0, 1, 2) AND l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  l_returnflag""".stripMargin,
 
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

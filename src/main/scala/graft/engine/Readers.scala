@@ -45,7 +45,8 @@ object Readers {
         // `iceberg.colRange` ("col:lo:hi" long-column stats skip),
         // `iceberg.sourceRange` ("col:lo:hi" source-value window
         // pruned through order-preserving partition transforms —
-        // day/month/year/truncate tables).
+        // day/month/year/truncate tables), `iceberg.ref` (named
+        // tag/branch state by ref name).
         val eqs = job.options.get("iceberg.partitionEqs")
           .map(_.split(",").map { kv =>
             val Array(k, v) = kv.split("=", 2)
@@ -59,9 +60,18 @@ object Readers {
           val Array(c, lo, hi) = s.split(":")
           (c.trim, lo.trim, hi.trim)
         }
+        // `iceberg.ref` reads a NAMED state — a tag's pinned snapshot
+        // or a branch's (possibly unpublished) head
+        val refAsOf = job.options.get("iceberg.ref").map { r =>
+          val m = graft.sources.Iceberg.currentMetadata(job.source)
+          m.refs.getOrElse(r.trim, throw new IllegalArgumentException(
+            s"iceberg: no ref '${r.trim}' on ${job.source} " +
+              s"(have: ${m.refs.keys.toSeq.sorted.mkString(", ")})"))
+        }
         graft.sources.Iceberg.scan(spark, job.source,
           partitionEq = job.options.get("iceberg.partitionEq"),
-          asOf = job.options.get("iceberg.asOf").map(_.trim.toLong),
+          asOf = job.options.get("iceberg.asOf").map(_.trim.toLong)
+            .orElse(refAsOf),
           colRange = range,
           partitionEqs = eqs,
           sourceRange = srcRange)

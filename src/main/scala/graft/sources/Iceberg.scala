@@ -358,7 +358,9 @@ object Iceberg {
       currentSnapshotId: Long,
       snapshots: Seq[(Long, String)], // (snapshot-id, manifest-list)
       snapshotOps: Map[Long, String], // snapshot-id -> summary.operation
-      refs: Map[String, Long],        // ref name -> snapshot id (v2 tags)
+      refs: Map[String, Long],        // ref name -> snapshot id
+      refTypes: Map[String, String],  // ref name -> "tag" | "branch"
+      parents: Map[Long, Long],       // snapshot id -> parent id
       manifestList: String) {         // SELECTED snapshot's manifest list
     /** Relocation support: the spec records absolute file URIs, so a
       * table moved wholesale (the annIndex stage→publish rename, a
@@ -545,9 +547,25 @@ object Iceberg {
           e.getKey -> e.getValue.path("snapshot-id").asLong()
         }.toMap
       else Map.empty
+    val refTypes: Map[String, String] =
+      if (root.has("refs"))
+        root.path("refs").properties().asScala.map { e =>
+          e.getKey -> e.getValue.path("type").asText("tag")
+        }.toMap
+      else Map.empty
+    // parent links (recorded by branch-aware commits; foreign writers
+    // record them too) — the ancestry walk fastForward checks
+    val parents: Map[Long, Long] =
+      root.path("snapshots").elements().asScala.flatMap { sn =>
+        val p = sn.path("parent-snapshot-id")
+        if (p.isNumber)
+          Some(sn.path("snapshot-id").asLong() -> p.asLong())
+        else None
+      }.toMap
     TableMeta(fv, version, root.path("location").asText(tableDir),
       tableDir, columns, colTypes, fieldIds, nameMapping, partFields,
-      allSpecs, defaultSpecId, currentId, snaps, snapOps, refs, list)
+      allSpecs, defaultSpecId, currentId, snaps, snapOps, refs,
+      refTypes, parents, list)
   }
 
   /** TAG a snapshot (v2 refs): a metadata-only named pointer —
@@ -569,6 +587,64 @@ object Iceberg {
       ref.put("snapshot-id", id)
       ref.put("type", "tag")
     }
+  }
+
+  /** Create a BRANCH (v2 refs, type `branch`): a named MOVABLE head
+    * starting at `from` (default: the current snapshot).
+    * `appendToTable(branch = ...)` stacks commits on it without
+    * touching main, [[fastForward]] publishes it — the spec's
+    * write-audit-publish staging pattern: ingest lands on a branch,
+    * gets audited by scanning the branch head, and becomes visible to
+    * every main-line reader in one atomic metadata flip. Branch heads
+    * pin retention exactly like tags ([[expireSnapshots]]).
+    */
+  def createBranch(tableDir: String, name: String,
+                   from: Option[Long] = None): Unit = {
+    val meta = currentMetadata(tableDir)
+    require(!meta.refs.contains(name),
+      s"iceberg branch: ref '$name' already exists " +
+        s"(a ${meta.refTypes.getOrElse(name, "tag")})")
+    val id = from.getOrElse(meta.currentSnapshotId)
+    require(meta.snapshots.exists(_._1 == id),
+      s"iceberg branch: snapshot $id not in " +
+        s"${meta.snapshots.map(_._1).mkString(", ")}")
+    bumpMetadata(tableDir, meta) { root =>
+      val ref = root.withObject("/refs").putObject(name)
+      ref.put("snapshot-id", id)
+      ref.put("type", "branch")
+    }
+  }
+
+  /** FAST-FORWARD main to a branch head (the WAP publish step):
+    * requires main to be an ANCESTOR of the head through the recorded
+    * `parent-snapshot-id` chain — a diverged main (committed to since
+    * the branch forked) refuses loudly instead of silently dropping
+    * its commits (that would need a real merge, out of scope). The
+    * flip is one metadata commit: every main-line reader sees the
+    * audited branch state atomically; the branch ref stays for the
+    * next staging round.
+    */
+  def fastForward(tableDir: String, branch: String): Unit = {
+    val meta = currentMetadata(tableDir)
+    require(meta.refs.contains(branch),
+      s"iceberg fastForward: no ref '$branch'")
+    require(meta.refTypes.getOrElse(branch, "tag") == "branch",
+      s"iceberg fastForward: ref '$branch' is a tag, not a branch")
+    val head = meta.refs(branch)
+    var cur = head
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var ok = cur == meta.currentSnapshotId
+    while (!ok && meta.parents.contains(cur) && seen.add(cur)) {
+      cur = meta.parents(cur)
+      ok = cur == meta.currentSnapshotId
+    }
+    require(ok,
+      s"iceberg fastForward: main (${meta.currentSnapshotId}) is not " +
+        s"an ancestor of '$branch' head ($head) — the histories " +
+        "diverged; a merge is required and this subset refuses rather " +
+        "than dropping main's commits")
+    if (head != meta.currentSnapshotId)
+      bumpMetadata(tableDir, meta)(_.put("current-snapshot-id", head))
   }
 
   /** The manifest list: per-manifest paths + partition-bound
@@ -1269,12 +1345,29 @@ object Iceberg {
     * agrees regardless of rename history.
     */
   def appendToTable(df: DataFrame, tableDir: String,
-                    sortBy: Option[String] = None): Unit = {
-    val meta = currentMetadata(tableDir)
+                    sortBy: Option[String] = None,
+                    branch: Option[String] = None): Unit = {
+    val meta0 = currentMetadata(tableDir)
+    // a BRANCH append stacks on the branch HEAD's manifest list (the
+    // write-audit-publish staging line); main appends on current
+    val baseId = branch match {
+      case Some(b) =>
+        require(meta0.refs.contains(b),
+          s"iceberg append: no ref '$b' " +
+            s"(have: ${meta0.refs.keys.toSeq.sorted.mkString(", ")})")
+        require(meta0.refTypes.getOrElse(b, "tag") == "branch",
+          s"iceberg append: ref '$b' is a tag — tags are immutable " +
+            "pins; create a branch to stage writes")
+        meta0.refs(b)
+      case None => meta0.currentSnapshotId
+    }
+    val meta =
+      if (baseId == meta0.currentSnapshotId) meta0
+      else currentMetadata(tableDir, asOf = Some(baseId))
     require(df.schema.fieldNames.toSeq == meta.columns,
       s"iceberg append: columns ${df.schema.fieldNames.toSeq} != " +
         s"table schema ${meta.columns}")
-    val newId = meta.snapshots.map(_._1).max + 1
+    val newId = meta0.snapshots.map(_._1).max + 1
     val fileDf = df.select(meta.columns.map(c =>
       col(s"`$c`").as(meta.fileColumn(c))): _*)
     val fileIds = meta.fieldIds.map { case (disp, id) =>
@@ -1291,7 +1384,8 @@ object Iceberg {
     writeAvro(listPath, manifestFileSchema,
       copyListRows(meta) ++ composed.listRows, Map.empty)
     commitSnapshot(tableDir, meta, newId, listPath, "append",
-      summaryCounts = composed.counts)
+      summaryCounts = composed.counts, branch = branch,
+      parentId = Some(baseId))
   }
 
   /** The current manifest list's rows, re-materialized for reuse in a
@@ -1397,7 +1491,7 @@ object Iceberg {
     writeAvro(listPath, manifestFileSchema, copyListRows(meta) :+ delRow,
       Map.empty)
     commitSnapshot(tableDir, meta, newId, listPath, "delete",
-      formatVersion = Some(2))
+      formatVersion = Some(2), parentId = Some(meta.currentSnapshotId))
   }
 
   /** v2 EQUALITY DELETE: remove every row whose key columns match a
@@ -1422,7 +1516,7 @@ object Iceberg {
     writeAvro(listPath, manifestFileSchema, copyListRows(meta) :+ delRow,
       Map.empty)
     commitSnapshot(tableDir, meta, newId, listPath, "delete",
-      formatVersion = Some(2))
+      formatVersion = Some(2), parentId = Some(meta.currentSnapshotId))
   }
 
   /** UPSERT (MERGE INTO) at the table-format layer: ONE snapshot that
@@ -1461,7 +1555,8 @@ object Iceberg {
     writeAvro(listPath, manifestFileSchema,
       (copyListRows(meta) :+ delRow) ++ composed.listRows, Map.empty)
     commitSnapshot(tableDir, meta, newId, listPath, "overwrite",
-      formatVersion = Some(2), summaryCounts = composed.counts)
+      formatVersion = Some(2), summaryCounts = composed.counts,
+      parentId = Some(meta.currentSnapshotId))
   }
 
   /** Write one equality-delete commit's key files + manifest; returns
@@ -1616,7 +1711,8 @@ object Iceberg {
     // reachable through the older snapshots, never through this one
     writeAvro(listPath, manifestFileSchema, composed.listRows, Map.empty)
     commitSnapshot(tableDir, meta, newId, listPath, "replace",
-      summaryCounts = composed.counts)
+      summaryCounts = composed.counts,
+      parentId = Some(meta.currentSnapshotId))
   }
 
   /** Metadata-only ADD COLUMN (schema evolution): the new field gets
@@ -1849,10 +1945,21 @@ object Iceberg {
                              newId: Long, listPath: String,
                              operation: String,
                              formatVersion: Option[Int] = None,
-                             summaryCounts: Map[String, Long] = Map.empty)
+                             summaryCounts: Map[String, Long] = Map.empty,
+                             branch: Option[String] = None,
+                             parentId: Option[Long] = None)
       : Unit =
     bumpMetadata(tableDir, meta) { root =>
-      root.put("current-snapshot-id", newId)
+      branch match {
+        // a BRANCH commit moves only the branch ref — main
+        // (current-snapshot-id) is untouched until fastForward
+        // publishes it (the spec's write-audit-publish pattern)
+        case Some(b) =>
+          val r = root.withObject("/refs").putObject(b)
+          r.put("snapshot-id", newId)
+          r.put("type", "branch")
+        case None => root.put("current-snapshot-id", newId)
+      }
       formatVersion.foreach(v => root.put("format-version", v))
       // `location` deliberately stays what the BUILD recorded: rebase
       // keys off it to heal the build's absolute paths after a
@@ -1862,6 +1969,7 @@ object Iceberg {
       val snapNode = root.withArray[com.fasterxml.jackson.databind.node
         .ArrayNode]("snapshots").addObject()
       snapNode.put("snapshot-id", newId)
+      parentId.foreach(pid => snapNode.put("parent-snapshot-id", pid))
       snapNode.put("timestamp-ms", 1700000000000L + newId)
       val summary = snapNode.putObject("summary")
       summary.put("operation", operation)
