@@ -100,6 +100,38 @@ class IcebergBranchSpec extends SparkSpec {
     }
   }
 
+  test("WAP x CDC: a polling main-line consumer sees NOTHING while " +
+       "commits stage on the branch (idle poll, processor not " +
+       "invoked) and exactly the staged rows ONCE after fastForward " +
+       "publishes — the state-based file diff makes the atomic flip " +
+       "look like one ordinary delta") {
+    val (a, b, c) = slices()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_brpoll").toString
+    val cursor = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_brcur").toString + "/cursor"
+    Iceberg.writeTable(a, dir, "l_returnflag")
+    var polled = Set.empty[Seq[Any]]
+    var invocations = 0
+    def poll(): Unit = graft.streaming.IcebergStream
+      .pollOnce(spark, dir, cursor) { d =>
+        invocations += 1; polled ++= rows(d)
+      }
+    poll() // bootstrap: the base table
+    assert(invocations === 1 && polled === rows(a))
+    Iceberg.createBranch(dir, "staging")
+    Iceberg.appendToTable(b, dir, branch = Some("staging"))
+    Iceberg.appendToTable(c, dir, branch = Some("staging"))
+    poll() // staged-only commits: main unchanged -> processor idle
+    assert(invocations === 1, "staged commits must not reach consumers")
+    Iceberg.fastForward(dir, "staging")
+    poll() // the publish arrives as ONE delta: exactly the staged rows
+    assert(invocations === 2)
+    assert(polled === rows(a.unionAll(b).unionAll(c)))
+    poll() // and the cursor rests: no replay
+    assert(invocations === 2)
+  }
+
   test("retention pins branch heads: expireSnapshots(retainLast = 1) " +
        "keeps an unpublished branch head scannable while untagged " +
        "main history expires") {
