@@ -1885,6 +1885,21 @@ object Iceberg {
     bumpMetadata(tableDir, meta) { root =>
       val specsNode = root.withArray[com.fasterxml.jackson.databind
         .node.ArrayNode]("partition-specs")
+      // a bare-v1 foreign table carries only the deprecated top-level
+      // `partition-spec`: materialize it as spec 0 FIRST, or the old
+      // manifests' spec id would resolve to nothing (and fall back to
+      // the NEW default — misdecoding every pre-evolution manifest)
+      if (specsNode.isEmpty && root.has("partition-spec")) {
+        val sp0 = specsNode.addObject()
+        sp0.put("spec-id", 0)
+        sp0.set[com.fasterxml.jackson.databind.node.ObjectNode](
+          "fields", root.path("partition-spec").deepCopy())
+      }
+      require(meta.specs.keySet.forall(id =>
+        specsNode.elements().asScala
+          .exists(_.path("spec-id").asInt() == id)),
+        "iceberg evolve: existing spec ids missing from " +
+          "partition-specs — refusing to strand old manifests")
       // partition field ids are unique across ALL specs, ever
       var nextFieldId = ((for {
         sp <- specsNode.elements().asScala

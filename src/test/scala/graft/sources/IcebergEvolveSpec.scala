@@ -120,6 +120,47 @@ class IcebergEvolveSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("bare-v1 interop: evolving a foreign table that carries ONLY " +
+       "the deprecated top-level partition-spec materializes it as " +
+       "spec 0 first — old manifests keep decoding (and pruning) " +
+       "under it instead of misreading through the new default") {
+    val a = orders.where(col("o_orderkey") % 4 === 0)
+    val b = orders.where(col("o_orderkey") % 4 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_barev1").toString
+    Iceberg.writeTable(a, dir, "o_orderstatus")
+    // strip the table to the bare-v1 shape a minimal foreign writer
+    // produces: top-level partition-spec only
+    val mp = java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(mp))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("partition-specs")
+    root.remove("default-spec-id")
+    java.nio.file.Files.write(mp, om.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes("UTF-8"))
+    // drop the Hadoop-FS checksum sibling the out-of-band edit broke
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling(".v1.metadata.json.crc"))
+    assert(Iceberg.currentMetadata(dir).specs.keySet === Set(0))
+    Iceberg.evolvePartitionSpec(dir, Seq(("o_orderdate", "day")))
+    Iceberg.appendToTable(b, dir)
+    val meta = Iceberg.currentMetadata(dir)
+    assert(meta.specs.keySet === Set(0, 1))
+    assert(meta.specs(0).map(f => (f.sourceCol, f.transform)) ===
+      Seq(("o_orderstatus", "identity")))
+    // the old-spec probe still prunes spec-0 manifests AND returns
+    // the exact slice — the misdecode would surface right here
+    val gotF = Iceberg.scan(spark, dir,
+        partitionEqs = Map("o_orderstatus" -> "F"))
+      .collect().map(_.toSeq).toSet
+    assert(gotF === a.unionAll(b).where(col("o_orderstatus") === "F")
+      .collect().map(_.toSeq).toSet)
+    val (_, read, total) = Iceberg.prunedDataFiles(
+      dir, None, partitionEqs = Map("o_orderstatus" -> "F"))
+    assert(read < total)
+  }
+
   test("guards: a partition source of ANY spec (old or new) refuses " +
        "rename and drop — old manifests must stay decodable — and a " +
        "renamed column cannot become a new spec's source") {
