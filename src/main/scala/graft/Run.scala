@@ -78,7 +78,20 @@ object Run {
           true
       }
     }
+    // lakehouse maintenance runs LAST: a config lands the day's
+    // shards, curates, then compacts/publishes/trims the tables it
+    // just fed (ordered, per-entry isolation in Maintenance.run)
+    val maintenanceResults =
+      graft.engine.Maintenance.run(spark, config.maintenance)
+    maintenanceResults.foreach { r =>
+      if (r.ok)
+        println(s"[graft] maintenance ${r.spec.op} ${r.spec.table}: ok")
+      else
+        println(s"[graft] maintenance ${r.spec.op} ${r.spec.table}: " +
+          s"FAILED: ${r.error.get.getMessage}")
+    }
     spark.stop()
-    if (results.exists(!_.ok) || pipelineFailed) sys.exit(1)
+    if (results.exists(!_.ok) || pipelineFailed ||
+      maintenanceResults.exists(!_.ok)) sys.exit(1)
   }
 }

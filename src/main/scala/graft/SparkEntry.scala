@@ -704,6 +704,46 @@ object SparkEntry {
           col("l_quantity"), col("l_returnflag"))
     }),
 
+    // ---- config-driven LAKEHOUSE ELT, end to end: one YAML lands a
+    //      full table into a bucket[16]-partitioned Iceberg SINK (the
+    //      reference's config-to-jobs identity extended to the
+    //      table-format target), the maintenance: section compacts
+    //      and tags it, and the probe prunes through the bucket
+    //      transform — jobs -> iceberg sink -> maintenance -> scan,
+    //      every step from the config file ----
+    "q_yaml_lakehouse" -> ((s, dir) => {
+      val path = annIndex("yaml_lakehouse", dir) { p =>
+        val yaml =
+          s"""jobs:
+             |  - source: $dir/orders.parquet
+             |    target: orders_lake
+             |sink:
+             |  format: iceberg
+             |  path: $p
+             |  partition_by: ["o_custkey:bucket[16]"]
+             |maintenance:
+             |  - table: $p/orders_lake
+             |    op: compact
+             |    sort_by: o_orderkey
+             |  - table: $p/orders_lake
+             |    op: tag
+             |    name: landed
+             |""".stripMargin
+        val cfg = graft.engine.EngineConfig.fromAnyYaml(yaml)
+        val res = graft.engine.Pipeline.run(s, cfg)
+        require(res.forall(_.ok), "lakehouse ELT failed: " +
+          res.flatMap(_.error).map(_.getMessage).mkString("; "))
+        val mres = graft.engine.Maintenance.run(s, cfg.maintenance)
+        require(mres.forall(_.ok), "maintenance failed: " +
+          mres.flatMap(_.error).map(_.getMessage).mkString("; "))
+      }
+      graft.sources.Iceberg.scan(s, s"$path/orders_lake",
+          partitionEqs = Map("o_custkey" -> "37"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- string aggregation (listagg shape, sorted for determinism) ----
     "q_stringagg" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -6158,6 +6198,13 @@ object SparkEntry {
         |WHERE l_orderkey % 12 IN (0, 1, 2) AND l_returnflag = 'A'
         |ORDER BY l_orderkey, l_linenumber, l_quantity,
         |  l_returnflag""".stripMargin,
+
+    // the whole config-driven flow (job -> iceberg sink -> compact ->
+    // tag) is answer-invariant: the probe is just the source slice
+    "q_yaml_lakehouse" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders WHERE o_custkey = 37
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_csv_ingest" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

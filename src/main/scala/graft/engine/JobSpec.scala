@@ -69,7 +69,20 @@ final case class JobSpec(
 final case class EngineConfig(
     jobs: Seq[JobSpec],
     sink: SinkConfig = SinkConfig(),
-    pipeline: Option[CurationPipeline.Config] = None)
+    pipeline: Option[CurationPipeline.Config] = None,
+    maintenance: Seq[MaintenanceSpec] = Nil)
+
+/** One lakehouse maintenance action (the `maintenance:` YAML list,
+  * run by [[Maintenance]] after ELT jobs so a config can land a
+  * day's shards and immediately compact/publish/trim the table it
+  * fed). `op` ∈ compact | expire | evolve_spec | create_branch |
+  * fast_forward | tag; `args` carries the op's keys (retain_last,
+  * spec, name, from, snapshot, sort_by).
+  */
+final case class MaintenanceSpec(
+    table: String,
+    op: String,
+    args: Map[String, String] = Map.empty)
 
 final case class SinkConfig(
     format: String = "parquet",         // "jdbc" in prod
@@ -178,7 +191,30 @@ object EngineConfig {
         fail(s"'pipeline' must be a mapping, got " +
           other.getClass.getSimpleName)
     }
-    EngineConfig(jobs, sink, pipeline)
+    val maintenance = root.get("maintenance").toSeq.flatMap {
+      case l: java.util.List[_] => l.asScala.toSeq.map {
+        case m: java.util.Map[_, _] =>
+          val mm = m.asInstanceOf[java.util.Map[String, Object]].asScala
+          def needm(key: String): String = mm.get(key) match {
+            case Some(v) if v != null => v.toString
+            case _ =>
+              fail(s"'maintenance' entry is missing required key '$key'")
+          }
+          MaintenanceSpec(
+            table = needm("table"),
+            op = needm("op"),
+            args = (mm.toMap - "table" - "op").collect {
+              case (k, v) if v != null => k -> v.toString
+            })
+        case other =>
+          fail("'maintenance' entries must be mappings with table/op, " +
+            s"got ${other.getClass.getSimpleName}")
+      }
+      case other =>
+        fail(s"'maintenance' must be a list, got " +
+          other.getClass.getSimpleName)
+    }
+    EngineConfig(jobs, sink, pipeline, maintenance)
   }
 
   def fromYamlFile(path: String): EngineConfig =

@@ -37,6 +37,39 @@ object Sink {
             df.write.partitionBy(cfg.partitionBy: _*)
           else df.write
         writer.mode(cfg.mode).parquet(s"$root/$target")
+      case "iceberg" =>
+        // table-format landing through the in-repo composer: first
+        // write BUILDS the table (one partitionBy job + one
+        // distributed footer-stats job), later appends COMMIT
+        // snapshots that reuse prior manifests — the lakehouse ELT
+        // target the `maintenance:` section then compacts/publishes/
+        // trims. `partition_by` entries are `col` (identity) or
+        // `col:transform` with the full composer transform surface
+        // (bucket[N], truncate[W], year/month/day/hour).
+        val root = cfg.path.getOrElse(
+          throw new IllegalArgumentException("iceberg sink needs sink.path"))
+        require(cfg.partitionBy.nonEmpty,
+          "iceberg sink needs sink.partition_by " +
+            "(entries: col or col:transform)")
+        val specs = cfg.partitionBy.map { e =>
+          e.split(":") match {
+            case Array(src)     => (src.trim, "identity")
+            case Array(src, tr) => (src.trim, tr.trim)
+            case _ => throw new IllegalArgumentException(
+              s"iceberg sink: bad partition_by entry '$e' " +
+                "(want col or col:transform)")
+          }
+        }
+        val dir = s"$root/$target"
+        if (!graft.sources.Iceberg.tableExists(dir))
+          graft.sources.Iceberg.writeTableTransformed(df, dir, specs)
+        else cfg.mode match {
+          case "append" => graft.sources.Iceberg.appendToTable(df, dir)
+          case other => throw new IllegalArgumentException(
+            s"iceberg sink: table $dir exists and mode '$other' is not " +
+              "append — refusing (drop the table directory to rebuild, " +
+              "or use deleteWhere/upsertTable for row-level changes)")
+        }
       case "avro" =>
         // interchange landing in Avro container files via the in-repo
         // DSv2 (sources/AvroSource): one deflate-coded file per

@@ -122,4 +122,38 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(msg("postgres:\n  host: h\n")
       .contains("section 'postgres' is missing required key 'port'"))
   }
+
+  test("maintenance: section parses ordered op entries with their " +
+       "op-specific args, and missing table/op fail with the key named") {
+    val cfg = EngineConfig.fromYaml(
+      """jobs: []
+        |maintenance:
+        |  - table: /tmp/t1
+        |    op: create_branch
+        |    name: staging
+        |  - table: /tmp/t1
+        |    op: fast_forward
+        |    name: staging
+        |  - table: /tmp/t1
+        |    op: compact
+        |    sort_by: k
+        |  - table: /tmp/t1
+        |    op: expire
+        |    retain_last: 3
+        |  - table: /tmp/t2
+        |    op: evolve_spec
+        |    spec: "ts:day,k:bucket[8]"
+        |""".stripMargin)
+    assert(cfg.maintenance.map(_.op) ===
+      Seq("create_branch", "fast_forward", "compact", "expire",
+        "evolve_spec"))
+    assert(cfg.maintenance.head.args === Map("name" -> "staging"))
+    assert(cfg.maintenance(2).args === Map("sort_by" -> "k"))
+    assert(cfg.maintenance(3).args === Map("retain_last" -> "3"))
+    assert(cfg.maintenance(4).table === "/tmp/t2")
+    assert(cfg.maintenance(4).args === Map("spec" -> "ts:day,k:bucket[8]"))
+    val err = intercept[IllegalArgumentException](EngineConfig.fromYaml(
+      "jobs: []\nmaintenance:\n  - table: /tmp/t\n"))
+    assert(err.getMessage.contains("missing required key 'op'"))
+  }
 }
