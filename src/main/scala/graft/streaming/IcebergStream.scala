@@ -68,6 +68,69 @@ object IcebergStream {
       }
       .start()
 
+  /** WRITE-AUDIT-PUBLISH streaming sink: each micro-batch stages as a
+    * BRANCH snapshot ([[Iceberg.appendToTable]] with `branch`), so
+    * main-line readers and pollOnce consumers see NOTHING until the
+    * sink publishes — then every `publishEvery` staged commits the
+    * `audit` hook runs over the BRANCH HEAD scan and, if it passes,
+    * [[Iceberg.fastForward]] flips main to the audited state in one
+    * metadata commit. A failing audit leaves the batches staged (main
+    * frozen, ingestion continues) and re-audits at the next batch —
+    * quarantine-by-default ingestion: bad data can land, it just
+    * cannot PUBLISH.
+    *
+    * Batch-replay idempotence is the id-keyed anti-join against the
+    * BRANCH head (staged rows included), so a replayed batch stages
+    * nothing new. The first batch builds the table (that base state
+    * is main — an empty table would give consumers nothing to
+    * bootstrap from) and forks the branch.
+    *
+    * The law (IcebergBranchSpec): under any batch/replay sequence,
+    * main only ever equals an AUDITED prefix of the staged history,
+    * and the final publish makes scan == distinct union of all sent.
+    */
+  def appendStaged(stream: DataFrame, tableDir: String,
+                   partCol: String, idCol: String,
+                   branch: String = "staging",
+                   publishEvery: Int = 1,
+                   audit: DataFrame => Boolean = _ => true)
+      : StreamingQuery = {
+    require(publishEvery >= 1, "appendStaged: publishEvery must be >= 1")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cols = batch.columns.toSeq
+        if (!Iceberg.tableExists(tableDir)) {
+          Iceberg.writeTable(batch, tableDir, partCol)
+          Iceberg.createBranch(tableDir, branch)
+        } else {
+          val meta = Iceberg.currentMetadata(tableDir)
+          val seen = Iceberg.scan(spark, tableDir,
+              asOf = Some(meta.refs(branch)))
+            .select(col(s"`$idCol`"))
+          val fresh = batch.join(seen, Seq(idCol), "left_anti")
+            .select(cols.map(c => col(s"`$c`")): _*)
+          if (!fresh.isEmpty)
+            Iceberg.appendToTable(fresh, tableDir,
+              branch = Some(branch))
+          // staged depth = parent-chain distance from the branch head
+          // back to main (stateless — derived from metadata alone)
+          val m2 = Iceberg.currentMetadata(tableDir)
+          var cur = m2.refs(branch)
+          var depth = 0
+          while (cur != m2.currentSnapshotId &&
+                 m2.parents.contains(cur)) {
+            cur = m2.parents(cur); depth += 1
+          }
+          if (depth >= publishEvery &&
+              audit(Iceberg.scan(spark, tableDir,
+                asOf = Some(m2.refs(branch)))))
+            Iceberg.fastForward(tableDir, branch)
+        }
+      }
+      .start()
+  }
+
   /** UPDATE-capable streaming sink: each micro-batch UPSERTS into the
     * table ([[Iceberg.upsertTable]] — one snapshot whose equality
     * delete retires older versions of the batch's keys while the

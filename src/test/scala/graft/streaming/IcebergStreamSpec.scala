@@ -12,6 +12,55 @@ import graft.sources.Iceberg
 class IcebergStreamSpec extends SparkSpec {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+  test("WAP streaming sink (appendStaged): batches stage on the branch " +
+       "— main frozen — until publishEvery staged commits pass the " +
+       "audit; a failing audit quarantines (ingestion continues, main " +
+       "never moves), a passing one publishes atomically, replays " +
+       "stage nothing, and main only ever equals an audited prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def shard(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .as[(Long, String, Long)].collect().toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def want(hi: Long) = rows(docs.filter(col("doc_id") < hi))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_icewap_spec").toString + "/tbl"
+    @volatile var auditPasses = false
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = IcebergStream.appendStaged(
+      mem.toDF().toDF("doc_id", "lang", "n_chars"), dir,
+      partCol = "lang", idCol = "doc_id", publishEvery = 2,
+      audit = d => { assert(d.count() > 0); auditPasses })
+    def send(b: Seq[(Long, String, Long)]): Unit = {
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    send(shard(0, 100))   // build: the base IS main; branch forks
+    assert(rows(Iceberg.scan(spark, dir)) === want(100))
+    send(shard(100, 200)) // staged depth 1: below publishEvery
+    assert(rows(Iceberg.scan(spark, dir)) === want(100))
+    send(shard(200, 300)) // depth 2 -> audit runs -> FAILS -> frozen
+    assert(rows(Iceberg.scan(spark, dir)) === want(100),
+      "a failing audit must keep main frozen")
+    val staged = Iceberg.currentMetadata(dir)
+    assert(rows(Iceberg.scan(spark, dir,
+      asOf = Some(staged.refs("staging")))) === want(300))
+    auditPasses = true
+    send(shard(100, 200)) // replay: stages NOTHING, re-audit publishes
+    assert(rows(Iceberg.scan(spark, dir)) === want(300))
+    // the replay itself committed no snapshot
+    assert(Iceberg.currentMetadata(dir).snapshots.size ===
+      staged.snapshots.size)
+    send(shard(300, 400)) // next round stages again
+    assert(rows(Iceberg.scan(spark, dir)) === want(300))
+    send(shard(400, 450)) // depth 2 -> publish
+    assert(rows(Iceberg.scan(spark, dir)) === want(450))
+    q.stop()
+  }
+
   test("snapshot-per-batch ingestion: union scan, per-batch time travel, " +
        "replayed batch appends nothing") {
     import spark.implicits._
