@@ -104,6 +104,11 @@ object IcebergStream {
           Iceberg.writeTable(batch, tableDir, partCol)
           Iceberg.createBranch(tableDir, branch)
         } else {
+          // crash window: a restart that died between the first
+          // batch's writeTable and createBranch must fork the branch
+          // now, not fail forever on the missing ref
+          if (!Iceberg.currentMetadata(tableDir).refs.contains(branch))
+            Iceberg.createBranch(tableDir, branch)
           val meta = Iceberg.currentMetadata(tableDir)
           val seen = Iceberg.scan(spark, tableDir,
               asOf = Some(meta.refs(branch)))

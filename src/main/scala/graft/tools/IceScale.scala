@@ -141,6 +141,42 @@ object IceScale {
       }
       measure("postCompact")
     }
+
+    // ---- branch staging depth (the WAP shape): 50 commits staged on
+    //      a branch, then one fastForward publish. Measures the
+    //      staged-append cost (== a main append: base-list copy +
+    //      composer), the STATELESS parent-walk depth check at depth
+    //      50 (what appendStaged runs per batch), and the publish
+    //      (one metadata commit regardless of staged volume). ----
+    {
+      val base = li.where(col("l_orderkey") % 4 === 0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_icescale_wap").toString + "/tbl"
+      graft.sources.Iceberg.writeTable(base, dir, "l_returnflag")
+      graft.sources.Iceberg.createBranch(dir, "staging")
+      timed("stage50") {
+        for (i <- 1 to 50) {
+          val batch = li.where(col("l_orderkey") % 4 === 1 &&
+            col("l_orderkey") % 200 === (i * 4 + 1) % 200)
+          graft.sources.Iceberg.appendToTable(batch, dir,
+            branch = Some("staging"))
+        }
+      }
+      val t1 = System.nanoTime()
+      val m = graft.sources.Iceberg.currentMetadata(dir)
+      var cur = m.refs("staging"); var depth = 0
+      while (cur != m.currentSnapshotId && m.parents.contains(cur)) {
+        cur = m.parents(cur); depth += 1
+      }
+      println(f"depthWalk      depth=$depth%3d " +
+        f"wall=${(System.nanoTime() - t1) / 1e9}%6.2fs")
+      timed("publish") {
+        graft.sources.Iceberg.fastForward(dir, "staging")
+      }
+      timed("scanPublished") {
+        println("rows=" + graft.sources.Iceberg.scan(spark, dir).count())
+      }
+    }
     spark.stop()
   }
 }

@@ -61,6 +61,29 @@ class IcebergStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("appendStaged crash recovery: a table left WITHOUT the branch " +
+       "(died between writeTable and createBranch) forks it on the " +
+       "next batch instead of failing forever on the missing ref") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_icewap_crash").toString + "/tbl"
+    // the crash shape: base table exists, branch was never created
+    Iceberg.writeTable(docs.filter(col("doc_id") < 100), dir, "lang")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = IcebergStream.appendStaged(
+      mem.toDF().toDF("doc_id", "lang", "n_chars"), dir,
+      partCol = "lang", idCol = "doc_id", publishEvery = 1)
+    mem.addData(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .as[(Long, String, Long)].collect().toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    assert(Iceberg.currentMetadata(dir).refTypes("staging") === "branch")
+    assert(Iceberg.scan(spark, dir).count() ===
+      docs.filter(col("doc_id") < 200).count())
+  }
+
   test("snapshot-per-batch ingestion: union scan, per-batch time travel, " +
        "replayed batch appends nothing") {
     import spark.implicits._
