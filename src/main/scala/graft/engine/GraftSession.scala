@@ -31,6 +31,16 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", s"$cat/warehouse")
       .config("spark.ui.enabled", "false")
     extraConfs.foreach { case (k, v) => b.config(k, v) }
+    // deployment-specific overrides without a code change:
+    // SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" (cluster runs tune e.g.
+    // files.maxPartitionBytes / advisoryPartitionSizeInBytes here; the
+    // local bench default stays exactly the baseline above)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach {
+      _.split(";").filter(_.contains("=")).foreach { kv =>
+        val i = kv.indexOf('=')
+        b.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -100,8 +100,22 @@ object Readers {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
+  /** Resolved-plan cache for the immutable testdata tables: every
+    * `spark.read.parquet` call re-lists the path and re-reads the footer
+    * schema on the driver (~10-30 ms), and a 270-query bench calls
+    * `table` thousands of times on the same ten paths. The cache holds
+    * the LAZY analyzed DataFrame only — no rows; every action still
+    * scans the parquet from disk. Keyed by session (tests build many
+    * short-lived sessions whose catalogs must not leak into each other);
+    * testdata dirs are immutable by contract, so staleness cannot arise.
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    readParquet(spark, s"$sfDir/$name.parquet")
+    tableCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => readParquet(spark, k._2))
 
   /** Parquet reader resilient to TIMESTAMP(NANOS) columns, which Spark 4
     * rejects outright (PARQUET_TYPE_ILLEGAL). The footer of the first
@@ -214,8 +228,17 @@ object Readers {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     readParquet(spark, s"$sfDir/events.parquet")
 
+  /** Last directory registered per session: re-registering the same ten
+    * views before every SQL query costs a catalog round-trip each — the
+    * gate makes repeat calls (every SQL-family query in a bench pass)
+    * free while a genuine dir switch still re-points every view.
+    */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    testTables.foreach { t =>
-      table(spark, sfDir, t).createOrReplaceTempView(t)
-    }
+    if (registeredDir.put(spark, sfDir) != sfDir)
+      testTables.foreach { t =>
+        table(spark, sfDir, t).createOrReplaceTempView(t)
+      }
 }
