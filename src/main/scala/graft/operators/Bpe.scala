@@ -99,19 +99,18 @@ object Bpe {
     * narrow rewrites of the vocab-bounded table.
     */
   def applyMerges(docs: DataFrame, merges: Seq[(String, String)],
-                  scriptAware: Boolean = false): DataFrame = {
-    var vocab = docs
+                  scriptAware: Boolean = false): DataFrame =
+    // the whole replay is ONE projection (plans.MergeListFold: k tight
+    // in-JVM walks per word) instead of k checkpointed HOF-fold
+    // projections — k eager jobs and k interpreted O(m²) folds gone;
+    // BpeSpec pins the fold law (MergeListFold == the HOF mergeFold)
+    docs
       .select(explode(
         TextAnalysis.tokens(col("text"), scriptAware)).as("word"))
       .filter(length(col("word")) > 0).distinct()
-      .select(col("word"), split(col("word"), "").as("syms"))
-      .localCheckpoint(true)
-    for ((a, b) <- merges)
-      vocab = vocab
-        .select(col("word"), mergeFold(col("syms"), a, b).as("syms"))
-        .localCheckpoint(true)
-    vocab
-  }
+      .select(col("word"),
+        graft.plans.MergeListFold(split(col("word"), ""), merges)
+          .as("syms"))
 
   /** Train `iters` merges over the corpus; returns
     * (mergeTable, segmentation) where mergeTable has one row per
@@ -127,16 +126,31 @@ object Bpe {
     val spark = docs.sparkSession
     // initial symbols: one per character. Spark's split(s, "") yields
     // the character array with no trailing empty element.
-    var vocab = wordFreq(docs, scriptAware)
+    //
+    // ONE checkpointed base; each iteration re-derives the current
+    // symbols from it with a single MergeListFold over the merges
+    // learned SO FAR (k tight O(m) walks per word) instead of
+    // checkpointing a new vocab per merge. The loop's distributed work
+    // drops from 2 jobs per iteration (eager checkpoint + pair agg) to
+    // 1 — at vocab scale the re-folded walks are microseconds per word
+    // while each saved job was ~100 ms of scheduling constants; at
+    // 100 TB the base is vocabulary-sized either way (the one
+    // corpus-scale pass is wordFreq, unchanged).
+    val base = wordFreq(docs, scriptAware)
       .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    def vocabNow: DataFrame =
+      if (merges.isEmpty) base
+      else base.select(col("word"), col("freq"),
+        graft.plans.MergeListFold(col("syms"),
+          merges.toSeq.map(m => (m.left, m.right))).as("syms"))
     var exhausted = false
     for (i <- 1 to iters if !exhausted) {
-      // adjacent pairs, overlap-inclusive, weighted by word frequency.
-      // zip_with over the two off-by-one slices is pure codegen; words
-      // with a single symbol contribute no pairs (slice yields empty).
-      val top = vocab
+      // adjacent pairs, overlap-inclusive, weighted by word frequency;
+      // words with a single symbol contribute no pairs (slice yields
+      // empty).
+      val top = vocabNow
         .select(col("freq"), explode(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1),
@@ -150,11 +164,9 @@ object Bpe {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(i, a, b, a + b, cnt)
-        vocab = vocab.select(col("word"), col("freq"),
-            mergeFold(col("syms"), a, b).as("syms"))
-          .localCheckpoint(true)
       }
     }
+    val vocab = vocabNow
     val mergeDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         merges.toSeq.map(m => Row(m.iter, m.left, m.right, m.merged, m.cnt)),

@@ -63,6 +63,12 @@ object WordPiece {
   def trainMerges(docs: DataFrame, iters: Int,
                   scriptAware: Boolean = false): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
+    // NOTE: unlike Bpe.trainMerges, each iteration here reads the
+    // vocab THREE ways (pair counts + both unit-count join sides), so
+    // the accumulated-refold device was measured SLOWER (the three
+    // branches each recompute the fold chain); the eager per-iteration
+    // checkpoint stays, with the refold only replacing the interpreted
+    // HOF rewrite
     var vocab = Bpe.wordFreq(docs, scriptAware)
       .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
       .localCheckpoint(true)
@@ -100,7 +106,7 @@ object WordPiece {
         merges += Merge(i, a, b, a + b, r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5))
         vocab = vocab.select(col("word"), col("freq"),
-            Bpe.mergeFold(col("syms"), a, b).as("syms"))
+            graft.plans.MergeListFold(col("syms"), Seq((a, b))).as("syms"))
           .localCheckpoint(true)
       }
     }

@@ -112,4 +112,37 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(enc == ((7L, 12L)))
   }
+
+  test("fold law: MergeListFold == the HOF mergeFold, merge by merge " +
+      "and as one replay — incl. overlap runs, a==b, and 0/1-symbol " +
+      "words") {
+    // words chosen to exercise: overlapping candidate runs (aaa, aaaa:
+    // greedy left-to-right, non-overlapping), the merged symbol NOT
+    // re-consumed as a left half, multi-merge interaction (ab then
+    // ab+c), empty and single-char words, and symbols absent entirely
+    val words = Seq("", "a", "aa", "aaa", "aaaa", "abab", "abc", "abcabc",
+      "cabcab", "bca", "xyz", "banana")
+    val merges = Seq(("a", "a"), ("a", "b"), ("ab", "c"), ("b", "a"))
+    val base = words.toDF("word")
+      .select(col("word"), split(col("word"), "").as("syms"))
+
+    // merge-by-merge: each single-merge MergeListFold equals the HOF fold
+    var hof = base
+    var fast = base
+    for ((a, b) <- merges) {
+      hof = hof.select(col("word"),
+        Bpe.mergeFold(col("syms"), a, b).as("syms"))
+      fast = fast.select(col("word"),
+        graft.plans.MergeListFold(col("syms"), Seq((a, b))).as("syms"))
+      val l = hof.orderBy("word").as[(String, Seq[String])].collect()
+      val r = fast.orderBy("word").as[(String, Seq[String])].collect()
+      assert(l.toSeq == r.toSeq, s"divergence after merge ($a,$b)")
+    }
+    // one-shot replay of the whole list equals the iterated fold
+    val oneShot = base.select(col("word"),
+        graft.plans.MergeListFold(col("syms"), merges).as("syms"))
+      .orderBy("word").as[(String, Seq[String])].collect()
+    assert(oneShot.toSeq ==
+      hof.orderBy("word").as[(String, Seq[String])].collect().toSeq)
+  }
 }
