@@ -634,19 +634,26 @@ object Dedup {
                                    maxPostings: Int): DataFrame = {
     val posts0 = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
-    val byShingle = posts0.groupBy(col("h"))
+    // EXPLICIT repartition by the bucket key: the enumeration stage's
+    // cost is the Σ df² PAIR stream, not its input bytes, and AQE's
+    // byte-based coalescing folded the few-MB post-shuffle partitions
+    // to ~4 tasks that then each enumerated millions of pairs (measured
+    // 1.6 s stage wall at sf0.1). A user-specified shuffle at the
+    // session's partition count is exempt from coalescing and satisfies
+    // the groupBy's distribution, so no second exchange appears.
+    val n = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val byShingle = posts0.repartition(n, col("h")).groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds0"))
     val kept0 = if (maxPostings <= 0) byShingle.filter(size(col("ds0")) >= 2)
                 else byShingle.filter(size(col("ds0")).between(2, maxPostings))
     val kept = kept0.select(guardedBucket(col("ds0"), "shingle posting",
       kept0.schema("ds0").dataType.catalogString).as("ds"))
+    // tight codegen-fallback pair enumeration (plans.OverlapPairArray):
+    // the nested HOF tower (transform/filter/struct + flatten) emitted
+    // the same rows but interpreted, with three array materializations
+    // per bucket — the dominant CPU term of the naive path
     val pairStream = kept
-      .select(explode(flatten(transform(col("ds"), x =>
-        transform(
-          filter(col("ds"), y => y("doc_id") > x("doc_id")),
-          y => struct(x("doc_id").as("d1"), x("n").as("n1"),
-                      y("doc_id").as("d2"), y("n").as("n2"))))))
-        .as("p"))
+      .select(explode(graft.plans.OverlapPairArray(col("ds"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
         col("p.n1").as("n1"), col("p.n2").as("n2"))
     pairStream
@@ -1439,7 +1446,14 @@ object Dedup {
   def keepCanonical(docs: DataFrame, pairs: DataFrame,
                     id: String = "doc_id"): DataFrame = {
     val cc = connectedComponents(pairs)
-    docs.join(cc.withColumnRenamed("node", id), Seq(id), "left")
+    // Spread the payload side: cc is pair-scale (broadcasts), so the
+    // join preserves the docs scan's parallelism — a single-row-group
+    // corpus file would otherwise carry ONE task through every
+    // downstream per-row stage (the corpus-pipeline gate's normalize
+    // measured 1.9 s single-task at sf0.1). At cluster scale the scan
+    // is already parallel and Spread is a no-op.
+    graft.engine.Spread(docs)
+      .join(cc.withColumnRenamed("node", id), Seq(id), "left")
       .withColumn("component", coalesce(col("component"), col(id)))
       .filter(col(id) === col("component"))
       .drop("component")
