@@ -2556,7 +2556,7 @@ object SparkEntry {
       graft.engine.Spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           graft.plans.RollingShingleHashes(col("text"), 16).as("sh"))
-        .repartition(col("doc_id"))
+        .transform(graft.engine.Spread.byKey(_, col("doc_id")))
         .select(col("doc_id"), size(col("sh")).cast("long").as("n_windows"),
           explode(winnow(col("sh"), 8)).as("fp"))
         .groupBy(col("doc_id"))

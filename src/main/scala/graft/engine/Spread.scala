@@ -28,6 +28,22 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate,
   */
 object Spread {
 
+  /** Hash-repartition by `cols` at the session's shuffle-partition
+    * count, EXPLICITLY. A count-less `repartition(cols…)` is eligible
+    * for AQE partition coalescing, which is byte-based and therefore
+    * blind to downstream per-row CPU: every few-MB memo barrier in the
+    * engine (quantized vectors, posting lists, banded keys) was being
+    * folded to 1-4 tasks that then carried the expensive scoring /
+    * enumeration stage alone. The explicit count pins the pre-AQE
+    * planner parallelism — the same value a groupBy on the key would
+    * get — so co-partitioned consumers still reuse the exchange, and
+    * the session conf keeps it cluster-tunable.
+    */
+  def byKey(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      cols: _*)
+
   /** Below this optimizer-estimated size, repartitioning is not worth a
     * shuffle (the input is dimension-table sized).
     */

@@ -84,8 +84,14 @@ object Dedup {
   def fuzzyRecordClusters(records: DataFrame, idCol: Column,
                           nameCol: Column, blockCol: Column,
                           maxDist: Int): DataFrame = {
-    val a = records.select(blockCol.as("blk"), idCol.as("d1"),
-      nameCol.as("n1"))
+    // Spread the PROBE side: the build side broadcasts (record tables
+    // are dimension-sized; at corpus scale swap in the banded path),
+    // so the DP-filter stage inherits the probe scan's parallelism — a
+    // single-row-group record file otherwise runs every in-block
+    // Levenshtein in ONE task (measured 1.85 s of q_entity_dedup's
+    // 2.5 s at sf0.1).
+    val a = graft.engine.Spread(records).select(blockCol.as("blk"),
+      idCol.as("d1"), nameCol.as("n1"))
     val b = records.select(blockCol.as("blk"), idCol.as("d2"),
       nameCol.as("n2"))
     // two output-invariant cheap gates before the O(|s|²) DP:
@@ -219,7 +225,7 @@ object Dedup {
         sort_array(transform(col("dh"), x => x.getField("h"))))
       .select((Seq("doc_id", "n", "dh", "m") ++ taus.map(_._1) ++
         Seq("sh2")).map(col): _*)
-      .repartition(col("doc_id"))
+      .transform(graft.engine.Spread.byKey(_, col("doc_id")))
     PrefixIndex(dfreq, perDoc)
   }
 
@@ -858,7 +864,7 @@ object Dedup {
     // (tiny: one row per doc) aggregated output inserts a reusable
     // exchange ABOVE it, so the signature pass runs exactly once.
     val sigs = posts.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .repartition(col("doc_id"))
+      .transform(graft.engine.Spread.byKey(_, col("doc_id")))
     val bandCols = (0 until bands).map { b =>
       stableHash60(concat_ws(",",
         lit(b.toString) +: (0 until rows).map(r =>
@@ -905,7 +911,7 @@ object Dedup {
     import spark.implicits._
     val rows = numPerms / bands
     val posts = TextAnalysis.shinglePosts(corpus, k)
-      .repartition(col("doc_id"))
+      .transform(graft.engine.Spread.byKey(_, col("doc_id")))
     val p = MinhashPrime
     val hm = col("h") % p
     val aggs = (0 until numPerms).map { i =>
@@ -949,7 +955,7 @@ object Dedup {
         prm.getAs[Int]("bands"))
     val rows = numPerms / bands
     val posts = TextAnalysis.shinglePosts(newDocs, k)
-      .repartition(col("doc_id"))
+      .transform(graft.engine.Spread.byKey(_, col("doc_id")))
     val p = MinhashPrime
     val hm = col("h") % p
     val aggs = (0 until numPerms).map { i =>
@@ -990,7 +996,7 @@ object Dedup {
         prm.getAs[Int]("bands"))
     val rows = numPerms / bands
     val posts = TextAnalysis.shinglePosts(newDocs, k)
-      .repartition(col("doc_id"))
+      .transform(graft.engine.Spread.byKey(_, col("doc_id")))
     val p = MinhashPrime
     val hm = col("h") % p
     val aggs = (0 until numPerms).map { i =>
@@ -1069,7 +1075,7 @@ object Dedup {
     // (identical subtree -> reused exchange); no array column ever
     // crosses a shuffle in this plan (PlanShapeSpec-pinned)
     val posts = TextAnalysis.shinglePosts(base, k)
-      .repartition(col("doc_id"))
+      .transform(graft.engine.Spread.byKey(_, col("doc_id")))
     val p = MinhashPrime
     val hm = col("h") % p
     val sigAggs = (0 until numPerms).map { i =>
@@ -1080,7 +1086,7 @@ object Dedup {
     // three consumers (banding + both verification sides) — and it now
     // carries only longs
     val sigs = posts.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-      .repartition(col("doc_id"))
+      .transform(graft.engine.Spread.byKey(_, col("doc_id")))
     // shingle-set frame, consumed only under broadcast exchanges (the
     // collect_list re-runs once per broadcast side over the reused
     // scalar posting shuffle — bounded by the sample gate)
@@ -1572,7 +1578,7 @@ object Dedup {
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("qn", LongArrayDot(col("qv"), col("qv")))
       .withColumn("bks", array(bandKeys: _*))
-      .repartition(col("vec_id"))
+      .transform(graft.engine.Spread.byKey(_, col("vec_id")))
     val prep = if (broadcastable) prep0.localCheckpoint(true) else prep0
     val banded0 = prep.select(col("vec_id"),
       posexplode(col("bks")).as(Seq("band", "bk")))

@@ -155,7 +155,7 @@ object Graph {
     */
   private def pageRankJoin(e0: DataFrame, nodes: DataFrame, n: Long,
                            iters: Int, damping: Double): DataFrame = {
-    val e = e0.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = graft.engine.Spread.byKey(e0, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val base = (1.0 - damping) / n
       var r = nodes.select(col("id"), lit(1.0 / n).as("rank"))

@@ -215,7 +215,7 @@ object Similarity {
       .parquet(s"$indexPath/centroids")
     val stored = spark.read.parquet(s"$indexPath/centroids")
     assignToCells(corpus, stored)
-      .repartition(col("cent_id"))
+      .transform(graft.engine.Spread.byKey(_, col("cent_id")))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$indexPath/assigned")
   }
@@ -239,7 +239,7 @@ object Similarity {
     val spark = newVectors.sparkSession
     val stored = spark.read.parquet(s"$indexPath/centroids")
     assignToCells(newVectors, stored)
-      .repartition(col("cent_id"))
+      .transform(graft.engine.Spread.byKey(_, col("cent_id")))
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$indexPath/assigned")
   }
@@ -600,7 +600,7 @@ object Similarity {
     // 3x there)
     val prep0 = prepC(corpus)
       .withColumn("bks", array(lshBandKeys(col("cv"), sizedBits, bands, dim): _*))
-      .repartition(col("cid"))
+      .transform(graft.engine.Spread.byKey(_, col("cid")))
     val prep = if (broadcastable) prep0.localCheckpoint(true) else prep0
     val banded0 = prep.select(col("cid"),
       posexplode(col("bks")).as(Seq("band", "bk")))

@@ -118,7 +118,7 @@ object TextAnalysis {
       v => v > 0)
     graft.engine.Spread(docs)
       .select(col("doc_id"), col("text"), cuts.as("cuts"))
-      .repartition(col("doc_id"))
+      .transform(graft.engine.Spread.byKey(_, col("doc_id")))
       .select(col("doc_id"), col("text"),
         concat(array(lit(1)), transform(col("cuts"), c => c + 1))
           .as("starts"),
@@ -616,7 +616,7 @@ object TextAnalysis {
   def bigramCoverage(docs: DataFrame, minCount: Long = 3): DataFrame = {
     val bg = graft.engine.Spread(docs).select(col("doc_id"),
         explode(bigramsOf(col("text"))).as("bigram"))
-      .repartition(col("bigram"))
+      .transform(graft.engine.Spread.byKey(_, col("bigram")))
     val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
     bg.join(lm, Seq("bigram"))
       .groupBy(col("doc_id"))
@@ -657,7 +657,7 @@ object TextAnalysis {
           slice(ws, lit(2), size(ws) - 1),
           (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      .repartition(col("a"), col("b"))
+      .transform(graft.engine.Spread.byKey(_, col("a"), col("b")))
     val uni = docs.select(
       explode(tokens(col("text"), scriptAware)).as("tokw"))
       .groupBy(col("tokw")).agg(count(lit(1)).as("cu"))
@@ -716,7 +716,7 @@ object TextAnalysis {
           slice(ws, lit(2), size(ws) - 1),
           (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      .repartition(col("a"), col("b"))
+      .transform(graft.engine.Spread.byKey(_, col("a"), col("b")))
     val lm = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cab"))
       .localCheckpoint(true) // feeds all three LM summaries
