@@ -879,7 +879,9 @@ object Dedup {
     val meta2 = sigs.select(col("doc_id").as("d2"), col("n").as("n2"),
       col("sh").as("sh2"))
     cands.join(meta1, "d1").join(meta2, "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter",
+        graft.plans.SortedLongArrayIntersectSize(col("sh1"), col("sh2"))
+          .cast("int"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -1027,7 +1029,9 @@ object Dedup {
     // rule); size-based planning would get this right only at small SF
     meta.join(broadcast(cands), Seq("d1"))
       .join(broadcast(newMeta), Seq("d2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter",
+        graft.plans.SortedLongArrayIntersectSize(col("sh1"), col("sh2"))
+          .cast("int"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= tau)

@@ -82,21 +82,29 @@ object Graph {
     * [[TextAnalysis.qualityModelScore]]).
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-               driverNodeLimit: Long = DriverNodeLimit): DataFrame = {
+               driverNodeLimit: Long = DriverNodeLimit,
+               localEdgeLimit: Long = LocalEdges): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = edges.join(deg, "src")
+    // materialize the caller's edge pipeline ONCE: deg, the node set
+    // and the iteration state each run their own jobs, and without the
+    // barrier every one of them re-computed the (possibly expensive)
+    // upstream pair/knn gate — q_pagerank was paying its knnGraph
+    // three times over (measured ~1 s each at sf0.1)
+    val ecp = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = ecp.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = ecp.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    val nodes = ecp.select(col("src").as("id"))
+      .union(ecp.select(col("dst").as("id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = nodes.count()
       require(n > 0, "pageRank needs a non-empty edge list")
-      if (n <= driverNodeLimit) pageRankDriver(e, nodes, n, iters, damping)
+      if (n <= driverNodeLimit)
+        pageRankDriver(e, nodes, n, iters, damping, localEdgeLimit)
       else pageRankJoin(e, nodes, n, iters, damping)
     } finally nodes.unpersist(blocking = false)
   }
@@ -105,7 +113,8 @@ object Graph {
     * one zero-shuffle scan of the cached edge RDD per iteration.
     */
   private def pageRankDriver(e: DataFrame, nodes: DataFrame, n: Long,
-                             iters: Int, damping: Double): DataFrame = {
+                             iters: Int, damping: Double,
+                             localEdgeLimit: Long): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val ids = nodes.select(col("id").cast("long")).as[Long]
@@ -125,21 +134,44 @@ object Graph {
       val base = (1.0 - damping) / n
       var rank = Array.fill(nn)(1.0 / n)
       val sc = spark.sparkContext
-      for (_ <- 1 to iters) {
-        val bRank = sc.broadcast(rank)
-        val sums = eRdd.treeAggregate(new Array[Long](nn))(
-          seqOp = (acc, t) => {
-            val r = bRank.value
-            acc(t._2) += math.floor(r(t._1) / t._3 * Scale + 0.5).toLong
-            acc
-          },
-          combOp = (x, y) => {
-            var i = 0
-            while (i < x.length) { x(i) += y(i); i += 1 }
-            x
-          })
-        bRank.destroy()
-        rank = sums.map(s => base + damping * (s.toDouble / Scale))
+      // LOCAL tier (the connectedComponents driver-union-find device):
+      // near-dup/knn graphs are pair-scale, and under `LocalEdges`
+      // triples (~100 MB at the cap) the whole iteration loop runs on
+      // collected arrays — ZERO jobs per iteration instead of one
+      // treeAggregate each. The arithmetic is the identical
+      // floor-quantized integer fold, so ranks are bit-equal to the
+      // distributed regime (GraphSpec pins the tier law); the count
+      // probe is one cheap job over the already-persisted triples.
+      val eCount = eRdd.count()
+      if (eCount <= localEdgeLimit) {
+        val ts = eRdd.collect()
+        for (_ <- 1 to iters) {
+          val sums = new Array[Long](nn)
+          var i = 0
+          while (i < ts.length) {
+            val t = ts(i)
+            sums(t._2) += math.floor(rank(t._1) / t._3 * Scale + 0.5).toLong
+            i += 1
+          }
+          rank = sums.map(s => base + damping * (s.toDouble / Scale))
+        }
+      } else {
+        for (_ <- 1 to iters) {
+          val bRank = sc.broadcast(rank)
+          val sums = eRdd.treeAggregate(new Array[Long](nn))(
+            seqOp = (acc, t) => {
+              val r = bRank.value
+              acc(t._2) += math.floor(r(t._1) / t._3 * Scale + 0.5).toLong
+              acc
+            },
+            combOp = (x, y) => {
+              var i = 0
+              while (i < x.length) { x(i) += y(i); i += 1 }
+              x
+            })
+          bRank.destroy()
+          rank = sums.map(s => base + damping * (s.toDouble / Scale))
+        }
       }
       ids.zip(rank).toSeq.toDF("id", "rank")
         .select(col("id"),
@@ -149,6 +181,13 @@ object Graph {
       bIdx.destroy()
     }
   }
+
+  /** Edge-count ceiling for the zero-jobs-per-iteration local tier of
+    * [[pageRankDriver]]: 4M (int, int, long) triples ≈ 100 MB collected
+    * — the same driver budget `connectedComponents` grants its
+    * union-find tier.
+    */
+  val LocalEdges: Long = 4000000L
 
   /** Distributed join regime: edges partitioned by src once, each
     * iteration exchanges only the O(N) rank frame.

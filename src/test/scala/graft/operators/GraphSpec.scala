@@ -71,6 +71,23 @@ class GraphSpec extends SparkSpec {
       "quantized integer sums must make both regimes bit-identical")
   }
 
+  test("local-tier law: the zero-jobs-per-iteration driver loop ranks " +
+      "identically to the treeAggregate tier and the join regime") {
+    val es = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 60), (i, (i * 13 + 1) % 60), (i, (i + 1) % 60)))
+    def run(nodeLim: Long, edgeLim: Long) =
+      Graph.pageRank(edgeDF(es: _*), iters = 6,
+          driverNodeLimit = nodeLim, localEdgeLimit = edgeLim)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val local = run(Long.MaxValue, Long.MaxValue) // driver + local tier
+    val tree = run(Long.MaxValue, 0L)             // driver + treeAggregate
+    val join = run(0L, Long.MaxValue)             // join regime
+    assert(local.sameElements(tree),
+      "local tier must be bit-identical to the treeAggregate tier")
+    assert(local.sameElements(join),
+      "local tier must be bit-identical to the join regime")
+  }
+
   test("dangling sink: mass leaks but ranking stays sensible") {
     // 1 and 2 both feed 0; 0 has no out-edges (dangling)
     val pr = Graph.pageRank(edgeDF((1L, 0L), (2L, 0L)), iters = 10)
