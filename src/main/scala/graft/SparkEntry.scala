@@ -2406,10 +2406,8 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram"))
       t(s, dir, "documents")
         .select(col("lang"),
-          explode(zip_with(
-            slice(ws, lit(1), size(ws) - 1),
-            slice(ws, lit(2), size(ws) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          explode(graft.plans.AdjacentPairs.concatenated(ws))
+            .as("bigram"))
         .groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rnk", row_number().over(w))

@@ -151,10 +151,8 @@ object Bpe {
       // words with a single symbol contribute no pairs (slice yields
       // empty).
       val top = vocabNow
-        .select(col("freq"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select(col("freq"),
+          explode(graft.plans.AdjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)

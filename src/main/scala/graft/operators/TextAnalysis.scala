@@ -588,13 +588,10 @@ object TextAnalysis {
     * narrow, no position self-join). Shared by the LM-stats query and
     * `bigramCoverage`.
     */
-  def bigramsOf(text: Column): Column = {
-    val ws = tokens(text)
-    zip_with(
-      slice(ws, lit(1), size(ws) - 1),
-      slice(ws, lit(2), size(ws) - 1),
-      (a, b) => concat(a, lit(" "), b))
-  }
+  def bigramsOf(text: Column): Column =
+    // tight expression replaces the interpreted two-slice zip_with
+    // (plans.AdjacentPairs — same rows, same order)
+    graft.plans.AdjacentPairs.concatenated(tokens(text))
 
   /** Bigram language-model coverage — a fluency/quality proxy that stays
     * integer-exact: build the corpus bigram table (the LM), then score
@@ -652,10 +649,7 @@ object TextAnalysis {
                    scriptAware: Boolean = false): DataFrame = {
     val ws = tokens(col("text"), scriptAware)
     val pairs = graft.engine.Spread(docs).select(col("doc_id"),
-        explode(zip_with(
-          slice(ws, lit(1), size(ws) - 1),
-          slice(ws, lit(2), size(ws) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        explode(graft.plans.AdjacentPairs(ws)).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       .transform(graft.engine.Spread.byKey(_, col("a"), col("b")))
     val uni = docs.select(
@@ -711,10 +705,7 @@ object TextAnalysis {
                    scriptAware: Boolean = false): DataFrame = {
     val ws = tokens(col("text"), scriptAware)
     val pairs = graft.engine.Spread(docs).select(col("doc_id"),
-        explode(zip_with(
-          slice(ws, lit(1), size(ws) - 1),
-          slice(ws, lit(2), size(ws) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        explode(graft.plans.AdjacentPairs(ws)).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       .transform(graft.engine.Spread.byKey(_, col("a"), col("b")))
     val lm = pairs.groupBy(col("a"), col("b"))

@@ -76,10 +76,8 @@ object WordPiece {
     var exhausted = false
     for (i <- 1 to iters if !exhausted) {
       val pairs = vocab
-        .select(col("freq"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select(col("freq"),
+          explode(graft.plans.AdjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
       // unit counts over ALL symbol occurrences (1-symbol words too:
