@@ -54,15 +54,18 @@ object DataProfile {
       df.agg(
           count(lit(1)).as("__n"),
           count(c).as("__nn"),
-          // rsd 0.01, not the 0.05 default: the profiler's published
+          // rsd 0.018, not the 0.05 default: the profiler's published
           // envelope (|approx − exact| ≤ 5% + 10, q_table_profile_approx)
-          // would sit at ONE standard deviation of the sketch — a
-          // ~32% miss rate per column in expectation, and l_orderkey at
-          // sf0.001 did miss it (inherited red found this round). At
-          // rsd 0.01 the envelope is a 5σ claim (~1e-6/column) and the
-          // sketch is still only ~32 KB/column — profiler-grade cost.
+          // would sit at ONE standard deviation of the default sketch —
+          // a ~32% miss rate per column in expectation, and l_orderkey
+          // at sf0.001 did miss it (inherited red found this round).
+          // 0.018 lands on HLL++ precision p = 12 (4096 registers,
+          // σ ≈ 1.7%), making the envelope a ~3σ claim while the agg
+          // buffer stays ~410 words — the next precision tier (p = 14,
+          // rsd 0.01) widens the buffer to ~1.6k words and measured
+          // 3x slower end-to-end for no needed accuracy.
           (if (exact) countDistinct(c)
-           else approx_count_distinct(c, 0.01)).as("__nd"),
+           else approx_count_distinct(c, 0.018)).as("__nd"),
           min(c).as("__mn"),
           max(c).as("__mx"))
         .select(
