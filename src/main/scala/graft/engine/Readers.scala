@@ -113,9 +113,22 @@ object Readers {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Drop cache entries owned by stopped sessions — a cached DataFrame
+    * strongly references its session, so without this a long-lived JVM
+    * churning short-lived sessions (the test suite) would pin every
+    * stopped session's state forever. Purge-on-access keeps the maps
+    * bounded by the number of LIVE sessions with no listener wiring.
+    */
+  private def purgeStopped(): Unit = {
+    tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    registeredDir.keySet.removeIf(s => s.sparkContext.isStopped)
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    purgeStopped()
     tableCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       k => readParquet(spark, k._2))
+  }
 
   /** Parquet reader resilient to TIMESTAMP(NANOS) columns, which Spark 4
     * rejects outright (PARQUET_TYPE_ILLEGAL). The footer of the first
@@ -237,8 +250,13 @@ object Readers {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    if (registeredDir.put(spark, sfDir) != sfDir)
+    if (registeredDir.get(spark) != sfDir) {
       testTables.foreach { t =>
         table(spark, sfDir, t).createOrReplaceTempView(t)
       }
+      // recorded only AFTER every view registered: a mid-loop failure
+      // must leave the gate open so the next call self-heals (the
+      // pre-gate loop's behavior)
+      registeredDir.put(spark, sfDir)
+    }
 }

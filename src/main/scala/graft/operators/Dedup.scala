@@ -647,8 +647,8 @@ object Dedup {
     // 1.6 s stage wall at sf0.1). A user-specified shuffle at the
     // session's partition count is exempt from coalescing and satisfies
     // the groupBy's distribution, so no second exchange appears.
-    val n = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val byShingle = posts0.repartition(n, col("h")).groupBy(col("h"))
+    val byShingle = graft.engine.Spread.byKey(posts0, col("h"))
+      .groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds0"))
     val kept0 = if (maxPostings <= 0) byShingle.filter(size(col("ds0")) >= 2)
                 else byShingle.filter(size(col("ds0")).between(2, maxPostings))

@@ -91,8 +91,11 @@ object Graph {
     // and the iteration state each run their own jobs, and without the
     // barrier every one of them re-computed the (possibly expensive)
     // upstream pair/knn gate — q_pagerank was paying its knnGraph
-    // three times over (measured ~1 s each at sf0.1)
-    val ecp = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // three times over (measured ~1 s each at sf0.1). persist (not
+    // localCheckpoint) so the O(E) blocks are RELEASED in the finally
+    // below — a bench session runs many graph queries back to back.
+    val ecp = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = ecp.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e = ecp.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
@@ -106,7 +109,10 @@ object Graph {
       if (n <= driverNodeLimit)
         pageRankDriver(e, nodes, n, iters, damping, localEdgeLimit)
       else pageRankJoin(e, nodes, n, iters, damping)
-    } finally nodes.unpersist(blocking = false)
+    } finally {
+      nodes.unpersist(blocking = false)
+      ecp.unpersist(blocking = false)
+    }
   }
 
   /** Broadcast-rank regime: ranks in a driver array (n ≤ driver limit),

@@ -2159,6 +2159,11 @@ object Iceberg {
               if (f.transform == "identity") 1L
               else f.transform.stripPrefix("bucket[").stripSuffix("]")
                 .toLong).product
+          // NOTE: the probe is an extra action over df0, column-pruned
+          // to the transform sources — cheap against the write that
+          // follows when df0 is a scan/filter (every call site here);
+          // a caller feeding an EXPENSIVE computed frame through a
+          // time-grain layout should persist it first.
           else withDup
             .agg(approx_count_distinct(
               struct(dupNames.map(nm => col(s"`$nm`")): _*), 0.3))
